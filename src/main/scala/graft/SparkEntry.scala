@@ -1,13 +1,173 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is registered here as a named query
+  * `(SparkSession, sfDir) => DataFrame`, with equivalent DuckDB SQL in
+  * [[oracleSql]] where SQL-expressible. Column names and row order match
+  * the oracle exactly (the driver sorts columns by name before hashing).
+  *
+  * Floating-point determinism rules used throughout (so hashes match
+  * bit-for-bit):
+  *  - money/value sums go through DECIMAL(18,2), then cast to double —
+  *    exact, independent of aggregation order;
+  *  - ratios use `floor(x*1000/total + 0.5)/10` (Java Math.round
+  *    semantics) — single IEEE ops, identical in Spark and DuckDB;
+  *  - per-row arithmetic only ever uses one rounding step per op, never
+  *    an order-dependent reduction over doubles.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    SaleDetail.wideQuery(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- GMV pipeline (GmvApp + OrderMapper: P4, F3, A5, A6) ---
+    "q01_gmv_by_date"      -> ((s, d) => Gmv.gmvByDate(s, d)),
+    "q02_gmv_total_day"    -> ((s, d) => Gmv.gmvTotalDay(s, d)),
+    "q06_revenue_by_hour"  -> ((s, d) => Gmv.revenueByHour(s, d)),
+    // --- DAU pipeline (DauApp + DauHandler + DauMapper: P3, A1/W1, F1/J4, A3, A4) ---
+    "q03_dau_by_day"       -> ((s, d) => Dau.dauByDay(s, d)),
+    "q04_dau_by_hour"      -> ((s, d) => Dau.dauByHour(s, d)),
+    "q05_dau_table"        -> ((s, d) => Dau.dauTable(s, d)),
+    "q18_uv_approx"        -> ((s, d) => Dau.uvApprox(s, d)),
+    // --- wide table (SaleDetailApp: J2, J3, P7, P8, P9) ---
+    "q07_sale_detail_wide" -> ((s, d) => SaleDetail.wideQuery(s, d)),
+    "q08_customer_age"     -> ((s, d) => SaleDetail.customerAge(s, d)),
+    // --- publisher analytics (F4, O2, A10/O3, A11/X6, W2) ---
+    "q09_keyword_search"   -> ((s, d) => Publisher.keywordSearch(s, d)),
+    "q10_top_sellers"      -> ((s, d) => Publisher.topSellers(s, d)),
+    "q11_balance_band_ratio" -> ((s, d) => Publisher.balanceBandRatio(s, d)),
+    "q12_segment_ratio"    -> ((s, d) => Publisher.segmentRatio(s, d)),
+    "q13_today_vs_yesterday" -> ((s, d) => Publisher.todayVsYesterday(s, d)),
+    // --- alert pipeline (AlertApp: T2, A7, A8, A9, T6) ---
+    "q14_alerts"           -> ((s, d) => Alert.alerts(s, d)),
+    "q15_active_minutes"   -> ((s, d) => Alert.activeMinutes(s, d)),
+    // --- changelog / union (T8, §2.10) ---
+    "q16_latest_per_user"  -> ((s, d) => Changelog.latestPerUser(s, d)),
+    "q17_union_streams"    -> ((s, d) => Changelog.unionStreams(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_gmv_by_date" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS create_date,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+        |       COUNT(*) AS order_cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q02_gmv_total_day" ->
+      """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+        |       COUNT(*) AS order_cnt, '1998-03-15' AS create_date
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-03-15' AND o_orderdate < TIMESTAMP '1998-03-16'""".stripMargin,
+    "q06_revenue_by_hour" ->
+      """SELECT strftime(ts, '%H') AS create_hour,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS purchase_cnt
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_dau_by_day" ->
+      """SELECT log_date, COUNT(*) AS dau FROM (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS log_date, MIN(ts) AS first_ts
+        |  FROM events GROUP BY 1, 2)
+        |GROUP BY log_date ORDER BY log_date""".stripMargin,
+    "q04_dau_by_hour" ->
+      """SELECT strftime(first_ts, '%H') AS lh, COUNT(*) AS ct FROM (
+        |  SELECT user_id, MIN(ts) AS first_ts FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_dau_table" ->
+      """SELECT user_id, strftime(min_ts, '%Y-%m-%d') AS log_date,
+        |       epoch_us(min_ts) AS first_ts_us, strftime(min_ts, '%H') AS log_hour
+        |FROM (SELECT user_id, MIN(ts) AS min_ts FROM events
+        |      GROUP BY user_id, strftime(ts, '%Y-%m-%d'))
+        |ORDER BY log_date, user_id""".stripMargin,
+    "q07_sale_detail_wide" ->
+      """SELECT l_orderkey * 10 + l_linenumber AS order_detail_id,
+        |       l_orderkey AS order_id, o_custkey AS user_id, l_partkey AS sku_id,
+        |       l_quantity AS sku_num, l_extendedprice AS sku_price,
+        |       o_orderstatus AS order_status,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS create_date,
+        |       c_name AS user_name, c_mktsegment AS user_segment, n_name AS user_nation
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY order_detail_id""".stripMargin,
+    "q08_customer_age" ->
+      """SELECT o_custkey AS user_id,
+        |       CAST(FLOOR(datediff('day', MIN(CAST(o_orderdate AS DATE)), DATE '2002-01-01') / 365) AS BIGINT) AS age_years
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q09_keyword_search" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE lower(p_name) LIKE '%small%' AND lower(p_name) LIKE '%widget%'
+        |ORDER BY p_partkey LIMIT 10 OFFSET 10""".stripMargin,
+    "q10_top_sellers" ->
+      """SELECT l_partkey, COUNT(*) AS ct FROM lineitem
+        |GROUP BY 1 ORDER BY ct DESC, l_partkey LIMIT 10""".stripMargin,
+    "q11_balance_band_ratio" ->
+      """WITH c AS (
+        |  SELECT COUNT(*) AS total,
+        |         SUM(CASE WHEN c_acctbal < 3000 THEN 1 ELSE 0 END) AS low_ct,
+        |         SUM(CASE WHEN c_acctbal >= 3000 AND c_acctbal < 7000 THEN 1 ELSE 0 END) AS mid_ct
+        |  FROM customer),
+        |r AS (SELECT FLOOR(low_ct * 1000.0 / total + 0.5) / 10.0 AS low_ratio,
+        |             FLOOR(mid_ct * 1000.0 / total + 0.5) / 10.0 AS mid_ratio FROM c)
+        |SELECT low_ratio, mid_ratio, 100.0 - low_ratio - mid_ratio AS high_ratio FROM r""".stripMargin,
+    "q12_segment_ratio" ->
+      """WITH c AS (
+        |  SELECT COUNT(*) AS total,
+        |         SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS seg_ct
+        |  FROM customer),
+        |r AS (SELECT FLOOR(seg_ct * 1000.0 / total + 0.5) / 10.0 AS seg_ratio FROM c)
+        |SELECT seg_ratio, 100.0 - seg_ratio AS rest_ratio FROM r""".stripMargin,
+    "q13_today_vs_yesterday" ->
+      """SELECT strftime(ts, '%H') AS lh,
+        |       CAST(SUM(CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-05' THEN 1 ELSE 0 END) AS BIGINT) AS today_ct,
+        |       CAST(SUM(CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-04' THEN 1 ELSE 0 END) AS BIGINT) AS yesterday_ct
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-04' AND ts < TIMESTAMP '2024-01-06'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_alerts" ->
+      """WITH e AS (
+        |  SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS ws, user_id, event_type,
+        |         json_extract_string(props, '$.k') AS uid
+        |  FROM events)
+        |SELECT ws, user_id,
+        |       string_agg(DISTINCT CASE WHEN event_type = 'purchase' THEN uid END, ','
+        |                  ORDER BY CASE WHEN event_type = 'purchase' THEN uid END) AS uids,
+        |       COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN uid END) AS uid_ct,
+        |       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS events
+        |FROM e GROUP BY ws, user_id
+        |HAVING COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN uid END) >= 2
+        |   AND MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 0
+        |ORDER BY ws, user_id""".stripMargin,
+    "q15_active_minutes" ->
+      """SELECT user_id,
+        |       COUNT(DISTINCT CAST(FLOOR(epoch(ts) / 60) AS BIGINT)) AS active_minutes
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_latest_per_user" ->
+      """SELECT user_id, last_event_type, last_ts_us, last_value FROM (
+        |  SELECT user_id, event_type AS last_event_type, epoch_us(ts) AS last_ts_us,
+        |         value AS last_value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q17_union_streams" ->
+      """SELECT event_type, COUNT(*) AS ct,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM (SELECT * FROM events WHERE event_type = 'click'
+        |      UNION ALL
+        |      SELECT * FROM events WHERE event_type = 'view')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q18_uv_approx: HLL sketch — intentionally no oracle (rows-only check).
+  )
 }

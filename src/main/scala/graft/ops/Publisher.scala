@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Interactive analytics — the reference's Spring "publisher" REST queries
+  * re-expressed as DataFrame queries over the materialized tables.
+  *
+  * Reference semantics reproduced (citations into /root/reference/):
+  *  - F4 keyword match: ES bool query `filter(term) + must(match operator=AND)`
+  *    — every analyzed token must match:
+  *    gmall-publisher/src/main/java/com/atguigu/gmallpublisher/service/impl/PublisherServiceImpl.java:82-87.
+  *    Documented approximation (SURVEY §7 hard parts): lowercase token
+  *    containment, AND across tokens.
+  *  - O2 pagination: `from = (page-1)*size, size`: PublisherServiceImpl.java:97-99
+  *  - A10/O3 terms agg top-k ordered by doc count: PublisherServiceImpl.java:89-95
+  *  - A11/X6 banding + ratio `Math.round(x*1000/total)/10` with the third
+  *    bucket computed as the complement `100 − a − b`:
+  *    PublisherServiceImpl.java:125-183
+  *  - W2 today-vs-yesterday hour pairing: controller fetches `date` and
+  *    `date-1d` maps: gmall-publisher/.../Controller.java:76-100
+  *
+  * Determinism: ratios use `floor(x*1000/total + 0.5)/10` — Java
+  * `Math.round` semantics, bit-identical across engines; top-k and
+  * pagination carry total tie-break orders (SURVEY §7).
+  */
+object Publisher {
+
+  /** F4 + O2: full-text-ish keyword search over part names with
+    * deterministic pagination (page 2, size 10). */
+  def keywordSearch(spark: SparkSession, dir: String,
+                    keyword: String = "small widget",
+                    page: Int = 2, pageSize: Int = 10): DataFrame = {
+    val tokens = keyword.toLowerCase.split("\\s+").toSeq
+    val matchAll = tokens.map(t => lower(col("p_name")).contains(t)).reduce(_ && _)
+    Tables.part(spark, dir)
+      .filter(matchAll)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy("p_partkey")
+      .offset((page - 1) * pageSize)
+      .limit(pageSize)
+  }
+
+  /** A10/O3: top-k part keys by sale count (terms aggregation), doc-count
+    * descending with key ascending as the tie-break. */
+  def topSellers(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("l_partkey").asc)
+      .limit(k)
+
+  /** Java Math.round(x) for non-negative doubles, bit-identical in Spark
+    * and DuckDB: floor(x + 0.5). */
+  private def javaRound(c: org.apache.spark.sql.Column) = floor(c + 0.5)
+
+  /** A11 + X6: 3-band breakdown with one-decimal percentages; the last
+    * band is the complement so the three always sum to 100.0 (the
+    * reference's age-band math, PublisherServiceImpl.java:125-153). Bands
+    * are account-balance tiers on this schema. */
+  def balanceBandRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("c_acctbal") < 3000, 1).otherwise(0)).as("low_ct"),
+        sum(when(col("c_acctbal") >= 3000 && col("c_acctbal") < 7000, 1).otherwise(0)).as("mid_ct"))
+      .select(
+        (javaRound(col("low_ct") * 1000.0 / col("total")) / 10.0).as("low_ratio"),
+        (javaRound(col("mid_ct") * 1000.0 / col("total")) / 10.0).as("mid_ratio"))
+      .select(
+        col("low_ratio"), col("mid_ratio"),
+        (lit(100.0) - col("low_ratio") - col("mid_ratio")).as("high_ratio"))
+
+  /** A11 gender-ratio analog: one market segment vs the rest, complement
+    * rounding (PublisherServiceImpl.java:155-183). */
+  def segmentRatio(spark: SparkSession, dir: String, segment: String = "BUILDING"): DataFrame =
+    Tables.customer(spark, dir)
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("c_mktsegment") === segment, 1).otherwise(0)).as("seg_ct"))
+      .select((javaRound(col("seg_ct") * 1000.0 / col("total")) / 10.0).as("seg_ratio"))
+      .select(col("seg_ratio"), (lit(100.0) - col("seg_ratio")).as("rest_ratio"))
+
+  /** W2: hourly event counts for `day` paired with the previous day —
+    * a single scan with two conditional aggregates (no self-join). */
+  def todayVsYesterday(spark: SparkSession, dir: String,
+                       day: String = Dau.Day, prev: String = Dau.PrevDay): DataFrame =
+    Tables.events(spark, dir)
+      .filter(Dau.dayRange(col("ts"), prev) || Dau.dayRange(col("ts"), day))
+      .withColumn("log_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(date_format(col("ts"), "HH").as("lh"))
+      .agg(
+        sum(when(col("log_date") === day, 1).otherwise(0)).as("today_ct"),
+        sum(when(col("log_date") === prev, 1).otherwise(0)).as("yesterday_ct"))
+      .orderBy("lh")
+}
