@@ -51,6 +51,22 @@ object SparkEntry {
     // --- changelog / union (T8, §2.10) ---
     "q16_latest_per_user"  -> ((s, d) => Changelog.latestPerUser(s, d)),
     "q17_union_streams"    -> ((s, d) => Changelog.unionStreams(s, d)),
+    // --- text analysis (scale extensions: M6) ---
+    "q19_token_count"      -> ((s, d) => graft.text.TextOps.tokenCount(s, d)),
+    "q20_quality_score"    -> ((s, d) => graft.text.TextOps.qualityScore(s, d)),
+    "q21_lang_id"          -> ((s, d) => graft.text.TextOps.langId(s, d)),
+    "q22_fingerprint"      -> ((s, d) => graft.text.TextOps.fingerprint(s, d)),
+    // --- dedup suite (exact, n-gram Jaccard, MinHash+LSH, SimHash) ---
+    "q23_dedup_exact"      -> ((s, d) => graft.dedup.DedupOps.exactDedup(s, d)),
+    "q24_ngram_jaccard"    -> ((s, d) => graft.dedup.DedupOps.ngramJaccardPairs(s, d)),
+    "q25_minhash_lsh"      -> ((s, d) => graft.dedup.DedupOps.minhashLshPairs(s, d)),
+    "q26_simhash"          -> ((s, d) => graft.dedup.DedupOps.simhash(s, d)),
+    // --- similarity search over embeddings ---
+    "q27_cosine_topk"      -> ((s, d) => graft.vector.VectorOps.cosineTopK(s, d)),
+    "q28_embed_neardup"    -> ((s, d) => graft.vector.VectorOps.cosineNearDupPairs(s, d)),
+    "q29_ann_lsh"          -> ((s, d) => graft.vector.VectorOps.annLshTopK(s, d)),
+    // --- multimodal binary-column plumbing ---
+    "q30_multimodal_meta"  -> ((s, d) => graft.multimodal.Multimodal.binaryMeta(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -168,6 +184,102 @@ object SparkEntry {
         |      UNION ALL
         |      SELECT * FROM events WHERE event_type = 'view')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST(len(tokens) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(tokens, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS stop_ct,
+        |        CAST(list_sum(list_transform(tokens, x -> length(x))) AS BIGINT) AS alpha_chars
+        |      FROM t)
+        |SELECT doc_id, n_tokens, stop_ct,
+        |       stop_ct / n_tokens AS stop_ratio,
+        |       alpha_chars / n_tokens AS avg_token_len,
+        |       CAST(CASE WHEN n_tokens >= 10 AND stop_ct / n_tokens >= 0.02 AND stop_ct / n_tokens <= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q21_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        CAST(len(list_filter(tokens, x -> x IN ('table', 'row'))) AS BIGINT) AS de_ct,
+        |        CAST(len(list_filter(tokens, x -> x IN ('the', 'a'))) AS BIGINT) AS en_ct,
+        |        CAST(len(list_filter(tokens, x -> x IN ('data', 'value'))) AS BIGINT) AS es_ct,
+        |        CAST(len(list_filter(tokens, x -> x IN ('query', 'join'))) AS BIGINT) AS fr_ct,
+        |        CAST(len(list_filter(tokens, x -> x IN ('spark', 'stream'))) AS BIGINT) AS zh_ct
+        |      FROM t),
+        |p AS (SELECT *, CASE WHEN de_ct >= en_ct AND de_ct >= es_ct AND de_ct >= fr_ct AND de_ct >= zh_ct THEN 'de'
+        |                     WHEN en_ct >= es_ct AND en_ct >= fr_ct AND en_ct >= zh_ct THEN 'en'
+        |                     WHEN es_ct >= fr_ct AND es_ct >= zh_ct THEN 'es'
+        |                     WHEN fr_ct >= zh_ct THEN 'fr'
+        |                     ELSE 'zh' END AS pred_lang
+        |      FROM s)
+        |SELECT doc_id, lang, pred_lang,
+        |       CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match,
+        |       de_ct, en_ct, es_ct, fr_ct, zh_ct
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q22_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q23_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents
+        |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q24_ngram_jaccard" -> JaccardPairsSql,
+    "q25_minhash_lsh" -> JaccardPairsSql, // LSH + exact verify ≡ exact pairs
+    "q26_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+        |h AS (SELECT doc_id, md5(w) AS m FROM tok),
+        |b AS (SELECT doc_id, i,
+        |        SUM(2 * (((strpos('0123456789abcdef', substring(m, i // 4 + 1, 1)) - 1) >> (3 - i % 4)) & 1) - 1) AS s
+        |      FROM h, (SELECT unnest(generate_series(0, 63)) AS i) bits
+        |      GROUP BY 1, 2)
+        |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q27_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       list_inner_product(e.v, q.qv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+        |FROM e, q WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q28_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |             list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+        |      FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos FROM c WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "q30_multimodal_meta" ->
+      """SELECT doc_id, source,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       md5(text) AS content_md5,
+        |       hex(encode(substring(text, 1, 8))) AS head_hex,
+        |       CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+        |       CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height,
+        |       CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q18_uv_approx: HLL sketch — intentionally no oracle (rows-only check).
+    // q29_ann_lsh: approximate (recall < 1) — intentionally no oracle.
   )
+
+  /** Exact 3-gram-shingle Jaccard pairs at threshold 0.7 — the oracle for
+    * BOTH the exact pair join (q24) and the MinHash+LSH path (q25): with
+    * 64 hashes banded 32×2 the LSH candidate-miss probability at J ≥ 0.7
+    * is ≈ 4e−10, so the verified-candidate output equals the exact one. */
+  private val JaccardPairsSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              unnest(CASE WHEN len(t) >= 3
+      |                     THEN list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |                     ELSE [] END) AS s
+      |       FROM tok),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter / (x.n + y.n - inter) AS jaccard
+      |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |WHERE inter / (x.n + y.n - inter) >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -1,0 +1,68 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, plus a decode/feature-extract stage.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB ([[fakeDecode]]); the Spark-side
+  * plumbing — binary column, metadata schema, batch-friendly
+  * per-partition shape — is real and oracle-checked via
+  * [[binaryMeta]].
+  *
+  * Scale design: payload bytes travel as a single binary column next to
+  * columnar metadata, so metadata-only queries never touch the payload
+  * (parquet column pruning); decode runs as a narrow per-partition stage
+  * (mapPartitions — the Scala analog of arrow-batched mapInPandas),
+  * which is where a real codec (JNI/library) would be invoked batch-wise.
+  */
+object Multimodal {
+
+  /** Typed metadata + payload over binary content (here: utf8 bytes of
+    * `documents.text` standing in for an image payload). Deterministic
+    * "media" attributes are derived arithmetically so the oracle can
+    * verify the full plumbing. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        col("source"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        md5(col("payload")).as("content_md5"),
+        hex(substring(col("payload"), 1, 8)).as("head_hex"),
+        (lit(64) + octet_length(col("payload")) % 512).cast("long").as("width"),
+        (lit(64) + (octet_length(col("payload")) * 7) % 512).cast("long").as("height"),
+        (lit(1) + octet_length(col("payload")) % 16).cast("long").as("frames"))
+      .orderBy("doc_id")
+
+  case class MediaFeature(doc_id: Long, n_bytes: Long, mean_byte: Double, feature: Array[Float])
+
+  /** STUB decode/feature-extract: the real implementation would decode
+    * the payload with an image/audio library inside `mapPartitions`
+    * (batch-per-partition, exactly the arrow-batch shape of a Pandas
+    * UDF). With no codecs in this container, it derives a deterministic
+    * fake 8-dim feature from the raw bytes; the partitioning, schema and
+    * batch shape are the real contract. */
+  def fakeDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withPayload = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    withPayload.mapPartitions { it =>
+      // real codec would initialize per-partition here (conn/lib handle)
+      it.map { case (id, bytes) =>
+        val mean = if (bytes.isEmpty) 0.0 else bytes.map(_ & 0xff).sum.toDouble / bytes.length
+        // ??? <- real decode goes here; deterministic fake feature instead:
+        val feat = Array.tabulate(8)(i => ((bytes.length * (i + 1)) % 255).toFloat)
+        MediaFeature(id, bytes.length.toLong, mean, feat)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+}

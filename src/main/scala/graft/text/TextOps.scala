@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for the large-scale training-data pipeline
+  * (SURVEY §7 M6 / the builder prompt's LLM-data extensions): language ID,
+  * quality scoring, token counting, document fingerprinting — all over the
+  * `documents` table.
+  *
+  * Everything here is a single codegen'd projection per document (built-in
+  * string/array/higher-order functions only — no UDFs), so each operator
+  * is one narrow map stage over the parquet scan: embarrassingly parallel,
+  * no shuffle, which is exactly the shape wanted at 100 TB.
+  *
+  * Determinism: per-row arithmetic only (exact integer counts + single
+  * IEEE divisions), so DuckDB oracle hashes match bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace-normalized lowercase text. */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Tokenization: whitespace split of the normalized text. */
+  val TokensExpr = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+
+  private def withTokens(docs: DataFrame): DataFrame =
+    docs.withColumn("tokens", expr(TokensExpr))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (runs of letters / digits — the coarse subword proxy). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    withTokens(Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("n_re_tokens"))
+      .orderBy("doc_id")
+
+  /** Stopword set used by quality scoring and language ID. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality scoring: length, stopword ratio, mean token length, and a
+    * boolean gate — the standard cheap pre-filter for LLM training data. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    withTokens(Tables.documents(spark, dir))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        expr(s"cast(size(filter(tokens, x -> x IN ($stopList))) as long)").as("stop_ct"),
+        expr("aggregate(tokens, 0, (acc, x) -> acc + length(x))").cast("long").as("alpha_chars"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("stop_ct"),
+        (col("stop_ct") / col("n_tokens")).as("stop_ratio"),
+        (col("alpha_chars") / col("n_tokens")).as("avg_token_len"))
+      .withColumn("quality_ok",
+        (col("n_tokens") >= 10 && col("stop_ratio") >= 0.02 && col("stop_ratio") <= 0.6)
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker vocabularies for the n-gram-heuristic language ID. The
+    * synthetic corpus shares one vocabulary across its `lang` labels (no
+    * real language signal — verified against the data), so the markers are
+    * drawn from that shared vocabulary purely to exercise the operator:
+    * relative marker frequency → argmax with lexicographic tie-break. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "row"),
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "value"),
+    "fr" -> Seq("query", "join"),
+    "zh" -> Seq("spark", "stream"))
+
+  /** Language ID: marker-count scoring, argmax, lexicographically smallest
+    * language wins ties (the deterministic total order the oracle pins). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val withScores = LangMarkers.foldLeft(withTokens(Tables.documents(spark, dir))) {
+      case (df, (langName, markers)) =>
+        val list = markers.map(m => s"'$m'").mkString(", ")
+        df.withColumn(s"${langName}_ct",
+          expr(s"cast(size(filter(tokens, x -> x IN ($list))) as long)"))
+    }
+    val langs = LangMarkers.map(_._1)
+    // cascade over langs in lexicographic order: first lang whose score is
+    // >= all later ones wins == argmax with lex-smallest tie-break
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((langName, i), elseCol) =>
+        val laterGte = langs.drop(i + 1)
+          .map(o => col(s"${langName}_ct") >= col(s"${o}_ct"))
+          .reduce(_ && _)
+        when(laterGte, lit(langName)).otherwise(elseCol)
+    }
+    withScores
+      .withColumn("pred_lang", pred)
+      .withColumn("lang_match", (col("pred_lang") === col("lang")).cast("long"))
+      .select(Seq(col("doc_id"), col("lang"), col("pred_lang"), col("lang_match")) ++
+        langs.map(l => col(s"${l}_ct")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase text
+    * — the cheap content-address used by exact dedup and incremental
+    * re-crawl pipelines. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(normText(col("text"))).as("fp"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy("doc_id")
+}
