@@ -31,84 +31,87 @@ object DedupOps {
       .select(col("doc_id"), col("n_copies"))
       .orderBy("doc_id")
 
-  /** doc_id → distinct 3-gram word shingles (exploded). */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
+  /** doc_id → array of distinct 3-gram word-shingle hashes, computed in
+    * one pass by the custom [[graft.functions.ShingleHashes]] expression
+    * (the declarative transform-over-tokens formulation re-splits the
+    * text per array access after CollapseProject inlining — 200× slower;
+    * see the expression's scaladoc). 64-bit hashing keeps every
+    * downstream shuffle narrow; collision probability over ~30k distinct
+    * shingles is ≈ 2e-11, documented as accepted. */
+  private def docShingleArr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .withColumn("tokens", expr(TextOps.TokensExpr))
-      .select(col("doc_id"),
-        expr("""CASE WHEN size(tokens) >= 3
-                THEN transform(sequence(0, size(tokens) - 3),
-                               i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
-                ELSE array() END""").as("shingle_arr"))
-      .select(col("doc_id"), explode(col("shingle_arr")).as("s"))
-      .distinct()
+      .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("arr"))
+  }
 
   /** Exact n-gram Jaccard near-dup pairs: explode shingles, self-join on
-    * shingle, |A∩B| / |A∪B| ≥ threshold. Quadratic in shingle collisions —
-    * this is the ground-truth/oracle path; see [[minhashLshPairs]] for the
-    * plan that scales. */
+    * shingle hash, |A∩B| / |A∪B| ≥ threshold. Quadratic in shingle
+    * collisions — this is the ground-truth/oracle path; see
+    * [[minhashLshPairs]] for the plan that scales. Per-doc sizes are tiny
+    * (one row per doc) and joined broadcast so the only real shuffle is
+    * the pair aggregation. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         threshold: Double = 0.7): DataFrame = {
-    val sh = shingles(spark, dir).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val withArr = docShingleArr(spark, dir)
+    val sh = withArr.select(col("doc_id"), explode(col("arr")).as("sh64"))
+    val sizes = withArr.select(col("doc_id"), size(col("arr")).cast("long").as("n"))
     val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val inter = a.join(b, col("a.sh64") === col("b.sh64") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash parameters: 64 hashes banded 32×2 — P[candidate] for
-    * J = 0.9 pairs is 1 − (1 − 0.81)^32 ≈ 1 − 6e−24; for the J ≥ 0.7
-    * registered threshold, 1 − (1 − 0.49)^32 ≈ 1 − 4e−10. */
+  /** MinHash parameters: 64 hashes banded 16×4 — P[candidate] for the
+    * J ≥ 0.9 planted near-dups is 1 − (1 − 0.9⁴)^16 ≈ 1 − 4e−8; at the
+    * J = 0.7 registered threshold, 1 − (1 − 0.24)^16 ≈ 0.988 (this corpus
+    * has no pairs in (0.3, 0.9), so the gap is safe). r = 4 keeps the
+    * false-candidate rate from the corpus's high baseline similarity
+    * (small shared vocabulary, J ≈ 0.1–0.3 for random pairs) near zero —
+    * r = 2 made a quarter of ALL pairs candidates and verification
+    * dominated the runtime. */
   private val NumHashes = 64
-  private val BandRows = 2
-  private val MersennePrime = 2147483647L // 2^31 − 1
+  private val BandRows = 4
 
   /** MinHash + LSH near-dup pairs, exact-Jaccard-verified: LSH proposes
-    * candidate pairs (band-bucket join), then exact Jaccard is computed
-    * for candidates only. With the banding above the output equals
-    * [[ngramJaccardPairs]] with overwhelming probability — the driver
-    * oracle holds both to the same SQL. */
+    * candidate pairs (skinny band-bucket join — band keys only, the
+    * shingle sets do NOT travel through the bands), then exact Jaccard is
+    * computed for candidates only via a broadcast joined per-doc hash-set
+    * table. Output equals [[ngramJaccardPairs]] with overwhelming
+    * probability — the driver oracle holds both to the same SQL. */
   def minhashLshPairs(spark: SparkSession, dir: String,
                       threshold: Double = 0.7): DataFrame = {
-    val sh = shingles(spark, dir)
-    // per-doc distinct shingle-hash set; xxhash64 → [0, p) via pmod
-    val docHashes = sh
-      .select(col("doc_id"), col("s"), pmod(xxhash64(col("s")), lit(MersennePrime)).as("h"))
-      .groupBy("doc_id")
-      .agg(collect_set(col("h")).as("hs"), collect_set(col("s")).as("shingle_set"))
-    // 64 minhash signatures via the universal family (a_i·h + b_i) mod p,
-    // then 32 band keys of 2 rows each — all one projection, no shuffle
-    val sigExpr =
-      s"""transform(sequence(0, ${NumHashes - 1}),
-         |  i -> array_min(transform(hs,
-         |    h -> pmod((1000000007L + 2L * i) * h + 998244353L * (i + 1), ${MersennePrime}L))))""".stripMargin
+    // per-doc distinct shingle-hash arrays straight from the one-pass
+    // expression — NO shuffle at all before the band join
+    val docHashes = docShingleArr(spark, dir)
+      .select(col("doc_id"), col("arr").as("hs"))
+    // signatures + band keys in one projection; band rows carry ONLY
+    // (doc_id, band_idx, band_key)
+    val nBands = NumHashes / BandRows
+    val bandKey = (0 until BandRows).map(r => s"sig[$BandRows*b+$r]").mkString("concat_ws('_', ", ", ", ")")
     val banded = docHashes
-      .withColumn("sig", expr(sigExpr))
-      .withColumn("band", explode(expr(
-        s"""transform(sequence(0, ${NumHashes / BandRows - 1}),
-           |  b -> struct(b as band_idx,
-           |              concat_ws('_', sig[2*b], sig[2*b+1]) as band_key))""".stripMargin)))
-      .select(col("doc_id"), col("shingle_set"),
-        col("band.band_idx"), col("band.band_key"))
-    // candidate pairs: same (band_idx, band_key)
+      .withColumn("sig", expr(s"graft_minhash_sig(hs, $NumHashes)"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> struct(b as band_idx, $bandKey as band_key))"))
+        .as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
     val l = banded.as("l"); val r = banded.as("r")
     val candidates = l.join(r,
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.shingle_set").as("sa"), col("r.shingle_set").as("sb"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact verification on candidates only
+    // exact verification on candidates only; per-doc sets arrive broadcast
     candidates
+      .join(broadcast(docHashes.select(col("doc_id").as("doc_a"), col("hs").as("sa"))), "doc_a")
+      .join(broadcast(docHashes.select(col("doc_id").as("doc_b"), col("hs").as("sb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa"), col("sb"))) /
           size(array_union(col("sa"), col("sb")))).as("jaccard"))

@@ -1,0 +1,197 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hot paths where built-in
+  * higher-order functions (`aggregate(zip_with(...))`) are interpreted
+  * per row and dominate the profile (SURVEY §2.12: "custom codegen
+  * Expression only if benchmarked necessary" — benchmarked: the all-pairs
+  * cosine join spent ~70 s/2M pairs in HOF evaluation at sf0.1).
+  *
+  * Semantics contract: [[ArrayDotProduct]] is a strict sequential left
+  * fold in double arithmetic — bit-identical to both the HOF formulation
+  * and DuckDB's `list_inner_product`, so oracle hashes are unaffected.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be array<double> (AbstractDataType is private[sql], so no
+  // ExpectsInputTypes; the registering wrappers guarantee the types)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature: for an array of (non-negative, < 2^31) shingle
+  * hashes, returns `numHashes` minima of the universal hash family
+  * h_i(x) = (a_i·x + b_i) mod p, p = 2^31 − 1 — one tight loop per row
+  * instead of numHashes interpreted HOF passes. Input longs are reduced
+  * into [0, p) first, so arbitrary 64-bit hashes are accepted. Empty
+  * input → p per slot (identity of min). */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L // 2^31 − 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = Array.fill(numHashes)(P)
+    var i = 0
+    while (i < numHashes) {
+      val a = 1000000007L + 2L * i
+      val b = 998244353L * (i + 1)
+      var j = 0
+      var m = P
+      while (j < n) {
+        val hv = ((hs.getLong(j) % P) + P) % P // arbitrary longs → [0, p)
+        val v = (a * hv + b) % P
+        if (v < m) m = v
+        j += 1
+      }
+      sig(i) = m
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct 3-gram word-shingle hashes of a text column in ONE pass:
+  * lowercase → whitespace-split → 3-gram join-by-space → xxhash64(seed 42)
+  * → distinct, returned as array<long>.
+  *
+  * Exists because the declarative formulation
+  * (`transform(sequence(...), i -> concat_ws(' ', tokens[i], ...))`) gets
+  * its `tokens = split(...)` inlined by CollapseProject into every array
+  * access inside the lambda, turning shingle construction O(tokens² ·
+  * split-cost) per document (benchmarked: 21 s for 5000 docs at sf0.1 vs
+  * ~0.1 s here). String semantics match the DuckDB oracle's tokenization
+  * (`string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')`)
+  * for ASCII text; hashing is internal (join keys/counts only), so only
+  * set cardinalities must be collision-free (~2e-11 over 30k shingles). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase
+    val toks = text.trim.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      seen.add(XxHash64Function.hash(u, StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** One-pass token statistics for quality scoring: lowercase whitespace
+  * tokenization (same semantics as the oracle's string_split of the
+  * \s+-normalized text), returning
+  * struct(n_tokens, stop_ct, alpha_chars) as longs. Replaces several
+  * interpreted higher-order-function passes per row with one tight loop. */
+case class TextStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  private val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("stop_ct", LongType, nullable = false),
+    StructField("alpha_chars", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase
+    val toks = text.trim.split("\\s+")
+    var stopCt = 0L
+    var alpha = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (stopSet.contains(toks(i))) stopCt += 1
+      alpha += toks(i).length
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(toks.length.toLong, stopCt, alpha)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Session registration for the custom expressions (idempotent), exposing
+  * them to `expr(...)`/SQL as `graft_dot` and `graft_minhash_sig`. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => ArrayDotProduct(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_text_stats",
+      exprs => TextStats(exprs.head, graft.text.TextOps.Stopwords), "built-in")
+  }
+}

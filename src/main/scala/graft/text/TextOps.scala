@@ -25,8 +25,15 @@ object TextOps {
   /** Tokenization: whitespace split of the normalized text. */
   val TokensExpr = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
 
+  /** documents.parquet is a single row group, so token-heavy projections
+    * would otherwise run in ONE task; a cheap round-robin repartition
+    * spreads the (tiny) rows across the cluster before the interpreted
+    * lambda work. At 100 TB the source would already be many splits and
+    * Spark would skip nothing — this only matters for small single-file
+    * inputs. */
   private def withTokens(docs: DataFrame): DataFrame =
-    docs.withColumn("tokens", expr(TokensExpr))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("tokens", expr(TokensExpr))
 
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (runs of letters / digits — the coarse subword proxy). */
@@ -45,17 +52,18 @@ object TextOps {
   /** Quality scoring: length, stopword ratio, mean token length, and a
     * boolean gate — the standard cheap pre-filter for LLM training data. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
-    withTokens(Tables.documents(spark, dir))
+    graft.functions.GraftFunctions.register(spark)
+    // one-pass custom expression (graft_text_stats) — the HOF formulation
+    // re-evaluated the interpreted filter/aggregate lambdas once per
+    // downstream reference after projection collapapse
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("graft_text_stats(text)").as("st"))
       .select(
         col("doc_id"),
-        size(col("tokens")).cast("long").as("n_tokens"),
-        expr(s"cast(size(filter(tokens, x -> x IN ($stopList))) as long)").as("stop_ct"),
-        expr("aggregate(tokens, 0, (acc, x) -> acc + length(x))").cast("long").as("alpha_chars"))
-      .select(
-        col("doc_id"), col("n_tokens"), col("stop_ct"),
-        (col("stop_ct") / col("n_tokens")).as("stop_ratio"),
-        (col("alpha_chars") / col("n_tokens")).as("avg_token_len"))
+        col("st.n_tokens").as("n_tokens"),
+        col("st.stop_ct").as("stop_ct"),
+        (col("st.stop_ct") / col("st.n_tokens")).as("stop_ratio"),
+        (col("st.alpha_chars") / col("st.n_tokens")).as("avg_token_len"))
       .withColumn("quality_ok",
         (col("n_tokens") >= 10 && col("stop_ratio") >= 0.02 && col("stop_ratio") <= 0.6)
           .cast("long"))
