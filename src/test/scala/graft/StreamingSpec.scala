@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Pipelines
+
+/** Structured Streaming parity tests (SURVEY §5.4): MemoryStream-driven
+  * checks of the T2/T4/T5/T6 semantics. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double, props: String)
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming dau dedup emits one row per (user, day) across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val deduped = Pipelines.dauDedup(input.toDF(), watermark = "2 days")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dau_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-05 08:00:00"), 100, "view", 1.0, "{}"),
+        Ev(2, ts("2024-01-05 09:00:00"), 100, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      input.addData( // same user, same day, later batch → suppressed
+        Ev(3, ts("2024-01-05 10:00:00"), 100, "view", 1.0, "{}"),
+        // same user, next day → new row
+        Ev(4, ts("2024-01-06 08:00:00"), 100, "view", 1.0, "{}"),
+        Ev(5, ts("2024-01-05 11:00:00"), 200, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("dau_out")
+        .select("user_id", "log_date").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows === Set((100L, "2024-01-05"), (100L, "2024-01-06"), (200L, "2024-01-05")))
+    } finally q.stop()
+  }
+
+  test("streaming stream-stream join tolerates skew within watermark, drops beyond (T4)") {
+    implicit val sq = spark.sqlContext
+    val orders = MemoryStream[(Long, Timestamp)]
+    val details = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Pipelines.saleDetailJoin(
+      orders.toDF().toDF("o_order_id", "o_ts"),
+      details.toDF().toDF("d_id", "d_order_id", "d_ts"),
+      watermark = "10 seconds")
+    val q = joined.writeStream.format("memory")
+      .queryName("join_out").outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = ts("2024-01-05 12:00:00")
+      // detail arrives 5 s after its order → within tolerance, joins
+      orders.addData((1L, t0))
+      details.addData((11L, 1L, new Timestamp(t0.getTime + 5000)))
+      // detail 15 s away from its order → outside the join range, dropped
+      orders.addData((2L, t0))
+      details.addData((21L, 2L, new Timestamp(t0.getTime + 15000)))
+      // one order, three details → three wide rows
+      orders.addData((3L, t0))
+      details.addData(
+        (31L, 3L, new Timestamp(t0.getTime + 1000)),
+        (32L, 3L, new Timestamp(t0.getTime + 2000)),
+        (33L, 3L, new Timestamp(t0.getTime + 3000)))
+      q.processAllAvailable()
+      val ids = spark.table("join_out").select("d_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(11L, 31L, 32L, 33L))
+    } finally q.stop()
+  }
+
+  test("streaming windowed alert fires for 3 uids and is vetoed by a click (T2/A7-A9)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val alerts = Pipelines.alerts(input.toDF(),
+      windowDur = "5 minutes", slide = "5 minutes",
+      watermark = "0 seconds", minUids = 3)
+    val q = alerts.writeStream.format("memory")
+      .queryName("alert_out").outputMode(OutputMode.Update()).start()
+    try {
+      val t0 = ts("2024-01-05 12:00:00").getTime
+      def ev(id: Long, offSec: Int, user: Long, typ: String, k: Int) =
+        Ev(id, new Timestamp(t0 + offSec * 1000L), user, typ, 1.0, s"""{"k": $k}""")
+      input.addData(
+        ev(1, 0, 1, "purchase", 7), ev(2, 10, 1, "purchase", 8),
+        ev(3, 20, 1, "purchase", 9),
+        ev(4, 0, 2, "purchase", 7), ev(5, 10, 2, "purchase", 8),
+        ev(6, 20, 2, "purchase", 9), ev(7, 30, 2, "click", 1))
+      q.processAllAvailable()
+      val fired = spark.table("alert_out").select("user_id").collect().map(_.getLong(0)).toSet
+      assert(fired === Set(1L))
+    } finally q.stop()
+  }
+
+  test("foreachBatch keyed upsert is idempotent and last-write-wins (K1/T8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val path = s"$dir/dim"
+    val b1 = Seq(
+      (10L, "alice", ts("2024-01-05 10:00:00"), 1L),
+      (20L, "bob", ts("2024-01-05 10:00:00"), 2L))
+      .toDF("user_id", "name", "ts", "seq")
+    graft.streaming.Sinks.upsertByKey(b1, path, Seq("user_id"), "ts", "seq")
+    val b2 = Seq( // update alice (newer), insert carol
+      (10L, "alice2", ts("2024-01-05 11:00:00"), 3L),
+      (10L, "alice3", ts("2024-01-05 11:00:00"), 4L), // same ts → seq breaks tie
+      (30L, "carol", ts("2024-01-05 10:30:00"), 5L))
+      .toDF("user_id", "name", "ts", "seq")
+    graft.streaming.Sinks.upsertByKey(b2, path, Seq("user_id"), "ts", "seq")
+    val out = spark.read.parquet(path).select("user_id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((10L, "alice3"), (20L, "bob"), (30L, "carol")))
+  }
+}
