@@ -67,6 +67,9 @@ object SparkEntry {
     "q29_ann_lsh"          -> ((s, d) => graft.vector.VectorOps.annLshTopK(s, d)),
     // --- multimodal binary-column plumbing ---
     "q30_multimodal_meta"  -> ((s, d) => graft.multimodal.Multimodal.binaryMeta(s, d)),
+    // --- anti-join dedup (F1/J4) + sliding window (T2) ---
+    "q31_new_users"        -> ((s, d) => Dau.newUsers(s, d)),
+    "q32_sliding_window"   -> ((s, d) => Alert.slidingWindowCounts(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -260,6 +263,17 @@ object SparkEntry {
         |       CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height,
         |       CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_new_users" ->
+      """SELECT DISTINCT user_id FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+        |  AND user_id NOT IN (SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-02')
+        |ORDER BY user_id""".stripMargin,
+    "q32_sliding_window" ->
+      """WITH w AS (
+        |  SELECT user_id, (CAST(FLOOR(epoch(ts) / 300) AS BIGINT) - k) * 300 AS ws
+        |  FROM events, (SELECT unnest([0, 1]) AS k) ks)
+        |SELECT ws, COUNT(*) AS ct, COUNT(DISTINCT user_id) AS users
+        |FROM w GROUP BY ws ORDER BY ws""".stripMargin,
     // q18_uv_approx: HLL sketch — intentionally no oracle (rows-only check).
     // q29_ann_lsh: approximate (recall < 1) — intentionally no oracle.
   )

@@ -60,6 +60,18 @@ object Alert {
         array_join(col("events_arr"), ",").as("events"))
       .orderBy("ws", "user_id")
 
+  /** T2 batch analog with a true SLIDING window: 10-minute windows
+    * sliding every 5 (the reference slides its 5-min window every 3 s
+    * batch, AlertApp.scala:39). Spark's `window()` explodes each event
+    * into its dur/slide containing windows — here exactly 2. */
+  def slidingWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("ct"),
+        countDistinct(col("user_id")).as("users"))
+      .select(unix_seconds(col("w.start")).as("ws"), col("ct"), col("users"))
+      .orderBy("ws")
+
   /** T6 analog: per-device activity collapsed to one row per minute —
     * count of distinct active minutes per device. */
   def activeMinutes(spark: SparkSession, dir: String): DataFrame =

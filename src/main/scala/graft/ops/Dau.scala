@@ -78,6 +78,19 @@ object Dau {
       .orderBy("lh")
   }
 
+  /** F1/J4: cross-batch dedup as an explicit LEFT ANTI join — users whose
+    * first-ever event falls on `day` (the reference's Redis-set membership
+    * filter, DauHandler.scala:25-44, restated as
+    * `startup LEFT ANTI JOIN seenMids`). The "seen" side is aggregated to
+    * distinct keys BEFORE the join, so the anti-join probes a compact
+    * build side. */
+  def newUsers(spark: SparkSession, dir: String, day: String = "2024-01-02"): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val today = ev.filter(dayRange(col("ts"), day)).select("user_id").distinct()
+    val seen = ev.filter(col("ts") < to_timestamp(lit(day))).select("user_id").distinct()
+    today.join(seen, Seq("user_id"), "left_anti").orderBy("user_id")
+  }
+
   /** Sketch variant for 100 TB (A12 note in SURVEY §2.6): HLL++ distinct
     * users per day — mergeable, no exact-dedup state. No DuckDB oracle
     * (sketch implementations differ); driver records a rows-only check. */

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5.3): dedup idempotency, complement-rounding
+  * totals, shingle determinism. Uses raw ScalaCheck generators with fixed
+  * seeds (the scalatest-scalacheck bridge isn't in the offline dep set). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cases[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("band ratios with complement bucket always sum to exactly 100.0") {
+    cases(Gen.listOfN(3, Gen.chooseNum(0, 100000)), 200).foreach { counts =>
+      if (counts.sum > 0) {
+        val total = counts.sum.toDouble
+        val low = math.floor(counts(0) * 1000.0 / total + 0.5) / 10.0
+        val mid = math.floor(counts(1) * 1000.0 / total + 0.5) / 10.0
+        val high = 100.0 - low - mid
+        // the invariant lives in the DECIMAL domain (one-decimal
+        // percentages totalling 100.0); re-adding the IEEE doubles can be
+        // 100.0±1ulp, which is exactly why the reference computes the last
+        // bucket as the complement instead of rounding it
+        val tenths = math.round(low * 10) + math.round(mid * 10) + math.round(high * 10)
+        assert(tenths === 1000L)
+      }
+    }
+  }
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    cases(Gen.listOfN(30, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0, 86399))), 5)
+      .foreach { pairs =>
+        val df = pairs.zipWithIndex.map { case ((u, s), i) =>
+          (i.toLong, new java.sql.Timestamp(1704412800000L + s * 1000L), u)
+        }.toDF("event_id", "ts", "user_id")
+        def dedup(d: org.apache.spark.sql.DataFrame) = d
+          .withColumn("log_date", date_format($"ts", "yyyy-MM-dd"))
+          .groupBy("user_id", "log_date").agg(min($"ts").as("ts"))
+          .select($"user_id", $"ts")
+        val once = dedup(df).collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+        val twice = dedup(dedup(df)).collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+        assert(once === twice)
+      }
+  }
+
+  test("shingle hashes are deterministic and bounded by token count") {
+    val word = Gen.oneOf("spark", "table", "row", "join", "scan", "the", "a")
+    cases(Gen.listOfN(12, word), 20).foreach { words =>
+      val text = words.mkString(" ")
+      val out = Seq(text, text).toDF("text")
+        .select(expr("graft_shingle_hashes(text, 3)")).collect()
+      val s1 = out(0).getSeq[Long](0); val s2 = out(1).getSeq[Long](0)
+      assert(s1 === s2)
+      assert(s1.size <= math.max(0, words.size - 2))
+      assert(s1.toSet.size === s1.size) // distinct
+    }
+  }
+
+  test("minhash signature agreement rate tracks jaccard (statistical)") {
+    cases(Gen.zip(Gen.chooseNum(10, 80), Gen.chooseNum(0, 40)), 20)
+      .foreach { case (shared, extra) =>
+        val a = (1L to shared.toLong) ++ (1000L to (1000L + extra))
+        val b = (1L to shared.toLong) ++ (2000L to (2000L + extra))
+        val j = shared.toDouble / (shared + 2 * (extra + 1))
+        val r = Seq((a, b)).toDF("a", "b")
+          .select(expr("graft_minhash_sig(a, 64)").as("sa"),
+            expr("graft_minhash_sig(b, 64)").as("sb")).collect().head
+        val agree = r.getSeq[Long](0).zip(r.getSeq[Long](1)).count { case (x, y) => x == y }
+        // E[agree] = 64·J; allow a generous ±0.35 band (64 trials)
+        assert(math.abs(agree / 64.0 - j) <= 0.35)
+      }
+  }
+}
