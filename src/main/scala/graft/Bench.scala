@@ -12,6 +12,12 @@ object Bench {
     Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up at the smallest SF: JIT + codegen + parquet-footer caches,
+    // so the timed numbers below reflect steady-state per-query cost
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count() }
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

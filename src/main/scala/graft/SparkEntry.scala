@@ -70,6 +70,7 @@ object SparkEntry {
     // --- anti-join dedup (F1/J4) + sliding window (T2) ---
     "q31_new_users"        -> ((s, d) => Dau.newUsers(s, d)),
     "q32_sliding_window"   -> ((s, d) => Alert.slidingWindowCounts(s, d)),
+    "q33_json_parse"       -> ((s, d) => Changelog.jsonParse(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -274,6 +275,10 @@ object SparkEntry {
         |  FROM events, (SELECT unnest([0, 1]) AS k) ks)
         |SELECT ws, COUNT(*) AS ct, COUNT(DISTINCT user_id) AS users
         |FROM w GROUP BY ws ORDER BY ws""".stripMargin,
+    "q33_json_parse" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       json_extract_string(props, '$.missing') AS missing
+        |FROM events ORDER BY event_id""".stripMargin,
     // q18_uv_approx: HLL sketch — intentionally no oracle (rows-only check).
     // q29_ann_lsh: approximate (recall < 1) — intentionally no oracle.
   )

@@ -37,6 +37,22 @@ object Changelog {
       .orderBy("user_id")
   }
 
+  /** P1: schema-on-read JSON parse with a declared target schema —
+    * PERMISSIVE mode reproduces fastjson's null-on-missing semantics
+    * (reference DauApp.scala:33: absent JSON fields become null/0
+    * silently). `k` exists in the wire JSON; `missing` never does. */
+  def jsonParse(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("missing", org.apache.spark.sql.types.StringType)))
+    Tables.events(spark, dir)
+      .select(col("event_id"), from_json(col("props"), schema).as("p"))
+      .select(col("event_id"),
+        col("p.k").cast("long").as("k"),
+        col("p.missing").as("missing"))
+      .orderBy("event_id")
+  }
+
   /** §2.10: union of two event substreams, re-aggregated (multi-topic
     * ingestion analog). */
   def unionStreams(spark: SparkSession, dir: String): DataFrame = {
