@@ -71,6 +71,7 @@ object SparkEntry {
     "q31_new_users"        -> ((s, d) => Dau.newUsers(s, d)),
     "q32_sliding_window"   -> ((s, d) => Alert.slidingWindowCounts(s, d)),
     "q33_json_parse"       -> ((s, d) => Changelog.jsonParse(s, d)),
+    "q34_simhash_neardup"  -> ((s, d) => graft.dedup.DedupOps.simhashNearDup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -279,6 +280,22 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       json_extract_string(props, '$.missing') AS missing
         |FROM events ORDER BY event_id""".stripMargin,
+    // band-LSH with maxHamming+1 bands has EXACT recall at ≤ maxHamming
+    // (pigeonhole), so the quadratic Hamming scan is a true oracle:
+    "q34_simhash_neardup" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+        |h AS (SELECT doc_id, md5(w) AS m FROM tok),
+        |b AS (SELECT doc_id, i,
+        |        SUM(2 * (((strpos('0123456789abcdef', substring(m, i // 4 + 1, 1)) - 1) >> (3 - i % 4)) & 1) - 1) AS s
+        |      FROM h, (SELECT unnest(generate_series(0, 63)) AS i) bits
+        |      GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_filter(generate_series(1, 64), i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) AS BIGINT) AS hamming
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_filter(generate_series(1, 64), i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q18_uv_approx: HLL sketch — intentionally no oracle (rows-only check).
     // q29_ann_lsh: approximate (recall < 1) — intentionally no oracle.
   )

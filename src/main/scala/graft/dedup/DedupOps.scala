@@ -119,6 +119,38 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SimHash near-dup pairs at Hamming distance ≤ maxHamming, found via
+    * band-LSH with EXACT recall: the 64 bits split into `maxHamming + 1`
+    * bands, so by pigeonhole any pair within the Hamming budget shares at
+    * least one untouched band — the band join is a guaranteed-complete
+    * candidate generator, then the true distance filters. The oracle is
+    * the full quadratic Hamming scan; outputs are provably equal. */
+  def simhashNearDup(spark: SparkSession, dir: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandLen = 64 / nBands // 16 for the default
+    val sh = simhash(spark, dir)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        s"""transform(sequence(0, ${nBands - 1}),
+           |  b -> struct(b as band_idx, substring(simhash, b * $bandLen + 1, $bandLen) as band_key))""".stripMargin))
+        .as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_key"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.simhash").as("sa"), col("r.simhash").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(filter(sequence(1, 64), i -> substring(sa, i, 1) != substring(sb, i, 1)))")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash: 64-bit fingerprint per document from per-token md5 bits,
     * token-frequency weighted, emitted as a 64-char bit string (bit 0
     * first). One projection per doc — no shuffle. */
