@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** The SCALE.md levers as executable artifacts: bucketed co-located
+  * joins, salted skew joins, RocksDB state store. */
+class ScaleLeversSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-BHJ
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() === lineitem.count())
+      val executed = joined.queryExecution.executedPlan
+      val plan = executed match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"expected co-located bucketed join, found ${shuffles.size} shuffles")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted skew join equals the plain inner join") {
+    // heavily skewed left side: one hot key
+    val left = (Seq.fill(500)(1L) ++ (2L to 50L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val right = (1L to 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = graft.ops.SkewJoin.saltedInnerJoin(left, right, "k", 8)
+      .select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted === plain)
+    assert(plain.size === 549)
+  }
+
+  test("streaming dedup runs on the RocksDB state store provider") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = graft.streaming.Pipelines.dauDedup(
+      input.toDF().toDF("ts", "user_id"), watermark = "1 day")
+    val q = deduped.writeStream.format("memory").queryName("rocks_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      .outputMode("append")
+      .start()
+    // provider is a per-query conf read from the session at start
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+      input.addData((t, 1L), (t, 1L), (t, 2L))
+      q.processAllAvailable()
+      assert(spark.table("rocks_out").count() === 2)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
