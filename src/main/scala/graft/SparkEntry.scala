@@ -65,6 +65,7 @@ object SparkEntry {
     "q27_cosine_topk"      -> ((s, d) => graft.vector.VectorOps.cosineTopK(s, d)),
     "q28_embed_neardup"    -> ((s, d) => graft.vector.VectorOps.cosineNearDupPairs(s, d)),
     "q29_ann_lsh"          -> ((s, d) => graft.vector.VectorOps.annLshTopK(s, d)),
+    "q35_ann_ivf"          -> ((s, d) => graft.vector.VectorOps.annIvfTopK(s, d)),
     // --- multimodal binary-column plumbing ---
     "q30_multimodal_meta"  -> ((s, d) => graft.multimodal.Multimodal.binaryMeta(s, d)),
     // --- anti-join dedup (F1/J4) + sliding window (T2) ---
@@ -297,7 +298,7 @@ object SparkEntry {
         |  AND len(list_filter(generate_series(1, 64), i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     // q18_uv_approx: HLL sketch — intentionally no oracle (rows-only check).
-    // q29_ann_lsh: approximate (recall < 1) — intentionally no oracle.
+    // q29_ann_lsh / q35_ann_ivf: approximate (recall < 1) — intentionally no oracle.
   )
 
   /** Exact 3-gram-shingle Jaccard pairs at threshold 0.7 — the oracle for

@@ -141,6 +141,48 @@ case class ShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass 64-bit SimHash as a 64-char bit string (bit 0 first),
+  * bit-for-bit identical to the declarative/oracle formulation: tokenize
+  * (lowercase, \s+), md5 each token occurrence, bit i of a token = bit
+  * (3 − i mod 4) of hex nibble (i div 4), weight ±1 summed over
+  * occurrences, emitted bit = sum > 0. The HOF formulation re-ran the
+  * md5 transform per bit after inlining (64× per doc); this runs it
+  * once. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase
+    val toks = text.trim.split("\\s+")
+    val sums = new Array[Long](64)
+    val mdAlg = java.security.MessageDigest.getInstance("MD5")
+    var t = 0
+    while (t < toks.length) {
+      mdAlg.reset()
+      val digest = mdAlg.digest(toks(t).getBytes("UTF-8"))
+      var i = 0
+      while (i < 64) {
+        // hex nibble i/4 of the digest == high/low half of byte i/8
+        val byte = digest(i / 8) & 0xff
+        val nib = if ((i / 4) % 2 == 0) byte >> 4 else byte & 0xf
+        val bit = (nib >> (3 - i % 4)) & 1
+        sums(i) += 2L * bit - 1L
+        i += 1
+      }
+      t += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < 64) { sb.append(if (sums(i) > 0) '1' else '0'); i += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** One-pass token statistics for quality scoring: lowercase whitespace
   * tokenization (same semantics as the oracle's string_split of the
   * \s+-normalized text), returning
@@ -193,5 +235,7 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_text_stats",
       exprs => TextStats(exprs.head, graft.text.TextOps.Stopwords), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
   }
 }

@@ -71,6 +71,41 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF-style ANN: coarse quantization via seeded k-means (MLlib) over
+    * the corpus, then the query probes its `nProbe` nearest centroids and
+    * exact cosine reranks only those inverted lists. The scale shape:
+    * centroid assignment is one narrow projection; per-query work touches
+    * |corpus|·nProbe/k vectors instead of the full scan. Approximate
+    * (recall < 1) — registered rows-only, like the hyperplane-LSH path.
+    * Deterministic: fixed seed, fixed init. */
+  def annIvfTopK(spark: SparkSession, dir: String,
+                 queryId: Long = 0L, k: Int = 10,
+                 nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = vecs(spark, dir).withColumn("fv", array_to_vector(col("v"))).cache()
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(e)
+    val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val centroidLit = typedLit(centroids)
+    // the query's nProbe nearest cells by euclidean distance to centroids
+    val qRow = assigned.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv")).crossJoin(
+        spark.range(nCentroids).select(col("id").cast("int").as("cell")))
+      .withColumn("cents", centroidLit)
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qv, cents[cell], (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, w) -> acc + w)"))
+      .orderBy("dist").limit(nProbe)
+      .select(col("cell"), col("qv"))
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qRow), Seq("cell"))
+      .select(col("vec_id"), cosine("v", "qv").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Deterministic random hyperplanes (seeded), as literal columns. */
   private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
