@@ -73,6 +73,9 @@ object SparkEntry {
     "q32_sliding_window"   -> ((s, d) => Alert.slidingWindowCounts(s, d)),
     "q33_json_parse"       -> ((s, d) => Changelog.jsonParse(s, d)),
     "q34_simhash_neardup"  -> ((s, d) => graft.dedup.DedupOps.simhashNearDup(s, d)),
+    // --- sessionization + literal J1 full outer ---
+    "q36_sessions"         -> ((s, d) => Sessions.userSessions(s, d)),
+    "q37_full_outer"       -> ((s, d) => Sessions.fullOuterOrders(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -297,6 +300,25 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_filter(generate_series(1, 64), i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q36_sessions" ->
+      """WITH l AS (SELECT user_id, ts,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS ns
+        |           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM l)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |       epoch_us(max(ts)) + 1800000000 AS session_end_us,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "q37_full_outer" ->
+      """SELECT COALESCE(o_orderkey, l_orderkey) AS okey,
+        |       COUNT(l_orderkey) AS n_details,
+        |       MAX(o_orderstatus) AS order_status
+        |FROM orders FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q18_uv_approx: HLL sketch — intentionally no oracle (rows-only check).
     // q29_ann_lsh / q35_ann_ivf: approximate (recall < 1) — intentionally no oracle.
   )

@@ -92,6 +92,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState accumulates per-key state across micro-batches (T3 custom path)") {
+    import graft.streaming.CustomState
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[CustomState.Keyed]
+    val totals = CustomState.runningTotals(input.toDS())
+    val q = totals.writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(CustomState.Keyed(1, 5), CustomState.Keyed(1, 3), CustomState.Keyed(2, 7))
+      q.processAllAvailable()
+      input.addData(CustomState.Keyed(1, 2))
+      q.processAllAvailable()
+      val latest = spark.table("state_out")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("total").as("total"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(latest === Map(1L -> 10L, 2L -> 7L))
+    } finally q.stop()
+  }
+
   test("foreachBatch keyed upsert is idempotent and last-write-wins (K1/T8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val path = s"$dir/dim"
