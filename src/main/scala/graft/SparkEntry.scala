@@ -301,13 +301,13 @@ object SparkEntry {
         |  AND len(list_filter(generate_series(1, 64), i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q36_sessions" ->
-      """WITH l AS (SELECT user_id, ts,
+      """WITH l AS (SELECT user_id, ts, event_id,
         |             CASE WHEN lag(ts) OVER w IS NULL
         |                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |                  THEN 1 ELSE 0 END AS ns
         |           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, ts,
-        |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
         |      FROM l)
         |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
         |       epoch_us(max(ts)) + 1800000000 AS session_end_us,

@@ -129,39 +129,46 @@ object DedupOps {
                      maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bandLen = 64 / nBands // 16 for the default
-    val sh = simhash(spark, dir)
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val sh = simhashFull(spark, dir)
+    // bands ride as 16-bit slices of the packed word; the verification is
+    // a codegen'd popcount — the bit-string never travels
+    val banded = sh.select(col("doc_id"), col("simhash_word"),
       explode(expr(
         s"""transform(sequence(0, ${nBands - 1}),
-           |  b -> struct(b as band_idx, substring(simhash, b * $bandLen + 1, $bandLen) as band_key))""".stripMargin))
+           |  b -> struct(b as band_idx,
+           |              shiftright(simhash_word, b * $bandLen) & ${(1L << bandLen) - 1}L as band_key))""".stripMargin))
         .as("band"))
-      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_key"))
+      .select(col("doc_id"), col("simhash_word"), col("band.band_idx"), col("band.band_key"))
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r,
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.simhash").as("sa"), col("r.simhash").as("sb"))
-      .dropDuplicates("doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        expr("size(filter(sequence(1, 64), i -> substring(sa, i, 1) != substring(sb, i, 1)))")
-          .cast("long").as("hamming"))
+        expr("cast(bit_count(l.simhash_word ^ r.simhash_word) as long)").as("hamming"))
+      // popcount is ~free, so filter BEFORE deduplicating candidate pairs:
+      // the dedup shuffle then carries only the surviving near-dups
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash: 64-bit fingerprint per document from per-token md5 bits,
     * token-frequency weighted, emitted as a 64-char bit string (bit 0
     * first). One projection per doc — no shuffle. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** doc_id, simhash (64-char bit string), simhash_word (same bits
+    * packed into a long for cheap Hamming via bit_count(xor)). */
+  private def simhashFull(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // one-pass custom expression (graft.functions.SimHash64) — the HOF
     // formulation re-ran the md5 transform per bit (64×/doc) after
     // CollapseProject inlining; 40 s → <1 s for q34 at sf0.1/local[4]
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), expr("graft_simhash64(text)").as("simhash"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), expr("graft_simhash64(text)").as("sh"))
+      .select(col("doc_id"), col("sh.bits").as("simhash"), col("sh.word").as("simhash_word"))
   }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFull(spark, dir).select("doc_id", "simhash").orderBy("doc_id")
 }
