@@ -52,7 +52,7 @@ object DedupOps {
     * the pair aggregation. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         threshold: Double = 0.7): DataFrame = {
-    val withArr = docShingleArr(spark, dir)
+    val withArr = docShingleArr(spark, dir).cache() // one row/doc, read 3×
     val sh = withArr.select(col("doc_id"), explode(col("arr")).as("sh64"))
     val sizes = withArr.select(col("doc_id"), size(col("arr")).cast("long").as("n"))
     val a = sh.as("a"); val b = sh.as("b")
@@ -88,9 +88,12 @@ object DedupOps {
   def minhashLshPairs(spark: SparkSession, dir: String,
                       threshold: Double = 0.7): DataFrame = {
     // per-doc distinct shingle-hash arrays straight from the one-pass
-    // expression — NO shuffle at all before the band join
+    // expression — NO shuffle at all before the band join. Cached: the
+    // plan consumes it 4× (both band-join sides + both set fetches) and
+    // it is one row per document.
     val docHashes = docShingleArr(spark, dir)
       .select(col("doc_id"), col("arr").as("hs"))
+      .cache()
     // signatures + band keys in one projection; band rows carry ONLY
     // (doc_id, band_idx, band_key)
     val nBands = NumHashes / BandRows
