@@ -324,9 +324,13 @@ object SparkEntry {
   )
 
   /** Exact 3-gram-shingle Jaccard pairs at threshold 0.7 — the oracle for
-    * BOTH the exact pair join (q24) and the MinHash+LSH path (q25): with
-    * 64 hashes banded 32×2 the LSH candidate-miss probability at J ≥ 0.7
-    * is ≈ 4e−10, so the verified-candidate output equals the exact one. */
+    * BOTH the exact pair join (q24) and the MinHash+LSH path (q25). With
+    * the 64-hash 16×4 banding in DedupOps, candidate probability at the
+    * planted J ≥ 0.9 near-dups is 1 − (1 − 0.9⁴)^16 ≈ 1 − 4e−8; at
+    * exactly J = 0.7 it is ≈ 0.988, which is safe ONLY because this
+    * corpus has no pairs in (0.3, 0.9) — see DedupOps scaladoc. A corpus
+    * with borderline pairs would need r = 2 banding (and pay its
+    * false-candidate cost) for this shared oracle to stay exact. */
   private val JaccardPairsSql: String =
     """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,

@@ -43,8 +43,7 @@ object StreamDemo {
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val rawStream = spark.readStream.schema(batchSchema)
       .parquet(eventsDir)
-    val events = rawStream
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = Tables.normalizeEventTs(rawStream)
 
     def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
                     mode: String = "append"): Long = {

@@ -40,8 +40,12 @@ object DedupOps {
     * shingles is ≈ 2e-11, documented as accepted. */
   private def docShingleArr(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("arr"))
+    // memo-cached: one row per doc, consumed by several subtrees per plan
+    // and by multiple registered queries in one session
+    Tables.memoCache(spark, s"shingles/$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("arr"))
+    }
   }
 
   /** Exact n-gram Jaccard near-dup pairs: explode shingles, self-join on
@@ -52,7 +56,7 @@ object DedupOps {
     * the pair aggregation. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         threshold: Double = 0.7): DataFrame = {
-    val withArr = docShingleArr(spark, dir).cache() // one row/doc, read 3×
+    val withArr = docShingleArr(spark, dir) // memo-cached, read 3×
     val sh = withArr.select(col("doc_id"), explode(col("arr")).as("sh64"))
     val sizes = withArr.select(col("doc_id"), size(col("arr")).cast("long").as("n"))
     val a = sh.as("a"); val b = sh.as("b")
@@ -88,12 +92,11 @@ object DedupOps {
   def minhashLshPairs(spark: SparkSession, dir: String,
                       threshold: Double = 0.7): DataFrame = {
     // per-doc distinct shingle-hash arrays straight from the one-pass
-    // expression — NO shuffle at all before the band join. Cached: the
-    // plan consumes it 4× (both band-join sides + both set fetches) and
-    // it is one row per document.
+    // expression — NO shuffle at all before the band join; the memo-
+    // cached parent serves all 4 consuming subtrees (band-join sides +
+    // set fetches)
     val docHashes = docShingleArr(spark, dir)
       .select(col("doc_id"), col("arr").as("hs"))
-      .cache()
     // signatures + band keys in one projection; band rows carry ONLY
     // (doc_id, band_idx, band_key)
     val nBands = NumHashes / BandRows

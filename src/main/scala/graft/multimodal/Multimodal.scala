@@ -29,6 +29,7 @@ object Multimodal {
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
+        col("text"),
         col("text").cast("binary").as("payload"),
         col("source"))
       .select(
@@ -36,7 +37,11 @@ object Multimodal {
         col("source"),
         octet_length(col("payload")).cast("long").as("byte_len"),
         md5(col("payload")).as("content_md5"),
-        hex(substring(col("payload"), 1, 8)).as("head_hex"),
+        // substring the TEXT (characters) then encode — matches the
+        // oracle's hex(encode(substring(text,1,8))) even for multi-byte
+        // UTF-8; substring on the BINARY payload would slice 8 BYTES and
+        // could split a codepoint
+        hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"),
         (lit(64) + octet_length(col("payload")) % 512).cast("long").as("width"),
         (lit(64) + (octet_length(col("payload")) * 7) % 512).cast("long").as("height"),
         (lit(1) + octet_length(col("payload")) % 16).cast("long").as("frames"))

@@ -48,9 +48,8 @@ object Endpoints {
   def saleDetail(spark: SparkSession, dir: String,
                  keyword: String = "small widget",
                  page: Int = 1, pageSize: Int = 10): SaleDetailResponse = {
-    val tokens = keyword.toLowerCase.split("\\s+").toSeq
-    val matchAll = tokens.map(t => lower(col("p_name")).contains(t)).reduce(_ && _)
-    val hits = graft.Tables.part(spark, dir).filter(matchAll)
+    val hits = graft.Tables.part(spark, dir)
+      .filter(Publisher.keywordPredicate(col("p_name"), keyword))
     val total = hits.count()
     val detail = Publisher.keywordSearch(spark, dir, keyword, page, pageSize)
       .select("p_name").collect().toSeq.map(_.getString(0))

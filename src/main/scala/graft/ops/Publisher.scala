@@ -29,13 +29,18 @@ object Publisher {
 
   /** F4 + O2: full-text-ish keyword search over part names with
     * deterministic pagination (page 2, size 10). */
+  /** The F4 match semantics as a reusable predicate: every analyzed
+    * (lowercased, whitespace-split) token of the keyword must appear in
+    * the column — the documented approximation of ES `match operator=AND`. */
+  def keywordPredicate(c: org.apache.spark.sql.Column, keyword: String): org.apache.spark.sql.Column =
+    keyword.toLowerCase.split("\\s+").toSeq
+      .map(t => lower(c).contains(t)).reduce(_ && _)
+
   def keywordSearch(spark: SparkSession, dir: String,
                     keyword: String = "small widget",
                     page: Int = 2, pageSize: Int = 10): DataFrame = {
-    val tokens = keyword.toLowerCase.split("\\s+").toSeq
-    val matchAll = tokens.map(t => lower(col("p_name")).contains(t)).reduce(_ && _)
     Tables.part(spark, dir)
-      .filter(matchAll)
+      .filter(keywordPredicate(col("p_name"), keyword))
       .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
       .orderBy("p_partkey")
       .offset((page - 1) * pageSize)

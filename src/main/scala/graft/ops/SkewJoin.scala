@@ -16,8 +16,12 @@ object SkewJoin {
     * Semantics are exactly `left.join(right, key)` (inner). */
   def saltedInnerJoin(left: DataFrame, right: DataFrame,
                       key: String, saltFactor: Int): DataFrame = {
+    // salt must be DETERMINISTIC under task recomputation (a stage retry
+    // re-deriving different salts while reducers keep fetched blocks
+    // loses/duplicates rows — the SPARK-23207 class of bug), so it is a
+    // pure function of the row's content, never of partition/row position
     val salted = left.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
     val replicated = right
       .withColumn("__salt", explode(expr(s"sequence(0, ${saltFactor - 1})")))
     salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")

@@ -100,21 +100,38 @@ object Pipelines {
   }
 
   /** UserInfoApp + T8: per-micro-batch changelog compaction — last write
-    * (by ts, then event_id) wins per key; meant to be applied inside
-    * `foreachBatch` before a keyed upsert sink. */
-  def compactLatest(batch: DataFrame, keyCol: String,
+    * (by ts, then event_id) wins per (composite) key; meant to be applied
+    * inside `foreachBatch` before a keyed upsert sink. */
+  def compactLatest(batch: DataFrame, keyCols: Seq[String],
                     tsCol: String, tieCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col(tsCol).desc, col(tieCol).desc)
+      .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).desc, col(tieCol).desc)
     batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** T6: at most one alert per device per minute — streaming dedup on the
+  def compactLatest(batch: DataFrame, keyCol: String,
+                    tsCol: String, tieCol: String): DataFrame =
+    compactLatest(batch, Seq(keyCol), tsCol, tieCol)
+
+  /** T6: at most one alert per device per minute — dedup on the
     * (user_id, minute-bucket) key, the analog of the reference's
-    * `mid + ts/1000/60` ES doc id (AlertApp.scala:74). */
+    * `mid + ts/1000/60` ES doc id (AlertApp.scala:74). This is the
+    * BATCH / foreachBatch form (plain dropDuplicates = unbounded state on
+    * a stream, and a second stateful op after the windowed aggregation is
+    * illegal outside append mode anyway); for a standalone streaming
+    * throttle use [[throttlePerMinuteStreaming]]. */
   def throttlePerMinute(alerts: DataFrame, tsCol: String = "window_start"): DataFrame =
     alerts
       .withColumn("minute_bucket", (unix_micros(col(tsCol)) / lit(60000000L)).cast("long"))
       .dropDuplicates("user_id", "minute_bucket")
+
+  /** T6, streaming form: watermark-bounded state — apply directly to a
+    * keyed event stream (not after another stateful operator). */
+  def throttlePerMinuteStreaming(events: DataFrame, tsCol: String = "ts",
+                                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .withColumn("minute_bucket", (unix_micros(col(tsCol)) / lit(60000000L)).cast("long"))
+      .dropDuplicatesWithinWatermark("user_id", "minute_bucket")
 }

@@ -18,7 +18,7 @@ object Sinks {
   def upsertByKey(batch: DataFrame, path: String,
                   keyCols: Seq[String], tsCol: String, tieCol: String): Unit = {
     val spark = batch.sparkSession
-    val compacted = Pipelines.compactLatest(batch, keyCols.head, tsCol, tieCol)
+    val compacted = Pipelines.compactLatest(batch, keyCols, tsCol, tieCol)
     val existing =
       try Some(spark.read.parquet(path)) catch { case _: Exception => None }
     val merged = existing match {

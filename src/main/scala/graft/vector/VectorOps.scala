@@ -83,7 +83,9 @@ object VectorOps {
                  nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = vecs(spark, dir).withColumn("fv", array_to_vector(col("v"))).cache()
+    val e = graft.Tables.memoCache(spark, s"ivf-vecs/$dir") {
+      vecs(spark, dir).withColumn("fv", array_to_vector(col("v")))
+    }
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(e)
@@ -121,7 +123,11 @@ object VectorOps {
   def annLshTopK(spark: SparkSession, dir: String,
                  queryId: Long = 0L, k: Int = 10,
                  nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
-    val ps = planes(nPlanes, 64)
+    // derive the embedding dimension from the data — a hardcoded dim with
+    // graft_dot's min-length fold would silently project onto a prefix
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    val ps = planes(nPlanes, dim)
     // ONE literal holding the nested array — array(array(lit...)) would
     // re-evaluate 1024 Literal nodes per row
     val planesArr = typedLit(ps)

@@ -111,6 +111,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed upsert compacts by the FULL composite key (regression)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert2").toString
+    val path = s"$dir/dau"
+    // one user, two days in ONE batch — compaction must keep BOTH rows
+    val b = Seq(
+      (10L, "2024-01-05", ts("2024-01-05 10:00:00"), 1L),
+      (10L, "2024-01-06", ts("2024-01-06 10:00:00"), 2L))
+      .toDF("user_id", "log_date", "ts", "seq")
+    graft.streaming.Sinks.upsertByKey(b, path, Seq("user_id", "log_date"), "ts", "seq")
+    val out = spark.read.parquet(path).select("user_id", "log_date").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((10L, "2024-01-05"), (10L, "2024-01-06")))
+  }
+
   test("foreachBatch keyed upsert is idempotent and last-write-wins (K1/T8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val path = s"$dir/dim"
