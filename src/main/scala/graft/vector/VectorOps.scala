@@ -86,9 +86,14 @@ object VectorOps {
     val e = graft.Tables.memoCache(spark, s"ivf-vecs/$dir") {
       vecs(spark, dir).withColumn("fv", array_to_vector(col("v")))
     }
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(e)
+    // coarse quantizer trained once per (session, corpus) — the model is
+    // the index; rebuilding it per query defeats the point of IVF
+    val model = VectorOps.synchronized {
+      ivfModels.getOrElseUpdate(System.identityHashCode(spark) + "/" + dir + "/" + nCentroids,
+        new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+          .setFeaturesCol("fv").setPredictionCol("cell")
+          .fit(e))
+    }
     val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val centroidLit = typedLit(centroids)
@@ -107,6 +112,9 @@ object VectorOps {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  private val ivfModels =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.ml.clustering.KMeansModel]
 
   /** Deterministic random hyperplanes (seeded), as literal columns. */
   private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {

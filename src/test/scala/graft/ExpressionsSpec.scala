@@ -68,6 +68,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(agree >= 64 * 6 / 10) // E[agree] = 64·J ≈ 52
   }
 
+  test("graft_simhash64 word bits equal the bit string, and match the declarative md5 formulation") {
+    val df = Seq("spark table row join the a scan").toDF("text")
+    val r = df.select(expr("graft_simhash64(text)").as("sh")).select("sh.*").collect().head
+    val bits = r.getString(0); val word = r.getLong(1)
+    assert(bits.length === 64)
+    (0 until 64).foreach { i =>
+      assert(((word >> i) & 1L) === (if (bits(i) == '1') 1L else 0L))
+    }
+    // cross-check against the declarative conv/md5 formulation (the
+    // oracle's semantics) for the same text
+    val slow = df.select(expr(
+      """concat_ws('', transform(sequence(0, 63), i ->
+           CASE WHEN aggregate(transform(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '), t -> md5(t)), 0L,
+                  (acc, m) -> acc + 2L * ((cast(conv(substring(m, i div 4 + 1, 1), 16, 10) as int) >> (3 - i % 4)) & 1) - 1L
+                ) > 0L THEN '1' ELSE '0' END))""")).collect().head.getString(0)
+    assert(bits === slow)
+  }
+
   test("graft_text_stats matches the HOF token statistics") {
     val df = Seq("The cat and  the dog", "").toDF("text")
     val out = df.select(expr("graft_text_stats(text)").as("st")).select("st.*").collect()
