@@ -76,6 +76,9 @@ object SparkEntry {
     // --- sessionization + literal J1 full outer ---
     "q36_sessions"         -> ((s, d) => Sessions.userSessions(s, d)),
     "q37_full_outer"       -> ((s, d) => Sessions.fullOuterOrders(s, d)),
+    // --- incremental corpus dedup + per-source report ---
+    "q38_incremental_dedup" -> ((s, d) => graft.dedup.DedupOps.incrementalDedup(s, d)),
+    "q39_corpus_report"    -> ((s, d) => graft.text.TextOps.corpusReport(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -319,6 +322,38 @@ object SparkEntry {
         |       MAX(o_orderstatus) AS order_status
         |FROM orders FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q38_incremental_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              unnest(CASE WHEN len(t) >= 3
+        |                     THEN list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |                     ELSE [] END) AS s
+        |       FROM tok),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pr AS (SELECT f.doc_id AS fid, c.doc_id AS cid, COUNT(*) AS inter
+        |       FROM sh f JOIN sh c ON f.s = c.s AND f.doc_id >= 250 AND c.doc_id < 250
+        |       GROUP BY 1, 2),
+        |nd AS (SELECT DISTINCT fid FROM pr
+        |       JOIN sz x ON fid = x.doc_id JOIN sz y ON cid = y.doc_id
+        |       WHERE inter / (x.n + y.n - inter) >= 0.7)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 250
+        |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
+        |  AND doc_id NOT IN (SELECT fid FROM nd)
+        |ORDER BY doc_id""".stripMargin,
+    "q39_corpus_report" ->
+      """WITH t AS (SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens FROM documents),
+        |s AS (SELECT doc_id, source,
+        |        CAST(len(tokens) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(tokens, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS stop_ct
+        |      FROM t),
+        |q AS (SELECT doc_id, source, n_tokens,
+        |        CASE WHEN n_tokens >= 10 AND stop_ct / n_tokens >= 0.02 AND stop_ct / n_tokens <= 0.6 THEN 1 ELSE 0 END AS ok
+        |      FROM s)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(ok) AS BIGINT) AS n_quality_ok,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_tokens) AS BIGINT) / COUNT(*) AS mean_tokens
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     // q18_uv_approx: HLL sketch — intentionally no oracle (rows-only check).
     // q29_ann_lsh / q35_ann_ivf: approximate (recall < 1) — intentionally no oracle.
   )

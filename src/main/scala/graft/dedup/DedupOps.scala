@@ -125,6 +125,52 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental dedup — the production shape at 100 TB: a NEW batch of
+    * documents deduped against the EXISTING corpus without touching
+    * corpus content, only its (small) fingerprint table. Exact layer:
+    * anti-join on content hash. Near-dup layer: the new docs' minhash
+    * band keys probe the corpus band index; candidates verify by exact
+    * Jaccard. Returns new docs that survive both layers. Here the
+    * "corpus" is documents with doc_id < splitAt and the "new batch" is
+    * the rest, so the operator is self-contained on the test tables. */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       splitAt: Long = 250L,
+                       threshold: Double = 0.7): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") < splitAt)
+    val fresh = docs.filter(col("doc_id") >= splitAt)
+    // exact layer: content-hash anti-join (the fingerprint table is all
+    // the corpus state this layer ever needs)
+    val corpusFp = corpus.select(md5(col("text")).as("fp")).distinct()
+    val exactSurvivors = fresh
+      .withColumn("fp", md5(col("text")))
+      .join(corpusFp, Seq("fp"), "left_anti")
+    // near-dup layer: minhash band index of the corpus, probed by the
+    // new docs' bands; candidates verified with exact Jaccard
+    def bands(df: DataFrame) = df
+      .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
+      .withColumn("sig", expr(s"graft_minhash_sig(hs, $NumHashes)"))
+      .select(col("doc_id"), col("hs"), explode(expr(
+        s"""transform(sequence(0, ${NumHashes / BandRows - 1}), b -> struct(b as band_idx,
+           |  concat_ws('_', ${(0 until BandRows).map(r => s"sig[$BandRows*b+$r]").mkString(", ")}) as band_key))""".stripMargin))
+        .as("band"))
+      .select(col("doc_id"), col("hs"), col("band.band_idx"), col("band.band_key"))
+    val corpusBands = bands(corpus)
+    val freshBands = bands(exactSurvivors.select("doc_id", "text"))
+    val nearDupIds = freshBands.as("f")
+      .join(corpusBands.as("c"),
+        col("f.band_idx") === col("c.band_idx") && col("f.band_key") === col("c.band_key"))
+      .filter(
+        (size(array_intersect(col("f.hs"), col("c.hs"))) /
+          size(array_union(col("f.hs"), col("c.hs")))) >= threshold)
+      .select(col("f.doc_id").as("doc_id")).distinct()
+    exactSurvivors
+      .join(nearDupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs at Hamming distance ≤ maxHamming, found via
     * band-LSH with EXACT recall: the 64 bits split into `maxHamming + 1`
     * bands, so by pigeonhole any pair within the Hamming budget shares at

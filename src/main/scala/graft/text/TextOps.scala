@@ -109,6 +109,22 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus report — the rollup every training-data pipeline
+    * keeps: volume, quality-gate pass rate, mean token count per source. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("quality_ok")).as("n_quality_ok"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(
+        col("source"), col("n_docs"), col("n_quality_ok"),
+        col("total_tokens"),
+        (col("total_tokens") / col("n_docs")).as("mean_tokens"))
+      .orderBy("source")
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text
     * — the cheap content-address used by exact dedup and incremental
     * re-crawl pipelines. */
