@@ -21,10 +21,12 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      // the deployment-grade registration path — the whole suite runs on
+      // extension-injected functions (mains use GraftFunctions.register)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    graft.functions.GraftFunctions.register(s)
     s
   }
 }
