@@ -111,6 +111,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-minute throttle: two qualifying events in one minute emit once (T6)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val throttled = Pipelines.throttlePerMinuteStreaming(
+      input.toDF().toDF("ts", "user_id"), watermark = "10 minutes")
+    val q = throttled.writeStream.format("memory").queryName("throttle_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts("2024-01-05 12:00:05"), 1L))
+      q.processAllAvailable()
+      input.addData( // same device, same minute, LATER batch → suppressed
+        (ts("2024-01-05 12:00:40"), 1L),
+        // same device, next minute → emitted
+        (ts("2024-01-05 12:01:10"), 1L))
+      q.processAllAvailable()
+      assert(spark.table("throttle_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("parseEvents is PERMISSIVE: missing JSON fields become null, not errors (P1)") {
+    val raw = Seq(
+      """{"event_id": 1, "ts": "2024-01-05T10:00:00", "user_id": 7, "event_type": "view", "value": 1.5, "props": "{}"}""",
+      """{"event_id": 2, "user_id": 8}""", // most fields absent
+      """not json at all""")
+      .toDF("value")
+    val out = Pipelines.parseEvents(raw).collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(0) === 1L && out(0).getString(3) === "view")
+    assert(out(1).getLong(0) === 2L && out(1).isNullAt(3)) // event_type null
+    assert(out(2).isNullAt(0)) // unparseable row → all-null record
+  }
+
   test("checkpointed replay + idempotent keyed sink = effective exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_eo").toString
