@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe: times representative operators on 1× and N×
+  * unions of sf0.1 (keys shifted per copy so join/dedup semantics stay
+  * clean — copies are new entities, not duplicates). Near-linear wall
+  * time ratios back SCALE.md's claims that the plans are shuffle-minimal
+  * and partial-aggregating. Usage: runMain graft.ScaleProbe [N] */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 10
+    val dir = "/root/testdata/sf0.1"
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    def amplified(df: DataFrame, keyCols: Seq[String], copies: Int): DataFrame =
+      (0 until copies).map { i =>
+        keyCols.foldLeft(df)((d, k) =>
+          d.withColumn(k, col(k) + lit(i.toLong * 1000000000L)))
+      }.reduce(_ unionByName _)
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[scale-probe] $label: $rows%,d rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    for (copies <- Seq(1, n)) {
+      val orders = amplified(Tables.orders(spark, dir), Seq("o_orderkey", "o_custkey"), copies)
+      val lineitem = amplified(Tables.lineitem(spark, dir), Seq("l_orderkey"), copies)
+      val events = amplified(Tables.events(spark, dir), Seq("user_id", "event_id"), copies)
+      val docs = amplified(Tables.documents(spark, dir), Seq("doc_id"), copies)
+
+      time(s"${copies}x fact-fact join + agg") {
+        lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("rev"))
+          .count()
+      }
+      time(s"${copies}x dau dedup + count") {
+        events.withColumn("log_date", date_format(col("ts"), "yyyy-MM-dd"))
+          .groupBy("user_id", "log_date").agg(min(col("ts")))
+          .groupBy("log_date").count().count()
+      }
+      time(s"${copies}x minhash band join") {
+        val withArr = docs.select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("arr"))
+        val banded = withArr
+          .withColumn("sig", expr("graft_minhash_sig(arr, 64)"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, 15), b -> struct(b as band_idx,
+              |  concat_ws('_', sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]) as band_key))""".stripMargin)).as("band"))
+          .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+        banded.as("l").join(banded.as("r"),
+            col("l.band_idx") === col("r.band_idx") &&
+            col("l.band_key") === col("r.band_key") &&
+            col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id"), col("r.doc_id")).distinct().count()
+      }
+      time(s"${copies}x text quality projection") {
+        docs.select(col("doc_id"), expr("graft_text_stats(text)").as("st"))
+          .filter(col("st.n_tokens") >= 10).count()
+      }
+    }
+    spark.stop()
+  }
+}
