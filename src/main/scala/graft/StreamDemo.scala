@@ -45,27 +45,35 @@ object StreamDemo {
       .parquet(eventsDir)
     val events = Tables.normalizeEventTs(rawStream)
 
-    def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
-                    mode: String = "append"): Long = {
-      val q = df.writeStream.format("memory").queryName(name)
+    // all five reference jobs started CONCURRENTLY (the reference's
+    // production topology runs five Spark Streaming apps side by side)
+    def start(df: org.apache.spark.sql.DataFrame, name: String,
+              mode: String = "append") =
+      df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      spark.table(name).count()
-    }
 
-    val dau = runToMemory(
+    val t0 = System.nanoTime()
+
+    // 1. DauApp — streaming dedup
+    val qDau = start(
       graft.streaming.Pipelines.dauDedup(events, watermark = "40 days"), "demo_dau")
-    println(s"[stream-demo] dau rows (distinct user-days): $dau")
-
-    val alerts = runToMemory(
+    // 2. AlertApp — windowed veto/threshold alerts
+    val qAlerts = start(
       graft.streaming.Pipelines.alerts(events,
         windowDur = "1 day", slide = "1 day", watermark = "1 day",
-        minUids = 2), "demo_alerts", mode = "append")
-    println(s"[stream-demo] day-window alerts: $alerts")
-
-    // stream-stream join: orders vs lineitem keyed on the order key with
-    // both sides timestamped by o_orderdate (same day → joins)
+        minUids = 2), "demo_alerts")
+    // 3. GmvApp — order ingest with date derivation into a keyed table
     val oSchema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val gmvOut = s"$stage/gmv_table"
+    val qGmv = spark.readStream.schema(oSchema).parquet(ordersDir)
+      .withColumn("create_date", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stage/gmv_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.Sinks.upsertByKey(batch, gmvOut,
+          Seq("o_orderkey"), "o_orderdate", "o_orderkey")
+      }.start()
+    // 4. SaleDetailApp — watermarked stream-stream join
     val orders = spark.readStream.schema(oSchema).parquet(ordersDir)
       .select(col("o_orderkey").as("o_order_id"), col("o_orderdate").cast("timestamp").as("o_ts"))
     val lSchema = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
@@ -74,10 +82,30 @@ object StreamDemo {
         .select(col("o_orderkey"), col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
       .select((col("l_orderkey") * 10 + col("l_linenumber")).as("d_id"),
         col("l_orderkey").as("d_order_id"), col("o_orderdate").cast("timestamp").as("d_ts"))
-    val joined = runToMemory(
+    val qJoin = start(
       graft.streaming.Pipelines.saleDetailJoin(orders, details, watermark = "1 hour"),
       "demo_join")
-    println(s"[stream-demo] stream-stream joined rows: $joined")
+    // 5. UserInfoApp — changelog → latest-wins dim table
+    val dimOut = s"$stage/dim_table"
+    val qDim = events.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stage/dim_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.Sinks.upsertByKey(batch, dimOut,
+          Seq("user_id"), "ts", "event_id")
+      }.start()
+
+    Seq(qDau, qAlerts, qGmv, qJoin, qDim).foreach(_.awaitTermination())
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    val nItems = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    println(s"[stream-demo] dau rows (distinct user-days): ${spark.table("demo_dau").count()}")
+    println(s"[stream-demo] day-window alerts: ${spark.table("demo_alerts").count()}")
+    println(s"[stream-demo] gmv keyed table rows: ${spark.read.parquet(gmvOut).count()}")
+    println(s"[stream-demo] stream-stream joined rows: ${spark.table("demo_join").count()}")
+    println(s"[stream-demo] dim latest-per-user rows: ${spark.read.parquet(dimOut).count()}")
+    println(f"[stream-demo] 5 concurrent pipelines, ${nEvents + nOrders + nItems}%,d input rows in $wallSec%.1f s")
 
     spark.stop()
   }

@@ -19,8 +19,12 @@ object Sinks {
                   keyCols: Seq[String], tsCol: String, tieCol: String): Unit = {
     val spark = batch.sparkSession
     val compacted = Pipelines.compactLatest(batch, keyCols, tsCol, tieCol)
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
     val existing =
-      try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+      if (fs0.exists(new org.apache.hadoop.fs.Path(path)))
+        Some(spark.read.parquet(path))
+      else None
     val merged = existing match {
       case Some(old) =>
         old.join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
