@@ -38,6 +38,26 @@ class ScaleLeversSpec extends SparkSpec {
     }
   }
 
+  test("dt-partitioned sink supports partition pruning on read (K3 scale path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val path = s"$dir/daily"
+    val batch = Seq(
+      (1L, "2024-01-05", 1.0), (2L, "2024-01-05", 2.0),
+      (3L, "2024-01-06", 3.0))
+      .toDF("id", "dt", "v")
+    graft.streaming.Sinks.appendDailyPartitioned(batch, path, "dt", Seq("id"))
+    val read = spark.read.parquet(path).filter(col("dt") === "2024-01-05")
+    assert(read.count() === 2)
+    // the date predicate must prune partitions at planning time, not
+    // filter rows post-scan
+    val scan = read.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty,
+      s"expected dt partition filter, got: ${scan.partitionFilters}")
+    assert(scan.relation.location.inputFiles.length >= 2) // both dt dirs exist
+  }
+
   test("salted skew join equals the plain inner join") {
     // heavily skewed left side: one hot key
     val left = (Seq.fill(500)(1L) ++ (2L to 50L)).zipWithIndex
