@@ -12,8 +12,10 @@ object Bench {
     Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up at the smallest SF: JIT + codegen + parquet-footer caches,
-    // so the timed numbers below reflect steady-state per-query cost
+    // warm-up at the smallest SF: JIT + codegen + catalyst caches get hot
+    // cheaply. (Warming at the target SF was tried and measured WORSE —
+    // the doubled workload leaves enough cached/GC pressure to slow the
+    // timed pass more than the leftover first-run costs it removes.)
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, "/root/testdata/sf0.001").count() }
       catch { case _: Throwable => () }
