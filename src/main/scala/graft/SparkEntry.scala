@@ -79,6 +79,8 @@ object SparkEntry {
     // --- incremental corpus dedup + per-source report ---
     "q38_incremental_dedup" -> ((s, d) => graft.dedup.DedupOps.incrementalDedup(s, d)),
     "q39_corpus_report"    -> ((s, d) => graft.text.TextOps.corpusReport(s, d)),
+    "q40_chunking"         -> ((s, d) => graft.text.TextOps.chunk(s, d)),
+    "q41_quantize_int8"    -> ((s, d) => graft.vector.VectorOps.quantizeInt8(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -354,6 +356,26 @@ object SparkEntry {
         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |       CAST(SUM(n_tokens) AS BIGINT) / COUNT(*) AS mean_tokens
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |        array_to_string(tokens[i*50+1 : i*50+100], ' ') AS chunk_text,
+        |        len(tokens[i*50+1 : i*50+100]) AS chunk_tokens
+        |      FROM t, (SELECT unnest(generate_series(0, 100)) AS i) idx
+        |      WHERE i <= (len(tokens) - 1) // 50)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+        |       CAST(chunk_tokens AS BIGINT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q41_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, scale,
+        |        CASE WHEN scale = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT)) END AS qv
+        |      FROM s)
+        |SELECT vec_id, scale, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       CAST(list_min(qv) AS BIGINT) AS q_min, CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     // q18_uv_approx: HLL sketch — intentionally no oracle (rows-only check).
     // q29_ann_lsh / q35_ann_ivf: approximate (recall < 1) — intentionally no oracle.
   )

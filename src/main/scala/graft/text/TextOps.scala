@@ -109,6 +109,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Chunking: split each document into overlapping token windows
+    * (length `chunkLen`, stride `stride`) — the canonical LLM
+    * training-data prep step. Chunks start at 0, stride, 2·stride, …;
+    * every start < n_tokens emits a chunk (the last ones may be short).
+    * One projection + explode per doc — no shuffle; at 100 TB this is a
+    * narrow map stage whose output feeds tokenization/packing. */
+  def chunk(spark: SparkSession, dir: String,
+            chunkLen: Int = 100, stride: Int = 50): DataFrame =
+    withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        expr(
+          s"""transform(sequence(0, (size(tokens) - 1) div $stride),
+             |  i -> struct(i as chunk_idx,
+             |              array_join(slice(tokens, i * $stride + 1, $chunkLen), ' ') as chunk_text,
+             |              size(slice(tokens, i * $stride + 1, $chunkLen)) as chunk_tokens))""".stripMargin)
+          .as("chunks"))
+      .select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_idx").cast("long").as("chunk_idx"),
+        col("c.chunk_text"),
+        col("c.chunk_tokens").cast("long").as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Per-source corpus report — the rollup every training-data pipeline
     * keeps: volume, quality-gate pass rate, mean token count per source. */
   def corpusReport(spark: SparkSession, dir: String): DataFrame =

@@ -113,6 +113,26 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization summary per embedding — the storage/
+    * serving compression step of an embedding pipeline. Per-vector scale
+    * = max|x|/127 (order-independent max, exact); q_i = Java-round
+    * (floor(x/scale + 0.5)); outputs exact integer aggregates of the
+    * quantized vector so the oracle hash-matches without emitting
+    * arrays. Zero vectors quantize to all-zero (guarded — x/0 would be
+    * ±Inf and an ANSI cast error). */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0d"))
+      .withColumn("qv", expr(
+        "CASE WHEN scale = 0.0d THEN transform(v, x -> 0L) " +
+          "ELSE transform(v, x -> cast(floor(x / scale + 0.5d) as long)) END"))
+      .select(
+        col("vec_id"), col("scale"),
+        expr("aggregate(qv, 0L, (a, x) -> a + x)").as("q_sum"),
+        expr("array_min(qv)").as("q_min"),
+        expr("array_max(qv)").as("q_max"))
+      .orderBy("vec_id")
+
   private val ivfModels =
     scala.collection.mutable.Map.empty[String, org.apache.spark.ml.clustering.KMeansModel]
 
