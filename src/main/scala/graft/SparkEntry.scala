@@ -81,6 +81,10 @@ object SparkEntry {
     "q39_corpus_report"    -> ((s, d) => graft.text.TextOps.corpusReport(s, d)),
     "q40_chunking"         -> ((s, d) => graft.text.TextOps.chunk(s, d)),
     "q41_quantize_int8"    -> ((s, d) => graft.vector.VectorOps.quantizeInt8(s, d)),
+    "q42_topk_per_group"   -> ((s, d) => Publisher.topSpendersPerNation(s, d)),
+    "q43_percentiles"      -> ((s, d) => Publisher.revenuePercentiles(s, d)),
+    "q44_percentiles_approx" -> ((s, d) => Publisher.revenuePercentilesApprox(s, d)),
+    "q45_stratified_sample"  -> ((s, d) => Publisher.stratifiedSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -376,8 +380,29 @@ object SparkEntry {
         |SELECT vec_id, scale, CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |       CAST(list_min(qv) AS BIGINT) AS q_min, CAST(list_max(qv) AS BIGINT) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
-    // q18_uv_approx: HLL sketch — intentionally no oracle (rows-only check).
-    // q29_ann_lsh / q35_ann_ivf: approximate (recall < 1) — intentionally no oracle.
+    "q42_topk_per_group" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS user_id,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT n_name AS nation, user_id, spend,
+        |         row_number() OVER (PARTITION BY n_name ORDER BY spend DESC, user_id ASC) AS rk
+        |  FROM spend
+        |  JOIN customer ON user_id = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT nation, CAST(rk AS BIGINT) AS rk, user_id, spend
+        |FROM ranked WHERE rk <= 3 ORDER BY nation, rk""".stripMargin,
+    "q43_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_extendedprice, 0.5) AS p50,
+        |       quantile_cont(l_extendedprice, 0.95) AS p95,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Intentionally no oracle (rows-only checks):
+    //   q18_uv_approx (HLL), q29_ann_lsh / q35_ann_ivf (recall < 1),
+    //   q44_percentiles_approx (sketch), q45_stratified_sample (engine-
+    //   specific Bernoulli draws; determinism pinned by unit test).
   )
 
   /** Exact 3-gram-shingle Jaccard pairs at threshold 0.7 — the oracle for

@@ -87,6 +87,68 @@ object Publisher {
       .select((javaRound(col("seg_ct") * 1000.0 / col("total")) / 10.0).as("seg_ratio"))
       .select(col("seg_ratio"), (lit(100.0) - col("seg_ratio")).as("rest_ratio"))
 
+  /** Top-k per group (the grouped variant of A10/O3): top 3 customers by
+    * total spend within each nation — rank inside the group after a
+    * partial-aggregated rollup, deterministic tie-break on the key. */
+  def topSpendersPerNation(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+    val withNation = spend
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))), Seq("user_id"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_name").orderBy(col("spend").desc, col("user_id").asc)
+    withNation
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("n_name").as("nation"), col("rk").cast("long").as("rk"),
+        col("user_id"), col("spend"))
+      .orderBy("nation", "rk")
+  }
+
+  /** Exact interpolated percentiles per group — Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition
+    * (index p·(n−1), lerp between neighbors), so values hash-match. */
+  def revenuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5d)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95d)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Sketch percentiles — the 100 TB path for [[revenuePercentiles]]:
+    * approx_percentile (KLL-style mergeable sketch), single pass, bounded
+    * memory per group. No oracle (sketch implementations differ);
+    * rows-only check. */
+  def revenuePercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5d, 1000)").as("p50_approx"),
+        expr("approx_percentile(l_extendedprice, 0.95d, 1000)").as("p95_approx"))
+      .orderBy("l_returnflag")
+
+  /** Stratified sampling by event type (seeded, deterministic per run
+    * config) — the class-balancing step of a training-data pipeline.
+    * Spark's per-row Bernoulli draw isn't reproducible in another engine,
+    * so this is rows-only; the unit test pins determinism (same seed ⇒
+    * same sample) and per-stratum fraction tolerance. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       fractions: Map[String, Double] = Map(
+                         "click" -> 0.5, "view" -> 0.5, "purchase" -> 1.0,
+                         "signup" -> 0.1, "error" -> 0.1),
+                       seed: Long = 42L): DataFrame =
+    Tables.events(spark, dir)
+      .stat.sampleBy("event_type", fractions, seed)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("sampled_ct"))
+      .orderBy("event_type")
+
   /** W2: hourly event counts for `day` paired with the previous day —
     * a single scan with two conditional aggregates (no self-join). */
   def todayVsYesterday(spark: SparkSession, dir: String,

@@ -102,6 +102,23 @@ class CoreOpsSpec extends SparkSpec {
     assert(out === 16L)
   }
 
+  test("stratified sample is deterministic per seed and tracks fractions") {
+    val dir = "/root/testdata/sf0.01"
+    val a = graft.ops.Publisher.stratifiedSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = graft.ops.Publisher.stratifiedSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a === b) // same seed ⇒ identical sample
+    val totals = Tables.events(spark, dir).groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // purchase keeps everything; 0.5-strata within ±15% of expectation
+    assert(a("purchase") === totals("purchase"))
+    for (t <- Seq("click", "view")) {
+      val frac = a(t).toDouble / totals(t)
+      assert(math.abs(frac - 0.5) < 0.15, s"$t sampled $frac")
+    }
+  }
+
   // T6 — per-minute throttle
   test("per-minute throttle keeps one row per (user, minute)") {
     val alerts = Seq(
