@@ -69,6 +69,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join is arrival-order invariant: detail before its order still joins (J2)") {
+    implicit val sq = spark.sqlContext
+    val orders = MemoryStream[(Long, Timestamp)]
+    val details = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Pipelines.saleDetailJoin(
+      orders.toDF().toDF("o_order_id", "o_ts"),
+      details.toDF().toDF("d_id", "d_order_id", "d_ts"),
+      watermark = "10 seconds")
+    val q = joined.writeStream.format("memory")
+      .queryName("ooo_join_out").outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = ts("2024-01-05 12:00:00")
+      // REVERSED arrival: the detail lands a batch BEFORE its order —
+      // the reference buffers the detail side in Redis for this case
+      // (SaleDetailApp.scala:109-133); here the join state covers it
+      details.addData((11L, 1L, new Timestamp(t0.getTime + 2000)))
+      q.processAllAvailable()
+      orders.addData((1L, t0))
+      q.processAllAvailable()
+      val ids = spark.table("ooo_join_out").select("d_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(11L))
+    } finally q.stop()
+  }
+
   test("streaming windowed alert fires for 3 uids and is vetoed by a click (T2/A7-A9)") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Ev]
