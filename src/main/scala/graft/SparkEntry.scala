@@ -365,7 +365,7 @@ object SparkEntry {
         |c AS (SELECT doc_id, i AS chunk_idx,
         |        array_to_string(tokens[i*50+1 : i*50+100], ' ') AS chunk_text,
         |        len(tokens[i*50+1 : i*50+100]) AS chunk_tokens
-        |      FROM t, (SELECT unnest(generate_series(0, 100)) AS i) idx
+        |      FROM t, (SELECT unnest(generate_series(0, (SELECT MAX((len(tokens) - 1) // 50) FROM t))) AS i) idx
         |      WHERE i <= (len(tokens) - 1) // 50)
         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
         |       CAST(chunk_tokens AS BIGINT) AS chunk_tokens

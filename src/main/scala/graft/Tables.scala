@@ -22,13 +22,24 @@ object Tables {
 
   /** Session-scoped cache memoizer: repeated query invocations (Verify,
     * Bench warm-up + timed pass) reuse ONE cached copy per (session,
-    * key) instead of stacking a new InMemoryRelation per call — unbounded
-    * cache growth in a long-lived session was a review finding. */
+    * key) instead of stacking a new InMemoryRelation per call. Weakly
+    * keyed on the session OBJECT: entries die with the session (no
+    * unbounded growth across test suites), and an identity-hash reuse
+    * after GC can never hand a new session a dead session's plan. */
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  def memoCache(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(
-      System.identityHashCode(spark).toString + "/" + key, build.cache())
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  def memoCache(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val perSession = memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        memo.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(key, build.cache())
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

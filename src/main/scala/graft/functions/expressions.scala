@@ -113,7 +113,7 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.toLowerCase
+      .toString.toLowerCase(java.util.Locale.ROOT)
     val toks = text.trim.split("\\s+")
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
@@ -161,7 +161,7 @@ case class SimHash64(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.toLowerCase
+      .toString.toLowerCase(java.util.Locale.ROOT)
     val toks = text.trim.split("\\s+")
     val sums = new Array[Long](64)
     val mdAlg = java.security.MessageDigest.getInstance("MD5")
@@ -215,7 +215,7 @@ case class TextStats(child: Expression, stopwords: Seq[String])
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.toLowerCase
+      .toString.toLowerCase(java.util.Locale.ROOT)
     val toks = text.trim.split("\\s+")
     var stopCt = 0L
     var alpha = 0L
@@ -234,7 +234,15 @@ case class TextStats(child: Expression, stopwords: Seq[String])
 /** Session registration for the custom expressions (idempotent), exposing
   * them to `expr(...)`/SQL as `graft_dot` and `graft_minhash_sig`. */
 object GraftFunctions {
+  // Weak keys: a stopped session's entry disappears with the session, and
+  // re-registering on every query call spammed "replaced a previously
+  // registered function" WARNs into the bench/verify output.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => ArrayDotProduct(exprs.head, exprs(1)), "built-in")

@@ -18,27 +18,33 @@ object Sinks {
   def upsertByKey(batch: DataFrame, path: String,
                   keyCols: Seq[String], tsCol: String, tieCol: String): Unit = {
     val spark = batch.sparkSession
-    val compacted = Pipelines.compactLatest(batch, keyCols, tsCol, tieCol)
-    val fs0 = org.apache.hadoop.fs.FileSystem.get(
+    val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    // Crash recovery: a crash between "dst → bak" and "tmp → dst" leaves
+    // only bak — restore it so the merge below sees all prior keys
+    // (losing them would rebuild the table from one batch, breaking the
+    // idempotent-upsert guarantee; flagged in round-1 review).
+    if (!fs.exists(dst) && fs.exists(bak)) fs.rename(bak, dst)
+    val compacted = Pipelines.compactLatest(batch, keyCols, tsCol, tieCol)
     val existing =
-      if (fs0.exists(new org.apache.hadoop.fs.Path(path)))
-        Some(spark.read.parquet(path))
-      else None
+      if (fs.exists(dst)) Some(spark.read.parquet(path)) else None
     val merged = existing match {
       case Some(old) =>
         old.join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(compacted)
       case None => compacted
     }
-    // two-phase write: parquet can't overwrite a table being read
-    val tmp = path + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // two-phase write: parquet can't overwrite a table being read.
+    // Swap order keeps a complete copy on disk at every instant:
+    // write tmp → move dst aside to bak → move tmp in → drop bak.
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    fs.rename(tmp, dst)
+    fs.delete(bak, true)
   }
 
   /** K3 analog: append into a dt-partitioned table (the daily-index

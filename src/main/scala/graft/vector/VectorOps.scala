@@ -87,9 +87,17 @@ object VectorOps {
       vecs(spark, dir).withColumn("fv", array_to_vector(col("v")))
     }
     // coarse quantizer trained once per (session, corpus) — the model is
-    // the index; rebuilding it per query defeats the point of IVF
+    // the index; rebuilding it per query defeats the point of IVF.
+    // Weakly keyed on the session object (same rationale as
+    // Tables.memoCache): models die with their session.
     val model = VectorOps.synchronized {
-      ivfModels.getOrElseUpdate(System.identityHashCode(spark) + "/" + dir + "/" + nCentroids,
+      var perSession = ivfModels.get(spark)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty[String,
+          org.apache.spark.ml.clustering.KMeansModel]
+        ivfModels.put(spark, perSession)
+      }
+      perSession.getOrElseUpdate(dir + "/" + nCentroids,
         new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
           .setFeaturesCol("fv").setPredictionCol("cell")
           .fit(e))
@@ -134,7 +142,8 @@ object VectorOps {
       .orderBy("vec_id")
 
   private val ivfModels =
-    scala.collection.mutable.Map.empty[String, org.apache.spark.ml.clustering.KMeansModel]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, org.apache.spark.ml.clustering.KMeansModel]]()
 
   /** Deterministic random hyperplanes (seeded), as literal columns. */
   private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
