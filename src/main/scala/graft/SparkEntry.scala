@@ -85,6 +85,21 @@ object SparkEntry {
     "q43_percentiles"      -> ((s, d) => Publisher.revenuePercentiles(s, d)),
     "q44_percentiles_approx" -> ((s, d) => Publisher.revenuePercentilesApprox(s, d)),
     "q45_stratified_sample"  -> ((s, d) => Publisher.stratifiedSample(s, d)),
+    // --- OLAP layer: grouping sets, pivot, window frames ---
+    "q46_rollup"           -> ((s, d) => Olap.revenueRollup(s, d)),
+    "q47_pivot"            -> ((s, d) => Olap.segmentPivot(s, d)),
+    "q50_moving_avg"       -> ((s, d) => Olap.dailyMovingAvg(s, d)),
+    // --- temporal joins: as-of + bucketed range join ---
+    "q48_asof_join"        -> ((s, d) => AsOf.viewBeforePurchase(s, d)),
+    "q49_range_join"       -> ((s, d) => AsOf.attributedPurchases(s, d)),
+    // --- dedup clusters (connected components over the near-dup graph) ---
+    "q51_dedup_clusters"   -> ((s, d) => graft.dedup.DedupOps.dedupClusters(s, d)),
+    // --- text: inverted-index tf-idf + sequence packing ---
+    "q52_tfidf"            -> ((s, d) => graft.text.TextOps.tfidfTopTerms(s, d)),
+    "q55_pack_chunks"      -> ((s, d) => graft.text.TextOps.packChunks(s, d)),
+    // --- hash-deterministic sampling + exact L2 ANN baseline ---
+    "q53_hash_sample"      -> ((s, d) => Publisher.hashStratifiedSample(s, d)),
+    "q54_l2_topk"          -> ((s, d) => graft.vector.VectorOps.l2TopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -399,6 +414,106 @@ object SparkEntry {
         |       quantile_cont(l_extendedprice, 0.95) AS p95,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q46_rollup" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |       COALESCE(c_mktsegment, 'ALL') AS segment,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+        |       COUNT(*) AS order_cnt
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY 1, 2""".stripMargin,
+    "q47_pivot" ->
+      """SELECT n_name AS nation,
+        |       CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS automobile,
+        |       CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS building,
+        |       CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS furniture,
+        |       CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS household,
+        |       CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS machinery
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind,
+        |         CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS v_ts,
+        |         CASE WHEN event_type = 'view' THEN event_id END AS v_id
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (SELECT *,
+        |        last_value(v_ts IGNORE NULLS) OVER win AS view_ts_us,
+        |        last_value(v_id IGNORE NULLS) OVER win AS view_event_id
+        |      FROM u
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY ts, kind, event_id ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, view_ts_us, view_event_id
+        |FROM w WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    "q49_range_join" ->
+      """SELECT p.event_id, epoch_us(p.ts) AS p_us, COUNT(*) AS n_views,
+        |       MAX(epoch_us(v.ts)) AS last_view_us
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 600000000
+        | AND epoch_us(v.ts) < epoch_us(p.ts)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q50_moving_avg" ->
+      """WITH d AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS log_date, COUNT(*) AS ct
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id, log_date, ct,
+        |       CAST(SUM(ct) OVER f AS DOUBLE) / COUNT(ct) OVER f AS ma7,
+        |       CAST(ct - lag(ct) OVER (PARTITION BY user_id ORDER BY log_date) AS BIGINT) AS delta
+        |FROM d
+        |WINDOW f AS (PARTITION BY user_id ORDER BY log_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, log_date""".stripMargin,
+    "q51_dedup_clusters" ->
+      s"""WITH RECURSIVE $JaccardCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+         |comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY 1),
+         |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
+    "q52_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+        |      FROM tf JOIN df USING (term), n),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk FROM r)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, CAST(tf AS BIGINT) AS tf,
+        |       CAST(df AS BIGINT) AS df, score
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q53_hash_sample" ->
+      """WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM h)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+    "q54_l2_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       sqrt(list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, q.qv) + list_inner_product(q.qv, q.qv)) AS dist
+        |FROM e, q WHERE e.vec_id <> 0
+        |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "q55_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |p AS (SELECT doc_id, source, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |       CAST(start_tok // 2048 AS BIGINT) AS bin,
+        |       CAST(start_tok % 2048 AS BIGINT) AS bin_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL), q29_ann_lsh / q35_ann_ivf (recall < 1),
     //   q44_percentiles_approx (sketch), q45_stratified_sample (engine-
@@ -413,8 +528,11 @@ object SparkEntry {
     * corpus has no pairs in (0.3, 0.9) — see DedupOps scaladoc. A corpus
     * with borderline pairs would need r = 2 banding (and pay its
     * false-candidate cost) for this shared oracle to stay exact. */
-  private val JaccardPairsSql: String =
-    """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+  /** The shared CTE chain computing exact Jaccard pairs at 0.7, reused by
+    * the pair queries (as `JaccardPairsSql`) and the cluster query (q51,
+    * which chains connected components on top of `jpairs`). */
+  private val JaccardCtes: String =
+    """tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |              unnest(CASE WHEN len(t) >= 3
       |                     THEN list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
@@ -422,9 +540,13 @@ object SparkEntry {
       |       FROM tok),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, inter / (x.n + y.n - inter) AS jaccard
-      |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-      |WHERE inter / (x.n + y.n - inter) >= 0.7
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jpairs AS (SELECT doc_a, doc_b, inter / (x.n + y.n - inter) AS jaccard
+      |           FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |           WHERE inter / (x.n + y.n - inter) >= 0.7)""".stripMargin
+
+  private val JaccardPairsSql: String =
+    s"""WITH $JaccardCtes
+       |SELECT doc_a, doc_b, jaccard FROM jpairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

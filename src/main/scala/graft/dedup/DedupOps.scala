@@ -223,4 +223,56 @@ object DedupOps {
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashFull(spark, dir).select("doc_id", "simhash").orderBy("doc_id")
+
+  /** Dedup clusters: connected components over the near-dup pair graph
+    * (exact Jaccard ≥ threshold), labeling every document with the min
+    * doc_id reachable through near-dup edges — the step that turns
+    * pairwise dedup into keep-one-per-cluster. Iterative min-label
+    * propagation to a fixpoint: each round joins labels across edges and
+    * keeps the per-node min; rounds needed = graph diameter (near-dup
+    * components are tiny cliques, so 1-2 rounds in practice; the loop is
+    * exact regardless). At 100 TB this is the standard alternating
+    * large-star/small-star CC — the per-round shape (join + min-agg on
+    * the edge list) is identical, only the edge orientation trick
+    * changes, and only the (small) pair graph iterates, never the corpus.
+    */
+  def dedupClusters(spark: SparkSession, dir: String,
+                    threshold: Double = 0.7): DataFrame =
+    connectedComponents(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      ngramJaccardPairs(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
+
+  /** Min-label connected components over an undirected pair list; every
+    * node in `docs` gets a cluster (singletons label themselves). Split
+    * out so tests can drive literal graphs. */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // both orientations once; iterate only over nodes that have an edge
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .cache()
+    var labels = edges.select(col("src").as("node"), col("src").as("label"))
+      .distinct().cache()
+    var converged = false
+    while (!converged) {
+      val viaEdges = edges
+        .join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") < col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    val clustered = docs
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    clustered
+      .join(clustered.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size")), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
 }

@@ -149,6 +149,27 @@ object Publisher {
       .agg(count(lit(1)).as("sampled_ct"))
       .orderBy("event_type")
 
+  /** Deterministic stratified sampling by content hash: rank rows inside
+    * each stratum by md5(key) and keep the first `perStratum` — the
+    * reproducible-across-engines (and across reruns, partitionings, and
+    * cluster sizes) sampler, complementing the seeded Bernoulli
+    * [[stratifiedSample]] whose draws are engine-specific. At scale the
+    * rank-within-stratum is one shuffle; for quantile-free fixed-rate
+    * sampling the same idea degrades to `md5(key) < threshold` with no
+    * shuffle at all. */
+  def hashStratifiedSample(spark: SparkSession, dir: String,
+                           perStratum: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perStratum)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
   /** W2: hourly event counts for `day` paired with the previous day —
     * a single scan with two conditional aggregates (no self-join). */
   def todayVsYesterday(spark: SparkSession, dir: String,

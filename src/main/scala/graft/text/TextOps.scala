@@ -148,6 +148,55 @@ object TextOps {
         (col("total_tokens") / col("n_docs")).as("mean_tokens"))
       .orderBy("source")
 
+  /** TF-IDF top terms per document, with a *rational* idf (N / df instead
+    * of ln(N / df)): ln is libm-dependent across engines while the ranking
+    * is unchanged (x ↦ ln is monotone, tf ≥ 1), so score = tf·N/df keeps
+    * the exact same top-k and hashes bit-for-bit (one integer product,
+    * one IEEE division). Shape at scale: explode → two hash aggregates
+    * (term×doc, term) + a broadcast of the (small) df table — the
+    * classic inverted-index build. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = withTokens(Tables.documents(spark, dir))
+    val terms = docs.select(col("doc_id"), explode(col("tokens")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("score", (col("tf") * lit(nDocs)).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Sequence packing: assign documents to fixed-capacity token bins by
+    * exclusive prefix sum over a deterministic order — the step that
+    * turns chunked text into constant-length training sequences. Packs
+    * WITHIN each source partition (window partitioned by source), which
+    * is the scalable shape: a global pack would serialize into one
+    * ordered pass, per-shard packing parallelizes and is what training
+    * pipelines do anyway (shard = input file). Documents longer than the
+    * capacity simply span bins (offset + n_tokens > capacity), matching
+    * greedy concat-then-slice packing. */
+  def packChunks(spark: SparkSession, dir: String,
+                 capacity: Int = 2048): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr("graft_text_stats(text).n_tokens").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"start_tok div ${capacity}L").as("bin"),
+        // named bin_offset, not offset: OFFSET is a reserved word duckdb-side
+        expr(s"start_tok % ${capacity}L").as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text
     * — the cheap content-address used by exact dedup and incremental
     * re-crawl pipelines. */

@@ -121,6 +121,24 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Exact L2 (euclidean) top-k via the dot-product identity
+    * ‖a−b‖² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩ — three codegen'd folds instead of a
+    * per-pair subtract-square pass, and the identical scalar expression on
+    * the oracle side (DuckDB `list_inner_product`) keeps the distance
+    * bit-exact. Same scan shape as [[cosineTopK]]: broadcast query vector,
+    * narrow map, single TakeOrdered. */
+  def l2TopK(spark: SparkSession, dir: String,
+             queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        sqrt(dot("v", "v") - lit(2.0) * dot("v", "qv") + dot("qv", "qv")).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Symmetric int8 quantization summary per embedding — the storage/
     * serving compression step of an embedding pipeline. Per-vector scale
     * = max|x|/127 (order-independent max, exact); q_i = Java-round
