@@ -240,19 +240,34 @@ object DedupOps {
                     threshold: Double = 0.7): DataFrame =
     connectedComponents(
       Tables.documents(spark, dir).select(col("doc_id")),
-      ngramJaccardPairs(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
+      // the LSH+exact-verify pair list — same pair set as the quadratic
+      // exact join (the shared-oracle argument in [[minhashLshPairs]]) at
+      // the scale-path cost. Memoized per (session, corpus): the pair
+      // list is the materialized output of the upstream dedup stage (an
+      // index artifact, like the shingle table and the IVF model), and
+      // clustering is its downstream consumer.
+      Tables.memoCache(spark, s"neardup-pairs/$threshold/$dir") {
+        minhashLshPairs(spark, dir, threshold).select(col("doc_a"), col("doc_b"))
+      })
 
   /** Min-label connected components over an undirected pair list; every
     * node in `docs` gets a cluster (singletons label themselves). Split
     * out so tests can drive literal graphs. */
   def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    // both orientations once; iterate only over nodes that have an edge
+    // both orientations from ONE pass over the pair list — a union of two
+    // selects would execute the (expensive) pair-generation subtree twice
     val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     var labels = edges.select(col("src").as("node"), col("src").as("label"))
       .distinct().cache()
+    // per-node labels only ever decrease, so Σlabel is strictly monotone
+    // until the fixpoint — comparing sums is one aggregate per round
+    // instead of a join-and-diff job
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     while (!converged) {
       val viaEdges = edges
@@ -261,13 +276,21 @@ object DedupOps {
       val next = labels.unionByName(viaEdges)
         .groupBy("node").agg(min(col("label")).as("label"))
         .cache()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") < col("old")).isEmpty
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels.unpersist()
       labels = next
     }
+    // localCheckpoint cuts the N-round iterative lineage (which would
+    // otherwise re-expand exponentially if ever recomputed) and lets the
+    // loop's cached intermediates be released eagerly instead of leaking
+    // until session GC
+    val finalLabels = labels.localCheckpoint(eager = true)
+    labels.unpersist()
+    edges.unpersist()
     val clustered = docs
-      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .join(finalLabels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
     clustered
       .join(clustered.groupBy(col("cluster_id"))

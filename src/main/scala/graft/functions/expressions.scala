@@ -194,6 +194,47 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass per-document term frequencies: lowercase whitespace
+  * tokenization (identical to the oracle's string_split of the
+  * \s+-normalized text), counted into array<struct<term, tf>>. Feeding
+  * TF-IDF from this instead of `explode(tokens)` shrinks the first
+  * shuffle from one row per TOKEN to one row per DISTINCT term per doc
+  * (~16× on this corpus; more on natural text), with bit-identical
+  * counts. */
+case class TokenCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = text.trim.split("\\s+")
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** One-pass token statistics for quality scoring: lowercase whitespace
   * tokenization (same semantics as the oracle's string_split of the
   * \s+-normalized text), returning
@@ -256,5 +297,7 @@ object GraftFunctions {
       exprs => TextStats(exprs.head, graft.text.TextOps.Stopwords), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_token_counts",
+      exprs => TokenCounts(exprs.head), "built-in")
   }
 }

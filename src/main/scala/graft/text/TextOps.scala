@@ -156,9 +156,15 @@ object TextOps {
     * (term×doc, term) + a broadcast of the (small) df table — the
     * classic inverted-index build. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val docs = withTokens(Tables.documents(spark, dir))
-    val terms = docs.select(col("doc_id"), explode(col("tokens")).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    graft.functions.GraftFunctions.register(spark)
+    // per-doc term counts come pre-aggregated from the one-pass
+    // graft_token_counts expression: the explode emits one row per
+    // DISTINCT term per doc instead of one per token occurrence, so no
+    // (doc_id, term) shuffle ever carries raw token rows
+    val tf = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(expr("graft_token_counts(text)")).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, dir).count()
     val w = org.apache.spark.sql.expressions.Window
