@@ -514,10 +514,13 @@ object SparkEntry {
         |       CAST(start_tok // 2048 AS BIGINT) AS bin,
         |       CAST(start_tok % 2048 AS BIGINT) AS bin_offset
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q29_ann_lsh" -> AnnLshSql,
     // Intentionally no oracle (rows-only checks):
-    //   q18_uv_approx (HLL), q29_ann_lsh / q35_ann_ivf (recall < 1),
-    //   q44_percentiles_approx (sketch), q45_stratified_sample (engine-
-    //   specific Bernoulli draws; determinism pinned by unit test).
+    //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible
+    //   in SQL), q44_percentiles_approx (sketch), q45_stratified_sample
+    //   (engine-specific Bernoulli draws; determinism pinned by unit
+    //   test). q29_ann_lsh IS oracled: the seeded hyperplanes are
+    //   embedded as literals, making the whole LSH pipeline replayable.
   )
 
   /** Exact 3-gram-shingle Jaccard pairs at threshold 0.7 — the oracle for
@@ -549,4 +552,34 @@ object SparkEntry {
     s"""WITH $JaccardCtes
        |SELECT doc_a, doc_b, jaccard FROM jpairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Hyperplane-LSH ANN oracle: the exact plane values the engine draws
+    * (seeded) are embedded as a DOUBLE[][] literal, so DuckDB replays the
+    * identical signature → band → candidate → exact-rerank pipeline and
+    * the "approximate" query hash-verifies bit-for-bit (Double.toString
+    * round-trips through DuckDB's literal parser losslessly). Mirrors
+    * [[graft.vector.VectorOps.annLshTopK]]'s defaults: 16 planes, 4-bit
+    * bands, query vec_id 0, k = 10. */
+  private val AnnLshSql: String = {
+    val planes = graft.vector.VectorOps.planes(16, 64)
+    val lit = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT CAST($lit AS DOUBLE[][]) AS planes),
+       |sig AS (SELECT vec_id, v,
+       |          list_transform(generate_series(1, 16), i ->
+       |            CASE WHEN list_inner_product(v, planes[i]) >= 0.0 THEN 1 ELSE 0 END) AS s
+       |        FROM e, p),
+       |bands AS (SELECT vec_id, b.i AS band_idx,
+       |            array_to_string(s[(b.i - 1) * 4 + 1 : (b.i - 1) * 4 + 4], '') AS band_key
+       |          FROM sig, (SELECT unnest(generate_series(1, 4)) AS i) b),
+       |qb AS (SELECT band_idx, band_key FROM bands WHERE vec_id = 0),
+       |cand AS (SELECT DISTINCT b.vec_id
+       |         FROM bands b JOIN qb ON b.band_idx = qb.band_idx AND b.band_key = qb.band_key
+       |         WHERE b.vec_id <> 0),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |       list_inner_product(e.v, q.qv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+       |FROM cand JOIN e ON cand.vec_id = e.vec_id, q
+       |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
+  }
 }

@@ -163,8 +163,11 @@ object VectorOps {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, org.apache.spark.ml.clustering.KMeansModel]]()
 
-  /** Deterministic random hyperplanes (seeded), as literal columns. */
-  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+  /** Deterministic random hyperplanes (seeded), as literal columns.
+    * Exposed within the library so the oracle builder can embed the SAME
+    * plane values as SQL literals (the LSH pipeline is deterministic end
+    * to end, so the ANN query hash-verifies like an exact one). */
+  private[graft] def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
