@@ -23,10 +23,16 @@ object Bench {
     // Best-of-N per query: round-1 driver timings showed a transient
     // ~25 s machine-level stall (9 consecutive queries 4-12× slower than
     // both their neighbors and any local run); the min over passes
-    // measures the engine, not whatever else the host was doing.
-    val passes = 3
+    // measures the engine, not whatever else the host was doing. Pass
+    // count adapts to elapsed wall time so a low-CPU run (the driver may
+    // set SPARK_GRAFT_CPUS=4) still finishes promptly.
+    val maxPasses = 3
+    val budgetSec = 150.0
     val best = scala.collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to passes) {
+    val loopStart = System.nanoTime()
+    var pass = 0
+    while (pass < maxPasses &&
+      (pass == 0 || (System.nanoTime() - loopStart) / 1e9 < budgetSec)) {
       System.gc()
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -34,6 +40,7 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (best.getOrElse(name, Double.MaxValue) > sec) best(name) = sec
       }
+      pass += 1
     }
     val results = SparkEntry.queries.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
