@@ -69,6 +69,28 @@ object ScaleProbe {
         docs.select(col("doc_id"), expr("graft_text_stats(text)").as("st"))
           .filter(col("st.n_tokens") >= 10).count()
       }
+      time(s"${copies}x as-of union+window") {
+        graft.ops.AsOf.asofCore(events).count()
+      }
+      time(s"${copies}x bucketed range join") {
+        graft.ops.AsOf.attributionCore(events, 600L).count()
+      }
+      time(s"${copies}x tf-idf inverted index") {
+        val tf = docs
+          .select(col("doc_id"), explode(expr("graft_token_counts(text)")).as("tc"))
+          .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), "term").count()
+      }
+      time(s"${copies}x sequence packing (per-source window)") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        docs.select(col("doc_id"), col("source"),
+            expr("graft_text_stats(text).n_tokens").as("n_tokens"))
+          .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .filter(col("start_tok") >= 0L).count()
+      }
     }
     spark.stop()
   }

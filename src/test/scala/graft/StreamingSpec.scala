@@ -233,4 +233,30 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(out === Set((10L, "alice3"), (20L, "bob"), (30L, "carol")))
   }
+
+  test("keyed upsert recovers from a crash mid-swap without losing prior keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert3").toString
+    val path = s"$dir/dim"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val b1 = Seq((10L, "alice", ts("2024-01-05 10:00:00"), 1L))
+      .toDF("user_id", "name", "ts", "seq")
+    graft.streaming.Sinks.upsertByKey(b1, path, Seq("user_id"), "ts", "seq")
+    // simulate the worst crash point of the swap: the new table (tmp) is
+    // written and the current table has been moved aside to bak, but the
+    // final rename never happened — dst is ABSENT on restart
+    val b2 = Seq((20L, "bob", ts("2024-01-05 11:00:00"), 2L))
+      .toDF("user_id", "name", "ts", "seq")
+    b2.write.parquet(path + "__tmp")
+    fs.rename(p(path), p(path + "__bak"))
+    assert(!fs.exists(p(path)) && fs.exists(p(path + "__bak")))
+    // checkpoint replay re-delivers the SAME batch; recovery must restore
+    // bak first so alice survives the merge
+    graft.streaming.Sinks.upsertByKey(b2, path, Seq("user_id"), "ts", "seq")
+    val out = spark.read.parquet(path).select("user_id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((10L, "alice"), (20L, "bob")))
+    assert(!fs.exists(p(path + "__bak")) && !fs.exists(p(path + "__tmp")))
+  }
 }
