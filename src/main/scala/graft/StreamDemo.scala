@@ -94,18 +94,34 @@ object StreamDemo {
           Seq("user_id"), "ts", "event_id")
       }.start()
 
-    Seq(qDau, qAlerts, qGmv, qJoin, qDim).foreach(_.awaitTermination())
+    // 6. Training-data ingest — quality gate → content dedup → chunks,
+    //    appended into a source-partitioned table (the LLM-corpus path)
+    val docsDir = staged("documents")
+    val dSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val chunksOut = s"$stage/chunks_table"
+    val qCorpus = graft.streaming.TrainingPipeline.corpusIngest(
+        spark.readStream.schema(dSchema).parquet(docsDir))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stage/corpus_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.Sinks.appendDailyPartitioned(batch, chunksOut,
+          "source", Seq("doc_id", "chunk_idx"))
+      }.start()
+
+    Seq(qDau, qAlerts, qGmv, qJoin, qDim, qCorpus).foreach(_.awaitTermination())
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
     val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
     val nItems = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     println(s"[stream-demo] dau rows (distinct user-days): ${spark.table("demo_dau").count()}")
     println(s"[stream-demo] day-window alerts: ${spark.table("demo_alerts").count()}")
     println(s"[stream-demo] gmv keyed table rows: ${spark.read.parquet(gmvOut).count()}")
     println(s"[stream-demo] stream-stream joined rows: ${spark.table("demo_join").count()}")
     println(s"[stream-demo] dim latest-per-user rows: ${spark.read.parquet(dimOut).count()}")
-    println(f"[stream-demo] 5 concurrent pipelines, ${nEvents + nOrders + nItems}%,d input rows in $wallSec%.1f s")
+    println(s"[stream-demo] corpus chunks (gated+deduped): ${spark.read.parquet(chunksOut).count()}")
+    println(f"[stream-demo] 6 concurrent pipelines, ${nEvents + nOrders + nItems + nDocs}%,d input rows in $wallSec%.1f s")
 
     spark.stop()
   }

@@ -117,20 +117,28 @@ object TextOps {
     * narrow map stage whose output feeds tokenization/packing. */
   def chunk(spark: SparkSession, dir: String,
             chunkLen: Int = 100, stride: Int = 50): DataFrame =
-    withTokens(Tables.documents(spark, dir))
-      .select(col("doc_id"),
+    chunkCore(withTokens(Tables.documents(spark, dir)), chunkLen, stride)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Chunk explode over any frame carrying (doc_id, tokens) — stateless
+    * projection, reused by the streaming ingest pipeline. `carry` names
+    * additional columns to keep on every chunk row. */
+  def chunkCore(docsWithTokens: DataFrame,
+                chunkLen: Int = 100, stride: Int = 50,
+                carry: Seq[String] = Nil): DataFrame =
+    docsWithTokens
+      .select(col("doc_id") +: carry.map(col) :+
         expr(
           s"""transform(sequence(0, (size(tokens) - 1) div $stride),
              |  i -> struct(i as chunk_idx,
              |              array_join(slice(tokens, i * $stride + 1, $chunkLen), ' ') as chunk_text,
              |              size(slice(tokens, i * $stride + 1, $chunkLen)) as chunk_tokens))""".stripMargin)
-          .as("chunks"))
-      .select(col("doc_id"), explode(col("chunks")).as("c"))
-      .select(col("doc_id"),
-        col("c.chunk_idx").cast("long").as("chunk_idx"),
-        col("c.chunk_text"),
-        col("c.chunk_tokens").cast("long").as("chunk_tokens"))
-      .orderBy("doc_id", "chunk_idx")
+          .as("chunks"): _*)
+      .select(col("doc_id") +: carry.map(col) :+ explode(col("chunks")).as("c"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("c.chunk_idx").cast("long").as("chunk_idx") :+
+        col("c.chunk_text") :+
+        col("c.chunk_tokens").cast("long").as("chunk_tokens"): _*)
 
   /** Per-source corpus report — the rollup every training-data pipeline
     * keeps: volume, quality-gate pass rate, mean token count per source. */

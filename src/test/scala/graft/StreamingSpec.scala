@@ -234,6 +234,38 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set((10L, "alice3"), (20L, "bob"), (30L, "carol")))
   }
 
+  case class Doc(doc_id: Long, source: String, lang: String, text: String)
+
+  test("streaming corpus ingest: quality gate + cross-batch dedup + chunking") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = graft.streaming.TrainingPipeline.corpusIngest(
+      input.toDF(), chunkLen = 4, stride = 2, minTokens = 3,
+      stopRatioMin = 0.0, stopRatioMax = 1.0)
+    val q = out.writeStream.format("memory")
+      .queryName("corpus_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1, "web", "en", "the quick brown fox jumps over the lazy dog"), // 9 tokens
+        Doc(2, "web", "en", "too short"))                                   // gated out
+      q.processAllAvailable()
+      input.addData(
+        Doc(3, "web", "en", "The  quick brown fox jumps over the lazy DOG"), // dup of 1 after normalization
+        Doc(4, "books", "en", "one two three four five six"))                // 6 tokens
+      q.processAllAvailable()
+      val rows = spark.table("corpus_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      // doc 1: 9 tokens, stride 2 → starts 0,2,4,6,8 → 5 chunks
+      assert(rows.count(_._1 == 1L) === 5)
+      // doc 2 gated, doc 3 deduped (same normalized content as 1)
+      assert(!rows.exists(_._1 == 2L) && !rows.exists(_._1 == 3L))
+      // doc 4: 6 tokens → starts 0,2,4 → 3 chunks; first chunk text exact
+      val d4 = rows.filter(_._1 == 4L).sortBy(_._3)
+      assert(d4.length === 3)
+      assert(d4.head._4 === "one two three four" && d4.head._2 === "books")
+    } finally q.stop()
+  }
+
   test("keyed upsert recovers from a crash mid-swap without losing prior keys") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert3").toString
     val path = s"$dir/dim"
