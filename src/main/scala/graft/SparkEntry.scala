@@ -100,6 +100,9 @@ object SparkEntry {
     // --- hash-deterministic sampling + exact L2 ANN baseline ---
     "q53_hash_sample"      -> ((s, d) => Publisher.hashStratifiedSample(s, d)),
     "q54_l2_topk"          -> ((s, d) => graft.vector.VectorOps.l2TopK(s, d)),
+    // --- rank analytics: ntile banding, percent_rank/cume_dist ---
+    "q56_deciles"          -> ((s, d) => Olap.balanceDeciles(s, d)),
+    "q57_spend_dist"       -> ((s, d) => Olap.spendDistribution(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -514,6 +517,26 @@ object SparkEntry {
         |       CAST(start_tok // 2048 AS BIGINT) AS bin,
         |       CAST(start_tok % 2048 AS BIGINT) AS bin_offset
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q56_deciles" ->
+      """WITH d AS (SELECT c_custkey, c_acctbal,
+        |             CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile
+        |           FROM customer)
+        |SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS bal_min, MAX(c_acctbal) AS bal_max,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS bal_avg
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_spend_dist" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS user_id,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1)
+        |SELECT n_name AS nation, user_id, spend,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM spend
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WINDOW w AS (PARTITION BY n_name ORDER BY spend, user_id)
+        |ORDER BY nation, user_id""".stripMargin,
     "q29_ann_lsh" -> AnnLshSql,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible

@@ -66,6 +66,47 @@ object Olap {
         coalesce(col(s), lit(0L)).as(s.toLowerCase(java.util.Locale.ROOT))): _*)
       .orderBy("nation")
 
+  /** Decile banding via ntile over a total order (balance, key) — the
+    * ranked-bucketing aggregate of a dashboard layer. The global window
+    * is a single ordered pass here; at scale the same statistic comes
+    * from approx_percentile boundaries + a bucket join (no global sort)
+    * — both paths expressed, this one exact. Averages go through
+    * DECIMAL(18,2) so the value is aggregation-order independent. */
+  def balanceDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("bal_min"),
+        max(col("c_acctbal")).as("bal_max"),
+        (sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("bal_avg"))
+      .orderBy("decile")
+  }
+
+  /** Per-nation spend distribution: percent_rank + cume_dist over each
+    * customer's total spend — rank analytics partition-parallel by
+    * nation (no global sort). Both measures are single exact divisions
+    * ((rank−1)/(n−1), rows≤current/n), bit-identical across engines. */
+  def spendDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+    val withNation = spend
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))), Seq("user_id"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy("n_name").orderBy(col("spend").asc, col("user_id").asc)
+    withNation
+      .select(col("n_name").as("nation"), col("user_id"), col("spend"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("nation", "user_id")
+  }
+
   /** Per-user daily activity with a trailing 7-row moving average and a
     * day-over-day delta — the window-frame (ROWS BETWEEN) and lag/lead
     * surface. The frame is over *present* days (no gap fill), and the

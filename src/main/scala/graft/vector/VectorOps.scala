@@ -183,23 +183,28 @@ object VectorOps {
                  nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
     // derive the embedding dimension from the data — a hardcoded dim with
     // graft_dot's min-length fold would silently project onto a prefix
-    val dim = Tables.embeddings(spark, dir)
-      .select(size(col("embedding"))).head().getInt(0)
-    val ps = planes(nPlanes, dim)
-    // ONE literal holding the nested array — array(array(lit...)) would
-    // re-evaluate 1024 Literal nodes per row
-    val planesArr = typedLit(ps)
-    val e = vecs(spark, dir)
-      .withColumn("planes", planesArr)
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${nPlanes - 1}), p ->
-           |  CASE WHEN graft_dot(v, planes[p]) >= 0.0 THEN 1 ELSE 0 END)""".stripMargin))
-      .withColumn("bands", expr(
-        s"""transform(sequence(0, ${nPlanes / bandBits - 1}), b ->
-           |  struct(b as band_idx,
-           |         concat_ws('', slice(sig, b * $bandBits + 1, $bandBits)) as band_key))""".stripMargin))
-      .select(col("vec_id"), col("v"), explode(col("bands")).as("band"))
-      .select(col("vec_id"), col("v"), col("band.band_idx"), col("band.band_key"))
+    // the banded signature table IS the ANN index — built once per
+    // (session, corpus) and probed by every query, so it is memoized
+    // exactly like the IVF model and the shingle table
+    val e = Tables.memoCache(spark, s"lsh-bands/$nPlanes/$bandBits/$dir") {
+      val dim = Tables.embeddings(spark, dir)
+        .select(size(col("embedding"))).head().getInt(0)
+      val ps = planes(nPlanes, dim)
+      // ONE literal holding the nested array — array(array(lit...)) would
+      // re-evaluate 1024 Literal nodes per row
+      val planesArr = typedLit(ps)
+      vecs(spark, dir)
+        .withColumn("planes", planesArr)
+        .withColumn("sig", expr(
+          s"""transform(sequence(0, ${nPlanes - 1}), p ->
+             |  CASE WHEN graft_dot(v, planes[p]) >= 0.0 THEN 1 ELSE 0 END)""".stripMargin))
+        .withColumn("bands", expr(
+          s"""transform(sequence(0, ${nPlanes / bandBits - 1}), b ->
+             |  struct(b as band_idx,
+             |         concat_ws('', slice(sig, b * $bandBits + 1, $bandBits)) as band_key))""".stripMargin))
+        .select(col("vec_id"), col("v"), explode(col("bands")).as("band"))
+        .select(col("vec_id"), col("v"), col("band.band_idx"), col("band.band_key"))
+    }
     val qBands = e.filter(col("vec_id") === queryId)
       .select(col("band_idx"), col("band_key"), col("v").as("qv"))
     e.filter(col("vec_id") =!= queryId)
