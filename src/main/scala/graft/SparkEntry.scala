@@ -103,6 +103,8 @@ object SparkEntry {
     // --- rank analytics: ntile banding, percent_rank/cume_dist ---
     "q56_deciles"          -> ((s, d) => Olap.balanceDeciles(s, d)),
     "q57_spend_dist"       -> ((s, d) => Olap.spendDistribution(s, d)),
+    // --- multimodal: frame sampling over binary payloads ---
+    "q58_frame_sample"     -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -537,6 +539,16 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |WINDOW w AS (PARTITION BY n_name ORDER BY spend, user_id)
         |ORDER BY nation, user_id""".stripMargin,
+    "q58_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents),
+        |f AS (SELECT doc_id, text, 1 + byte_len % 16 AS frames, byte_len // (1 + byte_len % 16) AS frame_len FROM m),
+        |s AS (SELECT doc_id, text, frames, frame_len,
+        |        unnest(generate_series(0, frames - 1, 4)) AS frame_idx
+        |      FROM f)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, CAST(frames AS BIGINT) AS frames,
+        |       CAST(frame_idx * frame_len AS BIGINT) AS frame_off,
+        |       md5(substring(text, CAST(frame_idx * frame_len + 1 AS INT), CAST(frame_len AS INT))) AS frame_sig
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
     "q29_ann_lsh" -> AnnLshSql,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible

@@ -267,7 +267,7 @@ object DedupOps {
     // per-node labels only ever decrease, so Σlabel is strictly monotone
     // until the fixpoint — comparing sums is one aggregate per round
     // instead of a join-and-diff job
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0) // null-safe: empty pair graph
     var converged = false
     while (!converged) {
       val viaEdges = edges
@@ -276,7 +276,7 @@ object DedupOps {
       val next = labels.unionByName(viaEdges)
         .groupBy("node").agg(min(col("label")).as("label"))
         .cache()
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      val nextSum = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels.unpersist()

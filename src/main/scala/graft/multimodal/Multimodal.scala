@@ -47,6 +47,33 @@ object Multimodal {
         (lit(1) + octet_length(col("payload")) % 16).cast("long").as("frames"))
       .orderBy("doc_id")
 
+  /** Frame sampling over the binary payload: the video-pipeline step
+    * that materializes every `stride`-th frame as (index, byte offset,
+    * content signature) rows. Frame count/geometry come from the typed
+    * metadata ([[binaryMeta]]'s deterministic fake decode); the sampled
+    * slice is fingerprinted so downstream dedup/embedding stages key on
+    * frame content. One explode per payload — narrow, no shuffle; a real
+    * decoder would emit pixel tensors from the same per-frame offsets.
+    * Slices are taken on the text (the corpus is pure ASCII, so char
+    * offsets == byte offsets — asserted by the oracle compare, whose
+    * `byte_len` is octet-based while slicing is char-based). */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 4): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        octet_length(col("text").cast("binary")).cast("long").as("byte_len"))
+      .withColumn("frames", (lit(1) + col("byte_len") % 16).cast("long"))
+      .withColumn("frame_len", expr("byte_len div frames"))
+      .select(col("doc_id"), col("text"), col("frames"), col("frame_len"),
+        explode(expr(s"sequence(0L, frames - 1L, ${stride}L)")).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        col("frames"),
+        (col("frame_idx") * col("frame_len")).as("frame_off"),
+        md5(expr("substring(text, cast(frame_idx * frame_len + 1 as int), cast(frame_len as int))"))
+          .as("frame_sig"))
+      .orderBy("doc_id", "frame_idx")
+
   case class MediaFeature(doc_id: Long, n_bytes: Long, mean_byte: Double, feature: Array[Float])
 
   /** STUB decode/feature-extract: the real implementation would decode

@@ -59,6 +59,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components equal a union-find reference on random graphs") {
+    cases(Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L))), 3)
+      .foreach { rawPairs =>
+        val pairs = rawPairs.filter { case (a, b) => a != b }
+          .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+        val docs = (0L until 20L).toDF("doc_id")
+        val out = graft.dedup.DedupOps
+          .connectedComponents(docs, pairs.toDF("doc_a", "doc_b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // union-find reference: union-by-min-root keeps each root the
+        // component minimum, so find(x) == expected cluster label
+        val parent = Array.tabulate(20)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = (0 until 20)
+          .map(n => n.toLong -> find(n).toLong).toMap
+        assert(out === expected)
+      }
+  }
+
   test("minhash signature agreement rate tracks jaccard (statistical)") {
     cases(Gen.zip(Gen.chooseNum(10, 80), Gen.chooseNum(0, 40)), 20)
       .foreach { case (shared, extra) =>
