@@ -105,6 +105,9 @@ object SparkEntry {
     "q57_spend_dist"       -> ((s, d) => Olap.spendDistribution(s, d)),
     // --- multimodal: frame sampling over binary payloads ---
     "q58_frame_sample"     -> ((s, d) => graft.multimodal.Multimodal.frameSample(s, d)),
+    // --- explicit semi-join + INTERSECT set op ---
+    "q59_semi_join"        -> ((s, d) => Publisher.activeCustomers(s, d)),
+    "q60_retention"        -> ((s, d) => Publisher.retainedUsers(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -539,6 +542,19 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |WINDOW w AS (PARTITION BY n_name ORDER BY spend, user_id)
         |ORDER BY nation, user_id""".stripMargin,
+    "q59_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |                      AND o_orderdate < TIMESTAMP '1996-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q60_retention" ->
+      """SELECT user_id FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+        |INTERSECT
+        |SELECT user_id FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-04' AND ts < TIMESTAMP '2024-01-05'
+        |ORDER BY user_id""".stripMargin,
     "q58_frame_sample" ->
       """WITH m AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents),
         |f AS (SELECT doc_id, text, 1 + byte_len % 16 AS frames, byte_len // (1 + byte_len % 16) AS frame_len FROM m),

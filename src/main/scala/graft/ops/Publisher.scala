@@ -170,6 +170,32 @@ object Publisher {
       .orderBy("source", "rk")
   }
 
+  /** Explicit left-semi join (EXISTS): customers who placed at least one
+    * order in the window — the build side is pre-filtered and only keys
+    * cross the shuffle (no payload duplication, no row explosion, unlike
+    * an inner-join + distinct). */
+  def activeCustomers(spark: SparkSession, dir: String,
+                      from: String = "1995-01-01", until: String = "1996-01-01"): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+            col("o_orderdate") < lit(until).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** INTERSECT set op (§2.10 beyond union): users active on BOTH days —
+    * the day-over-day retention set. Spark plans intersect as a
+    * distinct + semi-join, so only distinct keys shuffle. */
+  def retainedUsers(spark: SparkSession, dir: String,
+                    day: String = Dau.Day, prev: String = Dau.PrevDay): DataFrame = {
+    def active(d: String) = Tables.events(spark, dir)
+      .filter(Dau.dayRange(col("ts"), d)).select(col("user_id"))
+    active(day).intersect(active(prev)).orderBy("user_id")
+  }
+
   /** W2: hourly event counts for `day` paired with the previous day —
     * a single scan with two conditional aggregates (no self-join). */
   def todayVsYesterday(spark: SparkSession, dir: String,
