@@ -108,6 +108,8 @@ object SparkEntry {
     // --- explicit semi-join + INTERSECT set op ---
     "q59_semi_join"        -> ((s, d) => Publisher.activeCustomers(s, d)),
     "q60_retention"        -> ((s, d) => Publisher.retainedUsers(s, d)),
+    // --- mergeable-sketch rollup (daily HLL sketches → weekly union) ---
+    "q61_uv_sketch_rollup" -> ((s, d) => Dau.uvSketchRollup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

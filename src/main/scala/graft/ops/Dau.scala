@@ -99,4 +99,26 @@ object Dau {
       .groupBy("log_date")
       .agg(approx_count_distinct(col("user_id")).as("uv_approx"))
       .orderBy("log_date")
+
+  /** The MERGEABLE-sketch pattern that makes distinct counts cheap at
+    * 100 TB: materialize one DataSketches-HLL sketch per day (the only
+    * pass over raw events), then answer any coarser rollup — weekly
+    * here, but monthly/arbitrary ranges identically — by UNIONING the
+    * stored daily sketches, never rescanning events. Sketch union is
+    * commutative/associative, so the re-aggregation is partial-agg
+    * friendly and partitioning-independent. No SQL oracle (DataSketches
+    * binary format); UV estimates are tolerance-checked against exact
+    * distinct counts in CoreOpsSpec. */
+  def uvSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = withLogDate(Tables.events(spark, dir))
+      .groupBy("log_date")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily
+      .withColumn("week", weekofyear(to_date(col("log_date"))).cast("long"))
+      .groupBy("week")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("uv_est"),
+        count(lit(1)).as("n_days"))
+      .orderBy("week")
+  }
 }

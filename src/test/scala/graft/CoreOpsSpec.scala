@@ -145,4 +145,19 @@ class CoreOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
       Seq(("10", 2L, 1L), ("23", 0L, 1L)))
   }
+
+  test("weekly UV from merged daily HLL sketches tracks exact distinct (±5%)") {
+    val dir = "/root/testdata/sf0.01"
+    val est = graft.ops.Dau.uvSketchRollup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, dir)
+      .withColumn("week", weekofyear(to_date(date_format($"ts", "yyyy-MM-dd"))).cast("long"))
+      .groupBy("week").agg(countDistinct($"user_id").as("uv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (week, uv) =>
+      assert(math.abs(est(week) - uv) <= math.max(1L, (uv * 0.05).toLong),
+        s"week $week: est ${est(week)} vs exact $uv")
+    }
+  }
 }
