@@ -110,6 +110,7 @@ object SparkEntry {
     "q60_retention"        -> ((s, d) => Publisher.retainedUsers(s, d)),
     // --- mergeable-sketch rollup (daily HLL sketches → weekly union) ---
     "q61_uv_sketch_rollup" -> ((s, d) => Dau.uvSketchRollup(s, d)),
+    "q62_uv_weekly_exact"  -> ((s, d) => Dau.uvWeeklyExact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -544,6 +545,10 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |WINDOW w AS (PARTITION BY n_name ORDER BY spend, user_id)
         |ORDER BY nation, user_id""".stripMargin,
+    "q62_uv_weekly_exact" ->
+      """SELECT CAST(weekofyear(CAST(strftime(ts, '%Y-%m-%d') AS DATE)) AS BIGINT) AS week,
+        |       COUNT(DISTINCT user_id) AS uv
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q59_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders

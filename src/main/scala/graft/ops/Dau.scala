@@ -109,6 +109,16 @@ object Dau {
     * friendly and partitioning-independent. No SQL oracle (DataSketches
     * binary format); UV estimates are tolerance-checked against exact
     * distinct counts in CoreOpsSpec. */
+  /** Exact twin of [[uvSketchRollup]] — weekly distinct users computed
+    * exactly (oracle-verified), so the sketch path has an in-engine
+    * ground truth at every scale factor. */
+  def uvWeeklyExact(spark: SparkSession, dir: String): DataFrame =
+    withLogDate(Tables.events(spark, dir))
+      .withColumn("week", weekofyear(to_date(col("log_date"))).cast("long"))
+      .groupBy("week")
+      .agg(countDistinct(col("user_id")).as("uv"))
+      .orderBy("week")
+
   def uvSketchRollup(spark: SparkSession, dir: String): DataFrame = {
     val daily = withLogDate(Tables.events(spark, dir))
       .groupBy("log_date")
