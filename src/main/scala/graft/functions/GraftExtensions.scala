@@ -39,5 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(text) - struct(bits: 64-char string, word: packed long)"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_token_counts"),
+      info("graft_token_counts", "graft_token_counts(text) - array<struct(term, tf)> of per-term frequencies"),
+      (exprs: Seq[Expression]) => TokenCounts(exprs.head)))
   }
 }

@@ -93,4 +93,37 @@ class ExpressionsSpec extends SparkSpec {
     assert(out(0).getLong(1) === 3L) // 'the' ×2 + 'and'
     assert(out(0).getLong(2) === 15L) // sum of token lengths (5 × 3)
   }
+
+  test("graft_token_counts aggregates per-term frequencies exactly") {
+    val df = Seq("The cat AND  the dog the").toDF("text")
+    val out = df.select(explode(expr("graft_token_counts(text)")).as("tc"))
+      .select("tc.term", "tc.tf").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("the" -> 3L, "cat" -> 1L, "and" -> 1L, "dog" -> 1L))
+    // totals agree with graft_text_stats' token count on the same text
+    val n = df.select(expr("graft_text_stats(text).n_tokens")).collect().head.getLong(0)
+    assert(out.values.sum === n)
+  }
+
+  test("frame sampling covers offsets exactly and signatures match slices") {
+    // text of length 33 -> frames = 1 + 33 % 16 = 2, frame_len = 16,
+    // stride 4 samples frame 0 only (indices 0..1 step 4 -> {0})
+    val text = "abcdefghijklmnopqrstuvwxyz0123456" // 33 ascii chars
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+      .withColumn("byte_len", octet_length(col("text").cast("binary")).cast("long"))
+      .withColumn("frames", (lit(1) + col("byte_len") % 16).cast("long"))
+      .withColumn("frame_len", expr("byte_len div frames"))
+      .select(col("doc_id"), col("text"), col("frames"), col("frame_len"),
+        explode(expr("sequence(0L, frames - 1L, 4L)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * col("frame_len")).as("frame_off"),
+        md5(expr("substring(text, cast(frame_idx * frame_len + 1 as int), cast(frame_len as int))")).as("frame_sig"))
+      .collect()
+    assert(docs.length === 1)
+    assert(docs.head.getLong(1) === 0L && docs.head.getLong(2) === 0L)
+    val expectedSig = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.substring(0, 16).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(docs.head.getString(3) === expectedSig)
+  }
 }
