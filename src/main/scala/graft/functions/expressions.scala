@@ -275,6 +275,32 @@ case class TextStats(child: Expression, stopwords: Seq[String])
 /** Session registration for the custom expressions (idempotent), exposing
   * them to `expr(...)`/SQL as `graft_dot` and `graft_minhash_sig`. */
 object GraftFunctions {
+
+  /** Single source of truth for the function surface: (name, usage,
+    * builder). BOTH registration paths — the per-session runtime
+    * [[register]] and the deployment-grade [[GraftExtensions]] — iterate
+    * this list, so they can never drift apart (an extension-configured
+    * session once missed a function added only to the runtime path). */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      "graft_dot(a, b) - sequential-left-fold dot product of two double arrays",
+      exprs => ArrayDotProduct(exprs.head, exprs(1))),
+    ("graft_minhash_sig",
+      "graft_minhash_sig(hashes, n) - n minhash signatures of a long-array",
+      exprs => MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+    ("graft_shingle_hashes",
+      "graft_shingle_hashes(text, n) - distinct n-gram word shingle hashes",
+      exprs => ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+    ("graft_text_stats",
+      "graft_text_stats(text) - struct(n_tokens, stop_ct, alpha_chars)",
+      exprs => TextStats(exprs.head, graft.text.TextOps.Stopwords)),
+    ("graft_simhash64",
+      "graft_simhash64(text) - struct(bits: 64-char string, word: packed long)",
+      exprs => SimHash64(exprs.head)),
+    ("graft_token_counts",
+      "graft_token_counts(text) - array<struct(term, tf)> of per-term frequencies",
+      exprs => TokenCounts(exprs.head)))
+
   // Weak keys: a stopped session's entry disappears with the session, and
   // re-registering on every query call spammed "replaced a previously
   // registered function" WARNs into the bench/verify output.
@@ -285,19 +311,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => ArrayDotProduct(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      exprs => MinHashSignature(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      exprs => ShingleHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("graft_text_stats",
-      exprs => TextStats(exprs.head, graft.text.TextOps.Stopwords), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_token_counts",
-      exprs => TokenCounts(exprs.head), "built-in")
+    all.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }
