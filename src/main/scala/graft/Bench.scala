@@ -36,9 +36,15 @@ object Bench {
       System.gc()
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a throwing pass must NOT record its (near-zero) elapsed time —
+        // min() would silently prefer the failure over any real run
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (best.getOrElse(name, Double.MaxValue) > sec) best(name) = sec
+        if (ok) {
+          val cur = best.getOrElse(name, Double.MaxValue)
+          if (cur < 0 || cur > sec) best(name) = sec
+        } else if (!best.contains(name)) best(name) = -1.0 // all-failed marker
       }
       pass += 1
     }

@@ -22,15 +22,23 @@ object Tables {
 
   /** Session-scoped cache memoizer: repeated query invocations (Verify,
     * Bench warm-up + timed pass) reuse ONE cached copy per (session,
-    * key) instead of stacking a new InMemoryRelation per call. Weakly
-    * keyed on the session OBJECT: entries die with the session (no
-    * unbounded growth across test suites), and an identity-hash reuse
-    * after GC can never hand a new session a dead session's plan. */
+    * key) instead of stacking a new InMemoryRelation per call.
+    *
+    * Eviction: entries of STOPPED sessions are swept on every access.
+    * (A WeakHashMap cannot do this job: the cached DataFrame value
+    * strongly references its SparkSession key, which per WeakHashMap's
+    * own javadoc pins the entry forever — review finding. Keying on the
+    * session object still prevents a new session ever seeing another
+    * session's plans; the sweep bounds growth to sessions stopped since
+    * the last call. Multiple live sessions sharing one SparkContext
+    * accumulate until their context stops — acceptable for this
+    * engine's one-session-per-app mains and suites.) */
   private val memo =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.IdentityHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
   def memoCache(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val perSession = memo.synchronized {
+      memo.keySet.removeIf(s => s.sparkContext.isStopped)
       var m = memo.get(spark)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]

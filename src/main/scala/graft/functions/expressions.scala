@@ -308,11 +308,14 @@ object GraftFunctions {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  def register(spark: SparkSession): Unit = {
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    // marked AFTER registering, under the lock — a concurrent caller must
+    // not observe the flag while the registry is still half-populated
+    if (registered.containsKey(spark)) return
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, _, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    registered.put(spark, java.lang.Boolean.TRUE)
   }
 }

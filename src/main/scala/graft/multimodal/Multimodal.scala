@@ -58,7 +58,13 @@ object Multimodal {
     * offsets == byte offsets — asserted by the oracle compare, whose
     * `byte_len` is octet-based while slicing is char-based). */
   def frameSample(spark: SparkSession, dir: String, stride: Int = 4): DataFrame =
-    Tables.documents(spark, dir)
+    frameSampleCore(Tables.documents(spark, dir), stride)
+      .orderBy("doc_id", "frame_idx")
+
+  /** Core of [[frameSample]] over any (doc_id, text) frame — split out so
+    * tests drive the PRODUCTION expressions on literal rows. */
+  def frameSampleCore(docs: DataFrame, stride: Int): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         octet_length(col("text").cast("binary")).cast("long").as("byte_len"))
       .withColumn("frames", (lit(1) + col("byte_len") % 16).cast("long"))
@@ -72,7 +78,6 @@ object Multimodal {
         (col("frame_idx") * col("frame_len")).as("frame_off"),
         md5(expr("substring(text, cast(frame_idx * frame_len + 1 as int), cast(frame_len as int))"))
           .as("frame_sig"))
-      .orderBy("doc_id", "frame_idx")
 
   case class MediaFeature(doc_id: Long, n_bytes: Long, mean_byte: Double, feature: Array[Float])
 

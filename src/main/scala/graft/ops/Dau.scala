@@ -100,15 +100,6 @@ object Dau {
       .agg(approx_count_distinct(col("user_id")).as("uv_approx"))
       .orderBy("log_date")
 
-  /** The MERGEABLE-sketch pattern that makes distinct counts cheap at
-    * 100 TB: materialize one DataSketches-HLL sketch per day (the only
-    * pass over raw events), then answer any coarser rollup — weekly
-    * here, but monthly/arbitrary ranges identically — by UNIONING the
-    * stored daily sketches, never rescanning events. Sketch union is
-    * commutative/associative, so the re-aggregation is partial-agg
-    * friendly and partitioning-independent. No SQL oracle (DataSketches
-    * binary format); UV estimates are tolerance-checked against exact
-    * distinct counts in CoreOpsSpec. */
   /** Exact twin of [[uvSketchRollup]] — weekly distinct users computed
     * exactly (oracle-verified), so the sketch path has an in-engine
     * ground truth at every scale factor. */
@@ -119,6 +110,15 @@ object Dau {
       .agg(countDistinct(col("user_id")).as("uv"))
       .orderBy("week")
 
+  /** The MERGEABLE-sketch pattern that makes distinct counts cheap at
+    * 100 TB: materialize one DataSketches-HLL sketch per day (the only
+    * pass over raw events), then answer any coarser rollup — weekly
+    * here, but monthly/arbitrary ranges identically — by UNIONING the
+    * stored daily sketches, never rescanning events. Sketch union is
+    * commutative/associative, so the re-aggregation is partial-agg
+    * friendly and partitioning-independent. No SQL oracle (DataSketches
+    * binary format); UV estimates are tolerance-checked against exact
+    * distinct counts in CoreOpsSpec and against [[uvWeeklyExact]]. */
   def uvSketchRollup(spark: SparkSession, dir: String): DataFrame = {
     val daily = withLogDate(Tables.events(spark, dir))
       .groupBy("log_date")

@@ -88,9 +88,11 @@ object VectorOps {
     }
     // coarse quantizer trained once per (session, corpus) — the model is
     // the index; rebuilding it per query defeats the point of IVF.
-    // Weakly keyed on the session object (same rationale as
-    // Tables.memoCache): models die with their session.
+    // Stopped sessions are swept on access (same reasoning as
+    // Tables.memoCache: a WeakHashMap would be pinned by the model's
+    // training-summary DataFrame referencing the session key).
     val model = VectorOps.synchronized {
+      ivfModels.keySet.removeIf(s => s.sparkContext.isStopped)
       var perSession = ivfModels.get(spark)
       if (perSession == null) {
         perSession = scala.collection.mutable.Map.empty[String,
@@ -160,7 +162,7 @@ object VectorOps {
       .orderBy("vec_id")
 
   private val ivfModels =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.IdentityHashMap[SparkSession,
       scala.collection.mutable.Map[String, org.apache.spark.ml.clustering.KMeansModel]]()
 
   /** Deterministic random hyperplanes (seeded), as literal columns.
@@ -174,10 +176,13 @@ object VectorOps {
 
   /** ANN top-k via random-hyperplane LSH: 16 sign bits per vector split
     * into 4 bands of 4 bits; candidates share ≥1 band with the query,
-    * then exact cosine reranks. Approximate (recall < 1) — no SQL oracle;
-    * the driver records a rows-only check. At scale the signature is one
-    * narrow projection and the candidate join touches only matching
-    * buckets instead of the full cross product. */
+    * then exact cosine reranks. Approximate only in RECALL (the candidate
+    * set may miss true neighbors); the pipeline itself is deterministic
+    * and IS oracle-verified bit-for-bit — SparkEntry embeds [[planes]] as
+    * literals in q29's DuckDB SQL, so changes to banding, signature, or
+    * tie-break semantics here must be mirrored there. At scale the
+    * signature is one narrow projection and the candidate join touches
+    * only matching buckets instead of the full cross product. */
   def annLshTopK(spark: SparkSession, dir: String,
                  queryId: Long = 0L, k: Int = 10,
                  nPlanes: Int = 16, bandBits: Int = 4): DataFrame = {

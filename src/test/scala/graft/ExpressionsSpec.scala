@@ -106,24 +106,20 @@ class ExpressionsSpec extends SparkSpec {
   }
 
   test("frame sampling covers offsets exactly and signatures match slices") {
-    // text of length 33 -> frames = 1 + 33 % 16 = 2, frame_len = 16,
-    // stride 4 samples frame 0 only (indices 0..1 step 4 -> {0})
+    // text of length 33 -> frames = 1 + 33 % 16 = 2, frame_len = 16;
+    // stride 1 samples both frames (the production default stride 4
+    // samples only frame 0 of short payloads)
     val text = "abcdefghijklmnopqrstuvwxyz0123456" // 33 ascii chars
-    val docs = Seq((7L, text)).toDF("doc_id", "text")
-      .withColumn("byte_len", octet_length(col("text").cast("binary")).cast("long"))
-      .withColumn("frames", (lit(1) + col("byte_len") % 16).cast("long"))
-      .withColumn("frame_len", expr("byte_len div frames"))
-      .select(col("doc_id"), col("text"), col("frames"), col("frame_len"),
-        explode(expr("sequence(0L, frames - 1L, 4L)")).as("frame_idx"))
-      .select(col("doc_id"), col("frame_idx"),
-        (col("frame_idx") * col("frame_len")).as("frame_off"),
-        md5(expr("substring(text, cast(frame_idx * frame_len + 1 as int), cast(frame_len as int))")).as("frame_sig"))
-      .collect()
-    assert(docs.length === 1)
-    assert(docs.head.getLong(1) === 0L && docs.head.getLong(2) === 0L)
-    val expectedSig = java.security.MessageDigest.getInstance("MD5")
-      .digest(text.substring(0, 16).getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    assert(docs.head.getString(3) === expectedSig)
+    val rows = graft.multimodal.Multimodal
+      .frameSampleCore(Seq((7L, text)).toDF("doc_id", "text"), stride = 1)
+      .orderBy("frame_idx").collect()
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.length === 2)
+    // (doc_id, frame_idx, frames, frame_off, frame_sig)
+    assert(rows(0).getLong(1) === 0L && rows(0).getLong(3) === 0L)
+    assert(rows(0).getString(4) === md5Of(text.substring(0, 16)))
+    assert(rows(1).getLong(1) === 1L && rows(1).getLong(3) === 16L)
+    assert(rows(1).getString(4) === md5Of(text.substring(16, 32)))
   }
 }
