@@ -146,6 +146,19 @@ class CoreOpsSpec extends SparkSpec {
       Seq(("10", 2L, 1L), ("23", 0L, 1L)))
   }
 
+  test("sketch percentiles track exact percentiles per group (±2%)") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.ops.Publisher.revenuePercentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = graft.ops.Publisher.revenuePercentilesApprox(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, (p50, p95)) =>
+      assert(math.abs(approx(flag)._1 - p50) / p50 <= 0.02, s"$flag p50")
+      assert(math.abs(approx(flag)._2 - p95) / p95 <= 0.02, s"$flag p95")
+    }
+  }
+
   test("weekly UV from merged daily HLL sketches tracks exact distinct (±5%)") {
     val dir = "/root/testdata/sf0.01"
     val est = graft.ops.Dau.uvSketchRollup(spark, dir).collect()

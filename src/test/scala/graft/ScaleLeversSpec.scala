@@ -96,4 +96,26 @@ class ScaleLeversSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("bloom-filter pre-filter prunes the dedup probe with zero false negatives") {
+    // The incremental-dedup fast path at 100 TB: instead of shuffling the
+    // whole new batch into the fingerprint anti-join, a bloom filter
+    // built from the (small) corpus fingerprint column is broadcast and
+    // filters the batch map-side; only rows that MIGHT be duplicates
+    // reach the exact join. False positives just lose pruning; false
+    // negatives would drop real dups — bloom filters guarantee none.
+    val corpus = (0L until 1000L).map(i => s"doc-$i").toDF("fp")
+    val bloom = corpus.stat.bloomFilter("fp", 1000L, 0.03)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bloomB.value.mightContainString(s))
+    // new batch: 50 true duplicates + 10k fresh rows
+    val batch = ((0L until 50L).map(i => s"doc-$i") ++
+      (0L until 10000L).map(i => s"new-$i")).toDF("fp")
+    val candidates = batch.filter(mightContain(col("fp")))
+    val n = candidates.count()
+    // every true duplicate survives the pre-filter (no false negatives)
+    assert(candidates.join(corpus, "fp").count() === 50L)
+    // and pruning is real: candidates ≈ 50 + fpp·10k ≪ batch
+    assert(n >= 50L && n <= 50L + 1000L, s"candidates = $n")
+  }
 }
