@@ -121,6 +121,15 @@ object Pipelines {
     * a stream, and a second stateful op after the windowed aggregation is
     * illegal outside append mode anyway); for a standalone streaming
     * throttle use [[throttlePerMinuteStreaming]]. */
+  /** Streaming terms-agg top-k (the dashboard's realtime top sellers,
+    * reference PublisherServiceImpl.java:89-95 recomputed per request
+    * against ES; here maintained incrementally): running counts per key
+    * in update mode — the sink ranks/limits on read, because a global
+    * top-k sort inside an unbounded stream is not incremental. Counts
+    * partially aggregate map-side; state is one row per key. */
+  def topSellersStreaming(details: DataFrame, keyCol: String = "sku_id"): DataFrame =
+    details.groupBy(col(keyCol)).agg(count(lit(1)).as("ct"))
+
   def throttlePerMinute(alerts: DataFrame, tsCol: String = "window_start"): DataFrame =
     alerts
       .withColumn("minute_bucket", (unix_micros(col(tsCol)) / lit(60000000L)).cast("long"))

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Pipelines
 
@@ -235,6 +236,61 @@ class StreamingSpec extends SparkSpec {
   }
 
   case class Doc(doc_id: Long, source: String, lang: String, text: String)
+
+  test("streaming top-sellers counts accumulate across micro-batches (A10 realtime)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val counts = Pipelines.topSellersStreaming(
+      input.toDF().toDF("order_id", "sku_id"))
+    val q = counts.writeStream.format("memory").queryName("top_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L, 10L), (2L, 10L), (3L, 20L))
+      q.processAllAvailable()
+      input.addData((4L, 20L), (5L, 20L), (6L, 30L))
+      q.processAllAvailable()
+      // update-mode sink: latest row per key wins; rank on read
+      val latest = spark.table("top_out")
+        .groupBy("sku_id").agg(max("ct").as("ct"))
+        .orderBy(col("ct").desc, col("sku_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(latest.toSeq === Seq((20L, 3L), (10L, 2L), (30L, 1L)))
+    } finally q.stop()
+  }
+
+  test("per-batch dim refresh: foreachBatch enrichment sees dim updates (J3 refresh)") {
+    // A stream-static join snapshots the static side's FILE LISTING at
+    // plan time (overwriting the dim mid-query throws FILE_NOT_EXIST),
+    // so the refreshable-dim pattern is a fresh read inside foreachBatch
+    // — each micro-batch enriches against the dim as of that batch. The
+    // reference polls Redis per batch for the same reason
+    // (SaleDetailApp.scala:146). Sinks.upsertByKey's bak/tmp swap keeps
+    // a complete dim readable at every instant of its own rewrite.
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dimref").toString
+    val dimDir = s"$dir/dim"; val outDir = s"$dir/out"
+    Seq((100L, "bronze")).toDF("user_id", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("event_id", "user_id").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.sparkSession.read.parquet(dimDir)
+          .join(batch, Seq("user_id"))
+          .write.mode("append").parquet(outDir)
+      }.start()
+    try {
+      input.addData((1L, 100L))
+      q.processAllAvailable()
+      Seq((100L, "gold")).toDF("user_id", "tier")
+        .write.mode("overwrite").parquet(dimDir)
+      input.addData((2L, 100L))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir).select("event_id", "tier").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out === Map(1L -> "bronze", 2L -> "gold"))
+    } finally q.stop()
+  }
 
   test("streaming corpus ingest: quality gate + cross-batch dedup + chunking") {
     implicit val sq = spark.sqlContext
