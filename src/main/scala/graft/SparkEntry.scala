@@ -111,6 +111,8 @@ object SparkEntry {
     // --- mergeable-sketch rollup (daily HLL sketches → weekly union) ---
     "q61_uv_sketch_rollup" -> ((s, d) => Dau.uvSketchRollup(s, d)),
     "q62_uv_weekly_exact"  -> ((s, d) => Dau.uvWeeklyExact(s, d)),
+    // --- custom Catalyst operator: grouped top-k via bounded heaps ---
+    "q63_topk_custom_op"   -> ((s, d) => Publisher.topSpendersPerNationCustom(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -406,19 +408,10 @@ object SparkEntry {
         |SELECT vec_id, scale, CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |       CAST(list_min(qv) AS BIGINT) AS q_min, CAST(list_max(qv) AS BIGINT) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
-    "q42_topk_per_group" ->
-      """WITH spend AS (
-        |  SELECT o_custkey AS user_id,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
-        |  FROM orders GROUP BY 1),
-        |ranked AS (
-        |  SELECT n_name AS nation, user_id, spend,
-        |         row_number() OVER (PARTITION BY n_name ORDER BY spend DESC, user_id ASC) AS rk
-        |  FROM spend
-        |  JOIN customer ON user_id = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey)
-        |SELECT nation, CAST(rk AS BIGINT) AS rk, user_id, spend
-        |FROM ranked WHERE rk <= 3 ORDER BY nation, rk""".stripMargin,
+    "q42_topk_per_group" -> TopKPerGroupSql,
+    // custom bounded-heap operator held to the SAME oracle as the window
+    // formulation — identical bit-exact output required:
+    "q63_topk_custom_op" -> TopKPerGroupSql,
     "q43_percentiles" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_extendedprice, 0.5) AS p50,
@@ -589,6 +582,20 @@ object SparkEntry {
     * corpus has no pairs in (0.3, 0.9) — see DedupOps scaladoc. A corpus
     * with borderline pairs would need r = 2 banding (and pay its
     * false-candidate cost) for this shared oracle to stay exact. */
+  private val TopKPerGroupSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey AS user_id,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT n_name AS nation, user_id, spend,
+      |         row_number() OVER (PARTITION BY n_name ORDER BY spend DESC, user_id ASC) AS rk
+      |  FROM spend
+      |  JOIN customer ON user_id = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT nation, CAST(rk AS BIGINT) AS rk, user_id, spend
+      |FROM ranked WHERE rk <= 3 ORDER BY nation, rk""".stripMargin
+
   /** The shared CTE chain computing exact Jaccard pairs at 0.7, reused by
     * the pair queries (as `JaccardPairsSql`) and the cluster query (q51,
     * which chains connected components on top of `jpairs`). */

@@ -22,8 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    // the custom grouped-top-k physical operator (runtime sessions get it
+    // via GroupTopK.install on spark.experimental.extraStrategies)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+  }
 }

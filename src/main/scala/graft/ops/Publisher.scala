@@ -90,22 +90,42 @@ object Publisher {
   /** Top-k per group (the grouped variant of A10/O3): top 3 customers by
     * total spend within each nation — rank inside the group after a
     * partial-aggregated rollup, deterministic tie-break on the key. */
-  def topSpendersPerNation(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  /** Per-customer spend joined to nation — shared base of the window
+    * (q42) and custom-operator (q63) top-k formulations. */
+  private def spendWithNation(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("user_id"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
-    val withNation = spend
+    spend
       .join(broadcast(Tables.customer(spark, dir)
         .select(col("c_custkey").as("user_id"), col("c_nationkey"))), Seq("user_id"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
+  }
+
+  def topSpendersPerNation(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("n_name").orderBy(col("spend").desc, col("user_id").asc)
-    withNation
+    spendWithNation(spark, dir)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("n_name").as("nation"), col("rk").cast("long").as("rk"),
         col("user_id"), col("spend"))
+      .orderBy("nation", "rk")
+  }
+
+  /** q42's semantics through the CUSTOM grouped-top-k operator
+    * ([[graft.plans.GroupTopK]]): bounded heaps instead of a full
+    * per-group sort, shuffle carries ≤ k rows per (group, partition).
+    * Shares q42's DuckDB oracle — the custom physical operator is held
+    * to the identical bit-exact result. */
+  def topSpendersPerNationCustom(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.plans.GroupTopK.install(spark)
+    val base = spendWithNation(spark, dir)
+      .select(col("n_name").as("nation"), col("user_id"), col("spend"))
+    graft.plans.GroupTopK(base, Seq("nation"),
+        Seq(col("spend").desc, col("user_id").asc), k)
+      .select(col("nation"), col("rk"), col("user_id"), col("spend"))
       .orderBy("nation", "rk")
   }
 

@@ -1,0 +1,162 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** Grouped top-k as a CUSTOM whole operator — the extension tier the
+  * engine otherwise avoids (SURVEY §7 "built-in vs custom"): a logical
+  * node, a planner strategy, and a two-phase physical operator, wired
+  * through `spark.experimental.extraStrategies` / the session extension.
+  *
+  * Why a custom operator: the declarative formulation
+  * (`row_number().over(Window.partitionBy(g).orderBy(o)) <= k`, q42)
+  * SORTS every group in full — at 100 TB the shuffle carries every row
+  * and the sort touches all of them, to then discard all but k. This
+  * operator keeps a bounded heap of k rows per group: the map side
+  * already reduces each partition to ≤ k rows per group, the shuffle
+  * carries ≤ k·partitions rows per group, and nothing is ever fully
+  * sorted. Same result, bit-for-bit (q63 shares q42's DuckDB oracle).
+  */
+object GroupTopK {
+
+  /** df grouped by `groupCols`, ordered by `order` within each group,
+    * keeping the first k rows per group with a `rk` rank column
+    * (1-based) appended. */
+  def apply(df: DataFrame, groupCols: Seq[String], order: Seq[Column], k: Int,
+            rankName: String = "rk"): DataFrame = {
+    val child = df.queryExecution.analyzed
+    val out = child.output
+    def byName(n: String): Attribute = out.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not in ${out.map(_.name)}"))
+    def resolve(e: Expression): Expression = e.transformUp {
+      case u: UnresolvedAttribute => byName(u.name)
+    }
+    val g = groupCols.map(byName(_).asInstanceOf[Expression])
+    val so = order.map { c =>
+      GraftSqlShim.expression(c) match {
+        case s: SortOrder => resolve(s).asInstanceOf[SortOrder]
+        case e => SortOrder(resolve(e), org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    val rank = AttributeReference(rankName, LongType, nullable = false)()
+    GraftSqlShim.ofRows(df.sparkSession, GroupTopKPlan(g, so, k, rank, child))
+  }
+
+  /** Idempotently install the planner strategy on a session (the
+    * extensions path installs it for extension-configured sessions). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupTopKStrategy
+    }
+}
+
+/** Logical node: resolved by construction (built from an analyzed child
+  * with pre-resolved expressions). */
+case class GroupTopKPlan(groupExprs: Seq[Expression], order: Seq[SortOrder],
+                         k: Int, rankAttr: Attribute, child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(c: LogicalPlan): GroupTopKPlan =
+    copy(child = c)
+}
+
+/** Planner: partial (map-side heaps) under final (post-shuffle heaps +
+  * rank emission). */
+object GroupTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case g: GroupTopKPlan =>
+      GroupTopKFinalExec(g.groupExprs, g.order, g.k, g.rankAttr,
+        GroupTopKPartialExec(g.groupExprs, g.order, g.k, planLater(g.child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Shared per-partition bounded-heap pass: reduces an iterator to at
+  * most k rows per group key, unordered. */
+private[plans] object TopKHeaps {
+  def perGroup(iter: Iterator[InternalRow], groupExprs: Seq[Expression],
+               order: Seq[SortOrder], k: Int,
+               inputAttrs: Seq[Attribute]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(groupExprs, inputAttrs)
+    // ord: a < b ⇔ a ranks ahead of b; PriorityQueue dequeues the MAX
+    // under its ordering, i.e. the currently-worst retained row
+    val ord: Ordering[InternalRow] = GenerateOrdering.generate(order, inputAttrs)
+    val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+    iter.foreach { row =>
+      val key = keyProj(row)
+      val heap = heaps.getOrElseUpdate(key.copy(),
+        mutable.PriorityQueue.empty[InternalRow](ord))
+      if (heap.size < k) heap.enqueue(row.copy())
+      else if (ord.compare(row, heap.head) < 0) {
+        heap.dequeue(); heap.enqueue(row.copy())
+      }
+    }
+    heaps.valuesIterator.flatMap(_.iterator)
+  }
+}
+
+/** Map-side phase: no distribution requirement; emits ≤ k rows per
+  * (group, partition) so the exchange above it shuffles bounded data. */
+case class GroupTopKPartialExec(groupExprs: Seq[Expression],
+                                order: Seq[SortOrder], k: Int,
+                                child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (g, o, kk, attrs) = (groupExprs, order, k, child.output)
+    child.execute().mapPartitions(
+      it => TopKHeaps.perGroup(it, g, o, kk, attrs),
+      preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(c: SparkPlan): GroupTopKPartialExec =
+    copy(child = c)
+}
+
+/** Reduce-side phase: requires clustering on the group key (the planner
+  * inserts the exchange), re-heaps the ≤ k·partitions survivors per
+  * group, and emits them rank-ascending with the rank appended. */
+case class GroupTopKFinalExec(groupExprs: Seq[Expression],
+                              order: Seq[SortOrder], k: Int,
+                              rankAttr: Attribute,
+                              child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (groupExprs.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (g, o, kk, attrs, outAttrs) = (groupExprs, order, k, child.output, output)
+    val rank = rankAttr
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(g, attrs)
+      val ord: Ordering[InternalRow] = GenerateOrdering.generate(o, attrs)
+      val groups = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      TopKHeaps.perGroup(it, g, o, kk, attrs).foreach { row =>
+        val heap = groups.getOrElseUpdate(keyProj(row).copy(),
+          mutable.PriorityQueue.empty[InternalRow](ord))
+        heap.enqueue(row) // already copied by perGroup
+      }
+      val resultProj = UnsafeProjection.create(outAttrs, attrs :+ rank)
+      val joined = new JoinedRow
+      groups.valuesIterator.flatMap { heap =>
+        val sorted = heap.dequeueAll.reverse // PQ dequeues worst-first
+        sorted.iterator.zipWithIndex.map { case (row, i) =>
+          resultProj(joined(row, new GenericInternalRow(Array[Any](i + 1L))))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(c: SparkPlan): GroupTopKFinalExec =
+    copy(child = c)
+}

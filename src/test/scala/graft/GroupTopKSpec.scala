@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import graft.plans.{GroupTopK, GroupTopKFinalExec, GroupTopKPartialExec}
+
+/** The custom grouped-top-k operator: semantics (vs the window-function
+  * formulation), edge cases, and physical-plan shape. */
+class GroupTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom top-k equals the window formulation, incl. ties and small groups") {
+    GroupTopK.install(spark)
+    // group a: 4 rows with a tie on v (tie-break id asc); group b: 1 row
+    // (k larger than the group); spread over many partitions so the
+    // partial phase genuinely merges per-partition heaps
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("a", 4L, 20.0),
+      ("b", 5L, 5.0))
+      .toDF("g", "id", "v").repartition(8)
+    val custom = GroupTopK(df, Seq("g"), Seq(col("v").desc, col("id").asc), 2)
+      .select("g", "rk", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(custom === Set(
+      ("a", 1L, 2L, 30.0), ("a", 2L, 3L, 30.0), // tie on v -> id asc
+      ("b", 1L, 5L, 5.0)))                      // k=2 > group size 1
+  }
+
+  test("custom top-k matches row_number() on real data at k=5") {
+    GroupTopK.install(spark)
+    val base = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_returnflag").as("g"), col("l_orderkey").as("id"),
+        col("l_extendedprice").as("v"))
+    val custom = GroupTopK(base, Seq("g"), Seq(col("v").desc, col("id").asc), 5)
+      .select("g", "rk", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val reference = base.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5).select("g", "rk", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(custom === reference)
+  }
+
+  test("physical plan is partial heaps -> exchange -> final heaps") {
+    GroupTopK.install(spark)
+    // AQE off for the shape assertion only: query stages hide the
+    // sub-plans from a plain collect
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try { planShapeAssertions() }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def planShapeAssertions(): Unit = {
+    val df = Seq(("a", 1L, 1.0)).toDF("g", "id", "v")
+    val out = GroupTopK(df, Seq("g"), Seq(col("v").desc), 1)
+    out.collect()
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val nodes = plan.collect { case n => n }
+    assert(nodes.exists(_.isInstanceOf[GroupTopKPartialExec]))
+    assert(nodes.exists(_.isInstanceOf[GroupTopKFinalExec]))
+    // the exchange between them shuffles the ALREADY-REDUCED rows: the
+    // partial node must sit BELOW the shuffle
+    val exchange = nodes.collectFirst { case e: ShuffleExchangeLike => e }
+    assert(exchange.nonEmpty, "expected a shuffle exchange in the plan")
+    assert(exchange.get.collect { case p: GroupTopKPartialExec => p }.nonEmpty,
+      "partial top-k must run below the exchange (map side)")
+  }
+}
