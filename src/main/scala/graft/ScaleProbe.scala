@@ -82,6 +82,21 @@ object ScaleProbe {
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         tf.join(broadcast(df), "term").count()
       }
+      time(s"${copies}x custom grouped top-k (bounded heaps)") {
+        graft.plans.GroupTopK.install(spark)
+        graft.plans.GroupTopK(
+          lineitem.select(col("l_returnflag").as("g"), col("l_orderkey").as("id"),
+            col("l_extendedprice").as("v")),
+          Seq("g"), Seq(col("v").desc, col("id").asc), 10).count()
+      }
+      time(s"${copies}x window-function top-k (full sort)") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+        lineitem.select(col("l_returnflag").as("g"), col("l_orderkey").as("id"),
+            col("l_extendedprice").as("v"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10).count()
+      }
       time(s"${copies}x sequence packing (per-source window)") {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy("doc_id")
