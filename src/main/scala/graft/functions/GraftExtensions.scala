@@ -29,5 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the custom grouped-top-k physical operator (runtime sessions get it
     // via GroupTopK.install on spark.experimental.extraStrategies)
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RankLimitToGroupTopK)
   }
 }

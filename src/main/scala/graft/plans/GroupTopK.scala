@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
@@ -52,13 +53,62 @@ object GroupTopK {
     GraftSqlShim.ofRows(df.sparkSession, GroupTopKPlan(g, so, k, rank, child))
   }
 
-  /** Idempotently install the planner strategy on a session (the
-    * extensions path installs it for extension-configured sessions). */
-  def install(spark: SparkSession): Unit =
+  /** Idempotently install the planner strategy AND the rank-limit
+    * rewrite rule on a session (the extensions path installs both for
+    * extension-configured sessions). */
+  def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GroupTopKStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(RankLimitToGroupTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RankLimitToGroupTopK
+    }
+  }
+}
+
+/** Optimizer rule: rewrites the DECLARATIVE grouped-top-k idiom
+  * `filter(row_number().over(partitionBy(g).orderBy(o)) <= k)` into the
+  * custom bounded-heap operator — users keep writing window functions
+  * and transparently get the no-sort plan. Guards: exactly one window
+  * expression and it is row_number; the filter is the whole predicate
+  * (`rk <= k`, `rk < k`, or `rk == 1`); k bounded so the rewrite can
+  * never plant an unbounded in-memory heap. The rank attribute keeps its
+  * exprId and IntegerType, so downstream references resolve unchanged.
+  * Every oracled query using the idiom (q04, q16, q42) hash-matches with
+  * the rule active — the rewrite is bit-exact, not just plausible. */
+object RankLimitToGroupTopK extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+
+  private val MaxK = 1024
+
+  private def limitOf(cond: Expression, rankAttr: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rankAttr) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rankAttr) => Some(k - 1)
+    case EqualTo(a: Attribute, Literal(1, _)) if a.semanticEquals(rankAttr) => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window) =>
+      w.windowExpressions match {
+        case Seq(alias @ Alias(WindowExpression(RowNumber(), _), _))
+            if w.orderSpec.nonEmpty =>
+          limitOf(cond, alias.toAttribute) match {
+            case Some(k) if k >= 1 && k <= MaxK =>
+              // InferWindowGroupLimit may already have planted its partial
+              // limiter below the window — the heap subsumes it
+              val child = w.child match {
+                case wgl: WindowGroupLimit => wgl.child
+                case c => c
+              }
+              GroupTopKPlan(w.partitionSpec, w.orderSpec, k, alias.toAttribute, child)
+            case _ => f
+          }
+        case _ => f
+      }
+  }
 }
 
 /** Logical node: resolved by construction (built from an analyzed child
@@ -149,10 +199,16 @@ case class GroupTopKFinalExec(groupExprs: Seq[Expression],
       }
       val resultProj = UnsafeProjection.create(outAttrs, attrs :+ rank)
       val joined = new JoinedRow
+      // match the rank attribute's type: LongType from the direct API,
+      // IntegerType when the optimizer rule replaced a row_number()
+      val mkRank: Int => Any = rank.dataType match {
+        case LongType => (i: Int) => (i + 1).toLong
+        case _ => (i: Int) => i + 1
+      }
       groups.valuesIterator.flatMap { heap =>
         val sorted = heap.dequeueAll.reverse // PQ dequeues worst-first
         sorted.iterator.zipWithIndex.map { case (row, i) =>
-          resultProj(joined(row, new GenericInternalRow(Array[Any](i + 1L))))
+          resultProj(joined(row, new GenericInternalRow(Array[Any](mkRank(i)))))
         }
       }
     }, preservesPartitioning = true)

@@ -43,6 +43,32 @@ class GroupTopKSpec extends SparkSpec {
     assert(custom === reference)
   }
 
+  test("optimizer rule rewrites row_number()<=k filters into the custom operator") {
+    GroupTopK.install(spark)
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("b", 4L, 5.0))
+      .toDF("g", "id", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val declarative = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+    // the rewrite fired...
+    assert(declarative.queryExecution.optimizedPlan.collect {
+      case p: graft.plans.GroupTopKPlan => p }.nonEmpty,
+      declarative.queryExecution.optimizedPlan.treeString)
+    // ...and the result is the row_number() result, rank typed int
+    val rows = declarative.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rows === Set(("a", 2L, 1), ("a", 3L, 2), ("b", 4L, 1)))
+    // rank == 1 equality form rewrites too
+    val top1 = df.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    assert(top1.queryExecution.optimizedPlan.collect {
+      case p: graft.plans.GroupTopKPlan => p }.nonEmpty)
+    assert(top1.collect().map(_.getLong(1)).toSet === Set(2L, 4L))
+    // huge k must NOT rewrite (bounded-heap guard)
+    val bigK = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 100000)
+    assert(bigK.queryExecution.optimizedPlan.collect {
+      case p: graft.plans.GroupTopKPlan => p }.isEmpty)
+  }
+
   test("physical plan is partial heaps -> exchange -> final heaps") {
     GroupTopK.install(spark)
     // AQE off for the shape assertion only: query stages hide the
