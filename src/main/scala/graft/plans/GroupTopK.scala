@@ -27,6 +27,13 @@ import org.apache.spark.sql.types.LongType
   * already reduces each partition to ≤ k rows per group, the shuffle
   * carries ≤ k·partitions rows per group, and nothing is ever fully
   * sorted. Same result, bit-for-bit (q63 shares q42's DuckDB oracle).
+  *
+  * Memory model: O(groups-per-partition × k) rows held per task — the
+  * same envelope as hash aggregation over the group key. A production
+  * hardening would add the ObjectHashAggregate-style fallback (spill the
+  * heap table and merge sorted runs) for pathological group counts; at
+  * that point the operator degrades to the sort-based plan it replaces,
+  * never worse.
   */
 object GroupTopK {
 
