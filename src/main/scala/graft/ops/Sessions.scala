@@ -35,15 +35,27 @@ object Sessions {
 
   /** J1: full outer orders ⋈ lineitem, aggregated per key — orders with
     * zero details keep a row (n_details = 0, status non-null); orphan
-    * details would keep rows with null status. */
+    * details would keep rows with null status.
+    *
+    * The aggregation is pushed BELOW the join (aggregate-through-join):
+    * lineitem collapses to one (key, count) row per order first, so the
+    * full outer join matches key-to-key (|orders| ⋈ |distinct orders|)
+    * instead of fanning each order out over its line items — at 100 TB
+    * that's the difference between joining 6 B rows and 1.5 B keys.
+    * Equivalent because orders is unique per key and count(l_orderkey)
+    * distributes over the per-key groups; the unmatched-side semantics
+    * (zero-detail orders, orphan details) are identical. */
   def fullOuterOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val l = Tables.lineitem(spark, dir)
-    o.join(l, o("o_orderkey") === l("l_orderkey"), "full_outer")
-      .groupBy(coalesce(o("o_orderkey"), l("l_orderkey")).as("okey"))
-      .agg(
-        count(l("l_orderkey")).as("n_details"),
-        max(o("o_orderstatus")).as("order_status"))
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val lAgg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    o.join(lAgg, o("o_orderkey") === lAgg("l_orderkey"), "full_outer")
+      .select(
+        coalesce(o("o_orderkey"), lAgg("l_orderkey")).as("okey"),
+        coalesce(lAgg("n"), lit(0L)).as("n_details"),
+        o("o_orderstatus").as("order_status"))
       .orderBy("okey")
   }
 }
