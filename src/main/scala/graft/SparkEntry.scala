@@ -113,6 +113,8 @@ object SparkEntry {
     "q62_uv_weekly_exact"  -> ((s, d) => Dau.uvWeeklyExact(s, d)),
     // --- custom Catalyst operator: grouped top-k via bounded heaps ---
     "q63_topk_custom_op"   -> ((s, d) => Publisher.topSpendersPerNationCustom(s, d)),
+    // --- grouped argmax (mode) in one aggregate pass ---
+    "q64_mode_event"       -> ((s, d) => Publisher.favoriteEventType(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -538,6 +540,11 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |WINDOW w AS (PARTITION BY n_name ORDER BY spend, user_id)
         |ORDER BY nation, user_id""".stripMargin,
+    "q64_mode_event" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS ct FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, MAX({'ct': ct, 'et': event_type}) AS mx FROM c GROUP BY 1)
+        |SELECT user_id, mx.et AS fav_event_type, CAST(mx.ct AS BIGINT) AS fav_ct
+        |FROM m ORDER BY user_id""".stripMargin,
     "q62_uv_weekly_exact" ->
       """SELECT CAST(weekofyear(CAST(strftime(ts, '%Y-%m-%d') AS DATE)) AS BIGINT) AS week,
         |       COUNT(DISTINCT user_id) AS uv

@@ -190,6 +190,23 @@ object Publisher {
       .orderBy("source", "rk")
   }
 
+  /** Grouped argmax via ONE max(struct(...)) aggregate — the mode
+    * (most-frequent value) per key without a rank+filter second pass:
+    * struct comparison is lexicographic, so max over
+    * (count, tie-break, value) picks the winner in the same partial-
+    * aggregatable pass that counts. Tie rule: higher count wins, then
+    * lexicographically LAST event_type (max over the struct) —
+    * explicit, so the oracle pins it. */
+  def favoriteEventType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("ct"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ct"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("fav_event_type"),
+        col("m.ct").as("fav_ct"))
+      .orderBy("user_id")
+
   /** Explicit left-semi join (EXISTS): customers who placed at least one
     * order in the window — the build side is pre-filtered and only keys
     * cross the shuffle (no payload duplication, no row explosion, unlike
