@@ -252,11 +252,58 @@ object DedupOps {
 
   /** Min-label connected components over an undirected pair list; every
     * node in `docs` gets a cluster (singletons label themselves). Split
-    * out so tests can drive literal graphs. */
-  def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    * out so tests can drive literal graphs.
+    *
+    * Two execution paths, selected by measured edge count — the same
+    * collect-under-threshold logic broadcast joins use:
+    *  - pair graphs under `localThreshold` edges (the overwhelmingly
+    *    common case: the pair list is dedup's OUTPUT, orders of
+    *    magnitude smaller than the corpus) are collected and solved
+    *    with driver-side union-find, then broadcast-joined back — one
+    *    job instead of a multi-round loop;
+    *  - larger graphs run the distributed min-label propagation loop
+    *    (PropertySpec pins both paths to identical output).
+    * Both produce the min-doc_id-per-component labeling. */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame,
+                          localThreshold: Long = 1000000L): DataFrame = {
+    val p = pairs.cache()
+    val nPairs = p.count()
+    if (nPairs <= localThreshold) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find + path compression (recursive compression can
+      // blow the stack on chain-shaped union orders)
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x
+        while (parent.getOrElse(cur, cur) != cur) {
+          val next = parent(cur); parent(cur) = root; cur = next
+        }
+        root
+      }
+      p.select(col("doc_a"), col("doc_b")).collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // NOT unpersisting p: the caller may have handed us a cached /
+      // memoized pair table whose lifecycle it owns (unpersisting here
+      // silently evicted the session-memoized pair list every call)
+      val labels = parent.keys.toSeq.map(n => (n, find(n)))
+        .toDF("doc_id0", "label")
+      val clustered = docs
+        .join(broadcast(labels), col("doc_id") === col("doc_id0"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      return clustered
+        .join(clustered.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size")), Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }
     // both orientations from ONE pass over the pair list — a union of two
     // selects would execute the (expensive) pair-generation subtree twice
-    val edges = pairs
+    val edges = p
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))

@@ -65,9 +65,17 @@ class PropertySpec extends SparkSpec {
         val pairs = rawPairs.filter { case (a, b) => a != b }
           .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
         val docs = (0L until 20L).toDF("doc_id")
+        // default (local union-find) path
         val out = graft.dedup.DedupOps
           .connectedComponents(docs, pairs.toDF("doc_a", "doc_b")).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // distributed min-label loop path (threshold 0 forces it) must
+        // produce the identical labeling
+        val distributed = graft.dedup.DedupOps
+          .connectedComponents(docs, pairs.toDF("doc_a", "doc_b"),
+            localThreshold = -1L).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(distributed === out)
         // union-find reference: union-by-min-root keeps each root the
         // component minimum, so find(x) == expected cluster label
         val parent = Array.tabulate(20)(identity)
