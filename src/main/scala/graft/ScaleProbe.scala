@@ -89,13 +89,23 @@ object ScaleProbe {
             col("l_extendedprice").as("v")),
           Seq("g"), Seq(col("v").desc, col("id").asc), 10).count()
       }
-      time(s"${copies}x window-function top-k (full sort)") {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("g").orderBy(col("v").desc, col("id").asc)
-        lineitem.select(col("l_returnflag").as("g"), col("l_orderkey").as("id"),
-            col("l_extendedprice").as("v"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 10).count()
+      time(s"${copies}x window-function top-k (Spark group-limit plan)") {
+        // UNINSTALL the rewrite rule for the baseline — it must run
+        // Spark's own best plan (Window + InferWindowGroupLimit), not the
+        // operator it is being compared against. (A cast on the rank
+        // doesn't protect it: UnwrapCastInBinaryComparison removes the
+        // cast before user rules run.)
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations
+            .filterNot(_ == graft.plans.RankLimitToGroupTopK)
+        try {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+          lineitem.select(col("l_returnflag").as("g"), col("l_orderkey").as("id"),
+              col("l_extendedprice").as("v"))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 10).count()
+        } finally graft.plans.GroupTopK.install(spark)
       }
       time(s"${copies}x sequence packing (per-source window)") {
         val w = org.apache.spark.sql.expressions.Window

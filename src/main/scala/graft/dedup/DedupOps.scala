@@ -266,7 +266,10 @@ object DedupOps {
     * Both produce the min-doc_id-per-component labeling. */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
                           localThreshold: Long = 1000000L): DataFrame = {
-    val p = pairs.cache()
+    // cache only if the caller didn't: we then own (and release) the
+    // entry; unpersisting a caller-cached plan would evict THEIR cache
+    val wasCached = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (wasCached) pairs else pairs.cache()
     val nPairs = p.count()
     if (nPairs <= localThreshold) {
       val spark = docs.sparkSession
@@ -287,11 +290,9 @@ object DedupOps {
         val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      // NOT unpersisting p: the caller may have handed us a cached /
-      // memoized pair table whose lifecycle it owns (unpersisting here
-      // silently evicted the session-memoized pair list every call)
       val labels = parent.keys.toSeq.map(n => (n, find(n)))
         .toDF("doc_id0", "label")
+      if (!wasCached) p.unpersist() // labels live on the driver now
       val clustered = docs
         .join(broadcast(labels), col("doc_id") === col("doc_id0"), "left")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
@@ -336,6 +337,7 @@ object DedupOps {
     val finalLabels = labels.localCheckpoint(eager = true)
     labels.unpersist()
     edges.unpersist()
+    if (!wasCached) p.unpersist()
     val clustered = docs
       .join(finalLabels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 
@@ -44,8 +44,17 @@ object GroupTopK {
             rankName: String = "rk"): DataFrame = {
     val child = df.queryExecution.analyzed
     val out = child.output
-    def byName(n: String): Attribute = out.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(s"column $n not in ${out.map(_.name)}"))
+    // resolve with the session's resolver (case-insensitive by default,
+    // matching every other DataFrame API) and reject ambiguity instead
+    // of silently taking the first duplicate
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    def byName(n: String): Attribute = out.filter(a => resolver(a.name, n)) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"column $n not in ${out.map(_.name)}")
+      case many => throw new IllegalArgumentException(
+        s"column $n is ambiguous: ${many.map(_.name)}")
+    }
     def resolve(e: Expression): Expression = e.transformUp {
       case u: UnresolvedAttribute => byName(u.name)
     }
@@ -141,11 +150,15 @@ object GroupTopKStrategy extends SparkStrategy {
 }
 
 /** Shared per-partition bounded-heap pass: reduces an iterator to at
-  * most k rows per group key, unordered. */
+  * most k rows per group key. */
 private[plans] object TopKHeaps {
-  def perGroup(iter: Iterator[InternalRow], groupExprs: Seq[Expression],
-               order: Seq[SortOrder], k: Int,
-               inputAttrs: Seq[Attribute]): Iterator[InternalRow] = {
+
+  /** Heap table for one partition: key → bounded heap (worst row at the
+    * head). Keys are copied only on MISS (one copy per distinct group,
+    * not per row); retained rows are copied on insert. */
+  def build(iter: Iterator[InternalRow], groupExprs: Seq[Expression],
+            order: Seq[SortOrder], k: Int, inputAttrs: Seq[Attribute])
+      : mutable.HashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]] = {
     val keyProj = UnsafeProjection.create(groupExprs, inputAttrs)
     // ord: a < b ⇔ a ranks ahead of b; PriorityQueue dequeues the MAX
     // under its ordering, i.e. the currently-worst retained row
@@ -153,15 +166,25 @@ private[plans] object TopKHeaps {
     val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
     iter.foreach { row =>
       val key = keyProj(row)
-      val heap = heaps.getOrElseUpdate(key.copy(),
-        mutable.PriorityQueue.empty[InternalRow](ord))
+      val heap = heaps.get(key) match {
+        case Some(h) => h
+        case None =>
+          val h = mutable.PriorityQueue.empty[InternalRow](ord)
+          heaps.put(key.copy(), h)
+          h
+      }
       if (heap.size < k) heap.enqueue(row.copy())
       else if (ord.compare(row, heap.head) < 0) {
         heap.dequeue(); heap.enqueue(row.copy())
       }
     }
-    heaps.valuesIterator.flatMap(_.iterator)
+    heaps
   }
+
+  def perGroup(iter: Iterator[InternalRow], groupExprs: Seq[Expression],
+               order: Seq[SortOrder], k: Int,
+               inputAttrs: Seq[Attribute]): Iterator[InternalRow] =
+    build(iter, groupExprs, order, k, inputAttrs).valuesIterator.flatMap(_.iterator)
 }
 
 /** Map-side phase: no distribution requirement; emits ≤ k rows per
@@ -189,21 +212,20 @@ case class GroupTopKFinalExec(groupExprs: Seq[Expression],
                               child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  // empty group = GLOBAL top-k: AllTuples gathers the (already
+  // partial-reduced, ≤ k per partition) survivors onto one task —
+  // UnspecifiedDistribution here would silently emit per-partition
+  // top-k with duplicated ranks (review finding)
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupExprs.isEmpty) UnspecifiedDistribution :: Nil
+    if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
   override protected def doExecute(): RDD[InternalRow] = {
     val (g, o, kk, attrs, outAttrs) = (groupExprs, order, k, child.output, output)
     val rank = rankAttr
     child.execute().mapPartitions({ it =>
-      val keyProj = UnsafeProjection.create(g, attrs)
-      val ord: Ordering[InternalRow] = GenerateOrdering.generate(o, attrs)
-      val groups = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      TopKHeaps.perGroup(it, g, o, kk, attrs).foreach { row =>
-        val heap = groups.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
-        heap.enqueue(row) // already copied by perGroup
-      }
+      // ONE grouping pass: build() already leaves exactly the per-group
+      // top-k heaps for this (clustered) partition
+      val groups = TopKHeaps.build(it, g, o, kk, attrs)
       val resultProj = UnsafeProjection.create(outAttrs, attrs :+ rank)
       val joined = new JoinedRow
       // match the rank attribute's type: LongType from the direct API,

@@ -114,13 +114,6 @@ object Pipelines {
                     tsCol: String, tieCol: String): DataFrame =
     compactLatest(batch, Seq(keyCol), tsCol, tieCol)
 
-  /** T6: at most one alert per device per minute — dedup on the
-    * (user_id, minute-bucket) key, the analog of the reference's
-    * `mid + ts/1000/60` ES doc id (AlertApp.scala:74). This is the
-    * BATCH / foreachBatch form (plain dropDuplicates = unbounded state on
-    * a stream, and a second stateful op after the windowed aggregation is
-    * illegal outside append mode anyway); for a standalone streaming
-    * throttle use [[throttlePerMinuteStreaming]]. */
   /** Streaming terms-agg top-k (the dashboard's realtime top sellers,
     * reference PublisherServiceImpl.java:89-95 recomputed per request
     * against ES; here maintained incrementally): running counts per key
@@ -130,6 +123,13 @@ object Pipelines {
   def topSellersStreaming(details: DataFrame, keyCol: String = "sku_id"): DataFrame =
     details.groupBy(col(keyCol)).agg(count(lit(1)).as("ct"))
 
+  /** T6: at most one alert per device per minute — dedup on the
+    * (user_id, minute-bucket) key, the analog of the reference's
+    * `mid + ts/1000/60` ES doc id (AlertApp.scala:74). This is the
+    * BATCH / foreachBatch form (plain dropDuplicates = unbounded state on
+    * a stream, and a second stateful op after the windowed aggregation is
+    * illegal outside append mode anyway); for a standalone streaming
+    * throttle use [[throttlePerMinuteStreaming]]. */
   def throttlePerMinute(alerts: DataFrame, tsCol: String = "window_start"): DataFrame =
     alerts
       .withColumn("minute_bucket", (unix_micros(col(tsCol)) / lit(60000000L)).cast("long"))

@@ -43,6 +43,22 @@ class GroupTopKSpec extends SparkSpec {
     assert(custom === reference)
   }
 
+  test("global top-k (no group) gathers to one task — never per-partition ranks") {
+    GroupTopK.install(spark)
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v").repartition(8)
+    // direct API with empty group: exactly k rows, globally ranked
+    val direct = GroupTopK(df, Seq.empty, Seq(col("v").desc), 5)
+      .select("id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct === Set((100L, 1L), (99L, 2L), (98L, 3L), (97L, 4L), (96L, 5L)))
+    // the rewrite fires for un-partitioned windows too and must stay global
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v").desc)
+    val decl = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+    assert(decl.queryExecution.optimizedPlan.collect {
+      case p: graft.plans.GroupTopKPlan => p }.nonEmpty)
+    assert(decl.select("id").collect().map(_.getLong(0)).toSet ===
+      Set(100L, 99L, 98L, 97L, 96L))
+  }
+
   test("optimizer rule rewrites row_number()<=k filters into the custom operator") {
     GroupTopK.install(spark)
     val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("b", 4L, 5.0))
