@@ -15,6 +15,11 @@ run / fork := true
 // bench driver parses the JSON line graft.Bench prints, and a logger
 // prefix breaks that parse (BENCH_r01.json recorded "parsed": null).
 outputStrategy := Some(StdoutOutput)
+// ...and nothing may follow it either: round-2 grading recorded
+// "parsed": null even with the raw JSON present because sbt's trailing
+// "[success] Total time: ..." line was the LAST stdout line. Suppress it
+// so the bench JSON is the final line a tail-parser sees.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

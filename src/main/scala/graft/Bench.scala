@@ -51,8 +51,15 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // -1.0 markers mean every pass of that query threw; they are not
+    // timings, so the headline total sums only real measurements and the
+    // failure count is reported separately.
+    val total = results.values.filter(_ >= 0).sum
+    val failed = results.values.count(_ < 0)
+    // passes >= 2 reuse session-memoized artifacts (cached dims, IVF
+    // model, LSH band index), so min-over-passes is a warm timing for the
+    // index-backed queries — stated here rather than silently implied.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"timing":"best-of-$maxPasses, passes >= 2 warm","sf":"$sfDir"}"""
     println(json)
     // safety net beside the stdout contract: a file copy of the same line
     // (round-1 grading lost the stdout line to an sbt log prefix)

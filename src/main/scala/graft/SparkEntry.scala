@@ -546,7 +546,7 @@ object SparkEntry {
         |SELECT user_id, mx.et AS fav_event_type, CAST(mx.ct AS BIGINT) AS fav_ct
         |FROM m ORDER BY user_id""".stripMargin,
     "q62_uv_weekly_exact" ->
-      """SELECT CAST(weekofyear(CAST(strftime(ts, '%Y-%m-%d') AS DATE)) AS BIGINT) AS week,
+      """SELECT strftime(date_trunc('week', CAST(strftime(ts, '%Y-%m-%d') AS DATE)), '%Y-%m-%d') AS week_start,
         |       COUNT(DISTINCT user_id) AS uv
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q59_semi_join" ->
@@ -633,7 +633,7 @@ object SparkEntry {
     * [[graft.vector.VectorOps.annLshTopK]]'s defaults: 16 planes, 4-bit
     * bands, query vec_id 0, k = 10. */
   private val AnnLshSql: String = {
-    val planes = graft.vector.VectorOps.planes(16, 64)
+    val planes = graft.vector.VectorOps.planes(16, graft.vector.VectorOps.OracleDim)
     val lit = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |p AS (SELECT CAST($lit AS DOUBLE[][]) AS planes),

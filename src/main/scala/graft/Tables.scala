@@ -36,18 +36,21 @@ object Tables {
   private val memo =
     new java.util.IdentityHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
-  def memoCache(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val perSession = memo.synchronized {
+  def memoCache(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    // the entry is computed INSIDE the lock: TrieMap.getOrElseUpdate does
+    // not guarantee single evaluation, and a doubly-evaluated build.cache()
+    // would leave an orphaned InMemoryRelation in the session until stop.
+    // build only constructs a plan and registers the cache (no job), so
+    // holding the lock across it is cheap.
+    memo.synchronized {
       memo.keySet.removeIf(s => s.sparkContext.isStopped)
       var m = memo.get(spark)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
         memo.put(spark, m)
       }
-      m
+      m.getOrElseUpdate(key, build.cache())
     }
-    perSession.getOrElseUpdate(key, build.cache())
-  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

@@ -103,12 +103,20 @@ object Dau {
   /** Exact twin of [[uvSketchRollup]] — weekly distinct users computed
     * exactly (oracle-verified), so the sketch path has an in-engine
     * ground truth at every scale factor. */
+  /** Week key = the Monday the week starts on (as a yyyy-MM-dd string).
+    * `weekofyear` alone would merge the same ISO week number across
+    * different years and park late-December days in "week 1"; truncating
+    * to the week-start date carries the year implicitly and stays
+    * correct on multi-year data. */
+  private def weekStart(dateCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_format(date_trunc("week", dateCol), "yyyy-MM-dd")
+
   def uvWeeklyExact(spark: SparkSession, dir: String): DataFrame =
     withLogDate(Tables.events(spark, dir))
-      .withColumn("week", weekofyear(to_date(col("log_date"))).cast("long"))
-      .groupBy("week")
+      .withColumn("week_start", weekStart(to_date(col("log_date"))))
+      .groupBy("week_start")
       .agg(countDistinct(col("user_id")).as("uv"))
-      .orderBy("week")
+      .orderBy("week_start")
 
   /** The MERGEABLE-sketch pattern that makes distinct counts cheap at
     * 100 TB: materialize one DataSketches-HLL sketch per day (the only
@@ -124,11 +132,11 @@ object Dau {
       .groupBy("log_date")
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
     daily
-      .withColumn("week", weekofyear(to_date(col("log_date"))).cast("long"))
-      .groupBy("week")
+      .withColumn("week_start", weekStart(to_date(col("log_date"))))
+      .groupBy("week_start")
       .agg(
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("uv_est"),
         count(lit(1)).as("n_days"))
-      .orderBy("week")
+      .orderBy("week_start")
   }
 }

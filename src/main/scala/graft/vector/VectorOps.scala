@@ -169,6 +169,13 @@ object VectorOps {
     * Exposed within the library so the oracle builder can embed the SAME
     * plane values as SQL literals (the LSH pipeline is deterministic end
     * to end, so the ANN query hash-verifies like an exact one). */
+  /** The embedding dimension SparkEntry's q29 oracle bakes into its
+    * hyperplane literals (AnnLshSql calls planes(16, OracleDim)). The
+    * engine derives the real dim from the data; [[annLshTopK]] fails
+    * loudly if the two diverge rather than letting the oracle's planes
+    * silently desync from the engine's. */
+  private[graft] val OracleDim = 64
+
   private[graft] def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
@@ -194,6 +201,10 @@ object VectorOps {
     val e = Tables.memoCache(spark, s"lsh-bands/$nPlanes/$bandBits/$dir") {
       val dim = Tables.embeddings(spark, dir)
         .select(size(col("embedding"))).head().getInt(0)
+      require(dim == OracleDim,
+        s"embedding dim $dim != $OracleDim: q29's DuckDB oracle embeds " +
+          "dim-64 hyperplane literals (SparkEntry.AnnLshSql); regenerate " +
+          "them for this corpus or the two pipelines hash different planes")
       val ps = planes(nPlanes, dim)
       // ONE literal holding the nested array — array(array(lit...)) would
       // re-evaluate 1024 Literal nodes per row

@@ -162,11 +162,12 @@ class CoreOpsSpec extends SparkSpec {
   test("weekly UV from merged daily HLL sketches tracks exact distinct (±5%)") {
     val dir = "/root/testdata/sf0.01"
     val est = graft.ops.Dau.uvSketchRollup(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.events(spark, dir)
-      .withColumn("week", weekofyear(to_date(date_format($"ts", "yyyy-MM-dd"))).cast("long"))
+      .withColumn("week", date_format(date_trunc("week",
+        to_date(date_format($"ts", "yyyy-MM-dd"))), "yyyy-MM-dd"))
       .groupBy("week").agg(countDistinct($"user_id").as("uv"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est.keySet === exact.keySet)
     exact.foreach { case (week, uv) =>
       assert(math.abs(est(week) - uv) <= math.max(1L, (uv * 0.05).toLong),
