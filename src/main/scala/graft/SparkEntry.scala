@@ -115,6 +115,14 @@ object SparkEntry {
     "q63_topk_custom_op"   -> ((s, d) => Publisher.topSpendersPerNationCustom(s, d)),
     // --- grouped argmax (mode) in one aggregate pass ---
     "q64_mode_event"       -> ((s, d) => Publisher.favoriteEventType(s, d)),
+    // --- round 3: cube, k-NN join, n-gram counts, cluster canonicalize,
+    //     dim profiling, deterministic split ---
+    "q65_cube"             -> ((s, d) => Olap.revenueCube(s, d)),
+    "q66_knn_join"         -> ((s, d) => graft.vector.VectorOps.knnJoin(s, d)),
+    "q67_top_bigrams"      -> ((s, d) => graft.text.TextOps.topBigrams(s, d)),
+    "q68_cluster_best"     -> ((s, d) => graft.dedup.DedupOps.keepBestPerCluster(s, d)),
+    "q69_dim_profile"      -> ((s, d) => graft.vector.VectorOps.dimProfile(s, d)),
+    "q70_train_eval_split" -> ((s, d) => graft.text.TextOps.trainEvalSplit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -573,6 +581,58 @@ object SparkEntry {
         |       md5(substring(text, CAST(frame_idx * frame_len + 1 AS INT), CAST(frame_len AS INT))) AS frame_sig
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
     "q29_ann_lsh" -> AnnLshSql,
+    "q65_cube" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |       COALESCE(c_mktsegment, 'ALL') AS segment,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+        |       COUNT(*) AS order_cnt
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(n_name, c_mktsegment)
+        |ORDER BY 1, 2""".stripMargin,
+    "q66_knn_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+        |s AS (SELECT query_id, vec_id,
+        |        list_inner_product(v, qv) /
+        |          (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) AS cos
+        |      FROM c, q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "q67_top_bigrams" ->
+      """WITH tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(t) >= 2
+        |               THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+        |               ELSE [] END) AS bigram
+        |      FROM tok)
+        |SELECT bigram, COUNT(*) AS ct FROM g
+        |GROUP BY 1 ORDER BY ct DESC, bigram ASC LIMIT 25""".stripMargin,
+    "q68_cluster_best" -> ClusterBestSql,
+    "q69_dim_profile" ->
+      """WITH u AS (SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
+        |                  unnest(CAST(embedding AS DOUBLE[])) AS x
+        |           FROM embeddings),
+        |a AS (SELECT dim, COUNT(*) AS n,
+        |             CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+        |             MIN(x) AS x_min, MAX(x) AS x_max
+        |      FROM u GROUP BY 1)
+        |SELECT CAST(dim AS BIGINT) AS dim, n, sum_micro,
+        |       CAST(sum_micro AS DOUBLE) / (n * 1000000.0) AS mean,
+        |       x_min, x_max
+        |FROM a ORDER BY dim""".stripMargin,
+    "q70_train_eval_split" ->
+      """WITH t AS (SELECT lang,
+        |             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |                  THEN 'eval' ELSE 'train' END AS split,
+        |             CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents)
+        |SELECT lang, split, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible
     //   in SQL), q44_percentiles_approx (sketch), q45_stratified_sample
@@ -624,6 +684,30 @@ object SparkEntry {
     s"""WITH $JaccardCtes
        |SELECT doc_a, doc_b, jaccard FROM jpairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q68 oracle: the q51 recursive-CTE connected components chained with
+    * per-doc token counts and the q64-style named-struct argmax (longest
+    * doc wins, ties to the smallest doc_id via the negated id). */
+  private val ClusterBestSql: String =
+    s"""WITH RECURSIVE $JaccardCtes,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+       |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+       |comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY 1),
+       |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok),
+       |best AS (SELECT l.cluster_id,
+       |                MAX({'nt': n_tokens, 'nd': -doc_id}) AS mx,
+       |                COUNT(*) AS cluster_size
+       |         FROM lab l JOIN nt USING (doc_id) GROUP BY 1)
+       |SELECT cluster_id, CAST(-mx.nd AS BIGINT) AS best_doc_id,
+       |       CAST(mx.nt AS BIGINT) AS best_n_tokens,
+       |       CAST(cluster_size AS BIGINT) AS cluster_size
+       |FROM best ORDER BY cluster_id""".stripMargin
 
   /** Hyperplane-LSH ANN oracle: the exact plane values the engine draws
     * (seeded) are embedded as a DOUBLE[][] literal, so DuckDB replays the

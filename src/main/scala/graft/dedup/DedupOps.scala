@@ -250,6 +250,32 @@ object DedupOps {
         minhashLshPairs(spark, dir, threshold).select(col("doc_a"), col("doc_b"))
       })
 
+  /** The step after clustering: pick ONE canonical document per near-dup
+    * cluster — longest (most tokens) wins, ties break to the smallest
+    * doc_id — the keep-best policy a training-data pipeline applies
+    * instead of keep-first. One grouped max(struct) over the cluster
+    * labeling (same one-pass argmax shape as q64): per-doc stats ride
+    * along in the aggregate, no rank+filter second pass, partial-agg
+    * friendly. */
+  def keepBestPerCluster(spark: SparkSession, dir: String,
+                         threshold: Double = 0.7): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val clusters = dedupClusters(spark, dir, threshold)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("graft_text_stats(text).n_tokens").as("n_tokens"))
+    clusters.join(toks, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        max(struct(col("n_tokens").as("nt"), (-col("doc_id")).as("nd"))).as("m"),
+        count(lit(1)).as("cluster_size"))
+      .select(
+        col("cluster_id"),
+        (-col("m.nd")).as("best_doc_id"),
+        col("m.nt").as("best_n_tokens"),
+        col("cluster_size"))
+      .orderBy("cluster_id")
+  }
+
   /** Min-label connected components over an undirected pair list; every
     * node in `docs` gets a cluster (singletons label themselves). Split
     * out so tests can drive literal graphs.

@@ -235,6 +235,58 @@ case class TokenCounts(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass per-document n-gram frequencies: lowercase whitespace
+  * tokenization, adjacent n-token grams joined by single spaces, counted
+  * into array<struct<gram, ct>>. Same motivation as [[TokenCounts]] /
+  * [[ShingleHashes]]: the declarative formulation (transform over
+  * sequence with tokens[i] accesses) gets `tokens = split(...)` inlined
+  * into every array access by CollapseProject — O(tokens²·split) per
+  * document — and feeding corpus n-gram counting from pre-counted
+  * per-doc grams shrinks the count shuffle to one row per DISTINCT gram
+  * per doc. */
+case class NGramCounts(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("gram", StringType, nullable = false),
+      StructField("ct", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = text.trim.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** One-pass token statistics for quality scoring: lowercase whitespace
   * tokenization (same semantics as the oracle's string_split of the
   * \s+-normalized text), returning
@@ -299,7 +351,10 @@ object GraftFunctions {
       exprs => SimHash64(exprs.head)),
     ("graft_token_counts",
       "graft_token_counts(text) - array<struct(term, tf)> of per-term frequencies",
-      exprs => TokenCounts(exprs.head)))
+      exprs => TokenCounts(exprs.head)),
+    ("graft_ngram_counts",
+      "graft_ngram_counts(text, n) - array<struct(gram, ct)> of per-n-gram frequencies",
+      exprs => NGramCounts(exprs.head, exprs(1).eval().asInstanceOf[Int])))
 
   // Weak keys: a stopped session's entry disappears with the session, and
   // re-registering on every query call spammed "replaced a previously

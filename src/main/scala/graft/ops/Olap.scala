@@ -46,6 +46,30 @@ object Olap {
       .orderBy("nation", "segment")
   }
 
+  /** Full CUBE over the same two dimensions as [[revenueRollup]] — adds
+    * the (segment-only) grouping set the rollup hierarchy omits, i.e.
+    * every marginal a dashboard can slice. Same single-hash-aggregate
+    * shape: the Expand node emits 4 grouping-set rows per input row
+    * before the one shuffle; no joins, no second pass. */
+  def revenueCube(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment"), col("o_totalprice"))
+    // toDF() re-aliases for the same ambiguous-self-join reason as rollup
+    base.cube(col("n_name"), col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("gmv"),
+        count(lit(1)).as("order_cnt"))
+      .toDF("g_nation", "g_segment", "gmv", "order_cnt")
+      .select(
+        coalesce(col("g_nation"), lit("ALL")).as("nation"),
+        coalesce(col("g_segment"), lit("ALL")).as("segment"),
+        col("gmv"), col("order_cnt"))
+      .orderBy("nation", "segment")
+  }
+
   /** TPC-H market segments — the fixed pivot column domain (explicit list
     * so the pivot plans as one aggregate instead of a distinct-scan). */
   val Segments: Seq[String] =

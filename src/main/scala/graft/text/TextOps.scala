@@ -211,6 +211,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level top-k word n-grams — the frequency table behind
+    * boilerplate detection and LM-contamination checks. Per-doc gram
+    * counts come pre-aggregated from the one-pass graft_ngram_counts
+    * expression (one row per DISTINCT gram per doc into the shuffle, and
+    * no CollapseProject O(tokens²) re-split — see the expression's
+    * scaladoc); the global count is then a single partial-aggregated
+    * hash aggregate + a k-row TakeOrdered, no global sort. */
+  def topBigrams(spark: SparkSession, dir: String,
+                 n: Int = 2, k: Int = 25): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(expr(s"graft_ngram_counts(text, $n)")).as("g"))
+      .groupBy(col("g.gram").as("bigram"))
+      .agg(sum(col("g.ct")).as("ct"))
+      .orderBy(col("ct").desc, col("bigram").asc)
+      .limit(k)
+  }
+
+  /** Deterministic train/eval split report: assignment is a pure function
+    * of doc_id (first hex digit of md5 ∈ {0,1} → eval, 2/16 = 12.5%), so
+    * the split is reproducible across runs, engines, and partitionings —
+    * no RNG, no global sort, one narrow map + one small aggregate. The
+    * report shows the per-language balance of both splits (doc and token
+    * volumes), which is what the split is checked for in practice. */
+  def trainEvalSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"), "eval")
+          .otherwise("train").as("split"),
+        expr("graft_text_stats(text).n_tokens").as("n_tokens"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("lang", "split")
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text
     * — the cheap content-address used by exact dedup and incremental
     * re-crawl pipelines. */

@@ -141,6 +141,55 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Batch k-NN JOIN: every query vector (vec_id < nQueries) gets its k
+    * nearest corpus neighbors (vec_id >= nQueries) by cosine — the
+    * many-queries generalization of [[cosineTopK]] (retrieval eval sets,
+    * hard-negative mining). Shape at scale: the query block broadcasts
+    * (queries are the small side by construction), the corpus scan stays
+    * partition-parallel and narrow, and the per-query top-k runs through
+    * the rank filter that [[graft.plans.RankLimitToGroupTopK]] rewrites
+    * into the bounded-heap GroupTopK operator — no global sort, state
+    * bounded at k rows per query per partition. */
+  def knnJoin(spark: SparkSession, dir: String,
+              nQueries: Long = 10L, k: Int = 3): DataFrame = {
+    val e = vecs(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), cosine("v", "qv").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Per-dimension embedding profile — the feature-distribution snapshot
+    * a training pipeline keeps to catch drift/degenerate dims. One
+    * posexplode + one hash aggregate keyed on dim: partial aggregation
+    * collapses each input partition to nDims rows before the shuffle, so
+    * the exchange carries nDims × nPartitions rows regardless of corpus
+    * size. Determinism: the mean goes through a sum of
+    * floor(x·1e6 + 0.5) INTEGER micro-units (identical IEEE double ops in
+    * both engines, then exact integer addition — a raw double sum would
+    * be partition-order dependent); min/max are order-free. */
+  def dimProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(expr("transform(embedding, x -> cast(x as double))")))
+      .select(col("pos").cast("long").as("dim"), col("col").as("x"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(floor(x * 1000000.0d + 0.5d) as long)")).as("sum_micro"),
+        min(col("x")).as("x_min"),
+        max(col("x")).as("x_max"))
+      .withColumn("mean", col("sum_micro").cast("double") / (col("n") * lit(1000000.0d)))
+      .select(col("dim"), col("n"), col("sum_micro"), col("mean"), col("x_min"), col("x_max"))
+      .orderBy("dim")
+
   /** Symmetric int8 quantization summary per embedding — the storage/
     * serving compression step of an embedding pipeline. Per-vector scale
     * = max|x|/127 (order-independent max, exact); q_i = Java-round

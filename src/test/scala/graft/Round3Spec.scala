@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the round-3 operators: cube, k-NN join, one-pass n-gram
+  * counts, cluster canonicalization, dim profiling, train/eval split. */
+class Round3Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("graft_ngram_counts matches hand-computed bigram counts and totals") {
+    import spark.implicits._
+    val df = Seq("a b  a b C", "x").toDF("text")
+    val rows = df.select(expr("graft_ngram_counts(text, 2)").as("g")).collect()
+    val first = rows(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tokens: a b a b c → bigrams: "a b"×2, "b a"×1, "b c"×1
+    assert(first === Map("a b" -> 2L, "b a" -> 1L, "b c" -> 1L))
+    assert(first.values.sum === 4L) // n_tokens - 1
+    assert(rows(1).getSeq[Any](0).isEmpty) // single token → no bigrams
+  }
+
+  test("cube marginals are consistent: every (ALL, seg) row sums its (nation, seg) rows") {
+    val cube = ops.Olap.revenueCube(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // toSeq throughout: collect/map on a Map's key set would otherwise
+    // build Sets downstream and silently dedup equal counts before summing
+    val segs = cube.keys.toSeq.collect { case ("ALL", s) if s != "ALL" => s }
+    assert(segs.nonEmpty)
+    segs.foreach { s =>
+      val detail = cube.toSeq.collect { case ((n, `s`), v) if n != "ALL" => v }
+      assert(cube(("ALL", s))._2 === detail.map(_._2).sum, s"order_cnt for $s")
+      assert(math.abs(cube(("ALL", s))._1 - detail.map(_._1).sum) < 1e-3, s"gmv for $s")
+    }
+    // grand total row equals the sum over the nation-level marginals
+    val nations = cube.keys.toSeq.collect { case (n, "ALL") if n != "ALL" => n }
+    assert(cube(("ALL", "ALL"))._2 === nations.map(n => cube((n, "ALL"))._2).sum)
+  }
+
+  test("knnJoin ranks are dense, corpus-only, and top-1 matches a direct argmax") {
+    val out = vector.VectorOps.knnJoin(spark, dir, nQueries = 10L, k = 3).collect()
+    assert(out.length === 30)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 10L, "neighbor must come from the corpus side")
+    }
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.keySet === (0L until 10L).toSet)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L))
+      val cosines = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cosines.sliding(2).forall(p => p(0) >= p(1)), "cos non-increasing in rank")
+    }
+    // independent top-1 for query 0: brute force without a window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q0 = e.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+    val best = e.filter(col("vec_id") >= 10L).crossJoin(broadcast(q0))
+      .select(col("vec_id"),
+        (expr("graft_dot(v, qv)") /
+          (sqrt(expr("graft_dot(v, v)")) * sqrt(expr("graft_dot(qv, qv)")))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(1).collect().head
+    val got = byQuery(0L).find(_.getLong(1) == 1L).get
+    assert(got.getLong(2) === best.getLong(0))
+    assert(got.getDouble(3) === best.getDouble(1))
+  }
+
+  test("knnJoin's rank filter is rewritten to the custom GroupTopK operator") {
+    val out = vector.VectorOps.knnJoin(spark, dir)
+    assert(out.queryExecution.optimizedPlan.collect {
+      case g: plans.GroupTopKPlan => g
+    }.nonEmpty, "RankLimitToGroupTopK should fire on the knn rank filter")
+  }
+
+  test("keepBestPerCluster picks the longest (then smallest-id) member per cluster") {
+    val clusters = dedup.DedupOps.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc_id -> cluster_id
+    val nTokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("graft_text_stats(text).n_tokens").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = dedup.DedupOps.keepBestPerCluster(spark, dir).collect()
+    assert(best.map(_.getLong(0)).distinct.length === best.length, "one row per cluster")
+    assert(best.map(_.getLong(3)).sum === clusters.size.toLong, "sizes partition the corpus")
+    best.foreach { r =>
+      val (cid, bestDoc, bestNt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val members = clusters.collect { case (d, c) if c == cid => d }.toSeq
+      assert(members.contains(bestDoc), s"best doc of $cid must be a member")
+      val maxNt = members.map(nTokens).max
+      assert(bestNt === maxNt)
+      assert(bestDoc === members.filter(nTokens(_) == maxNt).min, "ties -> smallest doc_id")
+    }
+  }
+
+  test("dimProfile covers every dim with full counts and mean inside [min, max]") {
+    val rows = vector.VectorOps.dimProfile(spark, dir).collect()
+    val nVecs = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until rows.length).toSeq)
+    rows.foreach { r =>
+      assert(r.getLong(1) === nVecs)
+      val (mean, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mean >= lo && mean <= hi)
+    }
+  }
+
+  test("trainEvalSplit is exhaustive, disjoint by construction, and deterministic") {
+    val out = text.TextOps.trainEvalSplit(spark, dir).collect()
+    assert(out.map(_.getLong(2)).sum === Tables.documents(spark, dir).count())
+    assert(out.map(_.getString(1)).toSet.subsetOf(Set("train", "eval")))
+    val again = text.TextOps.trainEvalSplit(spark, dir).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("topBigrams total mass is bounded by the corpus bigram count") {
+    val rows = text.TextOps.topBigrams(spark, dir).collect()
+    assert(rows.length === 25)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sliding(2).forall(p => p(0) >= p(1)), "sorted by count desc")
+    val totalBigrams = Tables.documents(spark, dir)
+      .select(sum(greatest(
+        size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")) - 1,
+        lit(0))).cast("long"))
+      .collect().head.getLong(0)
+    assert(counts.sum <= totalBigrams)
+  }
+}
