@@ -12,6 +12,10 @@ object Bench {
     Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // functions + custom strategy/rule up front: rank-filter queries must
+    // hit the bounded-heap rewrite in EVERY pass, not only after the
+    // query that happens to install it has run once
+    graft.functions.GraftFunctions.register(spark)
     // warm-up at the smallest SF: JIT + codegen + catalyst caches get hot
     // cheaply. (Warming at the target SF was tried and measured WORSE —
     // the doubled workload leaves enough cached/GC pressure to slow the

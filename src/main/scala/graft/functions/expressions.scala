@@ -371,6 +371,12 @@ object GraftFunctions {
     all.foreach { case (name, _, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // the custom operator's strategy + rewrite rule ride along: before
+    // this, runtime sessions only got them when q63 happened to run
+    // first (GroupTopK.install inside topSpendersPerNationCustom), so
+    // whether q04/q16/q42/q52-style rank filters hit the bounded-heap
+    // plan depended on query ORDER within the session
+    graft.plans.GroupTopK.install(spark)
     registered.put(spark, java.lang.Boolean.TRUE)
   }
 }
