@@ -142,7 +142,9 @@ object DedupOps {
     val fresh = docs.filter(col("doc_id") >= splitAt)
     // exact layer: content-hash anti-join (the fingerprint table is all
     // the corpus state this layer ever needs)
-    val corpusFp = corpus.select(md5(col("text")).as("fp")).distinct()
+    val corpusFp = Tables.memoCache(spark, s"inc-dedup-fp/$splitAt/$dir") {
+      corpus.select(md5(col("text")).as("fp")).distinct()
+    }
     val exactSurvivors = fresh
       .withColumn("fp", md5(col("text")))
       .join(corpusFp, Seq("fp"), "left_anti")
@@ -156,7 +158,12 @@ object DedupOps {
            |  concat_ws('_', ${(0 until BandRows).map(r => s"sig[$BandRows*b+$r]").mkString(", ")}) as band_key))""".stripMargin))
         .as("band"))
       .select(col("doc_id"), col("hs"), col("band.band_idx"), col("band.band_key"))
-    val corpusBands = bands(corpus)
+    // the corpus band index and fingerprint set are INDEX ARTIFACTS of
+    // the existing corpus — in production they persist across ingest
+    // batches, so they memoize per (session, corpus) exactly like the
+    // LSH band index and the IVF model; only the fresh batch re-derives
+    val corpusBands = Tables.memoCache(spark,
+      s"inc-dedup-bands/$splitAt/$dir")(bands(corpus))
     val freshBands = bands(exactSurvivors.select("doc_id", "text"))
     val nearDupIds = freshBands.as("f")
       .join(corpusBands.as("c"),

@@ -169,10 +169,15 @@ object TextOps {
     // graft_token_counts expression: the explode emits one row per
     // DISTINCT term per doc instead of one per token occurrence, so no
     // (doc_id, term) shuffle ever carries raw token rows
-    val tf = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(expr("graft_token_counts(text)")).as("tc"))
-      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    // memoized: the tf table feeds BOTH the df aggregate and the scored
+    // join below — without the cache the one-pass tokenization subtree
+    // executes twice per call (and once more per repeated call)
+    val tf = Tables.memoCache(spark, s"tfidf-tf/$dir") {
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(expr("graft_token_counts(text)")).as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    }
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, dir).count()
     val w = org.apache.spark.sql.expressions.Window
