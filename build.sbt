@@ -20,6 +20,8 @@ outputStrategy := Some(StdoutOutput)
 // "[success] Total time: ..." line was the LAST stdout line. Suppress it
 // so the bench JSON is the final line a tail-parser sees.
 Global / showSuccess := false
+// (command-level setting; lint can't see its use)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
