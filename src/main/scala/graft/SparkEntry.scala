@@ -123,6 +123,8 @@ object SparkEntry {
     "q68_cluster_best"     -> ((s, d) => graft.dedup.DedupOps.keepBestPerCluster(s, d)),
     "q69_dim_profile"      -> ((s, d) => graft.vector.VectorOps.dimProfile(s, d)),
     "q70_train_eval_split" -> ((s, d) => graft.text.TextOps.trainEvalSplit(s, d)),
+    // --- SCD2: changelog → validity intervals (T8 full-history form) ---
+    "q71_scd2_intervals"   -> ((s, d) => Changelog.scd2Intervals(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -612,6 +614,16 @@ object SparkEntry {
         |SELECT bigram, COUNT(*) AS ct FROM g
         |GROUP BY 1 ORDER BY ct DESC, bigram ASC LIMIT 25""".stripMargin,
     "q68_cluster_best" -> ClusterBestSql,
+    "q71_scd2_intervals" ->
+      """SELECT user_id,
+        |       CAST(row_number() OVER w AS BIGINT) AS version,
+        |       epoch_us(ts) AS valid_from_us,
+        |       epoch_us(lead(ts) OVER w) AS valid_to_us,
+        |       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+        |       event_type, value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "q69_dim_profile" ->
       """WITH u AS (SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
         |                  unnest(CAST(embedding AS DOUBLE[])) AS x

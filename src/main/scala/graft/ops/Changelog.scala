@@ -37,6 +37,30 @@ object Changelog {
       .orderBy("user_id")
   }
 
+  /** T8 generalized to FULL HISTORY (SCD type 2): every change event
+    * becomes a validity interval [valid_from, valid_to) with valid_to =
+    * the next change's timestamp (NULL = current version). The
+    * warehouse-side materialization a changelog feeds when consumers
+    * need as-of-time lookups, not just the latest snapshot. One shuffle
+    * on the key + one per-key ordered pass (lead); at 100 TB the window
+    * partitions by entity so it parallelizes per key group — no global
+    * sort. Pairs with the as-of join (q48) as its consumer. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(
+        col("user_id"),
+        col("version"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(col("valid_to_ts")).as("valid_to_us"), // null = current
+        (col("valid_to_ts").isNull).cast("long").as("is_current"),
+        col("event_type"),
+        col("value"))
+      .orderBy("user_id", "version")
+  }
+
   /** P1: schema-on-read JSON parse with a declared target schema —
     * PERMISSIVE mode reproduces fastjson's null-on-missing semantics
     * (reference DauApp.scala:33: absent JSON fields become null/0

@@ -109,6 +109,25 @@ class Round3Spec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("scd2 intervals tile each user's timeline with exactly one open version") {
+    val rows = ops.Changelog.scd2Intervals(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (user, vs) =>
+      val ordered = vs.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq === (1L to ordered.length).toSeq, s"dense versions for $user")
+      // each interval's end is the next interval's start; only the last is open
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(3) && a.getLong(3) === b.getLong(2), s"tiling for $user")
+        case _ =>
+      }
+      assert(vs.count(_.getLong(4) == 1L) === 1, s"one current version for $user")
+      assert(ordered.last.isNullAt(3), s"open tail for $user")
+    }
+    val total = Tables.events(spark, dir).count()
+    assert(rows.length.toLong === total, "every change event becomes a version")
+  }
+
   test("topBigrams total mass is bounded by the corpus bigram count") {
     val rows = text.TextOps.topBigrams(spark, dir).collect()
     assert(rows.length === 25)

@@ -292,6 +292,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming n-gram counts accumulate across batches (update mode)") {
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val input = MemoryStream[Doc]
+    val counts = input.toDF()
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr("graft_ngram_counts(text, 2)")).as("g"))
+      .groupBy(col("g.gram").as("bigram"))
+      .agg(org.apache.spark.sql.functions.sum(col("g.ct")).as("ct"))
+    val q = counts.writeStream.format("memory")
+      .queryName("ngram_out").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Doc(1, "web", "en", "a b a b"))
+      q.processAllAvailable()
+      input.addData(Doc(2, "web", "en", "a b c"))
+      q.processAllAvailable()
+      // update-mode memory sink keeps every emission; latest state per key
+      // is the last row — "a b" must have accumulated 2 (batch 1) + 1
+      val latest = spark.table("ngram_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(latest("a b") === 3L)
+      assert(latest("b a") === 1L)
+      assert(latest("b c") === 1L)
+    } finally q.stop()
+  }
+
   test("streaming corpus ingest: quality gate + cross-batch dedup + chunking") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Doc]
