@@ -125,6 +125,9 @@ object SparkEntry {
     "q70_train_eval_split" -> ((s, d) => graft.text.TextOps.trainEvalSplit(s, d)),
     // --- SCD2: changelog → validity intervals (T8 full-history form) ---
     "q71_scd2_intervals"   -> ((s, d) => Changelog.scd2Intervals(s, d)),
+    // --- ordered conversion funnel + explicit grouping sets ---
+    "q72_funnel"           -> ((s, d) => Publisher.funnel(s, d)),
+    "q73_grouping_sets"    -> ((s, d) => graft.text.TextOps.corpusGroupingSets(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -614,6 +617,29 @@ object SparkEntry {
         |SELECT bigram, COUNT(*) AS ct FROM g
         |GROUP BY 1 ORDER BY ct DESC, bigram ASC LIMIT 25""".stripMargin,
     "q68_cluster_best" -> ClusterBestSql,
+    "q72_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS ct FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts > v.vt
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts > c.ct
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT v.user_id, epoch_us(vt) AS view_us, epoch_us(ct) AS click_us,
+        |       epoch_us(pt) AS purchase_us,
+        |       CAST(1 + (CASE WHEN ct IS NULL THEN 0 ELSE 1 END)
+        |              + (CASE WHEN pt IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q73_grouping_sets" ->
+      """WITH t AS (SELECT lang, source,
+        |             CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents)
+        |SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+        |       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM t GROUP BY GROUPING SETS ((lang, source), (lang), (source))
+        |ORDER BY gid, lang, source""".stripMargin,
     "q71_scd2_intervals" ->
       """SELECT user_id,
         |       CAST(row_number() OVER w AS BIGINT) AS version,

@@ -190,6 +190,37 @@ object Publisher {
       .orderBy("source", "rk")
   }
 
+  /** Ordered conversion funnel view → click → purchase: each stage's
+    * entry time is the user's first qualifying event STRICTLY AFTER the
+    * previous stage's entry (not merely "did both events ever happen").
+    * Three filtered min-aggregates chained by joins — each pass pushes
+    * its event_type predicate to the scan, aggregates map-side to one
+    * row per user, and joins on the (already-compact) user key; no
+    * window sort, no per-user event collection. The stage column counts
+    * how deep the user got (1-3). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def firstAfter(eventType: String, prev: DataFrame, prevTs: String, outTs: String) =
+      ev.filter(col("event_type") === eventType)
+        .join(prev.select(col("user_id"), col(prevTs)), Seq("user_id"))
+        .filter(col("ts") > col(prevTs))
+        .groupBy("user_id").agg(min(col("ts")).as(outTs))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("view_ts"))
+    val c = firstAfter("click", v, "view_ts", "click_ts")
+    val p = firstAfter("purchase", c, "click_ts", "purchase_ts")
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(
+        col("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        (lit(1L) + col("click_ts").isNotNull.cast("long")
+          + col("purchase_ts").isNotNull.cast("long")).as("stage"))
+      .orderBy("user_id")
+  }
+
   /** Grouped argmax via ONE max(struct(...)) aggregate — the mode
     * (most-frequent value) per key without a rank+filter second pass:
     * struct comparison is lexicographic, so max over

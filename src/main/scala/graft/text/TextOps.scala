@@ -253,6 +253,30 @@ object TextOps {
       .orderBy("lang", "split")
   }
 
+  /** Corpus volumes by explicit GROUPING SETS ((lang, source), (lang),
+    * (source)) with the grouping_id disambiguator — the arbitrary-set
+    * form that rollup (q46) and cube (q65) are special cases of, here
+    * exactly the three views a corpus dashboard shows (matrix + both
+    * marginals, no grand total). Still one Expand + one two-phase hash
+    * aggregate; gid is computed map-side by the Expand node. */
+  def corpusGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        expr("graft_text_stats(text).n_tokens").as("n_tokens"))
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq(col("source"))),
+        col("lang"), col("source"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .toDF("g_lang", "g_source", "gid", "n_docs", "total_tokens")
+      .select(
+        coalesce(col("g_lang"), lit("ALL")).as("lang"),
+        coalesce(col("g_source"), lit("ALL")).as("source"),
+        col("gid"), col("n_docs"), col("total_tokens"))
+      .orderBy("gid", "lang", "source")
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text
     * — the cheap content-address used by exact dedup and incremental
     * re-crawl pipelines. */

@@ -128,6 +128,57 @@ class Round3Spec extends SparkSpec {
     assert(rows.length.toLong === total, "every change event becomes a version")
   }
 
+  test("funnel stages are strictly ordered and match a brute-force event scan") {
+    val out = ops.Publisher.funnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // strict ordering whenever a stage is present
+    out.values.foreach { r =>
+      if (!r.isNullAt(2)) assert(r.getLong(2) > r.getLong(1), "click after view")
+      if (!r.isNullAt(3)) assert(r.getLong(3) > r.getLong(2), "purchase after click")
+      val stage = 1 + (if (r.isNullAt(2)) 0 else 1) + (if (r.isNullAt(3)) 0 else 1)
+      assert(r.getLong(4) === stage.toLong)
+    }
+    // brute force: replay each user's events in order
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    events.foreach { case (user, evs) =>
+      val sorted = evs.sortBy(_._2)
+      val vt = sorted.find(_._3 == "view").map(_._2)
+      val ct = vt.flatMap(v => sorted.find(e => e._3 == "click" && e._2 > v).map(_._2))
+      val pt = ct.flatMap(c => sorted.find(e => e._3 == "purchase" && e._2 > c).map(_._2))
+      vt match {
+        case None => assert(!out.contains(user))
+        case Some(v) =>
+          val r = out(user)
+          assert(r.getLong(1) === v)
+          assert(ct === (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+          assert(pt === (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      }
+    }
+  }
+
+  test("grouping sets emit exactly the three requested views with consistent gids") {
+    val rows = text.TextOps.corpusGroupingSets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4))).toMap
+    // gid encodes which columns are aggregated-away: 0 = (lang, source),
+    // 1 = lang marginal, 2 = source marginal; no gid=3 grand total
+    assert(rows.keys.map(_._3).toSet === Set(0L, 1L, 2L))
+    rows.keys.foreach {
+      case (l, s, 0L) => assert(l != "ALL" && s != "ALL")
+      case (l, s, 1L) => assert(l != "ALL" && s == "ALL")
+      case (l, s, 2L) => assert(l == "ALL" && s != "ALL")
+      case bad => fail(s"unexpected row $bad")
+    }
+    // each lang marginal sums its matrix rows
+    rows.keys.toSeq.collect { case (l, "ALL", 1L) => l }.foreach { l =>
+      val matrix = rows.toSeq.collect { case (((`l`, s, 0L)), v) if s != "ALL" => v }
+      assert(rows((l, "ALL", 1L))._1 === matrix.map(_._1).sum, s"n_docs for $l")
+      assert(rows((l, "ALL", 1L))._2 === matrix.map(_._2).sum, s"tokens for $l")
+    }
+  }
+
   test("topBigrams total mass is bounded by the corpus bigram count") {
     val rows = text.TextOps.topBigrams(spark, dir).collect()
     assert(rows.length === 25)
