@@ -128,6 +128,8 @@ object SparkEntry {
     // --- ordered conversion funnel + explicit grouping sets ---
     "q72_funnel"           -> ((s, d) => Publisher.funnel(s, d)),
     "q73_grouping_sets"    -> ((s, d) => graft.text.TextOps.corpusGroupingSets(s, d)),
+    // --- train/eval n-gram contamination audit ---
+    "q74_contamination"    -> ((s, d) => graft.text.TextOps.contamination(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -640,6 +642,24 @@ object SparkEntry {
         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM t GROUP BY GROUPING SETS ((lang, source), (lang), (source))
         |ORDER BY gid, lang, source""".stripMargin,
+    "q74_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              unnest(CASE WHEN len(t) >= 3
+        |                     THEN list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |                     ELSE [] END) AS s
+        |       FROM tok),
+        |spl AS (SELECT doc_id,
+        |          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |               THEN 'eval' ELSE 'train' END AS split
+        |        FROM documents),
+        |tr AS (SELECT DISTINCT s FROM sh JOIN spl USING (doc_id) WHERE split = 'train'),
+        |ev AS (SELECT sh.doc_id, sh.s FROM sh JOIN spl USING (doc_id) WHERE split = 'eval')
+        |SELECT ev.doc_id, COUNT(*) AS n_shingles,
+        |       CAST(COUNT(tr.s) AS BIGINT) AS overlap_ct,
+        |       COUNT(tr.s) / COUNT(*) AS overlap_ratio
+        |FROM ev LEFT JOIN tr ON ev.s = tr.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q71_scd2_intervals" ->
       """SELECT user_id,
         |       CAST(row_number() OVER w AS BIGINT) AS version,

@@ -38,7 +38,7 @@ object DedupOps {
     * see the expression's scaladoc). 64-bit hashing keeps every
     * downstream shuffle narrow; collision probability over ~30k distinct
     * shingles is ≈ 2e-11, documented as accepted. */
-  private def docShingleArr(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docShingleArr(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // memo-cached: one row per doc, consumed by several subtrees per plan
     // and by multiple registered queries in one session

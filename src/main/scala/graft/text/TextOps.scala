@@ -244,9 +244,7 @@ object TextOps {
   def trainEvalSplit(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .select(col("lang"),
-        when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"), "eval")
-          .otherwise("train").as("split"),
+      .select(col("lang"), splitCol.as("split"),
         expr("graft_text_stats(text).n_tokens").as("n_tokens"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
@@ -275,6 +273,40 @@ object TextOps {
         coalesce(col("g_source"), lit("ALL")).as("source"),
         col("gid"), col("n_docs"), col("total_tokens"))
       .orderBy("gid", "lang", "source")
+  }
+
+  /** The split-assignment column shared by [[trainEvalSplit]] and
+    * [[contamination]] — a pure function of doc_id (md5 hex prefix). */
+  private def splitCol: Column =
+    when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"), "eval")
+      .otherwise("train")
+
+  /** Train/eval CONTAMINATION check — for every eval document, the
+    * fraction of its distinct 3-gram shingles that appear anywhere in
+    * the train split. The audit an LLM pipeline runs before trusting its
+    * eval numbers. Shape at scale: the train side collapses to a
+    * DISTINCT shingle-hash set (one narrow column), the eval side's
+    * shingles left-semi probe it, and both reuse the memoized per-doc
+    * shingle table the dedup suite already builds — no text is
+    * re-tokenized. Shingle identity is 64-bit-hash-based like q24/q25
+    * (collision odds ~2e-11, documented there); the oracle compares on
+    * the shingle STRINGS, holding the hashed pipeline to exact string
+    * semantics. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.dedup.DedupOps.docShingleArr(spark, dir) // (doc_id, arr)
+      .withColumn("split", splitCol)
+    val exploded = sh.select(col("doc_id"), col("split"), explode(col("arr")).as("sh64"))
+    val trainSet = exploded.filter(col("split") === "train")
+      .select(col("sh64")).distinct()
+    val evalSh = exploded.filter(col("split") === "eval")
+    val hits = evalSh.join(trainSet, Seq("sh64"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap_ct"))
+    evalSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("overlap_ct"), lit(0L)).as("overlap_ct"))
+      .withColumn("overlap_ratio", col("overlap_ct") / col("n_shingles"))
+      .orderBy("doc_id")
   }
 
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text

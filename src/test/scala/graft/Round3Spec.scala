@@ -179,6 +179,35 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("contamination covers exactly the eval split and matches a string-level recompute") {
+    import spark.implicits._
+    val out = text.TextOps.contamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val evalIds = text.TextOps.trainEvalSplit(spark, dir) // report only; re-derive ids
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t")).as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val isEval = (id: Long) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").head.charAt(0) <= '1'
+    val trainShingles = docs.filter(d => !isEval(d._1)).flatMap(d => shingles(d._2)).toSet
+    val evalDocs = docs.filter(d => isEval(d._1) && shingles(d._2).nonEmpty)
+    assert(out.keySet === evalDocs.map(_._1).toSet, "rows are exactly the eval docs with shingles")
+    evalDocs.foreach { case (id, t) =>
+      val s = shingles(t)
+      val hit = s.count(trainShingles.contains)
+      val (n, ct, ratio) = out(id)
+      assert(n === s.size.toLong, s"n_shingles for $id")
+      assert(ct === hit.toLong, s"overlap for $id")
+      assert(ratio === hit.toDouble / s.size, s"ratio for $id")
+    }
+  }
+
   test("topBigrams total mass is bounded by the corpus bigram count") {
     val rows = text.TextOps.topBigrams(spark, dir).collect()
     assert(rows.length === 25)
