@@ -63,7 +63,7 @@ object Bench {
     // passes >= 2 reuse session-memoized artifacts (cached dims, IVF
     // model, LSH band index), so min-over-passes is a warm timing for the
     // index-backed queries — stated here rather than silently implied.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"timing":"best-of-$maxPasses, passes >= 2 warm","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"timing":"best-of-$pass, passes >= 2 warm","sf":"$sfDir"}"""
     println(json)
     // safety net beside the stdout contract: a file copy of the same line
     // (round-1 grading lost the stdout line to an sbt log prefix)
