@@ -292,6 +292,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel state machine advances across batches, suppresses no-ops") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.CustomState.{FunnelEv, funnelStream}
+    val input = MemoryStream[FunnelEv]
+    val q = funnelStream(input.toDS()).toDF().writeStream.format("memory")
+      .queryName("funnel_out").outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: user 1 views then clicks; user 2 clicks with NO view (ignored)
+      input.addData(
+        FunnelEv(1L, 1000L, "view"), FunnelEv(1L, 2000L, "click"),
+        FunnelEv(2L, 1000L, "click"))
+      q.processAllAvailable()
+      val b1 = spark.table("funnel_out").collect()
+      assert(b1.map(_.getLong(0)).toSet === Set(1L), "user 2 emitted nothing")
+      assert(b1.head.getLong(4) === 2L)
+      // batch 2: user 1 purchases (advances to stage 3); a LATE view for
+      // user 1 at ts 500 must not rewind the greedy state; user 2 still dark
+      input.addData(
+        FunnelEv(1L, 3000L, "purchase"), FunnelEv(1L, 500L, "view"),
+        FunnelEv(2L, 4000L, "error"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").collect().filter(_.getLong(0) == 1L)
+      val last = rows.maxBy(_.getLong(4))
+      assert(last.getLong(4) === 3L)
+      assert(last.getLong(1) === 1000L, "greedy state keeps the first-seen view")
+      assert(last.getLong(3) === 3000L)
+      assert(!spark.table("funnel_out").collect().exists(_.getLong(0) == 2L))
+    } finally q.stop()
+  }
+
+  test("streaming funnel matches the batch operator on in-order real data") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.CustomState.{FunnelEv, funnelStream}
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .orderBy("ts_us").as[FunnelEv].collect()
+    val input = MemoryStream[FunnelEv]
+    val q = funnelStream(input.toDS()).toDF().writeStream.format("memory")
+      .queryName("funnel_parity_out").outputMode(OutputMode.Update()).start()
+    try {
+      // feed in timestamp order split across three batches
+      events.grouped(math.max(1, events.length / 3)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // latest emission per user == the batch funnel
+      val streamed = spark.table("funnel_parity_out").collect()
+        .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.maxBy(_.getLong(4)) }
+      val batch = graft.ops.Publisher.funnel(spark, dir).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(streamed.keySet === batch.keySet)
+      batch.foreach { case (u, b) =>
+        val s = streamed(u)
+        (1 to 3).foreach { i =>
+          assert(b.isNullAt(i) === s.isNullAt(i), s"null parity user $u col $i")
+          if (!b.isNullAt(i)) assert(b.getLong(i) === s.getLong(i), s"user $u col $i")
+        }
+        assert(b.getLong(4) === s.getLong(4), s"stage for $u")
+      }
+    } finally q.stop()
+  }
+
   test("streaming n-gram counts accumulate across batches (update mode)") {
     implicit val sq = spark.sqlContext
     graft.functions.GraftFunctions.register(spark)
