@@ -108,7 +108,17 @@ object StreamDemo {
           "source", Seq("doc_id", "chunk_idx"))
       }.start()
 
-    Seq(qDau, qAlerts, qGmv, qJoin, qDim, qCorpus).foreach(_.awaitTermination())
+    // 7. Conversion funnel — per-user flatMapGroupsWithState machine
+    val qFunnel = {
+      import spark.implicits._
+      graft.streaming.CustomState.funnelStream(
+        events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+          .as[graft.streaming.CustomState.FunnelEv])
+        .toDF().writeStream.format("memory").queryName("demo_funnel")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    }
+
+    Seq(qDau, qAlerts, qGmv, qJoin, qDim, qCorpus, qFunnel).foreach(_.awaitTermination())
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
@@ -121,7 +131,8 @@ object StreamDemo {
     println(s"[stream-demo] stream-stream joined rows: ${spark.table("demo_join").count()}")
     println(s"[stream-demo] dim latest-per-user rows: ${spark.read.parquet(dimOut).count()}")
     println(s"[stream-demo] corpus chunks (gated+deduped): ${spark.read.parquet(chunksOut).count()}")
-    println(f"[stream-demo] 6 concurrent pipelines, ${nEvents + nOrders + nItems + nDocs}%,d input rows in $wallSec%.1f s")
+    println(s"[stream-demo] funnel users (stateful): ${spark.table("demo_funnel").select("user_id").distinct().count()}")
+    println(f"[stream-demo] 7 concurrent pipelines, ${nEvents + nOrders + nItems + nDocs}%,d input rows in $wallSec%.1f s")
 
     spark.stop()
   }
