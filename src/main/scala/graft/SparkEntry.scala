@@ -130,6 +130,8 @@ object SparkEntry {
     "q73_grouping_sets"    -> ((s, d) => graft.text.TextOps.corpusGroupingSets(s, d)),
     // --- train/eval n-gram contamination audit ---
     "q74_contamination"    -> ((s, d) => graft.text.TextOps.contamination(s, d)),
+    // --- Count-Min frequency sketch + exact twin (rows-only) ---
+    "q75_heavy_hitters"    -> ((s, d) => Publisher.heavyHittersSketch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -695,8 +697,11 @@ object SparkEntry {
     //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible
     //   in SQL), q44_percentiles_approx (sketch), q45_stratified_sample
     //   (engine-specific Bernoulli draws; determinism pinned by unit
-    //   test). q29_ann_lsh IS oracled: the seeded hyperplanes are
-    //   embedded as literals, making the whole LSH pipeline replayable.
+    //   test), q75_heavy_hitters (Count-Min layout is engine-specific;
+    //   its own output carries the exact twin and Round3Spec bounds the
+    //   overestimate). q29_ann_lsh IS oracled: the seeded hyperplanes
+    //   are embedded as literals, making the whole LSH pipeline
+    //   replayable.
   )
 
   /** Exact 3-gram-shingle Jaccard pairs at threshold 0.7 — the oracle for

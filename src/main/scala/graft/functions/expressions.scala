@@ -324,6 +324,40 @@ case class TextStats(child: Expression, stopwords: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Point estimate from a serialized Count-Min sketch (the binary the
+  * built-in `count_min_sketch` aggregate emits): estimateCount of the
+  * item — never an underestimate, over by ≤ eps·N with the sketch's
+  * confidence. The sketch arrives as a one-row broadcast; deserialization
+  * is memoized per (instance, byte-array identity) so repeated estimates
+  * against the same sketch parse it once per task, not once per row. */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  @transient private var lastBytes: Array[Byte] = _
+  @transient private var lastSketch: org.apache.spark.util.sketch.CountMinSketch = _
+
+  override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
+    val bytes = sketchBytes.asInstanceOf[Array[Byte]]
+    if (lastSketch == null || (lastBytes ne bytes)) {
+      lastSketch = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      lastBytes = bytes
+    }
+    item match {
+      case s: org.apache.spark.unsafe.types.UTF8String => lastSketch.estimateCount(s.toString)
+      case l: java.lang.Long => lastSketch.estimateCount(l)
+      case i: java.lang.Integer => lastSketch.estimateCount(i.longValue())
+      case other => throw new IllegalArgumentException(
+        s"graft_cms_estimate: unsupported item type ${other.getClass}")
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Session registration for the custom expressions (idempotent), exposing
   * them to `expr(...)`/SQL as `graft_dot` and `graft_minhash_sig`. */
 object GraftFunctions {
@@ -354,7 +388,10 @@ object GraftFunctions {
       exprs => TokenCounts(exprs.head)),
     ("graft_ngram_counts",
       "graft_ngram_counts(text, n) - array<struct(gram, ct)> of per-n-gram frequencies",
-      exprs => NGramCounts(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+      exprs => NGramCounts(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+    ("graft_cms_estimate",
+      "graft_cms_estimate(sketch, item) - Count-Min point estimate from a serialized sketch",
+      exprs => CmsEstimate(exprs.head, exprs(1))))
 
   // Weak keys: a stopped session's entry disappears with the session, and
   // re-registering on every query call spammed "replaced a previously

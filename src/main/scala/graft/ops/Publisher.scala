@@ -190,6 +190,27 @@ object Publisher {
       .orderBy("source", "rk")
   }
 
+  /** Frequency-sketch heavy hitters: a Count-Min sketch of event_type
+    * built in one mergeable aggregate pass (the frequency member of the
+    * sketch family, alongside HLL distinct q61 and approx-percentile
+    * q44), probed by the custom graft_cms_estimate expression next to
+    * the exact counts. At 100 TB the sketch is the only thing the
+    * estimate pass needs — fixed ~ceil(e/eps)·ceil(ln(1/δ)) counters
+    * regardless of cardinality, partial-aggregated map-side and unioned
+    * by + like any sum. CMS never underestimates; the spec bounds the
+    * overestimate at eps·N. Rows-only check (sketch layout is
+    * engine-specific), exact twin in the same output. */
+  def heavyHittersSketch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ev = Tables.events(spark, dir)
+    val sk = ev.agg(expr("count_min_sketch(event_type, 0.0001d, 0.99d, 42)").as("sk"))
+    ev.groupBy("event_type").agg(count(lit(1)).as("exact_ct"))
+      .crossJoin(broadcast(sk))
+      .select(col("event_type"), col("exact_ct"),
+        expr("graft_cms_estimate(sk, event_type)").as("est_ct"))
+      .orderBy("event_type")
+  }
+
   /** Ordered conversion funnel view → click → purchase: each stage's
     * entry time is the user's first qualifying event STRICTLY AFTER the
     * previous stage's entry (not merely "did both events ever happen").

@@ -208,6 +208,19 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("count-min estimates never undercount and stay within the eps bound") {
+    val rows = ops.Publisher.heavyHittersSketch(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.events(spark, dir).count()
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: CMS must never underestimate")
+      assert(est <= exact + math.ceil(0.0001 * n).toLong + 1,
+        s"${r.getString(0)}: overestimate beyond eps*N")
+    }
+    assert(rows.map(_.getLong(1)).sum === n, "exact twin partitions all events")
+  }
+
   test("topBigrams total mass is bounded by the corpus bigram count") {
     val rows = text.TextOps.topBigrams(spark, dir).collect()
     assert(rows.length === 25)
