@@ -22,6 +22,33 @@ class TextVectorEdgeSpec extends SparkSpec {
       (0L, "t0 t1 t2", 3), (1L, "t2 t3 t4", 3), (2L, "t4 t5 t6", 3), (3L, "t6", 1)))
   }
 
+  test("ngram counts handle null, empty, and sub-n texts") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(Some("one"), Some(""), Some("   "), None)
+      .toDF("text")
+      .select(expr("graft_ngram_counts(text, 2)").as("g")).collect()
+    assert(rows(0).getSeq[Any](0).isEmpty) // 1 token < n
+    assert(rows(1).getSeq[Any](0).isEmpty)
+    assert(rows(2).getSeq[Any](0).isEmpty)
+    assert(rows(3).isNullAt(0)) // null in, null out
+  }
+
+  test("cms estimate is null-safe and rejects unsupported item types") {
+    graft.functions.GraftFunctions.register(spark)
+    val sk = spark.sql(
+      "SELECT count_min_sketch(x, 0.001d, 0.99d, 42) AS sk FROM VALUES ('a'),('a'),('b') t(x)")
+    val est = sk.select(
+      expr("graft_cms_estimate(sk, 'a')"),
+      expr("graft_cms_estimate(sk, 'zzz')"),
+      expr("graft_cms_estimate(sk, cast(null as string))")).collect().head
+    assert(est.getLong(0) === 2L)
+    assert(est.getLong(1) === 0L) // unseen item: no undercount means >= 0, tiny sketch → exact 0
+    assert(est.isNullAt(2))
+    intercept[Exception] {
+      sk.select(expr("graft_cms_estimate(sk, 3.14d)")).collect()
+    }
+  }
+
   test("zero vector quantizes to all-zero instead of erroring") {
     val out = Seq(Seq(0.0, 0.0, 0.0)).toDF("v")
       .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0d"))
