@@ -107,35 +107,24 @@ object ScaleProbe {
             .filter(col("rk") <= 10).count()
         } finally graft.plans.GroupTopK.install(spark)
       }
+      // the three probes below call the OPERATORS' own cores on amplified
+      // inputs (like asofCore/attributionCore above) — an inline copy of
+      // the operator body drifts silently and stops measuring the real
+      // plan shape
       time(s"${copies}x knn join (broadcast queries + bounded heaps)") {
         // queries stay FIXED (10) while the corpus amplifies — the
         // realistic shape: per-query state is k rows per partition
         // regardless of corpus size
         val vecsAmp = amplified(Tables.embeddings(spark, dir), Seq("vec_id"), copies)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-        val queries = vecsAmp.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-        vecsAmp.filter(col("vec_id") >= 10).crossJoin(broadcast(queries))
-          .select(col("query_id"), col("vec_id"),
-            (expr("graft_dot(v, qv)") /
-              (sqrt(expr("graft_dot(v, v)")) * sqrt(expr("graft_dot(qv, qv)")))).as("cos"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3).count()
+        graft.vector.VectorOps.knnJoinCore(vecsAmp, nQueries = 10L, k = 3).count()
       }
       time(s"${copies}x dim profile (posexplode + partial agg)") {
-        amplified(Tables.embeddings(spark, dir), Seq("vec_id"), copies)
-          .select(posexplode(expr("transform(embedding, x -> cast(x as double))")))
-          .groupBy(col("pos"))
-          .agg(sum(expr("cast(floor(col * 1000000.0d + 0.5d) as long)")),
-            min(col("col")), max(col("col")))
-          .count()
+        graft.vector.VectorOps.dimProfileCore(
+          amplified(Tables.embeddings(spark, dir), Seq("vec_id"), copies)).count()
       }
       time(s"${copies}x corpus n-gram counts (one-pass expr + agg)") {
-        docs.select(explode(expr("graft_ngram_counts(text, 2)")).as("g"))
-          .groupBy(col("g.gram")).agg(sum(col("g.ct")).as("ct"))
-          .orderBy(col("ct").desc).limit(25).count()
+        graft.text.TextOps.topBigramsCore(docs).count()
       }
       time(s"${copies}x sequence packing (per-source window)") {
         val w = org.apache.spark.sql.expressions.Window

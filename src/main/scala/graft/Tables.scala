@@ -33,24 +33,36 @@ object Tables {
     * the last call. Multiple live sessions sharing one SparkContext
     * accumulate until their context stops — acceptable for this
     * engine's one-session-per-app mains and suites.) */
+  /** Single-evaluation holder: `lazy val` gives per-INSTANCE
+    * synchronization, so the winning holder's build runs under its own
+    * monitor — losers of the putIfAbsent race never evaluate (no orphaned
+    * InMemoryRelation), and a build that runs Spark jobs (the LSH band
+    * index derives the embedding dim with a head()) blocks only callers
+    * of the SAME key, never the process-global memo lock. */
+  private final class LazyDf(build: () => DataFrame) {
+    lazy val df: DataFrame = build().cache()
+  }
   private val memo =
     new java.util.IdentityHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
-  def memoCache(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    // the entry is computed INSIDE the lock: TrieMap.getOrElseUpdate does
-    // not guarantee single evaluation, and a doubly-evaluated build.cache()
-    // would leave an orphaned InMemoryRelation in the session until stop.
-    // build only constructs a plan and registers the cache (no job), so
-    // holding the lock across it is cheap.
-    memo.synchronized {
+      scala.collection.concurrent.TrieMap[String, LazyDf]]()
+  def memoCache(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val perSession = memo.synchronized {
       memo.keySet.removeIf(s => s.sparkContext.isStopped)
       var m = memo.get(spark)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        m = scala.collection.concurrent.TrieMap.empty[String, LazyDf]
         memo.put(spark, m)
       }
-      m.getOrElseUpdate(key, build.cache())
+      m
     }
+    val holder = perSession.get(key) match {
+      case Some(h) => h
+      case None =>
+        val h = new LazyDf(() => build)
+        perSession.putIfAbsent(key, h).getOrElse(h)
+    }
+    holder.df
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

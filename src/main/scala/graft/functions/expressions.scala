@@ -340,7 +340,11 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
     val bytes = sketchBytes.asInstanceOf[Array[Byte]]
-    if (lastSketch == null || (lastBytes ne bytes)) {
+    // content compare, NOT `ne`: UnsafeRow.getBinary copies the field
+    // into a fresh array per access, so identity never matches and the
+    // sketch would re-parse per row; an Arrays.equals memcmp is far
+    // cheaper than readFrom's full counter-table parse
+    if (lastSketch == null || !java.util.Arrays.equals(lastBytes, bytes)) {
       lastSketch = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(bytes))
       lastBytes = bytes

@@ -100,9 +100,6 @@ object Dau {
       .agg(approx_count_distinct(col("user_id")).as("uv_approx"))
       .orderBy("log_date")
 
-  /** Exact twin of [[uvSketchRollup]] — weekly distinct users computed
-    * exactly (oracle-verified), so the sketch path has an in-engine
-    * ground truth at every scale factor. */
   /** Week key = the Monday the week starts on (as a yyyy-MM-dd string).
     * `weekofyear` alone would merge the same ISO week number across
     * different years and park late-December days in "week 1"; truncating
@@ -111,6 +108,9 @@ object Dau {
   private def weekStart(dateCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     date_format(date_trunc("week", dateCol), "yyyy-MM-dd")
 
+  /** Exact twin of [[uvSketchRollup]] — weekly distinct users computed
+    * exactly (oracle-verified), so the sketch path has an in-engine
+    * ground truth at every scale factor. */
   def uvWeeklyExact(spark: SparkSession, dir: String): DataFrame =
     withLogDate(Tables.events(spark, dir))
       .withColumn("week_start", weekStart(to_date(col("log_date"))))

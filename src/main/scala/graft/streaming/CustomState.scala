@@ -33,7 +33,11 @@ object CustomState {
   }
 
   case class FunnelEv(user_id: Long, ts_us: Long, event_type: String)
-  case class FunnelState(view_us: Long, click_us: Long, purchase_us: Long)
+  // Options, not a sentinel long: every Long is a legal epoch-micros
+  // value (ts_us == -1 is 1969-12-31T23:59:59.999999Z), so an in-band
+  // "unset" marker would silently swallow that user's funnel
+  case class FunnelState(view_us: Option[Long], click_us: Option[Long],
+                         purchase_us: Option[Long])
   case class FunnelRow(user_id: Long, view_us: java.lang.Long,
                        click_us: java.lang.Long, purchase_us: java.lang.Long,
                        stage: Long)
@@ -55,32 +59,32 @@ object CustomState {
       Encoders.product[FunnelRow]
     implicit val stateEnc: org.apache.spark.sql.Encoder[FunnelState] =
       Encoders.product[FunnelState]
-    val None_ = -1L
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[FunnelState, FunnelRow](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (key: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(None_, None_, None_))
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
           val before = s
           rows.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
             e.event_type match {
-              case "view" if s.view_us == None_ =>
-                s = s.copy(view_us = e.ts_us)
-              case "click" if s.view_us != None_ && s.click_us == None_ &&
-                  e.ts_us > s.view_us =>
-                s = s.copy(click_us = e.ts_us)
-              case "purchase" if s.click_us != None_ && s.purchase_us == None_ &&
-                  e.ts_us > s.click_us =>
-                s = s.copy(purchase_us = e.ts_us)
+              case "view" if s.view_us.isEmpty =>
+                s = s.copy(view_us = Some(e.ts_us))
+              case "click" if s.click_us.isEmpty &&
+                  s.view_us.exists(e.ts_us > _) =>
+                s = s.copy(click_us = Some(e.ts_us))
+              case "purchase" if s.purchase_us.isEmpty &&
+                  s.click_us.exists(e.ts_us > _) =>
+                s = s.copy(purchase_us = Some(e.ts_us))
               case _ => ()
             }
           }
           if (s == before) Iterator.empty
           else {
             state.update(s)
-            def opt(v: Long): java.lang.Long = if (v == None_) null else v
-            val stage = 1L + (if (s.click_us != None_) 1L else 0L) +
-              (if (s.purchase_us != None_) 1L else 0L)
+            def opt(v: Option[Long]): java.lang.Long =
+              v.map(java.lang.Long.valueOf).orNull
+            val stage = 1L + (if (s.click_us.isDefined) 1L else 0L) +
+              (if (s.purchase_us.isDefined) 1L else 0L)
             Iterator.single(FunnelRow(key, opt(s.view_us), opt(s.click_us),
               opt(s.purchase_us), stage))
           }

@@ -224,10 +224,16 @@ object TextOps {
     * scaladoc); the global count is then a single partial-aggregated
     * hash aggregate + a k-row TakeOrdered, no global sort. */
   def topBigrams(spark: SparkSession, dir: String,
-                 n: Int = 2, k: Int = 25): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+                 n: Int = 2, k: Int = 25): DataFrame =
+    topBigramsCore(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism), n, k)
+
+  /** Corpus n-gram counting over any frame with a `text` column (shared
+    * with ScaleProbe so the probe times the exact operator shape). */
+  private[graft] def topBigramsCore(docs: DataFrame, n: Int = 2, k: Int = 25): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
       .select(explode(expr(s"graft_ngram_counts(text, $n)")).as("g"))
       .groupBy(col("g.gram").as("bigram"))
       .agg(sum(col("g.ct")).as("ct"))

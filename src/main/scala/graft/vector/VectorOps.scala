@@ -151,8 +151,14 @@ object VectorOps {
     * into the bounded-heap GroupTopK operator — no global sort, state
     * bounded at k rows per query per partition. */
   def knnJoin(spark: SparkSession, dir: String,
-              nQueries: Long = 10L, k: Int = 3): DataFrame = {
-    val e = vecs(spark, dir)
+              nQueries: Long = 10L, k: Int = 3): DataFrame =
+    knnJoinCore(vecs(spark, dir), nQueries, k)
+
+  /** The k-NN join over any (vec_id, v: array<double>) frame — split out
+    * so ScaleProbe times the EXACT operator shape on amplified inputs
+    * (mirrors AsOf.asofCore; an inline probe copy drifts silently). */
+  private[graft] def knnJoinCore(e: DataFrame, nQueries: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val corpus = e.filter(col("vec_id") >= nQueries)
@@ -177,7 +183,12 @@ object VectorOps {
     * both engines, then exact integer addition — a raw double sum would
     * be partition-order dependent); min/max are order-free. */
   def dimProfile(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    dimProfileCore(Tables.embeddings(spark, dir))
+
+  /** Dim profile over any frame with an `embedding: array<float>` column
+    * (shared with ScaleProbe — see [[knnJoinCore]]). */
+  private[graft] def dimProfileCore(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(posexplode(expr("transform(embedding, x -> cast(x as double))")))
       .select(col("pos").cast("long").as("dim"), col("col").as("x"))
       .groupBy("dim")
