@@ -132,6 +132,8 @@ object SparkEntry {
     "q74_contamination"    -> ((s, d) => graft.text.TextOps.contamination(s, d)),
     // --- Count-Min frequency sketch + exact twin (rows-only) ---
     "q75_heavy_hitters"    -> ((s, d) => Publisher.heavyHittersSketch(s, d)),
+    // --- co-occurrence support matrix (market-basket shape) ---
+    "q76_cooccurrence"     -> ((s, d) => Publisher.eventCooccurrence(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -621,6 +623,12 @@ object SparkEntry {
         |SELECT bigram, COUNT(*) AS ct FROM g
         |GROUP BY 1 ORDER BY ct DESC, bigram ASC LIMIT 25""".stripMargin,
     "q68_cluster_best" -> ClusterBestSql,
+    "q76_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       COUNT(*) AS n_users
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q72_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY 1),
         |c AS (SELECT e.user_id, MIN(e.ts) AS ct FROM events e

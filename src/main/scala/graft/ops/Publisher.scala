@@ -190,6 +190,26 @@ object Publisher {
       .orderBy("source", "rk")
   }
 
+  /** Event-type co-occurrence (market-basket support counts): for every
+    * unordered pair of event types, how many users exhibit BOTH — the
+    * support matrix association mining and recsys co-visitation start
+    * from. Shape at scale: the distinct (user, type) projection partial-
+    * aggregates map-side (≤ |types| rows per user), the self-join is
+    * keyed on user with per-user fan-out bounded by |types|² — never a
+    * corpus×corpus blowup — and the final count is one hash aggregate
+    * over pair keys. */
+  def eventCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Frequency-sketch heavy hitters: a Count-Min sketch of event_type
     * built in one mergeable aggregate pass (the frequency member of the
     * sketch family, alongside HLL distinct q61 and approx-percentile

@@ -208,6 +208,20 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("co-occurrence support is bounded by each side's user count") {
+    val perType = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairs = ops.Publisher.eventCooccurrence(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b, "unordered pairs emitted once, ordered lexicographically")
+      assert(n <= math.min(perType(a), perType(b)), s"support($a,$b) bound")
+    }
+  }
+
   test("count-min estimates never undercount and stay within the eps bound") {
     val rows = ops.Publisher.heavyHittersSketch(spark, dir).collect()
     assert(rows.nonEmpty)
