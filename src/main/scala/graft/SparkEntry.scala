@@ -134,6 +134,8 @@ object SparkEntry {
     "q75_heavy_hitters"    -> ((s, d) => Publisher.heavyHittersSketch(s, d)),
     // --- co-occurrence support matrix (market-basket shape) ---
     "q76_cooccurrence"     -> ((s, d) => Publisher.eventCooccurrence(s, d)),
+    // --- gaps-and-islands: longest consecutive-day streak ---
+    "q77_streaks"          -> ((s, d) => Dau.longestStreak(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -623,6 +625,15 @@ object SparkEntry {
         |SELECT bigram, COUNT(*) AS ct FROM g
         |GROUP BY 1 ORDER BY ct DESC, bigram ASC LIMIT 25""".stripMargin,
     "q68_cluster_best" -> ClusterBestSql,
+    "q77_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS d FROM events),
+        |i AS (SELECT user_id, d,
+        |        d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+        |      FROM d),
+        |s AS (SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days,
+        |       CAST(MAX(len) AS BIGINT) AS longest_streak
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q76_cooccurrence" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -118,6 +118,26 @@ object Dau {
       .agg(countDistinct(col("user_id")).as("uv"))
       .orderBy("week_start")
 
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands window pattern: within each user's ordered
+    * distinct active dates, date − row_number() is CONSTANT across a
+    * consecutive run and jumps at every gap, so grouping on it splits
+    * the dates into islands whose sizes are the streak lengths. Two
+    * hash aggregates + one per-user window over the (already tiny)
+    * distinct-date table; the raw events collapse map-side first. */
+  def longestStreak(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val active = withLogDate(Tables.events(spark, dir))
+      .select(col("user_id"), to_date(col("log_date")).as("d")).distinct()
+    active
+      .withColumn("island", date_sub(col("d"), row_number().over(w)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("active_days"), max(col("len")).as("longest_streak"))
+      .orderBy("user_id")
+  }
+
   /** The MERGEABLE-sketch pattern that makes distinct counts cheap at
     * 100 TB: materialize one DataSketches-HLL sketch per day (the only
     * pass over raw events), then answer any coarser rollup — weekly

@@ -208,6 +208,27 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("longest streak matches a brute-force recompute over distinct dates") {
+    val out = ops.Dau.longestStreak(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dates = Tables.events(spark, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("d")).distinct()
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+      .groupBy(_._1)
+    assert(out.keySet === dates.keySet)
+    dates.foreach { case (u, ds) =>
+      val sorted = ds.map(_._2).sortBy(_.toEpochDay)
+      var longest = 1L; var cur = 1L
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        if (w(1).toEpochDay == w(0).toEpochDay + 1) {
+          cur += 1; longest = math.max(longest, cur)
+        } else cur = 1L
+      }
+      assert(out(u)._1 === sorted.length.toLong, s"active_days for $u")
+      assert(out(u)._2 === longest, s"longest_streak for $u")
+    }
+  }
+
   test("co-occurrence support is bounded by each side's user count") {
     val perType = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type")).distinct()
