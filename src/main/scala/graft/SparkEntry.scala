@@ -136,6 +136,25 @@ object SparkEntry {
     "q76_cooccurrence"     -> ((s, d) => Publisher.eventCooccurrence(s, d)),
     // --- gaps-and-islands: longest consecutive-day streak ---
     "q77_streaks"          -> ((s, d) => Dau.longestStreak(s, d)),
+    // --- fuzzy dedup: blocked bounded-Levenshtein pairs ---
+    "q78_edit_distance"    -> ((s, d) => graft.dedup.DedupOps.editDistancePairs(s, d)),
+    // --- RFM segmentation via percentile-boundary banding ---
+    "q79_rfm_segments"     -> ((s, d) => Publisher.rfmSegments(s, d)),
+    // --- Pareto revenue concentration (distributed prefix sum) ---
+    "q80_concentration"    -> ((s, d) => Olap.revenueConcentration(s, d)),
+    // --- month-over-month growth + profiling histogram ---
+    "q81_monthly_growth"   -> ((s, d) => Olap.monthlyGrowth(s, d)),
+    "q82_price_histogram"  -> ((s, d) => Olap.priceHistogram(s, d)),
+    // --- one-pass sufficient-statistics corr / regression ---
+    "q83_corr_stats"       -> ((s, d) => Olap.qtyPriceCorr(s, d)),
+    // --- rolling 7-day distinct users (dedup-then-explode) ---
+    "q84_rolling_uv"       -> ((s, d) => Dau.rollingUv7(s, d)),
+    // --- intra-doc repetition stats (in-row, zero shuffle) ---
+    "q85_repetition"       -> ((s, d) => graft.text.TextOps.repetitionStats(s, d)),
+    // --- BPE-ish subword token estimate over JSON payloads ---
+    "q86_bpe_tokens"       -> ((s, d) => graft.text.TextOps.bpeTokenEstimate(s, d)),
+    // --- z-score anomaly days over daily GMV ---
+    "q87_gmv_anomalies"    -> ((s, d) => Olap.gmvAnomalies(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -712,6 +731,99 @@ object SparkEntry {
         |SELECT lang, split, COUNT(*) AS n_docs,
         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q78_edit_distance" ->
+      """WITH n AS (SELECT doc_id, lang, n_chars,
+        |             substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 64) AS p
+        |           FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.p, b.p) AS INT) AS dist
+        |FROM n a JOIN n b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |                 AND abs(a.n_chars - b.n_chars) <= 10
+        |WHERE levenshtein(a.p, b.p) <= 20
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q79_rfm_segments" ->
+      """WITH m AS (SELECT o_custkey,
+        |    date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '1998-08-02') AS recency,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rq,
+        |             quantile_cont(freq,    [0.25, 0.5, 0.75]) AS fq,
+        |             quantile_cont(monetary,[0.25, 0.5, 0.75]) AS mq FROM m)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS customers FROM (
+        |  SELECT 4 - ((CAST(recency AS DOUBLE) > rq[1])::INT + (CAST(recency AS DOUBLE) > rq[2])::INT + (CAST(recency AS DOUBLE) > rq[3])::INT) AS r_score,
+        |         1 + ((CAST(freq AS DOUBLE) > fq[1])::INT + (CAST(freq AS DOUBLE) > fq[2])::INT + (CAST(freq AS DOUBLE) > fq[3])::INT) AS f_score,
+        |         1 + ((monetary > mq[1])::INT + (monetary > mq[2])::INT + (monetary > mq[3])::INT) AS m_score
+        |  FROM m, q)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q80_concentration" ->
+      """WITH s AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |           FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey, spend,
+        |        SUM(spend) OVER (ORDER BY spend DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum,
+        |        ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rk FROM s),
+        |t AS (SELECT SUM(spend) AS total, COUNT(*) AS n FROM s)
+        |SELECT v.threshold, MIN(r.rk) AS customers_needed,
+        |       FLOOR(MIN(r.rk) * 1000.0 / ANY_VALUE(t.n) + 0.5) / 10 AS customer_share_pct
+        |FROM (VALUES (50), (80), (90)) v(threshold), r, t
+        |WHERE r.cum * 100 >= t.total * v.threshold
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q81_monthly_growth" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+        |    COUNT(*) AS order_cnt
+        |  FROM orders GROUP BY 1)
+        |SELECT month, gmv, order_cnt,
+        |  FLOOR((gmv - LAG(gmv) OVER (ORDER BY month)) / LAG(gmv) OVER (ORDER BY month) * 1000 + 0.5) / 10 AS growth_pct
+        |FROM m ORDER BY month""".stripMargin,
+    "q82_price_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+        |       CAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS DOUBLE) AS bin_lo,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q83_corr_stats" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  ROUND((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 9) AS corr_qty_price,
+        |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) AS slope,
+        |  ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 9) AS intercept
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q84_rolling_uv" ->
+      """WITH u AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |d AS (SELECT DISTINCT day FROM u)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, COUNT(DISTINCT u.user_id) AS uv7
+        |FROM d JOIN u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q85_repetition" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, COUNT(*) AS ct FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+        |       CAST(MAX(ct) AS DOUBLE) / CAST(SUM(ct) AS BIGINT) AS max_token_share,
+        |       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(ct) AS BIGINT) AS dup_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q86_bpe_tokens" ->
+      """SELECT event_id,
+        |  CAST(len(regexp_extract_all(props, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(length(props) AS BIGINT) AS n_chars
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q87_gmv_anomalies" ->
+      """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS gmv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |              CAST(SUM(CAST(gmv AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |              CAST(SUM(CAST(gmv AS DECIMAL(18,2)) * CAST(gmv AS DECIMAL(18,2))) AS DOUBLE) AS s2 FROM daily)
+        |SELECT d, gmv, (gmv - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)) AS z
+        |FROM daily, st
+        |WHERE abs((gmv - s1/n) / sqrt(s2/n - (s1/n)*(s1/n))) > 1.5
+        |ORDER BY d""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible
     //   in SQL), q44_percentiles_approx (sketch), q45_stratified_sample

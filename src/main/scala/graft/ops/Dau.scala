@@ -118,6 +118,33 @@ object Dau {
       .agg(countDistinct(col("user_id")).as("uv"))
       .orderBy("week_start")
 
+  /** Rolling 7-day distinct users per day (the "WAU curve" dashboards
+    * plot next to DAU). Distinct-over-a-sliding-range has no partial
+    * aggregate, so instead of a range join (day BETWEEN d-6 AND d — a
+    * shuffle whose fan-out is data × window) the engine dedups to
+    * (user_id, day) FIRST — the only big shuffle, map-side combined —
+    * then explodes each tiny distinct pair into the ≤7 target days it
+    * contributes to and counts distinct users per target day. The
+    * explode factor is bounded by the window width, applied to the
+    * already-collapsed table, orders of magnitude smaller than the raw
+    * events at 100 TB. Target days are clamped to days that actually
+    * occur (semi join with the distinct-day list, broadcast — it is tiny
+    * by construction). */
+  def rollingUv7(spark: SparkSession, dir: String): DataFrame = {
+    val activeDays = withLogDate(Tables.events(spark, dir))
+      .select(col("user_id"), to_date(col("log_date")).as("day"))
+      .distinct()
+    val days = activeDays.select(col("day")).distinct()
+    activeDays
+      .withColumn("target_day",
+        explode(expr("sequence(day, date_add(day, 6))")))
+      .join(broadcast(days.withColumnRenamed("day", "target_day")),
+        Seq("target_day"), "left_semi")
+      .groupBy(date_format(col("target_day"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("uv7"))
+      .orderBy("day")
+  }
+
   /** Longest consecutive-day activity streak per user — the
     * gaps-and-islands window pattern: within each user's ordered
     * distinct active dates, date − row_number() is CONSTANT across a

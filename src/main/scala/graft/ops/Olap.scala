@@ -148,4 +148,151 @@ object Olap {
       .withColumn("delta", (col("ct") - lag(col("ct"), 1).over(ordered)).cast("long"))
       .orderBy("user_id", "log_date")
   }
+
+  /** Month-over-month GMV growth: one hash aggregate to ~tens-of-rows of
+    * monthly totals (decimal-exact), then a lag window over that TINY
+    * frame — the global-order window runs on the aggregate, never the
+    * fact table, so the single-partition sort it implies is O(months).
+    * Growth is rounded half-up to one decimal via the same
+    * floor(x·1000+0.5)/10 the publisher ratio math uses (X6). */
+  def monthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("gmv"),
+        count(lit(1)).as("order_cnt"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev", lag(col("gmv"), 1).over(w))
+      .withColumn("growth_pct",
+        floor((col("gmv") - col("prev")) / col("prev") * 1000 + 0.5) / 10)
+      .drop("prev")
+      .orderBy("month")
+  }
+
+  /** Fixed-width histogram of order totals — the data-profiling shape.
+    * Bin assignment is a narrow projection (floor division), so the whole
+    * query is one partially-aggregated groupBy on a small integer key. */
+  def priceHistogram(spark: SparkSession, dir: String,
+                     binWidth: Int = 50000): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (col("bin") * binWidth).cast("double").as("bin_lo"), col("n"))
+      .orderBy("bin")
+
+  /** Per-returnflag correlation + least-squares fit of price on quantity,
+    * computed from EXACT sufficient statistics: the five sums are
+    * accumulated in decimal (associative ⇒ partition-order independent,
+    * partial-aggregated map-side — one pass, one small shuffle), cast to
+    * double once, and only then combined with IEEE arithmetic, so the
+    * result is bit-identical on any cluster layout and to the oracle.
+    * The same five sums would drive covariance, R², and stddev — this is
+    * the one-pass pattern for ALL second-moment stats at 100 TB. */
+  def qtyPriceCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val s = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(y * y).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    val slope = cov / varx
+    // round(…, 9): the exact decimal sums cast to double can differ from
+    // the oracle's cast by one ulp (Java's BigDecimal→double is correctly
+    // rounded; DuckDB's decimal→double need not be), and that ulp
+    // propagates through the divisions — 9 decimals is far below any
+    // statistical meaning and far above the ulp noise
+    s.select(col("l_returnflag"), col("n"),
+        round(cov / (sqrt(varx) * sqrt(vary)), 9).as("corr_qty_price"),
+        round(slope, 9).as("slope"),
+        round((col("sy") - slope * col("sx")) / n, 9).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Z-score anomaly detection over daily purchase revenue: flag days
+    * whose GMV sits more than [[AnomalyZ]] standard deviations from the
+    * all-days mean. Mean/variance come from exact decimal sums over the
+    * (already tiny) daily aggregate, broadcast back as a 1-row frame —
+    * two hash aggregates, no window, no sort until the final tiny
+    * orderBy. */
+  val AnomalyZ = 1.5
+  def gmvAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("gmv"))
+    val g = col("gmv").cast("decimal(18,2)")
+    val stats = daily.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(g).cast("double").as("s1"),
+      sum(g * g).cast("double").as("s2"))
+    val mean = col("s1") / col("n")
+    val std = sqrt(col("s2") / col("n") - mean * mean)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("z", (col("gmv") - mean) / std)
+      .filter(abs(col("z")) > AnomalyZ)
+      .select(col("d"), col("gmv"), col("z"))
+      .orderBy("d")
+  }
+
+  /** Revenue concentration (Pareto): the minimum number of customers
+    * whose combined spend covers 50 / 80 / 90 % of total GMV.
+    *
+    * The cumulative sum needs a TOTAL order over customers, and a naive
+    * `Window.orderBy` with no partition key drags every row into one
+    * partition — the classic scale killer. Instead this runs the
+    * textbook distributed prefix sum: range-repartition by (spend desc,
+    * custkey) so partition i holds ranks strictly before partition i+1,
+    * compute per-partition subtotals (a ≤#partitions-row frame), prefix
+    * those subtotals with a window over that tiny frame, broadcast the
+    * offsets back, and finish with a window PARTITIONED by partition id
+    * — every stage parallel, the only serial step is over ≤#partitions
+    * rows. Spend and cumulative sums stay decimal end-to-end (exact,
+    * associative), so the distributed cumsum equals the oracle's
+    * single-threaded one bit-for-bit. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val sorted = spend
+      .repartitionByRange(parts, col("spend").desc, col("o_custkey").asc)
+      .sortWithinPartitions(col("spend").desc, col("o_custkey").asc)
+      .withColumn("pid", spark_partition_id())
+    val partTotals = sorted.groupBy(col("pid"))
+      .agg(sum(col("spend")).as("part_sum"), count(lit(1)).as("part_cnt"))
+    val offsetW = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partTotals.select(col("pid"),
+      coalesce(sum(col("part_sum")).over(offsetW), lit(0).cast("decimal(18,2)"))
+        .as("off_sum"),
+      coalesce(sum(col("part_cnt")).over(offsetW), lit(0L)).as("off_cnt"))
+    val inPartW = Window.partitionBy("pid")
+      .orderBy(col("spend").desc, col("o_custkey").asc)
+    val cum = sorted.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum", col("off_sum") + sum(col("spend"))
+        .over(inPartW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rk", col("off_cnt") + row_number().over(inPartW))
+    val totals = spend.agg(sum(col("spend")).as("total"),
+      count(lit(1)).as("n_cust"))
+    val thresholds = spark.range(1).select(
+      explode(array(lit(50), lit(80), lit(90))).as("threshold"))
+    cum.crossJoin(broadcast(totals)).crossJoin(broadcast(thresholds))
+      .filter(col("cum") * 100 >= col("total") * col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(min(col("rk")).as("customers_needed"),
+        max(col("n_cust")).as("n_cust"))
+      .select(col("threshold"), col("customers_needed"),
+        (floor(col("customers_needed") * 1000.0 / col("n_cust") + 0.5) / 10)
+          .as("customer_share_pct"))
+      .orderBy("threshold")
+  }
 }

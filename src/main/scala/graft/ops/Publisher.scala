@@ -317,4 +317,44 @@ object Publisher {
         sum(when(col("log_date") === day, 1).otherwise(0)).as("today_ct"),
         sum(when(col("log_date") === prev, 1).otherwise(0)).as("yesterday_ct"))
       .orderBy("lh")
+
+  /** RFM customer segmentation: recency (days since last order as of
+    * [[RfmAsOf]]), frequency (order count), monetary (decimal-exact
+    * spend), each banded into quartiles, reported as segment sizes.
+    *
+    * Quartile banding via ntile would need a global-order window (one
+    * partition holding every customer). Instead the engine computes the
+    * three quartile BOUNDARIES with the exact `percentile` aggregate
+    * (single pass, mergeable buffers) and bands by comparison against the
+    * broadcast 1-row boundary frame — fully parallel, no global sort, and
+    * deterministic: the lerp percentile definition is the engine/oracle
+    * contract (proven by q43), and band edges compare identical doubles.
+    * Scores: 4 = best (most recent / most frequent / highest spend). */
+  val RfmAsOf = "1998-08-02"
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit(RfmAsOf).cast("date"), max(col("o_orderdate").cast("date")))
+          .cast("long").as("recency"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+    val q = m.agg(
+      expr("percentile(recency, array(0.25d, 0.5d, 0.75d))").as("rq"),
+      expr("percentile(freq, array(0.25d, 0.5d, 0.75d))").as("fq"),
+      expr("percentile(monetary, array(0.25d, 0.5d, 0.75d))").as("mq"))
+    def band(v: org.apache.spark.sql.Column, qs: String) =
+      (v > col(qs).getItem(0)).cast("int") +
+        (v > col(qs).getItem(1)).cast("int") +
+        (v > col(qs).getItem(2)).cast("int")
+    m.crossJoin(broadcast(q))
+      .select(
+        (lit(4) - band(col("recency").cast("double"), "rq")).as("r_score"),
+        (lit(1) + band(col("freq").cast("double"), "fq")).as("f_score"),
+        (lit(1) + band(col("monetary"), "mq")).as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("customers"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
 }

@@ -325,4 +325,43 @@ object TextOps {
         md5(normText(col("text"))).as("fp"),
         length(col("text")).cast("long").as("n_chars_actual"))
       .orderBy("doc_id")
+
+  /** Intra-document repetition stats — the C4/Gopher-style repetition
+    * filter signals: duplicate-token ratio (1 − distinct/total) and the
+    * share of the single most frequent token. Computed entirely IN-ROW
+    * from the one-pass `graft_token_counts` term-frequency array (sum /
+    * size / max over the struct array), so the whole query is a narrow
+    * projection — zero shuffles, no explode, nothing but the final
+    * orderBy, at any corpus size. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    withTokens(Tables.documents(spark, dir))
+      .withColumn("tc", expr("graft_token_counts(text)"))
+      .select(
+        col("doc_id"),
+        expr("aggregate(tc, 0L, (acc, x) -> acc + x.tf)").as("n_tokens"),
+        size(col("tc")).cast("long").as("n_distinct"),
+        expr("array_max(transform(tc, x -> x.tf))").as("max_tf"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("max_tf").cast("double") / col("n_tokens")).as("max_token_share"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish token estimate over the event `props` JSON payloads: letter
+    * runs, single digits, and single punctuation marks — the GPT-2-style
+    * pre-tokenization classes — so structured/JSON-ish text gets a
+    * realistic subword count where a whitespace split would see one
+    * token. Pure narrow projection (codegen'd regexp), no shuffle. */
+  def bpeTokenEstimate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        size(regexp_extract_all(col("props"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("bpe_tokens"),
+        length(col("props")).cast("long").as("n_chars"))
+      .orderBy("event_id")
 }
