@@ -126,6 +126,18 @@ object ScaleProbe {
       time(s"${copies}x corpus n-gram counts (one-pass expr + agg)") {
         graft.text.TextOps.topBigramsCore(docs).count()
       }
+      time(s"${copies}x pareto prefix sum (range-repartition + offsets)") {
+        graft.ops.Olap.concentrationCore(orders).count()
+      }
+      time(s"${copies}x rolling 7-day uv (dedup-then-explode)") {
+        graft.ops.Dau.rollingUvCore(events).count()
+      }
+      time(s"${copies}x edit-distance pairs (blocked, broadcast probe)") {
+        // amplification multiplies same-lang block sizes, so candidate
+        // pairs grow ~copies² — the probe shows the blocking bound, not
+        // linear scaling; the band filter keeps the constant small
+        graft.dedup.DedupOps.editDistanceCore(docs).count()
+      }
       time(s"${copies}x sequence packing (per-source window)") {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy("doc_id")

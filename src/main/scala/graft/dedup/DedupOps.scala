@@ -405,8 +405,14 @@ object DedupOps {
     * fallback is the salted shuffle join (ops/SkewJoin pattern). */
   val EditPrefixLen = 64
   def editDistancePairs(spark: SparkSession, dir: String,
-                        maxDist: Int = 20, lenBand: Int = 10): DataFrame = {
-    val n = Tables.documents(spark, dir)
+                        maxDist: Int = 20, lenBand: Int = 10): DataFrame =
+    editDistanceCore(Tables.documents(spark, dir), maxDist, lenBand)
+
+  private[graft] def editDistanceCore(docs: DataFrame,
+                                      maxDist: Int = 20,
+                                      lenBand: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    val n = docs
       .select(col("doc_id"), col("lang"), col("n_chars"),
         substring(TextOps.normText(col("text")), 1, EditPrefixLen).as("p"))
     val a = n.select(col("doc_id").as("doc_a"), col("lang"),

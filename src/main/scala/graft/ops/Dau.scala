@@ -130,8 +130,11 @@ object Dau {
     * events at 100 TB. Target days are clamped to days that actually
     * occur (semi join with the distinct-day list, broadcast — it is tiny
     * by construction). */
-  def rollingUv7(spark: SparkSession, dir: String): DataFrame = {
-    val activeDays = withLogDate(Tables.events(spark, dir))
+  def rollingUv7(spark: SparkSession, dir: String): DataFrame =
+    rollingUvCore(Tables.events(spark, dir))
+
+  private[graft] def rollingUvCore(events: DataFrame): DataFrame = {
+    val activeDays = withLogDate(events)
       .select(col("user_id"), to_date(col("log_date")).as("day"))
       .distinct()
     val days = activeDays.select(col("day")).distinct()

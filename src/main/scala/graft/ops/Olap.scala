@@ -258,9 +258,13 @@ object Olap {
     * rows. Spend and cumulative sums stay decimal end-to-end (exact,
     * associative), so the distributed cumsum equals the oracle's
     * single-threaded one bit-for-bit. */
-  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame =
+    concentrationCore(Tables.orders(spark, dir))
+
+  private[graft] def concentrationCore(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val spend = Tables.orders(spark, dir)
+    val spend = orders
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
     val sorted = spend
