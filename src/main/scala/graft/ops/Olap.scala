@@ -285,8 +285,10 @@ object Olap {
       .withColumn("cum", col("off_sum") + sum(col("spend"))
         .over(inPartW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("rk", col("off_cnt") + row_number().over(inPartW))
-    val totals = spend.agg(sum(col("spend")).as("total"),
-      count(lit(1)).as("n_cust"))
+    // grand totals from the ≤#partitions-row subtotal frame — NOT a
+    // third scan+aggregate over the fact table
+    val totals = partTotals.agg(sum(col("part_sum")).as("total"),
+      sum(col("part_cnt")).as("n_cust"))
     val thresholds = spark.range(1).select(
       explode(array(lit(50), lit(80), lit(90))).as("threshold"))
     cum.crossJoin(broadcast(totals)).crossJoin(broadcast(thresholds))

@@ -99,6 +99,26 @@ object Pipelines {
       "inner")
   }
 
+  /** LEFT OUTER form of [[saleDetailJoin]] (J1's observable upgrade):
+    * the reference's per-batch fullOuterJoin + Redis TTL ultimately
+    * DROPS a side that never finds its match within 10 s
+    * (SaleDetailApp.scala:93,131 — inner-join-after-TTL, SURVEY §4);
+    * Structured Streaming can instead EMIT the unmatched detail with
+    * null order columns once the watermark passes its join range — no
+    * row silently disappears, state is still bounded by the watermark.
+    * Same state-store cost as the inner form; the only difference is
+    * the null-padded emission at eviction time. */
+  def saleDetailJoinOuter(orders: DataFrame, details: DataFrame,
+                          watermark: String = "10 seconds"): DataFrame = {
+    val o = orders.withWatermark("o_ts", watermark)
+    val d = details.withWatermark("d_ts", watermark)
+    d.join(o,
+      d("d_order_id") === o("o_order_id") &&
+        d("d_ts") >= o("o_ts") - expr(s"INTERVAL $watermark") &&
+        d("d_ts") <= o("o_ts") + expr(s"INTERVAL $watermark"),
+      "left_outer")
+  }
+
   /** UserInfoApp + T8: per-micro-batch changelog compaction — last write
     * (by ts, then event_id) wins per (composite) key; meant to be applied
     * inside `foreachBatch` before a keyed upsert sink. */

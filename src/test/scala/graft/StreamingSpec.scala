@@ -94,6 +94,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched details null-padded after watermark") {
+    implicit val sq = spark.sqlContext
+    val orders = MemoryStream[(Long, Timestamp)]
+    val details = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Pipelines.saleDetailJoinOuter(
+      orders.toDF().toDF("o_order_id", "o_ts"),
+      details.toDF().toDF("d_id", "d_order_id", "d_ts"),
+      watermark = "10 seconds")
+    val q = joined.writeStream.format("memory")
+      .queryName("outer_join_out").outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = ts("2024-01-05 12:00:00")
+      // matched pair → normal inner row
+      orders.addData((1L, t0))
+      details.addData((11L, 1L, new Timestamp(t0.getTime + 5000)))
+      // detail with NO order ever — the reference would silently drop it
+      // after the 10 s TTL (SaleDetailApp.scala:93,131); the outer join
+      // must emit it null-padded instead
+      details.addData((21L, 2L, t0))
+      q.processAllAvailable()
+      // push both watermarks far past t0's join range so state evicts…
+      orders.addData((9L, new Timestamp(t0.getTime + 120000)))
+      details.addData((99L, 9L, new Timestamp(t0.getTime + 120000)))
+      q.processAllAvailable()
+      // …and one more cycle for the eviction-time emission
+      orders.addData((10L, new Timestamp(t0.getTime + 240000)))
+      details.addData((100L, 10L, new Timestamp(t0.getTime + 240000)))
+      q.processAllAvailable()
+      val rows = spark.table("outer_join_out")
+        .select("d_id", "o_order_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(rows(11L) === Some(1L), "matched detail joins normally")
+      assert(rows.contains(21L), "unmatched detail must be EMITTED, not dropped")
+      assert(rows(21L) === None, "…with null order columns")
+    } finally q.stop()
+  }
+
   test("streaming windowed alert fires for 3 uids and is vetoed by a click (T2/A7-A9)") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Ev]
