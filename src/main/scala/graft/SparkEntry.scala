@@ -155,6 +155,22 @@ object SparkEntry {
     "q86_bpe_tokens"       -> ((s, d) => graft.text.TextOps.bpeTokenEstimate(s, d)),
     // --- z-score anomaly days over daily GMV ---
     "q87_gmv_anomalies"    -> ((s, d) => Olap.gmvAnomalies(s, d)),
+    // --- association rules (confidence/lift over the q76 base) ---
+    "q88_assoc_rules"      -> ((s, d) => Publisher.assocRules(s, d)),
+    // --- weekly cohort retention triangle ---
+    "q89_cohort_retention" -> ((s, d) => Dau.cohortRetention(s, d)),
+    // --- robust (median/MAD) anomaly twin of q87 ---
+    "q90_mad_outliers"     -> ((s, d) => Olap.gmvMadOutliers(s, d)),
+    // --- first-order Markov event-transition matrix ---
+    "q91_transitions"      -> ((s, d) => Publisher.eventTransitions(s, d)),
+    // --- time-weighted average value per user (TWAP) ---
+    "q92_twap"             -> ((s, d) => Olap.twapPerUser(s, d)),
+    // --- inverted index: term -> df + capped sorted postings ---
+    "q93_inverted_index"   -> ((s, d) => graft.text.TextOps.invertedIndex(s, d)),
+    // --- per-label embedding centroids (k-means update step) ---
+    "q94_label_centroids"  -> ((s, d) => graft.vector.VectorOps.labelCentroids(s, d)),
+    // --- regex scrubbing (PII-redaction plumbing) ---
+    "q95_scrub"            -> ((s, d) => graft.text.TextOps.scrubDigits(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -824,6 +840,87 @@ object SparkEntry {
         |FROM daily, st
         |WHERE abs((gmv - s1/n) / sqrt(s2/n - (s1/n)*(s1/n))) > 1.5
         |ORDER BY d""".stripMargin,
+    "q88_assoc_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |m AS (SELECT event_type, COUNT(*) AS type_users FROM ut GROUP BY 1),
+        |t AS (SELECT COUNT(DISTINCT user_id) AS total_users FROM ut),
+        |p AS (SELECT a.event_type AS antecedent, b.event_type AS consequent,
+        |             COUNT(*) AS pair_users
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                         AND a.event_type <> b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT antecedent, consequent, pair_users,
+        |       CAST(pair_users AS DOUBLE) / ma.type_users AS confidence,
+        |       CAST(pair_users * t.total_users AS DOUBLE)
+        |         / (ma.type_users * mc.type_users) AS lift
+        |FROM p JOIN m ma ON p.antecedent = ma.event_type
+        |       JOIN m mc ON p.consequent = mc.event_type, t
+        |ORDER BY antecedent, consequent""".stripMargin,
+    "q89_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |                   date_trunc('week', CAST(strftime(ts, '%Y-%m-%d') AS DATE)) AS week
+        |            FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', cohort, week) / 7 AS BIGINT) AS week_offset,
+        |       COUNT(*) AS users
+        |FROM uw JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q90_mad_outliers" ->
+      """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d,
+        |                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS gmv
+        |               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |med AS (SELECT quantile_cont(gmv, 0.5) AS med FROM daily),
+        |dev AS (SELECT d, gmv, med, abs(gmv - med) AS adev FROM daily, med),
+        |mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+        |SELECT d, gmv, med, adev, mad FROM dev, mad
+        |WHERE adev > 2.0 * mad
+        |ORDER BY d""".stripMargin,
+    "q91_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |           FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS prob
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "q92_twap" ->
+      """WITH s AS (SELECT user_id,
+        |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |                  epoch_us(ts) AS t,
+        |                  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+        |           FROM events)
+        |SELECT user_id,
+        |       CAST(CAST(SUM(cents * (nt - t)) AS BIGINT) AS DOUBLE)
+        |         / (CAST(CAST(SUM(nt - t) AS BIGINT) AS DOUBLE) * 100.0) AS twap,
+        |       CAST(SUM(nt - t) AS BIGINT) AS dt_total,
+        |       COUNT(*) AS n_intervals
+        |FROM s WHERE nt IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q93_inverted_index" ->
+      """WITH tok AS (SELECT doc_id,
+        |                    unnest(list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS term
+        |             FROM documents)
+        |SELECT term, COUNT(*) AS df,
+        |       array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+        |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q94_label_centroids" ->
+      """WITH u AS (SELECT CAST(label AS BIGINT) AS label,
+        |                  unnest(generate_series(1, len(embedding))) - 1 AS dim,
+        |                  unnest(CAST(embedding AS DOUBLE[])) AS x
+        |           FROM embeddings),
+        |a AS (SELECT label, dim, COUNT(*) AS n,
+        |             CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro
+        |      FROM u GROUP BY 1, 2)
+        |SELECT label, CAST(dim AS BIGINT) AS dim, n, sum_micro,
+        |       CAST(sum_micro AS DOUBLE) / (n * 1000000.0) AS mean
+        |FROM a ORDER BY label, dim""".stripMargin,
+    "q95_scrub" ->
+      """SELECT event_id,
+        |       regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
+        |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked
+        |FROM events ORDER BY event_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible
     //   in SQL), q44_percentiles_approx (sketch), q45_stratified_sample

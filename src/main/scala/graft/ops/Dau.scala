@@ -189,4 +189,30 @@ object Dau {
         count(lit(1)).as("n_days"))
       .orderBy("week_start")
   }
+
+  /** Weekly cohort retention matrix: users are cohorted by the ISO week
+    * of their FIRST event; each (cohort_week, week_offset) cell counts
+    * how many of that cohort were active `offset` weeks later — the
+    * retention triangle behind every growth dashboard.
+    *
+    * Scale shape: the (user, week) projection partial-aggregates map-side
+    * to ≤ |weeks| rows per user BEFORE any shuffle; the first-week frame
+    * is one more map-side min; the join is keyed on user over those
+    * compact frames; the cell count is a hash aggregate over ≤
+    * |weeks|² keys. Week keys are week-START DATES (q61/q62's rule), so
+    * multi-year data never aliases and the offset is an exact integer
+    * `datediff / 7`. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = withLogDate(Tables.events(spark, dir))
+      .select(col("user_id"),
+        date_trunc("week", to_date(col("log_date"))).cast("date").as("week"))
+      .distinct()
+    val firstWeek = uw.groupBy("user_id").agg(min(col("week")).as("cohort"))
+    uw.join(firstWeek, Seq("user_id"))
+      .groupBy(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("week"), col("cohort")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

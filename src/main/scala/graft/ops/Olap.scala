@@ -301,4 +301,68 @@ object Olap {
           .as("customer_share_pct"))
       .orderBy("threshold")
   }
+
+  /** Robust-statistics twin of [[gmvAnomalies]]: flags days whose daily
+    * GMV deviates from the MEDIAN by more than `k` × MAD (median absolute
+    * deviation). Unlike the z-score, one monster day cannot drag the
+    * center/spread and mask itself — the estimator has a 50% breakdown
+    * point.
+    *
+    * Two exact-`percentile` aggregates over the ALREADY-AGGREGATED daily
+    * frame (≤ |days| rows — trivially broadcastable), never over raw
+    * events; the daily rollup itself is the only big-table pass. The lerp
+    * percentile definition is the engine/oracle contract proven by q43;
+    * deviations are single IEEE subtracts of decimal-exact doubles, so
+    * the whole chain hash-matches DuckDB bit-for-bit. */
+  val MadK = 2.0
+  def gmvMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("gmv"))
+    val med = daily.agg(expr("percentile(gmv, 0.5d)").as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("gmv") - col("med")))
+    val mad = dev.agg(expr("percentile(adev, 0.5d)").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .filter(col("adev") > lit(MadK) * col("mad"))
+      .select(col("d"), col("gmv"), col("med"), col("adev"), col("mad"))
+      .orderBy("d")
+  }
+
+  /** Time-weighted average event value per user (TWAP shape): each
+    * event's value is weighted by how long it was "current" — the
+    * microseconds until the user's next event; the user's last event
+    * carries no weight (no successor). The standard fix for duration-
+    * biased means over irregular event streams (pricing, telemetry,
+    * engagement scoring).
+    *
+    * The lead window partitions by user (parallel per-key sorts, ties
+    * broken by event_id); the weighted sum stays EXACT end-to-end — the
+    * value in integer CENTS × BIGINT microseconds accumulated as a
+    * BIGINT (≲1e17 « 2^63 for a month-long stream), so aggregation order
+    * can't perturb the result. A decimal accumulator would be exact too,
+    * but DuckDB's DECIMAL(38)→DOUBLE cast is not correctly rounded
+    * (observed 1-ulp drift vs Spark); BIGINT→DOUBLE is IEEE-exact
+    * conversion in both engines, and the average is then one division
+    * and one multiply — each a single deterministic IEEE op. */
+  def twapPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dt_us", unix_micros(col("next_ts")) - unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(
+        sum(col("cents") * col("dt_us")).as("wsum_cents"),
+        sum(col("dt_us")).as("dt_total"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("user_id"),
+        (col("wsum_cents").cast("double") /
+          (col("dt_total").cast("double") * lit(100.0))).as("twap"),
+        col("dt_total"), col("n_intervals"))
+      .orderBy("user_id")
+  }
 }

@@ -357,4 +357,66 @@ object Publisher {
       .agg(count(lit(1)).as("customers"))
       .orderBy("r_score", "f_score", "m_score")
   }
+
+  /** Association rules over the q76 co-occurrence base: for every DIRECTED
+    * event-type pair A→B, support (users with both), confidence
+    * P(B|A) and lift P(B|A)/P(B) — the full market-basket rule mine.
+    *
+    * Scale shape: identical to [[eventCooccurrence]] (distinct (user,
+    * type) projection partial-aggregates map-side; self-join keyed on
+    * user with fan-out ≤ |types|²) plus two broadcast joins against the
+    * ≤|types|-row marginals frame — no extra shuffle over the big table.
+    * Determinism: confidence is ONE integer-ratio division; lift is
+    * (pair·total)/(ante·cons) — exact BIGINT products, then one IEEE
+    * division — never a chain of rounded doubles. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val marginals = ut.groupBy("event_type")
+      .agg(count(lit(1)).as("type_users"))
+    val total = ut.agg(countDistinct(col("user_id")).as("total_users"))
+    val a = ut.select(col("user_id"), col("event_type").as("antecedent"))
+    val b = ut.select(col("user_id"), col("event_type").as("consequent"))
+    a.join(b, Seq("user_id"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy("antecedent", "consequent")
+      .agg(count(lit(1)).as("pair_users"))
+      .join(broadcast(marginals.withColumnRenamed("event_type", "antecedent")
+        .withColumnRenamed("type_users", "ante_users")), Seq("antecedent"))
+      .join(broadcast(marginals.withColumnRenamed("event_type", "consequent")
+        .withColumnRenamed("type_users", "cons_users")), Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("antecedent"), col("consequent"), col("pair_users"),
+        (col("pair_users").cast("double") / col("ante_users")).as("confidence"),
+        ((col("pair_users") * col("total_users")).cast("double") /
+          (col("ante_users") * col("cons_users"))).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * counts of consecutive (prev → next) event-type pairs plus the row-
+    * normalized transition probability — the session-model / next-action
+    * baseline every product-analytics stack ships.
+    *
+    * The lag window partitions BY USER (thousands of small per-key sorts
+    * in parallel — never a global order), the pair count is one hash
+    * aggregate, and the row normalization is a window over the ≤|types|²
+    * aggregate, not over events. Ties inside a user's sequence are broken
+    * by event_id so the sequence — and hence the counts — are total-order
+    * deterministic. Probability is one integer-ratio IEEE division. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val rowTotal = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        col("n").cast("double") / sum(col("n")).over(rowTotal))
+      .orderBy("prev_type", "next_type")
+  }
 }

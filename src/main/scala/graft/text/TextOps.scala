@@ -364,4 +364,45 @@ object TextOps {
           .cast("long").as("bpe_tokens"),
         length(col("props")).cast("long").as("n_chars"))
       .orderBy("event_id")
+
+  /** Inverted index (term → document-frequency + posting-list head): the
+    * search-engine / BM25-precursor structure, built as one explode of
+    * per-doc DISTINCT terms and one hash aggregate per term.
+    *
+    * At 100 TB the per-doc `array_distinct` is the load-bearing move —
+    * only ≤|vocab-per-doc| rows per document enter the shuffle, not every
+    * token occurrence (the same partial-dedup trick as q76). Posting
+    * lists are emitted as a SORTED, CAPPED head (first [[PostingsCap]]
+    * doc_ids) so no single hot term ("the") can materialize an unbounded
+    * row — the full list would live behind the same aggregate as a
+    * bucketed table in production. Sorting makes the value canonical, so
+    * the oracle hash-matches. */
+  val PostingsCap = 20
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(array_distinct(col("tokens"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("postings"))
+      .select(
+        col("term"), col("df"),
+        // sort NUMERICALLY first, cast to string only for the join —
+        // a string sort would order "10" before "2"
+        expr(s"array_join(transform(slice(sort_array(postings), 1, $PostingsCap)," +
+          " x -> cast(x as string)), ',')").as("postings_head"))
+      .orderBy("term")
+
+  /** Regex scrubbing (PII-redaction plumbing): masks every digit run in
+    * the raw event payload and reports how many spans were masked — the
+    * shape of email/phone/SSN redaction over a real corpus (the synthetic
+    * payloads only carry numbers, so digit runs stand in for the PII
+    * class). One codegen'd narrow projection, no shuffle; the pattern set
+    * is swappable per deployment. */
+  def scrubDigits(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("scrubbed"),
+        size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_masked"))
+      .orderBy("event_id")
 }

@@ -290,4 +290,29 @@ object VectorOps {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Per-label embedding centroids — the k-means update step / class-
+    * prototype computation, reported per (label, dim) with q69's order-
+    * free integer-micro mean so the distributed sum is EXACT (bit-equal
+    * to any single-threaded oracle regardless of partitioning).
+    *
+    * posexplode fans each vector to |dim| rows, but those rows partial-
+    * aggregate map-side down to |labels|·|dim| cells before the shuffle —
+    * at 100 TB the shuffle carries only the cell grid, and the output is
+    * the grid itself (tiny). This is the building block ScaleProbe's IVF
+    * training reuses; exposing it as a first-class query makes centroid
+    * refresh a one-liner over any labeled corpus. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> cast(x as double))")))
+      .select(col("label").cast("long").as("label"),
+        col("pos").cast("long").as("dim"), col("col").as("x"))
+      .groupBy("label", "dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(floor(x * 1000000.0d + 0.5d) as long)")).as("sum_micro"))
+      .withColumn("mean",
+        col("sum_micro").cast("double") / (col("n") * lit(1000000.0d)))
+      .orderBy("label", "dim")
 }
