@@ -138,6 +138,25 @@ object ScaleProbe {
         // linear scaling; the band filter keeps the constant small
         graft.dedup.DedupOps.editDistanceCore(docs).count()
       }
+      time(s"${copies}x assoc rules (distinct self-join + broadcast marginals)") {
+        graft.ops.Publisher.assocRulesCore(events).count()
+      }
+      time(s"${copies}x cohort retention (map-side user-week dedup)") {
+        graft.ops.Dau.cohortRetentionCore(events).count()
+      }
+      time(s"${copies}x event transitions (per-user lag windows)") {
+        graft.ops.Publisher.transitionsCore(events).count()
+      }
+      time(s"${copies}x twap (lead window + exact integer accumulator)") {
+        graft.ops.Olap.twapCore(events).count()
+      }
+      time(s"${copies}x inverted index (per-doc distinct + capped postings)") {
+        graft.text.TextOps.invertedIndexCore(docs).count()
+      }
+      time(s"${copies}x label centroids (posexplode + partial agg)") {
+        graft.vector.VectorOps.labelCentroidsCore(
+          amplified(Tables.embeddings(spark, dir), Seq("vec_id"), copies)).count()
+      }
       time(s"${copies}x sequence packing (per-source window)") {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy("doc_id")

@@ -171,6 +171,15 @@ object SparkEntry {
     "q94_label_centroids"  -> ((s, d) => graft.vector.VectorOps.labelCentroids(s, d)),
     // --- regex scrubbing (PII-redaction plumbing) ---
     "q95_scrub"            -> ((s, d) => graft.text.TextOps.scrubDigits(s, d)),
+    // --- data-quality audits: referential integrity, column profile ---
+    "q96_integrity_audit"  -> ((s, d) => Quality.integrityAudit(s, d)),
+    "q97_column_profile"   -> ((s, d) => Quality.columnProfile(s, d)),
+    // --- time-series gap-fill over a generated hour spine ---
+    "q98_gapfill"          -> ((s, d) => Olap.gapFillHourly(s, d)),
+    // --- iterative graph: damped PageRank over the transition graph ---
+    "q99_pagerank"         -> ((s, d) => Graph.pageRank(s, d)),
+    // --- contingency-table chi-square surprise cells ---
+    "q100_chisq_cells"     -> ((s, d) => Quality.chisqCells(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -921,15 +930,71 @@ object SparkEntry {
         |       regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
         |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked
         |FROM events ORDER BY event_id""".stripMargin,
+    "q96_integrity_audit" ->
+      """SELECT 'customer->nation' AS "check",
+        |       (SELECT COUNT(*) FROM customer c
+        |        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS violations
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |       (SELECT COUNT(*) FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL
+        |SELECT 'nation->region',
+        |       (SELECT COUNT(*) FROM nation n
+        |        WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |       (SELECT COUNT(*) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY "check"""".stripMargin,
+    "q97_column_profile" ->
+      """WITH p AS (
+        |  SELECT 'event_id' AS "column", COUNT(*) - COUNT(event_id) AS n_nulls,
+        |         COUNT(DISTINCT event_id) AS n_distinct, COUNT(*) AS n_rows FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id), COUNT(*) FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', COUNT(*) - COUNT(event_type), COUNT(DISTINCT event_type), COUNT(*) FROM events
+        |  UNION ALL
+        |  SELECT 'value', COUNT(*) - COUNT("value"), COUNT(DISTINCT "value"), COUNT(*) FROM events
+        |  UNION ALL
+        |  SELECT 'props', COUNT(*) - COUNT(props), COUNT(DISTINCT props), COUNT(*) FROM events)
+        |SELECT * FROM p ORDER BY "column"""".stripMargin,
+    "q98_gapfill" ->
+      """WITH b AS (SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+        |                  CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+        |hourly AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, COUNT(*) AS n
+        |           FROM events WHERE event_type = 'error' GROUP BY 1)
+        |SELECT strftime(spine.h, '%Y-%m-%d %H') AS hour,
+        |       COALESCE(n, 0) AS n_events,
+        |       (n IS NULL) AS is_gap
+        |FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+        |ORDER BY hour""".stripMargin,
+    "q100_chisq_cells" ->
+      """WITH cells AS (SELECT event_type, strftime(ts, '%H') AS hour, COUNT(*) AS observed
+        |               FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, SUM(observed) AS row_total FROM cells GROUP BY 1),
+        |ct AS (SELECT hour, SUM(observed) AS col_total FROM cells GROUP BY 1),
+        |n AS (SELECT SUM(observed) AS n_total FROM cells)
+        |SELECT event_type, hour, observed,
+        |       CAST(row_total * col_total AS DOUBLE) / n_total AS expected,
+        |       (CAST(observed AS DOUBLE) - CAST(row_total * col_total AS DOUBLE) / n_total)
+        |         * (CAST(observed AS DOUBLE) - CAST(row_total * col_total AS DOUBLE) / n_total)
+        |         / (CAST(row_total * col_total AS DOUBLE) / n_total) AS contribution
+        |FROM cells JOIN rt USING (event_type) JOIN ct USING (hour), n
+        |ORDER BY event_type, hour""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible
     //   in SQL), q44_percentiles_approx (sketch), q45_stratified_sample
     //   (engine-specific Bernoulli draws; determinism pinned by unit
     //   test), q75_heavy_hitters (Count-Min layout is engine-specific;
     //   its own output carries the exact twin and Round3Spec bounds the
-    //   overestimate). q29_ann_lsh IS oracled: the seeded hyperplanes
-    //   are embedded as literals, making the whole LSH pipeline
-    //   replayable.
+    //   overestimate), q99_pagerank (damped rank sums are order-dependent
+    //   double additions; GraphSpec pins it against a single-threaded
+    //   power iteration to 1e-9). q29_ann_lsh IS oracled: the seeded
+    //   hyperplanes are embedded as literals, making the whole LSH
+    //   pipeline replayable.
   )
 
   /** Exact 3-gram-shingle Jaccard pairs at threshold 0.7 — the oracle for

@@ -202,8 +202,11 @@ object Dau {
     * |weeks|² keys. Week keys are week-START DATES (q61/q62's rule), so
     * multi-year data never aliases and the offset is an exact integer
     * `datediff / 7`. */
-  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val uw = withLogDate(Tables.events(spark, dir))
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetentionCore(Tables.events(spark, dir))
+
+  private[graft] def cohortRetentionCore(events: DataFrame): DataFrame = {
+    val uw = withLogDate(events)
       .select(col("user_id"),
         date_trunc("week", to_date(col("log_date"))).cast("date").as("week"))
       .distinct()

@@ -346,9 +346,44 @@ object Olap {
     * (observed 1-ulp drift vs Spark); BIGINT→DOUBLE is IEEE-exact
     * conversion in both engines, and the average is then one division
     * and one multiply — each a single deterministic IEEE op. */
-  def twapPerUser(spark: SparkSession, dir: String): DataFrame = {
+  def twapPerUser(spark: SparkSession, dir: String): DataFrame =
+    twapCore(Tables.events(spark, dir))
+
+  /** Time-series gap-fill: hourly error counts joined against a COMPLETE
+    * hour spine derived from the stream's own min/max bounds — missing
+    * hours appear as explicit zero rows with an `is_gap` flag instead of
+    * silently vanishing (the resample/"densify" step every downstream
+    * rate calculation and charting layer needs; at sf0.001 ~3/4 of the
+    * spine is gaps, at sf0.1 none is — both correct).
+    *
+    * The spine is generated from the 1-row bounds aggregate via
+    * `sequence` + explode (≤ |hours| rows — never a driver loop), then
+    * left-joined to the hourly aggregate; the fact table is scanned
+    * once. */
+  def gapFillHourly(spark: SparkSession, dir: String,
+                    eventType: String = "error"): DataFrame =
+    gapFillCore(Tables.events(spark, dir), eventType)
+
+  private[graft] def gapFillCore(events: DataFrame, eventType: String): DataFrame = {
+    val hourly = events
+      .filter(col("event_type") === eventType)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = events
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    spine.join(hourly, Seq("h"), "left")
+      .select(
+        date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("is_gap"))
+      .orderBy("hour")
+  }
+
+  private[graft] def twapCore(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("ts"), col("event_id"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .withColumn("next_ts", lead(col("ts"), 1).over(w))

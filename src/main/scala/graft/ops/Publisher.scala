@@ -369,8 +369,11 @@ object Publisher {
     * Determinism: confidence is ONE integer-ratio division; lift is
     * (pair·total)/(ante·cons) — exact BIGINT products, then one IEEE
     * division — never a chain of rounded doubles. */
-  def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    val ut = Tables.events(spark, dir)
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesCore(Tables.events(spark, dir))
+
+  private[graft] def assocRulesCore(events: DataFrame): DataFrame = {
+    val ut = events
       .select(col("user_id"), col("event_type")).distinct()
     val marginals = ut.groupBy("event_type")
       .agg(count(lit(1)).as("type_users"))
@@ -405,11 +408,14 @@ object Publisher {
     * aggregate, not over events. Ties inside a user's sequence are broken
     * by event_id so the sequence — and hence the counts — are total-order
     * deterministic. Probability is one integer-ratio IEEE division. */
-  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsCore(Tables.events(spark, dir))
+
+  private[graft] def transitionsCore(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val rowTotal = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality / audit operators: referential-integrity checks, column
+  * profiling, and contingency (chi-square) surprise analysis — the
+  * validation layer a warehouse or training-data pipeline runs before it
+  * trusts a load (reference analog: the gmall star schema assumes fact →
+  * dim integrity that HBase/Phoenix never enforced; here the checks are
+  * first-class queries).
+  *
+  * Scale design: every check is anti-join- or aggregate-shaped — no
+  * collect, no driver-side loops. The profile's multi-count(distinct)
+  * plans as ONE Expand + two-phase aggregate (one pass over the fact
+  * table regardless of how many columns are profiled); the integrity
+  * audit's anti-joins broadcast the dim side when small and each emit a
+  * single count row.
+  */
+object Quality {
+
+  /** Referential-integrity audit over the star schema: for every
+    * fact → dim edge, how many child rows have no parent (orphans).
+    * Each edge is one left-anti join reduced to a count — the dim side
+    * broadcasts, so at 100 TB each check is a map-side probe over the
+    * fact scan, and the four 1-row results union into the report. */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame =
+    integrityAuditCore(
+      Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir),
+      Tables.region(spark, dir))
+
+  private[graft] def integrityAuditCore(lineitem: DataFrame, orders: DataFrame,
+                                        customer: DataFrame, nation: DataFrame,
+                                        region: DataFrame): DataFrame = {
+    def orphans(name: String, child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame =
+      child.join(parent, child(childKey) === parent(parentKey), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check"), col("violations"))
+    orphans("customer->nation", customer, "c_nationkey", nation, "n_nationkey")
+      .unionByName(orphans("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey"))
+      .unionByName(orphans("nation->region", nation, "n_regionkey", region, "r_regionkey"))
+      .unionByName(orphans("orders->customer", orders, "o_custkey", customer, "c_custkey"))
+      .orderBy("check")
+  }
+
+  /** Columns profiled by [[columnProfile]] — the full events schema. */
+  val ProfiledCols: Seq[String] =
+    Seq("event_id", "user_id", "event_type", "value", "props")
+
+  /** Column profile (null + exact distinct counts per column) in ONE scan:
+    * Spark plans the N count(distinct)s as a single Expand (each input row
+    * fans to N tagged rows) + two-phase hash aggregate — one pass over the
+    * table however many columns are profiled, vs N separate scans. The
+    * wide 1-row aggregate is then unpivoted with `stack` into the
+    * (column, metric) report. At 100 TB swap the exact distincts for
+    * approx_count_distinct (same plan, no Expand dedup state) — exact is
+    * kept here because it is the oracle-verifiable contract. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame =
+    columnProfileCore(Tables.events(spark, dir))
+
+  private[graft] def columnProfileCore(events: DataFrame): DataFrame = {
+    val metricCols = ProfiledCols.flatMap { c =>
+      Seq(
+        sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"dist_$c"))
+    }
+    val wide = events.agg(count(lit(1)).as("n_rows"), metricCols: _*)
+    val stackArgs = ProfiledCols
+      .map(c => s"'$c', nulls_$c, dist_$c").mkString(", ")
+    wide.selectExpr("n_rows",
+        s"stack(${ProfiledCols.size}, $stackArgs) as (column, n_nulls, n_distinct)")
+      .select(col("column"), col("n_nulls"), col("n_distinct"), col("n_rows"))
+      .orderBy("column")
+  }
+
+  /** Per-cell chi-square contributions for the event_type × hour-of-day
+    * contingency table: observed count, expected count under independence
+    * (row_total × col_total / N), and the (O−E)²/E surprise term — the
+    * cells a data-drift monitor ranks. The TOTAL statistic is a sum of
+    * doubles (order-dependent), so the engine emits the per-cell terms —
+    * deterministic: E is one integer-ratio division, the contribution is
+    * (O−E)·(O−E)/E with a fixed op order, each a single IEEE op.
+    *
+    * Shape: one hash aggregate over (type, hour), two tiny marginal
+    * aggregates of THAT result (never a second fact scan), broadcast back
+    * over the ≤|types|·24 cells. */
+  def chisqCells(spark: SparkSession, dir: String): DataFrame =
+    chisqCellsCore(Tables.events(spark, dir))
+
+  private[graft] def chisqCellsCore(events: DataFrame): DataFrame = {
+    val cells = events
+      .groupBy(col("event_type"), date_format(col("ts"), "HH").as("hour"))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy("event_type").agg(sum(col("observed")).as("row_total"))
+    val colTot = cells.groupBy("hour").agg(sum(col("observed")).as("col_total"))
+    val n = cells.agg(sum(col("observed")).as("n_total"))
+    val d = col("observed").cast("double") - col("expected")
+    cells
+      .join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("hour"))
+      .crossJoin(broadcast(n))
+      .withColumn("expected",
+        (col("row_total") * col("col_total")).cast("double") / col("n_total"))
+      .select(col("event_type"), col("hour"), col("observed"),
+        col("expected"), (d * d / col("expected")).as("contribution"))
+      .orderBy("event_type", "hour")
+  }
+}

@@ -379,7 +379,10 @@ object TextOps {
     * the oracle hash-matches. */
   val PostingsCap = 20
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
-    withTokens(Tables.documents(spark, dir))
+    invertedIndexCore(Tables.documents(spark, dir))
+
+  private[graft] def invertedIndexCore(docs: DataFrame): DataFrame =
+    withTokens(docs)
       .select(col("doc_id"), explode(array_distinct(col("tokens"))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("postings"))

@@ -303,7 +303,10 @@ object VectorOps {
     * training reuses; exposing it as a first-class query makes centroid
     * refresh a one-liner over any labeled corpus. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    labelCentroidsCore(Tables.embeddings(spark, dir))
+
+  private[graft] def labelCentroidsCore(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("label"),
         posexplode(expr("transform(embedding, x -> cast(x as double))")))
       .select(col("label").cast("long").as("label"),
