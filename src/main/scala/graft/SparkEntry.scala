@@ -180,6 +180,14 @@ object SparkEntry {
     "q99_pagerank"         -> ((s, d) => Graph.pageRank(s, d)),
     // --- contingency-table chi-square surprise cells ---
     "q100_chisq_cells"     -> ((s, d) => Quality.chisqCells(s, d)),
+    // --- sequence mining: top three-step user journeys ---
+    "q101_path_trigrams"   -> ((s, d) => Publisher.pathTrigrams(s, d)),
+    // --- KMV sketch set algebra (distinct intersection estimates) ---
+    "q102_kmv_overlap"     -> ((s, d) => Sketches.kmvOverlap(s, d)),
+    // --- inter-arrival magnitude histogram (exact digit buckets) ---
+    "q103_interarrival"    -> ((s, d) => Olap.interarrivalHistogram(s, d)),
+    // --- daily session-quality stats over session_window output ---
+    "q104_session_stats"   -> ((s, d) => Sessions.sessionStats(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -984,6 +992,45 @@ object SparkEntry {
         |         / (CAST(row_total * col_total AS DOUBLE) / n_total) AS contribution
         |FROM cells JOIN rt USING (event_type) JOIN ct USING (hour), n
         |ORDER BY event_type, hour""".stripMargin,
+    "q101_path_trigrams" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |                  lag(event_type, 2) OVER w AS e1,
+        |                  lag(event_type, 1) OVER w AS e2
+        |           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT e1, e2, event_type AS e3, COUNT(*) AS n
+        |      FROM s WHERE e1 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT e1, e2, e3, n FROM c
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+    "q103_interarrival" ->
+      """WITH s AS (SELECT event_type, epoch_us(ts) AS t,
+        |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pt
+        |           FROM events),
+        |g AS (SELECT event_type, (t - pt) // 1000000 AS gap_s FROM s WHERE pt IS NOT NULL)
+        |SELECT event_type,
+        |       CASE WHEN gap_s <= 0 THEN 0
+        |            ELSE CAST(strlen(CAST(gap_s AS VARCHAR)) AS BIGINT) END AS magnitude,
+        |       COUNT(*) AS n_gaps, MAX(gap_s) AS max_gap_s
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q104_session_stats" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS ns
+        |           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM l),
+        |sess AS (SELECT user_id, sid, MIN(ts) AS st,
+        |                epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us,
+        |                COUNT(*) AS n_events
+        |         FROM s GROUP BY 1, 2)
+        |SELECT strftime(st, '%Y-%m-%d') AS log_date,
+        |       COUNT(*) AS n_sessions,
+        |       quantile_cont(dur_us, 0.5) AS p50_dur_us,
+        |       quantile_cont(dur_us, 0.9) AS p90_dur_us,
+        |       CAST(SUM(n_events) AS BIGINT) AS total_events,
+        |       CAST(CAST(SUM(n_events) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_events
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible
     //   in SQL), q44_percentiles_approx (sketch), q45_stratified_sample
@@ -992,7 +1039,10 @@ object SparkEntry {
     //   its own output carries the exact twin and Round3Spec bounds the
     //   overestimate), q99_pagerank (damped rank sums are order-dependent
     //   double additions; GraphSpec pins it against a single-threaded
-    //   power iteration to 1e-9). q29_ann_lsh IS oracled: the seeded
+    //   power iteration to 1e-9), q102_kmv_overlap (xxhash64 is
+    //   Spark-specific; Round3dSpec bounds every estimate against the
+    //   in-row exact twin at the ~1.96/√K KMV error). q29_ann_lsh IS
+    //   oracled: the seeded
     //   hyperplanes are embedded as literals, making the whole LSH
     //   pipeline replayable.
   )

@@ -364,6 +364,32 @@ object Olap {
                     eventType: String = "error"): DataFrame =
     gapFillCore(Tables.events(spark, dir), eventType)
 
+  /** Inter-arrival-time histogram in order-of-magnitude buckets: per
+    * event type, how many gaps between a user's consecutive events fall
+    * at each decimal magnitude (bucket = digit count of the gap in
+    * seconds; sub-second gaps are bucket 0). Magnitude via STRING LENGTH
+    * of the integer gap — an exact integer operation, deliberately not
+    * `floor(log10(x))` whose libm rounding is engine-specific (the same
+    * determinism rule as q52's rational idf).
+    *
+    * One per-user lag window (parallel per-key sorts) + one hash
+    * aggregate over ≤ |types|·20 buckets. */
+  def interarrivalHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_s", expr("(unix_micros(ts) - prev_us) div 1000000L"))
+      .groupBy(col("event_type"),
+        when(col("gap_s") <= 0, lit(0L))
+          .otherwise(length(col("gap_s").cast("string")).cast("long"))
+          .as("magnitude"))
+      .agg(count(lit(1)).as("n_gaps"), max(col("gap_s")).as("max_gap_s"))
+      .orderBy("event_type", "magnitude")
+  }
+
   private[graft] def gapFillCore(events: DataFrame, eventType: String): DataFrame = {
     val hourly = events
       .filter(col("event_type") === eventType)

@@ -198,8 +198,11 @@ object Publisher {
     * keyed on user with per-user fan-out bounded by |types|² — never a
     * corpus×corpus blowup — and the final count is one hash aggregate
     * over pair keys. */
-  def eventCooccurrence(spark: SparkSession, dir: String): DataFrame = {
-    val ut = Tables.events(spark, dir)
+  def eventCooccurrence(spark: SparkSession, dir: String): DataFrame =
+    cooccurrenceCore(Tables.events(spark, dir))
+
+  private[graft] def cooccurrenceCore(events: DataFrame): DataFrame = {
+    val ut = events
       .select(col("user_id"), col("event_type")).distinct()
     val a = ut.select(col("user_id"), col("event_type").as("type_a"))
     val b = ut.select(col("user_id"), col("event_type").as("type_b"))
@@ -410,6 +413,25 @@ object Publisher {
     * deterministic. Probability is one integer-ratio IEEE division. */
   def eventTransitions(spark: SparkSession, dir: String): DataFrame =
     transitionsCore(Tables.events(spark, dir))
+
+  /** Top-20 three-step user journeys (the sequence-mining extension of
+    * [[eventTransitions]]): two lags over the same per-user window give
+    * each event its two predecessors; the path count is one hash
+    * aggregate; the top-k is over the ≤|types|³ aggregate (tie-broken by
+    * the full path so the cut is total-order deterministic). */
+  def pathTrigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e1", lag(col("event_type"), 2).over(w))
+      .withColumn("e2", lag(col("event_type"), 1).over(w))
+      .filter(col("e1").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("event_type").as("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+      .limit(k)
+  }
 
   private[graft] def transitionsCore(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -33,6 +33,35 @@ object Sessions {
         col("n_events"))
       .orderBy("user_id", "session_start_us")
 
+  /** Daily session-quality stats composed ON TOP of the session_window
+    * operator: per day (of session start), session count, exact lerp
+    * percentiles of session duration (first→last event, µs — exact
+    * integers into the percentile), and mean events/session as one
+    * integer-ratio division. The engagement rollup a product dashboard
+    * reads every morning.
+    *
+    * Scale shape: sessionization is the q36 operator (state-bounded
+    * per-user session_window aggregate); the stats are percentile
+    * aggregates over the ALREADY-COMPACT session frame (one row per
+    * session, grouped by ≤ |days| keys) — the raw stream is scanned
+    * once. */
+  def sessionStats(spark: SparkSession, dir: String,
+                   gap: String = "30 minutes"): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("dur_us"))
+      .groupBy(date_format(col("w.start"), "yyyy-MM-dd").as("log_date"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        expr("percentile(dur_us, 0.5d)").as("p50_dur_us"),
+        expr("percentile(dur_us, 0.9d)").as("p90_dur_us"),
+        sum(col("n_events")).as("total_events"))
+      .withColumn("mean_events",
+        col("total_events").cast("double") / col("n_sessions"))
+      .orderBy("log_date")
+
   /** J1: full outer orders ⋈ lineitem, aggregated per key — orders with
     * zero details keep a row (n_details = 0, status non-null); orphan
     * details would keep rows with null status.
