@@ -188,6 +188,26 @@ object SparkEntry {
     "q103_interarrival"    -> ((s, d) => Olap.interarrivalHistogram(s, d)),
     // --- daily session-quality stats over session_window output ---
     "q104_session_stats"   -> ((s, d) => Sessions.sessionStats(s, d)),
+    // --- equi-depth (decile-boundary) histogram; skew-proof profiling ---
+    "q105_equidepth_hist"  -> ((s, d) => Olap.equiDepthHistogram(s, d)),
+    // --- last-touch revenue attribution over the event stream ---
+    "q106_attribution"     -> ((s, d) => Publisher.lastTouchAttribution(s, d)),
+    // --- time-to-convert latency percentiles for the completed funnel ---
+    "q107_funnel_timing"   -> ((s, d) => Publisher.funnelTiming(s, d)),
+    // --- Heaps-law vocabulary growth per source ---
+    "q108_vocab_growth"    -> ((s, d) => graft.text.TextOps.vocabGrowth(s, d)),
+    // --- Gini coefficient of spend per nation (rank formula, exact cents) ---
+    "q109_spend_gini"      -> ((s, d) => Olap.spendGini(s, d)),
+    // --- PCA sufficient stats: exact covariance cells, dims 0-15 ---
+    "q110_cov_cells"       -> ((s, d) => graft.vector.VectorOps.covCells(s, d)),
+    // --- k-means assignment step (broadcast centroids, argmin struct) ---
+    "q111_kmeans_assign"   -> ((s, d) => graft.vector.VectorOps.kmeansAssign(s, d)),
+    // --- childless-parent audit (reverse of q96's orphan checks) ---
+    "q112_childless"       -> ((s, d) => Quality.childlessParents(s, d)),
+    // --- in-session conversion funnel per day ---
+    "q113_session_funnel"  -> ((s, d) => Sessions.sessionFunnel(s, d)),
+    // --- tie-aware top price levels via dense_rank ---
+    "q114_price_ties"      -> ((s, d) => Olap.topPriceLevels(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1031,6 +1051,135 @@ object SparkEntry {
         |       CAST(SUM(n_events) AS BIGINT) AS total_events,
         |       CAST(CAST(SUM(n_events) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_events
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q105_equidepth_hist" ->
+      """WITH q AS (SELECT quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM orders),
+        |b AS (SELECT 1 + CAST(list_sum(list_transform(q.qs, v -> CASE WHEN o_totalprice > v THEN 1 ELSE 0 END)) AS BIGINT) AS bucket,
+        |             o_totalprice
+        |      FROM orders, q)
+        |SELECT bucket, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q106_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, value,
+        |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+        |  FROM events)
+        |SELECT COALESCE(touch_type, 'direct') AS touch_type, COUNT(*) AS n_purchases,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q107_funnel_timing" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS ct FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts > v.vt
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts > c.ct
+        |      WHERE e.event_type = 'purchase' GROUP BY 1),
+        |d AS (SELECT epoch_us(pt) - epoch_us(vt) AS dt_us
+        |      FROM v JOIN c USING (user_id) JOIN p USING (user_id))
+        |SELECT COUNT(*) AS n_converted,
+        |       quantile_cont(dt_us, 0.5) AS p50_us,
+        |       quantile_cont(dt_us, 0.95) AS p95_us,
+        |       MAX(dt_us) AS max_us
+        |FROM d""".stripMargin,
+    "q108_vocab_growth" ->
+      """WITH tok AS (SELECT source, doc_id,
+        |                    unnest(list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS term
+        |             FROM documents),
+        |f AS (SELECT source, term, MIN(doc_id) AS first_doc FROM tok GROUP BY 1, 2),
+        |g AS (SELECT source, first_doc AS doc_id, COUNT(*) AS new_terms FROM f GROUP BY 1, 2)
+        |SELECT source, doc_id, new_terms,
+        |       CAST(SUM(new_terms) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+        |FROM g ORDER BY source, doc_id""".stripMargin,
+    "q109_spend_gini" ->
+      """WITH s AS (SELECT o_custkey AS user_id,
+        |                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |           FROM orders GROUP BY 1),
+        |j AS (SELECT n_name AS nation, user_id, cents,
+        |             row_number() OVER (PARTITION BY n_name ORDER BY cents, user_id) AS rk
+        |      FROM s JOIN customer ON user_id = c_custkey
+        |             JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT nation, COUNT(*) AS n_customers,
+        |       CAST(CAST(2 * SUM(rk * cents) - (COUNT(*) + 1) * SUM(cents) AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(COUNT(*) * SUM(cents) AS BIGINT) AS DOUBLE) AS gini
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q110_cov_cells" ->
+      """WITH u AS (
+        |  SELECT i.i, j.j,
+        |         CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS mx,
+        |         CAST(floor(CAST(embedding[j.j + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS my
+        |  FROM embeddings,
+        |       (SELECT unnest(generate_series(0, 15)) AS i) i,
+        |       (SELECT unnest(generate_series(0, 15)) AS j) j
+        |  WHERE j.j >= i.i),
+        |a AS (SELECT i, j, COUNT(*) AS n,
+        |             CAST(SUM(mx) AS BIGINT) AS sx, CAST(SUM(my) AS BIGINT) AS sy,
+        |             CAST(SUM(mx * my) AS BIGINT) AS sxy
+        |      FROM u GROUP BY 1, 2)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+        |       ROUND((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12, 9) AS cov
+        |FROM a ORDER BY i, j""".stripMargin,
+    "q111_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id,
+        |             MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.cv) + list_inner_product(c.cv, c.cv),
+        |                  'c': c.cid}) AS best
+        |      FROM e, c WHERE e.vec_id >= 8 GROUP BY 1),
+        |g AS (SELECT best.c AS centroid_id, COUNT(*) AS n_assigned,
+        |             MIN({'d': best.d, 'v': vec_id}) AS cl
+        |      FROM d GROUP BY 1)
+        |SELECT centroid_id, n_assigned, cl.v AS closest_vec_id, cl.d AS closest_dist2
+        |FROM g ORDER BY centroid_id""".stripMargin,
+    "q112_childless" ->
+      """SELECT 'customer-no-orders' AS "check",
+        |       (SELECT COUNT(*) FROM customer c
+        |        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS violations
+        |UNION ALL
+        |SELECT 'orders-no-lineitem',
+        |       (SELECT COUNT(*) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        |UNION ALL
+        |SELECT 'part-no-lineitem',
+        |       (SELECT COUNT(*) FROM part p
+        |        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+        |UNION ALL
+        |SELECT 'supplier-no-lineitem',
+        |       (SELECT COUNT(*) FROM supplier s
+        |        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))
+        |ORDER BY "check"""".stripMargin,
+    "q113_session_funnel" ->
+      """WITH l AS (SELECT user_id, ts, event_id, event_type,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS ns
+        |           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM l),
+        |v AS (SELECT user_id, ts, event_type, sid,
+        |        MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |          OVER (PARTITION BY user_id, sid) AS vt
+        |      FROM s),
+        |sess AS (SELECT user_id, sid, MIN(ts) AS st,
+        |           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+        |           MAX(CASE WHEN event_type = 'purchase' AND ts > vt THEN 1 ELSE 0 END) AS converted
+        |         FROM v GROUP BY 1, 2)
+        |SELECT strftime(st, '%Y-%m-%d') AS log_date, COUNT(*) AS n_sessions,
+        |       CAST(SUM(has_view) AS BIGINT) AS n_with_view,
+        |       CAST(SUM(converted) AS BIGINT) AS n_converted
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q114_price_ties" ->
+      """WITH lv AS (SELECT l_returnflag, l_extendedprice AS price, COUNT(*) AS n_at_price
+        |            FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, dense_rank() OVER (PARTITION BY l_returnflag ORDER BY price DESC) AS rk
+        |      FROM lv)
+        |SELECT l_returnflag, CAST(rk AS BIGINT) AS rk, price, n_at_price
+        |FROM r WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible
     //   in SQL), q44_percentiles_approx (sketch), q45_stratified_sample

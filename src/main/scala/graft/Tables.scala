@@ -64,6 +64,23 @@ object Tables {
     holder.df
   }
 
+  /** Drop every memoized artifact of `spark` and unpersist its cached
+    * data. Used by the bench harness between the sf0.001 warm-up and the
+    * timed passes: without it the warm-up's cached tables sit in the
+    * timed JVM's old gen for the whole run, and with ~100 queries of
+    * stacked memo state the resulting GC pressure inflated measured
+    * times up to 7× (observed: q69 3.4 s standalone vs 23.7 s mid-bench
+    * before this hook). */
+  def clearMemo(spark: SparkSession): Unit = {
+    memo.synchronized {
+      val m = memo.remove(spark)
+      if (m != null) m.values.foreach { h =>
+        try h.df.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+    }
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

@@ -43,7 +43,12 @@ object DedupOps {
     // memo-cached: one row per doc, consumed by several subtrees per plan
     // and by multiple registered queries in one session
     Tables.memoCache(spark, s"shingles/$dir") {
+      // documents.parquet is a single row group → one scan task; spread
+      // the rows BEFORE the shingle+hash expression so the expensive
+      // per-doc work (and the cached result) uses every core, not one
+      // (TextOps.withTokens does the same for token projections)
       Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("arr"))
     }
   }
@@ -151,6 +156,7 @@ object DedupOps {
     // near-dup layer: minhash band index of the corpus, probed by the
     // new docs' bands; candidates verified with exact Jaccard
     def bands(df: DataFrame) = df
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
       .withColumn("sig", expr(s"graft_minhash_sig(hs, $NumHashes)"))
       .select(col("doc_id"), col("hs"), explode(expr(

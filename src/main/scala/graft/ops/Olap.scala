@@ -426,4 +426,87 @@ object Olap {
         col("dt_total"), col("n_intervals"))
       .orderBy("user_id")
   }
+
+  /** Equi-depth (quantile-bucketed) histogram of order totals — the
+    * profiling complement of the fixed-width [[priceHistogram]]: bucket
+    * boundaries are the exact deciles, so every bucket holds ~10% of the
+    * rows regardless of the value distribution (skew-proof bin sizing).
+    *
+    * Scale design: one tiny percentile aggregate (9 boundary doubles)
+    * broadcast over a second scan that buckets rows with an in-row fold —
+    * a 1-row cross join, not a sort. The exact `percentile` pass is the
+    * verifiable contract; at 100 TB swap it for `approx_percentile`
+    * (mergeable KLL sketch, same plan shape) as with q43/q44. Boundary
+    * assignment is `x > q_i` (strict), so a row equal to a boundary stays
+    * in the lower bucket — pinned by the oracle. */
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val qs = orders.agg(
+      expr("percentile(o_totalprice, array(0.1d,0.2d,0.3d,0.4d,0.5d,0.6d,0.7d,0.8d,0.9d))")
+        .as("qs"))
+    orders.crossJoin(broadcast(qs))
+      .select(
+        (lit(1L) + expr(
+          "aggregate(qs, 0L, (acc, q) -> acc + if(o_totalprice > q, 1L, 0L))"))
+          .as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** Gini coefficient of customer spend per nation — revenue-inequality
+    * profiling via the rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ)
+    * over spend sorted ascending (i = 1-based rank).
+    *
+    * Scale design: the rank window partitions by nation, so the sort is
+    * per-nation-parallel (never global); all accumulation is exact
+    * integer cents (rank·cents products fit BIGINT far past this scale —
+    * ~5e8-cent spends × 1e6-row nations ≈ 5e17 < 2⁶³), and the single
+    * final division is the only floating-point op (BIGINT→DOUBLE is
+    * correctly rounded in both engines, unlike DECIMAL(38)→DOUBLE in
+    * DuckDB — the q92 finding). */
+  def spendGini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val withNation = spend
+      .join(broadcast(Tables.customer(spark, dir)), col("user_id") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("user_id"), col("cents"))
+    val w = Window.partitionBy("nation").orderBy(col("cents").asc, col("user_id").asc)
+    withNation
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rk") * col("cents")).as("s1"),
+        sum(col("cents")).as("s0"))
+      .select(col("nation"), col("n_customers"),
+        ((lit(2L) * col("s1") - (col("n_customers") + lit(1L)) * col("s0")).cast("double")
+          / (col("n_customers") * col("s0")).cast("double")).as("gini"))
+      .orderBy("nation")
+  }
+
+  /** Top price LEVELS per return flag via dense_rank — the tie-aware
+    * sibling of the row_number top-k (q42/q63): equal prices share a rank
+    * and all rows at a kept level are reported (as a count), so the
+    * result is value-complete rather than row-capped.
+    *
+    * Scale design: the per-(flag, price) pre-aggregate collapses the fact
+    * table BEFORE the rank window (partial map-side combine), so the sort
+    * ranks distinct price levels, not raw rows. */
+  def topPriceLevels(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val levels = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+      .agg(count(lit(1)).as("n_at_price"))
+    val w = Window.partitionBy("l_returnflag").orderBy(col("price").desc)
+    levels
+      .withColumn("rk", dense_rank().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("l_returnflag"), col("rk"), col("price"), col("n_at_price"))
+      .orderBy("l_returnflag", "rk")
+  }
 }

@@ -447,4 +447,48 @@ object Publisher {
         col("n").cast("double") / sum(col("n")).over(rowTotal))
       .orderBy("prev_type", "next_type")
   }
+
+  /** Last-touch revenue attribution: each purchase's value is credited to
+    * the user's most recent PRECEDING non-purchase event type (the
+    * "touch"); purchases with no prior touch credit 'direct'. The
+    * marketing-attribution shape (q48's as-of machinery generalized from
+    * view-only to any touch channel).
+    *
+    * Scale design: one per-user window (last over rows-preceding frame,
+    * ignore-nulls — no self-join, no fan-out), then a 5-row aggregate;
+    * revenue sums in exact DECIMAL before the final double cast. */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("touch_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch_type"), lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("attributed"))
+      .orderBy("touch_type")
+  }
+
+  /** Time-to-convert distribution for the completed [[funnel]]: among
+    * users reaching stage 3 (view → click → purchase in order), exact
+    * p50/p95/max of the view→purchase latency in µs. One tiny aggregate
+    * over the funnel output — the funnel does the heavy lifting, this
+    * adds the latency-SLO readout a growth dashboard needs.
+    *
+    * Scale: `percentile` over the converted-user set is the exact
+    * verifiable contract; approx_percentile is the drop-in at 100 TB
+    * (q43/q44 pattern). */
+  def funnelTiming(spark: SparkSession, dir: String): DataFrame =
+    funnel(spark, dir)
+      .filter(col("purchase_us").isNotNull)
+      .withColumn("dt_us", col("purchase_us") - col("view_us"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(dt_us, 0.5d)").as("p50_us"),
+        expr("percentile(dt_us, 0.95d)").as("p95_us"),
+        max(col("dt_us")).as("max_us"))
 }

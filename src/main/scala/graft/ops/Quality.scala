@@ -108,4 +108,36 @@ object Quality {
         col("expected"), (d * d / col("expected")).as("contribution"))
       .orderBy("event_type", "hour")
   }
+
+  /** Childless-parent audit — the reverse direction of
+    * [[integrityAudit]]: parents with NO child rows (orders that never
+    * shipped a line item, customers who never ordered, parts and
+    * suppliers never referenced). Orphans break joins; childless parents
+    * break revenue/coverage assumptions — both belong in a load gate.
+    *
+    * Scale design: the probe side here is the BIG table (does any
+    * lineitem reference this order?), so unlike the orphan checks the
+    * child side cannot broadcast — each check collapses the child table
+    * to its distinct keys with a partial-agg first (shuffle carries keys,
+    * not rows), then left-antis the parent against that key set. */
+  def childlessParents(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.lineitem(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    def childless(name: String, parent: DataFrame, parentKey: String,
+                  child: DataFrame, childKey: String): DataFrame = {
+      val childKeys = child.select(col(childKey)).distinct()
+      parent.join(childKeys, parent(parentKey) === childKeys(childKey), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check"), col("violations"))
+    }
+    childless("customer-no-orders", Tables.customer(spark, dir), "c_custkey",
+        orders, "o_custkey")
+      .unionByName(childless("orders-no-lineitem", orders, "o_orderkey",
+        lineitem, "l_orderkey"))
+      .unionByName(childless("part-no-lineitem", Tables.part(spark, dir), "p_partkey",
+        lineitem, "l_partkey"))
+      .unionByName(childless("supplier-no-lineitem", Tables.supplier(spark, dir),
+        "s_suppkey", lineitem, "l_suppkey"))
+      .orderBy("check")
+  }
 }

@@ -62,6 +62,46 @@ object Sessions {
         col("total_events").cast("double") / col("n_sessions"))
       .orderBy("log_date")
 
+  /** In-session conversion funnel: per day, how many sessions contained
+    * a view, and how many converted (a purchase STRICTLY after the
+    * session's first view). The q72 funnel semantics scoped to a single
+    * session — the "did the visit convert" number — composed from the
+    * same gap rule the session operators share (new session at gap ≥ 30
+    * min, q36's oracle-pinned definition).
+    *
+    * Scale design: session labeling is the islands trick (per-user lag +
+    * running sum — two window passes over user partitions, parallel per
+    * user, no session-level shuffle key explosion); the first-view
+    * timestamp is a whole-partition window min rather than a self-join,
+    * and the final rollup groups ≤ |days| keys. */
+  def sessionFunnel(spark: SparkSession, dir: String,
+                    gapUs: Long = 1800000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val labeled = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("ns",
+        when(lag(col("ts"), 1).over(w).isNull
+          || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >= gapUs,
+          1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(wRun))
+    val wSess = org.apache.spark.sql.expressions.Window.partitionBy("user_id", "sid")
+    labeled
+      .withColumn("vt", min(when(col("event_type") === "view", col("ts"))).over(wSess))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("st"),
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("has_view"),
+        max(when(col("event_type") === "purchase" && col("ts") > col("vt"), 1L)
+          .otherwise(0L)).as("converted"))
+      .groupBy(date_format(col("st"), "yyyy-MM-dd").as("log_date"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("has_view")).as("n_with_view"),
+        sum(col("converted")).as("n_converted"))
+      .orderBy("log_date")
+  }
+
   /** J1: full outer orders ⋈ lineitem, aggregated per key — orders with
     * zero details keep a row (n_details = 0, status non-null); orphan
     * details would keep rows with null status.

@@ -408,4 +408,30 @@ object TextOps {
         size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
           .cast("long").as("n_masked"))
       .orderBy("event_id")
+
+  /** Vocabulary-growth (Heaps-law) curve per source: for each doc_id that
+    * introduces at least one never-seen-before term (scanning docs in
+    * doc_id order within a source), the number of new terms and the
+    * cumulative vocabulary size. The diminishing-returns readout a corpus
+    * builder uses to decide when more data stops adding vocabulary.
+    *
+    * Scale design: per-doc DISTINCT terms first (in-row array_distinct —
+    * shrinks the explode), then term → min(doc_id) as one partial-agg
+    * shuffle keyed by (source, term); the cumulative window runs over the
+    * tiny (source, first_doc) aggregate, partitioned by source. No
+    * global sort, no driver-side scan-in-order. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    withTokens(Tables.documents(spark, dir))
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(col("tokens"))).as("term"))
+      .groupBy("source", "term")
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("source"), col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("new_terms"))
+      .withColumn("vocab_size", sum(col("new_terms")).over(w))
+      .orderBy("source", "doc_id")
+  }
 }

@@ -36,7 +36,11 @@ object VectorOps {
 
   private def vecs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // embeddings.parquet is a single row group -> one scan task; spread
+    // rows before the per-row array work so downstream dot products and
+    // explodes parallelize (same fix as TextOps.withTokens)
     Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
   }
@@ -183,7 +187,8 @@ object VectorOps {
     * both engines, then exact integer addition — a raw double sum would
     * be partition-order dependent); min/max are order-free. */
   def dimProfile(spark: SparkSession, dir: String): DataFrame =
-    dimProfileCore(Tables.embeddings(spark, dir))
+    dimProfileCore(Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
 
   /** Dim profile over any frame with an `embedding: array<float>` column
     * (shared with ScaleProbe — see [[knnJoinCore]]). */
@@ -303,7 +308,8 @@ object VectorOps {
     * training reuses; exposing it as a first-class query makes centroid
     * refresh a one-liner over any labeled corpus. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
-    labelCentroidsCore(Tables.embeddings(spark, dir))
+    labelCentroidsCore(Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
 
   private[graft] def labelCentroidsCore(embeddings: DataFrame): DataFrame =
     embeddings
@@ -318,4 +324,76 @@ object VectorOps {
       .withColumn("mean",
         col("sum_micro").cast("double") / (col("n") * lit(1000000.0d)))
       .orderBy("label", "dim")
+
+  /** Upper-triangle covariance cells over the first `nDims` embedding
+    * dimensions — the sufficient-statistics pass of a PCA/whitening step.
+    * Components are quantized to exact integer micro-units (q69's trick),
+    * so the three sums are order-independent BIGINT arithmetic; the only
+    * floating point is the final per-cell cov formula (identical scalar
+    * ops in both engines, ROUND(…, 9) like q83).
+    *
+    * Scale design: each row fans out to nDims·(nDims+1)/2 cell rows
+    * IN-ROW (no join), and the aggregate is partially combined map-side —
+    * the shuffle carries only (#cells × #partitions) rows however big the
+    * table. Micro-product sums stay exact in BIGINT to ~10⁶ rows per
+    * cell per unit-scale embeddings (3e16 at sf0.1); past that the sums
+    * move to DECIMAL(38,0) — documented, not silently wrong. 16 dims =
+    * 136 cells keeps the fan-out ≤ the posexplode ops already pay. */
+  def covCells(spark: SparkSession, dir: String, nDims: Int = 16): DataFrame = {
+    val pairs = expr(
+      s"""flatten(transform(sequence(0, ${nDims - 1}), i ->
+         |  transform(sequence(i, ${nDims - 1}), j ->
+         |    struct(i, j,
+         |      cast(floor(cast(embedding[i] as double) * 1000000.0d + 0.5d) as long) as mx,
+         |      cast(floor(cast(embedding[j] as double) * 1000000.0d + 0.5d) as long) as my))))
+         |""".stripMargin)
+    Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(pairs).as("p"))
+      .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
+        col("p.mx").as("mx"), col("p.my").as("my"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("mx")).as("sx"), sum(col("my")).as("sy"),
+        sum(col("mx") * col("my")).as("sxy"))
+      .select(col("i"), col("j"), col("n"),
+        round(
+          (col("sxy").cast("double") / col("n").cast("double")
+            - (col("sx").cast("double") / col("n").cast("double"))
+              * (col("sy").cast("double") / col("n").cast("double")))
+            / lit(1.0e12), 9).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  /** One k-means ASSIGNMENT step with the first `k` vectors as seed
+    * centroids: every other vector goes to its nearest centroid by exact
+    * L2² (dot-product identity, bit-identical to the oracle per q54), and
+    * the output reports per-centroid membership and the closest member.
+    * Together with [[labelCentroids]] (the UPDATE step) this is a full
+    * Lloyd iteration, each half oracle-verified.
+    *
+    * Scale design: the k-row centroid block broadcasts; assignment is a
+    * narrow map stage (k dots per row, no shuffle) and the argmin is ONE
+    * min(struct(dist², cid)) aggregate per vector — then a k-row rollup.
+    * Ties break to the lower centroid id via the struct order. */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = vecs(spark, dir)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    e.filter(col("vec_id") >= k)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(
+          (dot("v", "v") - lit(2.0d) * dot("v", "cv") + dot("cv", "cv"))
+            .as("dist2"),
+          col("cid")).as("dc"))
+      .groupBy("vec_id")
+      .agg(min(col("dc")).as("best"))
+      .groupBy(col("best.cid").as("centroid_id"))
+      .agg(count(lit(1)).as("n_assigned"),
+        min(struct(col("best.dist2").as("d"), col("vec_id").as("v"))).as("cl"))
+      .select(col("centroid_id"), col("n_assigned"),
+        col("cl.v").as("closest_vec_id"), col("cl.d").as("closest_dist2"))
+      .orderBy("centroid_id")
+  }
 }
