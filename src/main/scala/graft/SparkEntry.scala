@@ -208,6 +208,18 @@ object SparkEntry {
     "q113_session_funnel"  -> ((s, d) => Sessions.sessionFunnel(s, d)),
     // --- tie-aware top price levels via dense_rank ---
     "q114_price_ties"      -> ((s, d) => Olap.topPriceLevels(s, d)),
+    // --- TPC-H Q3/Q5-shaped multi-join warehouse reports ---
+    "q115_top_unshipped"   -> ((s, d) => Warehouse.revenueTopOrders(s, d)),
+    "q116_local_supplier"  -> ((s, d) => Warehouse.localSupplierVolume(s, d)),
+    // --- cross-source near-dup contamination matrix ---
+    "q117_cross_source"    -> ((s, d) => graft.dedup.DedupOps.crossSourcePairs(s, d)),
+    // --- Zipf rank-frequency curve over the corpus vocabulary ---
+    "q118_zipf"            -> ((s, d) => graft.text.TextOps.zipfCurve(s, d)),
+    // --- day-of-week seasonality profile per event type ---
+    "q119_dow_profile"     -> ((s, d) => Olap.dowSeasonality(s, d)),
+    // --- discount-band revenue impact + order-to-ship latency stats ---
+    "q120_discount_impact" -> ((s, d) => Warehouse.discountImpact(s, d)),
+    "q121_ship_lag"        -> ((s, d) => Warehouse.shipLagStats(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1180,6 +1192,78 @@ object SparkEntry {
         |      FROM lv)
         |SELECT l_returnflag, CAST(rk AS BIGINT) AS rk, price, n_at_price
         |FROM r WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin,
+    "q115_top_unshipped" ->
+      """SELECT l_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q116_local_supplier" ->
+      """SELECT n_name AS nation,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q117_cross_source" ->
+      s"""WITH $JaccardCtes,
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_a,
+         |       greatest(a.source, b.source) AS source_b,
+         |       COUNT(*) AS n_pairs
+         |FROM jpairs
+         |JOIN src a ON doc_a = a.doc_id
+         |JOIN src b ON doc_b = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q118_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term FROM documents),
+        |f AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY 1),
+        |r AS (SELECT term, freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+        |      FROM f)
+        |SELECT CAST(rank AS BIGINT) AS rank, term, freq,
+        |       CAST(rank * freq AS BIGINT) AS zipf_product
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "q119_dow_profile" ->
+      """WITH cells AS (SELECT event_type, CAST(strftime(ts, '%w') AS BIGINT) AS dow,
+        |                      COUNT(*) AS ct
+        |               FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(ct) AS total FROM cells GROUP BY 1)
+        |SELECT event_type, dow, ct,
+        |       CAST(ct AS DOUBLE) / CAST(CAST(total AS BIGINT) AS DOUBLE) AS share
+        |FROM cells JOIN t USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
+    "q120_discount_impact" ->
+      """SELECT CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS discount_pct,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount_cost
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q121_ship_lag" ->
+      """WITH l AS (SELECT l_returnflag,
+        |                  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag_days
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |       quantile_cont(lag_days, 0.5) AS p50_days,
+        |       quantile_cont(lag_days, 0.95) AS p95_days,
+        |       CAST(MIN(lag_days) AS BIGINT) AS min_days,
+        |       CAST(MAX(lag_days) AS BIGINT) AS max_days
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible
     //   in SQL), q44_percentiles_approx (sketch), q45_stratified_sample

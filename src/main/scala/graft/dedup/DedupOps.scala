@@ -434,4 +434,29 @@ object DedupOps {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Cross-source contamination matrix: how many near-dup pairs
+    * (Jaccard ≥ threshold, the q24/q25 definition) connect each ordered
+    * source pair — including the same-source diagonal. The
+    * provenance-level readout of the dedup layer: which corpus feeds
+    * duplicate each other (mirror sites, scraped re-posts).
+    *
+    * Scale design: runs entirely on the (tiny) memoized near-dup pair
+    * set — the corpus is never rescanned; the doc→source map broadcasts
+    * twice onto the pair list and the aggregate is |sources|² at most. */
+  def crossSourcePairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.7): DataFrame = {
+    val pairs = Tables.memoCache(spark, s"neardup-pairs/$threshold/$dir") {
+      minhashLshPairs(spark, dir, threshold).select(col("doc_a"), col("doc_b"))
+    }
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(broadcast(src.select(col("doc_id").as("doc_a"), col("source").as("sa"))), "doc_a")
+      .join(broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("sb"))), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
 }

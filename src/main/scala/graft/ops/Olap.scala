@@ -490,6 +490,23 @@ object Olap {
       .orderBy("nation")
   }
 
+  /** Day-of-week seasonality per event type: counts and the within-type
+    * share for each weekday (0 = Sunday, matching strftime('%w')). The
+    * traffic-shape profile behind capacity planning and anomaly
+    * baselines. One partial-agg pass over the stream; the share divides
+    * by a broadcast per-type total (single IEEE division). */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("ct"))
+    val totals = cells.groupBy("event_type").agg(sum(col("ct")).as("total"))
+    cells.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("dow"), col("ct"),
+        (col("ct").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy("event_type", "dow")
+  }
+
   /** Top price LEVELS per return flag via dense_rank — the tie-aware
     * sibling of the row_number top-k (q42/q63): equal prices share a rank
     * and all rows at a kept level are reported (as a count), so the

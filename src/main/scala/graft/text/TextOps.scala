@@ -163,6 +163,18 @@ object TextOps {
     * one IEEE division). Shape at scale: explode → two hash aggregates
     * (term×doc, term) + a broadcast of the (small) df table — the
     * classic inverted-index build. */
+  /** Memoized per-doc (term, tf) table from the one-pass
+    * `graft_token_counts` expression — one row per DISTINCT term per doc
+    * enters any downstream shuffle. Shared by [[tfidfTopTerms]] and
+    * [[zipfCurve]]. */
+  private def tfTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoCache(spark, s"tfidf-tf/$dir") {
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(expr("graft_token_counts(text)")).as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    }
+
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // per-doc term counts come pre-aggregated from the one-pass
@@ -172,12 +184,7 @@ object TextOps {
     // memoized: the tf table feeds BOTH the df aggregate and the scored
     // join below — without the cache the one-pass tokenization subtree
     // executes twice per call (and once more per repeated call)
-    val tf = Tables.memoCache(spark, s"tfidf-tf/$dir") {
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(expr("graft_token_counts(text)")).as("tc"))
-        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
-    }
+    val tf = tfTable(spark, dir)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, dir).count()
     val w = org.apache.spark.sql.expressions.Window
@@ -420,6 +427,34 @@ object TextOps {
     * shuffle keyed by (source, term); the cumulative window runs over the
     * tiny (source, first_doc) aggregate, partitioned by source. No
     * global sort, no driver-side scan-in-order. */
+  /** Zipf rank-frequency curve: the corpus's top-`k` terms with their
+    * global frequency, frequency rank (count desc, term asc — total
+    * order), and the rank×frequency product a Zipf-distributed corpus
+    * holds roughly constant. The vocabulary-health profile next to
+    * [[vocabGrowth]].
+    *
+    * Scale design: per-doc token counts collapse IN-ROW first
+    * (graft_token_counts — one (term, count) row per distinct term per
+    * doc enters the shuffle, q67's trick), the global aggregate is
+    * partial-combined, and the top-k is a TakeOrdered — no global sort
+    * of the term dictionary. */
+  def zipfCurve(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // rank assignment runs AFTER the top-k cut, so the single-partition
+    // window only ever sees k rows (the TakeOrdered did the global work)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term").asc)
+    tfTable(spark, dir)
+      .groupBy("term")
+      .agg(sum(col("tf")).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("term"), col("freq"),
+        (col("rank") * col("freq")).as("zipf_product"))
+      .orderBy("rank")
+  }
+
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("doc_id").asc)
