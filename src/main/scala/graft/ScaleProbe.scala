@@ -7,7 +7,15 @@ import org.apache.spark.sql.functions._
   * unions of sf0.1 (keys shifted per copy so join/dedup semantics stay
   * clean — copies are new entities, not duplicates). Near-linear wall
   * time ratios back SCALE.md's claims that the plans are shuffle-minimal
-  * and partial-aggregating. Usage: runMain graft.ScaleProbe [N] */
+  * and partial-aggregating.
+  *
+  * The 1× and N× runs of EACH operator execute back-to-back (not as two
+  * separate phases): the shared host's available CPU drifts on a
+  * ~half-hour period, and with phase-structured runs a load swing lands
+  * entirely on one side of the ratio (observed: the same op 0.5 s in one
+  * window, 13 s in another). Adjacent runs see the same host, so the
+  * RATIO stays meaningful even when absolute numbers are inflated.
+  * Usage: runMain graft.ScaleProbe [N] */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 10
@@ -21,6 +29,7 @@ object ScaleProbe {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    graft.plans.GroupTopK.install(spark)
 
     def amplified(df: DataFrame, keyCols: Seq[String], copies: Int): DataFrame =
       (0 until copies).map { i =>
@@ -28,31 +37,72 @@ object ScaleProbe {
           d.withColumn(k, col(k) + lit(i.toLong * 1000000000L)))
       }.reduce(_ unionByName _)
 
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"[scale-probe] $label: $rows%,d rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    /** All amplified inputs for one copy count. */
+    case class Tabs(copies: Int) {
+      val orders: DataFrame = amplified(Tables.orders(spark, dir), Seq("o_orderkey", "o_custkey"), copies)
+      val lineitem: DataFrame = amplified(Tables.lineitem(spark, dir), Seq("l_orderkey"), copies)
+      val events: DataFrame = amplified(Tables.events(spark, dir), Seq("user_id", "event_id"), copies)
+      val docs: DataFrame = amplified(Tables.documents(spark, dir), Seq("doc_id"), copies)
+      val embeddings: DataFrame = amplified(Tables.embeddings(spark, dir), Seq("vec_id"), copies)
+      /** Content-pair probes need copies with DISTINCT content: a key
+        * shift alone leaves the text identical, so every copy of a doc
+        * near-dups every other copy and the pair graph grows ~copies²
+        * (measured: 439 pairs at 1x but 268,900 at 10x, 135 s) — that
+        * benchmarks a 10x-denser duplicate graph, not a 10x corpus.
+        * Prefixing every token with the copy index makes cross-copy
+        * shingle sets disjoint while preserving all within-copy
+        * relationships (same transformation both sides). */
+      // repartitioned BEFORE the salt projection: documents.parquet is a
+      // single row group, so at copies=1 the whole salt+shingle pipeline
+      // would otherwise run as ONE task (measured 107 s single-core vs
+      // 6 s for the 10-task 10x union — an artifact of the tiny input,
+      // not the plan; the production ops repartition the same way)
+      val docsSalted: DataFrame = (0 until copies).map { i =>
+        Tables.documents(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
+          .withColumn("text", regexp_replace(col("text"), "(^|\\s)", "$1c" + i))
+      }.reduce(_ unionByName _)
+      /** Edit-distance blocks on lang, so a per-copy lang suffix keeps
+        * copies in separate blocks (prefix-salting is NOT enough there:
+        * the digit diffs inside a 64-char prefix stay under the distance
+        * threshold). */
+      val docsLangSplit: DataFrame = (0 until copies).map { i =>
+        Tables.documents(spark, dir)
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
+          .withColumn("lang", concat(col("lang"), lit(i.toString)))
+      }.reduce(_ unionByName _)
     }
 
-    for (copies <- Seq(1, n)) {
-      val orders = amplified(Tables.orders(spark, dir), Seq("o_orderkey", "o_custkey"), copies)
-      val lineitem = amplified(Tables.lineitem(spark, dir), Seq("l_orderkey"), copies)
-      val events = amplified(Tables.events(spark, dir), Seq("user_id", "event_id"), copies)
-      val docs = amplified(Tables.documents(spark, dir), Seq("doc_id"), copies)
+    // min of two runs: the shared host's available CPU swings on a
+    // ~half-hour period; a single shot can land entirely inside a bad
+    // window (observed 16x inflation). Two adjacent runs + min keeps the
+    // probe honest without hiding real scaling.
+    def time(label: String)(f: => Long): Unit = {
+      var best = Double.MaxValue
+      var rows = 0L
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        rows = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[scale-probe] $label: $rows%,d rows in $best%.2f s (min of 2)")
+    }
 
-      time(s"${copies}x fact-fact join + agg") {
-        lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+    val probes: Seq[(String, Tabs => Long)] = Seq(
+      "fact-fact join + agg" -> { t =>
+        t.lineitem.join(t.orders, t.lineitem("l_orderkey") === t.orders("o_orderkey"))
           .groupBy("o_orderstatus")
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("rev"))
           .count()
-      }
-      time(s"${copies}x dau dedup + count") {
-        events.withColumn("log_date", date_format(col("ts"), "yyyy-MM-dd"))
+      },
+      "dau dedup + count" -> { t =>
+        t.events.withColumn("log_date", date_format(col("ts"), "yyyy-MM-dd"))
           .groupBy("user_id", "log_date").agg(min(col("ts")))
           .groupBy("log_date").count().count()
-      }
-      time(s"${copies}x minhash band join") {
-        val withArr = docs.select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("arr"))
+      },
+      "minhash band join" -> { t =>
+        val withArr = t.docsSalted.select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("arr"))
         val banded = withArr
           .withColumn("sig", expr("graft_minhash_sig(arr, 64)"))
           .select(col("doc_id"), explode(expr(
@@ -64,32 +114,27 @@ object ScaleProbe {
             col("l.band_key") === col("r.band_key") &&
             col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id"), col("r.doc_id")).distinct().count()
-      }
-      time(s"${copies}x text quality projection") {
-        docs.select(col("doc_id"), expr("graft_text_stats(text)").as("st"))
+      },
+      "text quality projection" -> { t =>
+        t.docs.select(col("doc_id"), expr("graft_text_stats(text)").as("st"))
           .filter(col("st.n_tokens") >= 10).count()
-      }
-      time(s"${copies}x as-of union+window") {
-        graft.ops.AsOf.asofCore(events).count()
-      }
-      time(s"${copies}x bucketed range join") {
-        graft.ops.AsOf.attributionCore(events, 600L).count()
-      }
-      time(s"${copies}x tf-idf inverted index") {
-        val tf = docs
+      },
+      "as-of union+window" -> { t => graft.ops.AsOf.asofCore(t.events).count() },
+      "bucketed range join" -> { t => graft.ops.AsOf.attributionCore(t.events, 600L).count() },
+      "tf-idf inverted index" -> { t =>
+        val tf = t.docs
           .select(col("doc_id"), explode(expr("graft_token_counts(text)")).as("tc"))
           .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         tf.join(broadcast(df), "term").count()
-      }
-      time(s"${copies}x custom grouped top-k (bounded heaps)") {
-        graft.plans.GroupTopK.install(spark)
+      },
+      "custom grouped top-k (bounded heaps)" -> { t =>
         graft.plans.GroupTopK(
-          lineitem.select(col("l_returnflag").as("g"), col("l_orderkey").as("id"),
+          t.lineitem.select(col("l_returnflag").as("g"), col("l_orderkey").as("id"),
             col("l_extendedprice").as("v")),
           Seq("g"), Seq(col("v").desc, col("id").asc), 10).count()
-      }
-      time(s"${copies}x window-function top-k (Spark group-limit plan)") {
+      },
+      "window-function top-k (Spark group-limit plan)" -> { t =>
         // UNINSTALL the rewrite rule for the baseline — it must run
         // Spark's own best plan (Window + InferWindowGroupLimit), not the
         // operator it is being compared against. (A cast on the rank
@@ -101,71 +146,98 @@ object ScaleProbe {
         try {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("g").orderBy(col("v").desc, col("id").asc)
-          lineitem.select(col("l_returnflag").as("g"), col("l_orderkey").as("id"),
+          t.lineitem.select(col("l_returnflag").as("g"), col("l_orderkey").as("id"),
               col("l_extendedprice").as("v"))
             .withColumn("rk", row_number().over(w))
             .filter(col("rk") <= 10).count()
         } finally graft.plans.GroupTopK.install(spark)
-      }
-      // the three probes below call the OPERATORS' own cores on amplified
-      // inputs (like asofCore/attributionCore above) — an inline copy of
-      // the operator body drifts silently and stops measuring the real
-      // plan shape
-      time(s"${copies}x knn join (broadcast queries + bounded heaps)") {
+      },
+      // probes below call the OPERATORS' own cores on amplified inputs —
+      // an inline copy of the operator body drifts silently and stops
+      // measuring the real plan shape
+      "knn join (broadcast queries + bounded heaps)" -> { t =>
         // queries stay FIXED (10) while the corpus amplifies — the
         // realistic shape: per-query state is k rows per partition
         // regardless of corpus size
-        val vecsAmp = amplified(Tables.embeddings(spark, dir), Seq("vec_id"), copies)
+        val vecsAmp = t.embeddings
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
         graft.vector.VectorOps.knnJoinCore(vecsAmp, nQueries = 10L, k = 3).count()
-      }
-      time(s"${copies}x dim profile (posexplode + partial agg)") {
-        graft.vector.VectorOps.dimProfileCore(
-          amplified(Tables.embeddings(spark, dir), Seq("vec_id"), copies)).count()
-      }
-      time(s"${copies}x corpus n-gram counts (one-pass expr + agg)") {
-        graft.text.TextOps.topBigramsCore(docs).count()
-      }
-      time(s"${copies}x pareto prefix sum (range-repartition + offsets)") {
-        graft.ops.Olap.concentrationCore(orders).count()
-      }
-      time(s"${copies}x rolling 7-day uv (dedup-then-explode)") {
-        graft.ops.Dau.rollingUvCore(events).count()
-      }
-      time(s"${copies}x edit-distance pairs (blocked, broadcast probe)") {
+      },
+      "dim profile (posexplode + partial agg)" -> { t =>
+        graft.vector.VectorOps.dimProfileCore(t.embeddings).count()
+      },
+      "corpus n-gram counts (one-pass expr + agg)" -> { t =>
+        graft.text.TextOps.topBigramsCore(t.docs).count()
+      },
+      "pareto prefix sum (range-repartition + offsets)" -> { t =>
+        graft.ops.Olap.concentrationCore(t.orders).count()
+      },
+      "rolling 7-day uv (dedup-then-explode)" -> { t =>
+        graft.ops.Dau.rollingUvCore(t.events).count()
+      },
+      "edit-distance pairs (blocked, broadcast probe)" -> { t =>
         // amplification multiplies same-lang block sizes, so candidate
         // pairs grow ~copies² — the probe shows the blocking bound, not
         // linear scaling; the band filter keeps the constant small
-        graft.dedup.DedupOps.editDistanceCore(docs).count()
-      }
-      time(s"${copies}x assoc rules (distinct self-join + broadcast marginals)") {
-        graft.ops.Publisher.assocRulesCore(events).count()
-      }
-      time(s"${copies}x cohort retention (map-side user-week dedup)") {
-        graft.ops.Dau.cohortRetentionCore(events).count()
-      }
-      time(s"${copies}x event transitions (per-user lag windows)") {
-        graft.ops.Publisher.transitionsCore(events).count()
-      }
-      time(s"${copies}x twap (lead window + exact integer accumulator)") {
-        graft.ops.Olap.twapCore(events).count()
-      }
-      time(s"${copies}x inverted index (per-doc distinct + capped postings)") {
-        graft.text.TextOps.invertedIndexCore(docs).count()
-      }
-      time(s"${copies}x label centroids (posexplode + partial agg)") {
-        graft.vector.VectorOps.labelCentroidsCore(
-          amplified(Tables.embeddings(spark, dir), Seq("vec_id"), copies)).count()
-      }
-      time(s"${copies}x sequence packing (per-source window)") {
+        graft.dedup.DedupOps.editDistanceCore(t.docsLangSplit).count()
+      },
+      "assoc rules (distinct self-join + broadcast marginals)" -> { t =>
+        graft.ops.Publisher.assocRulesCore(t.events).count()
+      },
+      "cohort retention (map-side user-week dedup)" -> { t =>
+        graft.ops.Dau.cohortRetentionCore(t.events).count()
+      },
+      "event transitions (per-user lag windows)" -> { t =>
+        graft.ops.Publisher.transitionsCore(t.events).count()
+      },
+      "twap (lead window + exact integer accumulator)" -> { t =>
+        graft.ops.Olap.twapCore(t.events).count()
+      },
+      "inverted index (per-doc distinct + capped postings)" -> { t =>
+        graft.text.TextOps.invertedIndexCore(t.docs).count()
+      },
+      "label centroids (posexplode + partial agg)" -> { t =>
+        graft.vector.VectorOps.labelCentroidsCore(t.embeddings).count()
+      },
+      "equi-depth histogram (percentile + codegen bucketing)" -> { t =>
+        graft.ops.Olap.equiDepthCore(t.orders).count()
+      },
+      "covariance cells (codegen stack fan-out + partial agg)" -> { t =>
+        graft.vector.VectorOps.covCellsCore(t.embeddings).count()
+      },
+      "last-touch attribution (ignore-nulls window)" -> { t =>
+        graft.ops.Publisher.lastTouchCore(t.events).count()
+      },
+      "session funnel (islands + session-window min)" -> { t =>
+        graft.ops.Sessions.sessionFunnelCore(t.events).count()
+      },
+      "Q5-shape 6-way join (broadcast dims)" -> { t =>
+        // dims stay FIXED while the facts amplify — the realistic shape
+        // (amplified customer keys would orphan the fact rows anyway)
+        val cust = Tables.customer(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        val supp = Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val ordKeys = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+        graft.ops.Warehouse.localVolumeJoin(t.lineitem, ordKeys, cust, supp).count()
+      },
+      "sequence packing (per-source window)" -> { t =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy("doc_id")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        docs.select(col("doc_id"), col("source"),
+        t.docs.select(col("doc_id"), col("source"),
             expr("graft_text_stats(text).n_tokens").as("n_tokens"))
           .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
           .filter(col("start_tok") >= 0L).count()
-      }
+      })
+
+    val t1 = Tabs(1)
+    val tn = Tabs(n)
+    probes.foreach { case (label, f) =>
+      time(s"1x $label")(f(t1))
+      time(s"${n}x $label")(f(tn))
     }
     spark.stop()
   }

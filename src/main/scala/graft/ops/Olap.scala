@@ -439,17 +439,23 @@ object Olap {
     * (mergeable KLL sketch, same plan shape) as with q43/q44. Boundary
     * assignment is `x > q_i` (strict), so a row equal to a boundary stays
     * in the lower bucket — pinned by the oracle. */
-  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(spark, dir)
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame =
+    equiDepthCore(Tables.orders(spark, dir))
+
+  private[graft] def equiDepthCore(orders: DataFrame): DataFrame = {
+    // the 9 boundaries land as FLAT columns and the bucket is a chain of
+    // scalar comparisons — all whole-stage-codegen; the aggregate(...)
+    // HOF formulation was measured 7× slower warm and ~20 s slower cold
+    // (interpreted lambda per row)
     val qs = orders.agg(
       expr("percentile(o_totalprice, array(0.1d,0.2d,0.3d,0.4d,0.5d,0.6d,0.7d,0.8d,0.9d))")
         .as("qs"))
+      .select((1 to 9).map(i => col("qs").getItem(i - 1).as(s"q$i")): _*)
+    val bucket = (1 to 9)
+      .map(i => when(col("o_totalprice") > col(s"q$i"), 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
     orders.crossJoin(broadcast(qs))
-      .select(
-        (lit(1L) + expr(
-          "aggregate(qs, 0L, (acc, q) -> acc + if(o_totalprice > q, 1L, 0L))"))
-          .as("bucket"),
-        col("o_totalprice"))
+      .select(bucket.as("bucket"), col("o_totalprice"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         min(col("o_totalprice")).as("lo"),

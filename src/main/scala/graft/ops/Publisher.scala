@@ -457,11 +457,14 @@ object Publisher {
     * Scale design: one per-user window (last over rows-preceding frame,
     * ignore-nulls — no self-join, no fan-out), then a 5-row aggregate;
     * revenue sums in exact DECIMAL before the final double cast. */
-  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame =
+    lastTouchCore(Tables.events(spark, dir))
+
+  private[graft] def lastTouchCore(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         col("value"))
       .withColumn("touch_type",

@@ -75,12 +75,16 @@ object Sessions {
     * timestamp is a whole-partition window min rather than a self-join,
     * and the final rollup groups ≤ |days| keys. */
   def sessionFunnel(spark: SparkSession, dir: String,
-                    gapUs: Long = 1800000000L): DataFrame = {
+                    gapUs: Long = 1800000000L): DataFrame =
+    sessionFunnelCore(Tables.events(spark, dir), gapUs)
+
+  private[graft] def sessionFunnelCore(events: DataFrame,
+                                       gapUs: Long = 1800000000L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val wRun = w.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val labeled = Tables.events(spark, dir)
+    val labeled = events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("ns",
         when(lag(col("ts"), 1).over(w).isNull

@@ -339,19 +339,25 @@ object VectorOps {
     * cell per unit-scale embeddings (3e16 at sf0.1); past that the sums
     * move to DECIMAL(38,0) — documented, not silently wrong. 16 dims =
     * 136 cells keeps the fan-out ≤ the posexplode ops already pay. */
-  def covCells(spark: SparkSession, dir: String, nDims: Int = 16): DataFrame = {
-    val pairs = expr(
-      s"""flatten(transform(sequence(0, ${nDims - 1}), i ->
-         |  transform(sequence(i, ${nDims - 1}), j ->
-         |    struct(i, j,
-         |      cast(floor(cast(embedding[i] as double) * 1000000.0d + 0.5d) as long) as mx,
-         |      cast(floor(cast(embedding[j] as double) * 1000000.0d + 0.5d) as long) as my))))
-         |""".stripMargin)
-    Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(explode(pairs).as("p"))
-      .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
-        col("p.mx").as("mx"), col("p.my").as("my"))
+  def covCells(spark: SparkSession, dir: String, nDims: Int = 16): DataFrame =
+    covCellsCore(Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism), nDims)
+
+  private[graft] def covCellsCore(embeddings: DataFrame, nDims: Int = 16): DataFrame = {
+    // two flat codegen projections: quantize each dim ONCE into m0..m15,
+    // then stack() the 136 upper-triangle cells — no higher-order
+    // functions (the flatten(transform(transform(...))) formulation ran
+    // interpreted and was ~50 s cold / 3 s warm on 2k rows; this is
+    // whole-stage codegen end to end)
+    val micros = (0 until nDims).map(d =>
+      expr(s"cast(floor(cast(embedding[$d] as double) * 1000000.0d + 0.5d) as long)")
+        .as(s"m$d"))
+    val cells = for { i <- 0 until nDims; j <- i until nDims }
+      yield s"${i}L, ${j}L, m$i, m$j"
+    val nCells = nDims * (nDims + 1) / 2
+    embeddings
+      .select(micros: _*)
+      .selectExpr(s"stack($nCells, ${cells.mkString(", ")}) as (i, j, mx, my)")
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"),
         sum(col("mx")).as("sx"), sum(col("my")).as("sy"),
