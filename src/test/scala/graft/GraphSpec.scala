@@ -93,14 +93,18 @@ class GraphSpec extends SparkSpec {
       val inflow = edges.groupBy(_._2).map { case (dst, es) =>
         dst -> es.map(e => rank(e._1) * e._3).sum
       }
-      rank = nodes.map(v =>
-        v -> ((1.0 - ops.Graph.Damping) / n +
-          ops.Graph.Damping * inflow.getOrElse(v, 0.0))).toMap
+      rank = nodes.map { v =>
+        val raw = (1.0 - ops.Graph.Damping) / n +
+          ops.Graph.Damping * inflow.getOrElse(v, 0.0)
+        // mirror the engine's per-iteration ROUND(...,9) determinism step
+        v -> BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
     }
     assert(out.keySet === rank.keySet)
     out.foreach { case (v, r) => assert(math.abs(r - rank(v)) < 1e-9, v) }
-    // every state has successors here, so rank mass is conserved
-    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    // every state has successors here, so rank mass is conserved (up to
+    // the per-node 0.5e-9 iteration-rounding slack)
+    assert(math.abs(out.values.sum - 1.0) < 1e-7)
   }
 
   test("chisqCells: marginals recompute and contributions follow (O-E)^2/E") {
