@@ -17,6 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      up to two budget-gated extra passes.
   */
 object Bench {
+  /** Smallest SF, used for cheap JIT/codegen warm-up and as the adaptive
+    * re-run expectation baseline. Shared with Prof so a profiling run
+    * warms up against the same data as the benchmark it mimics. */
+  private[graft] val WarmupDir = "/root/testdata/sf0.001"
+
   private def runOne(spark: SparkSession,
                      fn: (SparkSession, String) => DataFrame,
                      dir: String): Double = {
@@ -30,7 +35,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val smallDir = "/root/testdata/sf0.001"
+    val smallDir = WarmupDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -23,9 +23,11 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     if (warmupAll) {
+      if (!new java.io.File(Bench.WarmupDir).isDirectory)
+        println(s"[prof] WARNING: warm-up dir ${Bench.WarmupDir} missing — warm-up is a no-op")
       val t0 = System.nanoTime()
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, "/root/testdata/sf0.001").count() }
+        try { fn(spark, Bench.WarmupDir).count() }
         catch { case _: Throwable => () }
       }
       println(f"[prof] warmup-all took ${(System.nanoTime() - t0) / 1e9}%.1f s")

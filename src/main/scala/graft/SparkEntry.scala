@@ -224,6 +224,13 @@ object SparkEntry {
     "q122_ship_lag_scalable" -> ((s, d) => Warehouse.shipLagStatsScalable(s, d)),
     "q123_revenue_pct_scalable" -> ((s, d) => Publisher.revenuePercentilesScalable(s, d)),
     "q124_ship_lag_approx" -> ((s, d) => Warehouse.shipLagStatsApprox(s, d)),
+    // --- sketch exact twins, hash-verified (q75/q102 stay rows-only) ---
+    "q125_kmv_exact_twin"  -> ((s, d) => Sketches.kmvExactTwin(s, d)),
+    "q126_cms_exact_twin"  -> ((s, d) => Publisher.heavyHittersExact(s, d)),
+    // --- LSH band-bucket occupancy audit (skew-guard overflow surface) ---
+    "q127_lsh_bucket_profile" -> ((s, d) => graft.dedup.DedupOps.lshBucketProfile(s, d)),
+    // --- REAL image decode: BMP payloads parsed byte-by-byte in-task ---
+    "q128_bmp_decode"      -> ((s, d) => graft.multimodal.Multimodal.bmpFeatures(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1227,6 +1234,13 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q117 RECALL ASSUMPTION: the oracle is exact all-pairs Jaccard, but
+    // the engine builds on minhashLshPairs' probabilistic candidates
+    // (16×4 banding: ~1.2% miss chance for a pair at exactly J = 0.7)
+    // and Jaccard over hashed shingles. Parity holds because this corpus
+    // has no pairs in (0.3, 0.9) — the same documented gap that lets
+    // q24/q25 share one oracle; a corpus with borderline pairs would
+    // need r = 2 banding for this SQL to stay an exact oracle.
     "q117_cross_source" ->
       s"""WITH $JaccardCtes,
          |src AS (SELECT doc_id, source FROM documents)
@@ -1353,6 +1367,46 @@ object SparkEntry {
         |                    + CAST(0.85 AS DOUBLE) * COALESCE(i3.inflow, CAST(0.0 AS DOUBLE)), 9) AS rank
         |       FROM nodes CROSS JOIN p LEFT JOIN i3 ON nodes.node = i3.node)
         |SELECT node, rank FROM r3 ORDER BY rank DESC, node""".stripMargin,
+    // q125: the DuckDB-expressible projection of q102 — the GroupTopK
+    // heap sizes equal least(distinct-count, 256) by construction (the
+    // sketch keeps the K smallest DISTINCT hashes; a 64-bit collision
+    // would break the equality at ~n²/2⁶⁵ odds), and exact_inter is the
+    // q76 co-occurrence twin that rides next to the estimates.
+    "q125_kmv_exact_twin" ->
+      """WITH nd AS (SELECT event_type,
+        |                   CAST(LEAST(COUNT(DISTINCT user_id), 256) AS BIGINT) AS kk
+        |            FROM events GROUP BY 1),
+        |ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |co AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |              COUNT(*) AS exact_inter
+        |       FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |       WHERE a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT co.type_a, co.type_b, na.kk AS ka, nb.kk AS kb, co.exact_inter
+        |FROM co JOIN nd na ON na.event_type = co.type_a
+        |        JOIN nd nb ON nb.event_type = co.type_b
+        |ORDER BY 1, 2""".stripMargin,
+    "q126_cms_exact_twin" ->
+      """SELECT event_type, COUNT(*) AS exact_ct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q128: recomputes the BMP generator's arithmetic independently —
+    // the Spark side gets these numbers by PARSING real BMP bytes, so
+    // any codec bug (channel order, bottom-up rows, padding, header
+    // offsets) breaks this hash. generate_series bounds are the
+    // generator's fixed maxima (w ≤ 32, h ≤ 24); DuckDB 1.0 has no
+    // lateral series, hence cross-join + filter.
+    "q128_bmp_decode" ->
+      """WITH p AS (SELECT doc_id, 1 + octet_length(encode(text)) % 32 AS w,
+        |                  1 + (octet_length(encode(text)) * 7) % 24 AS h
+        |           FROM documents),
+        |f AS (SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+        |             CAST(SUM((doc_id * 31 + x.g * 7 + y.g * 13) % 256) AS BIGINT) AS px_sum
+        |      FROM p, generate_series(0, 31) x(g), generate_series(0, 23) y(g)
+        |      WHERE x.g < w AND y.g < h
+        |      GROUP BY doc_id)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(24 AS BIGINT) AS bpp, CAST(w * h AS BIGINT) AS n_pixels,
+        |       px_sum, CAST(doc_id * 31 % 256 AS BIGINT) AS corner_px
+        |FROM f ORDER BY doc_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible
     //   in SQL), q44_percentiles_approx + q124_ship_lag_approx (sketch),
@@ -1360,9 +1414,13 @@ object SparkEntry {
     //   (engine-specific Bernoulli draws; determinism pinned by unit
     //   test), q75_heavy_hitters (Count-Min layout is engine-specific;
     //   its own output carries the exact twin and Round3Spec bounds the
-    //   overestimate), q102_kmv_overlap (xxhash64 is
+    //   overestimate; the twin itself is hash-verified as q126),
+    //   q102_kmv_overlap (xxhash64 is
     //   Spark-specific; Round3dSpec bounds every estimate against the
-    //   in-row exact twin at the ~1.96/√K KMV error). q29_ann_lsh IS
+    //   in-row exact twin at the ~1.96/√K KMV error; the exact columns
+    //   are hash-verified as q125), q127_lsh_bucket_profile (band keys
+    //   come from graft_minhash_sig; the planted-skew ScaleLeversSpec
+    //   case pins its arithmetic exactly). q29_ann_lsh IS
     //   oracled: the seeded
     //   hyperplanes are embedded as literals, making the whole LSH
     //   pipeline replayable.

@@ -99,31 +99,84 @@ object DedupOps {
     * and never broadcasts). Output equals [[ngramJaccardPairs]] with
     * overwhelming probability — the driver oracle holds both to the same
     * SQL. */
+  /** Bucket-occupancy cap for the band self-join ([[lshCandidates]]): a
+    * degenerate band key (near-identical corpus shards hashing to one
+    * bucket) makes bucket pair fan-out quadratic — 10⁶ docs in one bucket
+    * is 5·10¹¹ candidate pairs from that bucket alone. Buckets above the
+    * cap are EXCLUDED from pair generation (bounding any bucket's output
+    * at cap²/2) and surfaced — never silently — by [[lshBucketProfile]],
+    * which reports hot-bucket count and exact skipped-pair mass. Within-
+    * hot-bucket pairs are still proposed by the doc's other 15 bands
+    * unless ALL its bands are hot (true only for exact-duplicate floods,
+    * which the exact hash layer q23 already collapses). */
+  private[graft] val DefaultMaxBucket = 1024
+
+  /** (doc_id, band_idx, band_key) rows: minhash signatures + band keys in
+    * one projection over the per-doc shingle-hash arrays. */
+  private[graft] def bandedOf(docHashes: DataFrame): DataFrame = {
+    val nBands = NumHashes / BandRows
+    val bandKey = (0 until BandRows).map(r => s"sig[$BandRows*b+$r]").mkString("concat_ws('_', ", ", ", ")")
+    docHashes
+      .withColumn("sig", expr(s"graft_minhash_sig(hs, $NumHashes)"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> struct(b as band_idx, $bandKey as band_key))"))
+        .as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+  }
+
+  /** Band-bucket self-join with the [[DefaultMaxBucket]] skew guard. The
+    * occupancy count is a window over exactly the join keys, so its
+    * exchange+sort IS the self-join's — the guard adds no extra shuffle
+    * of the banded table. */
+  private[graft] def lshCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val safe = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("doc_id", "band_idx", "band_key")
+    val l = safe.as("l"); val r = safe.as("r")
+    l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Bucket-occupancy audit for the LSH band join — one row: total
+    * buckets, max occupancy, hot buckets over the cap, and the exact
+    * candidate-pair mass the guard skips (0 everywhere on this corpus;
+    * the planted-skew ScaleLeversSpec case exercises the non-zero path).
+    * This is the "no silent truncation" side of the skew guard. */
+  def lshBucketProfile(spark: SparkSession, dir: String,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame =
+    lshBucketProfileOf(
+      bandedOf(docShingleArr(spark, dir).select(col("doc_id"), col("arr").as("hs"))),
+      maxBucket)
+
+  private[graft] def lshBucketProfileOf(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
+      .groupBy("band_idx", "band_key").agg(count(lit(1)).as("bucket_n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("bucket_n")).as("max_bucket_n"),
+        sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)).as("n_hot_buckets"),
+        sum(when(col("bucket_n") > maxBucket,
+          expr("bucket_n * (bucket_n - 1L) div 2L")).otherwise(0L))
+          .as("pairs_skipped"))
+      .withColumn("max_bucket_cap", lit(maxBucket.toLong))
+
   def minhashLshPairs(spark: SparkSession, dir: String,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // per-doc distinct shingle-hash arrays straight from the one-pass
     // expression — NO shuffle at all before the band join; the memo-
     // cached parent serves all 4 consuming subtrees (band-join sides +
     // set fetches)
     val docHashes = docShingleArr(spark, dir)
       .select(col("doc_id"), col("arr").as("hs"))
-    // signatures + band keys in one projection; band rows carry ONLY
-    // (doc_id, band_idx, band_key)
-    val nBands = NumHashes / BandRows
-    val bandKey = (0 until BandRows).map(r => s"sig[$BandRows*b+$r]").mkString("concat_ws('_', ", ", ", ")")
-    val banded = docHashes
-      .withColumn("sig", expr(s"graft_minhash_sig(hs, $NumHashes)"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, ${nBands - 1}), b -> struct(b as band_idx, $bandKey as band_key))"))
-        .as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
-    val l = banded.as("l"); val r = banded.as("r")
-    val candidates = l.join(r,
-        col("l.band_idx") === col("r.band_idx") &&
-        col("l.band_key") === col("r.band_key") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // band rows carry ONLY (doc_id, band_idx, band_key); bucket-capped
+    // against degenerate band keys (see DefaultMaxBucket scaladoc)
+    val candidates = lshCandidates(bandedOf(docHashes), maxBucket)
     // exact verification on candidates only. The per-doc set table is
     // corpus-sized and CANNOT broadcast at 100 TB; the candidate pair
     // list is the small side by construction (it is dedup's output), so

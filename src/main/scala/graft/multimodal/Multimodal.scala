@@ -7,11 +7,16 @@ import graft.Tables
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, plus a decode/feature-extract stage.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB ([[fakeDecode]]); the Spark-side
-  * plumbing — binary column, metadata schema, batch-friendly
-  * per-partition shape — is real and oracle-checked via
-  * [[binaryMeta]].
+  * Decode comes in two tiers. For uncompressed formats a codec-less
+  * container can still parse, decode is REAL: [[bmpFeatures]] builds
+  * standard 24-bpp BMP payloads and parses them back byte-by-byte with
+  * [[BmpCodec]] (little-endian headers, BGR channel order, bottom-up
+  * rows, 4-byte row padding), oracle-verified end to end. For compressed
+  * formats (JPEG/MP3/H.264 — no codecs in this container) the decode
+  * step stays a clearly-marked deterministic STUB ([[fakeDecode]]); the
+  * Spark-side plumbing — binary column, metadata schema, batch-friendly
+  * per-partition shape — is identical in both tiers and oracle-checked
+  * via [[binaryMeta]].
   *
   * Scale design: payload bytes travel as a single binary column next to
   * columnar metadata, so metadata-only queries never touch the payload
@@ -78,6 +83,48 @@ object Multimodal {
         (col("frame_idx") * col("frame_len")).as("frame_off"),
         md5(expr("substring(text, cast(frame_idx * frame_len + 1 as int), cast(frame_len as int))"))
           .as("frame_sig"))
+
+  case class BmpDoc(doc_id: Long, payload: Array[Byte])
+  case class BmpFeatureRow(doc_id: Long, width: Long, height: Long,
+                           bpp: Long, n_pixels: Long, px_sum: Long,
+                           corner_px: Long)
+
+  /** REAL image decode over a binary column: each document gets a
+    * genuine 24-bpp BMP payload (geometry and pixel content derived
+    * deterministically from doc attributes, since the corpus ships no
+    * native images), which [[BmpCodec.decode]] then parses back from the
+    * raw bytes — magic, little-endian header fields, padded bottom-up
+    * BGR rows. The features are integers the DuckDB oracle recomputes
+    * from the same generation arithmetic, so a decoder bug anywhere
+    * (channel order, row order, padding, header offsets) breaks the
+    * hash: `px_sum` is the blue-channel sum and `corner_px` the image
+    * top-left blue value, which bottom-up storage places in the LAST
+    * file row. Both codec halves run inside `mapPartitions` — the
+    * batch-per-task shape a JNI codec would use; nothing on the driver.
+    */
+  def bmpFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val params = Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+      .as[(Long, Int)]
+    val encoded = params.mapPartitions { it =>
+      it.map { case (id, len) =>
+        val w = 1 + len % 32
+        val h = 1 + (len * 7) % 24
+        BmpDoc(id, BmpCodec.encode(w, h, (x, y) => {
+          val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          (v, (v + 1) % 256, (v + 2) % 256) // distinct channels: BGR
+        }))                                 // order bugs shift px_sum
+      }
+    }
+    encoded.mapPartitions { it =>
+      it.map { d =>
+        val dec = BmpCodec.decode(d.payload)
+        BmpFeatureRow(d.doc_id, dec.width.toLong, dec.height.toLong,
+          dec.bpp.toLong, dec.nPixels, dec.pxSum, dec.cornerPx.toLong)
+      }
+    }.toDF().orderBy("doc_id")
+  }
 
   case class MediaFeature(doc_id: Long, n_bytes: Long, mean_byte: Double, feature: Array[Float])
 

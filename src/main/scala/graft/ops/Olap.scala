@@ -489,7 +489,15 @@ object Olap {
       .groupBy("nation")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("rk") * col("cents")).as("s1"),
-        sum(col("cents")).as("s0"))
+        sum(col("cents")).as("s0"),
+        max(col("cents")).as("max_cents"))
+      // loud overflow guard: s1 ≤ max_cents·n·(n+1)/2 must fit BIGINT
+      // (non-ANSI Spark would wrap silently while the DuckDB oracle sums
+      // in HUGEINT — silent divergence). Bound checked in double with
+      // margin (9.0e18 < 2⁶³); throws instead of corrupting the Gini.
+      .filter(expr(
+        """assert_true(cast(max_cents as double) * n_customers * (n_customers + 1) / 2 < 9.0e18,
+          |'spendGini: rank-sum would overflow BIGINT cents; switch s1 to decimal(38,0)') is null""".stripMargin))
       .select(col("nation"), col("n_customers"),
         ((lit(2L) * col("s1") - (col("n_customers") + lit(1L)) * col("s0")).cast("double")
           / (col("n_customers") * col("s0")).cast("double")).as("gini"))

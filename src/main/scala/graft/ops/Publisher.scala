@@ -261,6 +261,15 @@ object Publisher {
       .orderBy("event_type")
   }
 
+  /** Oracle-checkable EXACT-TWIN projection of [[heavyHittersSketch]]:
+    * the `exact_ct` column that rides next to the CMS estimate, without
+    * the engine-specific sketch column. Hash-verifying it pins the twin
+    * that SketchesSpec bounds the estimate against, so the rows-only
+    * status of q75 covers only the sketch layout itself. */
+  def heavyHittersExact(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersSketch(spark, dir).select(col("event_type"), col("exact_ct"))
+      .orderBy("event_type")
+
   /** Ordered conversion funnel view → click → purchase: each stage's
     * entry time is the user's first qualifying event STRICTLY AFTER the
     * previous stage's entry (not merely "did both events ever happen").

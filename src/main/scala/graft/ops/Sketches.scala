@@ -63,8 +63,27 @@ object Sketches {
       .withColumn("est_union", est("merged", col("km")))
       .withColumn("est_inter", col("est_a") + col("est_b") - col("est_union"))
       .join(exactInter, Seq("type_a", "type_b"))
-      .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+      .select(col("type_a"), col("type_b"),
+        col("ka"), col("kb"),
+        col("est_a"), col("est_b"),
         col("est_union"), col("est_inter"), col("n_users").as("exact_inter"))
       .orderBy("type_a", "type_b")
   }
+
+  /** Oracle-checkable EXACT-TWIN projection of [[kmvOverlap]]: the
+    * columns of the sketch query that are DuckDB-expressible. `ka`/`kb`
+    * are the heap sizes the GroupTopK sketch build actually produced —
+    * `least(distinct-count, K)` by construction (the K-bounded heap over
+    * distinct hashes; a 64-bit hash collision would break the equality,
+    * at ~n²/2⁶⁵ probability, noted here because the oracle compares
+    * exactly) — and `exact_inter` is the exact pair co-occurrence that
+    * rides in-row next to the estimates. Hash-verifying this projection
+    * pins the sketch BUILD path (heap sizes) and the exact twin, leaving
+    * only the xxhash64-dependent estimate columns to the rows-only check
+    * + SketchesSpec error bound. */
+  def kmvExactTwin(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlapCore(Tables.events(spark, dir), spark)
+      .select(col("type_a"), col("type_b"), col("ka"), col("kb"),
+        col("exact_inter"))
+      .orderBy("type_a", "type_b")
 }

@@ -156,13 +156,6 @@ object TextOps {
         (col("total_tokens") / col("n_docs")).as("mean_tokens"))
       .orderBy("source")
 
-  /** TF-IDF top terms per document, with a *rational* idf (N / df instead
-    * of ln(N / df)): ln is libm-dependent across engines while the ranking
-    * is unchanged (x ↦ ln is monotone, tf ≥ 1), so score = tf·N/df keeps
-    * the exact same top-k and hashes bit-for-bit (one integer product,
-    * one IEEE division). Shape at scale: explode → two hash aggregates
-    * (term×doc, term) + a broadcast of the (small) df table — the
-    * classic inverted-index build. */
   /** Memoized per-doc (term, tf) table from the one-pass
     * `graft_token_counts` expression — one row per DISTINCT term per doc
     * enters any downstream shuffle. Shared by [[tfidfTopTerms]] and
@@ -175,6 +168,13 @@ object TextOps {
         .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
     }
 
+  /** TF-IDF top terms per document, with a *rational* idf (N / df instead
+    * of ln(N / df)): ln is libm-dependent across engines while the ranking
+    * is unchanged (x ↦ ln is monotone, tf ≥ 1), so score = tf·N/df keeps
+    * the exact same top-k and hashes bit-for-bit (one integer product,
+    * one IEEE division). Shape at scale: explode → two hash aggregates
+    * (term×doc, term) + a broadcast of the (small) df table — the
+    * classic inverted-index build. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // per-doc term counts come pre-aggregated from the one-pass
@@ -416,17 +416,6 @@ object TextOps {
           .cast("long").as("n_masked"))
       .orderBy("event_id")
 
-  /** Vocabulary-growth (Heaps-law) curve per source: for each doc_id that
-    * introduces at least one never-seen-before term (scanning docs in
-    * doc_id order within a source), the number of new terms and the
-    * cumulative vocabulary size. The diminishing-returns readout a corpus
-    * builder uses to decide when more data stops adding vocabulary.
-    *
-    * Scale design: per-doc DISTINCT terms first (in-row array_distinct —
-    * shrinks the explode), then term → min(doc_id) as one partial-agg
-    * shuffle keyed by (source, term); the cumulative window runs over the
-    * tiny (source, first_doc) aggregate, partitioned by source. No
-    * global sort, no driver-side scan-in-order. */
   /** Zipf rank-frequency curve: the corpus's top-`k` terms with their
     * global frequency, frequency rank (count desc, term asc — total
     * order), and the rank×frequency product a Zipf-distributed corpus
@@ -455,6 +444,17 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Vocabulary-growth (Heaps-law) curve per source: for each doc_id that
+    * introduces at least one never-seen-before term (scanning docs in
+    * doc_id order within a source), the number of new terms and the
+    * cumulative vocabulary size. The diminishing-returns readout a corpus
+    * builder uses to decide when more data stops adding vocabulary.
+    *
+    * Scale design: per-doc DISTINCT terms first (in-row array_distinct —
+    * shrinks the explode), then term → min(doc_id) as one partial-agg
+    * shuffle keyed by (source, term); the cumulative window runs over the
+    * tiny (source, first_doc) aggregate, partitioned by source. No
+    * global sort, no driver-side scan-in-order. */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("doc_id").asc)

@@ -1,0 +1,105 @@
+package graft
+
+import graft.multimodal.BmpCodec
+
+/** The real-decode tier of the multimodal pipeline: BmpCodec against
+  * GOLDEN BYTES assembled by hand from the BMP spec (not by the encoder
+  * under test), plus round-trip and malformed-input behavior. The
+  * Spark-side q128 pipeline is covered by the DuckDB oracle. */
+class MultimodalSpec extends SparkSpec {
+
+  /** 2×2 24-bpp bottom-up BMP, hand-assembled: image pixels (BGR)
+    *   (0,0)=(10,11,12)  (1,0)=(20,21,22)      <- top row, LAST in file
+    *   (0,1)=(30,31,32)  (1,1)=(40,41,42)      <- bottom row, FIRST in file
+    * row stride = 2·3 = 6 bytes + 2 pad = 8. */
+  private val golden: Array[Byte] = {
+    val header = Array[Int](
+      'B', 'M', 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0,            // DIB, w=2, h=2
+      1, 0, 24, 0, 0, 0, 0, 0, 16, 0, 0, 0,           // planes, bpp, BI_RGB
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) // res + palette
+    val bottomRow = Array[Int](30, 31, 32, 40, 41, 42, 0, 0)
+    val topRow = Array[Int](10, 11, 12, 20, 21, 22, 0, 0)
+    (header ++ bottomRow ++ topRow).map(_.toByte)
+  }
+
+  test("decode golden bytes: geometry, channel order, bottom-up rows, padding") {
+    val d = BmpCodec.decode(golden)
+    assert(d.width === 2)
+    assert(d.height === 2)
+    assert(d.bpp === 24)
+    assert(d.nPixels === 4L)
+    // blue channel only: 10 + 20 + 30 + 40 (green/red would give 11+21+…)
+    assert(d.pxSum === 100L)
+    // image top-left is the LAST file row's first pixel (bottom-up)
+    assert(d.cornerPx === 10)
+  }
+
+  test("encode produces the golden layout byte-for-byte") {
+    val px = Map((0, 0) -> (10, 11, 12), (1, 0) -> (20, 21, 22),
+      (0, 1) -> (30, 31, 32), (1, 1) -> (40, 41, 42))
+    val enc = BmpCodec.encode(2, 2, (x, y) => px((x, y)))
+    assert(enc.toSeq === golden.toSeq)
+  }
+
+  test("round-trip across padded and unpadded widths, including >127 bytes") {
+    // width 4 → 0 pad, 5 → 1, 6 → 2, 7 → 3; values >127 exercise the
+    // signed-byte & 0xff reads
+    for (w <- 4 to 7; h <- Seq(1, 3)) {
+      val d = BmpCodec.decode(BmpCodec.encode(w, h,
+        (x, y) => (200 + x % 56, x, y)))
+      assert((d.width, d.height, d.nPixels) === ((w, h, w.toLong * h)))
+      val expected = (for (x <- 0 until w; y <- 0 until h)
+        yield (200 + x % 56).toLong).sum
+      assert(d.pxSum === expected, s"w=$w h=$h")
+      assert(d.cornerPx === 200)
+    }
+  }
+
+  test("top-down BMP (negative height) decodes with corner in the FIRST row") {
+    // take the golden image, flip to top-down: height = -2, rows reordered
+    val b = golden.clone()
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -2)
+    // swap the two 8-byte rows so the image content is unchanged
+    val r0 = b.slice(54, 62); val r1 = b.slice(62, 70)
+    System.arraycopy(r1, 0, b, 54, 8); System.arraycopy(r0, 0, b, 62, 8)
+    val d = BmpCodec.decode(b)
+    assert(d.height === 2)
+    assert(d.pxSum === 100L)
+    assert(d.cornerPx === 10)
+  }
+
+  test("malformed inputs are rejected loudly") {
+    intercept[IllegalArgumentException](BmpCodec.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException] { // bad magic
+      val b = golden.clone(); b(0) = 'X'.toByte; BmpCodec.decode(b)
+    }
+    intercept[IllegalArgumentException] { // truncated pixel array
+      BmpCodec.decode(golden.take(60))
+    }
+    intercept[IllegalArgumentException] { // unsupported bpp
+      val b = golden.clone(); b(28) = 8.toByte; BmpCodec.decode(b)
+    }
+  }
+
+  test("q128 pipeline: decoded features match the generator arithmetic on real docs") {
+    val out = graft.multimodal.Multimodal
+      .bmpFeatures(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val lens = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id", "octet_length(text) AS len").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0); val len = lens(id)
+      val (w, h) = (1 + len % 32, 1 + (len * 7) % 24)
+      assert(r.getAs[Long]("width") === w.toLong)
+      assert(r.getAs[Long]("height") === h.toLong)
+      assert(r.getAs[Long]("n_pixels") === w.toLong * h)
+      val expected = (for (x <- 0 until w; y <- 0 until h)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(r.getAs[Long]("px_sum") === expected)
+      assert(r.getAs[Long]("corner_px") === id * 31 % 256)
+    }
+  }
+}

@@ -118,4 +118,38 @@ class ScaleLeversSpec extends SparkSpec {
     // and pruning is real: candidates ≈ 50 + fpp·10k ≪ batch
     assert(n >= 50L && n <= 50L + 1000L, s"candidates = $n")
   }
+
+  test("LSH skew guard: hot buckets capped, surfaced exactly, small buckets intact") {
+    graft.functions.GraftFunctions.register(spark)
+    // a 200-doc exact-duplicate flood: identical shingle arrays → identical
+    // signatures → all 16 band buckets hold all 200 docs (the degenerate
+    // band key the guard exists for). Plus one genuine near-dup pair
+    // (11 tokens vs 12, J = 9/11) that must keep flowing.
+    val hotText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val nearA = "one two three four five six seven eight nine ten eleven twelve"
+    val nearB = "one two three four five six seven eight nine ten eleven thirteen"
+    val docs = ((0L until 200L).map(i => (i, hotText)) ++
+      Seq((500L, nearA), (501L, nearB))).toDF("doc_id", "text")
+    val banded = dedup.DedupOps.bandedOf(
+      docs.select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("hs")))
+    val capped = dedup.DedupOps.lshCandidates(banded, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the flood's quadratic pair mass is gone (its buckets are all hot)...
+    assert(!capped.exists { case (a, b) => a < 200L && b < 200L })
+    // ...but the near-dup pair in its size-2 bucket still surfaces
+    assert(capped.contains((500L, 501L)))
+    // uncapped: the full 200·199/2 flood + the near pair
+    val uncapped = dedup.DedupOps.lshCandidates(banded, Int.MaxValue).count()
+    assert(uncapped === 200L * 199L / 2 + 1L)
+    // the profile reports the skipped mass EXACTLY — no silent truncation
+    val prof = dedup.DedupOps.lshBucketProfileOf(banded, maxBucket = 50).collect().head
+    assert(prof.getAs[Long]("n_hot_buckets") === 16L)
+    assert(prof.getAs[Long]("max_bucket_n") === 200L)
+    assert(prof.getAs[Long]("pairs_skipped") === 16L * (200L * 199L / 2))
+    // on the real corpus the guard is inert at the default cap: nothing hot
+    val real = dedup.DedupOps
+      .lshBucketProfile(spark, "/root/testdata/sf0.001").collect().head
+    assert(real.getAs[Long]("n_hot_buckets") === 0L)
+    assert(real.getAs[Long]("pairs_skipped") === 0L)
+  }
 }
