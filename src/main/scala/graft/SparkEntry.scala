@@ -533,12 +533,10 @@ object SparkEntry {
     // custom bounded-heap operator held to the SAME oracle as the window
     // formulation — identical bit-exact output required:
     "q63_topk_custom_op" -> TopKPerGroupSql,
-    "q43_percentiles" ->
-      """SELECT l_returnflag,
-        |       quantile_cont(l_extendedprice, 0.5) AS p50,
-        |       quantile_cont(l_extendedprice, 0.95) AS p95,
-        |       COUNT(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q43 (headline) runs the histogram plan — same mirrored-lerp oracle
+    // as its q123 twin. DuckDB's quantile_cont agrees only to ~1 ulp on
+    // lerped values, so the op-for-op mirror is the bit-exact oracle.
+    "q43_percentiles" -> RevenuePctHistSql,
     "q46_rollup" ->
       """SELECT COALESCE(n_name, 'ALL') AS nation,
         |       COALESCE(c_mktsegment, 'ALL') AS segment,
@@ -1275,61 +1273,15 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount_cost
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q121_ship_lag" ->
-      """WITH l AS (SELECT l_returnflag,
-        |                  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag_days
-        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-        |SELECT l_returnflag, COUNT(*) AS n,
-        |       quantile_cont(lag_days, 0.5) AS p50_days,
-        |       quantile_cont(lag_days, 0.95) AS p95_days,
-        |       CAST(MIN(lag_days) AS BIGINT) AS min_days,
-        |       CAST(MAX(lag_days) AS BIGINT) AS max_days
-        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q121 (headline) runs the histogram plan — shares q122's
+    // mirrored-lerp oracle (driver sorts columns by name, so the
+    // identical SQL verifies both registrations).
+    "q121_ship_lag" -> ShipLagHistSql,
     // q122/q123: the SQL mirrors Percentiles.fromHistogram op-for-op
     // (pos = p·(n−1) as double; lerp = lo + (pos − floor(pos))·(hi − lo))
     // so the doubles are bit-identical by construction, not by luck.
-    "q122_ship_lag_scalable" ->
-      """WITH l AS (SELECT l_returnflag AS g,
-        |                  CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS DOUBLE) AS v
-        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |h AS (SELECT g, v, COUNT(*) AS cnt FROM l GROUP BY 1, 2),
-        |c AS (SELECT g, v, cnt,
-        |             SUM(cnt) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
-        |             SUM(cnt) OVER (PARTITION BY g) AS n
-        |      FROM h),
-        |m AS (SELECT g, MAX(n) AS n, MIN(v) AS vmin, MAX(v) AS vmax,
-        |             MAX(CASE WHEN cum - cnt <= FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo50,
-        |             MAX(CASE WHEN cum - cnt <= CEIL(0.5 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.5 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi50,
-        |             MAX(CASE WHEN cum - cnt <= FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo95,
-        |             MAX(CASE WHEN cum - cnt <= CEIL(0.95 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi95
-        |      FROM c GROUP BY 1)
-        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
-        |       CASE WHEN FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) = 0.5 * CAST(n - 1 AS DOUBLE) THEN lo50
-        |            ELSE lo50 + (0.5 * CAST(n - 1 AS DOUBLE) - FLOOR(0.5 * CAST(n - 1 AS DOUBLE))) * (hi50 - lo50) END AS p50_days,
-        |       CASE WHEN FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) = 0.95 * CAST(n - 1 AS DOUBLE) THEN lo95
-        |            ELSE lo95 + (0.95 * CAST(n - 1 AS DOUBLE) - FLOOR(0.95 * CAST(n - 1 AS DOUBLE))) * (hi95 - lo95) END AS p95_days,
-        |       CAST(vmin AS BIGINT) AS min_days, CAST(vmax AS BIGINT) AS max_days
-        |FROM m ORDER BY 1""".stripMargin,
-    "q123_revenue_pct_scalable" ->
-      """WITH l AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
-        |h AS (SELECT g, v, COUNT(*) AS cnt FROM l GROUP BY 1, 2),
-        |c AS (SELECT g, v, cnt,
-        |             SUM(cnt) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
-        |             SUM(cnt) OVER (PARTITION BY g) AS n
-        |      FROM h),
-        |m AS (SELECT g, MAX(n) AS n,
-        |             MAX(CASE WHEN cum - cnt <= FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo50,
-        |             MAX(CASE WHEN cum - cnt <= CEIL(0.5 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.5 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi50,
-        |             MAX(CASE WHEN cum - cnt <= FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo95,
-        |             MAX(CASE WHEN cum - cnt <= CEIL(0.95 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi95
-        |      FROM c GROUP BY 1)
-        |SELECT g AS l_returnflag,
-        |       CASE WHEN FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) = 0.5 * CAST(n - 1 AS DOUBLE) THEN lo50
-        |            ELSE lo50 + (0.5 * CAST(n - 1 AS DOUBLE) - FLOOR(0.5 * CAST(n - 1 AS DOUBLE))) * (hi50 - lo50) END AS p50,
-        |       CASE WHEN FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) = 0.95 * CAST(n - 1 AS DOUBLE) THEN lo95
-        |            ELSE lo95 + (0.95 * CAST(n - 1 AS DOUBLE) - FLOOR(0.95 * CAST(n - 1 AS DOUBLE))) * (hi95 - lo95) END AS p95,
-        |       CAST(n AS BIGINT) AS n
-        |FROM m ORDER BY 1""".stripMargin,
+    "q122_ship_lag_scalable" -> ShipLagHistSql,
+    "q123_revenue_pct_scalable" -> RevenuePctHistSql,
     // q99: the damped power iteration unrolled as chained CTEs — 3
     // iterations, teleport (1−d)/|V|, each iteration ROUND(...,9) exactly
     // like Graph.pageRankCore, so the doubles match bit-for-bit (inflow
@@ -1434,6 +1386,56 @@ object SparkEntry {
     * corpus has no pairs in (0.3, 0.9) — see DedupOps scaladoc. A corpus
     * with borderline pairs would need r = 2 banding (and pay its
     * false-candidate cost) for this shared oracle to stay exact. */
+  /** Mirrors Percentiles.fromHistogram op-for-op (pos = p·(n−1) as
+    * double; lerp = lo + (pos − floor(pos))·(hi − lo)) so the doubles are
+    * bit-identical by construction. Shared by the headline (q121) and
+    * twin (q122) registrations — the driver sorts columns by name before
+    * hashing, so one SQL verifies both. */
+  private val ShipLagHistSql: String =
+    """WITH l AS (SELECT l_returnflag AS g,
+      |                  CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS DOUBLE) AS v
+      |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |h AS (SELECT g, v, COUNT(*) AS cnt FROM l GROUP BY 1, 2),
+      |c AS (SELECT g, v, cnt,
+      |             SUM(cnt) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+      |             SUM(cnt) OVER (PARTITION BY g) AS n
+      |      FROM h),
+      |m AS (SELECT g, MAX(n) AS n, MIN(v) AS vmin, MAX(v) AS vmax,
+      |             MAX(CASE WHEN cum - cnt <= FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo50,
+      |             MAX(CASE WHEN cum - cnt <= CEIL(0.5 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.5 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi50,
+      |             MAX(CASE WHEN cum - cnt <= FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo95,
+      |             MAX(CASE WHEN cum - cnt <= CEIL(0.95 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi95
+      |      FROM c GROUP BY 1)
+      |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+      |       CASE WHEN FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) = 0.5 * CAST(n - 1 AS DOUBLE) THEN lo50
+      |            ELSE lo50 + (0.5 * CAST(n - 1 AS DOUBLE) - FLOOR(0.5 * CAST(n - 1 AS DOUBLE))) * (hi50 - lo50) END AS p50_days,
+      |       CASE WHEN FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) = 0.95 * CAST(n - 1 AS DOUBLE) THEN lo95
+      |            ELSE lo95 + (0.95 * CAST(n - 1 AS DOUBLE) - FLOOR(0.95 * CAST(n - 1 AS DOUBLE))) * (hi95 - lo95) END AS p95_days,
+      |       CAST(vmin AS BIGINT) AS min_days, CAST(vmax AS BIGINT) AS max_days
+      |FROM m ORDER BY 1""".stripMargin
+
+  /** [[ShipLagHistSql]]'s sibling for q43/q123 (revenue percentiles). */
+  private val RevenuePctHistSql: String =
+    """WITH l AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+      |h AS (SELECT g, v, COUNT(*) AS cnt FROM l GROUP BY 1, 2),
+      |c AS (SELECT g, v, cnt,
+      |             SUM(cnt) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+      |             SUM(cnt) OVER (PARTITION BY g) AS n
+      |      FROM h),
+      |m AS (SELECT g, MAX(n) AS n,
+      |             MAX(CASE WHEN cum - cnt <= FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo50,
+      |             MAX(CASE WHEN cum - cnt <= CEIL(0.5 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.5 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi50,
+      |             MAX(CASE WHEN cum - cnt <= FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo95,
+      |             MAX(CASE WHEN cum - cnt <= CEIL(0.95 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi95
+      |      FROM c GROUP BY 1)
+      |SELECT g AS l_returnflag,
+      |       CASE WHEN FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) = 0.5 * CAST(n - 1 AS DOUBLE) THEN lo50
+      |            ELSE lo50 + (0.5 * CAST(n - 1 AS DOUBLE) - FLOOR(0.5 * CAST(n - 1 AS DOUBLE))) * (hi50 - lo50) END AS p50,
+      |       CASE WHEN FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) = 0.95 * CAST(n - 1 AS DOUBLE) THEN lo95
+      |            ELSE lo95 + (0.95 * CAST(n - 1 AS DOUBLE) - FLOOR(0.95 * CAST(n - 1 AS DOUBLE))) * (hi95 - lo95) END AS p95,
+      |       CAST(n AS BIGINT) AS n
+      |FROM m ORDER BY 1""".stripMargin
+
   private val TopKPerGroupSql: String =
     """WITH spend AS (
       |  SELECT o_custkey AS user_id,

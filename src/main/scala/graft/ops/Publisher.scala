@@ -135,14 +135,24 @@ object Publisher {
       .orderBy("nation", "rk")
   }
 
-  /** Exact interpolated percentiles per group — Spark `percentile` and
-    * DuckDB `quantile_cont` share the linear-interpolation definition
-    * (index p·(n−1), lerp between neighbors), so values hash-match.
-    * SCALE NOTE: `percentile` buffers every group value in executor
-    * memory; this form is the small-scale oracle twin. Production paths:
-    * [[revenuePercentilesScalable]] (exact via histogram, bounded
-    * memory) and [[revenuePercentilesApprox]] (sketch). */
+  /** Exact interpolated percentiles per group. The HEADLINE name runs the
+    * scale-safe histogram plan ([[revenuePercentilesScalable]]) — the
+    * shuffle is bounded by the distinct price domain, never buffering
+    * fact-scale groups in executor memory. The buffering
+    * `percentile`-aggregate form survives as
+    * [[revenuePercentilesBuffering]], pinned equal (±1 ulp on lerped
+    * values) by CoreOpsSpec as a cross-implementation check. */
   def revenuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    revenuePercentilesScalable(spark, dir)
+
+  /** The buffering exact form: Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition
+    * (index p·(n−1), lerp between neighbors). SCALE NOTE: `percentile` is
+    * a TypedImperativeAggregate that buffers every group value in executor
+    * memory — correct but an OOM against fact-scale groups, which is why
+    * the registered q43 runs the histogram plan and this form is
+    * spec-only. */
+  def revenuePercentilesBuffering(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(

@@ -105,15 +105,18 @@ object Warehouse {
 
   /** Order-to-ship latency stats per return flag: exact lerp percentiles
     * and extrema of datediff(ship, order) in days. Fulfilment-SLO
-    * profiling; one broadcast-free join (orders collapses to the key +
-    * date before joining) and a 3-row percentile aggregate.
-    *
-    * SCALE NOTE: Spark's exact `percentile` buffers every group value in
-    * executor memory — fine at test SF, an OOM at 100 TB. This form is
-    * the small-scale oracle twin; the production paths are
-    * [[shipLagStatsScalable]] (exact, histogram-based, bounded memory)
-    * and [[shipLagStatsApprox]] (sketch). */
+    * profiling. The HEADLINE name runs the scale-safe histogram plan
+    * ([[shipLagStatsScalable]]) — the day-lag domain is a few hundred
+    * distinct values, so the percentile shuffle is tiny regardless of
+    * fact-row count. The buffering `percentile` form survives as
+    * [[shipLagStatsBuffering]], pinned equal by CoreOpsSpec. */
   def shipLagStats(spark: SparkSession, dir: String): DataFrame =
+    shipLagStatsScalable(spark, dir)
+
+  /** The buffering exact form (spec-only cross-check — see
+    * [[shipLagStats]]): Spark's exact `percentile` buffers every group
+    * value in executor memory, an OOM against ~6B-row groups at 100 TB. */
+  def shipLagStatsBuffering(spark: SparkSession, dir: String): DataFrame =
     shipLagRows(spark, dir)
       .groupBy("l_returnflag")
       .agg(

@@ -195,7 +195,7 @@ class CoreOpsSpec extends SparkSpec {
   test("scalable histogram percentiles equal the buffering exact percentiles") {
     val dir = "/root/testdata/sf0.01"
     def key(r: org.apache.spark.sql.Row) = r.getString(0)
-    val exact = graft.ops.Publisher.revenuePercentiles(spark, dir).collect()
+    val exact = graft.ops.Publisher.revenuePercentilesBuffering(spark, dir).collect()
       .map(r => key(r) -> (r.getDouble(1), r.getDouble(2))).toMap
     val hist = graft.ops.Publisher.revenuePercentilesScalable(spark, dir).collect()
       .map(r => key(r) -> (r.getDouble(1), r.getDouble(2))).toMap
@@ -206,7 +206,7 @@ class CoreOpsSpec extends SparkSpec {
       assert(math.abs(hist(flag)._1 - p50) <= 1e-9 * math.abs(p50), s"$flag p50")
       assert(math.abs(hist(flag)._2 - p95) <= 1e-9 * math.abs(p95), s"$flag p95")
     }
-    val exactLag = graft.ops.Warehouse.shipLagStats(spark, dir).collect()
+    val exactLag = graft.ops.Warehouse.shipLagStatsBuffering(spark, dir).collect()
       .map(r => key(r) -> ((r.getDouble(2), r.getDouble(3)), (r.getLong(4), r.getLong(5)))).toMap
     val histLag = graft.ops.Warehouse.shipLagStatsScalable(spark, dir).collect()
       .map(r => key(r) -> ((r.getDouble(2), r.getDouble(3)), (r.getLong(4), r.getLong(5)))).toMap
