@@ -458,6 +458,42 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_filter(generate_series(1, 64), i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q35: the IVF quantizer is DERIVED, not trained — seed cells = first
+    // 16 vectors, one exact Lloyd update with the q94 integer-micro mean
+    // (order-free BIGINT sums), so the oracle rebuilds identical centroids
+    // from scratch and replays assignment → probe (4 nearest cells, ties
+    // to lower id) → exact cosine rerank, all bit-for-bit.
+    "q35_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |a1 AS (SELECT e.vec_id,
+        |              MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, i.cv) + list_inner_product(i.cv, i.cv),
+        |                   'c': i.cell}) AS best
+        |       FROM e, init i GROUP BY 1),
+        |u AS (SELECT a1.best.c AS cell,
+        |             unnest(generate_series(1, len(e.v))) - 1 AS dim,
+        |             unnest(e.v) AS x
+        |      FROM e JOIN a1 USING (vec_id)),
+        |g AS (SELECT cell, dim, COUNT(*) AS n,
+        |             SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
+        |      FROM u GROUP BY 1, 2),
+        |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
+        |         FROM g GROUP BY 1),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probe AS (SELECT cent.cell
+        |          FROM cent, q
+        |          ORDER BY list_inner_product(q.qv, q.qv) - 2.0 * list_inner_product(q.qv, cent.cv) + list_inner_product(cent.cv, cent.cv),
+        |                   cent.cell
+        |          LIMIT 4),
+        |a2 AS (SELECT e.vec_id,
+        |              MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.cv) + list_inner_product(c.cv, c.cv),
+        |                   'c': c.cell}) AS best
+        |       FROM e, cent c WHERE e.vec_id <> 0 GROUP BY 1)
+        |SELECT e.vec_id,
+        |       list_inner_product(e.v, q.qv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+        |FROM a2 JOIN probe ON a2.best.c = probe.cell
+        |JOIN e ON a2.vec_id = e.vec_id, q
+        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
     "q36_sessions" ->
       """WITH l AS (SELECT user_id, ts, event_id,
         |             CASE WHEN lag(ts) OVER w IS NULL
@@ -1360,8 +1396,8 @@ object SparkEntry {
         |       px_sum, CAST(doc_id * 31 % 256 AS BIGINT) AS corner_px
         |FROM f ORDER BY doc_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
-    //   q18_uv_approx (HLL), q35_ann_ivf (k-means model not expressible
-    //   in SQL), q44_percentiles_approx + q124_ship_lag_approx (sketch),
+    //   q18_uv_approx (HLL),
+    //   q44_percentiles_approx + q124_ship_lag_approx (sketch),
     //   q45_stratified_sample
     //   (engine-specific Bernoulli draws; determinism pinned by unit
     //   test), q75_heavy_hitters (Count-Min layout is engine-specific;

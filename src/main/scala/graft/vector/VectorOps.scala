@@ -31,6 +31,11 @@ object VectorOps {
     * interpreted HOF). */
   def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
+  /** Column-typed twin of [[dot]] for call sites that mix data columns
+    * with array literals (the IVF centroid distances). */
+  private def dotC(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
   def cosine(a: String, b: String): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
@@ -75,16 +80,130 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** IVF-style ANN: coarse quantization via seeded k-means (MLlib) over
-    * the corpus, then the query probes its `nProbe` nearest centroids and
-    * exact cosine reranks only those inverted lists. The scale shape:
-    * centroid assignment is one narrow projection; per-query work touches
-    * |corpus|·nProbe/k vectors instead of the full scan. Approximate
-    * (recall < 1) — registered rows-only, like the hyperplane-LSH path.
-    * Deterministic: fixed seed, fixed init. */
+  /** Deterministic IVF centroid grid: seed cells with the first
+    * `nCentroids` vectors (q111's init), run ONE exact Lloyd update with
+    * the integer-micro order-free mean (q94's trick — sums are BIGINT, so
+    * the distributed result is bit-equal to any single-threaded replay),
+    * and return the refined centroids. The k×dim grid collected to the
+    * driver is the MODEL (16×64 doubles), not data — the same thing an
+    * MLlib fit returns — so DuckDB can replay the identical construction
+    * from scratch in SQL and q35 hash-verifies end to end.
+    *
+    * Scale shape: seed assignment is a narrow map (k codegen'd dots per
+    * row via a per-cell struct argmin, no HOF, no shuffle); the update's
+    * shuffle carries only the (cell × dim) grid after map-side partial
+    * aggregation, regardless of corpus size. */
+  private[graft] def ivfCentroids(spark: SparkSession, dir: String,
+                                  nCentroids: Int): Seq[Seq[Double]] = {
+    val cached = VectorOps.synchronized {
+      ivfCentroidCache.keySet.removeIf(s => s.sparkContext.isStopped)
+      var perSession = ivfCentroidCache.get(spark)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty[String, Seq[Seq[Double]]]
+        ivfCentroidCache.put(spark, perSession)
+      }
+      perSession.get(dir + "/" + nCentroids)
+    }
+    cached.getOrElse {
+      val e = vecs(spark, dir)
+      val seeds = e.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").cast("int").as("cell"), col("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      require(seeds.length == nCentroids,
+        s"IVF needs $nCentroids seed vectors with vec_id < $nCentroids; found ${seeds.length}")
+      val grid = e
+        .withColumn("cell", cellOf(seeds.map { case (c, cv) => (c, typedLit(cv)) }))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(floor(col * 1000000.0d + 0.5d) as long)")).as("sm"))
+        .select(col("cell"), col("pos"),
+          (col("sm").cast("double") / (col("n") * lit(1000000.0d))).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = grid.groupBy(_._1)
+      require(byCell.size == nCentroids,
+        s"IVF Lloyd update left ${nCentroids - byCell.size} empty cells " +
+          "(duplicate seed vectors?) — the oracle SQL assumes every seed " +
+          "keeps at least its own vector")
+      val cents = (0 until nCentroids)
+        .map(c => byCell(c).sortBy(_._2).map(_._3).toSeq)
+      VectorOps.synchronized {
+        ivfCentroidCache.get(spark).update(dir + "/" + nCentroids, cents)
+      }
+      cents
+    }
+  }
+
+  /** Per-row argmin cell over centroid literals: min of (dist², cell)
+    * structs — lexicographic `least`, the exact semantics of the oracle's
+    * MIN({'d':…, 'c':…}) — with all dot products on the codegen'd
+    * graft_dot path (no interpreted HOF in the hot loop). */
+  private def cellOf(cents: Seq[(Int, Column)]): Column =
+    least(cents.map { case (c, cv) =>
+      struct((dotC(col("v"), col("v")) - lit(2.0d) * dotC(col("v"), cv)
+        + dotC(cv, cv)).as("d"), lit(c).as("cell"))
+    }: _*).getField("cell")
+
+  /** IVF ANN, fully deterministic and oracle-verified: the coarse
+    * quantizer is [[ivfCentroids]] (seeded init + one exact Lloyd step),
+    * the query probes its `nProbe` nearest refined centroids (ties to the
+    * lower cell id), and exact cosine reranks only vectors assigned to
+    * probed cells. Approximate only in RECALL — the pipeline itself is
+    * deterministic, so DuckDB replays the identical construction and q35
+    * hash-verifies bit-for-bit (q29's story, without even needing literal
+    * embedding: the quantizer is derivable from the data in SQL).
+    *
+    * Scale shape: assignment is a narrow map over the corpus (k codegen
+    * dots per row), the probe filter prunes to ~nProbe/k of the rows
+    * before the rerank projection, and the top-k is one TakeOrdered — no
+    * shuffle anywhere in the query path. The driver-side arithmetic is
+    * one query vector against k centroids (planning work, not data). */
   def annIvfTopK(spark: SparkSession, dir: String,
                  queryId: Long = 0L, k: Int = 10,
                  nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(spark, dir, nCentroids)
+    val e = vecs(spark, dir)
+    val qv = e.filter(col("vec_id") === queryId).select("v")
+      .head().getSeq[Double](0)
+    // sequential left fold — the exact arithmetic of graft_dot and
+    // DuckDB's list_inner_product, so probe selection matches the oracle
+    def sdot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0d; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val qq = sdot(qv, qv)
+    val probed = cents.zipWithIndex
+      .map { case (cv, c) => (qq - 2.0d * sdot(qv, cv) + sdot(cv, cv), c) }
+      .sorted.take(nProbe).map(_._2)
+    val qvLit = typedLit(qv)
+    e.filter(col("vec_id") =!= queryId)
+      .withColumn("cell",
+        cellOf(cents.zipWithIndex.map { case (cv, c) => (c, typedLit(cv)) }))
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"),
+        (dotC(col("v"), qvLit)
+          / (sqrt(dotC(col("v"), col("v"))) * sqrt(dotC(qvLit, qvLit)))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  private val ivfCentroidCache =
+    new java.util.IdentityHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Seq[Seq[Double]]]]()
+
+  /** IVF via a TRAINED coarse quantizer (seeded MLlib k-means) — the
+    * variant you'd run when quantizer quality matters more than oracle
+    * replayability. Same probe/rerank pipeline as [[annIvfTopK]]; kept
+    * spec-verified (recall floor + determinism) rather than
+    * hash-verified because the trained model isn't expressible in the
+    * oracle's SQL. */
+  def annIvfTopKMl(spark: SparkSession, dir: String,
+                   queryId: Long = 0L, k: Int = 10,
+                   nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = graft.Tables.memoCache(spark, s"ivf-vecs/$dir") {

@@ -29,7 +29,8 @@ class VectorSpec extends SparkSpec {
     val bestCos = exact.head.getDouble(1)
     for ((name, approx) <- Seq(
         "lsh" -> VectorOps.annLshTopK(spark, dir).collect(),
-        "ivf" -> VectorOps.annIvfTopK(spark, dir).collect())) {
+        "ivf" -> VectorOps.annIvfTopK(spark, dir).collect(),
+        "ivf-ml" -> VectorOps.annIvfTopKMl(spark, dir).collect())) {
       assert(approx.nonEmpty, name)
       assert(approx.forall(_.getDouble(1) <= bestCos + 1e-12), name)
       val overlap = approx.map(_.getLong(0)).count(exactIds)
