@@ -84,7 +84,7 @@ object SparkEntry {
     "q42_topk_per_group"   -> ((s, d) => Publisher.topSpendersPerNation(s, d)),
     "q43_percentiles"      -> ((s, d) => Publisher.revenuePercentiles(s, d)),
     "q44_percentiles_approx" -> ((s, d) => Publisher.revenuePercentilesApprox(s, d)),
-    "q45_stratified_sample"  -> ((s, d) => Publisher.stratifiedSample(s, d)),
+    "q45_stratified_sample"  -> ((s, d) => Publisher.stratifiedSampleDeterministic(s, d)),
     // --- OLAP layer: grouping sets, pivot, window frames ---
     "q46_rollup"           -> ((s, d) => Olap.revenueRollup(s, d)),
     "q47_pivot"            -> ((s, d) => Olap.segmentPivot(s, d)),
@@ -573,6 +573,20 @@ object SparkEntry {
     // as its q123 twin. DuckDB's quantile_cont agrees only to ~1 ulp on
     // lerped values, so the op-for-op mirror is the bit-exact oracle.
     "q43_percentiles" -> RevenuePctHistSql,
+    // q45: the CASE thresholds are GENERATED from the same fractions map
+    // and hashThreshold rendering the engine filters with — one source of
+    // truth, so the md5-prefix predicate is identical text in both plans.
+    "q45_stratified_sample" -> {
+      val cases = Publisher.DefaultStrataFractions.toSeq.sorted
+        .map { case (t, f) =>
+          s"WHEN '$t' THEN '${Publisher.hashThreshold(f)}'" }
+        .mkString(" ")
+      s"""SELECT event_type, COUNT(*) AS sampled_ct
+         |FROM events
+         |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+         |      < CASE event_type $cases ELSE '' END
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q46_rollup" ->
       """SELECT COALESCE(n_name, 'ALL') AS nation,
         |       COALESCE(c_mktsegment, 'ALL') AS segment,
@@ -1398,9 +1412,7 @@ object SparkEntry {
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL),
     //   q44_percentiles_approx + q124_ship_lag_approx (sketch),
-    //   q45_stratified_sample
-    //   (engine-specific Bernoulli draws; determinism pinned by unit
-    //   test), q75_heavy_hitters (Count-Min layout is engine-specific;
+    //   q75_heavy_hitters (Count-Min layout is engine-specific;
     //   its own output carries the exact twin and Round3Spec bounds the
     //   overestimate; the twin itself is hash-verified as q126),
     //   q102_kmv_overlap (xxhash64 is

@@ -190,15 +190,54 @@ object Publisher {
         expr("approx_percentile(l_extendedprice, 0.95d, 1000)").as("p95_approx"))
       .orderBy("l_returnflag")
 
+  /** Default per-stratum sampling fractions shared by both stratified
+    * samplers AND SparkEntry's q45 oracle SQL (one source of truth — the
+    * oracle CASE expression is generated from this map). */
+  private[graft] val DefaultStrataFractions: Map[String, Double] = Map(
+    "click" -> 0.5, "view" -> 0.5, "purchase" -> 1.0,
+    "signup" -> 0.1, "error" -> 0.1)
+
+  /** Renders fraction `f` as the 8-hex-digit md5-prefix threshold:
+    * a row is kept iff substring(md5(key),1,8) < threshold, i.e. iff the
+    * first 32 hash bits fall below floor(f·2³²). Hex digits compare in
+    * numeric order under ASCII, so the predicate is identical in Spark
+    * and DuckDB; "g" sorts above every hex digit and encodes f ≥ 1
+    * (keep everything). */
+  private[graft] def hashThreshold(f: Double): String =
+    if (f >= 1.0) "g" else f"${(f * 4294967296.0).toLong}%08x"
+
+  /** Deterministic FRACTIONAL stratified sampler — the q45 headline.
+    * Keep a row iff its md5-prefix uniform draw falls under the stratum's
+    * threshold ([[hashThreshold]]): an order-free, shuffle-free per-row
+    * predicate that reproduces bit-for-bit across engines, reruns,
+    * partitionings, and cluster sizes (the property the seeded Bernoulli
+    * [[stratifiedSample]] can't give, which is why that variant is now
+    * spec-only). At 100 TB this is a narrow filter fused into the scan —
+    * no state, no shuffle; the tiny count rollup after it is the report,
+    * not the sample. */
+  def stratifiedSampleDeterministic(spark: SparkSession, dir: String,
+                                    fractions: Map[String, Double] =
+                                      DefaultStrataFractions): DataFrame = {
+    val thr = fractions.toSeq.sortBy(_._1).map { case (t, f) =>
+      (t, hashThreshold(f)) }
+    val thrCol = thr.foldLeft(lit("")) { case (acc, (t, h)) =>
+      when(col("event_type") === t, lit(h)).otherwise(acc) }
+    Tables.events(spark, dir)
+      .withColumn("h8", substring(md5(col("event_id").cast("string")), 1, 8))
+      .filter(col("h8") < thrCol)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("sampled_ct"))
+      .orderBy("event_type")
+  }
+
   /** Stratified sampling by event type (seeded, deterministic per run
     * config) — the class-balancing step of a training-data pipeline.
     * Spark's per-row Bernoulli draw isn't reproducible in another engine,
-    * so this is rows-only; the unit test pins determinism (same seed ⇒
-    * same sample) and per-stratum fraction tolerance. */
+    * so the registered q45 runs [[stratifiedSampleDeterministic]] and
+    * this variant is spec-only (the unit test pins determinism — same
+    * seed ⇒ same sample — and per-stratum fraction tolerance). */
   def stratifiedSample(spark: SparkSession, dir: String,
-                       fractions: Map[String, Double] = Map(
-                         "click" -> 0.5, "view" -> 0.5, "purchase" -> 1.0,
-                         "signup" -> 0.1, "error" -> 0.1),
+                       fractions: Map[String, Double] = DefaultStrataFractions,
                        seed: Long = 42L): DataFrame =
     Tables.events(spark, dir)
       .stat.sampleBy("event_type", fractions, seed)
