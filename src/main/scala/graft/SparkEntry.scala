@@ -1289,6 +1289,10 @@ object SparkEntry {
     // has no pairs in (0.3, 0.9) — the same documented gap that lets
     // q24/q25 share one oracle; a corpus with borderline pairs would
     // need r = 2 banding for this SQL to stay an exact oracle.
+    // q117's engine-side pair set comes from LSH banding (recall
+    // 1−(1−J⁴)¹⁶ per pair) while this oracle is exact all-pairs Jaccard;
+    // the PropertySpec recall-certificate case pins exact ⊆ candidates on
+    // the verify corpus, so the assumption is tested, not hoped.
     "q117_cross_source" ->
       s"""WITH $JaccardCtes,
          |src AS (SELECT doc_id, source FROM documents)

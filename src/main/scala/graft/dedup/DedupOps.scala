@@ -177,16 +177,19 @@ object DedupOps {
     // band rows carry ONLY (doc_id, band_idx, band_key); bucket-capped
     // against degenerate band keys (see DefaultMaxBucket scaladoc)
     val candidates = lshCandidates(bandedOf(docHashes), maxBucket)
-    // exact verification on candidates only. The per-doc set table is
-    // corpus-sized and CANNOT broadcast at 100 TB; the candidate pair
-    // list is the small side by construction (it is dedup's output), so
-    // THAT broadcasts and the set table streams through both joins with
-    // no corpus-wide exchange. The second broadcast carries the matched
-    // `sa` arrays, still bounded by the candidate count, not the corpus.
+    // exact verification on candidates only, via UNHINTED joins: the
+    // per-doc set table is corpus-sized and CANNOT broadcast at 100 TB,
+    // and the candidate list — while usually small — scales with the
+    // corpus's near-dup mass (the primary dedup use case is duplicate-
+    // heavy crawls), so forcing IT to broadcast just moves the OOM. AQE
+    // picks the broadcast side at runtime when a side is actually small
+    // and falls back to a shuffle join when it isn't; either way the
+    // shingle arrays are joined onto candidates, never amplified through
+    // the 16x band explode.
     val withA = docHashes.select(col("doc_id").as("doc_a"), col("hs").as("sa"))
-      .join(broadcast(candidates), "doc_a")
+      .join(candidates, "doc_a")
     docHashes.select(col("doc_id").as("doc_b"), col("hs").as("sb"))
-      .join(broadcast(withA), "doc_b")
+      .join(withA, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa"), col("sb"))) /
           size(array_union(col("sa"), col("sb")))).as("jaccard"))
@@ -248,14 +251,16 @@ object DedupOps {
         col("f.band_idx") === col("c.band_idx") && col("f.band_key") === col("c.band_key"))
       .select(col("f.doc_id").as("fresh_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
-    // same verify shape as minhashLshPairs: broadcast the candidate pair
-    // list (small by construction) and stream both shingle tables
+    // same verify shape as minhashLshPairs: unhinted joins — AQE
+    // broadcasts the candidate side when it is actually small and shuffle-
+    // joins when a duplicate-heavy batch makes it large; both shingle
+    // tables stream either way
     val withCorpusSet = corpusShingles
       .select(col("doc_id").as("corpus_id"), col("hs").as("ch"))
-      .join(broadcast(candPairs), "corpus_id")
+      .join(candPairs, "corpus_id")
     val nearDupIds = freshShingles
       .select(col("doc_id").as("fresh_id"), col("hs").as("fh"))
-      .join(broadcast(withCorpusSet), "fresh_id")
+      .join(withCorpusSet, "fresh_id")
       .filter(
         (size(array_intersect(col("fh"), col("ch"))) /
           size(array_union(col("fh"), col("ch")))) >= threshold)
@@ -523,20 +528,29 @@ object DedupOps {
     * provenance-level readout of the dedup layer: which corpus feeds
     * duplicate each other (mirror sites, scraped re-posts).
     *
-    * Scale design: runs entirely on the (tiny) memoized near-dup pair
-    * set — the corpus is never rescanned; the doc→source map broadcasts
-    * twice onto the pair list and the aggregate is |sources|² at most. */
+    * Scale design: runs entirely on the memoized near-dup pair set — the
+    * corpus is never rescanned; the doc→source map joins onto the pair
+    * list (unhinted — AQE broadcasts whichever side is actually small)
+    * and the aggregate is |sources|² at most.
+    *
+    * ORACLE NOTE: the pair set comes from the LSH path, whose candidate
+    * recall at the threshold is probabilistic — 1−(1−J⁴)¹⁶ per pair
+    * (≈99.7% at J=0.7, →1 rapidly above), while q117's DuckDB oracle
+    * computes exact all-pairs Jaccard. The gap is pinned per-corpus by
+    * the PropertySpec recall-certificate case (exact pairs ⊆ LSH
+    * candidates at the verify SF), so a borderline-similarity corpus
+    * fails the spec with a diagnosable message instead of flaking the
+    * oracle. */
   def crossSourcePairs(spark: SparkSession, dir: String,
                        threshold: Double = 0.7): DataFrame = {
     val pairs = Tables.memoCache(spark, s"neardup-pairs/$threshold/$dir") {
       minhashLshPairs(spark, dir, threshold).select(col("doc_a"), col("doc_b"))
     }
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    // broadcast the (tiny) pair list, not the corpus-sized doc→source map
     val withSa = src.select(col("doc_id").as("doc_a"), col("source").as("sa"))
-      .join(broadcast(pairs), "doc_a")
+      .join(pairs, "doc_a")
     src.select(col("doc_id").as("doc_b"), col("source").as("sb"))
-      .join(broadcast(withSa), "doc_b")
+      .join(withSa, "doc_b")
       .select(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"))
       .groupBy("source_a", "source_b")

@@ -105,4 +105,28 @@ class PropertySpec extends SparkSpec {
         assert(math.abs(agree / 64.0 - j) <= 0.35)
       }
   }
+
+  test("recall certificate: exact near-dup pairs are all LSH candidates at the verify SF") {
+    // q25 and q117 are hash-verified against the EXACT all-pairs Jaccard
+    // oracle while their pair sets come from LSH banding, whose per-pair
+    // candidate probability at J = 0.7 is 1 − (1 − J⁴)¹⁶ ≈ 0.988 < 1.
+    // This case pins recall = 1 on the corpus the driver actually
+    // verifies (sf0.01), so a future borderline-similarity corpus fails
+    // HERE with a diagnosable message instead of flaking the oracle gate.
+    import graft.dedup.DedupOps
+    val dir = "/root/testdata/sf0.01"
+    val exact = DedupOps.ngramJaccardPairs(spark, dir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = DedupOps.bandedOf(
+      DedupOps.docShingleArr(spark, dir).select(col("doc_id"), col("arr").as("hs")))
+    val cands = DedupOps.lshCandidates(banded, DedupOps.DefaultMaxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- cands
+    assert(missed.isEmpty,
+      s"LSH banding missed exact near-dup pairs $missed — q25/q117's " +
+        "oracle assumes candidate recall 1 at threshold 0.7 on this " +
+        "corpus; a borderline pair (J barely over the threshold) slipped " +
+        "every band. Re-check the banding parameters or regenerate the " +
+        "corpus note in DedupOps.crossSourcePairs' scaladoc.")
+  }
 }
