@@ -240,6 +240,55 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("crash recovery: query killed mid-stream replays the uncommitted batch and converges to the batch answer") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def writeFile(rows: Seq[(Long, String, java.sql.Timestamp, Long)]): Unit =
+      rows.toDF("user_id", "name", "ts", "seq")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    // three files → three micro-batches under maxFilesPerTrigger = 1
+    writeFile(Seq((10L, "alice-v1", ts("2024-01-05 10:00:00"), 1L),
+      (20L, "bob", ts("2024-01-05 10:00:00"), 2L)))
+    writeFile(Seq((10L, "alice-v2", ts("2024-01-05 11:00:00"), 3L),
+      (30L, "carol", ts("2024-01-05 11:00:00"), 4L)))
+    writeFile(Seq((40L, "dave", ts("2024-01-05 12:00:00"), 5L)))
+    def run(injectCrash: Boolean): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.Sinks.upsertByKey(batch, out, Seq("user_id"), "ts", "seq")
+          // die AFTER the sink write but BEFORE the offset commit — the
+          // worst crash point: the restart MUST re-deliver this batch,
+          // and only sink idempotency keeps the output exactly-once
+          if (injectCrash && id == 0L)
+            throw new RuntimeException("injected crash before offset commit")
+        }.start()
+      try q.awaitTermination() catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          if (!injectCrash) throw e
+      }
+    }
+    run(injectCrash = true) // killed during batch 0
+    run(injectCrash = false) // recovery: replays batch 0, then 1 and 2
+    val got = spark.read.parquet(out)
+      .select("user_id", "name", "seq").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // the batch answer: last-write-wins compaction over ALL source rows
+    val expected = graft.streaming.Pipelines.compactLatest(
+        spark.read.parquet(srcDir), Seq("user_id"), "ts", "seq")
+      .select("user_id", "name", "seq").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.map(_._1) === Set(10L, 20L, 30L, 40L))
+    assert(got.find(_._1 == 10L).get._2 === "alice-v2") // replay kept the later write
+  }
+
   test("keyed upsert compacts by the FULL composite key (regression)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert2").toString
     val path = s"$dir/dau"
