@@ -72,6 +72,48 @@ class ScaleLeversSpec extends SparkSpec {
     assert(plain.size === 549)
   }
 
+  test("planted-skew join: AQE splits the hot partition (OptimizeSkewedJoin fires)") {
+    // SCALE.md claims AQE absorbs fact-join key skew; pin it with a plan-
+    // shape assertion (no timing): one hot key carrying ~8 MB vs byte-
+    // sized siblings, thresholds lowered to test scale, then assert the
+    // executed sort-merge join is marked isSkewJoin — i.e. the hot
+    // partition was actually split, not just eligible.
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "131072")
+    try {
+      val pad = "x" * 128
+      val hot = spark.range(60000)
+        .select(lit(1L).as("k"), concat(lit(pad), col("id").cast("string")).as("payload"))
+      val rest = spark.range(2L, 34L)
+        .select(col("id").as("k"), lit("small").as("payload"))
+      val left = hot.unionAll(rest)
+      val right = spark.range(1L, 34L)
+        .select(col("id").as("k"), concat(lit("dim_"), col("id").cast("string")).as("name"))
+      val joined = left.join(right, Seq("k"))
+      // execute THIS DataFrame (count() would plan a different query and
+      // leave joined's own AQE plan un-executed)
+      assert(joined.collect().length === 60000 + 32)
+      val plan = (joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      // query stages are leaf nodes to collect(), so assert on the plan
+      // rendering: the SMJ must be marked skew and the hot side's shuffle
+      // read must carry skewed partition splits
+      assert(plan.contains("SortMergeJoin(skew=true)"),
+        s"OptimizeSkewedJoin did not mark the join:\n$plan")
+      assert(plan.contains("AQEShuffleRead coalesced and skewed"),
+        s"hot partition was not split by the AQE shuffle read:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("streaming dedup runs on the RocksDB state store provider") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
