@@ -103,10 +103,20 @@ object Bench {
       ordered.filter { case (name, _) =>
         val ts = okTimes(name)
         ts.nonEmpty && {
-          val mn = ts.min; val mx = ts.max
+          val mn = ts.min
           val exp = expectation(name)
           val slow = exp > 0 && mn > 3.0 * exp
-          val diverged = !slowOnly && mx > 0.5 && mx / math.max(mn, 1e-3) > 3.0
+          // divergence looks only at WARM passes (every recorded pass
+          // after the first): pass 1 deliberately pays memo/index builds
+          // at the target SF, so cold-vs-warm ratios >3x are expected for
+          // index-backed queries and must not burn the adaptive budget —
+          // only a warm pass blowing past the best time signals host
+          // noise worth a re-run.
+          val warm = ts.drop(1)
+          val diverged = !slowOnly && warm.nonEmpty && {
+            val wmx = warm.max
+            wmx > 0.5 && wmx / math.max(mn, 1e-3) > 3.0
+          }
           slow || diverged
         }
       }

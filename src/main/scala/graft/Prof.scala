@@ -4,7 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Throwaway profiling harness: times one query N times in a session
   * configured exactly like Bench, optionally after the warm-up loop.
-  * Usage: runMain graft.Prof <query> [sfDir] [reps] [warmupAll]
+  * Usage: runMain graft.Prof <query> [sfDir] [reps] [warmupAll] [warmupDir]
+  *
+  * The warm-up pass runs every registered query against `warmupDir`
+  * (default [[Bench.WarmupDir]], the cheap sf — codegen/memo warm-up, not
+  * a timing pass); pass an explicit dir to warm indexes at the profiled
+  * SF instead.
   */
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -12,6 +17,7 @@ object Prof {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val warmupAll = args.length > 3 && args(3) == "true"
+    val warmupDir = if (args.length > 4) args(4) else Bench.WarmupDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,11 +29,11 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     if (warmupAll) {
-      if (!new java.io.File(Bench.WarmupDir).isDirectory)
-        println(s"[prof] WARNING: warm-up dir ${Bench.WarmupDir} missing — warm-up is a no-op")
+      if (!new java.io.File(warmupDir).isDirectory)
+        println(s"[prof] WARNING: warm-up dir $warmupDir missing — warm-up is a no-op")
       val t0 = System.nanoTime()
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, Bench.WarmupDir).count() }
+        try { fn(spark, warmupDir).count() }
         catch { case _: Throwable => () }
       }
       println(f"[prof] warmup-all took ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -1338,9 +1338,12 @@ object SparkEntry {
     "q123_revenue_pct_scalable" -> RevenuePctHistSql,
     // q99: the damped power iteration unrolled as chained CTEs — 3
     // iterations, teleport (1−d)/|V|, each iteration ROUND(...,9) exactly
-    // like Graph.pageRankCore, so the doubles match bit-for-bit (inflow
-    // sums are ≤|V| terms; 1e-16 addition-order noise cannot cross a
-    // 0.5e-9 rounding boundary). Edges are q91's transition CTE verbatim.
+    // like Graph.pageRankCore. The doubles match EMPIRICALLY on this
+    // corpus (inflow sums are ≤|V| terms; 1e-16 addition-order noise
+    // stays far from the 0.5e-9 rounding boundaries) — Spark and DuckDB
+    // implement ROUND differently at the last ulp, so GraphSpec's 1e-9
+    // pin is the guaranteed check. Edges are q91's transition CTE
+    // verbatim.
     "q99_pagerank" ->
       """WITH s AS (SELECT user_id, event_type,
         |                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type

@@ -26,12 +26,15 @@ import graft.Tables
   * Cross-engine determinism: each iteration's rank is rounded to 9
   * decimals (the q83 ROUND discipline) — inflow sums are short (#node
   * terms) so order-dependent double-addition noise (~1e-16 relative)
-  * cannot move a value across a 0.5e-9 rounding boundary in practice,
-  * making the fixed-iteration result bit-reproducible in any engine that
-  * mirrors the arithmetic. The DuckDB oracle unrolls the 3 iterations as
-  * chained CTEs with the identical formula; GraphSpec additionally pins
-  * the result against a single-threaded power iteration and checks the
-  * rank distribution sums to ~1.
+  * cannot move a value across a 0.5e-9 rounding boundary in practice.
+  * The cross-engine agreement is EMPIRICAL, not guaranteed: Spark rounds
+  * the shortest-decimal representation via BigDecimal HALF_UP while
+  * DuckDB computes round(x·1e9)/1e9 in binary, and the two can disagree
+  * for inputs within ~1 ulp of a .5e-9 boundary. The DuckDB oracle
+  * unrolls the 3 iterations as chained CTEs with the identical formula
+  * (hash-matching on this corpus); the load-bearing safety net is
+  * GraphSpec's 1e-9 pin against a single-threaded power iteration plus
+  * the sums-to-~1 distribution check.
   */
 object Graph {
 

@@ -36,11 +36,17 @@ object Publisher {
     * (substring containment, the previous approximation, did). Each
     * keyword token becomes an anchored regex
     * `(^|[^a-z0-9])tok([^a-z0-9]|$)` over the lowercased column; tokens
-    * are stripped to [a-z0-9] exactly as the standard analyzer would. */
-  def keywordPredicate(c: org.apache.spark.sql.Column, keyword: String): org.apache.spark.sql.Column =
-    keyword.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    * are stripped to [a-z0-9] exactly as the standard analyzer would.
+    * A keyword with no alphanumeric characters analyzes to zero tokens —
+    * ES matches nothing on an empty analyzed query, so this returns a
+    * constant false predicate rather than throwing on the empty reduce. */
+  def keywordPredicate(c: org.apache.spark.sql.Column, keyword: String): org.apache.spark.sql.Column = {
+    val tokens = keyword.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    if (tokens.isEmpty) lit(false)
+    else tokens
       .map(t => lower(c).rlike(s"(^|[^a-z0-9])$t([^a-z0-9]|$$)"))
       .reduce(_ && _)
+  }
 
   def keywordSearch(spark: SparkSession, dir: String,
                     keyword: String = "small widget",

@@ -173,8 +173,13 @@ object TextOps {
     * is unchanged (x ↦ ln is monotone, tf ≥ 1), so score = tf·N/df keeps
     * the exact same top-k and hashes bit-for-bit (one integer product,
     * one IEEE division). Shape at scale: explode → two hash aggregates
-    * (term×doc, term) + a broadcast of the (small) df table — the
-    * classic inverted-index build. */
+    * (term×doc, term) + an UNHINTED join with the df table — the classic
+    * inverted-index build. The df side is one row per distinct term,
+    * which is broadcastable for bounded vocabularies but can reach tens
+    * of millions of rows on a web corpus, so the join carries no
+    * broadcast hint: AQE broadcasts it when its runtime size allows and
+    * falls back to a shuffle join on `term` (the same key the tf side
+    * already aggregated on) when it doesn't. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // per-doc term counts come pre-aggregated from the one-pass
@@ -189,7 +194,7 @@ object TextOps {
     val nDocs = Tables.documents(spark, dir).count()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .withColumn("score", (col("tf") * lit(nDocs)).cast("double") / col("df"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

@@ -190,6 +190,12 @@ class CoreOpsSpec extends SparkSpec {
       .filter(graft.ops.Publisher.keywordPredicate(col("name"), "small widget"))
       .select("id").collect().map(_.getLong(0)).sorted
     assert(got.toSeq === Seq(1L, 3L, 5L))
+    // all-punctuation keyword analyzes to zero tokens → matches nothing
+    // (ES semantics), instead of throwing on an empty reduce
+    val none = parts
+      .filter(graft.ops.Publisher.keywordPredicate(col("name"), "!!! ??"))
+      .count()
+    assert(none === 0L)
   }
 
   test("scalable histogram percentiles equal the buffering exact percentiles") {
