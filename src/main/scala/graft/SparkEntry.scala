@@ -231,6 +231,16 @@ object SparkEntry {
     "q127_lsh_bucket_profile" -> ((s, d) => graft.dedup.DedupOps.lshBucketProfile(s, d)),
     // --- REAL image decode: BMP payloads parsed byte-by-byte in-task ---
     "q128_bmp_decode"      -> ((s, d) => graft.multimodal.Multimodal.bmpFeatures(s, d)),
+    // --- corpus bigram-LM fluency score (self-trained, add-one smoothed) ---
+    "q129_bigram_lm"       -> ((s, d) => graft.text.TextOps.bigramLmScore(s, d)),
+    // --- token-budget source mixing via the md5-threshold sampler ---
+    "q130_source_mixing"   -> ((s, d) => graft.text.TextOps.sourceMixing(s, d)),
+    // --- Simpson char-diversity degeneracy signal (code-point exact) ---
+    "q131_char_diversity"  -> ((s, d) => graft.text.TextOps.charDiversity(s, d)),
+    // --- TPC-H Q8/Q14/Q10-shaped classics: share-of-market reports ---
+    "q132_market_share"    -> ((s, d) => Warehouse.marketShare(s, d)),
+    "q133_promo_share"     -> ((s, d) => Warehouse.promoShare(s, d)),
+    "q134_returned_revenue" -> ((s, d) => Warehouse.returnedRevenue(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1416,6 +1426,126 @@ object SparkEntry {
         |       CAST(24 AS BIGINT) AS bpp, CAST(w * h AS BIGINT) AS n_pixels,
         |       px_sum, CAST(doc_id * 31 % 256 AS BIGINT) AS corner_px
         |FROM f ORDER BY doc_id""".stripMargin,
+    // q129: the oracle RETRAINS the bigram LM from scratch (derivable-
+    // model pattern — no literals): same whitespace tokenizer as
+    // q67/q118, add-one smoothing, per-bigram micro-rounded probability
+    // (one IEEE division over exact integer counts — no logarithm), so
+    // the per-doc mean/rare-ratio hash bit-for-bit.
+    "q129_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |         THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+        |         ELSE [] END) AS gram FROM tok),
+        |db AS (SELECT doc_id, gram, COUNT(*) AS ct FROM bg GROUP BY 1, 2),
+        |m2 AS (SELECT gram, CAST(SUM(ct) AS BIGINT) AS c2 FROM db GROUP BY 1),
+        |m1 AS (SELECT string_split(gram, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+        |       FROM m2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT term) AS vocab
+        |      FROM (SELECT unnest(t) AS term FROM tok)),
+        |p AS (SELECT db.doc_id, db.ct, m2.c2,
+        |             CAST(FLOOR((m2.c2 + 1) * 1000000.0 / (m1.c1 + v.vocab) + 0.5) AS BIGINT) AS p_micro
+        |      FROM db JOIN m2 USING (gram)
+        |      JOIN m1 ON string_split(db.gram, ' ')[1] = m1.w1
+        |      CROSS JOIN v)
+        |SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_bigrams,
+        |       CAST(FLOOR(CAST(CAST(SUM(ct * p_micro) AS BIGINT) AS DOUBLE)
+        |                  / CAST(SUM(ct) AS BIGINT) + 0.5) AS BIGINT) AS avg_p_micro,
+        |       CAST(FLOOR(1000000.0 * CAST(SUM(CASE WHEN c2 = 1 THEN ct ELSE 0 END) AS BIGINT)
+        |                  / CAST(SUM(ct) AS BIGINT) + 0.5) AS BIGINT) AS rare_micro
+        |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // q130: keep fraction AND hex threshold derived from the data in
+    // both engines (budget = floor(0.5·mean source chars); threshold =
+    // floor(f·2³²) as 8 hex digits, 'g' for f ≥ 1) — the md5-threshold
+    // sampler is a pure function of doc_id, identical in Spark/DuckDB.
+    "q130_source_mixing" ->
+      """WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars
+        |           FROM documents GROUP BY 1),
+        |b AS (SELECT CAST(FLOOR(CAST(CAST(SUM(src_chars) AS BIGINT) AS DOUBLE)
+        |                        / COUNT(*) * 0.5) AS BIGINT) AS budget FROM s),
+        |f AS (SELECT source, src_chars,
+        |             LEAST(1.0, CAST(budget AS DOUBLE) / src_chars) AS keep_frac
+        |      FROM s CROSS JOIN b),
+        |t AS (SELECT source, keep_frac,
+        |             CASE WHEN keep_frac >= 1.0 THEN 'g'
+        |                  ELSE printf('%08x', CAST(FLOOR(keep_frac * 4294967296.0) AS BIGINT))
+        |             END AS thresh FROM f),
+        |k AS (SELECT d.source, COUNT(*) AS docs_kept,
+        |             CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+        |      FROM documents d JOIN t ON d.source = t.source
+        |      WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thresh
+        |      GROUP BY 1)
+        |SELECT t.source,
+        |       CAST(FLOOR(t.keep_frac * 1000000.0 + 0.5) AS BIGINT) AS keep_frac_micro,
+        |       COALESCE(k.docs_kept, 0) AS docs_kept,
+        |       COALESCE(k.chars_kept, 0) AS chars_kept
+        |FROM t LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
+    // q131: DuckDB string_split(text,'') and length() are per CODE
+    // POINT, matching the expression's codePointAt iteration (a UTF-16
+    // split would double-count non-BMP chars). Rational Simpson
+    // collision probability — exact integers + one division, no libm.
+    "q131_char_diversity" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |c AS (SELECT doc_id, ch, COUNT(*) AS ct FROM ch GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_cp, COUNT(*) AS distinct_cp,
+        |             CAST(SUM(ct * (ct - 1)) AS BIGINT) AS coll_num
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_cp, distinct_cp,
+        |       CASE WHEN n_cp >= 2
+        |            THEN CAST(FLOOR(1000000.0 * coll_num / (n_cp * (n_cp - 1)) + 0.5) AS BIGINT)
+        |       END AS collision_micro
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q132_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev,
+        |       COALESCE(CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+        |                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                      * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE), 0.0) AS focal_rev,
+        |       COALESCE(CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+        |                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                      * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE), 0.0)
+        |         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q133_promo_share" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev,
+        |       COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                      * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE), 0.0) AS promo_rev,
+        |       100.0 * COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                      * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE), 0.0)
+        |         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q134_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name AS nation,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL),
     //   q44_percentiles_approx + q124_ship_lag_approx (sketch),

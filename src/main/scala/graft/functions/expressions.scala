@@ -324,6 +324,49 @@ case class TextStats(child: Expression, stopwords: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass per-document character-diversity counts over Unicode CODE
+  * POINTS (surrogate pairs count once, matching DuckDB's per-code-point
+  * `string_split(text, '')` / `length()` semantics — a UTF-16 split
+  * would count non-BMP characters twice): total code points, distinct
+  * code points, and the collision numerator Σ c·(c−1). The query layer
+  * derives the Simpson collision probability Σc(c−1)/(n(n−1)) — a
+  * fully RATIONAL diversity/repetitiveness signal (low diversity ⇒
+  * boilerplate or degenerate text), chosen over Shannon entropy because
+  * it needs no logarithm: every intermediate is an exact integer, so the
+  * DuckDB oracle hashes bit-for-bit instead of depending on libm ulps.
+  * Same one-pass motivation as [[TokenCounts]]: per-row heavy work stays
+  * in a single expression, nothing driver-side. */
+case class CharDiversity(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cp", LongType, nullable = false),
+    StructField("distinct_cp", LongType, nullable = false),
+    StructField("coll_num", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var coll = 0L
+    val it = counts.values.iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      coll += c * (c - 1)
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, counts.size.toLong, coll)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Point estimate from a serialized Count-Min sketch (the binary the
   * built-in `count_min_sketch` aggregate emits): estimateCount of the
   * item — never an underestimate, over by ≤ eps·N with the sketch's
@@ -395,7 +438,10 @@ object GraftFunctions {
       exprs => NGramCounts(exprs.head, exprs(1).eval().asInstanceOf[Int])),
     ("graft_cms_estimate",
       "graft_cms_estimate(sketch, item) - Count-Min point estimate from a serialized sketch",
-      exprs => CmsEstimate(exprs.head, exprs(1))))
+      exprs => CmsEstimate(exprs.head, exprs(1))),
+    ("graft_char_diversity",
+      "graft_char_diversity(text) - struct(n_cp, distinct_cp, coll_num) over code points",
+      exprs => CharDiversity(exprs.head)))
 
   // Weak keys: a stopped session's entry disappears with the session, and
   // re-registering on every query call spammed "replaced a previously

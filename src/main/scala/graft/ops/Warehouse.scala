@@ -171,4 +171,100 @@ object Warehouse {
         min(col("lag_days")).as("min_days"),
         max(col("lag_days")).as("max_days"))
       .orderBy("l_returnflag")
+
+  /** TPC-H Q8 shape: one nation's share of STANDARD-part revenue sold to
+    * ASIA customers, per order year — the market-share report. Five dims
+    * broadcast (part filter, customer∈region, supplier→nation); the fact
+    * scan shuffles only for the two fact-side equi-joins and a
+    * |years|-row aggregate. Share = focal/total where both operands are
+    * exact DECIMAL sums cast to double, so the division is a single
+    * correctly-rounded op in both engines (the q83/q115 pattern). */
+  def marketShare(spark: SparkSession, dir: String,
+                  region: String = "ASIA", ptype: String = "STANDARD",
+                  focalNation: String = "NATION_5"): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val prt = Tables.part(spark, dir)
+      .filter(col("p_type") === ptype)
+      .select("p_partkey")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(rev).cast("double").as("total_rev"),
+        sum(when(col("supp_nation") === focalNation, rev)).cast("double").as("focal_rev"))
+      .select(col("o_year"), col("total_rev"),
+        coalesce(col("focal_rev"), lit(0.0)).as("focal_rev"),
+        (coalesce(col("focal_rev"), lit(0.0)) / col("total_rev")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q14 shape: promo revenue share by ship month — what fraction
+    * of each month's revenue came from PROMO-type parts. One broadcast
+    * dim (part), one fact scan, a |months|-row aggregate; the share is
+    * again a single division of two exact decimal sums. */
+  def promoShare(spark: SparkSession, dir: String,
+                 yearStart: String = "1997-01-01",
+                 yearEnd: String = "1998-01-01"): DataFrame = {
+    val prt = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(yearStart).cast("timestamp")
+        && col("l_shipdate") < lit(yearEnd).cast("timestamp"))
+      .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(rev).cast("double").as("total_rev"),
+        sum(when(col("p_type") === "PROMO", rev)).cast("double").as("promo_rev"))
+      .select(col("ship_month"), col("total_rev"),
+        coalesce(col("promo_rev"), lit(0.0)).as("promo_rev"),
+        (lit(100.0) * coalesce(col("promo_rev"), lit(0.0)) / col("total_rev"))
+          .as("promo_pct"))
+      .orderBy("ship_month")
+  }
+
+  /** TPC-H Q10 shape: top-k customers by revenue on RETURNED items for
+    * one quarter — the returned-item report a support team works from.
+    * Customer + nation broadcast; per-customer aggregate then a
+    * TakeOrdered top-k, never a global sort. */
+  def returnedRevenue(spark: SparkSession, dir: String,
+                      quarterStart: String = "1997-01-01",
+                      quarterEnd: String = "1997-04-01", k: Int = 20): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "n_name")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(quarterStart).cast("timestamp")
+        && col("o_orderdate") < lit(quarterEnd).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+      .agg(revenue.cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+  }
 }

@@ -474,4 +474,133 @@ object TextOps {
       .withColumn("vocab_size", sum(col("new_terms")).over(w))
       .orderBy("source", "doc_id")
   }
+
+  /** Memoized per-doc (gram, ct) bigram table from the one-pass
+    * `graft_ngram_counts` expression — one row per DISTINCT bigram per
+    * doc enters any downstream shuffle (the tfTable pattern, n = 2).
+    * Feeds [[bigramLmScore]] twice (model build + scoring join). */
+  private def bigramTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoCache(spark, s"bigram-lm/$dir") {
+      graft.functions.GraftFunctions.register(spark)
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(expr("graft_ngram_counts(text, 2)")).as("g"))
+        .select(col("doc_id"), col("g.gram").as("gram"), col("g.ct").as("ct"))
+    }
+
+  /** Corpus bigram-LM quality score per document — the KenLM-style
+    * fluency filter of a training-data pipeline, with the LM *trained on
+    * the corpus itself* (add-one smoothing): p(w₂|w₁) = (C(w₁w₂)+1) /
+    * (C(w₁·)+V). Scores are per-bigram micro-rounded probabilities
+    * (floor(p·10⁶+0.5) — integer counts and ONE IEEE division per
+    * distinct bigram, no logarithm), so the per-doc mean and the
+    * rare-bigram ratio are exact integer arithmetic and the DuckDB
+    * oracle rebuilds the identical model from scratch (the q35
+    * derivable-model pattern: nothing is embedded as a literal).
+    *
+    * Shape at scale: per-doc bigram counts come pre-aggregated from the
+    * one-pass expression (no raw-token shuffle); the model is two hash
+    * aggregates over the bigram table (gram → C₂, prefix → C₁); scoring
+    * is a shuffle join on `gram` plus an UNHINTED join with the
+    * vocabulary-sized prefix table (AQE broadcasts it when small — the
+    * q52 df-table rule); the per-doc rollup is one more partial-agg
+    * shuffle on doc_id. Low avg_p_micro + high rare_micro ⇒ text the
+    * corpus LM finds improbable (gibberish / OCR noise / wrong corpus).
+    */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // corpus vocabulary size: distinct unigrams from the SAME tokenizer
+    // (tfTable memo — shared with q52/q118, so the scan is already warm);
+    // a driver-side scalar like tfidfTopTerms' nDocs
+    val vocab = tfTable(spark, dir).select("term").distinct().count()
+    bigramLmCore(bigramTable(spark, dir), vocab)
+  }
+
+  /** The model-build + scoring pipeline of [[bigramLmScore]] over any
+    * per-doc (doc_id, gram, ct) bigram table — split out so the spec can
+    * pin the smoothing arithmetic on a hand-computed corpus. */
+  private[graft] def bigramLmCore(db: DataFrame, vocab: Long): DataFrame = {
+    val m2 = db.groupBy("gram").agg(sum(col("ct")).as("c2"))
+    val m1 = m2.groupBy(substring_index(col("gram"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    db.join(m2, "gram")
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .join(m1, "w1")
+      .withColumn("p_micro",
+        expr(s"cast(floor((c2 + 1) * 1000000.0d / (c1 + ${vocab}L) + 0.5d) as bigint)"))
+      .groupBy("doc_id")
+      .agg(sum(col("ct")).as("n_bigrams"),
+        sum(col("ct") * col("p_micro")).as("ctp"),
+        sum(when(col("c2") === 1, col("ct")).otherwise(0L)).as("rare_ct"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("cast(floor(cast(ctp as double) / n_bigrams + 0.5d) as bigint)")
+          .as("avg_p_micro"),
+        expr("cast(floor(1000000.0d * rare_ct / n_bigrams + 0.5d) as bigint)")
+          .as("rare_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget source mixing — the data-mixture step of a training
+    * pipeline: cap every source at a shared character budget (here
+    * `budgetFrac` × the mean source volume), down-sampling over-budget
+    * sources with the engine-identical md5-threshold sampler (q45/q53/
+    * q70's machinery) so the selection is a pure function of doc_id:
+    * reproducible across runs, partitionings, and engines. The keep
+    * fraction AND its hex threshold are derived from the data in both
+    * engines (floor(f·2³²) rendered as 8 hex digits; 'g' sorts above
+    * every hex digit for f ≥ 1) — the derivable-model pattern again.
+    *
+    * Shape at scale: one partial-agg pass for per-source volumes (one
+    * row per source), a broadcast of the |sources|-row threshold table
+    * back onto the fact scan, and one more partial-agg pass for the kept
+    * volumes. The fact rows are never shuffled — both aggregates combine
+    * map-side. */
+  def sourceMixing(spark: SparkSession, dir: String,
+                   budgetFrac: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+    val totals = docs.groupBy("source")
+      .agg(sum(col("n_chars")).as("src_chars"))
+    val budget = totals.agg(expr(
+      s"cast(floor(cast(sum(src_chars) as double) / count(1) * ${budgetFrac}d) as bigint)")
+      .as("budget"))
+    val f = totals.crossJoin(broadcast(budget))
+      .withColumn("keep_frac",
+        least(lit(1.0), col("budget").cast("double") / col("src_chars")))
+      .withColumn("thresh",
+        when(col("keep_frac") >= 1.0, lit("g"))
+          .otherwise(format_string("%08x",
+            floor(col("keep_frac") * lit(4294967296.0)).cast("long"))))
+    val kept = docs.join(broadcast(f.select("source", "thresh")), "source")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("thresh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"), sum(col("n_chars")).as("chars_kept"))
+    f.select(col("source"),
+        expr("cast(floor(keep_frac * 1000000.0d + 0.5d) as bigint)").as("keep_frac_micro"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("keep_frac_micro"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+      .orderBy("source")
+  }
+
+  /** Character-diversity profile per document: Simpson collision
+    * probability over Unicode code points (Σc(c−1)/(n(n−1)), micro-
+    * rounded) plus the raw counts — the repeated-character degeneracy
+    * signal quality filters use alongside [[qualityScore]]'s token
+    * ratios. Rational arithmetic only (see [[graft.functions
+    * .CharDiversity]] for why no entropy/logarithm); one narrow map over
+    * the scan, no shuffle. */
+  def charDiversity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr("graft_char_diversity(text)").as("cd"))
+      .select(col("doc_id"),
+        col("cd.n_cp").as("n_cp"),
+        col("cd.distinct_cp").as("distinct_cp"),
+        expr("""case when cd.n_cp >= 2
+                then cast(floor(1000000.0d * cd.coll_num / (cd.n_cp * (cd.n_cp - 1)) + 0.5d) as bigint)
+                end""").as("collision_micro"))
+      .orderBy("doc_id")
+  }
 }

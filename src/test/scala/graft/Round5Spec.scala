@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: the corpus bigram-LM fluency score, token-budget
+  * source mixing, the Simpson char-diversity expression, and the
+  * TPC-H Q8/Q14/Q10-shaped warehouse classics (q129–q134). The oracle
+  * hash-verifies all six end-to-end at sf0.01; these cases pin the
+  * arithmetic on hand-computed inputs and the invariants the oracle
+  * can't express. */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("graft_char_diversity counts code points, not UTF-16 units") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(Some("aab"), Some("𝄞𝄞a"), Some(""), None)
+      .toDF("text")
+      .select(expr("graft_char_diversity(text)").as("cd"))
+      .select("cd.n_cp", "cd.distinct_cp", "cd.coll_num").collect()
+    // "aab": n=3, distinct=2, coll = 2·1 + 0 = 2
+    assert((rows(0).getLong(0), rows(0).getLong(1), rows(0).getLong(2)) === ((3L, 2L, 2L)))
+    // "𝄞𝄞a" is 5 UTF-16 units but 3 code points; a UTF-16 split would
+    // report n=5 and count each surrogate half as its own "character"
+    assert((rows(1).getLong(0), rows(1).getLong(1), rows(1).getLong(2)) === ((3L, 2L, 2L)))
+    assert((rows(2).getLong(0), rows(2).getLong(1), rows(2).getLong(2)) === ((0L, 0L, 0L)))
+    assert(rows(3).isNullAt(0))
+  }
+
+  test("bigram LM smoothing arithmetic matches the hand-computed corpus") {
+    // corpus: doc1 = "a b a b", doc2 = "a b c"
+    //   C2: "a b"=3, "b a"=1, "b c"=1;  C1: a·=3, b·=2;  V=3
+    //   p(a b) = 4e6/6 → 666667;  p(b a) = p(b c) = 2e6/5 → 400000
+    val db = Seq(
+      (1L, "a b", 2L), (1L, "b a", 1L),
+      (2L, "a b", 1L), (2L, "b c", 1L)).toDF("doc_id", "gram", "ct")
+    val got = graft.text.TextOps.bigramLmCore(db, vocab = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      // doc1: n=3, avg = floor((2·666667 + 400000)/3 + .5) = 577778,
+      //        rare = floor(1e6·1/3 + .5) = 333333  ("b a" is a hapax)
+      (1L, 3L, 577778L, 333333L),
+      // doc2: n=2, avg = floor(1066667/2 + .5) = 533334, rare = 500000
+      (2L, 2L, 533334L, 500000L)))
+  }
+
+  test("source mixing reproduces the md5-threshold selection exactly") {
+    val out = graft.text.TextOps.sourceMixing(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // recompute the whole pipeline driver-side with independent code
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val budget = math.floor(bySrc.values.sum.toDouble / bySrc.size * 0.5).toLong
+    def hex8(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    out.foreach { r =>
+      val (src, micro, nKept, charsKept) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val f = math.min(1.0, budget.toDouble / bySrc(src))
+      assert(micro === math.floor(f * 1e6 + 0.5).toLong)
+      val thresh = if (f >= 1.0) "g" else f"${math.floor(f * 4294967296.0).toLong}%08x"
+      val kept = docs.filter(d => d._2 == src && hex8(d._1) < thresh)
+      assert(nKept === kept.length.toLong, s"docs_kept for $src")
+      assert(charsKept === kept.map(_._3).sum, s"chars_kept for $src")
+    }
+    assert(out.map(_.getString(0)).toSeq === out.map(_.getString(0)).toSeq.sorted)
+  }
+
+  test("market share and promo share are true ratios of their own sums") {
+    val ms = graft.ops.Warehouse.marketShare(spark, sf).collect()
+    assert(ms.nonEmpty)
+    ms.foreach { r =>
+      val (total, focal, share) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(focal >= 0.0 && focal <= total)
+      assert(share === focal / total)
+    }
+    val ps = graft.ops.Warehouse.promoShare(spark, sf).collect()
+    assert(ps.nonEmpty)
+    ps.foreach { r =>
+      val (total, promo, pct) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(promo >= 0.0 && promo <= total)
+      assert(pct === 100.0 * promo / total)
+    }
+  }
+
+  test("returned-revenue top-k is ordered and every hit has flag R rows") {
+    val df = graft.ops.Warehouse.returnedRevenue(spark, sf, k = 5)
+    val rows = df.collect()
+    assert(rows.length <= 5)
+    val revs = rows.map(_.getDouble(3)).toSeq
+    assert(revs === revs.sorted(Ordering[Double].reverse))
+    // plan shape: dims broadcast, fact side never broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("market-share plan broadcasts every dimension") {
+    val plan = graft.ops.Warehouse.marketShare(spark, sf)
+      .queryExecution.executedPlan.toString
+    // part, customer-side, supplier-side joins all broadcast; the only
+    // sort-merge-eligible join is fact⋈orders (two fact-scale sides)
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
