@@ -223,6 +223,22 @@ object ScaleProbe {
         val ordKeys = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
         graft.ops.Warehouse.localVolumeJoin(t.lineitem, ordKeys, cust, supp).count()
       },
+      "bigram LM train+score (model aggs + gram join)" -> { t =>
+        // salted docs: cross-copy grams are DISJOINT, so the model's
+        // vocabulary and bigram domain grow ~copies× like a real larger
+        // corpus (key-shifted copies would collapse into one model)
+        val db = t.docsSalted
+          .select(col("doc_id"), explode(expr("graft_ngram_counts(text, 2)")).as("g"))
+          .select(col("doc_id"), col("g.gram").as("gram"), col("g.ct").as("ct"))
+        val vocab = t.docsSalted
+          .select(explode(expr("graft_token_counts(text)")).as("tc"))
+          .select(col("tc.term")).distinct().count()
+        graft.text.TextOps.bigramLmCore(db, vocab).count()
+      },
+      "source mixing (two partial aggs + threshold bcast)" -> { t =>
+        graft.text.TextOps.sourceMixingCore(
+          t.docs.select("doc_id", "source", "n_chars"), 0.5).count()
+      },
       "sequence packing (per-source window)" -> { t =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy("doc_id")

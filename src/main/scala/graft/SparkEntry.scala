@@ -241,6 +241,9 @@ object SparkEntry {
     "q132_market_share"    -> ((s, d) => Warehouse.marketShare(s, d)),
     "q133_promo_share"     -> ((s, d) => Warehouse.promoShare(s, d)),
     "q134_returned_revenue" -> ((s, d) => Warehouse.returnedRevenue(s, d)),
+    // --- curation funnel: first-failing-rule cascade + adaptive bands ---
+    "q135_filter_cascade"  -> ((s, d) => graft.text.Curation.filterCascade(s, d)),
+    "q136_length_bands"    -> ((s, d) => graft.text.Curation.lengthBandFilter(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1546,6 +1549,53 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-04-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // q135: rule thresholds are integer comparisons only — the
+    // diversity ratio is evaluated by CROSS-MULTIPLICATION
+    // (n_distinct·100 < n_tokens·35), so no engine rounds a ratio at a
+    // rule boundary. Priority order mirrors the Spark when-chain.
+    "q135_filter_cascade" ->
+      """WITH t AS (SELECT source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens FROM documents),
+        |s AS (SELECT source,
+        |        CAST(len(tokens) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(tokens, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS stop_ct,
+        |        CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct
+        |      FROM t),
+        |v AS (SELECT source, n_tokens,
+        |        CASE WHEN n_tokens < 20 THEN 'too_short'
+        |             WHEN stop_ct = 0 THEN 'no_stopwords'
+        |             WHEN n_distinct * 100 < n_tokens * 35 THEN 'low_diversity'
+        |             ELSE 'kept' END AS verdict
+        |      FROM s)
+        |SELECT source, verdict, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS token_sum
+        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q136: per-lang exact lerp percentiles mirrored op-for-op from
+    // Percentiles.fromHistogram (the ShipLagHistSql idiom), then the
+    // band join + kept/dropped sums.
+    "q136_length_bands" ->
+      """WITH t AS (SELECT lang, CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |h AS (SELECT lang, CAST(n_tokens AS DOUBLE) AS v, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        |c AS (SELECT lang, v, cnt,
+        |             SUM(cnt) OVER (PARTITION BY lang ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |             SUM(cnt) OVER (PARTITION BY lang) AS n
+        |      FROM h),
+        |m AS (SELECT lang, MAX(n) AS n,
+        |             MAX(CASE WHEN cum - cnt <= FLOOR(0.05 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.05 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo05,
+        |             MAX(CASE WHEN cum - cnt <= CEIL(0.05 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.05 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi05,
+        |             MAX(CASE WHEN cum - cnt <= FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo95,
+        |             MAX(CASE WHEN cum - cnt <= CEIL(0.95 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.95 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi95
+        |      FROM c GROUP BY 1),
+        |b AS (SELECT lang,
+        |             CASE WHEN FLOOR(0.05 * CAST(n - 1 AS DOUBLE)) = 0.05 * CAST(n - 1 AS DOUBLE) THEN lo05
+        |                  ELSE lo05 + (0.05 * CAST(n - 1 AS DOUBLE) - FLOOR(0.05 * CAST(n - 1 AS DOUBLE))) * (hi05 - lo05) END AS p05_tokens,
+        |             CASE WHEN FLOOR(0.95 * CAST(n - 1 AS DOUBLE)) = 0.95 * CAST(n - 1 AS DOUBLE) THEN lo95
+        |                  ELSE lo95 + (0.95 * CAST(n - 1 AS DOUBLE) - FLOOR(0.95 * CAST(n - 1 AS DOUBLE))) * (hi95 - lo95) END AS p95_tokens
+        |      FROM m)
+        |SELECT lang, MIN(p05_tokens) AS p05_tokens, MIN(p95_tokens) AS p95_tokens,
+        |       CAST(SUM(CASE WHEN n_tokens >= p05_tokens AND n_tokens <= p95_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN n_tokens >= p05_tokens AND n_tokens <= p95_tokens THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |       CAST(SUM(CASE WHEN n_tokens >= p05_tokens AND n_tokens <= p95_tokens THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM t JOIN b USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL),
     //   q44_percentiles_approx + q124_ship_lag_approx (sketch),

@@ -556,8 +556,15 @@ object TextOps {
     * volumes. The fact rows are never shuffled — both aggregates combine
     * map-side. */
   def sourceMixing(spark: SparkSession, dir: String,
-                   budgetFrac: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+                   budgetFrac: Double = 0.5): DataFrame =
+    sourceMixingCore(
+      Tables.documents(spark, dir).select("doc_id", "source", "n_chars"),
+      budgetFrac)
+
+  /** [[sourceMixing]] over any (doc_id, source, n_chars) frame — split
+    * out so ScaleProbe can measure the real plan on amplified input. */
+  private[graft] def sourceMixingCore(docs: DataFrame,
+                                      budgetFrac: Double): DataFrame = {
     val totals = docs.groupBy("source")
       .agg(sum(col("n_chars")).as("src_chars"))
     val budget = totals.agg(expr(

@@ -100,6 +100,53 @@ class Round5Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("filter cascade applies rules in priority order, first failure wins") {
+    graft.functions.GraftFunctions.register(spark)
+    // short AND stopword-free AND repetitive → too_short (priority 1);
+    // long + stopword-free → no_stopwords; long + stopwords but only 2
+    // distinct terms in 30 → low_diversity; a normal doc → kept
+    val mk = (s: String, n: Int) => Seq.fill(n)(s).mkString(" ")
+    val docs = Seq(
+      ("s", "x y"),                                      // too_short
+      ("s", mk("zq", 30)),                               // no_stopwords
+      ("s", "the " + mk("zq", 29)),                      // low_diversity (2/30)
+      ("s", "the quick brown fox is a friend of " +
+        (1 to 20).map(i => s"w$i").mkString(" "))        // kept
+    ).toDF("source", "text")
+    val got = graft.text.Curation.filterCascadeCore(docs)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got === Map(
+      "too_short" -> 1L, "no_stopwords" -> 1L, "low_diversity" -> 1L, "kept" -> 1L))
+  }
+
+  test("length bands keep exactly the docs inside the per-lang lerp band") {
+    val out = graft.text.Curation.lengthBandFilter(spark, sf).collect()
+    assert(out.nonEmpty)
+    // recompute per-lang from the raw token counts, driver-side
+    graft.functions.GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, sf)
+      .select(col("lang"), expr("graft_text_stats(text).n_tokens").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out.foreach { r =>
+      val (lang, p05, p95, kept, dropped, tokKept) =
+        (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))
+      val ns = toks.filter(_._1 == lang).map(_._2).sorted
+      def lerp(p: Double): Double = {
+        val pos = p * (ns.length - 1)
+        val lo = math.floor(pos).toInt
+        if (pos == lo) ns(lo).toDouble
+        else ns(lo) + (pos - lo) * (ns(math.ceil(pos).toInt) - ns(lo))
+      }
+      assert(p05 === lerp(0.05), s"p05 for $lang")
+      assert(p95 === lerp(0.95), s"p95 for $lang")
+      val inBand = ns.filter(n => n >= p05 && n <= p95)
+      assert(kept === inBand.length.toLong)
+      assert(dropped === (ns.length - inBand.length).toLong)
+      assert(tokKept === inBand.sum)
+    }
+  }
+
   test("market-share plan broadcasts every dimension") {
     val plan = graft.ops.Warehouse.marketShare(spark, sf)
       .queryExecution.executedPlan.toString
