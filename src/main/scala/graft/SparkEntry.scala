@@ -244,6 +244,12 @@ object SparkEntry {
     // --- curation funnel: first-failing-rule cascade + adaptive bands ---
     "q135_filter_cascade"  -> ((s, d) => graft.text.Curation.filterCascade(s, d)),
     "q136_length_bands"    -> ((s, d) => graft.text.Curation.lengthBandFilter(s, d)),
+    // --- TPC-H Q18/Q17/Q22/Q15 shapes: having-on-agg, self-agg join-back,
+    //     scalar-threshold + anti-join, max-of-agg with ties ---
+    "q137_large_volume_orders" -> ((s, d) => Warehouse.largeVolumeOrders(s, d)),
+    "q138_small_qty_revenue"   -> ((s, d) => Warehouse.smallQtyRevenue(s, d)),
+    "q139_dormant_high_balance" -> ((s, d) => Warehouse.dormantHighBalance(s, d)),
+    "q140_top_supplier"        -> ((s, d) => Warehouse.topSupplierQuarter(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1596,6 +1602,67 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN n_tokens >= p05_tokens AND n_tokens <= p95_tokens THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
         |       CAST(SUM(CASE WHEN n_tokens >= p05_tokens AND n_tokens <= p95_tokens THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
         |FROM t JOIN b USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q137: sum(l_quantity) is a sum of integer-valued doubles — exact in
+    // both engines; totalprice is echoed raw (no arithmetic).
+    "q137_large_volume_orders" ->
+      """WITH big AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |             FROM lineitem GROUP BY 1
+        |             HAVING CAST(SUM(l_quantity) AS BIGINT) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    // q138: the 20%-of-average threshold is integer cross-multiplied
+    // (5·qty·cnt < sum_qty) so neither engine rounds a ratio; revenue is
+    // a decimal-exact sum cast to double only for the final ÷7.
+    "q138_small_qty_revenue" ->
+      """WITH pa AS (SELECT l_partkey AS pk,
+        |                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |                   COUNT(*) AS cnt
+        |            FROM lineitem GROUP BY 1)
+        |SELECT p_brand,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |         AS avg_weekly_rev,
+        |       COUNT(*) AS n_small
+        |FROM lineitem JOIN pa ON l_partkey = pk
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q139: the above-average test is decimal cross-multiplied
+    // (bal·n_pos > sum_pos, both sides exact DECIMAL) — the average is
+    // never materialized, so there is nothing to round.
+    "q139_dormant_high_balance" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |                  CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |           FROM customer),
+        |p AS (SELECT SUM(bal) AS sum_pos, COUNT(*) AS n_pos FROM c WHERE bal > 0)
+        |SELECT n_name AS nation, COUNT(*) AS n_cust,
+        |       CAST(SUM(bal) AS DOUBLE) AS total_bal
+        |FROM c CROSS JOIN p
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal * n_pos > sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q140: the winner filter is a DECIMAL equality against the 1-row
+    // max — ties are true ties in both engines, never double luck.
+    "q140_top_supplier" ->
+      """WITH ps AS (SELECT l_suppkey,
+        |                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |            FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |              AND l_shipdate < TIMESTAMP '1997-04-01'
+        |            GROUP BY 1),
+        |m AS (SELECT MAX(rev_dec) AS max_rev FROM ps)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+        |FROM ps CROSS JOIN m
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = max_rev
+        |ORDER BY s_suppkey""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL),
     //   q44_percentiles_approx + q124_ship_lag_approx (sketch),

@@ -267,4 +267,131 @@ object Warehouse {
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(k)
   }
+
+  /** TPC-H Q18 shape: large-volume orders — orders whose total line
+    * quantity exceeds a threshold, with the buyer attached. The HAVING
+    * on an aggregate runs as ONE two-phase hash aggregate on
+    * `l_orderkey` (partial map-side combine, no fact re-scan — the
+    * qualifying sum travels with the key, so the classic Q18 second
+    * lineitem join is unnecessary); the surviving frame is tiny and AQE
+    * broadcast-joins it to orders, customer broadcasts as a dim.
+    * Quantities are integer-valued, so the sum is exact in any engine.
+    *
+    * Reference anchor: the per-order totals of OrderInfo
+    * (gmall-realtime/src/main/scala/com/atguigu/bean/OrderInfo.scala) —
+    * the same rollup pushed to warehouse scale with a HAVING gate. */
+  def largeVolumeOrders(spark: SparkSession, dir: String,
+                        minQty: Long = 250, k: Int = 20): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q17 shape: revenue locked in small-quantity line items — per
+    * brand, the (weekly-averaged) revenue of lines whose quantity is
+    * under 20% of that part's own average order quantity. The per-part
+    * average is a pre-aggregate joined BACK onto the fact: both sides
+    * key on `l_partkey`, so the join reuses the aggregate's shuffle
+    * rather than adding one, and no group buffers values.
+    *
+    * Determinism: the threshold `qty < 0.2 · avg(qty)` is evaluated by
+    * integer cross-multiplication (`5·qty·cnt < sum_qty` — quantities
+    * are integer-valued, sums exact), so neither engine rounds a ratio
+    * at the filter boundary; revenue is a DECIMAL(18,2) sum cast to
+    * double only for the final ÷7. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .withColumnRenamed("l_partkey", "pk")
+    val brands = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(lit(5L) * col("qty") * col("cnt") < col("sum_qty"))
+      .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0))
+          .as("avg_weekly_rev"),
+        count(lit(1)).as("n_small"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q22 shape: dormant high-balance customers — accounts above
+    * the average positive balance with NO order after a cutoff, rolled
+    * up per nation. Two scale patterns the rest of the suite doesn't
+    * pin: a scalar aggregate broadcast back as a threshold (one-row
+    * cross join, never a self-join) and a LEFT ANTI join against the
+    * date-filtered fact (the filter pushes to the parquet scan, so the
+    * anti side is the small recent slice, not order history).
+    *
+    * Determinism: the threshold compare is decimal cross-multiplied —
+    * `bal · n_pos > sum_pos` with both sides exact DECIMAL — so no
+    * engine computes (or rounds) the average itself. */
+  def dormantHighBalance(spark: SparkSession, dir: String,
+                         cutoff: String = "2000-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"))
+    val posStats = cust.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select("o_custkey")
+    val nations = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    cust
+      .crossJoin(broadcast(posStats)) // 1-row threshold frame
+      .filter(col("bal") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("bal")).cast("double").as("total_bal"))
+      .orderBy("nation")
+  }
+
+  /** TPC-H Q15 shape: the top revenue supplier(s) for a quarter —
+    * max-of-aggregate with TIES PRESERVED, the report shape TakeOrdered
+    * top-k cannot express (k=1 would drop co-winners). The per-supplier
+    * aggregate is one two-phase hash agg; its 1-row max broadcasts back
+    * as an equality filter, and the equality is DECIMAL-exact so a tie
+    * is a true tie in both engines, not a double coincidence. */
+  def topSupplierQuarter(spark: SparkSession, dir: String,
+                         quarterStart: String = "1997-01-01",
+                         quarterEnd: String = "1997-04-01"): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(quarterStart).cast("timestamp")
+        && col("l_shipdate") < lit(quarterEnd).cast("timestamp"))
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .groupBy("l_suppkey")
+      .agg(revenue.as("rev_dec"))
+    topSupplierCore(perSupp, Tables.supplier(spark, dir).select("s_suppkey", "s_name"))
+  }
+
+  /** [[topSupplierQuarter]]'s winner selection over any
+    * (l_suppkey, rev_dec) aggregate — split out so the tie-preservation
+    * contract can be pinned on planted equal-revenue suppliers. */
+  private[graft] def topSupplierCore(perSupp: DataFrame, supp: DataFrame): DataFrame = {
+    val mx = perSupp.agg(max(col("rev_dec")).as("max_rev"))
+    perSupp
+      .crossJoin(broadcast(mx)) // 1-row max frame
+      .filter(col("rev_dec") === col("max_rev"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
 }

@@ -147,6 +147,59 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("large-volume orders: top-k is a bounded heap, threshold holds") {
+    val df = graft.ops.Warehouse.largeVolumeOrders(spark, sf, minQty = 100, k = 5)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(5) > 100))
+    // orderBy+limit must plan as TakeOrdered (per-partition heap),
+    // never a global Sort feeding a Limit
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("small-qty revenue threshold is integer cross-multiplied, never a ratio") {
+    // recompute one brand driver-side from raw rows
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong,
+        BigDecimal(r.getDouble(2)).setScale(2)))
+    val perPart: Map[Long, (Long, Long)] = li.groupBy(_._1)
+      .map { case (pk, xs) => pk -> (xs.map(_._2).sum, xs.length.toLong) }
+    val brandOf = Tables.part(spark, sf).select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = li
+      .filter { case (pk, q, _) =>
+        val (sq, cnt) = perPart(pk); 5L * q * cnt < sq }
+      .groupBy { case (pk, _, _) => brandOf(pk) }
+      .map { case (b, xs) =>
+        // mirror the engines: exact decimal sum -> double, THEN /7.0
+        (b, xs.map(_._3).sum.toDouble / 7.0, xs.length.toLong) }
+    val got = graft.ops.Warehouse.smallQtyRevenue(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got.sortBy(_._1) === expected.toSeq.sortBy(_._1))
+  }
+
+  test("dormant-balance plan anti-joins the date-filtered slice") {
+    val df = graft.ops.Warehouse.dormantHighBalance(spark, sf, cutoff = "1998-01-01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "anti-join must survive planning")
+    // the cutoff must reach the orders parquet scan, not filter post-join
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      "orderdate cutoff must push to the scan")
+  }
+
+  test("top-supplier keeps decimal-exact ties that top-1 would drop") {
+    val perSupp = Seq(
+      (1L, BigDecimal("100.10")), (2L, BigDecimal("100.10")),
+      (3L, BigDecimal("99.99")))
+      .toDF("l_suppkey", "rev_dec")
+    val supp = Seq((1L, "s1"), (2L, "s2"), (3L, "s3")).toDF("s_suppkey", "s_name")
+    val got = graft.ops.Warehouse.topSupplierCore(perSupp, supp)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 100.10), (2L, 100.10)))
+  }
+
   test("market-share plan broadcasts every dimension") {
     val plan = graft.ops.Warehouse.marketShare(spark, sf)
       .queryExecution.executedPlan.toString
