@@ -250,6 +250,19 @@ object SparkEntry {
     "q138_small_qty_revenue"   -> ((s, d) => Warehouse.smallQtyRevenue(s, d)),
     "q139_dormant_high_balance" -> ((s, d) => Warehouse.dormantHighBalance(s, d)),
     "q140_top_supplier"        -> ((s, d) => Warehouse.topSupplierQuarter(s, d)),
+    // --- LM-quality banding + cross-doc boilerplate detection ---
+    "q141_perplexity_bands" -> ((s, d) => graft.text.Curation.perplexityBands(s, d)),
+    "q142_boilerplate_profile" -> ((s, d) => graft.text.Curation.boilerplateProfile(s, d)),
+    "q143_top_boilerplate" -> ((s, d) => graft.text.Curation.topBoilerplate(s, d)),
+    // --- TPC-H Q4/Q7/Q9/Q13/Q19/Q16/Q21 shapes (partsupp-free testdata:
+    //     lateness = ship-lag, profit = margin vs retail) ---
+    "q144_priority_late_orders" -> ((s, d) => Warehouse.orderPriorityLate(s, d)),
+    "q145_nation_trade"        -> ((s, d) => Warehouse.nationTradeVolume(s, d)),
+    "q146_product_margin"      -> ((s, d) => Warehouse.productMargin(s, d)),
+    "q147_cust_order_dist"     -> ((s, d) => Warehouse.custOrderDistribution(s, d)),
+    "q148_brand_band_revenue"  -> ((s, d) => Warehouse.brandBandRevenue(s, d)),
+    "q149_part_supplier_breadth" -> ((s, d) => Warehouse.partSupplierBreadth(s, d)),
+    "q150_sole_late_supplier"  -> ((s, d) => Warehouse.soleLateSupplier(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1663,6 +1676,192 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rev_dec = max_rev
         |ORDER BY s_suppkey""".stripMargin,
+    // q141: the oracle retrains q129's bigram LM from scratch (derivable-
+    // model pattern), joins source back on, then mirrors the
+    // Percentiles.fromHistogram p10/p90 lerp op-for-op (q136's idiom);
+    // the band compare promotes BIGINT avg_p_micro to double identically
+    // in both engines.
+    "q141_perplexity_bands" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |         THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+        |         ELSE [] END) AS gram FROM tok),
+        |db AS (SELECT doc_id, gram, COUNT(*) AS ct FROM bg GROUP BY 1, 2),
+        |m2 AS (SELECT gram, CAST(SUM(ct) AS BIGINT) AS c2 FROM db GROUP BY 1),
+        |m1 AS (SELECT string_split(gram, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+        |       FROM m2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT term) AS vocab
+        |      FROM (SELECT unnest(t) AS term FROM tok)),
+        |p AS (SELECT db.doc_id, db.ct, m2.c2,
+        |             CAST(FLOOR((m2.c2 + 1) * 1000000.0 / (m1.c1 + v.vocab) + 0.5) AS BIGINT) AS p_micro
+        |      FROM db JOIN m2 USING (gram)
+        |      JOIN m1 ON string_split(db.gram, ' ')[1] = m1.w1
+        |      CROSS JOIN v),
+        |sc AS (SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_bigrams,
+        |       CAST(FLOOR(CAST(CAST(SUM(ct * p_micro) AS BIGINT) AS DOUBLE)
+        |                  / CAST(SUM(ct) AS BIGINT) + 0.5) AS BIGINT) AS avg_p_micro,
+        |       CAST(FLOOR(1000000.0 * CAST(SUM(CASE WHEN c2 = 1 THEN ct ELSE 0 END) AS BIGINT)
+        |                  / CAST(SUM(ct) AS BIGINT) + 0.5) AS BIGINT) AS rare_micro
+        |       FROM p GROUP BY 1),
+        |s AS (SELECT sc.*, d.source FROM sc JOIN documents d USING (doc_id)),
+        |h AS (SELECT source, CAST(avg_p_micro AS DOUBLE) AS hv, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+        |c AS (SELECT source, hv, cnt,
+        |             SUM(cnt) OVER (PARTITION BY source ORDER BY hv ROWS UNBOUNDED PRECEDING) AS cum,
+        |             SUM(cnt) OVER (PARTITION BY source) AS n
+        |      FROM h),
+        |m AS (SELECT source, MAX(n) AS n,
+        |             MAX(CASE WHEN cum - cnt <= FLOOR(0.10 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.10 * CAST(n - 1 AS DOUBLE)) < cum THEN hv END) AS lo10,
+        |             MAX(CASE WHEN cum - cnt <= CEIL(0.10 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.10 * CAST(n - 1 AS DOUBLE)) < cum THEN hv END) AS hi10,
+        |             MAX(CASE WHEN cum - cnt <= FLOOR(0.90 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.90 * CAST(n - 1 AS DOUBLE)) < cum THEN hv END) AS lo90,
+        |             MAX(CASE WHEN cum - cnt <= CEIL(0.90 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.90 * CAST(n - 1 AS DOUBLE)) < cum THEN hv END) AS hi90
+        |      FROM c GROUP BY 1),
+        |b AS (SELECT source,
+        |             CASE WHEN FLOOR(0.10 * CAST(n - 1 AS DOUBLE)) = 0.10 * CAST(n - 1 AS DOUBLE) THEN lo10
+        |                  ELSE lo10 + (0.10 * CAST(n - 1 AS DOUBLE) - FLOOR(0.10 * CAST(n - 1 AS DOUBLE))) * (hi10 - lo10) END AS p10_score,
+        |             CASE WHEN FLOOR(0.90 * CAST(n - 1 AS DOUBLE)) = 0.90 * CAST(n - 1 AS DOUBLE) THEN lo90
+        |                  ELSE lo90 + (0.90 * CAST(n - 1 AS DOUBLE) - FLOOR(0.90 * CAST(n - 1 AS DOUBLE))) * (hi90 - lo90) END AS p90_score
+        |      FROM m)
+        |SELECT s.source,
+        |       CASE WHEN avg_p_micro < p10_score THEN 'low'
+        |            WHEN avg_p_micro > p90_score THEN 'high'
+        |            ELSE 'mid' END AS band,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_bigrams) AS BIGINT) AS bigram_sum,
+        |       CAST(SUM(rare_micro) AS BIGINT) AS rare_sum
+        |FROM s JOIN b USING (source)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q142: same tokenizer as q129 generalized to 5-grams; df is a count
+    // over the already-distinct (doc, gram) rows; all-integer output
+    // plus one micro-rounded ratio with identical operation order.
+    "q142_boilerplate_profile" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, source, unnest(CASE WHEN len(t) >= 5
+        |        THEN list_transform(generate_series(1, len(t) - 4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+        |        ELSE [] END) AS gram FROM tok),
+        |dg AS (SELECT doc_id, source, gram, COUNT(*) AS ct FROM g GROUP BY 1, 2, 3),
+        |df AS (SELECT gram, COUNT(*) AS dfreq FROM dg GROUP BY 1)
+        |SELECT source, CAST(SUM(ct) AS BIGINT) AS gram_occ,
+        |       CAST(SUM(CASE WHEN dfreq >= 3 THEN ct ELSE 0 END) AS BIGINT) AS bp_occ,
+        |       CAST(FLOOR(1000000.0 * CAST(SUM(CASE WHEN dfreq >= 3 THEN ct ELSE 0 END) AS BIGINT)
+        |                  / CAST(SUM(ct) AS BIGINT) + 0.5) AS BIGINT) AS bp_micro,
+        |       COUNT(DISTINCT CASE WHEN dfreq >= 3 THEN doc_id END) AS docs_with_bp
+        |FROM dg JOIN df USING (gram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q143: total deterministic order (dfreq desc, occ desc, gram asc —
+    // grams are lowercase ASCII, binary collation in both engines) makes
+    // the LIMIT 25 cut identical.
+    "q143_top_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |        THEN list_transform(generate_series(1, len(t) - 4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+        |        ELSE [] END) AS gram FROM tok),
+        |dg AS (SELECT doc_id, gram, COUNT(*) AS ct FROM g GROUP BY 1, 2),
+        |a AS (SELECT gram, COUNT(*) AS dfreq, CAST(SUM(ct) AS BIGINT) AS occ
+        |      FROM dg GROUP BY 1)
+        |SELECT gram, dfreq, occ FROM a WHERE dfreq >= 3
+        |ORDER BY dfreq DESC, occ DESC, gram LIMIT 25""".stripMargin,
+    // q144: lateness is timestamp + INTERVAL arithmetic (exact in both
+    // engines); the EXISTS is literally EXISTS in DuckDB and a LEFT SEMI
+    // in Spark — same semantics, de-duplicated order counts.
+    "q144_priority_late_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q145: year() of a timestamp and the decimal revenue sum are both
+    // exact; the pair filter enumerates both directions.
+    "q145_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q146: every margin term is DECIMAL before the sum — exact and
+    // aggregation-order independent in both engines; the name filter is
+    // a plain substring containment.
+    "q146_product_margin" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |                - CAST(p_retailprice AS DECIMAL(18,2))
+        |                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS margin
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE contains(p_name, 'widget')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q147: LEFT join keeps zero-order customers (COUNT of the nullable
+    // key skips NULLs in both engines); (custdist desc, c_count desc) is
+    // total because c_count is the group key.
+    "q147_cust_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // q148: integer band bounds on integer-valued quantity/size — no
+    // float compares anywhere; one decimal-exact scalar.
+    "q148_brand_band_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 36)""".stripMargin,
+    // q149: the NOT-IN supplier exclusion is an anti-join in both
+    // engines; (supplier_cnt desc, brand, type, size) is a total order so
+    // the LIMIT cut is engine-identical.
+    "q149_part_supplier_breadth" ->
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 40""".stripMargin,
+    // q150: the EXISTS/NOT-EXISTS pair is written as the SAME one-pass
+    // per-order aggregate in SQL (supp_cnt > 1 ∧ late set = {s}) —
+    // semantically Q21, but with identical grouping arithmetic in both
+    // engines; (numwait desc, s_name) is total (s_name unique).
+    "q150_sole_late_supplier" ->
+      """WITH po AS (SELECT l_orderkey,
+        |                   COUNT(DISTINCT l_suppkey) AS supp_cnt,
+        |                   COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |                                       THEN l_suppkey END) AS late_supp_cnt,
+        |                   MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |                            THEN l_suppkey END) AS late_supp
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |            WHERE o_orderstatus = 'F'
+        |            GROUP BY 1
+        |            HAVING COUNT(DISTINCT l_suppkey) > 1
+        |               AND COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |                                       THEN l_suppkey END) = 1)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM po JOIN supplier ON late_supp = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL),
     //   q44_percentiles_approx + q124_ship_lag_approx (sketch),

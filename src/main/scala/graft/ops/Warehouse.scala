@@ -394,4 +394,197 @@ object Warehouse {
         col("rev_dec").cast("double").as("total_rev"))
       .orderBy("s_suppkey")
   }
+
+  /** TPC-H Q4 shape: order count by priority for a quarter, counting
+    * only orders with at least one LATE line (shipped > `lateDays` after
+    * the order date — the testdata has no commit/receipt dates, so
+    * ship-lag is the lateness signal). The EXISTS is a LEFT SEMI join:
+    * the fact side never duplicates an order no matter how many late
+    * lines it has, and the lateness predicate rides the join condition.
+    * One shuffle on orderkey + a |priorities|-row aggregate. */
+  def orderPriorityLate(spark: SparkSession, dir: String,
+                        qStart: String = "1997-01-01",
+                        qEnd: String = "1997-04-01",
+                        lateDays: Int = 60): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(qStart).cast("timestamp")
+        && col("o_orderdate") < lit(qEnd).cast("timestamp"))
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q7 shape: shipping volume between two nations by direction
+    * and ship year — customer in one, supplier in the other, both
+    * directions reported. All four dims broadcast; the year comes from
+    * the SHIP date (the fact column), so the revenue groups are
+    * (supp_nation, cust_nation, year) — a bounded domain. */
+  def nationTradeVolume(spark: SparkSession, dir: String,
+                        nationA: String = "NATION_3",
+                        nationB: String = "NATION_7",
+                        yearStart: String = "1996-01-01",
+                        yearEnd: String = "1998-01-01"): DataFrame = {
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cus = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(yearStart).cast("timestamp")
+        && col("l_shipdate") < lit(yearEnd).cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB)
+        || (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("ship_year"))
+      .agg(revenue.cast("double").as("volume"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** TPC-H Q9 shape: margin vs retail by supplier nation and order
+    * year for a part-name family. The testdata has no `partsupp`
+    * supply cost, so the profit term is re-expressed against the part's
+    * retail price: margin = Σ(extprice·(1−disc) − retailprice·qty),
+    * every term DECIMAL-exact before the final double cast. Part filter
+    * prunes the probe side early; dims broadcast. */
+  def productMargin(spark: SparkSession, dir: String,
+                    nameToken: String = "widget"): DataFrame = {
+    val prt = Tables.part(spark, dir)
+      .filter(col("p_name").contains(nameToken))
+      .select("p_partkey", "p_retailprice")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val margin = sum(
+      col("l_extendedprice").cast("decimal(18,2)")
+        * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        - col("p_retailprice").cast("decimal(18,2)") * col("l_quantity").cast("decimal(18,2)"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(margin.cast("double").as("margin"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** TPC-H Q13 shape: the distribution of orders-per-customer — a LEFT
+    * join so zero-order customers are counted, excluding one priority
+    * class. Two bounded aggregates: per-customer counts (shuffle on
+    * custkey), then a |distinct count|-row histogram. The deterministic
+    * tie order (custdist desc, c_count desc) is total because c_count
+    * is the group key. */
+  def custOrderDistribution(spark: SparkSession, dir: String,
+                            excludePriority: String = "1-URGENT"): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= excludePriority)
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q19 shape: revenue under a disjunction of brand × size ×
+    * quantity band predicates — the classic test that an OR-of-ANDs
+    * still prunes (each disjunct references the broadcast part side and
+    * the fact side; Catalyst pushes the common `l_quantity <= 36` and
+    * the brand IN-list into the scans). One scalar DECIMAL-exact sum. */
+  def brandBandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val prt = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val disj =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+        && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+        && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+        && col("l_quantity").between(20, 36))
+    li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .filter(disj)
+      .agg(revenue.cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q16 shape: supplier breadth per (brand, type, size) — how
+    * many DISTINCT suppliers ship each part profile, excluding one brand
+    * and any supplier with a negative account balance (the NOT IN,
+    * planned as a broadcast LEFT ANTI join). Supplier identity comes
+    * from lineitem (the testdata has no partsupp). The distinct count
+    * shuffles once on the group key with the suppkey in tow. */
+  def partSupplierBreadth(spark: SparkSession, dir: String,
+                          excludeBrand: String = "Brand#5",
+                          k: Int = 40): DataFrame = {
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val prt = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= excludeBrand)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    * multi-supplier finished order (late = shipped > `lateDays` after
+    * the order date — the ship-lag lateness signal again). The classic
+    * EXISTS / NOT EXISTS pair collapses into ONE aggregate per order:
+    * count distinct suppliers, count distinct LATE suppliers, and keep
+    * orders where the late set is exactly {s} while other suppliers
+    * exist — no second or third self-join of the fact table, which is
+    * the whole 100×-scale point. Supplier nation filters the survivors
+    * (a tiny frame) at the end. */
+  def soleLateSupplier(spark: SparkSession, dir: String,
+                       nation: String = "NATION_3",
+                       lateDays: Int = 60, k: Int = 20): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val perOrder = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("supp_cnt"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("late_supp_cnt"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("supp_cnt") > 1 && col("late_supp_cnt") === 1)
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === nation).select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    perOrder.groupBy("late_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(sup), col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(k)
+  }
 }

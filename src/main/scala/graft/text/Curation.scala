@@ -77,6 +77,113 @@ object Curation {
         .select(col("lang"), expr("graft_text_stats(text).n_tokens").as("n_tokens")))
   }
 
+  /** Per-source perplexity-band filter over the corpus-trained bigram
+    * LM — the fluency-filtering step that follows q129's scoring: each
+    * scored document is classified against its source's OWN
+    * [p10, p90] band of `avg_p_micro` (sources differ systematically in
+    * register, so a global threshold over- or under-filters). Low band =
+    * text the corpus LM finds improbable (drop candidates); high band =
+    * suspiciously predictable (template/boilerplate candidates).
+    *
+    * Determinism: `avg_p_micro` is q129's integer-rounded score, so the
+    * per-source histogram is exact; the p10/p90 lerp is
+    * [[Percentiles.fromHistogram]] mirrored op-for-op in the oracle
+    * (q122/q136's idiom), and the band compare promotes BIGINT to the
+    * identical double in both engines.
+    *
+    * Shape at scale: scoring is q129's plan (pre-aggregated bigram rows,
+    * two model aggregates, shuffle joins); the band step adds one
+    * partial-agg shuffle whose size is the distinct (source, score)
+    * domain, a |sources|-row broadcast back onto the scored frame, and a
+    * final partial agg on the bounded (source, band) domain. */
+  def perplexityBands(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.bigramLmScore(spark, dir)
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    perplexityBandsCore(scored.join(src, "doc_id"))
+  }
+
+  /** [[perplexityBands]] over any scored (doc_id, source, n_bigrams,
+    * avg_p_micro, rare_micro) frame (spec hook). */
+  private[graft] def perplexityBandsCore(s: DataFrame): DataFrame = {
+    val hist = s.groupBy(col("source"), col("avg_p_micro").cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val bands = Percentiles.fromHistogram(hist, "source",
+        Seq("p10_score" -> 0.10, "p90_score" -> 0.90))
+      .select(col("source"), col("p10_score"), col("p90_score"))
+    s.join(broadcast(bands), "source")
+      .withColumn("band",
+        when(col("avg_p_micro") < col("p10_score"), "low")
+          .when(col("avg_p_micro") > col("p90_score"), "high")
+          .otherwise("mid"))
+      .groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("bigram_sum"),
+        sum(col("rare_micro")).as("rare_sum"))
+      .orderBy("source", "band")
+  }
+
+  /** Memoized per-doc (doc_id, source, gram, ct) 5-gram table from the
+    * one-pass `graft_ngram_counts` expression — one row per DISTINCT
+    * 5-gram per doc (the bigramTable pattern, n = 5). Shared by
+    * [[boilerplateProfile]] and [[topBoilerplate]]. */
+  private def gramTable(spark: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.memoCache(spark, s"grams$n/$dir") {
+      graft.functions.GraftFunctions.register(spark)
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"),
+          explode(expr(s"graft_ngram_counts(text, $n)")).as("g"))
+        .select(col("doc_id"), col("source"),
+          col("g.gram").as("gram"), col("g.ct").as("ct"))
+    }
+
+  /** Cross-doc boilerplate profile: a 5-gram appearing in ≥ `minDf`
+    * DISTINCT documents is boilerplate (headers, footers, template
+    * text — the shingle-level signal boilerplate strippers key on);
+    * report, per source, how much of its token-gram mass is boilerplate.
+    *
+    * Shape at scale: the doc-frequency table has one row per distinct
+    * gram — corpus-sized vocabulary, so the join back onto the gram rows
+    * is deliberately UNHINTED (q52's df-table rule: AQE broadcasts it
+    * only when it measures small); everything else is partial-agg
+    * shuffles. All-integer output (counts + one micro-rounded ratio). */
+  def boilerplateProfile(spark: SparkSession, dir: String,
+                         n: Int = 5, minDf: Int = 3): DataFrame =
+    boilerplateCore(gramTable(spark, dir, n), minDf)
+
+  /** [[boilerplateProfile]] over any (doc_id, source, gram, ct) frame
+    * (spec hook + ScaleProbe). */
+  private[graft] def boilerplateCore(grams: DataFrame, minDf: Int): DataFrame = {
+    // rows are distinct (doc, gram) by construction → df = plain count
+    val dfTab = grams.groupBy("gram").agg(count(lit(1)).as("dfreq"))
+    grams.join(dfTab, "gram")
+      .withColumn("bp", col("dfreq") >= minDf)
+      .groupBy("source")
+      .agg(sum(col("ct")).as("gram_occ"),
+        sum(when(col("bp"), col("ct")).otherwise(0L)).as("bp_occ"),
+        countDistinct(when(col("bp"), col("doc_id"))).as("docs_with_bp"))
+      .select(col("source"), col("gram_occ"), col("bp_occ"),
+        expr("cast(floor(1000000.0d * bp_occ / gram_occ + 0.5d) as bigint)")
+          .as("bp_micro"),
+        col("docs_with_bp"))
+      .orderBy("source")
+  }
+
+  /** The boilerplate grams themselves: top-k 5-grams by document
+    * frequency (then total occurrences, then the gram text — a total
+    * deterministic order), df ≥ `minDf`. The content-level view a
+    * curator reads before writing strip rules. Global top-k plans as
+    * TakeOrderedAndProject over the gram-domain aggregate — no full
+    * sort materializes. */
+  def topBoilerplate(spark: SparkSession, dir: String,
+                     n: Int = 5, minDf: Int = 3, k: Int = 25): DataFrame =
+    gramTable(spark, dir, n)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("dfreq"), sum(col("ct")).as("occ"))
+      .filter(col("dfreq") >= minDf)
+      .orderBy(col("dfreq").desc, col("occ").desc, col("gram").asc)
+      .limit(k)
+
   /** [[lengthBandFilter]] over any (lang, n_tokens) frame (spec hook +
     * ScaleProbe). */
   private[graft] def lengthBandCore(toks: DataFrame): DataFrame = {
