@@ -211,7 +211,7 @@ object ScaleProbe {
       "session funnel (islands + session-window min)" -> { t =>
         graft.ops.Sessions.sessionFunnelCore(t.events).count()
       },
-      "Q5-shape 6-way join (broadcast dims)" -> { t =>
+      "Q5-shape 6-way join (AQE-chosen dim joins)" -> { t =>
         // dims stay FIXED while the facts amplify — the realistic shape
         // (amplified customer keys would orphan the fact rows anyway)
         val cust = Tables.customer(spark, dir)

@@ -1454,27 +1454,7 @@ object SparkEntry {
     // (one IEEE division over exact integer counts — no logarithm), so
     // the per-doc mean/rare-ratio hash bit-for-bit.
     "q129_bigram_lm" ->
-      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
-        |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
-        |         THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
-        |         ELSE [] END) AS gram FROM tok),
-        |db AS (SELECT doc_id, gram, COUNT(*) AS ct FROM bg GROUP BY 1, 2),
-        |m2 AS (SELECT gram, CAST(SUM(ct) AS BIGINT) AS c2 FROM db GROUP BY 1),
-        |m1 AS (SELECT string_split(gram, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
-        |       FROM m2 GROUP BY 1),
-        |v AS (SELECT COUNT(DISTINCT term) AS vocab
-        |      FROM (SELECT unnest(t) AS term FROM tok)),
-        |p AS (SELECT db.doc_id, db.ct, m2.c2,
-        |             CAST(FLOOR((m2.c2 + 1) * 1000000.0 / (m1.c1 + v.vocab) + 0.5) AS BIGINT) AS p_micro
-        |      FROM db JOIN m2 USING (gram)
-        |      JOIN m1 ON string_split(db.gram, ' ')[1] = m1.w1
-        |      CROSS JOIN v)
-        |SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_bigrams,
-        |       CAST(FLOOR(CAST(CAST(SUM(ct * p_micro) AS BIGINT) AS DOUBLE)
-        |                  / CAST(SUM(ct) AS BIGINT) + 0.5) AS BIGINT) AS avg_p_micro,
-        |       CAST(FLOOR(1000000.0 * CAST(SUM(CASE WHEN c2 = 1 THEN ct ELSE 0 END) AS BIGINT)
-        |                  / CAST(SUM(ct) AS BIGINT) + 0.5) AS BIGINT) AS rare_micro
-        |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      s"WITH $BigramLmScoredCte\nSELECT doc_id, n_bigrams, avg_p_micro, rare_micro FROM sc ORDER BY doc_id",
     // q130: keep fraction AND hex threshold derived from the data in
     // both engines (budget = floor(0.5·mean source chars); threshold =
     // floor(f·2³²) as 8 hex digits, 'g' for f ≥ 1) — the md5-threshold
@@ -1682,28 +1662,8 @@ object SparkEntry {
     // the band compare promotes BIGINT avg_p_micro to double identically
     // in both engines.
     "q141_perplexity_bands" ->
-      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
-        |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
-        |         THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
-        |         ELSE [] END) AS gram FROM tok),
-        |db AS (SELECT doc_id, gram, COUNT(*) AS ct FROM bg GROUP BY 1, 2),
-        |m2 AS (SELECT gram, CAST(SUM(ct) AS BIGINT) AS c2 FROM db GROUP BY 1),
-        |m1 AS (SELECT string_split(gram, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
-        |       FROM m2 GROUP BY 1),
-        |v AS (SELECT COUNT(DISTINCT term) AS vocab
-        |      FROM (SELECT unnest(t) AS term FROM tok)),
-        |p AS (SELECT db.doc_id, db.ct, m2.c2,
-        |             CAST(FLOOR((m2.c2 + 1) * 1000000.0 / (m1.c1 + v.vocab) + 0.5) AS BIGINT) AS p_micro
-        |      FROM db JOIN m2 USING (gram)
-        |      JOIN m1 ON string_split(db.gram, ' ')[1] = m1.w1
-        |      CROSS JOIN v),
-        |sc AS (SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_bigrams,
-        |       CAST(FLOOR(CAST(CAST(SUM(ct * p_micro) AS BIGINT) AS DOUBLE)
-        |                  / CAST(SUM(ct) AS BIGINT) + 0.5) AS BIGINT) AS avg_p_micro,
-        |       CAST(FLOOR(1000000.0 * CAST(SUM(CASE WHEN c2 = 1 THEN ct ELSE 0 END) AS BIGINT)
-        |                  / CAST(SUM(ct) AS BIGINT) + 0.5) AS BIGINT) AS rare_micro
-        |       FROM p GROUP BY 1),
-        |s AS (SELECT sc.*, d.source FROM sc JOIN documents d USING (doc_id)),
+      (s"WITH $BigramLmScoredCte,\n" +
+      """s AS (SELECT sc.*, d.source FROM sc JOIN documents d USING (doc_id)),
         |h AS (SELECT source, CAST(avg_p_micro AS DOUBLE) AS hv, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
         |c AS (SELECT source, hv, cnt,
         |             SUM(cnt) OVER (PARTITION BY source ORDER BY hv ROWS UNBOUNDED PRECEDING) AS cum,
@@ -1729,7 +1689,7 @@ object SparkEntry {
         |       CAST(SUM(n_bigrams) AS BIGINT) AS bigram_sum,
         |       CAST(SUM(rare_micro) AS BIGINT) AS rare_sum
         |FROM s JOIN b USING (source)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // q142: same tokenizer as q129 generalized to 5-grams; df is a count
     // over the already-distinct (doc, gram) rows; all-integer output
     // plus one micro-rounded ratio with identical operation order.
@@ -1892,6 +1852,34 @@ object SparkEntry {
     * bit-identical by construction. Shared by the headline (q121) and
     * twin (q122) registrations — the driver sorts columns by name before
     * hashing, so one SQL verifies both. */
+  /** The bigram-LM model build + per-doc scoring CTE chain (tokenize →
+    * per-doc distinct bigrams → C₂/C₁ model aggregates → add-one-smoothed
+    * micro-probabilities → per-doc rollup `sc`), shared VERBATIM by the
+    * q129 headline and q141's band step so the two oracles can never
+    * silently desynchronize (the ShipLagHistSql rule; advisor r5). */
+  private val BigramLmScoredCte: String =
+    """tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |         THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+      |         ELSE [] END) AS gram FROM tok),
+      |db AS (SELECT doc_id, gram, COUNT(*) AS ct FROM bg GROUP BY 1, 2),
+      |m2 AS (SELECT gram, CAST(SUM(ct) AS BIGINT) AS c2 FROM db GROUP BY 1),
+      |m1 AS (SELECT string_split(gram, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+      |       FROM m2 GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT term) AS vocab
+      |      FROM (SELECT unnest(t) AS term FROM tok)),
+      |p AS (SELECT db.doc_id, db.ct, m2.c2,
+      |             CAST(FLOOR((m2.c2 + 1) * 1000000.0 / (m1.c1 + v.vocab) + 0.5) AS BIGINT) AS p_micro
+      |      FROM db JOIN m2 USING (gram)
+      |      JOIN m1 ON string_split(db.gram, ' ')[1] = m1.w1
+      |      CROSS JOIN v),
+      |sc AS (SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_bigrams,
+      |       CAST(FLOOR(CAST(CAST(SUM(ct * p_micro) AS BIGINT) AS DOUBLE)
+      |                  / CAST(SUM(ct) AS BIGINT) + 0.5) AS BIGINT) AS avg_p_micro,
+      |       CAST(FLOOR(1000000.0 * CAST(SUM(CASE WHEN c2 = 1 THEN ct ELSE 0 END) AS BIGINT)
+      |                  / CAST(SUM(ct) AS BIGINT) + 0.5) AS BIGINT) AS rare_micro
+      |       FROM p GROUP BY 1)""".stripMargin
+
   private val ShipLagHistSql: String =
     """WITH l AS (SELECT l_returnflag AS g,
       |                  CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS DOUBLE) AS v

@@ -62,6 +62,13 @@ object DedupOps {
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         threshold: Double = 0.7): DataFrame = {
     val withArr = docShingleArr(spark, dir) // memo-cached, read 3×
+    // enforce (not just document) "never all-pairs at scale": this is the
+    // quadratic ground-truth anchor, valid only at oracle/verify SFs
+    val nDocs = withArr.count()
+    require(nDocs <= QuadraticAnchorMaxDocs,
+      s"ngramJaccardPairs is the QUADRATIC oracle anchor ($nDocs docs > " +
+        s"$QuadraticAnchorMaxDocs cap): at this corpus size use the LSH " +
+        "scale path minhashLshPairs (q25), whose output it verifies")
     val sh = withArr.select(col("doc_id"), explode(col("arr")).as("sh64"))
     val sizes = withArr.select(col("doc_id"), size(col("arr")).cast("long").as("n"))
     val a = sh.as("a"); val b = sh.as("b")
@@ -88,6 +95,11 @@ object DedupOps {
     * (small shared vocabulary, J ≈ 0.1–0.3 for random pairs) near zero —
     * r = 2 made a quarter of ALL pairs candidates and verification
     * dominated the runtime. */
+  /** Hard cap on the quadratic oracle-anchor path ([[ngramJaccardPairs]]):
+    * ~100k docs ≈ 5·10⁹ candidate pairs upper bound — far past any sane
+    * verify SF, far below what would silently melt a cluster. */
+  private[graft] val QuadraticAnchorMaxDocs = 100000L
+
   private val NumHashes = 64
   private val BandRows = 4
 

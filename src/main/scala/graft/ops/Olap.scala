@@ -26,7 +26,7 @@ object Olap {
     * (unambiguous: dimension values never contain literal 'ALL'). */
   def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
@@ -53,7 +53,7 @@ object Olap {
     * before the one shuffle; no joins, no second pass. */
   def revenueCube(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
@@ -119,8 +119,8 @@ object Olap {
       .groupBy(col("o_custkey").as("user_id"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
     val withNation = spend
-      .join(broadcast(Tables.customer(spark, dir)
-        .select(col("c_custkey").as("user_id"), col("c_nationkey"))), Seq("user_id"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("user_id"), col("c_nationkey")), Seq("user_id"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
     val w = Window.partitionBy("n_name").orderBy(col("spend").asc, col("user_id").asc)
@@ -480,7 +480,7 @@ object Olap {
       .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long").as("cents"))
     val withNation = spend
-      .join(broadcast(Tables.customer(spark, dir)), col("user_id") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("user_id") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("nation"), col("user_id"), col("cents"))
     val w = Window.partitionBy("nation").orderBy(col("cents").asc, col("user_id").asc)

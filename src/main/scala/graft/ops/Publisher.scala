@@ -109,8 +109,8 @@ object Publisher {
       .groupBy(col("o_custkey").as("user_id"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
     spend
-      .join(broadcast(Tables.customer(spark, dir)
-        .select(col("c_custkey").as("user_id"), col("c_nationkey"))), Seq("user_id"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("user_id"), col("c_nationkey")), Seq("user_id"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
   }

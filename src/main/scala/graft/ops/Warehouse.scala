@@ -13,9 +13,13 @@ import graft.Tables
   * asks of the same tables, and they pin the engine's join planning at
   * scale.
   *
-  * Scale design: dimensions (customer, supplier, nation, region)
-  * broadcast; the fact scan stays partition-parallel with filters pushed
-  * to parquet. Revenue math is SUM(DECIMAL × DECIMAL) — exact,
+  * Scale design: only FIXED-cardinality frames are broadcast-hinted
+  * (nation 25 rows, region 5 rows, 1-row stat frames). Linearly-scaling
+  * dimensions (customer, supplier, part) are deliberately UNHINTED —
+  * AQE broadcasts them while they measure small and falls back to
+  * shuffle joins when they don't, so the same plan survives 100× (the
+  * q52 / LSH-verify rule). The fact scan stays partition-parallel with
+  * filters pushed to parquet. Revenue math is SUM(DECIMAL × DECIMAL) — exact,
   * aggregation-order independent — cast to double only at the end
   * (the q83-verified pattern). */
 object Warehouse {
@@ -26,7 +30,7 @@ object Warehouse {
 
   /** TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
     * outstanding revenue — orders placed before the cutoff whose items
-    * shipped after it. Two broadcast dims + one fact scan; the top-k is
+    * shipped after it. Dims unhinted (AQE broadcasts while small); the top-k is
     * a TakeOrdered over the per-order aggregate, never a global sort. */
   def revenueTopOrders(spark: SparkSession, dir: String,
                        cutoff: String = "1998-01-01", k: Int = 10): DataFrame = {
@@ -40,7 +44,7 @@ object Warehouse {
       .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
       .agg(revenue.cast("double").as("revenue"))
@@ -51,7 +55,8 @@ object Warehouse {
   /** TPC-H Q5 shape: revenue by nation where the CUSTOMER and the
     * SUPPLIER sit in the same ASIA nation, for 1997 orders — the 6-way
     * join (region → nation → customer → orders → lineitem → supplier)
-    * with the co-nationality predicate. All four dims broadcast; the
+    * with the co-nationality predicate. Nation/region hinted, customer/
+    * supplier left to AQE; the
     * only shuffles are the two fact-side equi-joins and the final
     * |nations|-row aggregate. */
   def localSupplierVolume(spark: SparkSession, dir: String,
@@ -81,8 +86,8 @@ object Warehouse {
     lineitem
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey")
         && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(revenue.cast("double").as("revenue"), count(lit(1)).as("n_items"))
@@ -174,7 +179,8 @@ object Warehouse {
 
   /** TPC-H Q8 shape: one nation's share of STANDARD-part revenue sold to
     * ASIA customers, per order year — the market-share report. Five dims
-    * broadcast (part filter, customer∈region, supplier→nation); the fact
+    * joined as dims (part filter, customer∈region, supplier→nation —
+    * nation/region hinted, linear dims left to AQE); the fact
     * scan shuffles only for the two fact-side equi-joins and a
     * |years|-row aggregate. Share = focal/total where both operands are
     * exact DECIMAL sums cast to double, so the division is a single
@@ -202,10 +208,10 @@ object Warehouse {
       (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
         sum(rev).cast("double").as("total_rev"),
@@ -217,7 +223,7 @@ object Warehouse {
   }
 
   /** TPC-H Q14 shape: promo revenue share by ship month — what fraction
-    * of each month's revenue came from PROMO-type parts. One broadcast
+    * of each month's revenue came from PROMO-type parts. One part-dim
     * dim (part), one fact scan, a |months|-row aggregate; the share is
     * again a single division of two exact decimal sums. */
   def promoShare(spark: SparkSession, dir: String,
@@ -230,7 +236,7 @@ object Warehouse {
       .filter(col("l_shipdate") >= lit(yearStart).cast("timestamp")
         && col("l_shipdate") < lit(yearEnd).cast("timestamp"))
       .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
-      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .agg(
         sum(rev).cast("double").as("total_rev"),
@@ -244,7 +250,7 @@ object Warehouse {
 
   /** TPC-H Q10 shape: top-k customers by revenue on RETURNED items for
     * one quarter — the returned-item report a support team works from.
-    * Customer + nation broadcast; per-customer aggregate then a
+    * Nation broadcast, customer unhinted; per-customer aggregate then a
     * TakeOrdered top-k, never a global sort. */
   def returnedRevenue(spark: SparkSession, dir: String,
                       quarterStart: String = "1997-01-01",
@@ -261,7 +267,7 @@ object Warehouse {
       .filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
       .agg(revenue.cast("double").as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
@@ -274,7 +280,7 @@ object Warehouse {
     * `l_orderkey` (partial map-side combine, no fact re-scan — the
     * qualifying sum travels with the key, so the classic Q18 second
     * lineitem join is unnecessary); the surviving frame is tiny and AQE
-    * broadcast-joins it to orders, customer broadcasts as a dim.
+    * joins it to orders; customer joins as an unhinted dim.
     * Quantities are integer-valued, so the sum is exact in any engine.
     *
     * Reference anchor: the per-order totals of OrderInfo
@@ -291,7 +297,7 @@ object Warehouse {
     Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
       .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("o_totalprice"), col("sum_qty"))
@@ -321,7 +327,7 @@ object Warehouse {
     val brands = Tables.part(spark, dir).select("p_partkey", "p_brand")
     li.join(perPart, col("l_partkey") === col("pk"))
       .filter(lit(5L) * col("qty") * col("cnt") < col("sum_qty"))
-      .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .join(brands, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0))
@@ -389,7 +395,7 @@ object Warehouse {
     perSupp
       .crossJoin(broadcast(mx)) // 1-row max frame
       .filter(col("rev_dec") === col("max_rev"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("rev_dec").cast("double").as("total_rev"))
       .orderBy("s_suppkey")
@@ -422,7 +428,8 @@ object Warehouse {
 
   /** TPC-H Q7 shape: shipping volume between two nations by direction
     * and ship year — customer in one, supplier in the other, both
-    * directions reported. All four dims broadcast; the year comes from
+    * directions reported. Nation hinted, customer/supplier unhinted; the
+    * year comes from
     * the SHIP date (the fact column), so the revenue groups are
     * (supp_nation, cust_nation, year) — a bounded domain. */
   def nationTradeVolume(spark: SparkSession, dir: String,
@@ -443,8 +450,8 @@ object Warehouse {
       .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
       .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cus, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .filter((col("supp_nation") === nationA && col("cust_nation") === nationB)
         || (col("supp_nation") === nationB && col("cust_nation") === nationA))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -458,7 +465,7 @@ object Warehouse {
     * supply cost, so the profit term is re-expressed against the part's
     * retail price: margin = Σ(extprice·(1−disc) − retailprice·qty),
     * every term DECIMAL-exact before the final double cast. Part filter
-    * prunes the probe side early; dims broadcast. */
+    * prunes the probe side early; linear dims unhinted. */
   def productMargin(spark: SparkSession, dir: String,
                     nameToken: String = "widget"): DataFrame = {
     val prt = Tables.part(spark, dir)
@@ -475,8 +482,8 @@ object Warehouse {
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_discount")
-      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("nation"), year(col("o_orderdate")).cast("bigint").as("o_year"))
@@ -506,7 +513,7 @@ object Warehouse {
 
   /** TPC-H Q19 shape: revenue under a disjunction of brand × size ×
     * quantity band predicates — the classic test that an OR-of-ANDs
-    * still prunes (each disjunct references the broadcast part side and
+    * still prunes (each disjunct references the part side and
     * the fact side; Catalyst pushes the common `l_quantity <= 36` and
     * the brand IN-list into the scans). One scalar DECIMAL-exact sum. */
   def brandBandRevenue(spark: SparkSession, dir: String): DataFrame = {
@@ -520,7 +527,7 @@ object Warehouse {
         && col("l_quantity").between(10, 20)) ||
       (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
         && col("l_quantity").between(20, 36))
-    li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+    li.join(prt, col("l_partkey") === col("p_partkey"))
       .filter(disj)
       .agg(revenue.cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
@@ -529,7 +536,8 @@ object Warehouse {
   /** TPC-H Q16 shape: supplier breadth per (brand, type, size) — how
     * many DISTINCT suppliers ship each part profile, excluding one brand
     * and any supplier with a negative account balance (the NOT IN,
-    * planned as a broadcast LEFT ANTI join). Supplier identity comes
+    * planned as a LEFT ANTI join, broadcast when AQE measures it small).
+    * Supplier identity comes
     * from lineitem (the testdata has no partsupp). The distinct count
     * shuffles once on the group key with the suppkey in tow. */
   def partSupplierBreadth(spark: SparkSession, dir: String,
@@ -541,8 +549,8 @@ object Warehouse {
       .filter(col("p_brand") =!= excludeBrand)
       .select("p_partkey", "p_brand", "p_type", "p_size")
     Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
-      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(prt, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
@@ -582,7 +590,7 @@ object Warehouse {
       .select("s_suppkey", "s_name")
     perOrder.groupBy("late_supp")
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(sup), col("late_supp") === col("s_suppkey"))
+      .join(sup, col("late_supp") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(k)

@@ -24,6 +24,11 @@ import graft.Tables
   */
 object VectorOps {
 
+  /** Hard cap on the quadratic exact-verifier path
+    * ([[cosineNearDupPairs]]): 50k vectors ≈ 1.25·10⁹ pairs upper bound —
+    * far past any verify SF, far below a silent cluster melt. */
+  private[graft] val QuadraticAnchorMaxVecs = 50000L
+
   /** Sequential-left-fold dot product — the codegen'd custom expression
     * ([[graft.functions.ArrayDotProduct]]); bit-identical to the
     * `aggregate(zip_with(...))` HOF formulation and to DuckDB's
@@ -66,6 +71,13 @@ object VectorOps {
     * the exact verifier; LSH bucketing is the scale path. */
   def cosineNearDupPairs(spark: SparkSession, dir: String,
                          threshold: Double = 0.4): DataFrame = {
+    // enforce (not just document) "never all-pairs at scale": this is the
+    // quadratic exact verifier, valid only at oracle/verify SFs
+    val nVecs = Tables.embeddings(spark, dir).count()
+    require(nVecs <= QuadraticAnchorMaxVecs,
+      s"cosineNearDupPairs is the QUADRATIC exact verifier ($nVecs vectors " +
+        s"> $QuadraticAnchorMaxVecs cap): at this corpus size use the " +
+        "hyperplane-LSH scale path annLshTopK (q29)")
     // norms are precomputed once per vector (N sqrt's instead of N²);
     // sqrt(dot(v,v)) is the exact subexpression of the oracle formula, so
     // cos = dot(a,b)/(nrm_a·nrm_b) stays bit-identical to the oracle
@@ -95,16 +107,33 @@ object VectorOps {
     * aggregation, regardless of corpus size. */
   private[graft] def ivfCentroids(spark: SparkSession, dir: String,
                                   nCentroids: Int): Seq[Seq[Double]] = {
-    val cached = VectorOps.synchronized {
+    // Tables.memoCache's holder pattern (same cache-key identity:
+    // session object + string key): putIfAbsent picks ONE winner whose
+    // lazy val runs the Spark job — concurrent first callers no longer
+    // duplicate the job, and nothing dereferences the session entry
+    // after the build (the r5-advised race/NPE fix)
+    val perSession = VectorOps.synchronized {
       ivfCentroidCache.keySet.removeIf(s => s.sparkContext.isStopped)
-      var perSession = ivfCentroidCache.get(spark)
-      if (perSession == null) {
-        perSession = scala.collection.mutable.Map.empty[String, Seq[Seq[Double]]]
-        ivfCentroidCache.put(spark, perSession)
+      var m = ivfCentroidCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, LazyCentroids]
+        ivfCentroidCache.put(spark, m)
       }
-      perSession.get(dir + "/" + nCentroids)
+      m
     }
-    cached.getOrElse {
+    val key = dir + "/" + nCentroids
+    val holder = perSession.get(key) match {
+      case Some(h) => h
+      case None =>
+        val h = new LazyCentroids(() => buildIvfCentroids(spark, dir, nCentroids))
+        perSession.putIfAbsent(key, h).getOrElse(h)
+    }
+    holder.value
+  }
+
+  private def buildIvfCentroids(spark: SparkSession, dir: String,
+                                nCentroids: Int): Seq[Seq[Double]] = {
+    {
       val e = vecs(spark, dir)
       val seeds = e.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").cast("int").as("cell"), col("v"))
@@ -128,12 +157,8 @@ object VectorOps {
         s"IVF Lloyd update left ${nCentroids - byCell.size} empty cells " +
           "(duplicate seed vectors?) — the oracle SQL assumes every seed " +
           "keeps at least its own vector")
-      val cents = (0 until nCentroids)
+      (0 until nCentroids)
         .map(c => byCell(c).sortBy(_._2).map(_._3).toSeq)
-      VectorOps.synchronized {
-        ivfCentroidCache.get(spark).update(dir + "/" + nCentroids, cents)
-      }
-      cents
     }
   }
 
@@ -191,9 +216,15 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Single-evaluation holder (Tables.LazyDf's pattern): the winner's
+    * lazy val runs the build under its own monitor; losers of the
+    * putIfAbsent race block on it instead of re-running the Spark job. */
+  private final class LazyCentroids(build: () => Seq[Seq[Double]]) {
+    lazy val value: Seq[Seq[Double]] = build()
+  }
   private val ivfCentroidCache =
     new java.util.IdentityHashMap[SparkSession,
-      scala.collection.mutable.Map[String, Seq[Seq[Double]]]]()
+      scala.collection.concurrent.TrieMap[String, LazyCentroids]]()
 
   /** IVF via a TRAINED coarse quantizer (seeded MLlib k-means) — the
     * variant you'd run when quantizer quality matters more than oracle

@@ -1,13 +1,27 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{PartialReducerPartitionSpec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
 
 /** The SCALE.md levers as executable artifacts: bucketed co-located
   * joins, salted skew joins, RocksDB state store. */
 class ScaleLeversSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Every node of an executed plan, descending through AQE's
+    * re-optimized subtree and materialized query stages (which are leaf
+    * nodes to a plain `collect`). Typed plan-tree inspection instead of
+    * string-matching the rendering, which breaks across Spark upgrades
+    * even when the optimization still fires (advisor r5). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+    case q: QueryStageExec => p +: allNodes(q.plan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
 
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
@@ -100,17 +114,14 @@ class ScaleLeversSpec extends SparkSpec {
       // execute THIS DataFrame (count() would plan a different query and
       // leave joined's own AQE plan un-executed)
       assert(joined.collect().length === 60000 + 32)
-      val plan = (joined.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }).toString
-      // query stages are leaf nodes to collect(), so assert on the plan
-      // rendering: the SMJ must be marked skew and the hot side's shuffle
-      // read must carry skewed partition splits
-      assert(plan.contains("SortMergeJoin(skew=true)"),
-        s"OptimizeSkewedJoin did not mark the join:\n$plan")
-      assert(plan.contains("AQEShuffleRead coalesced and skewed"),
-        s"hot partition was not split by the AQE shuffle read:\n$plan")
+      val nodes = allNodes(joined.queryExecution.executedPlan)
+      // the SMJ must be marked skew and the hot side's shuffle read must
+      // carry skewed partition splits (PartialReducerPartitionSpec)
+      assert(nodes.collect { case j: SortMergeJoinExec => j }.exists(_.isSkewJoin),
+        s"OptimizeSkewedJoin did not mark the join:\n${nodes.head}")
+      assert(nodes.collect { case r: AQEShuffleReadExec => r }
+          .exists(_.partitionSpecs.exists(_.isInstanceOf[PartialReducerPartitionSpec])),
+        s"hot partition was not split by the AQE shuffle read:\n${nodes.head}")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
@@ -193,5 +204,35 @@ class ScaleLeversSpec extends SparkSpec {
       .lshBucketProfile(spark, "/root/testdata/sf0.001").collect().head
     assert(real.getAs[Long]("n_hot_buckets") === 0L)
     assert(real.getAs[Long]("pairs_skipped") === 0L)
+  }
+
+  test("de-hinted linear dims: AQE broadcasts customer with NO hint in the plan") {
+    // r6 broadcast policy: customer/supplier/part scale linearly with SF,
+    // so they carry no broadcast() hint — at test SF AQE must still pick
+    // a broadcast join (same physical plan as before the de-hint), and
+    // at 100 TB the same code falls back to a shuffle join instead of a
+    // forced driver OOM. Assert both halves: no ResolvedHint anywhere in
+    // the analyzed logical plan, yet a BroadcastHashJoin in the executed
+    // physical plan.
+    val df = ops.Warehouse.revenueTopOrders(spark, "/root/testdata/sf0.001")
+    assert(df.collect().length > 0)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"revenueTopOrders must carry no broadcast hints, found: $hints")
+    val bhj = allNodes(df.queryExecution.executedPlan)
+      .collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "AQE did not broadcast the small customer dim at test SF")
+  }
+
+  test("de-hinted 6-way TPC-H Q5 join: only nation/region are hinted, dims still broadcast") {
+    val df = ops.Warehouse.localSupplierVolume(spark, "/root/testdata/sf0.001")
+    assert(df.collect().length > 0)
+    // the only hints left are the fixed-cardinality frames (region→nation
+    // chain + cust's asiaNations) — customer/supplier are unhinted
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size === 2, s"expected exactly the 2 fixed-cardinality hints, got ${hints.size}")
+    // AQE still broadcasts the linear dims while they measure small
+    val bhj = allNodes(df.queryExecution.executedPlan)
+      .collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2, s"expected customer+supplier broadcast at test SF, got ${bhj.size} BHJs")
   }
 }
