@@ -150,12 +150,24 @@ object Bench {
       val l = passTimes.getOrElse(name, Vector.empty).map(fmt).mkString("[", ",", "]")
       s"\"$name\":$l"
     }.mkString("{", ",", "}")
+    // cold-build cost, separated explicitly (judge r5 task 6): pass 1
+    // pays every memo/index build at the target SF, so pass1 − warm-min
+    // is the one-time index-construction cost for memo-backed queries
+    // (q80/q29-style 4.3s→0.7s patterns) and ~0 for the rest. -1 = not
+    // measurable (pass 1 threw, or no warm pass succeeded).
+    val coldExtra = ordered.map { case (name, _) =>
+      val ts = passTimes.getOrElse(name, Vector.empty)
+      val warm = ts.drop(1).filter(_ >= 0)
+      val c = if (ts.isEmpty || ts.head < 0 || warm.isEmpty) -1.0
+        else math.max(0.0, ts.head - warm.min)
+      s"\"$name\":${fmt(c)}"
+    }.mkString("{", ",", "}")
     val total = best.collect { case (_, v) if v >= 0 => v }.sum
     val failed = best.count(_._2 < 0)
     // passes >= 2 reuse session-memoized artifacts (cached dims, IVF
     // model, LSH band index), so min-over-passes is a warm timing for the
     // index-backed queries — stated here rather than silently implied.
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$rawPasses,"failed":$failed,"timing":"min over recorded passes; pass1 natural order, pass2 reversed, pass3+ adaptive re-runs of diverged/slow queries; passes >= 2 warm","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$rawPasses,"cold_extra":$coldExtra,"failed":$failed,"timing":"min over recorded passes; pass1 natural order, pass2 reversed, pass3+ adaptive re-runs of diverged/slow queries; passes >= 2 warm; cold_extra = pass1 - warm min (one-time memo/index build cost)","sf":"$sfDir"}"""
     println(json)
     // safety net beside the stdout contract: a file copy of the same line
     // (round-1 grading lost the stdout line to an sbt log prefix)

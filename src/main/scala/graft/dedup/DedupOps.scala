@@ -63,8 +63,10 @@ object DedupOps {
                         threshold: Double = 0.7): DataFrame = {
     val withArr = docShingleArr(spark, dir) // memo-cached, read 3×
     // enforce (not just document) "never all-pairs at scale": this is the
-    // quadratic ground-truth anchor, valid only at oracle/verify SFs
-    val nDocs = withArr.count()
+    // quadratic ground-truth anchor, valid only at oracle/verify SFs.
+    // Footer metadata, not count() — the guard must not turn a lazy
+    // plan-builder into a Spark action (advisor, round 6).
+    val nDocs = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
     require(nDocs <= QuadraticAnchorMaxDocs,
       s"ngramJaccardPairs is the QUADRATIC oracle anchor ($nDocs docs > " +
         s"$QuadraticAnchorMaxDocs cap): at this corpus size use the LSH " +

@@ -475,18 +475,20 @@ object TextOps {
       .orderBy("source", "doc_id")
   }
 
-  /** Memoized per-doc (gram, ct) bigram table from the one-pass
+  /** Per-doc (gram, ct) bigram table from the one-pass
     * `graft_ngram_counts` expression — one row per DISTINCT bigram per
     * doc enters any downstream shuffle (the tfTable pattern, n = 2).
-    * Feeds [[bigramLmScore]] twice (model build + scoring join). */
-  private def bigramTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.memoCache(spark, s"bigram-lm/$dir") {
-      graft.functions.GraftFunctions.register(spark)
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(expr("graft_ngram_counts(text, 2)")).as("g"))
-        .select(col("doc_id"), col("g.gram").as("gram"), col("g.ct").as("ct"))
-    }
+    * NOT memo-cached: its only consumer is [[bigramLmScore]]'s build,
+    * which caches it for the duration of that build and then releases
+    * it (advisor, round 6 — two pinned corpus-sized artifacts for one
+    * consumed frame). */
+  private def bigramTable(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(expr("graft_ngram_counts(text, 2)")).as("g"))
+      .select(col("doc_id"), col("g.gram").as("gram"), col("g.ct").as("ct"))
+  }
 
   /** Corpus bigram-LM quality score per document — the KenLM-style
     * fluency filter of a training-data pipeline, with the LM *trained on
@@ -517,7 +519,16 @@ object TextOps {
       // (tfTable memo — shared with q52/q118, so the scan is already warm);
       // a driver-side scalar like tfidfTopTerms' nDocs
       val vocab = tfTable(spark, dir).select("term").distinct().count()
-      bigramLmCore(bigramTable(spark, dir), vocab)
+      // the bigram table feeds this ONE build three times (m2 model agg,
+      // m1 via m2, the scoring join) and nothing else — cache it only for
+      // the build: materialize the scored frame eagerly, then release the
+      // intermediate instead of pinning two corpus-sized artifacts per
+      // dir for the life of the session (advisor, round 6)
+      val bt = bigramTable(spark, dir).cache()
+      val scored = bigramLmCore(bt, vocab).cache()
+      scored.count() // materialize before releasing the intermediate
+      bt.unpersist(blocking = false)
+      scored
     }
 
   /** The model-build + scoring pipeline of [[bigramLmScore]] over any

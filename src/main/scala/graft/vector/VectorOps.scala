@@ -72,8 +72,10 @@ object VectorOps {
   def cosineNearDupPairs(spark: SparkSession, dir: String,
                          threshold: Double = 0.4): DataFrame = {
     // enforce (not just document) "never all-pairs at scale": this is the
-    // quadratic exact verifier, valid only at oracle/verify SFs
-    val nVecs = Tables.embeddings(spark, dir).count()
+    // quadratic exact verifier, valid only at oracle/verify SFs. Footer
+    // metadata, not count() — the guard must not turn a lazy plan-builder
+    // into a Spark action (advisor, round 6).
+    val nVecs = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
     require(nVecs <= QuadraticAnchorMaxVecs,
       s"cosineNearDupPairs is the QUADRATIC exact verifier ($nVecs vectors " +
         s"> $QuadraticAnchorMaxVecs cap): at this corpus size use the " +
@@ -106,30 +108,15 @@ object VectorOps {
     * shuffle carries only the (cell × dim) grid after map-side partial
     * aggregation, regardless of corpus size. */
   private[graft] def ivfCentroids(spark: SparkSession, dir: String,
-                                  nCentroids: Int): Seq[Seq[Double]] = {
-    // Tables.memoCache's holder pattern (same cache-key identity:
-    // session object + string key): putIfAbsent picks ONE winner whose
-    // lazy val runs the Spark job — concurrent first callers no longer
-    // duplicate the job, and nothing dereferences the session entry
-    // after the build (the r5-advised race/NPE fix)
-    val perSession = VectorOps.synchronized {
-      ivfCentroidCache.keySet.removeIf(s => s.sparkContext.isStopped)
-      var m = ivfCentroidCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, LazyCentroids]
-        ivfCentroidCache.put(spark, m)
-      }
-      m
-    }
-    val key = dir + "/" + nCentroids
-    val holder = perSession.get(key) match {
-      case Some(h) => h
-      case None =>
-        val h = new LazyCentroids(() => buildIvfCentroids(spark, dir, nCentroids))
-        perSession.putIfAbsent(key, h).getOrElse(h)
-    }
-    holder.value
-  }
+                                  nCentroids: Int): Seq[Seq[Double]] =
+    // graft.SessionMemo — the ONE copy of the per-(session, key)
+    // single-evaluation pattern shared with Tables.memoCache and the
+    // trained-model cache below (advisor, round 6: two hand-rolled
+    // copies of a concurrency-sensitive pattern invite drift)
+    centroidMemo.get(spark, s"$dir/$nCentroids")(
+      buildIvfCentroids(spark, dir, nCentroids))
+
+  private val centroidMemo = new graft.SessionMemo[Seq[Seq[Double]]]
 
   private def buildIvfCentroids(spark: SparkSession, dir: String,
                                 nCentroids: Int): Seq[Seq[Double]] = {
@@ -216,16 +203,6 @@ object VectorOps {
       .limit(k)
   }
 
-  /** Single-evaluation holder (Tables.LazyDf's pattern): the winner's
-    * lazy val runs the build under its own monitor; losers of the
-    * putIfAbsent race block on it instead of re-running the Spark job. */
-  private final class LazyCentroids(build: () => Seq[Seq[Double]]) {
-    lazy val value: Seq[Seq[Double]] = build()
-  }
-  private val ivfCentroidCache =
-    new java.util.IdentityHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, LazyCentroids]]()
-
   /** IVF via a TRAINED coarse quantizer (seeded MLlib k-means) — the
     * variant you'd run when quantizer quality matters more than oracle
     * replayability. Same probe/rerank pipeline as [[annIvfTopK]]; kept
@@ -242,22 +219,13 @@ object VectorOps {
     }
     // coarse quantizer trained once per (session, corpus) — the model is
     // the index; rebuilding it per query defeats the point of IVF.
-    // Stopped sessions are swept on access (same reasoning as
-    // Tables.memoCache: a WeakHashMap would be pinned by the model's
-    // training-summary DataFrame referencing the session key).
-    val model = VectorOps.synchronized {
-      ivfModels.keySet.removeIf(s => s.sparkContext.isStopped)
-      var perSession = ivfModels.get(spark)
-      if (perSession == null) {
-        perSession = scala.collection.mutable.Map.empty[String,
-          org.apache.spark.ml.clustering.KMeansModel]
-        ivfModels.put(spark, perSession)
-      }
-      perSession.getOrElseUpdate(dir + "/" + nCentroids,
-        new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
-          .setFeaturesCol("fv").setPredictionCol("cell")
-          .fit(e))
-    }
+    // SessionMemo also fixes a latent flaw of the old hand-rolled map:
+    // getOrElseUpdate under a GLOBAL lock held the whole fit() job;
+    // the holder's lazy val serializes only callers of the SAME key.
+    val model = ivfModelMemo.get(spark, s"$dir/$nCentroids")(
+      new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(e))
     val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val centroidLit = typedLit(centroids)
@@ -376,9 +344,8 @@ object VectorOps {
         expr("array_max(qv)").as("q_max"))
       .orderBy("vec_id")
 
-  private val ivfModels =
-    new java.util.IdentityHashMap[SparkSession,
-      scala.collection.mutable.Map[String, org.apache.spark.ml.clustering.KMeansModel]]()
+  private val ivfModelMemo =
+    new graft.SessionMemo[org.apache.spark.ml.clustering.KMeansModel]
 
   /** Deterministic random hyperplanes (seeded), as literal columns.
     * Exposed within the library so the oracle builder can embed the SAME
