@@ -20,7 +20,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * IVF centroid collect, k-means fit) never holds a process-global lock,
   * and never runs twice. */
 private[graft] final class SessionMemo[V] {
-  private final class Holder(build: () => V) { lazy val value: V = build() }
+  private final class Holder(build: () => V) {
+    /** Set only after `value` completes — `lazy val` does NOT mark
+      * itself initialized when the initializer throws, so dereferencing
+      * `value` from cleanup would RE-RUN a failed build (potentially a
+      * full Spark job) just to swallow its exception (advisor r7).
+      * `drain` consults this flag instead. */
+    @volatile var built: Boolean = false
+    lazy val value: V = { val v = build(); built = true; v }
+  }
   private val m = new java.util.IdentityHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String, Holder]]()
   def get(spark: SparkSession, key: String)(build: => V): V = {
@@ -41,14 +49,15 @@ private[graft] final class SessionMemo[V] {
     }
     holder.value
   }
-  /** Remove and return `spark`'s memoized values (cleanup hooks). Every
-    * holder in the map was forced by its creator, so this re-throws
-    * nothing new — a holder whose build threw is skipped. */
+  /** Remove and return `spark`'s memoized values (cleanup hooks). Only
+    * holders whose build COMPLETED are returned: a holder whose build
+    * threw (or that a concurrent get() put but has not forced yet) is
+    * skipped via the `built` flag rather than dereferenced, so cleanup
+    * never re-runs a failed or in-flight build. */
   def drain(spark: SparkSession): Seq[V] = m.synchronized {
     val t = m.remove(spark)
     if (t == null) Seq.empty
-    else t.values.toSeq.flatMap(h =>
-      try Some(h.value) catch { case _: Throwable => None })
+    else t.values.toSeq.filter(_.built).map(_.value)
   }
 }
 
@@ -96,25 +105,32 @@ object Tables {
     * no data pages. The quadratic-anchor guards use this so a lazy
     * plan-builder stays lazy: the prior `df.count()` guard executed a
     * Spark action at plan-CONSTRUCTION time and re-read the parquet
-    * around the memoized frame (advisor, round 6). Counts are cached per
-    * path; the testdata tables are immutable for a round. */
-  private val rowCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
-  def parquetRowCount(spark: SparkSession, path: String): Long =
-    rowCounts.getOrElseUpdate(path, {
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(conf)
-      val st = fs.getFileStatus(p)
-      val parts =
-        if (st.isDirectory)
-          fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        else Array(st)
+    * around the memoized frame (advisor, round 6). Counts are cached by
+    * (path, latest modification time, total size) so a regenerated table
+    * within one JVM lifetime invalidates its entry — a stale count would
+    * let the quadratic guards admit an all-pairs join over a grown
+    * corpus (advisor r7). */
+  private val rowCounts =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val parts =
+      if (st.isDirectory)
+        fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Array(st)
+    val fingerprint =
+      (path, parts.map(_.getModificationTime).maxOption.getOrElse(0L), parts.map(_.getLen).sum)
+    rowCounts.getOrElseUpdate(fingerprint, {
       parts.map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       }.sum
     })
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
@@ -123,15 +139,36 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** Normalize a nanos-as-long `ts` column back to a µs timestamp; no-op
-    * if `ts` is already a timestamp. Integer div only (ns values exceed
-    * double's 2^53 exact range, so no floating-point path allowed). */
-  def normalizeEventTs(df: DataFrame): DataFrame =
+  /** Normalize the `ts` column of the events table to an instant-typed
+    * µs `TimestampType`, whatever encoding the generated parquet carries:
+    *
+    *  - `LongType` (nanos-as-long, via `nanosAsLong`): integer-divide to
+    *    µs — ns values exceed double's 2^53 exact range, so no
+    *    floating-point path allowed.
+    *  - `TimestampNTZType` (native `timestamp[us]` with no timezone):
+    *    cast to `TimestampType`. The session timezone is pinned to UTC,
+    *    so the naive wall-clock values map to the same epoch-µs instants
+    *    DuckDB's `epoch_us` computes on the raw parquet.
+    *  - `TimestampType`: already what every `unix_micros` site expects.
+    *
+    * Any other type is a driver-side data-contract change we have not
+    * seen; fail loudly at the single choke point instead of letting 22
+    * downstream `unix_micros` call sites crash one by one. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ => df
+      case TimestampNTZType =>
+        df.withColumn("ts", df.col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — expected LongType (nanos-as-long), " +
+            "TIMESTAMP_NTZ, or TIMESTAMP. The testdata generator's encoding changed; " +
+            "extend Tables.normalizeEventTs for the new contract.")
     }
+  }
 
   def events(spark: SparkSession, dir: String): DataFrame =
     normalizeEventTs(table(spark, dir, "events"))

@@ -54,21 +54,33 @@ object Verify {
     // executable sketch bounds: every no_oracle estimate is checked
     // against its in-engine exact twin HERE, during the verify run, so
     // the rows-only correctness status carries a verified error bound
-    // (judge r5 task 3). Violations are loud, and the report rides next
-    // to oracle_sql.json for the round artifacts.
+    // (judge r5 task 3). A violated bound — or a broken checker — fails
+    // the RUN, not just a stderr line: sketch_bounds.json gets a
+    // "status" sentinel row and Verify exits non-zero, so automation
+    // keyed on the run result notices (advisor r7).
+    var boundFailure = false
     if (only.isEmpty) {
       try {
         val checks = graft.ops.SketchBounds.all(spark, sfDir)
+        val violated = checks.filterNot(_.ok)
+        boundFailure = violated.nonEmpty
+        val body = graft.ops.SketchBounds.toJson(checks)
+        val status = if (boundFailure) "violated" else "ok"
         Files.writeString(Paths.get(s"$outDir/sketch_bounds.json"),
-          graft.ops.SketchBounds.toJson(checks))
-        checks.filterNot(_.ok).foreach { c =>
+          s"""{"status":"$status","checks":$body}""")
+        violated.foreach { c =>
           System.err.println(s"[verify] SKETCH BOUND VIOLATED: ${c.query} " +
             s"${c.metric} worst_err=${c.worstErr} bound=${c.bound}")
         }
       } catch { case e: Throwable =>
+        boundFailure = true
         System.err.println(s"[verify] sketch-bounds check failed: ${e.getMessage}")
+        try Files.writeString(Paths.get(s"$outDir/sketch_bounds.json"),
+          s"""{"status":"error","checks":[]}""")
+        catch { case _: Throwable => () }
       }
     }
     spark.stop()
+    if (boundFailure) sys.exit(3)
   }
 }

@@ -97,18 +97,21 @@ object SketchBounds {
     val checks = scala.collection.mutable.ArrayBuffer.empty[BoundCheck]
 
     // q18: per-day HLL UV vs exact DAU (q03). approx_count_distinct's
-    // default rsd is 5% — the documented bound COVERAGE carries.
-    checks += relErrCheck("q18_uv_approx", "uv_approx vs dau", 0.05, 0.0,
+    // default rsd is 5% — a STANDARD DEVIATION, not a hard cap, so a
+    // hard gate at 1σ fires on ~1/3 of days by design (and did fire at
+    // 5.19% on the r8 data). The gate takes the 3σ envelope: a >15%
+    // day signals a broken sketch, not expected estimator noise.
+    checks += relErrCheck("q18_uv_approx", "uv_approx vs dau", 0.15, 0.0,
       pairsOf(Dau.uvApprox(spark, dir), Dau.dauByDay(spark, dir),
         Seq("log_date"), "uv_approx", "dau"),
-      "HLL relative error <= 5% (rsd default) per day")
+      "HLL relative error <= 15% (3x rsd=5%) per day")
 
     // q61: weekly rollup of MERGED daily HLL sketches vs exact weekly
-    // distinct (q62) — the mergeability path, same 5% envelope.
-    checks += relErrCheck("q61_uv_sketch_rollup", "uv_est vs uv", 0.05, 0.0,
+    // distinct (q62) — the mergeability path, same 3σ envelope.
+    checks += relErrCheck("q61_uv_sketch_rollup", "uv_est vs uv", 0.15, 0.0,
       pairsOf(Dau.uvSketchRollup(spark, dir), Dau.uvWeeklyExact(spark, dir),
         Seq("week_start"), "uv_est", "uv"),
-      "HLL union-merge relative error <= 5% per week")
+      "HLL union-merge relative error <= 15% (3x rsd=5%) per week")
 
     // q44 / q124: approx_percentile (t-digest-style rank sketch,
     // accuracy=1000) vs the exact histogram-lerp twins. The sketch
@@ -140,9 +143,10 @@ object SketchBounds {
       hh.toIndexedSeq.map(r => (num(r, "est_ct"), num(r, "exact_ct"))))
 
     // q102: KMV inclusion–exclusion intersection vs the exact
-    // co-occurrence riding in-row. Round3dSpec's bound: each estimate
-    // within tol = 3·1.96/√K of truth, intersection inherits three
-    // estimates' error ⇒ |est_inter − exact| <= 3·tol·|union|.
+    // co-occurrence riding in-row. The intersection inherits THREE
+    // estimates' 1.96σ error, so tol = 3·1.96/√K of the union already
+    // covers it — a further 3× (as shipped in r7) made the bound
+    // unfalsifiable at ~110% of the union size (advisor r7).
     val K = Sketches.K
     val tol = 3.0 * 1.96 / math.sqrt(K.toDouble)
     val perType = Tables.events(spark, dir)
@@ -157,9 +161,9 @@ object SketchBounds {
         math.max(acc, if (union == 0.0) err else err / union)
       }
     checks += BoundCheck("q102_kmv_overlap", "est_inter vs exact_inter",
-      perType.size.toLong * (perType.size - 1) / 2, kmvWorst, 3.0 * tol,
-      kmvWorst <= 3.0 * tol,
-      s"KMV inclusion-exclusion: |err|/|union| <= 3*tol, tol=3*1.96/sqrt($K)")
+      perType.size.toLong * (perType.size - 1) / 2, kmvWorst, tol,
+      kmvWorst <= tol,
+      s"KMV inclusion-exclusion: |err|/|union| <= 3*1.96/sqrt($K)")
 
     // q127: the bucket-occupancy cap must be INERT on the real corpus —
     // nonzero skip mass at verify SF means the guard ate real pairs.

@@ -223,4 +223,34 @@ class CoreOpsSpec extends SparkSpec {
       assert(histLag(flag)._2 === (mn, mx), s"$flag min/max")
     }
   }
+
+  test("events data contract: ts normalizes to TimestampType from every known encoding, " +
+    "and unknown encodings fail loudly at the choke point") {
+    import org.apache.spark.sql.types._
+    // the REAL testdata, whatever encoding this round's generator used,
+    // must come out instant-typed — this is the guard that would have
+    // caught the r7 TIMESTAMP_NTZ refresh before it shipped 15 dead queries
+    val real = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(real.schema("ts").dataType === TimestampType)
+    assert(real.limit(1).count() === 1L)
+    // nanos-as-long branch: integer-µs conversion, lossless
+    val asLong = spark.range(1).select(
+      lit(1700000000123456789L).as("ts"))
+    val fromLong = Tables.normalizeEventTs(asLong.toDF())
+    assert(fromLong.schema("ts").dataType === TimestampType)
+    assert(fromLong.select(unix_micros(col("ts"))).head.getLong(0) === 1700000000123456L)
+    // NTZ branch: naive wall-clock reinterpreted in the UTC session TZ
+    val asNtz = spark.sql("SELECT TIMESTAMP_NTZ '2024-01-02 03:04:05.123456' AS ts")
+    val fromNtz = Tables.normalizeEventTs(asNtz)
+    assert(fromNtz.schema("ts").dataType === TimestampType)
+    assert(fromNtz.select(unix_micros(col("ts"))).head.getLong(0) === 1704164645123456L)
+    // already-a-timestamp: pass-through
+    assert(Tables.normalizeEventTs(fromNtz).schema("ts").dataType === TimestampType)
+    // anything else: loud single-point failure, not 22 scattered crashes
+    val bad = spark.range(1).select(lit("2024-01-02").as("ts"))
+    val e = intercept[IllegalStateException] {
+      Tables.normalizeEventTs(bad.toDF())
+    }
+    assert(e.getMessage.contains("unsupported type"))
+  }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** The SCALE.md levers as executable artifacts: bucketed co-located
   * joins, salted skew joins, RocksDB state store. */
@@ -231,10 +232,33 @@ class ScaleLeversSpec extends SparkSpec {
     // that scans a linearly-scaling dim (customer/supplier/part)
     val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
     val linearDims = Seq("customer.parquet", "supplier.parquet", "part.parquet")
-    val offending = hints.filter(h =>
-      h.child.collectLeaves().exists(l => linearDims.exists(l.toString.contains)))
+    // match the LEAF TYPE, not its string rendering: a LogicalRelation
+    // stringifies as just "Relation [cols] parquet" in Spark 4, so a
+    // toString.contains check can never fire (advisor r7)
+    def scansLinearDim(h: ResolvedHint): Boolean =
+      h.child.collectLeaves().exists {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(p => linearDims.exists(p.toString.contains))
+          case _ => false
+        }
+        case _ => false
+      }
+    val offending = hints.filter(scansLinearDim)
     assert(offending.isEmpty,
       s"broadcast hint covers a linearly-scaling dim scan: $offending")
+    // guard the guard: the leaf matcher must actually see the linear-dim
+    // scans somewhere in the plan, else the assertion above is vacuous
+    val allLinearLeaves = df.queryExecution.analyzed.collectLeaves().filter {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(p => linearDims.exists(p.toString.contains))
+        case _ => false
+      }
+      case _ => false
+    }
+    assert(allLinearLeaves.size >= 2,
+      s"leaf matcher found ${allLinearLeaves.size} linear-dim scans — detection itself broke")
     // AQE still broadcasts the linear dims while they measure small
     val bhj = allNodes(df.queryExecution.executedPlan)
       .collect { case b: BroadcastHashJoinExec => b }
