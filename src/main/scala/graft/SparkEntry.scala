@@ -263,6 +263,9 @@ object SparkEntry {
     "q148_brand_band_revenue"  -> ((s, d) => Warehouse.brandBandRevenue(s, d)),
     "q149_part_supplier_breadth" -> ((s, d) => Warehouse.partSupplierBreadth(s, d)),
     "q150_sole_late_supplier"  -> ((s, d) => Warehouse.soleLateSupplier(s, d)),
+    // --- round 8: semantic dedup + mixture temperature ---
+    "q151_semdedup"            -> ((s, d) => graft.vector.VectorOps.semDedup(s, d)),
+    "q152_mixture_weights"     -> ((s, d) => graft.text.TextOps.mixtureWeights(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1822,6 +1825,39 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE n_name = 'NATION_3'
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    // q151: SemDeDup — centroids are DERIVABLE (first-8 seed rule, the
+    // q111 pattern), assignment is the same MIN-struct argmin, and the
+    // within-cluster cosine is the bit-exact q27/q28 expression, so the
+    // dropped set, witnesses, and max_cos all hash-match.
+    "q151_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a AS (SELECT e.vec_id, e.v,
+        |        CAST((MIN({'d': list_inner_product(e.v,e.v) - 2.0*list_inner_product(e.v,c.cv) + list_inner_product(c.cv,c.cv),
+        |                   'c': c.cid})).c AS BIGINT) AS cell
+        |      FROM e, c GROUP BY 1, 2),
+        |p AS (SELECT y.vec_id AS dup, y.cell, x.vec_id AS orig,
+        |        list_inner_product(x.v,y.v)
+        |          / (sqrt(list_inner_product(x.v,x.v)) * sqrt(list_inner_product(y.v,y.v))) AS cos
+        |      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |SELECT dup AS vec_id, cell, MIN(orig) AS dup_of, MAX(cos) AS max_cos
+        |FROM p WHERE cos >= 0.3 GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+    // q152: √ is correctly rounded per IEEE-754, so both engines get the
+    // identical double from identical integer token counts; micro-round
+    // BEFORE the normalizing sum makes Σ√ integer-exact and order-free.
+    "q152_mixture_weights" ->
+      """WITH t AS (SELECT source,
+        |             CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS src_tokens
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, src_tokens,
+        |        CAST(FLOOR(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS sqrt_micro
+        |      FROM t),
+        |g AS (SELECT CAST(SUM(sqrt_micro) AS BIGINT) AS tot_sqrt,
+        |             CAST(SUM(src_tokens) AS BIGINT) AS tot_tokens FROM w)
+        |SELECT source, src_tokens,
+        |       CAST(FLOOR(1000000.0 * src_tokens / tot_tokens + 0.5) AS BIGINT) AS nat_micro,
+        |       CAST(FLOOR(1000000.0 * sqrt_micro / tot_sqrt + 0.5) AS BIGINT) AS w_micro
+        |FROM w CROSS JOIN g ORDER BY source""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL),
     //   q44_percentiles_approx + q124_ship_lag_approx (sketch),

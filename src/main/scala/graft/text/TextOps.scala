@@ -605,6 +605,42 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Temperature-scaled mixture weights — the OTHER half of the data-
+    * mixture step ([[sourceMixing]] caps volume; this sets the SAMPLING
+    * distribution): w(s) ∝ tokens(s)^α with α = 0.5, the standard
+    * square-root temperature that up-weights small sources relative to
+    * their natural share (multilingual/multi-corpus training mixes).
+    *
+    * Determinism: token counts are exact integers (the q19 whitespace
+    * tokenizer); √x is CORRECTLY ROUNDED per IEEE-754, so both engines
+    * produce the identical double, which is micro-rounded to an integer
+    * BEFORE the normalizing sum — making Σ√ order-free and exact. The
+    * two shares are each one double division in an expression written
+    * identically in both engines. No order-dependent float sum anywhere.
+    *
+    * Shape at scale: per-source token totals partial-aggregate map-side
+    * (one row per source out of the scan stage); the grand totals are a
+    * 1-row broadcast cross join (the documented exempt pattern); the
+    * sqrt/divide arithmetic runs on |sources| rows. Fact rows never
+    * shuffle. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = withTokens(Tables.documents(spark, dir))
+      .select(col("source"), size(col("tokens")).cast("long").as("n_tokens"))
+      .groupBy("source").agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("sqrt_micro", expr(
+        "cast(floor(sqrt(cast(src_tokens as double)) * 1000000.0d + 0.5d) as bigint)"))
+    val totals = perSource.agg(
+      sum(col("sqrt_micro")).as("tot_sqrt"),
+      sum(col("src_tokens")).as("tot_tokens"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("src_tokens"),
+        expr("cast(floor(1000000.0d * src_tokens / tot_tokens + 0.5d) as bigint)")
+          .as("nat_micro"),
+        expr("cast(floor(1000000.0d * sqrt_micro / tot_sqrt + 0.5d) as bigint)")
+          .as("w_micro"))
+      .orderBy("source")
+  }
+
   /** Character-diversity profile per document: Simpson collision
     * probability over Unicode code points (Σc(c−1)/(n(n−1)), micro-
     * rounded) plus the raw counts — the repeated-character degeneracy

@@ -94,6 +94,66 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup (semantic dedup, the cluster-then-pair trick of Abbas et
+    * al. 2023): assign every embedding to its nearest of `nClusters`
+    * derivable centroids (the first-k seed rule q111 proved out — the
+    * oracle replays it in SQL), then compare pairs ONLY within a
+    * cluster and drop the higher `vec_id` of any pair with cosine ≥
+    * `threshold`. Output: one row per DROPPED vector with its cluster,
+    * the lowest-id survivor that witnessed it (`dup_of`) and the
+    * strongest witnessing similarity (`max_cos`) — all deterministic
+    * (min/max over bit-identical doubles), so the frame hash-verifies.
+    *
+    * The drop rule is the parallel variant — b dies if ANY lower-id a
+    * in its cluster is ≥ threshold — not the sequential greedy chain
+    * (drop only against *kept* docs). The chain needs an ordered scan
+    * per cluster; the parallel rule is one self-join and only differs
+    * on near-transitive chains, where SemDeDup's clusters make the
+    * distinction mostly moot (pairs that close share a cluster).
+    *
+    * Scale shape: assignment is a narrow map (k codegen'd dots per
+    * row, broadcast centroid literals, no shuffle); the self-join
+    * shuffles BOTH sides on `cell` once, and the quadratic blow-up is
+    * bounded per cluster — the whole point of SemDeDup: k scales with
+    * corpus size (k ≈ √N keeps expected cluster quadratic cost linear),
+    * so no all-pairs ever materializes. At verify SF the cluster count
+    * is fixed and the corpus small; the same [[QuadraticAnchorMaxVecs]]
+    * anchor as the exact verifier guards against running THIS fixed-k
+    * configuration on a corpus where k should have been re-sized. */
+  def semDedup(spark: SparkSession, dir: String, nClusters: Int = 8,
+               threshold: Double = 0.3): DataFrame = {
+    val nVecs = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    require(nVecs <= QuadraticAnchorMaxVecs,
+      s"semDedup with fixed nClusters=$nClusters is sized for verify SFs " +
+        s"($nVecs vectors > $QuadraticAnchorMaxVecs cap): at this corpus " +
+        "size re-size k ~ sqrt(N) so per-cluster pair cost stays linear")
+    val e = vecs(spark, dir)
+    val seeds = e.filter(col("vec_id") < nClusters)
+      .select(col("vec_id").cast("int").as("cell"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(seeds.length == nClusters,
+      s"semDedup needs $nClusters seed vectors with vec_id < $nClusters; found ${seeds.length}")
+    val assigned = e
+      .withColumn("cell",
+        cellOf(seeds.map { case (c, cv) => (c, typedLit(cv)) }).cast("long"))
+      .withColumn("nrm", sqrt(dot("v", "v")))
+    val a = assigned.select(col("cell"), col("vec_id").as("orig"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("dup"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, "cell")
+      .filter(col("orig") < col("dup"))
+      .select(col("dup"), col("cell"), col("orig"),
+        (dot("va", "vb") / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("dup", "cell")
+      .agg(min(col("orig")).as("dup_of"), max(col("cos")).as("max_cos"))
+      .select(col("dup").as("vec_id"), col("cell"), col("dup_of"), col("max_cos"))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic IVF centroid grid: seed cells with the first
     * `nCentroids` vectors (q111's init), run ONE exact Lloyd update with
     * the integer-micro order-free mean (q94's trick — sums are BIGINT, so

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: SemDeDup (q151) and temperature mixture weights
+  * (q152) — each pinned against an independent single-threaded replay,
+  * plus the invariants that make them trustworthy pipeline stages. */
+class Round8Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sdot(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0d; var i = 0; val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  test("semDedup matches a single-threaded replay of assign + pair rule") {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cents = (0 until 8).map(c => c -> vecs(c.toLong))
+    // assignment: argmin of (d, cell) — lexicographic, ties to lower cell
+    val cellOfVec: Map[Long, Int] = vecs.map { case (id, v) =>
+      id -> cents.map { case (c, cv) =>
+        (sdot(v, v) - 2.0d * sdot(v, cv) + sdot(cv, cv), c)
+      }.min._2
+    }
+    // parallel drop rule: b dies if any lower-id a in its cluster >= 0.3
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      b <- ids
+      wits = ids.filter(a => a < b && cellOfVec(a) == cellOfVec(b))
+        .map { a =>
+          val (va, vb) = (vecs(a), vecs(b))
+          a -> sdot(va, vb) / (math.sqrt(sdot(va, va)) * math.sqrt(sdot(vb, vb)))
+        }
+        .filter(_._2 >= 0.3)
+      if wits.nonEmpty
+    } yield b -> (cellOfVec(b).toLong, wits.map(_._1).min, wits.map(_._2).max)).toMap
+    val out = graft.vector.VectorOps.semDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (id, (cell, dupOf, maxCos)) =>
+      assert(out(id)._1 === cell, s"cell of $id")
+      assert(out(id)._2 === dupOf, s"dup_of of $id")
+      assert(out(id)._3 === maxCos, s"max_cos of $id (bit-exact)")
+    }
+    // dropped set is non-trivial and never contains a vector's own witness
+    assert(expected.nonEmpty)
+    expected.foreach { case (id, (_, dupOf, _)) => assert(dupOf < id) }
+  }
+
+  test("semDedup within-cluster join shuffles on cell, never all-pairs") {
+    val df = graft.vector.VectorOps.semDedup(spark, dir)
+    val analyzed = df.queryExecution.analyzed
+    // the pair generator must be an equi-join on cell (within-cluster),
+    // not a cross join: collect join nodes and check keys
+    val joins = analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    val hasCellEquiJoin = joins.exists(_.condition.exists(c =>
+      c.references.exists(_.name == "cell")))
+    assert(hasCellEquiJoin, "expected the pair join keyed on cell")
+  }
+
+  test("mixtureWeights: exact replay, flattening property, and share sum") {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), expr(
+        "size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))")
+        .cast("long").as("n"))
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rows) => s -> rows.map(_.getLong(1)).sum }
+    val sqrtMicro = perSource.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong }
+    val totSqrt = sqrtMicro.values.sum
+    val totTokens = perSource.values.sum
+    val out = graft.text.TextOps.mixtureWeights(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet === perSource.keySet)
+    out.foreach { case (s, (tokens, natMicro, wMicro)) =>
+      assert(tokens === perSource(s), s"token count of $s")
+      assert(natMicro ===
+        math.floor(1e6 * perSource(s) / totTokens + 0.5).toLong, s"nat share of $s")
+      assert(wMicro ===
+        math.floor(1e6 * sqrtMicro(s) / totSqrt + 0.5).toLong, s"temp share of $s")
+    }
+    // both share columns are ~1e6 up to per-source half-ulp rounding
+    val nSources = out.size
+    assert(math.abs(out.values.map(_._2).sum - 1000000L) <= nSources)
+    assert(math.abs(out.values.map(_._3).sum - 1000000L) <= nSources)
+    // α=0.5 FLATTENS the distribution: every below-average source gains
+    // weight vs its natural share, every above-average source loses
+    val meanTokens = totTokens.toDouble / nSources
+    out.foreach { case (s, (tokens, natMicro, wMicro)) =>
+      if (tokens < meanTokens * 0.9) assert(wMicro > natMicro, s"$s should gain")
+      if (tokens > meanTokens * 1.1) assert(wMicro < natMicro, s"$s should lose")
+    }
+  }
+}
