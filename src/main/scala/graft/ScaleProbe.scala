@@ -63,6 +63,42 @@ object ScaleProbe {
           .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
           .withColumn("text", regexp_replace(col("text"), "(^|\\s)", "$1c" + i))
       }.reduce(_ unionByName _)
+      /** Embedding probes need copies with DISTINCT geometry: a key
+        * shift leaves the vectors identical, so every copy of a vector
+        * is a perfect (cos=1) duplicate of every other copy and the
+        * within-cluster pair graph grows ~copies² (the docsSalted
+        * problem in vector space). A translation (+const per copy)
+        * fails differently: cosine is NOT translation-invariant, and a
+        * large common offset drives all within-copy cosines toward 1
+        * (measured: 13× the pair mass). A per-copy CYCLIC ROTATION of
+        * the dimensions is orthogonal — it preserves every within-copy
+        * dot product, norm, and cosine bit-for-bit — while decorrelating
+        * copies, so each copy replicates the 1× pair structure. */
+      lazy val embSalted: DataFrame = (0 until copies).map { i =>
+        val rot =
+          if (i == 0) expr("transform(embedding, x -> cast(x as double))")
+          else expr(s"transform(concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+            s"slice(embedding, 1, $i)), x -> cast(x as double))")
+        Tables.embeddings(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select((col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"), rot.as("v"))
+      }.reduce(_ unionByName _)
+      /** Per-copy centroid grid for [[embSalted]]: each copy's 8 seeds
+        * get the same rotation, so k grows ∝ N with constant cluster
+        * sizes — the SemDeDup resizing rule made executable. (The flat
+        * k-dot assignment scan is O(N·k), the same cost the reference
+        * SemDeDup setups pay at k ≈ 10⁴; past that an ANN-assisted
+        * coarse quantizer replaces the scan.) */
+      lazy val semSeeds: Seq[(Int, Seq[Double])] = {
+        val base = Tables.embeddings(spark, dir)
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cell"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toIndexedSeq
+        (0 until copies).flatMap { i =>
+          base.map { case (c, v) => (i * 8 + c, v.drop(i) ++ v.take(i)) }
+        }
+      }
       /** Edit-distance blocks on lang, so a per-copy lang suffix keeps
         * copies in separate blocks (prefix-salting is NOT enough there:
         * the digit diffs inside a 64-char prefix stay under the distance
@@ -238,6 +274,12 @@ object ScaleProbe {
       "source mixing (two partial aggs + threshold bcast)" -> { t =>
         graft.text.TextOps.sourceMixingCore(
           t.docs.select("doc_id", "source", "n_chars"), 0.5).count()
+      },
+      "semdedup (k grows with N; assign + within-cluster pairs)" -> { t =>
+        graft.vector.VectorOps.semDedupCore(t.embSalted, t.semSeeds, 0.3).count()
+      },
+      "mixture weights (partial agg + 1-row bcast)" -> { t =>
+        graft.text.TextOps.mixtureWeightsCore(t.docsSalted).count()
       },
       "sequence packing (per-source window)" -> { t =>
         val w = org.apache.spark.sql.expressions.Window

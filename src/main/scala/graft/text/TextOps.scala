@@ -623,8 +623,13 @@ object TextOps {
     * 1-row broadcast cross join (the documented exempt pattern); the
     * sqrt/divide arithmetic runs on |sources| rows. Fact rows never
     * shuffle. */
-  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
-    val perSource = withTokens(Tables.documents(spark, dir))
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeightsCore(Tables.documents(spark, dir))
+
+  /** [[mixtureWeights]] over any (source, text) frame — split out so
+    * ScaleProbe can measure the real plan on amplified input. */
+  private[graft] def mixtureWeightsCore(docs: DataFrame): DataFrame = {
+    val perSource = withTokens(docs)
       .select(col("source"), size(col("tokens")).cast("long").as("n_tokens"))
       .groupBy("source").agg(sum(col("n_tokens")).as("src_tokens"))
       .withColumn("sqrt_micro", expr(

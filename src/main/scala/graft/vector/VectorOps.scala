@@ -135,9 +135,17 @@ object VectorOps {
       .sortBy(_._1)
     require(seeds.length == nClusters,
       s"semDedup needs $nClusters seed vectors with vec_id < $nClusters; found ${seeds.length}")
+    semDedupCore(e, seeds.toIndexedSeq, threshold)
+  }
+
+  /** [[semDedup]] over any (vec_id, v) frame with caller-supplied
+    * centroids — split out so ScaleProbe can grow the centroid grid
+    * WITH the corpus (the k ∝ N story) on amplified input. */
+  private[graft] def semDedupCore(e: DataFrame, cents: Seq[(Int, Seq[Double])],
+                                  threshold: Double): DataFrame = {
     val assigned = e
       .withColumn("cell",
-        cellOf(seeds.map { case (c, cv) => (c, typedLit(cv)) }).cast("long"))
+        cellOf(cents.map { case (c, cv) => (c, typedLit(cv)) }).cast("long"))
       .withColumn("nrm", sqrt(dot("v", "v")))
     val a = assigned.select(col("cell"), col("vec_id").as("orig"),
       col("v").as("va"), col("nrm").as("na"))
