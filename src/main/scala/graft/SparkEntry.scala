@@ -266,6 +266,7 @@ object SparkEntry {
     // --- round 8: semantic dedup + mixture temperature ---
     "q151_semdedup"            -> ((s, d) => graft.vector.VectorOps.semDedup(s, d)),
     "q152_mixture_weights"     -> ((s, d) => graft.text.TextOps.mixtureWeights(s, d)),
+    "q153_ann_recall"          -> ((s, d) => graft.vector.VectorOps.annRecallEval(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1858,6 +1859,59 @@ object SparkEntry {
         |       CAST(FLOOR(1000000.0 * src_tokens / tot_tokens + 0.5) AS BIGINT) AS nat_micro,
         |       CAST(FLOOR(1000000.0 * sqrt_micro / tot_sqrt + 0.5) AS BIGINT) AS w_micro
         |FROM w CROSS JOIN g ORDER BY source""".stripMargin,
+    // q153: recall@10 of the IVF index vs exact cosine top-10 over a
+    // 5-query eval set — q35's derivable quantizer (seed + one exact
+    // Lloyd step) and probe rule generalized per query, both rankings
+    // total-ordered by (cos desc, vec_id), so the RECALL of the
+    // approximate index itself hash-verifies.
+    "q153_ann_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |a1 AS (SELECT e.vec_id,
+        |              MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, i.cv) + list_inner_product(i.cv, i.cv),
+        |                   'c': i.cell}) AS best
+        |       FROM e, init i GROUP BY 1),
+        |u AS (SELECT a1.best.c AS cell,
+        |             unnest(generate_series(1, len(e.v))) - 1 AS dim,
+        |             unnest(e.v) AS x
+        |      FROM e JOIN a1 USING (vec_id)),
+        |g AS (SELECT cell, dim, COUNT(*) AS n,
+        |             SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
+        |      FROM u GROUP BY 1, 2),
+        |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
+        |         FROM g GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |probe AS (SELECT query_id, cell FROM (
+        |            SELECT q.query_id, cent.cell,
+        |                   row_number() OVER (PARTITION BY q.query_id
+        |                     ORDER BY list_inner_product(q.qv, q.qv) - 2.0 * list_inner_product(q.qv, cent.cv) + list_inner_product(cent.cv, cent.cv),
+        |                              cent.cell) AS pr
+        |            FROM q, cent) WHERE pr <= 4),
+        |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+        |a2 AS (SELECT c.vec_id,
+        |              MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, ct.cv) + list_inner_product(ct.cv, ct.cv),
+        |                   'c': ct.cell}) AS best
+        |       FROM corpus c, cent ct GROUP BY 1),
+        |exact AS (SELECT query_id, vec_id FROM (
+        |            SELECT q.query_id, c.vec_id,
+        |                   row_number() OVER (PARTITION BY q.query_id
+        |                     ORDER BY list_inner_product(c.v, q.qv) / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv))) DESC,
+        |                              c.vec_id) AS rk
+        |            FROM corpus c, q) WHERE rk <= 10),
+        |ivf AS (SELECT query_id, vec_id FROM (
+        |          SELECT p.query_id, c.vec_id,
+        |                 row_number() OVER (PARTITION BY p.query_id
+        |                   ORDER BY list_inner_product(c.v, q.qv) / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv))) DESC,
+        |                            c.vec_id) AS rk
+        |          FROM a2 JOIN probe p ON a2.best.c = p.cell
+        |          JOIN corpus c ON a2.vec_id = c.vec_id
+        |          JOIN q ON p.query_id = q.query_id) WHERE rk <= 10),
+        |ov AS (SELECT query_id, COUNT(*) AS n_overlap
+        |       FROM exact JOIN ivf USING (query_id, vec_id) GROUP BY 1)
+        |SELECT q.query_id,
+        |       COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |       CAST(FLOOR(1000000.0 * COALESCE(ov.n_overlap, 0) / 10 + 0.5) AS BIGINT) AS recall_micro
+        |FROM q LEFT JOIN ov USING (query_id) ORDER BY query_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL),
     //   q44_percentiles_approx + q124_ship_lag_approx (sketch),

@@ -344,6 +344,77 @@ object VectorOps {
               nQueries: Long = 10L, k: Int = 3): DataFrame =
     knnJoinCore(vecs(spark, dir), nQueries, k)
 
+  /** ANN index QA: recall@k of the IVF path ([[annIvfTopK]]'s derivable
+    * quantizer + probe) against the exact cosine top-k, per query — the
+    * eval metric every retrieval/dedup pipeline tracks before trusting
+    * an approximate index. Queries are the first `nQueries` vectors,
+    * candidates the rest (the [[knnJoin]] convention). Every stage is
+    * deterministic and replayable in SQL — centroids (seed + one exact
+    * Lloyd step), probe selection (ordered (dist, cell) head), both
+    * rankings (cos desc, vec_id) — so even the RECALL of the
+    * approximate index hash-verifies against the oracle.
+    *
+    * Shape at scale: one narrow assignment map over the corpus (k dots
+    * per row), the probe table is (nQueries × nProbe) rows broadcast,
+    * both top-k rankings run through the rank filter that
+    * [[graft.plans.RankLimitToGroupTopK]] rewrites into bounded-heap
+    * GroupTopK — no global sort; the recall join touches ≤ nQueries·k
+    * rows. The exact side is the linear-scan baseline (that is the
+    * point: the eval runs on a SAMPLE of queries, amortized against the
+    * whole corpus once, not per lookup). */
+  def annRecallEval(spark: SparkSession, dir: String,
+                    nQueries: Long = 5L, k: Int = 10,
+                    nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(spark, dir, nCentroids)
+    val e = vecs(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= nQueries).select(col("vec_id"), col("v"))
+    // per-query probe cells: nQueries × nCentroids distances — driver
+    // arithmetic on the collected (tiny) query block, same sequential
+    // fold as the oracle's list_inner_product
+    def sdot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0d; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val probeRows: Seq[(Long, Int)] = queries.collect().toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .flatMap { case (qid, qv) =>
+        val qq = sdot(qv, qv)
+        cents.zipWithIndex
+          .map { case (cv, c) => (qq - 2.0d * sdot(qv, cv) + sdot(cv, cv), c) }
+          .sorted.take(nProbe).map { case (_, c) => (qid, c) }
+      }
+    import spark.implicits._
+    val probe = probeRows.toDF("query_id", "cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), cosine("v", "qv").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id")
+    val ivf = corpus
+      .withColumn("cell",
+        cellOf(cents.zipWithIndex.map { case (cv, c) => (c, typedLit(cv)) }))
+      .join(broadcast(probe), "cell")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"), cosine("v", "qv").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id")
+    val overlap = exact.join(ivf, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    queries.select("query_id")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"cast(floor(1000000.0d * coalesce(n_overlap, 0L) / $k + 0.5d) as bigint)")
+          .as("recall_micro"))
+      .orderBy("query_id")
+  }
+
   /** The k-NN join over any (vec_id, v: array<double>) frame — split out
     * so ScaleProbe times the EXACT operator shape on amplified inputs
     * (mirrors AsOf.asofCore; an inline probe copy drifts silently). */

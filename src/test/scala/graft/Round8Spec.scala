@@ -67,6 +67,25 @@ class Round8Spec extends SparkSpec {
     assert(hasCellEquiJoin, "expected the pair join keyed on cell")
   }
 
+  test("annRecallEval: recall bounded, and probing EVERY cell recovers recall 1.0") {
+    val partial = graft.vector.VectorOps.annRecallEval(spark, dir).collect()
+    assert(partial.length === 5)
+    partial.foreach { r =>
+      val (n, micro) = (r.getLong(1), r.getLong(2))
+      assert(n >= 0L && n <= 10L)
+      assert(micro === math.floor(1e6 * n / 10 + 0.5).toLong)
+    }
+    // an exhaustive probe makes IVF = exact by construction: the eval
+    // harness must report exactly 1.0 for every query, or the candidate
+    // plumbing (assignment, probe join, ranking) is dropping rows
+    val full = graft.vector.VectorOps
+      .annRecallEval(spark, dir, nProbe = 16).collect()
+    full.foreach { r =>
+      assert(r.getLong(1) === 10L, s"query ${r.getLong(0)} lost candidates")
+      assert(r.getLong(2) === 1000000L)
+    }
+  }
+
   test("mixtureWeights: exact replay, flattening property, and share sum") {
     val perSource = Tables.documents(spark, dir)
       .select(col("source"), expr(
