@@ -267,6 +267,7 @@ object SparkEntry {
     "q151_semdedup"            -> ((s, d) => graft.vector.VectorOps.semDedup(s, d)),
     "q152_mixture_weights"     -> ((s, d) => graft.text.TextOps.mixtureWeights(s, d)),
     "q153_ann_recall"          -> ((s, d) => graft.vector.VectorOps.annRecallEval(s, d)),
+    "q154_incremental_bloom"   -> ((s, d) => graft.dedup.DedupOps.incrementalDedupBloom(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -549,25 +550,11 @@ object SparkEntry {
         |       MAX(o_orderstatus) AS order_status
         |FROM orders FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q38_incremental_dedup" ->
-      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |              unnest(CASE WHEN len(t) >= 3
-        |                     THEN list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-        |                     ELSE [] END) AS s
-        |       FROM tok),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |pr AS (SELECT f.doc_id AS fid, c.doc_id AS cid, COUNT(*) AS inter
-        |       FROM sh f JOIN sh c ON f.s = c.s AND f.doc_id >= 250 AND c.doc_id < 250
-        |       GROUP BY 1, 2),
-        |nd AS (SELECT DISTINCT fid FROM pr
-        |       JOIN sz x ON fid = x.doc_id JOIN sz y ON cid = y.doc_id
-        |       WHERE inter / (x.n + y.n - inter) >= 0.7)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id >= 250
-        |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
-        |  AND doc_id NOT IN (SELECT fid FROM nd)
-        |ORDER BY doc_id""".stripMargin,
+    "q38_incremental_dedup" -> IncrementalDedupSql,
+    // q154: bloom pre-filter is result-transparent (false positives only
+    // add rows to the exact anti-join, never to the output), so the
+    // bloom variant verifies against the SAME oracle as q38.
+    "q154_incremental_bloom" -> IncrementalDedupSql,
     "q39_corpus_report" ->
       """WITH t AS (SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens FROM documents),
         |s AS (SELECT doc_id, source,
@@ -2045,6 +2032,29 @@ object SparkEntry {
       |jpairs AS (SELECT doc_a, doc_b, inter / (x.n + y.n - inter) AS jaccard
       |           FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
       |           WHERE inter / (x.n + y.n - inter) >= 0.7)""".stripMargin
+
+  /** Shared by q38 (anti-join exact layer) and q154 (bloom-pre-filtered
+    * exact layer): the two operators are result-identical by
+    * construction, so one oracle pins both. */
+  private val IncrementalDedupSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              unnest(CASE WHEN len(t) >= 3
+      |                     THEN list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |                     ELSE [] END) AS s
+      |       FROM tok),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |pr AS (SELECT f.doc_id AS fid, c.doc_id AS cid, COUNT(*) AS inter
+      |       FROM sh f JOIN sh c ON f.s = c.s AND f.doc_id >= 250 AND c.doc_id < 250
+      |       GROUP BY 1, 2),
+      |nd AS (SELECT DISTINCT fid FROM pr
+      |       JOIN sz x ON fid = x.doc_id JOIN sz y ON cid = y.doc_id
+      |       WHERE inter / (x.n + y.n - inter) >= 0.7)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id >= 250
+      |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
+      |  AND doc_id NOT IN (SELECT fid FROM nd)
+      |ORDER BY doc_id""".stripMargin
 
   private val JaccardPairsSql: String =
     s"""WITH $JaccardCtes

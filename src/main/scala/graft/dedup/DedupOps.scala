@@ -234,6 +234,67 @@ object DedupOps {
     val exactSurvivors = fresh
       .withColumn("fp", md5(col("text")))
       .join(corpusFp, Seq("fp"), "left_anti")
+    nearDupLayer(spark, dir, splitAt, threshold, corpus, exactSurvivors)
+  }
+
+  private val bloomMemo = new graft.SessionMemo[Array[Byte]]
+
+  /** [[incrementalDedup]] with a BLOOM PRE-FILTER on the exact layer —
+    * the at-scale ingest shape: the corpus fingerprint set is summarized
+    * once into a bloom filter (Spark's own runtime-bloom expressions,
+    * here built explicitly so the bloom persists across ingest batches
+    * as an index artifact next to the fingerprint/band tables), the
+    * bloom BROADCASTS as a literal, and each fresh doc tests membership
+    * in its scan task. Docs the bloom rejects are DEFINITELY novel — at
+    * a production dup rate (a few percent) that is ~95%+ of the batch
+    * skipping the membership shuffle entirely; only bloom-positive docs
+    * (true dups + fpp false positives) carry into the exact anti-join,
+    * whose shuffle now moves a small candidate set instead of the whole
+    * batch. False positives cost a row in that shuffle, never a wrong
+    * result, so the output is IDENTICAL to [[incrementalDedup]] and the
+    * same oracle hash-verifies both.
+    *
+    * Sizing: ~9.6 bits/item gives ~1% fpp; the default here (10 bits ×
+    * corpus rows, footer-metadata count) is ~12 MB per 10M corpus docs.
+    * At billions of fingerprints a single broadcast bloom stops fitting
+    * — shard the bloom by fingerprint prefix and test against the
+    * matching shard (same expressions, one literal per shard). */
+  def incrementalDedupBloom(spark: SparkSession, dir: String,
+                            splitAt: Long = 250L,
+                            threshold: Double = 0.7): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") < splitAt)
+    val fresh = docs.filter(col("doc_id") >= splitAt)
+    val corpusFp = Tables.memoCache(spark, s"inc-dedup-fp/$splitAt/$dir") {
+      corpus.select(md5(col("text")).as("fp")).distinct()
+    }
+    val bloom: Array[Byte] =
+      bloomMemo.get(spark, s"inc-dedup-bloom/$splitAt/$dir") {
+        val est = math.max(1L,
+          Tables.parquetRowCount(spark, s"$dir/documents.parquet"))
+        corpusFp
+          .agg(expr(s"graft_bloom_agg(xxhash64(fp), ${est}L, ${est * 10}L)"))
+          .head.getAs[Array[Byte]](0)
+      }
+    val withFp = fresh.withColumn("fp", md5(col("text")))
+    val mightContain =
+      call_function("graft_bloom_might_contain", lit(bloom), expr("xxhash64(fp)"))
+    // definitely-novel docs bypass the membership join; only bloom
+    // positives (dups + fpp) reach the anti-join
+    val exactSurvivors = withFp.filter(!mightContain)
+      .unionByName(withFp.filter(mightContain)
+        .join(corpusFp, Seq("fp"), "left_anti"))
+    nearDupLayer(spark, dir, splitAt, threshold, corpus, exactSurvivors)
+  }
+
+  /** The near-dup layer shared by [[incrementalDedup]] and
+    * [[incrementalDedupBloom]]: minhash band index of the corpus probed
+    * by the surviving fresh docs' bands, candidates verified by exact
+    * Jaccard. */
+  private def nearDupLayer(spark: SparkSession, dir: String, splitAt: Long,
+                           threshold: Double, corpus: DataFrame,
+                           exactSurvivors: DataFrame): DataFrame = {
     // near-dup layer: minhash band index of the corpus, probed by the
     // new docs' bands; candidates verified with exact Jaccard. The band
     // join is SKINNY — only (doc_id, band_idx, band_key) travel; the

@@ -441,7 +441,20 @@ object GraftFunctions {
       exprs => CmsEstimate(exprs.head, exprs(1))),
     ("graft_char_diversity",
       "graft_char_diversity(text) - struct(n_cp, distinct_cp, coll_num) over code points",
-      exprs => CharDiversity(exprs.head)))
+      exprs => CharDiversity(exprs.head)),
+    // Spark's OWN runtime-bloom machinery (the expressions behind
+    // spark.sql.optimizer.runtime.bloomFilter), surfaced as callable
+    // functions so a bloom can live as a PERSISTENT INDEX ARTIFACT
+    // across ingest batches instead of being rebuilt per join — the
+    // incremental-dedup pre-filter (DedupOps.incrementalDedupBloom).
+    ("graft_bloom_agg",
+      "graft_bloom_agg(xxhash64_value, est_items, num_bits) - serialized bloom filter over hashed values",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1), exprs(2))),
+    ("graft_bloom_might_contain",
+      "graft_bloom_might_contain(bloom_binary, xxhash64_value) - membership test, false positives possible",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1))))
 
   // Weak keys: a stopped session's entry disappears with the session, and
   // re-registering on every query call spammed "replaced a previously

@@ -86,6 +86,38 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("incrementalDedupBloom: identical output to the anti-join path, " +
+    "no false negatives, and the bloom actually prunes") {
+    val plain = graft.dedup.DedupOps.incrementalDedup(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    val bloomed = graft.dedup.DedupOps.incrementalDedupBloom(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(plain === bloomed)
+    // drive the registered function surface directly: bloom over the
+    // corpus fingerprints, membership-test the fresh batch
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val corpusFp = docs.filter(col("doc_id") < 250)
+      .select(md5(col("text")).as("fp")).distinct()
+    val bloom = corpusFp
+      .agg(expr("graft_bloom_agg(xxhash64(fp), 500L, 5000L)"))
+      .head.getAs[Array[Byte]](0)
+    val freshFp = docs.filter(col("doc_id") >= 250)
+      .select(md5(col("text")).as("fp"))
+    val might = call_function("graft_bloom_might_contain",
+      lit(bloom), expr("xxhash64(fp)"))
+    val nFresh = freshFp.count()
+    val nPositive = freshFp.filter(might).count()
+    val nTrueDup = freshFp.join(corpusFp, "fp").count()
+    // soundness: a bloom NEVER false-negatives, so every true dup must
+    // test positive — or the pre-filter would silently admit duplicates
+    assert(nPositive >= nTrueDup)
+    // usefulness: at 10 bits/item the fpp is ~1%; the pre-filter must
+    // reject the bulk of the novel docs (that is its entire point)
+    assert(nPositive <= nTrueDup + math.max(5L, nFresh / 10),
+      s"bloom passed $nPositive of $nFresh fresh docs but only $nTrueDup are dups")
+  }
+
   test("mixtureWeights: exact replay, flattening property, and share sum") {
     val perSource = Tables.documents(spark, dir)
       .select(col("source"), expr(
