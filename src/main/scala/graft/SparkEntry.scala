@@ -268,6 +268,7 @@ object SparkEntry {
     "q152_mixture_weights"     -> ((s, d) => graft.text.TextOps.mixtureWeights(s, d)),
     "q153_ann_recall"          -> ((s, d) => graft.vector.VectorOps.annRecallEval(s, d)),
     "q154_incremental_bloom"   -> ((s, d) => graft.dedup.DedupOps.incrementalDedupBloom(s, d)),
+    "q155_winnowing"           -> ((s, d) => graft.text.TextOps.winnowingFingerprints(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1899,6 +1900,27 @@ object SparkEntry {
         |       COALESCE(ov.n_overlap, 0) AS n_overlap,
         |       CAST(FLOOR(1000000.0 * COALESCE(ov.n_overlap, 0) / 10 + 0.5) AS BIGINT) AS recall_micro
         |FROM q LEFT JOIN ov USING (query_id) ORDER BY query_id""".stripMargin,
+    // q155: the selection statistic is a STRING min over fixed-length
+    // md5-hex prefixes — lexicographic = numeric, engine-identical; the
+    // whole fingerprint list rides in fp_list so the SELECTION (not
+    // just counts) hash-verifies.
+    "q155_winnowing" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |        CASE WHEN len(t) >= 3
+        |          THEN list_transform(generate_series(1, len(t) - 2), i -> substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16))
+        |          ELSE [] END AS hs
+        |      FROM tok),
+        |w AS (SELECT doc_id, len(hs) AS n_kgrams,
+        |        CASE WHEN len(hs) >= 4
+        |          THEN list_sort(list_distinct(list_transform(generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
+        |          WHEN len(hs) > 0 THEN [list_min(hs)]
+        |          ELSE [] END AS fps
+        |      FROM h)
+        |SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+        |       CAST(len(fps) AS BIGINT) AS n_fp,
+        |       array_to_string(fps, ',') AS fp_list
+        |FROM w ORDER BY doc_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL),
     //   q44_percentiles_approx + q124_ship_lag_approx (sketch),

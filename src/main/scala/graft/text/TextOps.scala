@@ -646,6 +646,53 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm): hash every k-gram (k=3 tokens), slide a window of
+    * w=4 consecutive hashes, select each window's MINIMUM — the
+    * guarantee is that any shared run of ≥ w+k-1 tokens between two
+    * documents yields at least one shared selected fingerprint, while
+    * storing only ~2/(w+1) of the hashes. The robust content-
+    * fingerprint layer between exact hashing (q22/q23 — breaks on one
+    * edit) and minhash (q25 — whole-doc similarity): winnowing
+    * localizes, so it catches PARTIAL overlap (a copied paragraph
+    * inside an otherwise novel doc).
+    *
+    * Hashes are md5-hex prefixes selected by STRING min — fixed-length
+    * hex compares lexicographically = numerically, identical in both
+    * engines (the q130 md5-threshold trick applied to selection). A
+    * production run would swap in a rolling polynomial hash; the
+    * selection statistics are hash-agnostic.
+    *
+    * Shape at scale: entirely IN-ROW (token split, k-gram hash, window
+    * min, dedup all inside one projection) — zero shuffle; the
+    * downstream join on exploded (fp → doc) postings is the only
+    * shuffle any consumer pays, on the winnowed (~2/(w+1)) mass. */
+  def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowingCore(Tables.documents(spark, dir))
+
+  /** [[winnowingFingerprints]] over any (doc_id, text) frame — split out
+    * so the spec can plant documents with known shared runs. */
+  private[graft] def winnowingCore(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .withColumn("hs", expr(
+        """case when size(tokens) >= 3
+          |then transform(sequence(1, size(tokens) - 2),
+          |  i -> substring(md5(concat(element_at(tokens, i), ' ',
+          |                            element_at(tokens, i + 1), ' ',
+          |                            element_at(tokens, i + 2))), 1, 16))
+          |else array() end""".stripMargin))
+      .withColumn("fps", expr(
+        """case when size(hs) >= 4
+          |then array_sort(array_distinct(
+          |  transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4)))))
+          |when size(hs) > 0 then array(array_min(hs))
+          |else array() end""".stripMargin))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_kgrams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_join(col("fps"), ",").as("fp_list"))
+      .orderBy("doc_id")
+
   /** Character-diversity profile per document: Simpson collision
     * probability over Unicode code points (Σc(c−1)/(n(n−1)), micro-
     * rounded) plus the raw counts — the repeated-character degeneracy

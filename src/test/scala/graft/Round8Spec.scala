@@ -118,6 +118,35 @@ class Round8Spec extends SparkSpec {
       s"bloom passed $nPositive of $nFresh fresh docs but only $nTrueDup are dups")
   }
 
+  test("winnowing: the w+k-1 guarantee holds and density is ~2/(w+1)") {
+    import spark.implicits._
+    // k=3, w=4 → any shared run of >= 6 tokens must share a fingerprint
+    val sharedRun = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $sharedRun four five six"),
+      (2L, s"seven eight nine ten $sharedRun eleven twelve"),
+      (3L, "completely different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.winnowingCore(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3).split(",").filter(_.nonEmpty).toSet)
+      .toMap
+    assert((out(1L) & out(2L)).nonEmpty,
+      "docs sharing a 6-token run must share a winnowed fingerprint")
+    assert((out(1L) & out(3L)).isEmpty && (out(2L) & out(3L)).isEmpty,
+      "no shared k-grams -> no shared fingerprints")
+    // density on the real corpus: winnowing stores ~2/(w+1) of the
+    // k-gram hashes (upper-bounded by the window count); allow slack
+    // for dedup of repeated selections
+    val real = graft.text.TextOps.winnowingFingerprints(spark, dir).collect()
+    assert(real.length > 0)
+    real.filter(_.getLong(1) >= 50).foreach { r =>
+      val (n, fp) = (r.getLong(1), r.getLong(2))
+      assert(fp <= n - 3, s"doc ${r.getLong(0)}: more fingerprints than windows")
+      assert(fp >= n / 10, s"doc ${r.getLong(0)}: implausibly sparse selection")
+      assert(fp <= (2 * n) / 3, s"doc ${r.getLong(0)}: selection barely compresses")
+    }
+  }
+
   test("mixtureWeights: exact replay, flattening property, and share sum") {
     val perSource = Tables.documents(spark, dir)
       .select(col("source"), expr(
