@@ -269,6 +269,7 @@ object SparkEntry {
     "q153_ann_recall"          -> ((s, d) => graft.vector.VectorOps.annRecallEval(s, d)),
     "q154_incremental_bloom"   -> ((s, d) => graft.dedup.DedupOps.incrementalDedupBloom(s, d)),
     "q155_winnowing"           -> ((s, d) => graft.text.TextOps.winnowingFingerprints(s, d)),
+    "q156_winnowing_pairs"     -> ((s, d) => graft.text.TextOps.winnowingPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1921,6 +1922,28 @@ object SparkEntry {
         |       CAST(len(fps) AS BIGINT) AS n_fp,
         |       array_to_string(fps, ',') AS fp_list
         |FROM w ORDER BY doc_id""".stripMargin,
+    // q156: q155's consumer — the postings self-join over winnowed
+    // fingerprints, df-capped exactly like the Spark side.
+    "q156_winnowing_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |        CASE WHEN len(t) >= 3
+        |          THEN list_transform(generate_series(1, len(t) - 2), i -> substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16))
+        |          ELSE [] END AS hs
+        |      FROM tok),
+        |w AS (SELECT doc_id,
+        |        CASE WHEN len(hs) >= 4
+        |          THEN list_distinct(list_transform(generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3])))
+        |          WHEN len(hs) > 0 THEN [list_min(hs)]
+        |          ELSE [] END AS fps
+        |      FROM h),
+        |p AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |hot AS (SELECT fp FROM p GROUP BY fp HAVING COUNT(*) > 100),
+        |cold AS (SELECT * FROM p WHERE fp NOT IN (SELECT fp FROM hot))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fp
+        |FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL),
     //   q44_percentiles_approx + q124_ship_lag_approx (sketch),

@@ -693,6 +693,42 @@ object TextOps {
         array_join(col("fps"), ",").as("fp_list"))
       .orderBy("doc_id")
 
+  /** The consumer of [[winnowingFingerprints]]: document pairs sharing
+    * ≥ `minShared` winnowed fingerprints — partial-overlap candidates
+    * (a copied paragraph, a shared template) that whole-doc similarity
+    * misses and exact hashing can't see past one edit. This is the one
+    * shuffle the winnowing pipeline pays: the exploded (fp → doc)
+    * postings join on the winnowed (~2/(w+1)) mass, with the same
+    * hot-key cap discipline as the LSH band join — a fingerprint
+    * appearing in a pathological number of docs (the empty-template
+    * degenerate) is a boilerplate artifact, not a pair candidate, and
+    * would blow the join quadratically; df-capping drops it loudly by
+    * count, never silently. */
+  def winnowingPairs(spark: SparkSession, dir: String,
+                     minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+    val postings = winnowingCore(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(split(col("fp_list"), ",")).as("fp"))
+      .filter(col("fp") =!= "")
+    // df-cap: fingerprints shared by more docs than maxDf are template
+    // mass (every pair of their docs would join) — cap like
+    // DedupOps.DefaultMaxBucket, surfaced by count not silence. The
+    // hot list is UNHINTED per the r5 de-hinting policy: tiny in the
+    // normal case (AQE broadcasts it), potentially large on a template-
+    // heavy crawl (AQE shuffle-joins instead of a forced-broadcast OOM).
+    val hot = postings.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("fp")
+    val cold = postings.join(hot, Seq("fp"), "left_anti")
+    cold.as("a").join(cold.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Character-diversity profile per document: Simpson collision
     * probability over Unicode code points (Σc(c−1)/(n(n−1)), micro-
     * rounded) plus the raw counts — the repeated-character degeneracy

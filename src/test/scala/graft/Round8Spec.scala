@@ -147,6 +147,27 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("winnowingPairs matches a driver-side replay over q155's fingerprints") {
+    val fps: Map[Long, Set[String]] = graft.text.TextOps
+      .winnowingFingerprints(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3).split(",").filter(_.nonEmpty).toSet)
+      .toMap
+    val df = fps.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.map(_._2) }
+    val cold = df.filter(_._2.size <= 100)
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    cold.values.foreach { ids =>
+      val sorted = ids.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        counts((sorted(i), sorted(j))) = counts.getOrElse((sorted(i), sorted(j)), 0L) + 1L
+    }
+    val expected = counts.filter(_._2 >= 2L).toMap
+    val out = graft.text.TextOps.winnowingPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
   test("mixtureWeights: exact replay, flattening property, and share sum") {
     val perSource = Tables.documents(spark, dir)
       .select(col("source"), expr(
