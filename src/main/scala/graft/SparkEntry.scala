@@ -270,6 +270,7 @@ object SparkEntry {
     "q154_incremental_bloom"   -> ((s, d) => graft.dedup.DedupOps.incrementalDedupBloom(s, d)),
     "q155_winnowing"           -> ((s, d) => graft.text.TextOps.winnowingFingerprints(s, d)),
     "q156_winnowing_pairs"     -> ((s, d) => graft.text.TextOps.winnowingPairs(s, d)),
+    "q157_hard_negatives"      -> ((s, d) => graft.vector.VectorOps.hardNegatives(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1944,6 +1945,19 @@ object SparkEntry {
         |FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q157: q66's ranking with the label inequality in the pair stage.
+    "q157_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 10),
+        |s AS (SELECT query_id, c.vec_id, c.label,
+        |        list_inner_product(v, qv) /
+        |          (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) AS cos
+        |      FROM c, q WHERE c.label <> q.qlabel),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, label, cos
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL),
     //   q44_percentiles_approx + q124_ship_lag_approx (sketch),

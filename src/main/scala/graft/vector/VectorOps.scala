@@ -434,6 +434,35 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * anchor (query) vector, the k most COSINE-SIMILAR corpus vectors
+    * carrying a DIFFERENT label. Semantically-near-but-differently-
+    * labeled examples are the negatives that actually move an embedding
+    * model; random negatives are trivially separable. Same shape as
+    * [[knnJoin]] (broadcast anchor block, narrow corpus scan, bounded-
+    * heap top-k via the RankLimitToGroupTopK rewrite) with the label
+    * inequality pushed into the pair stage — candidates die before the
+    * rank filter ever sees them. */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nQueries: Long = 10L, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = vecs(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine("v", "qv").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("label"), col("cos"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Per-dimension embedding profile — the feature-distribution snapshot
     * a training pipeline keeps to catch drift/degenerate dims. One
     * posexplode + one hash aggregate keyed on dim: partial aggregation

@@ -168,6 +168,32 @@ class Round8Spec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("hardNegatives: label inequality holds and ranking replays exactly") {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+    val queries = vecs.filter(_._1 < 10)
+    val corpus = vecs.filter(_._1 >= 10)
+    val expected = queries.flatMap { case (qid, ql, qv) =>
+      corpus.filter(_._2 != ql)
+        .map { case (id, l, v) =>
+          (qid, id, l, sdot(v, qv) / (math.sqrt(sdot(v, v)) * math.sqrt(sdot(qv, qv))))
+        }
+        .sortBy { case (_, id, _, cos) => (-cos, id) }
+        .take(3).zipWithIndex
+        .map { case ((_, id, l, cos), i) => (qid, i + 1L, id, l, cos) }
+    }.toSet
+    val out = graft.vector.VectorOps.hardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+      .toSet
+    assert(out === expected)
+    // every mined negative must carry a label different from its anchor
+    val anchorLabel = queries.map(q => q._1 -> q._2).toMap
+    out.foreach { case (qid, _, _, l, _) => assert(l != anchorLabel(qid)) }
+  }
+
   test("mixtureWeights: exact replay, flattening property, and share sum") {
     val perSource = Tables.documents(spark, dir)
       .select(col("source"), expr(
