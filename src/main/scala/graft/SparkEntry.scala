@@ -271,6 +271,7 @@ object SparkEntry {
     "q155_winnowing"           -> ((s, d) => graft.text.TextOps.winnowingFingerprints(s, d)),
     "q156_winnowing_pairs"     -> ((s, d) => graft.text.TextOps.winnowingPairs(s, d)),
     "q157_hard_negatives"      -> ((s, d) => graft.vector.VectorOps.hardNegatives(s, d)),
+    "q158_join_key_skew"       -> ((s, d) => Quality.joinKeySkew(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1958,6 +1959,13 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, label, cos
         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // q158: per-block subqueries generated by skewBlockSql (the q122
+    // mirrored lerp over the key-group SIZE domain).
+    "q158_join_key_skew" ->
+      (Seq(("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+           ("lineitem", "l_suppkey"), ("events", "user_id"))
+        .map { case (t, k) => skewBlockSql(t, k) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"table\", join_key")),
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL),
     //   q44_percentiles_approx + q124_ship_lag_approx (sketch),
@@ -2091,6 +2099,35 @@ object SparkEntry {
       |jpairs AS (SELECT doc_a, doc_b, inter / (x.n + y.n - inter) AS jaccard
       |           FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
       |           WHERE inter / (x.n + y.n - inter) >= 0.7)""".stripMargin
+
+  /** One q158 skew block: key-group sizes → size-domain histogram →
+    * cum/lerp p99 (the q122 mirrored-lerp pattern) + totals, for one
+    * (table, key). Kept as a generator so the four blocks can never
+    * drift from each other. */
+  private def skewBlockSql(table: String, key: String): String =
+    s"""SELECT '$table' AS "table", '$key' AS join_key,
+       |       CAST(n AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+       |       CAST(FLOOR(1000000.0 * n_rows / n + 0.5) AS BIGINT) AS mean_micro,
+       |       CAST(FLOOR(p99 * 1000000.0 + 0.5) AS BIGINT) AS p99_micro,
+       |       CAST(vmax AS BIGINT) AS max_key_rows,
+       |       CAST(FLOOR(1000000.0 * vmax / n_rows + 0.5) AS BIGINT) AS top_key_ppm
+       |FROM (
+       |  WITH sizes AS (SELECT CAST($key AS BIGINT) AS k, COUNT(*) AS key_rows FROM $table GROUP BY 1),
+       |  h AS (SELECT CAST(key_rows AS DOUBLE) AS v, COUNT(*) AS cnt FROM sizes GROUP BY 1),
+       |  c AS (SELECT v, cnt,
+       |               SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+       |               SUM(cnt) OVER () AS n
+       |        FROM h),
+       |  m AS (SELECT MAX(n) AS n, MAX(v) AS vmax,
+       |               MAX(CASE WHEN cum - cnt <= FLOOR(0.99 * CAST(n - 1 AS DOUBLE)) AND FLOOR(0.99 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS lo,
+       |               MAX(CASE WHEN cum - cnt <= CEIL(0.99 * CAST(n - 1 AS DOUBLE)) AND CEIL(0.99 * CAST(n - 1 AS DOUBLE)) < cum THEN v END) AS hi
+       |        FROM c),
+       |  t AS (SELECT CAST(SUM(key_rows) AS BIGINT) AS n_rows FROM sizes)
+       |  SELECT m.n, m.vmax,
+       |         CASE WHEN FLOOR(0.99 * CAST(m.n - 1 AS DOUBLE)) = 0.99 * CAST(m.n - 1 AS DOUBLE) THEN lo
+       |              ELSE lo + (0.99 * CAST(m.n - 1 AS DOUBLE) - FLOOR(0.99 * CAST(m.n - 1 AS DOUBLE))) * (hi - lo) END AS p99,
+       |         t.n_rows
+       |  FROM m CROSS JOIN t)""".stripMargin
 
   /** Shared by q38 (anti-join exact layer) and q154 (bloom-pre-filtered
     * exact layer): the two operators are result-identical by

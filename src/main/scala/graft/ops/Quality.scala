@@ -140,4 +140,49 @@ object Quality {
         "s_suppkey", lineitem, "l_suppkey"))
       .orderBy("check")
   }
+
+  /** Join-key skew profile — the diagnosis you run BEFORE pointing a
+    * 100 TB shuffle join at a key: per candidate join key, the key-group
+    * size distribution (mean in exact micro-units, p99 via the
+    * integer-domain histogram lerp, max) plus the share of rows carried
+    * by the single heaviest key in ppm. A max ≫ p99 or a fat top-key
+    * share says salt this key or lean on AQE skew splitting; roughly
+    * uniform says a plain shuffle join is fine (SCALE.md levers).
+    *
+    * Shape: one partial-agg pass per key column (shuffle carries one
+    * row per distinct key), then the size-distribution stats aggregate
+    * over the (distinct-key)-sized frame — the same two-level
+    * aggregation discipline as the q122 histogram percentiles; nothing
+    * buffers a group. */
+  def joinKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.lineitem(spark, dir)
+    val events = Tables.events(spark, dir)
+    def profile(table: String, key: String, df: DataFrame): DataFrame = {
+      val sizes = df.groupBy(col(key).cast("long").as("k"))
+        .agg(count(lit(1)).as("key_rows"))
+      // p99 over the SIZE DOMAIN (distinct group sizes — tiny): the q122
+      // histogram-lerp machinery, never a sorted row list
+      val hist = sizes.groupBy(col("key_rows").cast("double").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("g", lit(s"$table/$key"))
+      val pct = graft.ops.Percentiles
+        .fromHistogram(hist, "g", Seq(("p99", 0.99)))
+      val totals = sizes.agg(sum(col("key_rows")).as("n_rows"))
+      pct.crossJoin(broadcast(totals))
+        .select(
+          lit(table).as("table"), lit(key).as("join_key"),
+          col("n").as("n_keys"), col("n_rows"),
+          expr("cast(floor(1000000.0d * n_rows / n + 0.5d) as bigint)")
+            .as("mean_micro"),
+          expr("cast(floor(p99 * 1000000.0d + 0.5d) as bigint)").as("p99_micro"),
+          col("vmax").cast("long").as("max_key_rows"),
+          expr("cast(floor(1000000.0d * vmax / n_rows + 0.5d) as bigint)")
+            .as("top_key_ppm"))
+    }
+    profile("lineitem", "l_orderkey", lineitem)
+      .unionByName(profile("lineitem", "l_partkey", lineitem))
+      .unionByName(profile("lineitem", "l_suppkey", lineitem))
+      .unionByName(profile("events", "user_id", events))
+      .orderBy("table", "join_key")
+  }
 }

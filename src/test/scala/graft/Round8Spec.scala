@@ -194,6 +194,29 @@ class Round8Spec extends SparkSpec {
     out.foreach { case (qid, _, _, l, _) => assert(l != anchorLabel(qid)) }
   }
 
+  test("joinKeySkew replays exactly from a driver-side group-size recompute") {
+    val out = graft.ops.Quality.joinKeySkew(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    def replay(df: org.apache.spark.sql.DataFrame, key: String): (Long, Long, Long, Long, Long, Long) = {
+      val sizes = df.select(col(key).cast("long")).collect().map(_.getLong(0))
+        .groupBy(identity).map(_._2.length.toLong).toSeq.sorted
+      val (nKeys, nRows, vmax) = (sizes.length.toLong, sizes.sum, sizes.max)
+      val pos = 0.99d * (nKeys - 1).toDouble
+      val (lo, hi) = (sizes(pos.toInt).toDouble, sizes(math.ceil(pos).toInt).toDouble)
+      val p99 = if (math.floor(pos) == pos) lo else lo + (pos - math.floor(pos)) * (hi - lo)
+      (nKeys, nRows,
+        math.floor(1e6 * nRows / nKeys + 0.5).toLong,
+        math.floor(p99 * 1e6 + 0.5).toLong,
+        vmax,
+        math.floor(1e6 * vmax / nRows + 0.5).toLong)
+    }
+    assert(out(("lineitem", "l_orderkey")) === replay(Tables.lineitem(spark, dir), "l_orderkey"))
+    assert(out(("events", "user_id")) === replay(Tables.events(spark, dir), "user_id"))
+    assert(out.size === 4)
+  }
+
   test("mixtureWeights: exact replay, flattening property, and share sum") {
     val perSource = Tables.documents(spark, dir)
       .select(col("source"), expr(
