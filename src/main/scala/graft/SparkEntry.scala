@@ -272,6 +272,7 @@ object SparkEntry {
     "q156_winnowing_pairs"     -> ((s, d) => graft.text.TextOps.winnowingPairs(s, d)),
     "q157_hard_negatives"      -> ((s, d) => graft.vector.VectorOps.hardNegatives(s, d)),
     "q158_join_key_skew"       -> ((s, d) => Quality.joinKeySkew(s, d)),
+    "q159_leakage_safe_split"  -> ((s, d) => graft.dedup.DedupOps.leakageSafeSplit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1966,6 +1967,23 @@ object SparkEntry {
            ("lineitem", "l_suppkey"), ("events", "user_id"))
         .map { case (t, k) => skewBlockSql(t, k) }
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"table\", join_key")),
+    // q159: q51's recursive-CTE clustering + the md5-threshold split
+    // applied to the CLUSTER label ('33333333' = floor(0.2·2³²) hex).
+    "q159_leakage_safe_split" ->
+      s"""WITH RECURSIVE $JaccardCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+         |comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY 1),
+         |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < '33333333'
+         |            THEN 'eval' ELSE 'train' END AS split
+         |FROM lab ORDER BY doc_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q18_uv_approx (HLL),
     //   q44_percentiles_approx + q124_ship_lag_approx (sketch),

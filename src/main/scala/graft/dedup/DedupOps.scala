@@ -451,6 +451,31 @@ object DedupOps {
       .orderBy("cluster_id")
   }
 
+  /** Leakage-safe train/eval split: the side is decided by md5 of the
+    * near-dup CLUSTER id (not the doc id), so every member of a cluster
+    * lands on the same side — a doc-granular split (q70) leaks eval
+    * content into train whenever a near-dup pair straddles the cut,
+    * which inflates eval scores by exactly the duplicated mass. The
+    * threshold '33333333' is floor(0.2·2³²) in hex (the q130
+    * md5-threshold sampler at eval fraction 0.2, applied to the cluster
+    * label): deterministic across runs, partitionings, and engines.
+    * NOTE the expected-fraction caveat: sampling is cluster-weighted,
+    * so the DOC-level eval share concentrates around 0.2 only when
+    * cluster sizes are small relative to the corpus — exactly the
+    * post-dedup regime this split is for.
+    *
+    * Shape at scale: the split column is a pure function of the
+    * clustering output (one narrow map over q51's labeling — itself the
+    * memoized min-label fixpoint); no new shuffle. */
+  def leakageSafeSplit(spark: SparkSession, dir: String,
+                       threshold: Double = 0.7): DataFrame =
+    dedupClusters(spark, dir, threshold)
+      .withColumn("split",
+        when(substring(md5(col("cluster_id").cast("string")), 1, 8) < "33333333",
+          lit("eval")).otherwise(lit("train")))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+
   /** Min-label connected components over an undirected pair list; every
     * node in `docs` gets a cluster (singletons label themselves). Split
     * out so tests can drive literal graphs.

@@ -217,6 +217,33 @@ class Round8Spec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles the split, clusters stay whole") {
+    val split = graft.dedup.DedupOps.leakageSafeSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+    val byDoc = split.toMap
+    // every cluster lands entirely on one side
+    split.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.map(_._2._2).distinct.length === 1, s"cluster $cid split across sides")
+    }
+    // the property the operator exists for: NO near-dup pair straddles
+    val pairs = graft.dedup.DedupOps.minhashLshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a)._2 === byDoc(b)._2, s"near-dup pair ($a,$b) straddles the split")
+    }
+    // both sides are populated and the md5 rule replays exactly
+    val sides = split.map(_._2._2).distinct.sorted
+    assert(sides === Array("eval", "train"))
+    def md5Hex8(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    split.foreach { case (_, (cid, s)) =>
+      val expected = if (md5Hex8(cid.toString) < "33333333") "eval" else "train"
+      assert(s === expected)
+    }
+  }
+
   test("mixtureWeights: exact replay, flattening property, and share sum") {
     val perSource = Tables.documents(spark, dir)
       .select(col("source"), expr(
