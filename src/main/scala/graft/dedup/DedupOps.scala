@@ -275,7 +275,7 @@ object DedupOps {
           Tables.parquetRowCount(spark, s"$dir/documents.parquet"))
         corpusFp
           .agg(expr(s"graft_bloom_agg(xxhash64(fp), ${est}L, ${est * 10}L)"))
-          .head.getAs[Array[Byte]](0)
+          .head().getAs[Array[Byte]](0)
       }
     val withFp = fresh.withColumn("fp", md5(col("text")))
     val mightContain =

@@ -198,7 +198,8 @@ object VectorOps {
       require(seeds.length == nCentroids,
         s"IVF needs $nCentroids seed vectors with vec_id < $nCentroids; found ${seeds.length}")
       val grid = e
-        .withColumn("cell", cellOf(seeds.map { case (c, cv) => (c, typedLit(cv)) }))
+        .withColumn("cell",
+          cellOf(seeds.toIndexedSeq.map { case (c, cv) => (c, typedLit(cv)) }))
         .select(col("cell"), posexplode(col("v")))
         .groupBy("cell", "pos")
         .agg(count(lit(1)).as("n"),
