@@ -24,21 +24,40 @@ import graft.text.TextOps
 object TrainingPipeline {
 
   /** documents(doc_id, source, lang, text) → deduped chunks
-    * (doc_id, source, chunk_idx, chunk_text, chunk_tokens). */
+    * (doc_id, source, chunk_idx, chunk_text, chunk_tokens).
+    *
+    * `corpusIndex` is the streaming face of the q154 batch operator: a
+    * (bloom, fingerprint-table) pair summarizing the ALREADY-INGESTED
+    * corpus. The bloom rides as a broadcast literal inside the stream's
+    * scan stage — micro-batch rows it rejects are definitely novel and
+    * skip the membership join entirely; bloom positives go through a
+    * stream-static LEFT ANTI join against the exact fingerprint table,
+    * so a false positive costs one joined row, never a dropped novel
+    * doc. The in-stream `dropDuplicates` state then only carries
+    * fingerprints NEW to this run — the historical mass stays in the
+    * (compact, off-heap) index artifacts instead of the state store. */
   def corpusIngest(docs: DataFrame,
                    chunkLen: Int = 100, stride: Int = 50,
                    minTokens: Int = 10,
                    stopRatioMin: Double = 0.02,
-                   stopRatioMax: Double = 0.6): DataFrame = {
+                   stopRatioMax: Double = 0.6,
+                   corpusIndex: Option[(Array[Byte], DataFrame)] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val gated = docs
       .withColumn("st", expr("graft_text_stats(text)"))
       .filter(col("st.n_tokens") >= minTokens &&
         (col("st.stop_ct") / col("st.n_tokens")).between(stopRatioMin, stopRatioMax))
       .withColumn("fp", md5(TextOps.normText(col("text"))))
-      .dropDuplicates("fp")
+    val fresh = corpusIndex match {
+      case None => gated
+      case Some((bloom, corpusFp)) =>
+        val might = call_function("graft_bloom_might_contain",
+          lit(bloom), expr("xxhash64(fp)"))
+        gated.filter(!might).unionByName(
+          gated.filter(might).join(corpusFp, Seq("fp"), "left_anti"))
+    }
     TextOps.chunkCore(
-      gated.withColumn("tokens", expr(TextOps.TokensExpr)),
+      fresh.dropDuplicates("fp").withColumn("tokens", expr(TextOps.TokensExpr)),
       chunkLen, stride, carry = Seq("source"))
   }
 }

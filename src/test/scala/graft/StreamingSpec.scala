@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.functions.{col, expr, max, md5}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Pipelines
 
@@ -524,5 +524,40 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(out === Set((10L, "alice"), (20L, "bob")))
     assert(!fs.exists(p(path + "__bak")) && !fs.exists(p(path + "__tmp")))
+  }
+
+  test("streaming corpus ingest with a corpus index: historical dups die in-stream, novel docs survive") {
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // the ALREADY-INGESTED corpus: its fingerprints + a bloom built by
+    // the same expressions the batch operator (q154) uses
+    val corpusTexts = Seq("the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs today ok")
+    val corpusFp = corpusTexts.toDF("text")
+      .select(md5(graft.text.TextOps.normText(col("text"))).as("fp"))
+    val bloom = corpusFp
+      .agg(expr("graft_bloom_agg(xxhash64(fp), 100L, 1000L)"))
+      .head().getAs[Array[Byte]](0)
+    val input = MemoryStream[Doc]
+    val out = graft.streaming.TrainingPipeline.corpusIngest(
+      input.toDF(), chunkLen = 4, stride = 4, minTokens = 3,
+      stopRatioMin = 0.0, stopRatioMax = 1.0,
+      corpusIndex = Some((bloom, corpusFp)))
+    val q = out.writeStream.format("memory")
+      .queryName("corpus_idx_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1, "web", "en", "The  quick brown fox jumps over the lazy DOG"), // dup of corpus after norm
+        Doc(2, "web", "en", "completely novel sentence with seven brand new words"))
+      q.processAllAvailable()
+      input.addData(
+        Doc(3, "web", "en", "completely novel sentence with seven brand new words"), // in-stream dup of 2
+        Doc(4, "books", "en", "another genuinely new document for the corpus here"))
+      q.processAllAvailable()
+      val ids = spark.table("corpus_idx_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(2L, 4L),
+        s"historical dup (1) and in-stream dup (3) must die; got $ids")
+    } finally q.stop()
   }
 }
