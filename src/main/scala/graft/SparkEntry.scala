@@ -273,6 +273,7 @@ object SparkEntry {
     "q157_hard_negatives"      -> ((s, d) => graft.vector.VectorOps.hardNegatives(s, d)),
     "q158_join_key_skew"       -> ((s, d) => Quality.joinKeySkew(s, d)),
     "q159_leakage_safe_split"  -> ((s, d) => graft.dedup.DedupOps.leakageSafeSplit(s, d)),
+    "q160_rolling_uv_sketch"   -> ((s, d) => Dau.rollingUvSketch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1985,6 +1986,8 @@ object SparkEntry {
          |            THEN 'eval' ELSE 'train' END AS split
          |FROM lab ORDER BY doc_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
+    //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
+    //   against the hash-verified exact twin q84 in SketchBounds),
     //   q18_uv_approx (HLL),
     //   q44_percentiles_approx + q124_ship_lag_approx (sketch),
     //   q75_heavy_hitters (Count-Min layout is engine-specific;

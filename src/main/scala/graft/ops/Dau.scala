@@ -190,6 +190,29 @@ object Dau {
       .orderBy("week_start")
   }
 
+  /** The 100 TB variant of [[rollingUv7]] (q84), previously documented
+    * and now executable: rolling 7-day distinct users from MERGED daily
+    * HLL sketches. The only pass over raw events builds one sketch per
+    * day; the rolling window then unions ≤7 of those fixed-size
+    * binaries per target day — the explode fans out sketch rows (KBs),
+    * never event rows, so the shuffle volume is |days|×7 sketches
+    * regardless of corpus size. Exact rolling distinct (q84) collapses
+    * to (user, day) first and is the hash-verified twin; this path
+    * trades its per-user state for a 3σ-bounded estimate
+    * (SketchBounds). */
+  def rollingUvSketch(spark: SparkSession, dir: String): DataFrame = {
+    val daily = withLogDate(Tables.events(spark, dir))
+      .groupBy(to_date(col("log_date")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val days = daily.select(col("day").as("target_day"))
+    daily
+      .withColumn("target_day", explode(expr("sequence(day, date_add(day, 6))")))
+      .join(broadcast(days), Seq("target_day"), "left_semi")
+      .groupBy(date_format(col("target_day"), "yyyy-MM-dd").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("uv7_est"))
+      .orderBy("day")
+  }
+
   /** Weekly cohort retention matrix: users are cohorted by the ISO week
     * of their FIRST event; each (cohort_week, week_offset) cell counts
     * how many of that cohort were active `offset` weeks later — the

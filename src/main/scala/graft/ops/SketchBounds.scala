@@ -87,7 +87,13 @@ object SketchBounds {
     val x = keyed(exact, key, exactCol)
     require(e.keySet == x.keySet,
       s"estimate/exact key sets diverge: ${e.keySet.diff(x.keySet)} / ${x.keySet.diff(e.keySet)}")
-    e.map { case (k, v) => v -> x(k) }.toSeq
+    // .toSeq BEFORE the map: mapping a Map to (est, exact) pairs keys the
+    // RESULT on the est value, silently collapsing every group of keys
+    // that share an estimate into one pair — and a collision between
+    // (est, exactA) and (est, exactB) dropped one of the exact values
+    // from the bound entirely (found when q160's 30 rolling days
+    // reported n=2).
+    e.toSeq.map { case (k, v) => v -> x(k) }
   }
 
   /** Evaluate every bound at `dir`. Each exact side is the query the
@@ -112,6 +118,13 @@ object SketchBounds {
       pairsOf(Dau.uvSketchRollup(spark, dir), Dau.uvWeeklyExact(spark, dir),
         Seq("week_start"), "uv_est", "uv"),
       "HLL union-merge relative error <= 15% (3x rsd=5%) per week")
+
+    // q160: rolling 7-day UV from merged daily sketches vs the exact
+    // dedup-then-explode twin (q84) — same union-merge envelope.
+    checks += relErrCheck("q160_rolling_uv_sketch", "uv7_est vs uv7", 0.15, 0.0,
+      pairsOf(Dau.rollingUvSketch(spark, dir), Dau.rollingUv7(spark, dir),
+        Seq("day"), "uv7_est", "uv7"),
+      "HLL union-merge relative error <= 15% (3x rsd=5%) per rolling day")
 
     // q44 / q124: approx_percentile (t-digest-style rank sketch,
     // accuracy=1000) vs the exact histogram-lerp twins. The sketch
