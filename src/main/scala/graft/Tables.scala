@@ -72,10 +72,13 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Session configs every graft session needs. `nanosAsLong` is required
-    * because `events.parquet` stores TIMESTAMP(NANOS) which Spark has no
-    * native type for; [[events]] converts the long back to a microsecond
-    * timestamp (the data is µs-aligned, so this is lossless). */
+  /** Session configs every graft session needs. `nanosAsLong` covers the
+    * encoding `events.parquet` carried through round 6 — TIMESTAMP(NANOS),
+    * which Spark has no native type for; [[normalizeEventTs]] converts
+    * that long back to a µs timestamp losslessly. From round 7 the
+    * generator writes native timestamp[us] (read as TIMESTAMP_NTZ, also
+    * normalized there); the conf is harmless on µs data and stays so the
+    * same session config handles either vintage of testdata. */
   val requiredConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
@@ -112,7 +115,8 @@ object Tables {
     * corpus (advisor r7). */
   private val rowCounts =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Long]
-  def parquetRowCount(spark: SparkSession, path: String): Long = {
+
+  private def parquetParts(spark: SparkSession, path: String) = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -121,6 +125,20 @@ object Tables {
       if (st.isDirectory)
         fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       else Array(st)
+    (conf, parts)
+  }
+
+  /** (path, latest mtime, total size) — the cache key that makes a
+    * same-JVM regeneration of a table invalidate anything derived from
+    * it (row counts here; index artifacts like the q154 bloom key on
+    * this too). */
+  def pathFingerprint(spark: SparkSession, path: String): (String, Long, Long) = {
+    val (_, parts) = parquetParts(spark, path)
+    (path, parts.map(_.getModificationTime).maxOption.getOrElse(0L), parts.map(_.getLen).sum)
+  }
+
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val (conf, parts) = parquetParts(spark, path)
     val fingerprint =
       (path, parts.map(_.getModificationTime).maxOption.getOrElse(0L), parts.map(_.getLen).sum)
     rowCounts.getOrElseUpdate(fingerprint, {

@@ -269,8 +269,14 @@ object DedupOps {
     val corpusFp = Tables.memoCache(spark, s"inc-dedup-fp/$splitAt/$dir") {
       corpus.select(md5(col("text")).as("fp")).distinct()
     }
+    // keyed on the TABLE FINGERPRINT, not just the path: a same-JVM
+    // regeneration of documents.parquet must invalidate the bloom, or a
+    // doc duplicating a fingerprint that exists only in the NEW corpus
+    // would test bloom-negative and bypass the anti-join (the
+    // parquetRowCount staleness class, reviewer r8)
+    val fp = Tables.pathFingerprint(spark, s"$dir/documents.parquet")
     val bloom: Array[Byte] =
-      bloomMemo.get(spark, s"inc-dedup-bloom/$splitAt/$dir") {
+      bloomMemo.get(spark, s"inc-dedup-bloom/$splitAt/${fp._1}/${fp._2}/${fp._3}") {
         val est = math.max(1L,
           Tables.parquetRowCount(spark, s"$dir/documents.parquet"))
         corpusFp

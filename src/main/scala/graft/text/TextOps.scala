@@ -670,9 +670,11 @@ object TextOps {
   def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame =
     winnowingCore(Tables.documents(spark, dir))
 
-  /** [[winnowingFingerprints]] over any (doc_id, text) frame — split out
-    * so the spec can plant documents with known shared runs. */
-  private[graft] def winnowingCore(docs: DataFrame): DataFrame =
+  /** The winnow computation over any (doc_id, text) frame, keeping the
+    * selected fingerprints as an ARRAY — [[winnowingCore]] formats the
+    * q155-facing display frame from this; [[winnowingPairs]] explodes
+    * the array directly (no string round-trip, reviewer r8). */
+  private def winnowedDocs(docs: DataFrame): DataFrame =
     withTokens(docs)
       .withColumn("hs", expr(
         """case when size(tokens) >= 3
@@ -687,6 +689,11 @@ object TextOps {
           |  transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4)))))
           |when size(hs) > 0 then array(array_min(hs))
           |else array() end""".stripMargin))
+
+  /** [[winnowingFingerprints]] over any (doc_id, text) frame — split out
+    * so the spec can plant documents with known shared runs. */
+  private[graft] def winnowingCore(docs: DataFrame): DataFrame =
+    winnowedDocs(docs)
       .select(col("doc_id"),
         size(col("hs")).cast("long").as("n_kgrams"),
         size(col("fps")).cast("long").as("n_fp"),
@@ -706,9 +713,8 @@ object TextOps {
     * count, never silently. */
   def winnowingPairs(spark: SparkSession, dir: String,
                      minShared: Int = 2, maxDf: Int = 100): DataFrame = {
-    val postings = winnowingCore(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(split(col("fp_list"), ",")).as("fp"))
-      .filter(col("fp") =!= "")
+    val postings = winnowedDocs(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
     // df-cap: fingerprints shared by more docs than maxDf are template
     // mass (every pair of their docs would join) — cap like
     // DedupOps.DefaultMaxBucket, surfaced by count not silence. The

@@ -9,7 +9,7 @@
 # because nothing re-read the REAL parquet between the refresh and the
 # snapshot. This script makes that class of breakage a 60-second local
 # check; run it before every end-of-round commit (verify skill step 2
-# covers the full 150 when time allows).
+# covers the full query set when time allows).
 #
 # Usage: tools/presnapshot.sh  (from the repo root; exit 0 = safe)
 set -euo pipefail
