@@ -244,6 +244,18 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("rollingUvSketch aligns day-for-day with the exact twin inside the 3-sigma envelope") {
+    val exact = graft.ops.Dau.rollingUv7(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = graft.ops.Dau.rollingUvSketch(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet, "sketch path must cover the same rolling days")
+    est.foreach { case (day, e) =>
+      val x = exact(day)
+      assert(math.abs(e - x) <= 0.15 * x, s"$day: est=$e exact=$x beyond 3-sigma")
+    }
+  }
+
   test("mixtureWeights: exact replay, flattening property, and share sum") {
     val perSource = Tables.documents(spark, dir)
       .select(col("source"), expr(
