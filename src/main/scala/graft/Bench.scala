@@ -22,6 +22,29 @@ object Bench {
     * warms up against the same data as the benchmark it mimics. */
   private[graft] val WarmupDir = "/root/testdata/sf0.001"
 
+  /** Per-query budget gate (judge r8): round 8 shipped a 768 s query —
+    * 90% of the whole bench — because nothing re-checked per-query cost
+    * after the last plan audit. Flag every query whose best (warm) time
+    * exceeds max(`absFloorSec`, `medianMult` × median-of-best): the
+    * absolute floor keeps ordinary sf0.1 queries (median ~0.3 s, p99
+    * ~2.7 s in r8) from flagging, the median multiple scales the gate
+    * up with SF so a full-corpus run doesn't flag everything. Flags are
+    * emitted as a `slow_flags` JSON field (the artifact the driver and
+    * judge read) AND as stderr lines, so a pathological plan can never
+    * ride into a round snapshot silently again. Pure function: the
+    * planted-slow-query case is pinned in Round9Spec. */
+  private[graft] def slowFlags(best: Seq[(String, Double)],
+                               absFloorSec: Double = 10.0,
+                               medianMult: Double = 5.0): Seq[String] = {
+    val ok = best.collect { case (_, v) if v >= 0 => v }.sorted
+    if (ok.isEmpty) Seq.empty
+    else {
+      val median = ok(ok.length / 2)
+      val gate = math.max(absFloorSec, medianMult * median)
+      best.collect { case (n, v) if v > gate => n }
+    }
+  }
+
   private def runOne(spark: SparkSession,
                      fn: (SparkSession, String) => DataFrame,
                      dir: String): Double = {
@@ -164,10 +187,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = best.collect { case (_, v) if v >= 0 => v }.sum
     val failed = best.count(_._2 < 0)
+    // per-query budget gate: loud in the artifact AND on stderr
+    val flags = slowFlags(best)
+    flags.foreach { n =>
+      System.err.println(s"[bench] SLOW QUERY over budget gate: $n " +
+        s"best=${fmt(best.toMap.apply(n))}s — fix the plan before snapshot")
+    }
+    val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
     // passes >= 2 reuse session-memoized artifacts (cached dims, IVF
     // model, LSH band index), so min-over-passes is a warm timing for the
     // index-backed queries — stated here rather than silently implied.
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$rawPasses,"cold_extra":$coldExtra,"failed":$failed,"timing":"min over recorded passes; pass1 natural order, pass2 reversed, pass3+ adaptive re-runs of diverged/slow queries; passes >= 2 warm; cold_extra = pass1 - warm min (one-time memo/index build cost)","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$rawPasses,"cold_extra":$coldExtra,"failed":$failed,"slow_flags":$flagsJson,"timing":"min over recorded passes; pass1 natural order, pass2 reversed, pass3+ adaptive re-runs of diverged/slow queries; passes >= 2 warm; cold_extra = pass1 - warm min (one-time memo/index build cost)","sf":"$sfDir"}"""
     println(json)
     // safety net beside the stdout contract: a file copy of the same line
     // (round-1 grading lost the stdout line to an sbt log prefix)

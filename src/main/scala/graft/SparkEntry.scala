@@ -274,6 +274,15 @@ object SparkEntry {
     "q158_join_key_skew"       -> ((s, d) => Quality.joinKeySkew(s, d)),
     "q159_leakage_safe_split"  -> ((s, d) => graft.dedup.DedupOps.leakageSafeSplit(s, d)),
     "q160_rolling_uv_sketch"   -> ((s, d) => Dau.rollingUvSketch(s, d)),
+    // --- round 9: decontamination, template mining, corpus diversity,
+    //     embedding audit, product quantization, IVF index health ---
+    "q161_decontaminate"       -> ((s, d) => graft.text.TextOps.decontaminate(s, d)),
+    "q162_prefix_templates"    -> ((s, d) => graft.text.TextOps.prefixTemplates(s, d)),
+    "q163_token_simpson"       -> ((s, d) => graft.text.TextOps.tokenSimpson(s, d)),
+    "q164_embedding_audit"     -> ((s, d) => graft.vector.VectorOps.embeddingAudit(s, d)),
+    "q165_pq_encode"           -> ((s, d) => graft.vector.VectorOps.pqEncode(s, d)),
+    "q166_ivf_balance"         -> ((s, d) => graft.vector.VectorOps.ivfBalance(s, d)),
+    "q167_head_mass"           -> ((s, d) => graft.text.TextOps.headMass(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1985,6 +1994,130 @@ object SparkEntry {
          |       CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < '33333333'
          |            THEN 'eval' ELSE 'train' END AS split
          |FROM lab ORDER BY doc_id""".stripMargin,
+    // q161: q74's shingle machinery with the roles swapped — TRAIN docs
+    // overlapping the eval shingle set, dropped at >= 2 shared shingles.
+    "q161_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              unnest(CASE WHEN len(t) >= 3
+        |                     THEN list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |                     ELSE [] END) AS s
+        |       FROM tok),
+        |spl AS (SELECT doc_id,
+        |          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |               THEN 'eval' ELSE 'train' END AS split
+        |        FROM documents),
+        |ev AS (SELECT DISTINCT s FROM sh JOIN spl USING (doc_id) WHERE split = 'eval'),
+        |tr AS (SELECT sh.doc_id, sh.s FROM sh JOIN spl USING (doc_id) WHERE split = 'train')
+        |SELECT tr.doc_id, COUNT(*) AS n_shingles,
+        |       CAST(COUNT(ev.s) AS BIGINT) AS overlap_ct,
+        |       CAST(CASE WHEN COUNT(ev.s) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS dropped
+        |FROM tr LEFT JOIN ev ON tr.s = ev.s
+        |GROUP BY 1 HAVING COUNT(ev.s) >= 1 ORDER BY 1""".stripMargin,
+    // q162: head/tail p-token template ids (md5 16-hex, the q155 string
+    // trick); Spark slice(tokens,-8,8) = DuckDB t[len-7:len].
+    "q162_prefix_templates" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |f AS (SELECT doc_id, t FROM tok WHERE len(t) >= 8),
+        |h AS (SELECT 'head' AS kind, substring(md5(array_to_string(t[1:8], ' ')), 1, 16) AS template, doc_id FROM f
+        |      UNION ALL
+        |      SELECT 'tail', substring(md5(array_to_string(t[len(t)-7:len(t)], ' ')), 1, 16), doc_id FROM f)
+        |SELECT kind, template, COUNT(*) AS n_docs,
+        |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM h GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY kind, template""".stripMargin,
+    // q163: integer Simpson over per-source term frequencies (q131's
+    // rational-arithmetic rule at corpus level).
+    "q163_token_simpson" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |u AS (SELECT d.source, unnest(t.t) AS term FROM tok t JOIN documents d USING (doc_id)),
+        |bt AS (SELECT source, term, COUNT(*) AS tf FROM u GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens, COUNT(*) AS n_terms,
+        |       CASE WHEN SUM(tf) >= 2
+        |            THEN CAST(FLOOR(1000000.0 * SUM(tf * (tf - 1)) / (SUM(tf) * (SUM(tf) - 1)) + 0.5) AS BIGINT)
+        |       END AS simpson_micro
+        |FROM bt GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q164: micro-rounded L2 norms; the low-norm predicate is the
+    // integer cross-multiplication 2·n·norm < sum (no division).
+    "q164_embedding_audit" ->
+      """WITH n AS (SELECT label, vec_id,
+        |             CAST(FLOOR(1000000.0 * sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) + 0.5) AS BIGINT) AS nm
+        |           FROM embeddings),
+        |s AS (SELECT label, COUNT(*) AS n_vecs, CAST(SUM(nm) AS BIGINT) AS sum_norm_micro,
+        |             MIN(nm) AS min_norm_micro, MAX(nm) AS max_norm_micro
+        |      FROM n GROUP BY 1),
+        |l AS (SELECT n.label, COUNT(*) AS n_low FROM n JOIN s USING (label)
+        |      WHERE 2 * s.n_vecs * n.nm < s.sum_norm_micro GROUP BY 1)
+        |SELECT s.label, s.n_vecs, s.sum_norm_micro, s.min_norm_micro, s.max_norm_micro,
+        |       CAST(COALESCE(l.n_low, 0) AS BIGINT) AS n_low_norm
+        |FROM s LEFT JOIN l USING (label) ORDER BY 1""".stripMargin,
+    // q165: PQ encode — per-subspace argmin vs the first-16-vectors
+    // codebook (q111's deterministic seeding), err² in fixed d0+d1+d2+d3
+    // order so the double addition matches bit-for-bit.
+    "q165_pq_encode" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sv AS (SELECT vec_id, s.g AS sub, v[s.g*16+1 : s.g*16+16] AS sv
+        |       FROM e, generate_series(0, 3) s(g) WHERE vec_id >= 16),
+        |cb AS (SELECT CAST(vec_id AS INT) AS cid, s.g AS sub, v[s.g*16+1 : s.g*16+16] AS cs
+        |       FROM e, generate_series(0, 3) s(g) WHERE vec_id < 16),
+        |a AS (SELECT sv.vec_id, sv.sub,
+        |        MIN({'d': list_inner_product(sv.sv, sv.sv) - 2.0 * list_inner_product(sv.sv, cb.cs) + list_inner_product(cb.cs, cb.cs),
+        |             'c': cb.cid}) AS best
+        |      FROM sv JOIN cb USING (sub) GROUP BY 1, 2),
+        |p AS (SELECT vec_id,
+        |        MAX(CASE WHEN sub = 0 THEN best.c END) AS code0,
+        |        MAX(CASE WHEN sub = 1 THEN best.c END) AS code1,
+        |        MAX(CASE WHEN sub = 2 THEN best.c END) AS code2,
+        |        MAX(CASE WHEN sub = 3 THEN best.c END) AS code3,
+        |        MAX(CASE WHEN sub = 0 THEN best.d END) AS d0,
+        |        MAX(CASE WHEN sub = 1 THEN best.d END) AS d1,
+        |        MAX(CASE WHEN sub = 2 THEN best.d END) AS d2,
+        |        MAX(CASE WHEN sub = 3 THEN best.d END) AS d3
+        |      FROM a GROUP BY 1)
+        |SELECT vec_id, code0, code1, code2, code3,
+        |       CAST(FLOOR(1000000.0 * (d0 + d1 + d2 + d3) + 0.5) AS BIGINT) AS err2_micro
+        |FROM p ORDER BY vec_id""".stripMargin,
+    // q166: q35's quantizer CTEs verbatim through `cent`, then a full
+    // assignment + per-cell occupancy.
+    "q166_ivf_balance" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |a1 AS (SELECT e.vec_id,
+        |              MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, i.cv) + list_inner_product(i.cv, i.cv),
+        |                   'c': i.cell}) AS best
+        |       FROM e, init i GROUP BY 1),
+        |u AS (SELECT a1.best.c AS cell,
+        |             unnest(generate_series(1, len(e.v))) - 1 AS dim,
+        |             unnest(e.v) AS x
+        |      FROM e JOIN a1 USING (vec_id)),
+        |g AS (SELECT cell, dim, COUNT(*) AS n,
+        |             SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
+        |      FROM u GROUP BY 1, 2),
+        |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
+        |         FROM g GROUP BY 1),
+        |a2 AS (SELECT e.vec_id,
+        |              MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.cv) + list_inner_product(c.cv, c.cv),
+        |                   'c': c.cell}) AS best
+        |       FROM e, cent c GROUP BY 1),
+        |cnt AS (SELECT best.c AS cell, COUNT(*) AS n_vecs FROM a2 GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_total FROM e)
+        |SELECT CAST(cell AS INT) AS cell, n_vecs,
+        |       CAST(FLOOR(1000000.0 * n_vecs / n_total + 0.5) AS BIGINT) AS share_micro
+        |FROM cnt, t ORDER BY cell""".stripMargin,
+    // q167: per-source top-10 term mass (ties by term asc, the q10
+    // convention); integer counts, one micro-rounded division.
+    "q167_head_mass" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |u AS (SELECT d.source, unnest(t.t) AS term FROM tok t JOIN documents d USING (doc_id)),
+        |bt AS (SELECT source, term, COUNT(*) AS tf FROM u GROUP BY 1, 2),
+        |r AS (SELECT source, term, tf,
+        |             row_number() OVER (PARTITION BY source ORDER BY tf DESC, term ASC) AS rk
+        |      FROM bt),
+        |h AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS head_tokens FROM r WHERE rk <= 10 GROUP BY 1),
+        |tot AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS total_tokens FROM bt GROUP BY 1)
+        |SELECT tot.source, tot.total_tokens, h.head_tokens,
+        |       CAST(FLOOR(1000000.0 * h.head_tokens / tot.total_tokens + 0.5) AS BIGINT) AS head_micro
+        |FROM tot JOIN h USING (source) ORDER BY source""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -80,7 +80,17 @@ object Tables {
     * normalized there); the conf is harmless on µs data and stays so the
     * same session config handles either vintage of testdata. */
   val requiredConfs: Map[String, String] = Map(
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // graft_bloom_agg delegates to Spark's BloomFilterAggregate, which
+    // SILENTLY clamps estimatedNumItems/numBits to these confs (defaults
+    // 4M items / 64M bits ≈ 8 MB): past ~6.7M fingerprints the fpp
+    // degrades without any error (advisor r8). Raised so the documented
+    // 10-bits-per-item sizing (DedupOps.incrementalDedupBloom) holds to
+    // ~100M corpus docs / 128 MB blooms — past THAT, shard the bloom by
+    // fingerprint prefix as the docstring describes; a >128 MB single
+    // broadcast literal is wrong on a real cluster anyway.
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> "100000000",
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> "1073741824")
 
   /** Session-scoped cache memoizer: repeated query invocations (Verify,
     * Bench warm-up + timed pass) reuse ONE cached copy per (session,

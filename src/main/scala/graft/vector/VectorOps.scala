@@ -688,4 +688,119 @@ object VectorOps {
         col("cl.v").as("closest_vec_id"), col("cl.d").as("closest_dist2"))
       .orderBy("centroid_id")
   }
+
+  /** Embedding-quality audit per label (q164) — the vector-side
+    * malformed-input filter a training pipeline runs before any ANN /
+    * dedup stage trusts the embedding column: per label, the L2-norm
+    * profile (count, micro-rounded sum/min/max) and how many vectors
+    * fall below HALF the label's mean norm (zeroed, truncated, or
+    * mis-scaled rows show up here first).
+    *
+    * Exactness: norms are micro-rounded LONGS (sequential-fold dot +
+    * IEEE sqrt are engine-identical), and the low-norm predicate is the
+    * integer cross-multiplication `2·n·norm_micro < sum_micro` — no
+    * division, no doubles, same arithmetic in the oracle.
+    *
+    * Scale: one narrow map (a dot per row) + one ~label-cardinality
+    * aggregate, the per-label stats broadcast back for the second
+    * counting pass — fact rows shuffle once on label, twice total scans,
+    * zero sorts. */
+  def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+      .select(col("label"), col("vec_id"),
+        expr("cast(floor(1000000.0d * sqrt(graft_dot(v, v)) + 0.5d) as bigint)")
+          .as("norm_micro"))
+    val stats = e.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("norm_micro")).as("sum_norm_micro"),
+        min(col("norm_micro")).as("min_norm_micro"),
+        max(col("norm_micro")).as("max_norm_micro"))
+    val low = e.join(broadcast(stats.select(col("label"),
+        col("n_vecs").as("n2"), col("sum_norm_micro").as("s2"))), Seq("label"))
+      .filter(lit(2L) * col("n2") * col("norm_micro") < col("s2"))
+      .groupBy("label").agg(count(lit(1)).as("n_low_norm"))
+    stats.join(low, Seq("label"), "left_outer")
+      .select(col("label"), col("n_vecs"), col("sum_norm_micro"),
+        col("min_norm_micro"), col("max_norm_micro"),
+        coalesce(col("n_low_norm"), lit(0L)).as("n_low_norm"))
+      .orderBy("label")
+  }
+
+  /** Product quantization encode (q165) — the memory side of
+    * billion-scale ANN (Jégou et al. 2011): each 64-d vector splits
+    * into `m`=4 16-d subvectors, each encoded as the id of its nearest
+    * codeword from a 16-entry per-subspace codebook, so a vector
+    * compresses 64×8 bytes → 4 codes; the reported reconstruction
+    * error² (micro-rounded, fixed s0+s1+s2+s3 addition order) is the
+    * quality signal that decides whether the codebook needs retraining.
+    * Codebooks here are the first `c` vectors' subvectors — the same
+    * deterministic seeding as [[kmeansAssign]]/[[ivfCentroids]], so the
+    * oracle replays the identical construction in SQL.
+    *
+    * Scale: the codebook (m·c rows) broadcasts; encoding is a narrow
+    * map (explode to m rows/vec, m·c dots total) + one min(struct)
+    * aggregate per (vec, sub) + one pivot-style regroup per vec — no
+    * fact-side join, no sort. Real PQ trains codebooks with per-
+    * subspace k-means ([[annIvfTopKMl]]'s path); the encode/decode
+    * plumbing — the part that runs over ALL data — is identical. */
+  def pqEncode(spark: SparkSession, dir: String,
+               m: Int = 4, c: Int = 16): DataFrame = {
+    val e = vecs(spark, dir)
+    def subVecs(df: DataFrame, idCol: String): DataFrame = df
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s as sub, slice(v, s * (size(v) div $m) + 1, size(v) div $m) as sv))"))
+        .as("x"))
+      .select(col(idCol), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    val codebook = subVecs(
+      e.filter(col("vec_id") < c).select(col("vec_id").cast("int").as("cid"), col("v")),
+      "cid").select(col("cid"), col("sub"), col("sv").as("cs"))
+    val encoded = subVecs(e.filter(col("vec_id") >= c), "vec_id")
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        struct(
+          (dotC(col("sv"), col("sv")) - lit(2.0d) * dotC(col("sv"), col("cs"))
+            + dotC(col("cs"), col("cs"))).as("d"),
+          col("cid")).as("dc"))
+      .groupBy("vec_id", "sub")
+      .agg(min(col("dc")).as("best"))
+    def at(s: Int, f: String): Column =
+      max(when(col("sub") === s, col(s"best.$f")))
+    encoded.groupBy("vec_id")
+      .agg(
+        at(0, "cid").as("code0"), at(1, "cid").as("code1"),
+        at(2, "cid").as("code2"), at(3, "cid").as("code3"),
+        at(0, "d").as("d0"), at(1, "d").as("d1"),
+        at(2, "d").as("d2"), at(3, "d").as("d3"))
+      .select(col("vec_id"), col("code0"), col("code1"), col("code2"), col("code3"),
+        expr("cast(floor(1000000.0d * (d0 + d1 + d2 + d3) + 0.5d) as bigint)")
+          .as("err2_micro"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF index-health profile (q166) — per-cell occupancy of the q35
+    * coarse quantizer: cell id, member count, and micro-rounded share of
+    * the corpus. The companion of q127's LSH bucket profile: a skewed
+    * cell (share ≫ 1/k) means probe cost concentrates and the quantizer
+    * needs retraining; an empty cell wastes a probe. Uses the exact
+    * memoized centroids q35 queries against, so the profile audits the
+    * REAL index, not a reconstruction.
+    *
+    * Scale: assignment is the same narrow broadcast-centroid map as
+    * q35/q151; the profile is one k-row aggregate + a 1-row broadcast
+    * total. */
+  def ivfBalance(spark: SparkSession, dir: String,
+                 nCentroids: Int = 16): DataFrame = {
+    val cents = ivfCentroids(spark, dir, nCentroids)
+    val e = vecs(spark, dir)
+    val assigned = e.withColumn("cell",
+      cellOf(cents.zipWithIndex.map { case (cv, ci) => (ci, typedLit(cv)) }))
+    val total = assigned.agg(count(lit(1)).as("n_total"))
+    assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(total))
+      .select(col("cell").cast("int").as("cell"), col("n_vecs"),
+        expr("cast(floor(1000000.0d * n_vecs / n_total + 0.5d) as bigint)")
+          .as("share_micro"))
+      .orderBy("cell")
+  }
 }

@@ -560,4 +560,35 @@ class StreamingSpec extends SparkSpec {
         s"historical dup (1) and in-stream dup (3) must die; got $ids")
     } finally q.stop()
   }
+
+  test("streaming overlap screen: a pasted paragraph is flagged against the corpus postings, novel text is not") {
+    implicit val sq = spark.sqlContext
+    // the ALREADY-INGESTED corpus and its winnow postings index — the
+    // same artifact the batch q156 memoizes
+    val sharedRun = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (100L, s"opening words then $sharedRun closing words here"),
+      (101L, "an unrelated corpus document about completely other topics entirely")
+    ).toDF("doc_id", "text")
+    val postings = graft.text.TextOps.winnowPostings(corpus)
+    val input = MemoryStream[Doc]
+    val out = graft.streaming.TrainingPipeline.overlapScreen(input.toDF(), postings)
+    val q = out.writeStream.format("memory")
+      .queryName("overlap_out").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        // novel md5 (different framing text) but pastes the corpus run —
+        // exact dedup would miss this; the winnow screen must not
+        Doc(1, "web", "en", s"totally different start $sharedRun and a different ending"),
+        Doc(2, "web", "en", "no overlap with anything ingested before at all honestly"))
+      q.processAllAvailable()
+      val flagged = spark.table("overlap_out")
+        .select("doc_id", "corpus_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flagged.contains((1L, 100L)),
+        s"doc 1 shares a ${sharedRun.split(' ').length}-token run with corpus doc 100; got $flagged")
+      assert(!flagged.exists(_._1 == 2L), s"novel doc 2 must not flag; got $flagged")
+      assert(!flagged.exists(_._2 == 101L), s"unrelated corpus doc 101 must not flag; got $flagged")
+    } finally q.stop()
+  }
 }

@@ -30,3 +30,28 @@ for q in q05_dau_table q14_alerts q36_sessions; do
   fi
 done
 echo "presnapshot: events-path queries green on current testdata"
+# Per-query bench budget gate (judge r8: a 768 s query shipped unnoticed).
+# bench_last.json may predate the current source, so a flag REFUSES only
+# when the file is newer than every tracked source file; otherwise it
+# warns loudly and lets a correctness-only snapshot through.
+if [ -f bench_last.json ]; then
+  flags=$(python3 - <<'EOF'
+import json
+try:
+    d = json.load(open("bench_last.json"))
+    print(",".join(d.get("slow_flags", [])))
+except Exception:
+    print("")
+EOF
+)
+  if [ -n "$flags" ]; then
+    echo "presnapshot: WARNING — bench_last.json carries slow_flags: $flags"
+    newest_src=$(git ls-files 'src/main/*.scala' | xargs -r stat -c %Y 2>/dev/null | sort -n | tail -1)
+    bench_ts=$(stat -c %Y bench_last.json)
+    if [ -n "$newest_src" ] && [ "$bench_ts" -gt "$newest_src" ]; then
+      echo "presnapshot: REFUSING — bench is current and a query is over budget"
+      exit 1
+    fi
+    echo "presnapshot: bench predates current source; re-run graft.Bench to clear"
+  fi
+fi
