@@ -283,6 +283,17 @@ object SparkEntry {
     "q165_pq_encode"           -> ((s, d) => graft.vector.VectorOps.pqEncode(s, d)),
     "q166_ivf_balance"         -> ((s, d) => graft.vector.VectorOps.ivfBalance(s, d)),
     "q167_head_mass"           -> ((s, d) => graft.text.TextOps.headMass(s, d)),
+    // --- round 9b: TPC-H Q2/Q11/Q19/Q20 shapes (argmin-in-aggregate,
+    //     group-vs-global-scalar, disjunctive pushdown, nested semi-join)
+    //     + corpus selection ops (weighted sampling, dedup dashboard,
+    //     banded token-budget cut) ---
+    "q168_min_cost_supplier"   -> ((s, d) => Warehouse.minCostSupplier(s, d)),
+    "q169_important_parts"     -> ((s, d) => Warehouse.importantParts(s, d)),
+    "q170_disjunctive_revenue" -> ((s, d) => Warehouse.disjunctiveRevenue(s, d)),
+    "q171_bulk_suppliers"      -> ((s, d) => Warehouse.bulkPartSuppliers(s, d)),
+    "q172_weighted_sample"     -> ((s, d) => graft.text.Curation.weightedSample(s, d)),
+    "q173_dedup_by_source"     -> ((s, d) => graft.dedup.DedupOps.dedupRateBySource(s, d)),
+    "q174_token_budget"        -> ((s, d) => graft.text.Curation.tokenBudgetSelect(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2118,6 +2129,91 @@ object SparkEntry {
         |SELECT tot.source, tot.total_tokens, h.head_tokens,
         |       CAST(FLOOR(1000000.0 * h.head_tokens / tot.total_tokens + 0.5) AS BIGINT) AS head_micro
         |FROM tot JOIN h USING (source) ORDER BY source""".stripMargin,
+    // q168: the Spark argmin is min(struct(price, suppkey)) —
+    // lexicographic struct-min ≡ ORDER BY price, suppkey LIMIT 1 per
+    // part; unit price is a per-row division + MIN, both exact.
+    "q168_min_cost_supplier" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part
+        |           WHERE p_type = 'PROMO' AND p_size <= 15),
+        |u AS (SELECT l_partkey, l_suppkey,
+        |             MIN(l_extendedprice / l_quantity) AS supp_unit
+        |      FROM lineitem JOIN p ON l_partkey = p_partkey
+        |      GROUP BY 1, 2),
+        |b AS (SELECT l_partkey, l_suppkey, supp_unit,
+        |             row_number() OVER (PARTITION BY l_partkey
+        |                                ORDER BY supp_unit ASC, l_suppkey ASC) AS rk
+        |      FROM u)
+        |SELECT p.p_partkey, p.p_name, p.p_brand, s.s_name,
+        |       b.supp_unit AS min_unit_price
+        |FROM b JOIN p ON b.l_partkey = p.p_partkey
+        |JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        |WHERE b.rk = 1 ORDER BY p.p_partkey""".stripMargin,
+    // q169: the mean-relative threshold compares double casts of
+    // EXACT decimal sums — both engines see bit-identical operands, so
+    // the boundary decision is identical.
+    "q169_important_parts" ->
+      """WITH v AS (SELECT l_partkey,
+        |                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val_dec
+        |           FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(SUM(val_dec) AS DOUBLE) AS tot, COUNT(*) AS n_parts FROM v)
+        |SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+        |FROM v, s
+        |WHERE CAST(val_dec AS DOUBLE) * n_parts * 100 > tot * 110
+        |ORDER BY part_value DESC, l_partkey ASC""".stripMargin,
+    "q170_disjunctive_revenue" ->
+      """SELECT COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 0.0) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // q171: l_quantity is integer-valued (sums exact in double); the
+    // pair-vs-average threshold is BIGINT cross-multiplication.
+    "q171_bulk_suppliers" ->
+      """WITH q AS (SELECT l_suppkey, l_partkey,
+        |                  CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey
+        |           WHERE p_type = 'ECONOMY' AND year(l_shipdate) = 1997
+        |           GROUP BY 1, 2),
+        |s AS (SELECT CAST(SUM(qty) AS BIGINT) AS tot_qty, COUNT(*) AS n_pairs FROM q)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM q, s
+        |                    WHERE qty * n_pairs > 2 * tot_qty)
+        |ORDER BY s_suppkey""".stripMargin,
+    // q172: the accept/reject edge is INTEGER cross-multiplication on
+    // the md5-derived u32 — no float compare at the boundary on either
+    // engine.
+    "q172_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      * 400 < least(n_chars, 400) * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+    "q173_dedup_by_source" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT md5(text)) AS n_distinct,
+        |       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups,
+        |       CAST(FLOOR(1000000.0 * (COUNT(*) - COUNT(DISTINCT md5(text)))
+        |                  / COUNT(*) + 0.5) AS BIGINT) AS dup_micro
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q174: the oracle is the NAIVE global-cumsum formulation; the Spark
+    // plan is the banded scale-out rewrite (full bands kept whole, one
+    // boundary band windowed per-band). Ordering by n_tokens DESC
+    // refines band DESC (floor(n/8) is monotone in n), so the two are
+    // row-identical — the hash match IS the equivalence proof.
+    "q174_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |b AS (SELECT CAST(FLOOR(SUM(n_tokens) * 0.30) AS BIGINT) AS budget FROM t),
+        |c AS (SELECT t.*, SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ASC
+        |                                      ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens FROM c, b
+        |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

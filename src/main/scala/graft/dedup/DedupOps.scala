@@ -22,6 +22,29 @@ import graft.text.TextOps
   */
 object DedupOps {
 
+  /** Per-source dedup observability report: document count, distinct
+    * content hashes, duplicate rows, and the dup rate in micro units —
+    * the first dashboard a corpus-ingest pipeline owner reads (which
+    * source is flooding us with copies?). Exact-dedup ([[exactDedup]])
+    * semantics per source.
+    *
+    * Scale: one partial-agg shuffle keyed by source; the distinct count
+    * is a per-group COUNT(DISTINCT md5) — two-phase expand-aggregate,
+    * no row ever leaves its source group. The rate is FLOOR(1e6·x+0.5)
+    * integer micro-units (the q167 pattern), so the report hash-matches
+    * any engine. At a 100 TB corpus swap the exact distinct for the
+    * mergeable HLL rollup (q61) — same report, sketch column. */
+  def dedupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dups"),
+        floor(lit(1000000.0) * (col("n_docs") - col("n_distinct"))
+          / col("n_docs") + lit(0.5)).cast("long").as("dup_micro"))
+      .orderBy("source")
+
   /** Exact dedup: one representative (min doc_id) per distinct content
     * hash, with the copy count. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =

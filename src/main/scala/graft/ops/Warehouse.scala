@@ -595,4 +595,146 @@ object Warehouse {
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(k)
   }
+
+  /** TPC-H Q2 shape: for each part of a given type/size band, the
+    * supplier offering the LOWEST observed unit price — the classic
+    * correlated-min scalar subquery, decorrelated into two hash
+    * aggregates. The testdata has no partsupp table, so "offer price"
+    * is the minimum `l_extendedprice / l_quantity` the supplier ever
+    * shipped that part at (per-row division — exact and
+    * order-independent, unlike an average).
+    *
+    * Scale: the part filter prunes the fact join's build side before
+    * any shuffle; the per-(part, supplier) and per-part minima are both
+    * partial-agg hash aggregates; the argmin is `min(struct(price,
+    * suppkey))` — lexicographic struct-min with the suppkey tiebreak
+    * riding IN the aggregate, so no window sort over the fact table
+    * ever happens (contrast the naive row_number plan, which sorts
+    * every group). */
+  def minCostSupplier(spark: SparkSession, dir: String,
+                      ptype: String = "PROMO", maxSize: Int = 15): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_type") === ptype && col("p_size") <= maxSize)
+      .select("p_partkey", "p_name", "p_brand")
+    val best = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      .join(part.select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("unit_price")).as("supp_unit"))
+      .groupBy("l_partkey")
+      .agg(min(struct(col("supp_unit"), col("l_suppkey"))).as("best"))
+      .select(col("l_partkey"),
+        col("best.supp_unit").as("min_unit_price"),
+        col("best.l_suppkey").as("best_suppkey"))
+    best
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("best_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("s_name"), col("min_unit_price"))
+      .orderBy(col("p_partkey").asc)
+  }
+
+  /** TPC-H Q11 shape: parts whose revenue exceeds a FRACTION of the
+    * whole corpus's revenue — a per-group aggregate compared against a
+    * global scalar. The scalar rides as a broadcast 1-row cross join
+    * (never a collected driver value baked into the plan, so the same
+    * plan object re-executes correctly after data changes), and all
+    * money math stays decimal until the final cast, so the
+    * group-vs-global comparison is exact and aggregation-order
+    * independent. Scale: one fact aggregation feeds BOTH sides (the
+    * per-part frame re-aggregates to the global total), so the fact
+    * table is scanned once.
+    *
+    * The threshold is RELATIVE — `slackPct`% above the mean part value
+    * — not an absolute corpus fraction: TPC-H Q11's `0.0001/SF` constant
+    * encodes the same intent (a fixed fraction goes degenerate as the
+    * group count grows), and a mean-relative cut keeps the right tail
+    * at every scale. Boundary determinism: both engines compute the
+    * IDENTICAL exact decimal (tot, val) and long (cnt), so the
+    * double-cast comparison sees bit-identical operands. */
+  def importantParts(spark: SparkSession, dir: String,
+                     slackPct: Int = 10): DataFrame = {
+    val perPart = Tables.memoCache(spark, s"q169/perpart/$dir") {
+      Tables.lineitem(spark, dir)
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .groupBy("l_partkey")
+        .agg(revenue.as("val_dec"))
+    }
+    val total = perPart.agg(sum(col("val_dec")).as("tot"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("val_dec").cast("double") * col("n_parts") * lit(100L) >
+        col("tot").cast("double") * lit(100L + slackPct))
+      .select(col("l_partkey"),
+        col("val_dec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey").asc)
+  }
+
+  /** TPC-H Q19 shape: revenue under an OR of brand × size × quantity
+    * conjunctions — the disjunctive-predicate pushdown test. The
+    * part-side implications of the disjunction (brand ∈ {…} AND size ≤
+    * max) are factored out and applied BEFORE the join, so the build
+    * side shrinks at the scan instead of carrying every part into the
+    * join just to discard it; the full row-coupled disjunction then
+    * runs post-join. Catalyst cannot do this factoring itself (the
+    * predicate mixes columns from both sides), which is why the
+    * operator does it explicitly — the difference at 100 TB is joining
+    * against 3 brands instead of all of them. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brands = Seq("Brand#12", "Brand#23", "Brand#34")
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand").isin(brands: _*) && col("p_size").between(1, 15))
+      .select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val c1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val c2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val c3 = col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(c1 || c2 || c3)
+      .agg(coalesce(revenue.cast("double"), lit(0.0)).as("revenue"))
+  }
+
+  /** TPC-H Q20 shape: suppliers who shipped a BULK quantity (>
+    * `minQty` units in `year`) of at least one part of the target type
+    * — the nested semi-join: an aggregate-with-HAVING inner query whose
+    * survivors semi-join the supplier dimension. No partsupp/availqty
+    * in the testdata, so the "half the stock" predicate becomes an
+    * relative threshold: a (supplier, part) pair qualifies when it
+    * shipped more than `mult`× the AVERAGE pair quantity — Q20's
+    * "more than half the stock" intent, scale-stable where an absolute
+    * cut goes all-or-nothing as row counts grow. Boundary determinism:
+    * l_quantity is integer-valued, so every sum is exact in double;
+    * the comparison is pure-BIGINT cross-multiplication (qty·n_pairs >
+    * mult·total), no float at the edge. Scale: the fact scan prunes on
+    * the year filter + the (broadcastable-while-small, AQE-owned) part
+    * semi-join before the (suppkey, partkey) aggregate; the final LEFT
+    * SEMI against supplier dedups without a distinct. */
+  def bulkPartSuppliers(spark: SparkSession, dir: String,
+                        ptype: String = "ECONOMY", year: Int = 1997,
+                        mult: Int = 2): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") === ptype).select("p_partkey")
+    val pairQty = Tables.memoCache(spark, s"q171/pairqty/$ptype/$year/$dir") {
+      Tables.lineitem(spark, dir)
+        .filter(org.apache.spark.sql.functions.year(col("l_shipdate")) === year)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    }
+    val stat = pairQty.agg(sum(col("qty")).as("tot_qty"),
+      count(lit(1)).as("n_pairs"))
+    val qualifying = pairQty.crossJoin(broadcast(stat))
+      .filter(col("qty") * col("n_pairs") > lit(mult.toLong) * col("tot_qty"))
+      .select("l_suppkey")
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .orderBy(col("s_suppkey").asc)
+  }
 }

@@ -205,4 +205,78 @@ object Curation {
         sum(when(keep, col("n_tokens")).otherwise(lit(0L))).as("tokens_kept"))
       .orderBy("lang")
   }
+
+  /** Deterministic quality-WEIGHTED sampling: accept a document with
+    * probability proportional to its length signal (w = min(n_chars,
+    * `cap`) / cap), decided by a content-keyed hash instead of an RNG —
+    * the up/down-sampling primitive of corpus mixing (temperature
+    * sampling per source is q152; this is the per-document variant).
+    * Hash-keyed acceptance makes the sample reproducible across runs,
+    * engines, and partitionings, and lets an incremental pipeline
+    * re-derive exactly which docs an earlier run kept.
+    *
+    * Determinism at the boundary: the acceptance test is integer
+    * cross-multiplication — `u32(md5(doc_id)) · cap < min(n_chars, cap)
+    * · 2³²` — all BIGINT, so no engine ever compares rounded floats at
+    * the accept/reject edge. Scale: one narrow map + filter, no
+    * shuffle; the selection commutes with partitioning by construction. */
+  def weightedSample(spark: SparkSession, dir: String,
+                     cap: Long = 400L): DataFrame = {
+    val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    Tables.documents(spark, dir)
+      .filter(u32 * lit(cap) < least(col("n_chars"), lit(cap)) * lit(4294967296L))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Token-budget corpus selection: keep the highest-priority documents
+    * whose cumulative token count fits a budget (`frac` of the corpus's
+    * total tokens) — the "fill the training run" cut. Priority here is
+    * longest-first with doc_id as the total-order tiebreak; semantics =
+    * global cumulative sum over (n_tokens DESC, doc_id ASC) kept while
+    * cum ≤ budget.
+    *
+    * Scale: the naive plan is a single-partition global window — a
+    * non-starter at 100 TB. Instead the selection is BANDED (the
+    * q122/q123 pattern): docs bucket by token-count band (a narrow
+    * map), per-band totals (a few hundred rows) take the global window,
+    * whole bands that fit are kept outright, and only the ONE boundary
+    * band runs a per-doc running sum — partitioned BY BAND, never
+    * global. Within a full band order doesn't matter (all kept), and the
+    * boundary band's window ordering matches the global priority, so
+    * the banded plan is row-identical to the global-window oracle. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String,
+                        frac: Double = 0.30, bandWidth: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+          .cast("long").as("n_tokens"))
+      .withColumn("band", floor(col("n_tokens") / lit(bandWidth)).cast("long"))
+    // per-band totals: a bounded-domain frame (≤ max_tokens/bandWidth
+    // rows), so the global window over it is cheap and stays cheap
+    val bandCum = toks.groupBy("band")
+      .agg(sum(col("n_tokens")).as("band_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("band_tokens")).over(
+          Window.orderBy(col("band").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val budget = toks.agg(
+      floor(sum(col("n_tokens")) * lit(frac)).cast("long").as("budget"))
+    val banded = toks
+      .join(broadcast(bandCum), "band")
+      .crossJoin(broadcast(budget))
+    val fullBand = col("cum_before") + col("band_tokens") <= col("budget")
+    val boundary = !fullBand && col("cum_before") <= col("budget")
+    val inBand = Window.partitionBy("band")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    banded
+      .withColumn("cum",
+        when(boundary, col("cum_before") + sum(col("n_tokens")).over(inBand)))
+      .filter(fullBand || (boundary && col("cum") <= col("budget")))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
 }
