@@ -294,6 +294,8 @@ object SparkEntry {
     "q172_weighted_sample"     -> ((s, d) => graft.text.Curation.weightedSample(s, d)),
     "q173_dedup_by_source"     -> ((s, d) => graft.dedup.DedupOps.dedupRateBySource(s, d)),
     "q174_token_budget"        -> ((s, d) => graft.text.Curation.tokenBudgetSelect(s, d)),
+    "q175_source_overlap"      -> ((s, d) => graft.dedup.DedupOps.sourceOverlap(s, d)),
+    "q176_lsh_scurve"          -> ((s, d) => graft.dedup.DedupOps.lshScurveEval(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2214,6 +2216,21 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, source, n_tokens FROM c, b
         |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
+    // q175: the set-based Spark plan (per-gram source set → in-set
+    // pairs) is verified against the naive self-join formulation — the
+    // hash match doubles as the plan-equivalence proof (q174 pattern).
+    "q175_source_overlap" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |                    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |             FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram
+        |      FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)
+        |      WHERE len(t) >= 5)
+        |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_ngrams
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY shared_ngrams DESC, source_a ASC, source_b ASC""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),
@@ -2227,7 +2244,10 @@ object SparkEntry {
     //   in-row exact twin at the ~1.96/√K KMV error; the exact columns
     //   are hash-verified as q125), q127_lsh_bucket_profile (band keys
     //   come from graft_minhash_sig; the planted-skew ScaleLeversSpec
-    //   case pins its arithmetic exactly). q29_ann_lsh IS
+    //   case pins its arithmetic exactly), q176_lsh_scurve (xxhash64
+    //   shingles + the minhash family are Spark-specific; SketchBounds
+    //   gates every band against the in-row analytic S-curve envelope
+    //   the query itself carries). q29_ann_lsh IS
     //   oracled: the seeded
     //   hyperplanes are embedded as literals, making the whole LSH
     //   pipeline replayable.

@@ -76,6 +76,99 @@ object DedupOps {
     }
   }
 
+  /** Cross-source contamination matrix: for every source pair, the
+    * number of distinct word `n`-grams they SHARE — the substring-level
+    * overlap dashboard (exact-hash overlap is always 0 on this corpus;
+    * shared phrasing is where cross-source leakage shows first). The
+    * q161 decontamination op answers "which docs overlap the eval set";
+    * this answers the corpus-level "which SOURCES overlap each other".
+    *
+    * Scale: the naive formulation (the oracle) self-joins the
+    * (source, gram) table on gram — quadratic in a gram's source count
+    * AND row-multiplied by hot grams. This plan instead aggregates each
+    * gram's source SET (bounded by the number of sources — a few
+    * hundred at worst, 20 here) and explodes the ≤ n·(n−1)/2 in-set
+    * pairs: one shuffle keyed by gram, one bounded-domain count. At
+    * 100 TB key the gram shuffle on a 64-bit gram hash instead of the
+    * string (the q25 collision rule); strings keep oracle parity here. */
+  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val grams = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), explode(expr(s"graft_ngram_counts(text, $n)")).as("g"))
+      .select(col("source"), col("g.gram").as("gram"))
+      .distinct()
+    grams
+      .groupBy("gram").agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(srcs)-2), i -> " +
+          "transform(sequence(i+1, size(srcs)-1), j -> " +
+          "struct(srcs[i] as source_a, srcs[j] as source_b))))")).as("p"))
+      .select(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .orderBy(col("shared_ngrams").desc, col("source_a").asc, col("source_b").asc)
+  }
+
+  /** LSH S-curve recall harness: measures, per exact-Jaccard band, how
+    * often q25's banding (b=16, r=4 over 64 minhashes) actually
+    * surfaces a pair — the tuning read-out an operator consults before
+    * trusting an LSH threshold ("at jaccard 0.5 I will only see ~64% of
+    * pairs"). The corpus has no natural sub-0.9 near-dup pairs (q24's
+    * distribution), so controlled pairs are DERIVED from it: each doc
+    * is paired with its own token-prefix at several fractions. Prefix
+    * k-grams are a subset of the full text's, so the pair's exact
+    * jaccard ≈ the prefix fraction — a deterministic spread across
+    * bands 0.2–1.0 from real corpus text.
+    *
+    * Everything is IN-ROW (shingles, minhash sigs, positional band
+    * match, exact jaccard): zero joins, zero shuffle before the ~16-row
+    * band aggregate — the eval costs one narrow pass at any corpus
+    * size. Output carries the in-row analytic twin: `expected_micro` =
+    * Σ S(jac) with S(s) = 1−(1−s⁴)¹⁶ and `sd_micro` = √Σ S(1−S), the
+    * binomial envelope SketchBounds gates on (the no_oracle pattern of
+    * q75/q102 — xxhash64 shingles are not DuckDB-replayable). */
+  def lshScurveEval(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nBands = NumHashes / BandRows
+    def bandKeys(sigCol: String) =
+      s"transform(sequence(0, ${nBands - 1}), b -> concat_ws('_', " +
+        (0 until BandRows).map(r => s"$sigCol[$BandRows*b+$r]").mkString(", ") + "))"
+    val fracs = "array(0.25D, 0.4D, 0.55D, 0.7D, 0.85D, 1.0D)"
+    val prefixed = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"),
+        expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')").as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"), explode(expr(fracs)).as("frac"))
+      .select(col("doc_id"), col("text"), col("frac"),
+        expr("concat_ws(' ', slice(toks, 1, " +
+          "cast(ceil(size(toks) * frac) as int)))").as("variant"))
+    val hashed = prefixed
+      .select(col("doc_id"), col("frac"),
+        expr("graft_shingle_hashes(text, 3)").as("hsA"),
+        expr("graft_shingle_hashes(variant, 3)").as("hsB"))
+      .filter(size(col("hsA")) > 0 && size(col("hsB")) > 0)
+      .select(col("doc_id"), col("frac"),
+        (size(array_intersect(col("hsA"), col("hsB"))).cast("double") /
+          size(array_union(col("hsA"), col("hsB")))).as("jac"),
+        expr(s"graft_minhash_sig(hsA, $NumHashes)").as("sigA"),
+        expr(s"graft_minhash_sig(hsB, $NumHashes)").as("sigB"))
+      .select(col("jac"),
+        expr(s"exists(zip_with(${bandKeys("sigA")}, ${bandKeys("sigB")}, " +
+          "(x, y) -> x = y), p -> p)").as("found"),
+        expr(s"1.0D - pow(1.0D - pow(jac, $BandRows), $nBands)").as("p_hit"))
+    hashed
+      .groupBy(floor(col("jac") * 20).cast("long").as("jac_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("found"), 1L).otherwise(0L)).as("n_found"),
+        floor(lit(1e6) * avg(col("jac")) + lit(0.5)).cast("long").as("mean_jac_micro"),
+        floor(lit(1e6) * sum(col("p_hit")) + lit(0.5)).cast("long").as("expected_micro"),
+        floor(lit(1e6) * sqrt(sum(col("p_hit") * (lit(1.0) - col("p_hit")))) + lit(0.5))
+          .cast("long").as("sd_micro"))
+      .orderBy("jac_band")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: explode shingles, self-join on
     * shingle hash, |A∩B| / |A∪B| ≥ threshold. Quadratic in shingle
     * collisions — this is the ground-truth/oracle path; see

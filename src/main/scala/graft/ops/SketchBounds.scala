@@ -194,6 +194,31 @@ object SketchBounds {
     checks += zeroCheck("q127_lsh_bucket_profile", "pairs_skipped",
       prof.getAs[Long]("pairs_skipped"),
       "hot-bucket cap inert at verify SF (skip mass surfaced, never silent)")
+
+    // q176: per jaccard band, the observed LSH hit count must sit inside
+    // the binomial envelope of the analytic S-curve S(s) = 1−(1−s⁴)¹⁶
+    // the query carries in-row (expected_micro/sd_micro are Σ S and
+    // √Σ S(1−S) over the band's per-pair EXACT jaccards). Slack: the
+    // minhash family is a FIXED affine family, not a fresh random
+    // permutation per run, so per-pair events are not exactly
+    // independent — observed: one tail miss at jac≈0.85 where theory
+    // gives P≈1e-5 (n=135). The gate is 3σ + 2 absolute + 0.5% of the
+    // band, normalized so worst ≤ 1.0: tight enough that a dropped
+    // band array, a broken positional match, or a halved recall all
+    // blow it by an order of magnitude.
+    val scurve = graft.dedup.DedupOps.lshScurveEval(spark, dir).collect()
+    val scurveWorst = scurve.foldLeft(0.0) { (acc, r) =>
+      val nPairs = r.getAs[Long]("n_pairs").toDouble
+      val obs = r.getAs[Long]("n_found").toDouble
+      val exp = r.getAs[Long]("expected_micro").toDouble / 1e6
+      val sd = r.getAs[Long]("sd_micro").toDouble / 1e6
+      val slack = 3.0 * sd + 2.0 + 0.005 * nPairs
+      math.max(acc, math.abs(obs - exp) / slack)
+    }
+    checks += BoundCheck("q176_lsh_scurve", "n_found vs analytic S-curve",
+      scurve.length.toLong, scurveWorst, 1.0, scurveWorst <= 1.0,
+      "per-band |found - sum S(jac)| <= 3*sqrt(sum S(1-S)) + 2 + 0.5% " +
+        "(fixed-family tail slack; see scaladoc)")
     checks.toSeq
   }
 

@@ -164,6 +164,54 @@ class Round9bSpec extends SparkSpec {
     assert(keptTokens <= budget)
   }
 
+  test("sourceOverlap set-based plan equals the naive gram self-join") {
+    val fast = graft.dedup.DedupOps.sourceOverlap(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    graft.functions.GraftFunctions.register(spark)
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), explode(expr("graft_ngram_counts(text, 5)")).as("g"))
+      .select(col("source"), col("g.gram").as("gram")).distinct()
+    val naive = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(fast.nonEmpty && fast === naive)
+  }
+
+  test("lshScurveEval: identical pairs always found, totals reconcile, envelope holds") {
+    val rows = graft.dedup.DedupOps.lshScurveEval(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // jaccard = 1.0 pairs (frac = 1.0 → variant ≡ text) share EVERY
+    // band — the LSH guarantee at the top of the S-curve is exact
+    val top = rows.filter(_.getAs[Long]("jac_band") == 20L)
+    assert(top.nonEmpty)
+    top.foreach(r =>
+      assert(r.getAs[Long]("n_found") === r.getAs[Long]("n_pairs"),
+        "an identical pair must always be an LSH candidate"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_pairs"))
+      // the same envelope SketchBounds gates on at verify SF
+      val nPairs = r.getAs[Long]("n_pairs").toDouble
+      val dev = math.abs(r.getAs[Long]("n_found").toDouble -
+        r.getAs[Long]("expected_micro").toDouble / 1e6)
+      val slack = 3.0 * r.getAs[Long]("sd_micro").toDouble / 1e6 + 2.0 + 0.005 * nPairs
+      assert(dev <= slack,
+        s"band ${r.getAs[Long]("jac_band")}: deviation $dev exceeds $slack")
+    }
+    // every (doc, frac) combo with >= 3 tokens in its prefix contributes
+    // exactly one pair — no pair silently dropped by the in-row pipeline
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val expectTotal = Tables.documents(spark, dir)
+      .select(explode(expr("array(0.25D, 0.4D, 0.55D, 0.7D, 0.85D, 1.0D)")).as("frac"),
+        size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+          .cast("double").as("n"))
+      .filter(ceil(col("n") * col("frac")) >= 3 && col("n") >= 3)
+      .count()
+    assert(total === expectTotal)
+  }
+
   test("tokenBudgetSelect plan: per-doc window is partitioned by band, never global") {
     val df = Curation.tokenBudgetSelect(spark, dir)
     val windows = allNodes(df.queryExecution.executedPlan)
