@@ -296,6 +296,13 @@ object SparkEntry {
     "q174_token_budget"        -> ((s, d) => graft.text.Curation.tokenBudgetSelect(s, d)),
     "q175_source_overlap"      -> ((s, d) => graft.dedup.DedupOps.sourceOverlap(s, d)),
     "q176_lsh_scurve"          -> ((s, d) => graft.dedup.DedupOps.lshScurveEval(s, d)),
+    // the flatMapGroupsWithState quota machine run in BATCH mode — the
+    // one stateful-API operator inside the oracle gate (greedy per-source
+    // budget walk, recursive-CTE oracle)
+    "q177_quota_admit"         -> ((s, d) =>
+      graft.streaming.TrainingPipeline.quotaAdmit(
+        graft.Tables.documents(s, d), quotaTokens = 800L)
+        .toDF().orderBy("source", "doc_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2231,6 +2238,29 @@ object SparkEntry {
         |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
         |GROUP BY 1, 2
         |ORDER BY shared_ngrams DESC, source_a ASC, source_b ASC""".stripMargin,
+    // q177: the greedy budget walk is SEQUENTIAL per source — SQL's
+    // window cumsum cannot express skip-and-continue, so the oracle is a
+    // recursive CTE stepping one doc at a time. Hash-matching it proves
+    // the flatMapGroupsWithState fold (sorted within-group iterator +
+    // running state) implements exactly the greedy admission semantics.
+    "q177_quota_admit" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |walk(source, rn, used, admitted, doc_id, n_tokens) AS (
+        |  SELECT source, CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM (SELECT DISTINCT source FROM t)
+        |  UNION ALL
+        |  SELECT t.source, t.rn,
+        |         CASE WHEN w.used + t.n_tokens <= 800 THEN w.used + t.n_tokens ELSE w.used END,
+        |         w.used + t.n_tokens <= 800,
+        |         t.doc_id, t.n_tokens
+        |  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1)
+        |SELECT source, doc_id, n_tokens, used AS cum_tokens
+        |FROM walk WHERE admitted ORDER BY source, doc_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

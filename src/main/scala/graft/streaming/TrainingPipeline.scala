@@ -86,4 +86,51 @@ object TrainingPipeline {
       .agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= minShared)
   }
+
+  case class QuotaDoc(doc_id: Long, source: String, n_tokens: Long)
+  case class Admitted(source: String, doc_id: Long, n_tokens: Long,
+                      cum_tokens: Long)
+
+  /** Per-source streaming token-QUOTA admission — the ingest-time face
+    * of q174's batch budget cut: each source may contribute at most
+    * `quotaTokens` tokens to the run, enforced AS DOCS ARRIVE instead
+    * of retrospectively. A doc that would overflow the remaining quota
+    * is dropped whole (never split — chunk boundaries stay q40's).
+    *
+    * State is ONE long per source (tokens admitted so far) — bounded by
+    * the source count at any corpus size, the cheapest state shape
+    * Structured Streaming has; contrast the per-fingerprint dedup state
+    * of [[corpusIngest]]. Within a micro-batch the group's docs are
+    * folded in doc_id order, so a replayed batch admits the identical
+    * set (deterministic recovery); ACROSS batches admission is
+    * arrival-order by construction — that is the semantic difference
+    * from q174 (which globally prefers long docs) and exactly what an
+    * online quota means. Works unchanged on a batch frame (single fold
+    * per source ≡ the greedy doc_id-order budget cut). */
+  def quotaAdmit(docs: DataFrame, quotaTokens: Long = 20000L):
+      org.apache.spark.sql.Dataset[Admitted] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    implicit val inEnc: Encoder[QuotaDoc] = Encoders.product[QuotaDoc]
+    implicit val outEnc: Encoder[Admitted] = Encoders.product[Admitted]
+    implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
+    docs
+      .withColumn("n_tokens", expr("graft_text_stats(text).n_tokens").cast("long"))
+      .select("doc_id", "source", "n_tokens").as[QuotaDoc]
+      .groupByKey(_.source)(Encoders.STRING)
+      .flatMapGroupsWithState[Long, Admitted](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[QuotaDoc], state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val admitted = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+            if (used + d.n_tokens <= quotaTokens) {
+              used += d.n_tokens
+              Some(Admitted(source, d.doc_id, d.n_tokens, used))
+            } else None
+          }
+          state.update(used)
+          admitted.iterator
+      }
+  }
 }

@@ -174,6 +174,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quotaAdmit: per-source token quota enforced across micro-batches") {
+    import graft.streaming.TrainingPipeline
+    implicit val sq = spark.sqlContext
+    // 5-token docs ("a b c d e") against a 12-token quota: the 3rd doc
+    // of a source must be denied (10 + 5 > 12), including when it
+    // arrives in a LATER batch — state must carry across
+    val input = MemoryStream[(Long, String, String)]
+    val admitted = TrainingPipeline.quotaAdmit(
+      input.toDF().toDF("doc_id", "source", "text"), quotaTokens = 12L)
+    val q = admitted.writeStream.format("memory").queryName("quota_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "srcA", "a b c d e"), (2L, "srcA", "a b c d e"),
+        (10L, "srcB", "a b c d e"))
+      q.processAllAvailable()
+      input.addData(
+        (3L, "srcA", "a b c d e"),  // srcA already at 10/12 → denied
+        (11L, "srcB", "a b c d e")) // srcB at 5/12 → admitted (10/12)
+      q.processAllAvailable()
+      val out = spark.table("quota_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      assert(out.map(t => (t._1, t._2)).toSet ===
+        Set(("srcA", 1L), ("srcA", 2L), ("srcB", 10L), ("srcB", 11L)))
+      // cumulative token accounting never exceeds the quota
+      assert(out.forall(_._3 <= 12L))
+      assert(out.filter(_._1 == "srcA").map(_._3).max === 10L)
+    } finally q.stop()
+  }
+
   test("streaming per-minute throttle: two qualifying events in one minute emit once (T6)") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
