@@ -303,6 +303,8 @@ object SparkEntry {
       graft.streaming.TrainingPipeline.quotaAdmit(
         graft.Tables.documents(s, d), quotaTokens = 800L)
         .toDF().orderBy("source", "doc_id")),
+    // TPC-H Q1 proper — the whole-stage-codegen scan-agg benchmark shape
+    "q178_pricing_summary"     -> ((s, d) => Warehouse.pricingSummary(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2261,6 +2263,24 @@ object SparkEntry {
         |  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1)
         |SELECT source, doc_id, n_tokens, used AS cum_tokens
         |FROM walk WHERE admitted ORDER BY source, doc_id""".stripMargin,
+    // q178: decimal sums + (decimal-sum cast double) / count — no raw
+    // double is ever summed, so every column is aggregation-order free.
+    "q178_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |       SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

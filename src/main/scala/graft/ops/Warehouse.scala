@@ -737,4 +737,37 @@ object Warehouse {
       .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .orderBy(col("s_suppkey").asc)
   }
+
+  /** TPC-H Q1 proper: the pricing summary report — the canonical
+    * scan-heavy single-pass aggregate (8 aggregates over the filtered
+    * fact, grouped on a 6-value domain). This is THE whole-stage-codegen
+    * benchmark shape: one parquet scan with the date filter pushed down,
+    * one partial+final hash agg over a tiny key domain; no join, no
+    * sort but the 6-row display ORDER BY.
+    *
+    * Determinism: every money sum is DECIMAL (exact, order-free) and
+    * every average is (exact decimal sum) cast double ÷ (exact count) —
+    * a single IEEE division over bit-identical operands in both engines.
+    * Plain `avg(double)` would be aggregation-order dependent (0.05 is
+    * not representable); that's why no raw double ever enters a sum. */
+  def pricingSummary(spark: SparkSession, dir: String,
+                     cutoff: String = "1998-09-01"): DataFrame = {
+    def dec(c: String) = col(c).cast("decimal(18,2)")
+    val charge = sum(dec("l_extendedprice")
+      * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
+      * (lit(1).cast("decimal(18,2)") + dec("l_tax")))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        revenue.cast("double").as("sum_disc_price"),
+        charge.cast("double").as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
 }

@@ -212,6 +212,20 @@ class Round9bSpec extends SparkSpec {
     assert(total === expectTotal)
   }
 
+  test("pricingSummary plan: date filter pushed to parquet, scan pruned to the 7 used columns") {
+    val df = graft.ops.Warehouse.pricingSummary(spark, dir)
+    val scans = allNodes(df.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size === 1, "Q1 is a single-scan aggregate")
+    val scan = scans.head
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("l_shipdate")),
+      s"date filter must reach the parquet scan, got ${scan.metadata.get("PushedFilters")}")
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols === Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_shipdate"),
+      s"scan must read exactly the used columns, got $readCols")
+  }
+
   test("tokenBudgetSelect plan: per-doc window is partitioned by band, never global") {
     val df = Curation.tokenBudgetSelect(spark, dir)
     val windows = allNodes(df.queryExecution.executedPlan)
