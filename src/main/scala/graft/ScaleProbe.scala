@@ -281,6 +281,12 @@ object ScaleProbe {
       "mixture weights (partial agg + 1-row bcast)" -> { t =>
         graft.text.TextOps.mixtureWeightsCore(t.docsSalted).count()
       },
+      "banded token-budget cut (band agg + boundary-band window)" -> { t =>
+        graft.text.Curation.tokenBudgetCore(t.docs).count()
+      },
+      "source overlap (gram source-set agg + in-set pairs)" -> { t =>
+        graft.dedup.DedupOps.sourceOverlapCore(t.docsSalted).count()
+      },
       "sequence packing (per-source window)" -> { t =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy("doc_id")

@@ -93,8 +93,14 @@ object DedupOps {
     * string (the q25 collision rule); strings keep oracle parity here. */
   def sourceOverlap(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val grams = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    sourceOverlapCore(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism), n)
+  }
+
+  /** [[sourceOverlap]] over any (source, text) frame (ScaleProbe hook). */
+  private[graft] def sourceOverlapCore(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs
       .select(col("source"), explode(expr(s"graft_ngram_counts(text, $n)")).as("g"))
       .select(col("source"), col("g.gram").as("gram"))
       .distinct()

@@ -247,9 +247,16 @@ object Curation {
     * boundary band's window ordering matches the global priority, so
     * the banded plan is row-identical to the global-window oracle. */
   def tokenBudgetSelect(spark: SparkSession, dir: String,
-                        frac: Double = 0.30, bandWidth: Int = 8): DataFrame = {
+                        frac: Double = 0.30, bandWidth: Int = 8): DataFrame =
+    tokenBudgetCore(Tables.documents(spark, dir), frac, bandWidth)
+
+  /** [[tokenBudgetSelect]] over any (doc_id, source, text) frame
+    * (ScaleProbe hook). */
+  private[graft] def tokenBudgetCore(docs: DataFrame,
+                                     frac: Double = 0.30,
+                                     bandWidth: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
+    val toks = docs
       .select(col("doc_id"), col("source"),
         size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
           .cast("long").as("n_tokens"))
