@@ -305,6 +305,9 @@ object SparkEntry {
         .toDF().orderBy("source", "doc_id")),
     // TPC-H Q1 proper — the whole-stage-codegen scan-agg benchmark shape
     "q178_pricing_summary"     -> ((s, d) => Warehouse.pricingSummary(s, d)),
+    // audio tier of the real multimodal decode path (WAV PCM synth +
+    // byte-level parse + per-window energy)
+    "q179_wav_energy"          -> ((s, d) => graft.multimodal.Multimodal.wavEnergy(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2281,6 +2284,23 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q179: the WAV round-trip (chars → PCM synth → RIFF parse →
+    // windows) must reproduce the oracle's direct arithmetic over char
+    // codes — the hash match proves the codec pair is lossless and the
+    // energy math exact (integer sums of int16 squares; one sqrt).
+    "q179_wav_energy" ->
+      """WITH chars AS (SELECT doc_id, i,
+        |                      (ord(substr(text, CAST(i AS INT), 1)) - 96) * 256 AS s
+        |               FROM documents,
+        |                    LATERAL (SELECT unnest(generate_series(1, len(text))) AS i)),
+        |w AS (SELECT doc_id, (i - 1) // 64 AS win_idx,
+        |             COUNT(*) AS win_n,
+        |             SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS win_sumsq,
+        |             MAX(ABS(CAST(s AS BIGINT))) AS win_peak
+        |      FROM chars GROUP BY 1, 2)
+        |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx, win_n, win_sumsq, win_peak,
+        |       CAST(FLOOR(1000.0 * SQRT(win_sumsq * 1.0 / win_n) + 0.5) AS BIGINT) AS rms_milli
+        |FROM w ORDER BY doc_id, win_idx""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -126,6 +126,59 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  case class WavDoc(doc_id: Long, payload: Array[Byte])
+  case class WavWindowRow(doc_id: Long, win_idx: Long, win_n: Long,
+                          win_sumsq: Long, win_peak: Long, rms_milli: Long)
+
+  /** Audio tier of the REAL (codec-less-parseable) decode path: each
+    * doc's characters synthesize a mono 16-bit PCM WAV payload
+    * (sample = (charCode − 96)·256 — the corpus is pure ASCII, the same
+    * char≡byte premise [[frameSample]]'s oracle already pins), which is
+    * then parsed back byte-by-byte by [[WavCodec]] (RIFF headers,
+    * little-endian int16 samples) and reduced to per-window energy
+    * features: sum-of-squares, peak, RMS — the VAD/loudness profile an
+    * audio ingest pipeline computes before segmenting. Both codec
+    * halves run inside `mapPartitions` (the batch-per-task shape a JNI
+    * codec would use); the window explode is narrow, nothing shuffles
+    * until the display sort.
+    *
+    * Determinism: `win_sumsq`/`win_peak` are EXACT integer sums of
+    * int16 squares (≤ 2³⁰ per sample, ≤ 2³⁶ per window — no overflow,
+    * no float accumulation); `rms_milli` is one sqrt over exact
+    * operands, identically rounded in both engines. */
+  def wavEnergy(spark: SparkSession, dir: String,
+                winSize: Int = 64, sampleRate: Int = 44100): DataFrame = {
+    import spark.implicits._
+    val encoded = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val samples = new Array[Short](text.length)
+          var i = 0
+          while (i < text.length) {
+            samples(i) = ((text.charAt(i).toInt - 96) * 256).toShort
+            i += 1
+          }
+          WavDoc(id, WavCodec.encode(sampleRate, samples))
+        }
+      }
+    encoded.mapPartitions { it =>
+      it.flatMap { d =>
+        val dec = WavCodec.decode(d.payload)
+        dec.samples.grouped(winSize).zipWithIndex.map { case (win, wi) =>
+          var sumsq = 0L
+          var peak = 0L
+          win.foreach { s =>
+            sumsq += s.toLong * s.toLong
+            if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+          }
+          WavWindowRow(d.doc_id, wi.toLong, win.length.toLong, sumsq, peak,
+            math.floor(1000.0 * math.sqrt(sumsq.toDouble / win.length) + 0.5).toLong)
+        }
+      }
+    }.toDF().orderBy("doc_id", "win_idx")
+  }
+
   case class MediaFeature(doc_id: Long, n_bytes: Long, mean_byte: Double, feature: Array[Float])
 
   /** STUB decode/feature-extract: the real implementation would decode

@@ -102,4 +102,46 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("corner_px") === id * 31 % 256)
     }
   }
+
+  test("WavCodec round-trip is lossless across the int16 domain") {
+    import graft.multimodal.WavCodec
+    val cases = Seq(
+      Array.empty[Short],
+      Array[Short](0),
+      Array[Short](Short.MinValue, Short.MaxValue, -1, 1, 0, 12345, -12345))
+    cases.foreach { samples =>
+      val dec = WavCodec.decode(WavCodec.encode(8000, samples))
+      assert(dec.sampleRate === 8000 && dec.bitsPerSample === 16 &&
+        dec.channels === 1)
+      assert(dec.samples.toSeq === samples.toSeq)
+    }
+  }
+
+  test("WavCodec rejects malformed payloads instead of yielding garbage") {
+    import graft.multimodal.WavCodec
+    val good = WavCodec.encode(8000, Array[Short](1, 2, 3))
+    intercept[IllegalArgumentException](WavCodec.decode(good.take(10)))
+    val notRiff = good.clone(); notRiff(0) = 'X'
+    intercept[IllegalArgumentException](WavCodec.decode(notRiff))
+    val overrun = good.clone()
+    overrun(40) = (overrun(40) + 64).toByte // data length > payload
+    intercept[IllegalArgumentException](WavCodec.decode(overrun))
+  }
+
+  test("q179 window energy matches a direct recompute from the text (real docs)") {
+    val out = graft.multimodal.Multimodal
+      .wavEnergy(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0); val wi = r.getAs[Long]("win_idx").toInt
+      val win = texts(id).map(c => ((c.toInt - 96) * 256).toLong)
+        .grouped(64).toSeq(wi)
+      assert(r.getAs[Long]("win_n") === win.length.toLong)
+      assert(r.getAs[Long]("win_sumsq") === win.map(s => s * s).sum)
+      assert(r.getAs[Long]("win_peak") === win.map(math.abs).max)
+    }
+  }
 }
