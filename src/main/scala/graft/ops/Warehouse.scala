@@ -656,7 +656,11 @@ object Warehouse {
     * double-cast comparison sees bit-identical operands. */
   def importantParts(spark: SparkSession, dir: String,
                      slackPct: Int = 10): DataFrame = {
-    val perPart = Tables.memoCache(spark, s"q169/perpart/$dir") {
+    // keyed on the table FINGERPRINT (path, mtime, size), not the path:
+    // a same-JVM testdata regeneration must invalidate the cached frame
+    // (the r7 stale-cache failure class)
+    val liFp = Tables.pathFingerprint(spark, s"$dir/lineitem.parquet")
+    val perPart = Tables.memoCache(spark, s"q169/perpart/${liFp._1}/${liFp._2}/${liFp._3}") {
       Tables.lineitem(spark, dir)
         .select("l_partkey", "l_extendedprice", "l_discount")
         .groupBy("l_partkey")
@@ -720,7 +724,12 @@ object Warehouse {
                         mult: Int = 2): DataFrame = {
     val parts = Tables.part(spark, dir)
       .filter(col("p_type") === ptype).select("p_partkey")
-    val pairQty = Tables.memoCache(spark, s"q171/pairqty/$ptype/$year/$dir") {
+    // fingerprint-keyed for the same same-JVM-regeneration reason as
+    // q169 — on BOTH inputs the cached frame derives from
+    val liFp = Tables.pathFingerprint(spark, s"$dir/lineitem.parquet")
+    val pFp = Tables.pathFingerprint(spark, s"$dir/part.parquet")
+    val pairQty = Tables.memoCache(spark,
+      s"q171/pairqty/$ptype/$year/${liFp._1}/${liFp._2}/${liFp._3}/${pFp._2}/${pFp._3}") {
       Tables.lineitem(spark, dir)
         .filter(org.apache.spark.sql.functions.year(col("l_shipdate")) === year)
         .select("l_partkey", "l_suppkey", "l_quantity")
