@@ -308,6 +308,15 @@ object SparkEntry {
     // audio tier of the real multimodal decode path (WAV PCM synth +
     // byte-level parse + per-window energy)
     "q179_wav_energy"          -> ((s, d) => graft.multimodal.Multimodal.wavEnergy(s, d)),
+    // --- warehouse maintenance (snapshot CDC diff + incremental MV) ---
+    "q180_snapshot_diff"       -> ((s, d) => Maintenance.ordersSnapshotDiff(s, d)),
+    "q181_incremental_mv"      -> ((s, d) => Maintenance.incrementalMv(s, d)),
+    // --- multi-dimensional pruning (skyline + Z-order layout audit) ---
+    "q182_pareto_front"        -> ((s, d) => Layout.paretoFront(s, d)),
+    "q185_zorder_audit"        -> ((s, d) => Layout.zorderAudit(s, d)),
+    // --- interval sweep + degree-oriented graph enumeration ---
+    "q183_peak_concurrency"    -> ((s, d) => Sessions.peakConcurrency(s, d)),
+    "q184_triangles"           -> ((s, d) => Graph.coPurchaseTriangles(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2301,6 +2310,120 @@ object SparkEntry {
         |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx, win_n, win_sumsq, win_peak,
         |       CAST(FLOOR(1000.0 * SQRT(win_sumsq * 1.0 / win_n) + 0.5) AS BIGINT) AS rms_milli
         |FROM w ORDER BY doc_id, win_idx""".stripMargin,
+    // q180: both engines rebuild the planted old/new snapshots from the
+    // same modular rules and full-outer diff them — the hash match pins
+    // the insert/delete/update classification exactly (update rows are
+    // the +1.00 totalprice perturbation; null-safe column compare).
+    "q180_snapshot_diff" ->
+      """WITH oldt AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |                     CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |                          ELSE o_totalprice END AS o_totalprice,
+        |                     o_orderdate, o_orderpriority
+        |              FROM orders WHERE o_orderkey % 97 <> 0),
+        |newt AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |                o_orderdate, o_orderpriority
+        |         FROM orders WHERE o_orderkey % 89 <> 0),
+        |d AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |                  WHEN n.o_orderkey IS NULL THEN 'delete'
+        |                  WHEN (o.o_custkey       IS DISTINCT FROM n.o_custkey)
+        |                    OR (o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus)
+        |                    OR (o.o_totalprice    IS DISTINCT FROM n.o_totalprice)
+        |                    OR (o.o_orderdate     IS DISTINCT FROM n.o_orderdate)
+        |                    OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+        |                  THEN 'update' END AS op
+        |      FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, op FROM d WHERE op IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    // q181: the oracle is the FULL recompute over the unsplit table; the
+    // Spark side refreshes incrementally (partial-agg merge of a base
+    // state + delta). Hash match = merge(partial(A), partial(B)) ≡
+    // aggregate(A ∪ B): every merged measure is a DECIMAL sum or count.
+    "q181_incremental_mv" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q182: the oracle is the O(n²) NOT EXISTS dominance scan; the Spark
+    // plan is the bounded-domain two-scalar test (per-size min + running
+    // min over strictly larger sizes). Hash match = plan equivalence.
+    "q182_pareto_front" ->
+      """SELECT p_partkey, p_size, p_retailprice
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+        |ORDER BY p_size, p_partkey""".stripMargin,
+    // q183: the oracle runs the naive single-sequence global cumsum over
+    // the sweep events; the Spark side is the banded rewrite (per-hour
+    // band cum + in-band running sum). Hash match = banded ≡ global.
+    "q183_peak_concurrency" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS ns
+        |           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id,
+        |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM l),
+        |sess AS (SELECT user_id, sid, epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+        |         FROM s GROUP BY 1, 2),
+        |d AS (SELECT s_us AS t, 1 AS delta FROM sess
+        |      UNION ALL SELECT e_us AS t, -1 AS delta FROM sess),
+        |n AS (SELECT t, SUM(delta) AS net FROM d GROUP BY 1),
+        |c AS (SELECT t, SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc FROM n)
+        |SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS log_date,
+        |       CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q184: the oracle is the orientation-free u<v<w triple self-join;
+    // the Spark plan enumerates via degree orientation (O(m^1.5) wedges).
+    // Triangle participation is orientation-invariant → hash match is
+    // the equivalence proof.
+    "q184_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM op a JOIN op b ON a.okey = b.okey AND a.p < b.p),
+        |tri AS (SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+        |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |parts AS (SELECT n1 AS p_partkey FROM tri
+        |          UNION ALL SELECT n2 FROM tri
+        |          UNION ALL SELECT n3 FROM tri)
+        |SELECT p_partkey, COUNT(*) AS n_triangles
+        |FROM parts GROUP BY 1
+        |ORDER BY n_triangles DESC, p_partkey ASC LIMIT 10""".stripMargin,
+    // q185: identical Morton-interleave arithmetic on both sides; the
+    // audit numbers (per-file dimension spans under zorder vs linear
+    // packing) are exact integer aggregates + one division each.
+    "q185_zorder_audit" ->
+      """WITH b AS (SELECT l_partkey % 64 AS px, l_suppkey % 64 AS py FROM lineitem),
+        |z AS (SELECT px, py,
+        |        ((px >> 0) & 1) * 1    + ((py >> 0) & 1) * 2 +
+        |        ((px >> 1) & 1) * 4    + ((py >> 1) & 1) * 8 +
+        |        ((px >> 2) & 1) * 16   + ((py >> 2) & 1) * 32 +
+        |        ((px >> 3) & 1) * 64   + ((py >> 3) & 1) * 128 +
+        |        ((px >> 4) & 1) * 256  + ((py >> 4) & 1) * 512 +
+        |        ((px >> 5) & 1) * 1024 + ((py >> 5) & 1) * 2048 AS zc
+        |      FROM b),
+        |zf AS (SELECT zc >> 8 AS file_id, MAX(px) - MIN(px) AS pxs,
+        |              MAX(py) - MIN(py) AS pys, COUNT(*) AS n
+        |       FROM z GROUP BY 1),
+        |lf AS (SELECT px >> 2 AS file_id, MAX(px) - MIN(px) AS pxs,
+        |              MAX(py) - MIN(py) AS pys, COUNT(*) AS n
+        |       FROM b GROUP BY 1)
+        |SELECT 'linear' AS layout, AVG(pxs) AS mean_px_span,
+        |       AVG(pys) AS mean_py_span, CAST(SUM(n) AS BIGINT) AS n_rows
+        |FROM lf
+        |UNION ALL
+        |SELECT 'zorder' AS layout, AVG(pxs) AS mean_px_span,
+        |       AVG(pys) AS mean_py_span, CAST(SUM(n) AS BIGINT) AS n_rows
+        |FROM zf
+        |ORDER BY layout""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -74,4 +74,65 @@ object Graph {
     }
     ranks.orderBy(col("rank").desc, col("node").asc)
   }
+
+  /** q184: co-purchase triangle participation — for each part, how many
+    * triangles of the "bought together" graph it belongs to (top 10).
+    * Edges are distinct part pairs sharing an order; a triangle is three
+    * parts pairwise co-purchased — the basket-affinity signal behind
+    * "frequently bought together" clusters (and the clustering
+    * coefficient's numerator).
+    *
+    * Scale design — DEGREE-ORIENTED enumeration, not the naive triple
+    * self-join: every edge is directed from its (degree, key)-smaller
+    * endpoint to the larger, wedges are pairs of out-neighbors of one
+    * source joined against the oriented edge set, so each triangle is
+    * found exactly once and the wedge count is bounded by
+    * Σ_v C(outdeg(v), 2) = O(m^1.5) on any graph (Schank/Wagner) —
+    * a hub of degree d in key-orientation would generate C(d, 2) wedges;
+    * degree-orientation caps its out-degree at ~√m. All joins are
+    * key-shuffles on node ids; nothing collects.
+    *
+    * The DuckDB oracle runs the orientation-free u<v<w triple join —
+    * triangle participation is orientation-invariant, so the hash match
+    * doubles as the equivalence proof of the oriented plan (the
+    * q174/q175 pattern: naive oracle, scalable engine). */
+  def coPurchaseTriangles(spark: SparkSession, dir: String,
+                          topK: Int = 10): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = op.as("a").join(op.as("b"), Seq("okey"))
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("n"))
+      .unionByName(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient: src = (deg, key)-smaller endpoint. localCheckpoint: the
+    // oriented edge list feeds the wedge join TWICE plus the closing
+    // join — without truncation each occurrence re-derives the
+    // distinct + degree joins (the q99/q51 lineage pattern).
+    val oriented = edges
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), Seq("v"))
+      .select(
+        struct(col("du").as("d"), col("u").as("k")).as("ku"),
+        struct(col("dv").as("d"), col("v").as("k")).as("kv"))
+      .select(
+        when(col("ku") < col("kv"), col("ku.k")).otherwise(col("kv.k")).as("src"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("dstKey"))
+      .select(col("src"), col("dstKey.k").as("dst"), col("dstKey"))
+      .localCheckpoint()
+    val x = oriented.select(col("src"), col("dst").as("a"), col("dstKey").as("ka"))
+    val y = oriented.select(col("src"), col("dst").as("b"), col("dstKey").as("kb"))
+    val wedges = x.join(y, Seq("src")).filter(col("ka") < col("kb"))
+    val closing = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val triangles = wedges.join(closing, Seq("a", "b"))
+      .select(col("src").as("n1"), col("a").as("n2"), col("b").as("n3"))
+    triangles
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("p_partkey"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("p_partkey").asc)
+      .limit(topK)
+  }
 }

@@ -106,6 +106,60 @@ object Sessions {
       .orderBy("log_date")
   }
 
+  /** q183: peak concurrent sessions per day — the "how many users were
+    * on at once" capacity number, computed by the interval sweep: each
+    * session (q36's islands/gap rule, first→last event) contributes +1
+    * at its start instant and −1 at its end instant; deltas are summed
+    * per distinct timestamp (so end-exclusive semantics need no intra-
+    * instant ordering: a session ending exactly when another starts
+    * never overlaps it), and concurrency at t is the running sum of the
+    * per-instant nets. Peak per day is the max of that running sum over
+    * the day's instants.
+    *
+    * Scale design: the global-time cumulative sum is the q122/q174
+    * BANDED rewrite, never a single-partition window — per-hour bands
+    * take the global window over the bounded band domain (|hours|,
+    * ≤ 8.8k/year), and the per-instant running sum partitions BY band.
+    * Sessionization itself is user-partitioned windows (parallel per
+    * user); the sweep frame is 2 rows per session, tiny relative to the
+    * event stream. The DuckDB oracle runs the naive single-sequence
+    * cumsum — the hash match is the banded-plan equivalence proof. */
+  def peakConcurrency(spark: SparkSession, dir: String,
+                      gapUs: Long = 1800000000L,
+                      bandUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("ns",
+        when(lag(col("ts"), 1).over(w).isNull
+          || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >= gapUs,
+          1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(wRun))
+      .groupBy("user_id", "sid")
+      .agg(unix_micros(min(col("ts"))).as("s_us"),
+        unix_micros(max(col("ts"))).as("e_us"))
+    val net = sessions.select(col("s_us").as("t"), lit(1L).as("d"))
+      .unionByName(sessions.select(col("e_us").as("t"), lit(-1L).as("d")))
+      .groupBy("t").agg(sum(col("d")).as("net"))
+      .withColumn("band", floor(col("t") / lit(bandUs)).cast("long"))
+    val bandCum = net.groupBy("band")
+      .agg(sum(col("net")).as("band_net"))
+      .withColumn("cum_before",
+        coalesce(sum(col("band_net")).over(
+          Window.orderBy(col("band").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("cum_before"))
+    val inBand = Window.partitionBy("band").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    net.join(broadcast(bandCum), "band")
+      .withColumn("conc", col("cum_before") + sum(col("net")).over(inBand))
+      .groupBy(date_format(timestamp_micros(col("t")), "yyyy-MM-dd").as("log_date"))
+      .agg(max(col("conc")).as("peak_concurrent"))
+      .orderBy("log_date")
+  }
+
   /** J1: full outer orders ⋈ lineitem, aggregated per key — orders with
     * zero details keep a row (n_details = 0, status non-null); orphan
     * details would keep rows with null status.
