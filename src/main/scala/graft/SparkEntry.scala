@@ -317,6 +317,15 @@ object SparkEntry {
     // --- interval sweep + degree-oriented graph enumeration ---
     "q183_peak_concurrency"    -> ((s, d) => Sessions.peakConcurrency(s, d)),
     "q184_triangles"           -> ((s, d) => Graph.coPurchaseTriangles(s, d)),
+    // PQ asymmetric-distance search (q165's search side): rows-only +
+    // SketchBounds recall floor vs the exact L2 top-k twin
+    "q186_pq_adc"              -> ((s, d) => graft.vector.VectorOps.adcRecall(s, d)),
+    // banded-lead interval union length (q183's sweep, coverage form)
+    "q187_interval_coverage"   -> ((s, d) => Sessions.intervalCoverage(s, d)),
+    // balanced serving shards via banded global rank (q174 pattern)
+    "q188_shard_packing"       -> ((s, d) => graft.text.Curation.shardPacking(s, d)),
+    // MERGE round trip: apply(diff) reconstructs the target snapshot
+    "q189_merge_apply"         -> ((s, d) => Maintenance.ordersMergeApply(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2386,8 +2395,9 @@ object SparkEntry {
     // the equivalence proof.
     "q184_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem),
-        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
-        |      FROM op a JOIN op b ON a.okey = b.okey AND a.p < b.p),
+        |e AS (SELECT a.p AS u, b.p AS v
+        |      FROM op a JOIN op b ON a.okey = b.okey AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |tri AS (SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
         |        FROM e e1 JOIN e e2 ON e1.v = e2.u
         |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
@@ -2424,6 +2434,47 @@ object SparkEntry {
         |       AVG(pys) AS mean_py_span, CAST(SUM(n) AS BIGINT) AS n_rows
         |FROM zf
         |ORDER BY layout""".stripMargin,
+    // q187: naive global cumsum + global LEAD as the oracle; the Spark
+    // plan stitches per-band leads through the band-domain frame. Hash
+    // match = the stitched banded plan is row-identical.
+    "q187_interval_coverage" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS ns
+        |           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id,
+        |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM l),
+        |sess AS (SELECT user_id, sid, epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+        |         FROM s GROUP BY 1, 2),
+        |d AS (SELECT s_us AS t, 1 AS delta FROM sess
+        |      UNION ALL SELECT e_us AS t, -1 AS delta FROM sess),
+        |n AS (SELECT t, SUM(delta) AS net FROM d GROUP BY 1),
+        |c AS (SELECT t, SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc,
+        |             LEAD(t) OVER (ORDER BY t) AS nt
+        |      FROM n)
+        |SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS log_date,
+        |       CAST(SUM(CASE WHEN conc > 0 AND nt IS NOT NULL THEN nt - t ELSE 0 END) AS BIGINT) AS covered_us
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q188: naive global ROW_NUMBER as the oracle; banded rank on the
+    // Spark side. The hash covers EVERY doc's shard assignment.
+    "q188_shard_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn
+        |      FROM t)
+        |SELECT doc_id, n_tokens, (rn - 1) % 8 AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q189: the oracle is the TARGET state itself — apply(old,
+    // diff(old, new)) must reproduce the new snapshot bit-for-bit.
+    "q189_merge_apply" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 89 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),
@@ -2440,7 +2491,11 @@ object SparkEntry {
     //   case pins its arithmetic exactly), q176_lsh_scurve (xxhash64
     //   shingles + the minhash family are Spark-specific; SketchBounds
     //   gates every band against the in-row analytic S-curve envelope
-    //   the query itself carries). q29_ann_lsh IS
+    //   the query itself carries), q186_pq_adc (the ADC ranking is a
+    //   float-sum ordering with no stable SQL twin; SketchBounds floors
+    //   its recall@10 against the exact L2 top-k and Round9dSpec proves
+    //   ADC exact when corpus sub-vectors sit on codebook entries).
+    //   q29_ann_lsh IS
     //   oracled: the seeded
     //   hyperplanes are embedded as literals, making the whole LSH
     //   pipeline replayable.

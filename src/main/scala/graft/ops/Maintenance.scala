@@ -36,7 +36,17 @@ object Maintenance {
     * asymmetry (a small "new" increment broadcasts).
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
-                   key: String, compareCols: Seq[String]): DataFrame = {
+                   key: String, compareCols: Seq[String]): DataFrame =
+    snapshotDiffFull(oldSnap, newSnap, key, compareCols)
+      .select(col(key), col("op"))
+
+  /** [[snapshotDiff]] carrying the new-side payload on insert/update
+    * rows (null on delete) — the changelog a MERGE INTO / replication
+    * apply consumes; [[applyDiff]] is its inverse. Same single
+    * full-outer key join. */
+  private[graft] def snapshotDiffFull(oldSnap: DataFrame, newSnap: DataFrame,
+                                      key: String,
+                                      compareCols: Seq[String]): DataFrame = {
     val oldS = oldSnap.select(col(key).as("k_old"),
       struct(compareCols.map(col): _*).as("v_old"))
     val newS = newSnap.select(col(key).as("k_new"),
@@ -47,8 +57,29 @@ object Maintenance {
         when(col("k_old").isNull, lit("insert"))
           .when(col("k_new").isNull, lit("delete"))
           .when(!(col("v_old") <=> col("v_new")), lit("update"))
-          .as("op"))
+          .as("op"),
+        col("v_new"))
       .filter(col("op").isNotNull)
+  }
+
+  /** Apply a payload-carrying snapshot diff to the old state — the
+    * MERGE INTO: deletes and updates drop their old rows (one left-anti
+    * key join), inserts and updates contribute their new payload. By
+    * construction apply(old, diff(old, new)) ≡ new; q189 hash-verifies
+    * exactly that round trip against the target state as the oracle.
+    *
+    * 100 TB: left-anti + union is one key-shuffle over the old snapshot
+    * (bucketed layout removes even that) plus the — normally tiny —
+    * changelog; the pattern never rewrites unchanged data rows. */
+  def applyDiff(oldSnap: DataFrame, changes: DataFrame,
+                key: String, compareCols: Seq[String]): DataFrame = {
+    val touched = changes
+      .filter(col("op").isin("delete", "update")).select(col(key))
+    val incoming = changes.filter(col("op").isin("insert", "update"))
+      .select(col(key) +: compareCols.map(c => col(s"v_new.$c").as(c)): _*)
+    oldSnap.select(col(key) +: compareCols.map(col): _*)
+      .join(touched, Seq(key), "left_anti")
+      .unionByName(incoming)
   }
 
   /** q180: snapshot diff over two deterministic states of `orders`.
@@ -58,17 +89,35 @@ object Maintenance {
     * since). The diff must recover exactly the planted insert / delete /
     * update sets — which the DuckDB oracle recomputes from the same
     * modular rules via its own full-outer join. */
-  def ordersSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+  private val OrderCols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  private def orderSnaps(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val orders = Tables.orders(spark, dir)
-    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
-      "o_orderdate", "o_orderpriority")
     val oldSnap = orders
       .filter(col("o_orderkey") % 97 =!= 0)
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 13 === 0, col("o_totalprice") + lit(1.0d))
           .otherwise(col("o_totalprice")))
     val newSnap = orders.filter(col("o_orderkey") % 89 =!= 0)
-    snapshotDiff(oldSnap, newSnap, "o_orderkey", cols)
+    (oldSnap, newSnap)
+  }
+
+  def ordersSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (oldSnap, newSnap) = orderSnaps(spark, dir)
+    snapshotDiff(oldSnap, newSnap, "o_orderkey", OrderCols)
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  /** q189: the MERGE round trip — apply the payload-carrying diff back
+    * onto the old snapshot and emit the reconstructed state. The DuckDB
+    * oracle is simply the TARGET state (the new snapshot), so the hash
+    * match proves apply ∘ diff = identity over every row and column —
+    * the end-to-end correctness contract of a CDC replication pipeline. */
+  def ordersMergeApply(spark: SparkSession, dir: String): DataFrame = {
+    val (oldSnap, newSnap) = orderSnaps(spark, dir)
+    val changes = snapshotDiffFull(oldSnap, newSnap, "o_orderkey", OrderCols)
+    applyDiff(oldSnap, changes, "o_orderkey", OrderCols)
       .orderBy(col("o_orderkey").asc)
   }
 

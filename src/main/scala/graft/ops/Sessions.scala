@@ -160,6 +160,64 @@ object Sessions {
       .orderBy("log_date")
   }
 
+  /** q187: covered seconds per day — the union length of all session
+    * intervals (how much wall-clock had ≥1 active session), the
+    * complement of q183's peak. Same sweep frame: between consecutive
+    * sweep instants the active count is constant, so coverage is the
+    * sum of segment lengths whose running concurrency is positive;
+    * segments attribute to their START instant's day.
+    *
+    * Scale design: q183's banded cumsum PLUS a banded `lead` — the
+    * next-instant lookup inside a band is a per-band window, and the
+    * band-boundary row stitches to the NEXT band's first instant via
+    * the bounded band-domain frame (first-instant-per-band, window
+    * lead over ≤|hours| rows, broadcast back). No global-order
+    * operator ever sees the instant-level frame; the DuckDB oracle
+    * runs the naive global cumsum + global lead, and the hash match
+    * proves the stitched banded plan row-identical. */
+  def intervalCoverage(spark: SparkSession, dir: String,
+                       gapUs: Long = 1800000000L,
+                       bandUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("ns",
+        when(lag(col("ts"), 1).over(w).isNull
+          || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >= gapUs,
+          1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(wRun))
+      .groupBy("user_id", "sid")
+      .agg(unix_micros(min(col("ts"))).as("s_us"),
+        unix_micros(max(col("ts"))).as("e_us"))
+    val net = sessions.select(col("s_us").as("t"), lit(1L).as("d"))
+      .unionByName(sessions.select(col("e_us").as("t"), lit(-1L).as("d")))
+      .groupBy("t").agg(sum(col("d")).as("net"))
+      .withColumn("band", floor(col("t") / lit(bandUs)).cast("long"))
+    // bounded band-domain frame: cum net before the band AND the first
+    // instant of the FOLLOWING non-empty band (for the boundary stitch)
+    val bandW = Window.orderBy(col("band").asc)
+    val bandCum = net.groupBy("band")
+      .agg(sum(col("net")).as("band_net"), min(col("t")).as("first_t"))
+      .select(col("band"),
+        coalesce(sum(col("band_net")).over(
+          bandW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("cum_before"),
+        lead(col("first_t"), 1).over(bandW).as("next_band_first_t"))
+    val inBand = Window.partitionBy("band").orderBy(col("t").asc)
+    net.join(broadcast(bandCum), "band")
+      .withColumn("conc",
+        col("cum_before") + sum(col("net")).over(
+          inBand.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("next_t",
+        coalesce(lead(col("t"), 1).over(inBand), col("next_band_first_t")))
+      .groupBy(date_format(timestamp_micros(col("t")), "yyyy-MM-dd").as("log_date"))
+      .agg(sum(when(col("conc") > 0 && col("next_t").isNotNull,
+        col("next_t") - col("t")).otherwise(lit(0L))).as("covered_us"))
+      .orderBy("log_date")
+  }
+
   /** J1: full outer orders ⋈ lineitem, aggregated per key — orders with
     * zero details keep a row (n_details = 0, status non-null); orphan
     * details would keep rows with null status.

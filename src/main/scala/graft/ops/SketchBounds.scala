@@ -219,6 +219,26 @@ object SketchBounds {
       scurve.length.toLong, scurveWorst, 1.0, scurveWorst <= 1.0,
       "per-band |found - sum S(jac)| <= 3*sqrt(sum S(1-S)) + 2 + 0.5% " +
         "(fixed-family tail slack; see scaladoc)")
+
+    // q186: recall@10 of the ADC-shortlist + exact-re-rank pipeline
+    // against the brute-force exact twin riding in the query itself.
+    // The meaningful zero point is NOT 0: a COMPLETELY uninformative
+    // ADC ranking still yields recall ≈ shortlist/|corpus| ≈ 0.21 at
+    // this SF (a random 100-of-479 shortlist keeps ~21% of the true
+    // top-10, and the re-rank surfaces whatever survived). The gate
+    // sits well above that chance line (observed: mean 0.68 / min 0.4
+    // at sf0.01) — a broken LUT join, transposed (sub, cid) key, or
+    // distance-sign error all land AT or below chance.
+    val adc = graft.vector.VectorOps.adcRecall(spark, dir).collect()
+    val recalls = adc.map(r => r.getAs[Long]("recall_micro").toDouble / 1e6)
+    val adcWorst = math.max(
+      0.40 - recalls.sum / recalls.length,
+      recalls.map(0.20 - _).max)
+    checks += BoundCheck("q186_pq_adc", "recall@10 vs exact L2 top-k",
+      recalls.length.toLong, math.max(adcWorst, 0.0), 0.0,
+      adcWorst <= 0.0,
+      "ADC recall floor: mean >= 0.40 and min >= 0.20 (failure modes " +
+        "land at ~0.02; see scaladoc)")
     checks.toSeq
   }
 

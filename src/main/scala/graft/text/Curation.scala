@@ -286,4 +286,40 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_tokens"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** q188: balanced serving-shard assignment — docs dealt round-robin
+    * across `nShards` in descending token order (the LPT-style greedy
+    * that keeps shard token totals within one max-doc of each other,
+    * the layout a training run reads). shard = (global_rank − 1) mod S.
+    *
+    * The global rank is the q174 banded construction, never a global
+    * window: bands of n_tokens are ranked per-band (partitioned
+    * window), and the rank offset is the bounded band-domain cumulative
+    * count. Ordering by (n_tokens desc, doc_id) refines (band desc) —
+    * floor is monotone — so banded rank ≡ global rank row-for-row; the
+    * DuckDB oracle computes the naive global ROW_NUMBER and the hash
+    * match is the equivalence proof over EVERY doc's assignment. */
+  def shardPacking(spark: SparkSession, dir: String,
+                   nShards: Int = 8, bandWidth: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+          .cast("long").as("n_tokens"))
+      .withColumn("band", floor(col("n_tokens") / lit(bandWidth)).cast("long"))
+    val bandCum = toks.groupBy("band")
+      .agg(count(lit(1)).as("band_n"))
+      .withColumn("cum_before",
+        coalesce(sum(col("band_n")).over(
+          Window.orderBy(col("band").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("cum_before"))
+    val inBand = Window.partitionBy("band")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    toks.join(broadcast(bandCum), "band")
+      .withColumn("rank", col("cum_before") + row_number().over(inBand))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("rank") - 1) % nShards).as("shard"))
+      .orderBy("doc_id")
+  }
 }

@@ -746,23 +746,9 @@ object VectorOps {
   def pqEncode(spark: SparkSession, dir: String,
                m: Int = 4, c: Int = 16): DataFrame = {
     val e = vecs(spark, dir)
-    def subVecs(df: DataFrame, idCol: String): DataFrame = df
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, ${m - 1}), s -> struct(s as sub, slice(v, s * (size(v) div $m) + 1, size(v) div $m) as sv))"))
-        .as("x"))
-      .select(col(idCol), col("x.sub").as("sub"), col("x.sv").as("sv"))
-    val codebook = subVecs(
+    val encoded = pqCodes(e.filter(col("vec_id") >= c),
       e.filter(col("vec_id") < c).select(col("vec_id").cast("int").as("cid"), col("v")),
-      "cid").select(col("cid"), col("sub"), col("sv").as("cs"))
-    val encoded = subVecs(e.filter(col("vec_id") >= c), "vec_id")
-      .join(broadcast(codebook), Seq("sub"))
-      .select(col("vec_id"), col("sub"),
-        struct(
-          (dotC(col("sv"), col("sv")) - lit(2.0d) * dotC(col("sv"), col("cs"))
-            + dotC(col("cs"), col("cs"))).as("d"),
-          col("cid")).as("dc"))
-      .groupBy("vec_id", "sub")
-      .agg(min(col("dc")).as("best"))
+      m)
     def at(s: Int, f: String): Column =
       max(when(col("sub") === s, col(s"best.$f")))
     encoded.groupBy("vec_id")
@@ -775,6 +761,143 @@ object VectorOps {
         expr("cast(floor(1000000.0d * (d0 + d1 + d2 + d3) + 0.5d) as bigint)")
           .as("err2_micro"))
       .orderBy("vec_id")
+  }
+
+  /** Explode (id, v) rows into their m PQ sub-vectors (sub, sv). */
+  private def pqSubVecs(df: DataFrame, idCol: String, m: Int): DataFrame = df
+    .select(col(idCol), explode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> struct(s as sub, slice(v, s * (size(v) div $m) + 1, size(v) div $m) as sv))"))
+      .as("x"))
+    .select(col(idCol), col("x.sub").as("sub"), col("x.sv").as("sv"))
+
+  /** Nearest-codebook-entry assignment per (vector, subspace) — the
+    * shared encode kernel of q165/q186. `corpus` carries (vec_id, v),
+    * `codebook` (cid, v); output is one row per (vec_id, sub) with
+    * `best = struct(d, cid)` (squared L2 to the chosen entry, its id).
+    * The codebook explodes to m·c rows and broadcasts; the corpus side
+    * is a narrow map + one min-struct aggregate — no fact-side shuffle
+    * beyond the (vec_id, sub) regroup. */
+  private[graft] def pqCodes(corpus: DataFrame, codebook: DataFrame,
+                             m: Int): DataFrame = {
+    val cb = pqSubVecs(codebook, "cid", m)
+      .select(col("cid"), col("sub"), col("sv").as("cs"))
+    pqSubVecs(corpus, "vec_id", m)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        struct(
+          (dotC(col("sv"), col("sv")) - lit(2.0d) * dotC(col("sv"), col("cs"))
+            + dotC(col("cs"), col("cs"))).as("d"),
+          col("cid")).as("dc"))
+      .groupBy("vec_id", "sub")
+      .agg(min(col("dc")).as("best"))
+  }
+
+  /** q186: PQ asymmetric-distance (ADC) shortlist search + exact
+    * re-rank — the search-side completion of q165's encode, in the
+    * production IVFADC shape (Jégou et al.): queries stay full
+    * precision, the corpus is scanned as PQ codes only with the classic
+    * ADC lookup-table distance Σ_s ||q_s − cb[s][code_s(x)]||², the
+    * ADC ranking keeps a `shortlist`-sized candidate set per query, and
+    * ONLY those candidates are re-ranked with exact L2. The output is
+    * the q153-style recall@k of the re-ranked top-k against the
+    * brute-force exact top-k.
+    *
+    * Untrained codebooks (corpus-head seeding, the q165 construction)
+    * make raw ADC-only ranking weak on these embeddings (measured
+    * recall@10 ≈ 0.06–0.2 at m=4, c=16 — quantization error dominates
+    * without k-means training); the shortlist+re-rank is precisely how
+    * production PQ absorbs that: the shortlist only needs the true
+    * neighbors SOMEWHERE in its top-`shortlist`, a far looser ask the
+    * SketchBounds gate floors (observed re-ranked recall: mean 0.68 /
+    * min 0.4 at sf0.01, vs the ~0.21 random-shortlist chance line).
+    *
+    * Scale design — the reason PQ exists at 100 TB: exact distances are
+    * computed for shortlist·nQ vectors instead of |corpus|·nQ (here
+    * 2% of the corpus at sf0.1; the ratio is the operator's knob). The
+    * per-query lookup table (nQ·m·c entries) is driver-built from the
+    * two tiny inputs (query batch, codebook), broadcast, and joined to
+    * the code frame on (sub, cid): a broadcast hash join + one sum per
+    * (query, vec) over m rows. At a billion vectors the code frame is
+    * m bytes/vec instead of 4·dim, and both rankings are the q63
+    * bounded-heap shape. Round9dSpec proves the ADC stage EXACT
+    * (recall 1.0 with shortlist = k) when corpus sub-vectors sit on
+    * codebook entries. */
+  def adcRecall(spark: SparkSession, dir: String,
+                m: Int = 8, c: Int = 16, nQueries: Long = 5L,
+                k: Int = 10, shortlist: Int = 100): DataFrame =
+    adcRecallCore(vecs(spark, dir), m, c, nQueries, k, shortlist)
+
+  private[graft] def adcRecallCore(e: DataFrame, m: Int, c: Int,
+                                   nQueries: Long, k: Int,
+                                   shortlist: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val codebook = e.filter(col("vec_id") < c)
+      .select(col("vec_id").cast("int").as("cid"), col("v"))
+    val queries = e.filter(col("vec_id") >= c && col("vec_id") < c + nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= c + nQueries)
+      .select(col("vec_id"), col("v"))
+    // driver-built ADC lookup table: nQ·m·c rows, the same sequential
+    // fold as annRecallEval's probe block (both inputs are tiny by
+    // construction: the query batch and the codebook)
+    def sdot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0d; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cbRows = codebook.collect().toIndexedSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val lutRows: Seq[(Long, Int, Int, Double)] =
+      queries.collect().toIndexedSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .flatMap { case (qid, qv) =>
+          val sub = qv.length / m
+          cbRows.flatMap { case (cid, cv) =>
+            (0 until m).map { s =>
+              val qs = qv.slice(s * sub, (s + 1) * sub)
+              val cs = cv.slice(s * sub, (s + 1) * sub)
+              (qid, s, cid,
+                sdot(qs, qs) - 2.0d * sdot(qs, cs) + sdot(cs, cs))
+            }
+          }
+        }
+    val lut = lutRows.toDF("query_id", "sub", "cid", "dlut")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist").asc, col("vec_id").asc)
+    def exactDist(df: DataFrame): DataFrame = df
+      .select(col("query_id"), col("vec_id"),
+        (dotC(col("v"), col("v")) - lit(2.0d) * dotC(col("v"), col("qv"))
+          + dotC(col("qv"), col("qv"))).as("dist"))
+    val adcShortlist = pqCodes(corpus, codebook, m)
+      .select(col("vec_id"), col("sub"), col("best.cid").as("cid"))
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("dlut")).as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= shortlist)
+      .select("query_id", "vec_id")
+    // exact re-rank of the shortlist ONLY — |shortlist|·nQ exact
+    // distances instead of |corpus|·nQ
+    val adcTopK = exactDist(adcShortlist
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id")
+    val exactTopK = exactDist(corpus.crossJoin(broadcast(queries)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id")
+    val overlap = exactTopK.join(adcTopK, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    queries.select("query_id")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"cast(floor(1000000.0d * coalesce(n_overlap, 0L) / $k + 0.5d) as bigint)")
+          .as("recall_micro"))
+      .orderBy("query_id")
   }
 
   /** IVF index-health profile (q166) — per-cell occupancy of the q35

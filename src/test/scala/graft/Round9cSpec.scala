@@ -155,7 +155,10 @@ class Round9cSpec extends SparkSpec {
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("p")).distinct()
     val e = op.as("a").join(op.as("b"), Seq("okey"))
       .filter(col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2L)
+      .select("u", "v")
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.v") === col("e2.u"))
       .join(e.as("e3"),
