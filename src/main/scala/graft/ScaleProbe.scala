@@ -41,6 +41,12 @@ object ScaleProbe {
     case class Tabs(copies: Int) {
       val orders: DataFrame = amplified(Tables.orders(spark, dir), Seq("o_orderkey", "o_custkey"), copies)
       val lineitem: DataFrame = amplified(Tables.lineitem(spark, dir), Seq("l_orderkey"), copies)
+      /** Basket-graph probes need BOTH keys shifted: shifting only
+        * l_orderkey makes every copy re-observe the same part pairs, so
+        * edge SUPPORT (and graph density) grows with copies instead of
+        * graph SIZE — the docsSalted problem in graph space. */
+      val lineitemParts: DataFrame = amplified(Tables.lineitem(spark, dir),
+        Seq("l_orderkey", "l_partkey"), copies)
       val events: DataFrame = amplified(Tables.events(spark, dir), Seq("user_id", "event_id"), copies)
       val docs: DataFrame = amplified(Tables.documents(spark, dir), Seq("doc_id"), copies)
       val embeddings: DataFrame = amplified(Tables.embeddings(spark, dir), Seq("vec_id"), copies)
@@ -286,6 +292,27 @@ object ScaleProbe {
       },
       "source overlap (gram source-set agg + in-set pairs)" -> { t =>
         graft.dedup.DedupOps.sourceOverlapCore(t.docsSalted).count()
+      },
+      "interval sweep (banded cumsum + stitched lead)" -> { t =>
+        graft.ops.Sessions.intervalCoverageCore(t.events).count()
+      },
+      "snapshot diff (full-outer key join)" -> { t =>
+        val mutated = t.orders
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 13 === 0, col("o_totalprice") + lit(1.0d))
+              .otherwise(col("o_totalprice")))
+          .filter(col("o_orderkey") % 97 =!= 0)
+        graft.ops.Maintenance.snapshotDiff(
+          mutated, t.orders.filter(col("o_orderkey") % 89 =!= 0),
+          "o_orderkey",
+          Seq("o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")).count()
+      },
+      "triangles (support cut + degree-oriented wedges)" -> { t =>
+        graft.ops.Graph.trianglesCore(t.lineitemParts, topK = 1000).count()
+      },
+      "shard packing (banded global rank)" -> { t =>
+        graft.text.Curation.shardPackingCore(t.docs).count()
       },
       "sequence packing (per-source window)" -> { t =>
         val w = org.apache.spark.sql.expressions.Window

@@ -326,6 +326,8 @@ object SparkEntry {
     "q188_shard_packing"       -> ((s, d) => graft.text.Curation.shardPacking(s, d)),
     // MERGE round trip: apply(diff) reconstructs the target snapshot
     "q189_merge_apply"         -> ((s, d) => Maintenance.ordersMergeApply(s, d)),
+    // time travel: as-of snapshot from the q71 SCD2 intervals
+    "q190_asof_snapshot"       -> ((s, d) => Changelog.asOfSnapshot(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2475,6 +2477,16 @@ object SparkEntry {
         |       o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 89 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+    // q190: the oracle answers "state at T" the DIRECT way (latest event
+    // per user with ts <= T); the engine filters the q71 interval
+    // materialization. Hash match = the time-travel index is faithful.
+    "q190_asof_snapshot" ->
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events WHERE ts <= TIMESTAMP '2024-01-15')
+        |SELECT user_id, event_type, value, epoch_us(ts) AS valid_from_us
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

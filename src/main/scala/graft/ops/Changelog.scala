@@ -61,6 +61,30 @@ object Changelog {
       .orderBy("user_id", "version")
   }
 
+  /** q190: as-of-time snapshot reconstruction from the SCD2 intervals —
+    * the consumer side of q71: "what did the dimension look like at T"
+    * is a pure interval-containment filter (valid_from ≤ T < valid_to,
+    * open current versions included), no window re-evaluation. The
+    * DuckDB oracle answers the same question the DIRECT way (latest
+    * event per user with ts ≤ T), so the hash match proves the interval
+    * materialization is a faithful time-travel index.
+    *
+    * Scale: against a STORED interval table this is a partition-
+    * prunable scan-filter (valid_from ≤ T pushes down; at 100 TB the
+    * intervals live partitioned by valid_from date, so time travel
+    * reads only history up to T) — versus re-running the per-entity
+    * window over the full changelog, which is what the oracle does. */
+  def asOfSnapshot(spark: SparkSession, dir: String,
+                   cutoff: String = "2024-01-15"): DataFrame = {
+    val cutUs = unix_micros(lit(cutoff).cast("timestamp"))
+    scd2Intervals(spark, dir)
+      .filter(col("valid_from_us") <= cutUs &&
+        (col("valid_to_us").isNull || col("valid_to_us") > cutUs))
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("valid_from_us"))
+      .orderBy("user_id")
+  }
+
   /** P1: schema-on-read JSON parse with a declared target schema —
     * PERMISSIVE mode reproduces fastjson's null-on-missing semantics
     * (reference DauApp.scala:33: absent JSON fields become null/0

@@ -101,14 +101,19 @@ object Graph {
     * doubles as the equivalence proof of the oriented plan (the
     * q174/q175 pattern: naive oracle, scalable engine). */
   def coPurchaseTriangles(spark: SparkSession, dir: String,
-                          topK: Int = 10, minSupport: Long = 2L): DataFrame = {
+                          topK: Int = 10, minSupport: Long = 2L): DataFrame =
+    trianglesCore(Tables.lineitem(spark, dir), topK, minSupport)
+
+  private[graft] def trianglesCore(lineitem: DataFrame,
+                                   topK: Int = 10,
+                                   minSupport: Long = 2L): DataFrame = {
     // per-order pair expansion IN-ROW: one groupBy(okey) collects the
     // (small, basket-sized) part set, a nested transform emits its
     // C(n,2) ordered pairs without a self-join — the okey-keyed
     // shuffle-join alternative moves the fact table twice and was 4×
     // slower at sf0.1 (6.5 s → measured below). Baskets are bounded by
     // order size, so the in-row expansion never skews.
-    val edges = Tables.lineitem(spark, dir)
+    val edges = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
       .groupBy("okey").agg(sort_array(collect_set(col("p"))).as("ps"))
       .select(explode(expr(

@@ -126,11 +126,16 @@ object Sessions {
     * cumsum — the hash match is the banded-plan equivalence proof. */
   def peakConcurrency(spark: SparkSession, dir: String,
                       gapUs: Long = 1800000000L,
-                      bandUs: Long = 3600000000L): DataFrame = {
+                      bandUs: Long = 3600000000L): DataFrame =
+    peakConcurrencyCore(Tables.events(spark, dir), gapUs, bandUs)
+
+  private[graft] def peakConcurrencyCore(events: DataFrame,
+                                         gapUs: Long = 1800000000L,
+                                         bandUs: Long = 3600000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
-    val sessions = Tables.events(spark, dir)
+    val sessions = events
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("ns",
         when(lag(col("ts"), 1).over(w).isNull
@@ -177,11 +182,16 @@ object Sessions {
     * proves the stitched banded plan row-identical. */
   def intervalCoverage(spark: SparkSession, dir: String,
                        gapUs: Long = 1800000000L,
-                       bandUs: Long = 3600000000L): DataFrame = {
+                       bandUs: Long = 3600000000L): DataFrame =
+    intervalCoverageCore(Tables.events(spark, dir), gapUs, bandUs)
+
+  private[graft] def intervalCoverageCore(events: DataFrame,
+                                          gapUs: Long = 1800000000L,
+                                          bandUs: Long = 3600000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
-    val sessions = Tables.events(spark, dir)
+    val sessions = events
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("ns",
         when(lag(col("ts"), 1).over(w).isNull

@@ -300,9 +300,14 @@ object Curation {
     * DuckDB oracle computes the naive global ROW_NUMBER and the hash
     * match is the equivalence proof over EVERY doc's assignment. */
   def shardPacking(spark: SparkSession, dir: String,
-                   nShards: Int = 8, bandWidth: Int = 8): DataFrame = {
+                   nShards: Int = 8, bandWidth: Int = 8): DataFrame =
+    shardPackingCore(Tables.documents(spark, dir), nShards, bandWidth)
+
+  private[graft] def shardPackingCore(docs: DataFrame,
+                                      nShards: Int = 8,
+                                      bandWidth: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
+    val toks = docs
       .select(col("doc_id"),
         size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
           .cast("long").as("n_tokens"))

@@ -147,6 +147,17 @@ class Round9dSpec extends SparkSpec {
     assert(n === expect)
   }
 
+  test("asOfSnapshot degenerates to latestPerUser past the end of history") {
+    import graft.ops.Changelog
+    val snap = Changelog.asOfSnapshot(spark, dir, cutoff = "2099-01-01")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val latest = Changelog.latestPerUser(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSeq
+    assert(snap.nonEmpty && snap === latest)
+    // and before history began, the dimension is empty
+    assert(Changelog.asOfSnapshot(spark, dir, cutoff = "2000-01-01").count() === 0L)
+  }
+
   test("pqEncode still matches its oracle shape after the pqCodes refactor") {
     // q165 is oracle-gated at verify time; here just pin the invariants
     // the refactor must preserve: one row per encoded vector, codes in
