@@ -328,6 +328,8 @@ object SparkEntry {
     "q189_merge_apply"         -> ((s, d) => Maintenance.ordersMergeApply(s, d)),
     // time travel: as-of snapshot from the q71 SCD2 intervals
     "q190_asof_snapshot"       -> ((s, d) => Changelog.asOfSnapshot(s, d)),
+    // fact enrichment vs the SCD2 dim as-of each fact's own timestamp
+    "q191_enrich_asof"         -> ((s, d) => Changelog.enrichAsOf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2487,6 +2489,24 @@ object SparkEntry {
         |           FROM events WHERE ts <= TIMESTAMP '2024-01-15')
         |SELECT user_id, event_type, value, epoch_us(ts) AS valid_from_us
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // q191: the oracle builds the same non-purchase SCD2 intervals via a
+    // window and left-joins purchases on containment; pre-history
+    // purchases keep a null version on both sides.
+    "q191_enrich_asof" ->
+      """WITH dim AS (SELECT user_id AS d_user,
+        |                    CAST(row_number() OVER w AS BIGINT) AS version,
+        |                    epoch_us(ts) AS vf,
+        |                    epoch_us(lead(ts) OVER w) AS vt,
+        |                    event_type AS dim_state
+        |             FROM events WHERE event_type <> 'purchase'
+        |             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts_us, dim.version, dim.dim_state
+        |FROM f LEFT JOIN dim
+        |  ON f.user_id = dim.d_user AND dim.vf <= f.ts_us
+        |     AND (dim.vt IS NULL OR dim.vt > f.ts_us)
+        |ORDER BY f.event_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

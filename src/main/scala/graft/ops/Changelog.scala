@@ -45,9 +45,12 @@ object Changelog {
     * on the key + one per-key ordered pass (lead); at 100 TB the window
     * partitions by entity so it parallelizes per key group — no global
     * sort. Pairs with the as-of join (q48) as its consumer. */
-  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2IntervalsCore(Tables.events(spark, dir))
+
+  private[graft] def scd2IntervalsCore(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
+    events
       .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
       .withColumn("version", row_number().over(w).cast("long"))
       .select(
@@ -83,6 +86,43 @@ object Changelog {
       .select(col("user_id"), col("event_type"), col("value"),
         col("valid_from_us"))
       .orderBy("user_id")
+  }
+
+  /** q191: fact enrichment against the SCD2 dimension AS OF each fact's
+    * own timestamp — the canonical warehouse join ("which profile
+    * version was live when this purchase happened"). The dimension is
+    * the SCD2 history of the user's NON-purchase events; facts are the
+    * purchases; each fact attaches the containing validity interval
+    * (valid_from ≤ ts < valid_to, open current version included).
+    * Facts BEFORE the user's first dim version survive with a null
+    * version — the late-arriving/pre-history orphans an integrity
+    * audit needs surfaced, never silently dropped.
+    *
+    * Scale design: an equi-join ON THE ENTITY KEY first (user_id — the
+    * shuffle key), with interval containment as a post-join filter
+    * evaluated inside the join — per-entity version chains are short,
+    * so the per-key fan-out is bounded by history depth, not corpus
+    * size; intervals are disjoint per user, so each fact matches at
+    * most once (no dedup pass needed). This is the q48 as-of family
+    * with the dimension side pre-materialized — the join a 100 TB fact
+    * table runs against a dimension history thousands of times
+    * smaller. */
+  def enrichAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = scd2IntervalsCore(ev.filter(col("event_type") =!= "purchase"))
+      .select(col("user_id").as("d_user"), col("version"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("event_type").as("dim_state"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    facts.join(dim,
+        col("user_id") === col("d_user") &&
+          col("valid_from_us") <= col("ts_us") &&
+          (col("valid_to_us").isNull || col("valid_to_us") > col("ts_us")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("version"), col("dim_state"))
+      .orderBy("event_id")
   }
 
   /** P1: schema-on-read JSON parse with a declared target schema —

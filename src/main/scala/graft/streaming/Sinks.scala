@@ -47,6 +47,44 @@ object Sinks {
     fs.delete(bak, true)
   }
 
+  /** CDC apply sink: a micro-batch of changelog rows (key, `op` ∈
+    * insert/update/delete, payload columns) MERGEd into the parquet
+    * snapshot — [[graft.ops.Maintenance.applyDiff]]'s semantics behind
+    * the same crash-safe two-phase swap as [[upsertByKey]]. Deletes
+    * drop their keys (the operation upsert sinks cannot express);
+    * within a batch, later ops win per key via (tsCol, tieCol)
+    * compaction, so replaying a committed batch is a no-op on the
+    * already-applied state (idempotent replay — StreamingSpec proves
+    * delete→reinsert sequences converge across restarts). */
+  def applyCdc(batch: DataFrame, path: String, keyCols: Seq[String],
+               payloadCols: Seq[String], tsCol: String, tieCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    if (!fs.exists(dst) && fs.exists(bak)) fs.rename(bak, dst)
+    // one surviving op per key in this batch: the LATEST wins —
+    // an insert→delete sequence inside one batch nets to delete
+    val compacted = Pipelines.compactLatest(batch, keyCols, tsCol, tieCol)
+    val existing =
+      if (fs.exists(dst)) Some(spark.read.parquet(path)) else None
+    val incoming = compacted.filter(col("op").isin("insert", "update"))
+      .select((keyCols ++ payloadCols).map(col): _*)
+    val merged = existing match {
+      case Some(old) =>
+        old.join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(incoming)
+      case None => incoming
+    }
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    fs.rename(tmp, dst)
+    fs.delete(bak, true)
+  }
+
   /** K3 analog: append into a dt-partitioned table (the daily-index
     * naming of the ES sink, reference SaleDetailApp.scala:164-171);
     * `dropDuplicates(idCols)` inside the batch reproduces doc-id

@@ -352,6 +352,40 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set((10L, "alice3"), (20L, "bob"), (30L, "carol")))
   }
 
+  test("CDC apply sink merges insert/update/delete and replays idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val path = s"$dir/snap"
+    def apply(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.streaming.Sinks.applyCdc(b, path, Seq("k"), Seq("name"), "ts", "seq")
+    def state(): Set[(Long, String)] =
+      spark.read.parquet(path).select("k", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b1 = Seq(
+      (10L, "insert", "alice", ts("2024-01-05 10:00:00"), 1L),
+      (20L, "insert", "bob", ts("2024-01-05 10:00:00"), 2L),
+      (30L, "insert", "carol", ts("2024-01-05 10:00:00"), 3L))
+      .toDF("k", "op", "name", "ts", "seq")
+    apply(b1)
+    assert(state() === Set((10L, "alice"), (20L, "bob"), (30L, "carol")))
+    // update + delete + an insert→delete netting to delete INSIDE a batch
+    val b2 = Seq(
+      (10L, "update", "alice2", ts("2024-01-05 11:00:00"), 4L),
+      (20L, "delete", null, ts("2024-01-05 11:00:00"), 5L),
+      (40L, "insert", "dave", ts("2024-01-05 11:00:00"), 6L),
+      (40L, "delete", null, ts("2024-01-05 11:30:00"), 7L))
+      .toDF("k", "op", "name", "ts", "seq")
+    apply(b2)
+    val afterB2 = state()
+    assert(afterB2 === Set((10L, "alice2"), (30L, "carol")))
+    // replaying the committed batch must be a no-op on the applied state
+    apply(b2)
+    assert(state() === afterB2)
+    // delete → later re-insert across batches resurrects the key
+    apply(Seq((20L, "insert", "bob2", ts("2024-01-05 12:00:00"), 8L))
+      .toDF("k", "op", "name", "ts", "seq"))
+    assert(state() === Set((10L, "alice2"), (30L, "carol"), (20L, "bob2")))
+  }
+
   case class Doc(doc_id: Long, source: String, lang: String, text: String)
 
   test("streaming top-sellers counts accumulate across micro-batches (A10 realtime)") {
