@@ -330,6 +330,10 @@ object SparkEntry {
     "q190_asof_snapshot"       -> ((s, d) => Changelog.asOfSnapshot(s, d)),
     // fact enrichment vs the SCD2 dim as-of each fact's own timestamp
     "q191_enrich_asof"         -> ((s, d) => Changelog.enrichAsOf(s, d)),
+    // per-partition modular checksums (cross-replica validation)
+    "q192_partition_checksums" -> ((s, d) => Maintenance.partitionChecksums(s, d)),
+    // SCD2 no-op-run compaction (changelog hygiene for q190/q191 reads)
+    "q193_scd2_compact"        -> ((s, d) => Changelog.scd2Compact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2507,6 +2511,40 @@ object SparkEntry {
         |  ON f.user_id = dim.d_user AND dim.vf <= f.ts_us
         |     AND (dim.vt IS NULL OR dim.vt > f.ts_us)
         |ORDER BY f.event_id""".stripMargin,
+    // q192: identical modular polynomial on both sides — pure int64
+    // arithmetic under an explicit modulus, no engine hash functions.
+    "q192_partition_checksums" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       COUNT(*) AS n_rows,
+        |       SUM(((o_orderkey % 1000000007) * 1000003 % 1000000007
+        |            + (o_custkey % 1000000007) * 9176 % 1000000007
+        |            + CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 1000000007
+        |            + ord(o_orderstatus)) % 1000000007) % 1000000007 AS checksum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q193: same islands construction in SQL over the q71 intervals —
+    // runs of unchanged event_type collapse to one interval; the
+    // closing bound is the run's LAST version's valid_to (argmax).
+    "q193_scd2_compact" ->
+      """WITH iv AS (SELECT user_id,
+        |                   CAST(row_number() OVER w AS BIGINT) AS version,
+        |                   epoch_us(ts) AS valid_from_us,
+        |                   epoch_us(lead(ts) OVER w) AS valid_to_us,
+        |                   event_type
+        |            FROM events
+        |            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (SELECT *, CASE WHEN lag(event_type) OVER v IS NULL
+        |                       OR lag(event_type) OVER v <> event_type
+        |                     THEN 1 ELSE 0 END AS chg
+        |      FROM iv WINDOW v AS (PARTITION BY user_id ORDER BY version)),
+        |r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY version
+        |                               ROWS UNBOUNDED PRECEDING) AS run
+        |      FROM f)
+        |SELECT user_id, CAST(run AS BIGINT) AS version,
+        |       MIN(valid_from_us) AS valid_from_us,
+        |       NULLIF(arg_max(COALESCE(valid_to_us, -1), version), -1) AS valid_to_us,
+        |       MIN(event_type) AS state,
+        |       COUNT(*) AS n_collapsed
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

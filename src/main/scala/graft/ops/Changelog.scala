@@ -125,6 +125,46 @@ object Changelog {
       .orderBy("event_id")
   }
 
+  /** q193: SCD2 compaction — collapse consecutive versions whose
+    * tracked attribute did not change (the no-op-update runs a noisy
+    * changelog writes; CDC sources emit them constantly and they bloat
+    * the interval table without adding history). Runs of identical
+    * `event_type` per user merge into one interval spanning first
+    * valid_from → last valid_to, with the collapsed count kept for the
+    * audit trail.
+    *
+    * Scale design: the islands trick on the already-per-user-windowed
+    * interval frame — one lag compare + one running sum, both
+    * partitioned by user; the merge is a per-(user, run) aggregate with
+    * an argmax-by-version struct for the closing bound (never a
+    * self-join). At 100 TB this is the periodic maintenance pass that
+    * keeps q190/q191's read path proportional to TRUE history. */
+  def scd2Compact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("version"))
+    scd2Intervals(spark, dir)
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull
+          || lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "run")
+      .agg(
+        min(col("valid_from_us")).as("valid_from_us"),
+        // closing bound of the run = valid_to of its LAST version
+        // (argmax by version; null = still current)
+        max(struct(col("version"), col("valid_to_us"))).getField("valid_to_us")
+          .as("valid_to_us"),
+        // all members of a run share the type by construction; min keeps
+        // the aggregate order-insensitive on principle
+        min(col("event_type")).as("state"),
+        count(lit(1)).as("n_collapsed"))
+      .select(col("user_id"), col("run").as("version"),
+        col("valid_from_us"), col("valid_to_us"), col("state"),
+        col("n_collapsed"))
+      .orderBy("user_id", "version")
+  }
+
   /** P1: schema-on-read JSON parse with a declared target schema —
     * PERMISSIVE mode reproduces fastjson's null-on-missing semantics
     * (reference DauApp.scala:33: absent JSON fields become null/0

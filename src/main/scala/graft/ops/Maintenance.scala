@@ -121,6 +121,33 @@ object Maintenance {
       .orderBy(col("o_orderkey").asc)
   }
 
+  /** q192: per-partition content fingerprints — the cheap cross-replica
+    * validation a replicated warehouse runs after every sync (and the
+    * precursor that tells a 100 TB diff WHICH partitions to diff at all:
+    * checksum-equal partitions skip q180's row-level join entirely).
+    * Per orderdate month: row count and an order-insensitive modular
+    * polynomial checksum over the row content (key, custkey, cents,
+    * status) — pure integer arithmetic under an explicit modulus, so
+    * both engines compute identical values with no overflow or
+    * hash-function coupling, and the SUM commutes with any partitioning.
+    *
+    * One scan + one |months|-key partial aggregate; at scale the month
+    * is the physical partition key, so the checksum table is a
+    * metadata-sized artifact recomputed incrementally per partition. */
+  def partitionChecksums(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val term = (
+      (col("o_orderkey") % P) * 1000003L % P +
+        (col("o_custkey") % P) * 9176L % P +
+        floor(col("o_totalprice") * 100d + 0.5d).cast("long") % P +
+        ascii(col("o_orderstatus"))) % P
+    Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(term) % P).as("checksum"))
+      .orderBy("month")
+  }
+
   private def dec(c: String): Column = col(c).cast("decimal(18,2)")
 
   /** Partial aggregate of the q181 MV over any lineitem slice: exact
