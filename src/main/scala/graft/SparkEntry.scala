@@ -334,6 +334,10 @@ object SparkEntry {
     "q192_partition_checksums" -> ((s, d) => Maintenance.partitionChecksums(s, d)),
     // SCD2 no-op-run compaction (changelog hygiene for q190/q191 reads)
     "q193_scd2_compact"        -> ((s, d) => Changelog.scd2Compact(s, d)),
+    // RANGE window frame (time-based trailing revenue per customer)
+    "q194_trailing_revenue"    -> ((s, d) => Olap.trailingRevenue(s, d)),
+    // MMR diversified re-rank (flatMapGroups greedy vs recursive-CTE oracle)
+    "q195_mmr_rerank"          -> ((s, d) => graft.vector.VectorOps.mmrRerank(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2545,6 +2549,53 @@ object SparkEntry {
         |       MIN(event_type) AS state,
         |       COUNT(*) AS n_collapsed
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q194: RANGE frame over integer day numbers — same-day peers share
+    // the frame in both engines; DECIMAL sums keep the trailing revenue
+    // order-free.
+    "q194_trailing_revenue" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_rev,
+        |       COUNT(*) OVER w AS trail_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+        |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    // q195: the greedy MMR selection stepped by a recursive CTE with a
+    // correlated argmax per step; integers-only output, cosines on both
+    // sides are the identical sequential fold (q27's bit-exact
+    // discipline), so the SELECTION hash-matches.
+    "q195_mmr_rerank" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |c0 AS (SELECT q.query_id, e.vec_id, e.v,
+        |              list_inner_product(e.v, q.qv) /
+        |                (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS rel
+        |       FROM e, q WHERE e.vec_id >= 5),
+        |c1 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn FROM c0),
+        |cand AS (SELECT query_id, vec_id, v, rel FROM c1 WHERE rn <= 20),
+        |sims AS (SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+        |                list_inner_product(a.v, b.v) /
+        |                  (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS s
+        |         FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+        |pick(query_id, step, sel) AS (
+        |  SELECT query_id, 0, CAST([] AS BIGINT[]) FROM q
+        |  UNION ALL
+        |  SELECT p.query_id, p.step + 1,
+        |         list_append(p.sel, (
+        |           SELECT c.vec_id FROM cand c
+        |           WHERE c.query_id = p.query_id AND NOT list_contains(p.sel, c.vec_id)
+        |           ORDER BY 0.5 * c.rel - 0.5 * COALESCE((
+        |                      SELECT MAX(s.s) FROM sims s
+        |                      WHERE s.query_id = p.query_id AND s.ca = c.vec_id
+        |                        AND list_contains(p.sel, s.cb)), 0.0) DESC,
+        |                    c.vec_id ASC
+        |           LIMIT 1))
+        |  FROM pick p WHERE p.step < 5)
+        |SELECT query_id, CAST(generate_subscripts(sel, 1) AS BIGINT) AS rank,
+        |       unnest(sel) AS vec_id
+        |FROM pick WHERE step = 5 ORDER BY query_id, rank""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -540,4 +540,34 @@ object Olap {
       .select(col("l_returnflag"), col("rk"), col("price"), col("n_at_price"))
       .orderBy("l_returnflag", "rk")
   }
+
+  /** q194: trailing-30-day customer revenue via a RANGE window frame —
+    * the time-based frame (`rangeBetween` over a day-number ordering)
+    * the ROWS-frame movers (q50) cannot express: each order sums every
+    * order of the SAME customer in its trailing 30 calendar days,
+    * however many rows that is, including none. Day numbers are exact
+    * integers (epoch days), revenue sums go through DECIMAL, and
+    * same-day orders correctly see each other inside the frame (RANGE
+    * semantics: peers share the frame — the rows-frame approximation
+    * would order-dependently split them).
+    *
+    * Scale: partitioned by customer — per-key ordered pass, parallel
+    * across the key domain, no global sort; the frame bound is O(orders
+    * per customer per month) state per key. */
+  def trailingRevenue(spark: SparkSession, dir: String,
+                      days: Int = 30): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("day"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .withColumn("trail_rev", sum(col("price")).over(w).cast("double"))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        col("trail_rev"), col("trail_n"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -763,6 +763,83 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** q195: MMR (maximal marginal relevance) diversified re-rank — the
+    * retrieval-stage dedup that keeps a result list from being five
+    * copies of the same cluster: greedily pick argmax of
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) from the candidate set until
+    * k results, ties to the smaller vec_id. Candidates are the exact
+    * cosine top-`nCand` (the shortlist a production system gets from
+    * q186's ADC stage).
+    *
+    * The greedy is inherently sequential per query, so it runs in
+    * `flatMapGroups` over the ≤nCand-row candidate groups — the typed
+    * KeyValueGroupedDataset API doing what a window cannot express
+    * (q177's flatMapGroupsWithState pattern, batch form). All arithmetic
+    * is the same left-fold dot product the engine's codegen expression
+    * and DuckDB's list_inner_product compute, so the DuckDB oracle — a
+    * recursive CTE stepping the identical greedy — hash-matches the
+    * SELECTION exactly (the output is integers only).
+    *
+    * Scale: candidate generation is the q27/q63 broadcast + bounded-heap
+    * shape; the sequential stage touches k·nCand·|S| tiny dot products
+    * per query INSIDE a task, never on the driver — a billion-query
+    * re-rank parallelizes across query groups. */
+  def mmrRerank(spark: SparkSession, dir: String,
+                nQueries: Long = 5L, nCand: Int = 20, k: Int = 5,
+                lambda: Double = 0.5): DataFrame =
+    mmrRerankCore(vecs(spark, dir), nQueries, nCand, k, lambda)
+
+  private[graft] def mmrRerankCore(e: DataFrame, nQueries: Long, nCand: Int,
+                                   k: Int, lambda: Double): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= nQueries).select(col("vec_id"), col("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rel").desc, col("vec_id").asc)
+    val cand = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), cosine("v", "qv").as("rel"), col("v"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nCand)
+      .select("query_id", "vec_id", "rel", "v")
+    def dotS(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0d; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cosS(a: Seq[Double], b: Seq[Double]): Double =
+      dotS(a, b) / (math.sqrt(dotS(a, a)) * math.sqrt(dotS(b, b)))
+    cand.as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+        // vec_id-ascending iteration + strict > replacement = smallest
+        // vec_id wins score ties, mirroring the oracle's ORDER BY
+        val cs = it.toIndexedSeq.sortBy(_._2)
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var step = 1
+        while (step <= k && sel.size < cs.size) {
+          var bestId = -1L; var bestV: Seq[Double] = null
+          var bestScore = Double.NegativeInfinity
+          cs.foreach { case (_, vid, rel, v) =>
+            if (!sel.exists(_._1 == vid)) {
+              val maxSim = if (sel.isEmpty) 0.0d
+                else sel.iterator.map(s => cosS(v, s._2)).max
+              val score = lambda * rel - (1.0d - lambda) * maxSim
+              if (score > bestScore) { bestScore = score; bestId = vid; bestV = v }
+            }
+          }
+          sel += ((bestId, bestV))
+          out += ((qid, step.toLong, bestId))
+          step += 1
+        }
+        out
+      }
+      .toDF("query_id", "rank", "vec_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** Explode (id, v) rows into their m PQ sub-vectors (sub, sv). */
   private def pqSubVecs(df: DataFrame, idCol: String, m: Int): DataFrame = df
     .select(col(idCol), explode(expr(

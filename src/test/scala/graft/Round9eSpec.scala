@@ -48,6 +48,55 @@ class Round9eSpec extends SparkSpec {
     assert(changed.size === 1, s"exactly one month must change, got $changed")
   }
 
+  test("trailingRevenue RANGE frame equals brute force and same-day peers share frames") {
+    import graft.ops.Olap
+    val got = Olap.trailingRevenue(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byCust = rows.groupBy(_._2)
+    got.foreach { case (okey, cust, day, rev, n) =>
+      val frame = byCust(cust).filter(o => o._3 <= day && o._3 > day - 30)
+      assert(n === frame.length, s"order $okey frame count")
+      val exact = frame.map(o => BigDecimal(o._4).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(math.abs(rev - exact) < 1e-6, s"order $okey trailing revenue")
+    }
+    // RANGE semantics: same-(customer, day) peers must report identical
+    // frame aggregates — a ROWS frame would split them order-dependently
+    val peers = got.groupBy(t => (t._2, t._3)).filter(_._2.length > 1)
+    assert(peers.forall { case (_, g) =>
+      g.map(t => (t._4, t._5)).distinct.length == 1
+    })
+  }
+
+  test("MMR re-rank: rank 1 is pure relevance, near-identical runner-up is demoted") {
+    import spark.implicits._
+    import graft.vector.VectorOps
+    // query id 0; candidates 1..4: ids 1 and 2 nearly identical and most
+    // relevant; id 3 orthogonal-ish but relevant; id 4 filler
+    val e = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),            // query
+      (1L, Seq(10.0, 1.0, 0.0, 0.0)),           // top relevance
+      (2L, Seq(10.0, 1.0, 0.1, 0.0)),           // near-dup of 1
+      (3L, Seq(5.0, 0.0, 9.0, 0.0)),            // diverse, decent rel
+      (4L, Seq(1.0, 0.0, 0.0, 9.0))             // diverse, low rel
+    ).toDF("vec_id", "v")
+    val out = VectorOps.mmrRerankCore(e, nQueries = 1L, nCand = 4, k = 3,
+        lambda = 0.5).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(1L) === 1L, "rank 1 must be the pure-relevance argmax")
+    assert(out(2L) === 3L,
+      "the near-duplicate of rank 1 must be demoted below the diverse candidate")
+    assert(out(3L) === 4L,
+      "even the low-relevance diverse candidate outranks the near-duplicate")
+  }
+
   test("scd2Compact is lossless: adjacent runs differ, intervals chain, as-of agrees") {
     val compacted = Changelog.scd2Compact(spark, dir).collect()
     assert(compacted.nonEmpty)
