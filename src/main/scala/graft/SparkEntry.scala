@@ -338,6 +338,10 @@ object SparkEntry {
     "q194_trailing_revenue"    -> ((s, d) => Olap.trailingRevenue(s, d)),
     // MMR diversified re-rank (flatMapGroups greedy vs recursive-CTE oracle)
     "q195_mmr_rerank"          -> ((s, d) => graft.vector.VectorOps.mmrRerank(s, d)),
+    // weighted median (histogram cumsum — no row buffering)
+    "q196_weighted_median"     -> ((s, d) => Percentiles.weightedMedian(s, d)),
+    // k-anonymity audit over the (segment, nation) quasi-identifier
+    "q197_k_anonymity"         -> ((s, d) => Quality.kAnonymity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2596,6 +2600,27 @@ object SparkEntry {
         |SELECT query_id, CAST(generate_subscripts(sel, 1) AS BIGINT) AS rank,
         |       unnest(sel) AS vec_id
         |FROM pick WHERE step = 5 ORDER BY query_id, rank""".stripMargin,
+    // q196: lower weighted median — smallest value whose cumulative
+    // weight reaches half the total; 2*cumw >= totw is a BIGINT compare.
+    "q196_weighted_median" ->
+      """WITH h AS (SELECT l_returnflag, l_extendedprice AS v,
+        |                  CAST(SUM(l_quantity) AS BIGINT) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, w,
+        |             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |                          ROWS UNBOUNDED PRECEDING) AS cumw,
+        |             SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+        |      FROM h)
+        |SELECT l_returnflag, MIN(v) AS weighted_median,
+        |       CAST(MAX(totw) AS BIGINT) AS total_weight
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q197: quasi-identifier combinations carried by < k individuals.
+    "q197_k_anonymity" ->
+      """SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       COUNT(*) AS group_size
+        |FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 8
+        |ORDER BY 1, 2""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

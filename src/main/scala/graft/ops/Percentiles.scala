@@ -58,4 +58,33 @@ object Percentiles {
     } ++ Seq(col("vmin"), col("vmax"))
     g.select(outCols: _*)
   }
+
+  /** q196: WEIGHTED median per group — the percentile family member the
+    * unweighted lerp paths (q43/q122) can't express: each value counts
+    * with its weight (here l_quantity), the median is the smallest value
+    * whose cumulative weight reaches half the total (the lower weighted
+    * median — an exact data value, no interpolation, so the definition
+    * is integer-deterministic in both engines).
+    *
+    * Same scale shape as [[fromHistogram]]: the shuffle carries one row
+    * per distinct (group, value) with a SUMMED weight (map-side partial
+    * agg), the cumulative pass is a group-partitioned window over the
+    * value domain, and the final pick is a filtered min — no row-level
+    * buffering anywhere. 2·cumw ≥ totw is a pure BIGINT compare. */
+  def weightedMedian(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val hist = graft.Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(sum(col("l_quantity")).cast("long").as("w"))
+    val wOrd = Window.partitionBy("l_returnflag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    hist
+      .withColumn("cumw", sum(col("w")).over(wOrd))
+      .withColumn("totw", sum(col("w")).over(wAll))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy("l_returnflag")
+      .agg(min(col("v")).as("weighted_median"), max(col("totw")).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -185,4 +185,23 @@ object Quality {
       .unionByName(profile("events", "user_id", events))
       .orderBy("table", "join_key")
   }
+
+  /** q197: k-anonymity audit over a quasi-identifier tuple — the privacy
+    * gate a training-data release runs before shipping: every
+    * (mktsegment, nationkey) combination carried by fewer than `k`
+    * customers is re-identification risk (an attacker joining on those
+    * two public attributes isolates < k individuals). Output: each
+    * violating combination with its group size — the worklist for
+    * generalization or suppression.
+    *
+    * One partial-agg shuffle over the quasi-identifier domain (tiny by
+    * definition — the audit only makes sense for low-cardinality public
+    * attributes), then a size filter; at 100 TB the aggregate is the
+    * only pass over the data. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Long = 8L): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+      .orderBy("c_mktsegment", "nationkey")
 }

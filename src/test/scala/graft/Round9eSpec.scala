@@ -97,6 +97,38 @@ class Round9eSpec extends SparkSpec {
       "even the low-relevance diverse candidate outranks the near-duplicate")
   }
 
+  test("weightedMedian equals a single-threaded weighted replay") {
+    import graft.ops.Percentiles
+    val got = Percentiles.weightedMedian(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      val tot = g.map(_._3).sum
+      val sorted = g.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val med = sorted.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      assert(got(flag) === ((med, tot)), s"flag $flag")
+    }
+  }
+
+  test("kAnonymity reports exactly the under-k quasi-identifier groups") {
+    import graft.ops.Quality
+    val got = Quality.kAnonymity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val all = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = all.filter(_._2 < 8L)
+    assert(got === expect)
+    assert(got.values.forall(_ < 8L))
+  }
+
   test("scd2Compact is lossless: adjacent runs differ, intervals chain, as-of agrees") {
     val compacted = Changelog.scd2Compact(spark, dir).collect()
     assert(compacted.nonEmpty)
