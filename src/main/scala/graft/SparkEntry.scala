@@ -342,6 +342,10 @@ object SparkEntry {
     "q196_weighted_median"     -> ((s, d) => Percentiles.weightedMedian(s, d)),
     // k-anonymity audit over the (segment, nation) quasi-identifier
     "q197_k_anonymity"         -> ((s, d) => Quality.kAnonymity(s, d)),
+    // Benford first-digit audit (shared literal constants, no libm)
+    "q198_benford"             -> ((s, d) => Quality.benfordAudit(s, d)),
+    // functional-dependency discovery over candidate column pairs
+    "q199_fd_discovery"        -> ((s, d) => Quality.fdDiscovery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2621,6 +2625,46 @@ object SparkEntry {
         |       COUNT(*) AS group_size
         |FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 8
         |ORDER BY 1, 2""".stripMargin,
+    // q198: first digits from INTEGER cents (decimal rendering of a
+    // BIGINT — engine-identical); Benford constants as shared literals.
+    "q198_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |           FROM orders WHERE FLOOR(o_totalprice * 100 + 0.5) > 0),
+        |c AS (SELECT digit, COUNT(*) AS ct FROM d GROUP BY 1),
+        |t AS (SELECT SUM(ct) AS total FROM c),
+        |e(digit, expected_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |SELECT c.digit, c.ct,
+        |       CAST(FLOOR(1000000.0 * c.ct / t.total + 0.5) AS BIGINT) AS obs_ppm,
+        |       CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |       ABS(CAST(FLOOR(1000000.0 * c.ct / t.total + 0.5) AS BIGINT)
+        |           - e.expected_ppm) AS abs_dev_ppm
+        |FROM c, t, e WHERE c.digit = e.digit
+        |ORDER BY c.digit""".stripMargin,
+    // q199: per candidate lhs -> rhs, distinct-pair counting; verdict is
+    // a pure integer compare.
+    "q199_fd_discovery" ->
+      """WITH cands AS (
+        |  SELECT 'nation' AS tbl, 'n_nationkey' AS lhs, 'n_regionkey' AS rhs,
+        |         CAST(n_nationkey AS VARCHAR) AS l, CAST(n_regionkey AS VARCHAR) AS r FROM nation
+        |  UNION ALL SELECT 'customer', 'c_custkey', 'c_nationkey',
+        |         CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+        |         CAST(c_nationkey AS VARCHAR), c_mktsegment FROM customer
+        |  UNION ALL SELECT 'part', 'p_partkey', 'p_brand',
+        |         CAST(p_partkey AS VARCHAR), p_brand FROM part
+        |  UNION ALL SELECT 'part', 'p_brand', 'p_type',
+        |         p_brand, p_type FROM part
+        |  UNION ALL SELECT 'lineitem', 'l_orderkey', 'l_suppkey',
+        |         CAST(l_orderkey AS VARCHAR), CAST(l_suppkey AS VARCHAR) FROM lineitem),
+        |p AS (SELECT DISTINCT tbl, lhs, rhs, l, r FROM cands),
+        |g AS (SELECT tbl, lhs, rhs, l, COUNT(*) AS nr FROM p GROUP BY 1, 2, 3, 4)
+        |SELECT tbl AS "table", lhs, rhs, COUNT(*) AS n_lhs,
+        |       CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |       CAST(CASE WHEN SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0
+        |            THEN 1 ELSE 0 END AS BIGINT) AS holds
+        |FROM g GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -204,4 +204,75 @@ object Quality {
       .agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") < k)
       .orderBy("c_mktsegment", "nationkey")
+
+  /** Benford expected first-digit shares in ppm — log10(1 + 1/d)
+    * hardcoded as integer literals so BOTH engines carry identical
+    * constants (no libm transcendentals anywhere near the oracle
+    * compare; the q83 rounding discipline taken to its logical end). */
+  private[graft] val BenfordPpm: Seq[(Long, Long)] = Seq(
+    1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+    5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+
+  /** q198: Benford's-law first-digit audit on order totals — the
+    * reference-free fraud/fabrication screen: naturally-occurring
+    * multi-scale amounts follow log10(1+1/d); invented numbers don't.
+    * First digits come from the INTEGER cents (first character of a
+    * BIGINT's decimal rendering — engine-identical, unlike float
+    * formatting or log10 tricks), and the expected shares are shared
+    * literal constants. Output per digit: count, observed ppm,
+    * expected ppm and absolute deviation ppm — the audit table a
+    * controls team reads.
+    *
+    * One scan + a 9-key aggregate + a broadcast of the 9-row constant
+    * frame: nothing here changes shape at 100 TB. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = BenfordPpm.toDF("digit", "expected_ppm")
+    val digits = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100d + 0.5d).cast("long").as("cents"))
+      .filter(col("cents") > 0L)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("ct"))
+    val total = digits.agg(sum(col("ct")).as("total"))
+    digits.crossJoin(broadcast(total))
+      .join(broadcast(expected), Seq("digit"))
+      .select(col("digit"), col("ct"),
+        expr("cast(floor(1000000.0d * ct / total + 0.5d) as bigint)").as("obs_ppm"),
+        col("expected_ppm"))
+      .withColumn("abs_dev_ppm", abs(col("obs_ppm") - col("expected_ppm")))
+      .orderBy("digit")
+  }
+
+  /** q199: functional-dependency discovery over candidate column pairs —
+    * the schema-profiling primitive behind key inference, normalization
+    * advice and join-safety checks ("is this column a function of
+    * that?"). For each candidate lhs → rhs: the number of lhs values,
+    * how many of them map to MORE than one distinct rhs (violations),
+    * and the verdict.
+    *
+    * Shape: per candidate one (lhs, rhs)-distinct partial-agg + one
+    * lhs-keyed count — the shuffle carries the distinct pair domain,
+    * never raw rows twice; candidates evaluate independently (a real
+    * profiler fans them out in one pass per table, same plan per
+    * candidate). */
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    def check(table: String, lhs: String, rhs: String): DataFrame = {
+      val pairs = Tables.table(spark, dir, table)
+        .select(col(lhs).cast("string").as("l"), col(rhs).cast("string").as("r"))
+        .distinct()
+      pairs.groupBy("l").agg(count(lit(1)).as("nr"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("nr") > 1L, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(table).as("table"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_lhs"), col("n_violating"),
+          (col("n_violating") === 0L).cast("long").as("holds"))
+    }
+    check("nation", "n_nationkey", "n_regionkey")
+      .unionByName(check("customer", "c_custkey", "c_nationkey"))
+      .unionByName(check("customer", "c_nationkey", "c_mktsegment"))
+      .unionByName(check("part", "p_partkey", "p_brand"))
+      .unionByName(check("part", "p_brand", "p_type"))
+      .unionByName(check("lineitem", "l_orderkey", "l_suppkey"))
+      .orderBy("table", "lhs", "rhs")
+  }
 }

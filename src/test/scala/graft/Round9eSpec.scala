@@ -129,6 +129,43 @@ class Round9eSpec extends SparkSpec {
     assert(got.values.forall(_ < 8L))
   }
 
+  test("benfordAudit: digits partition the orders, ppm columns reconcile, constants correct") {
+    import graft.ops.Quality
+    val rows = Quality.benfordAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq.sorted === (1L to 9L))
+    assert(rows.map(_._2).sum === Tables.orders(spark, dir).count())
+    // the hardcoded table must BE log10(1+1/d) in micro units
+    Quality.BenfordPpm.foreach { case (d, ppm) =>
+      val exact = math.floor(1e6 * math.log10(1.0 + 1.0 / d) + 0.5).toLong
+      assert(ppm === exact, s"digit $d constant")
+    }
+    rows.foreach { case (_, _, obs, exp, dev) =>
+      assert(dev === math.abs(obs - exp))
+    }
+  }
+
+  test("fdDiscovery verdicts match a direct distinct-count replay") {
+    import graft.ops.Quality
+    val got = Quality.fdDiscovery(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size === 6)
+    // keys must hold; known non-functions must not
+    assert(got(("nation", "n_nationkey", "n_regionkey"))._3 === 1L)
+    assert(got(("customer", "c_custkey", "c_nationkey"))._3 === 1L)
+    assert(got(("part", "p_partkey", "p_brand"))._3 === 1L)
+    assert(got(("lineitem", "l_orderkey", "l_suppkey"))._3 === 0L)
+    // replay one failing candidate exactly
+    val pairs = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("string"), col("c_mktsegment"))
+      .collect().map(r => (r.getString(0), r.getString(1))).distinct
+    val violating = pairs.groupBy(_._1).count(_._2.length > 1).toLong
+    val (nLhs, nViol, holds) = got(("customer", "c_nationkey", "c_mktsegment"))
+    assert(nLhs === pairs.map(_._1).distinct.length.toLong)
+    assert(nViol === violating && holds === (if (violating == 0) 1L else 0L))
+  }
+
   test("scd2Compact is lossless: adjacent runs differ, intervals chain, as-of agrees") {
     val compacted = Changelog.scd2Compact(spark, dir).collect()
     assert(compacted.nonEmpty)
