@@ -346,6 +346,9 @@ object SparkEntry {
     "q198_benford"             -> ((s, d) => Quality.benfordAudit(s, d)),
     // functional-dependency discovery over candidate column pairs
     "q199_fd_discovery"        -> ((s, d) => Quality.fdDiscovery(s, d)),
+    // the composed training-data funnel: dedup -> quality gate ->
+    // banded token budget -> banded shard deal (q23/q135/q174/q188)
+    "q200_training_manifest"   -> ((s, d) => graft.text.Curation.trainingManifest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2665,6 +2668,33 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END AS BIGINT) AS holds
         |FROM g GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    // q200: the four verified stages chained in SQL — the hash match
+    // proves stage BOUNDARIES (dedup before stats, budget over
+    // kept-only mass, deal over selected-only ranks), not just stages.
+    "q200_training_manifest" ->
+      """WITH ded AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |d1 AS (SELECT d.doc_id, d.source, d.text
+        |       FROM documents d JOIN ded ON d.doc_id = ded.doc_id),
+        |t AS (SELECT doc_id, source,
+        |             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens
+        |      FROM d1),
+        |s AS (SELECT doc_id, source,
+        |             CAST(len(tokens) AS BIGINT) AS n_tokens,
+        |             CAST(len(list_filter(tokens, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS stop_ct,
+        |             CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct
+        |      FROM t),
+        |k AS (SELECT doc_id, source, n_tokens FROM s
+        |      WHERE n_tokens >= 20 AND stop_ct > 0 AND n_distinct * 100 >= n_tokens * 35),
+        |b AS (SELECT CAST(FLOOR(SUM(n_tokens) * 0.30) AS BIGINT) AS budget FROM k),
+        |c AS (SELECT k.*, SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ASC
+        |                                      ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM k),
+        |sel AS (SELECT doc_id, n_tokens FROM c, b WHERE cum <= budget),
+        |r AS (SELECT doc_id, n_tokens,
+        |             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn
+        |      FROM sel)
+        |SELECT doc_id, n_tokens, (rn - 1) % 8 AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -305,12 +305,19 @@ object Curation {
 
   private[graft] def shardPackingCore(docs: DataFrame,
                                       nShards: Int = 8,
-                                      bandWidth: Int = 8): DataFrame = {
+                                      bandWidth: Int = 8): DataFrame =
+    shardDeal(docs.select(col("doc_id"),
+      size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+        .cast("long").as("n_tokens")), nShards, bandWidth)
+
+  /** The banded round-robin deal over any (doc_id, n_tokens) frame —
+    * [[shardPacking]]'s rank machinery split from its tokenizer so the
+    * q200 funnel can deal its own survivor set. */
+  private[graft] def shardDeal(toksIn: DataFrame,
+                               nShards: Int = 8,
+                               bandWidth: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col("doc_id"),
-        size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
-          .cast("long").as("n_tokens"))
+    val toks = toksIn
       .withColumn("band", floor(col("n_tokens") / lit(bandWidth)).cast("long"))
     val bandCum = toks.groupBy("band")
       .agg(count(lit(1)).as("band_n"))
@@ -326,5 +333,41 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"),
         ((col("rank") - 1) % nShards).as("shard"))
       .orderBy("doc_id")
+  }
+
+  /** q200: the end-to-end training-data manifest — the round-9 funnel
+    * COMPOSED: exact dedup (q23's min-id-per-md5 rule) → the q135
+    * quality gate (length, stopword, diversity — identical integer
+    * cross-multiplied thresholds) → the q174 banded token-budget cut
+    * (30% of surviving token mass, priority by size) → the q188 banded
+    * shard deal. Output: the serving manifest (doc_id, n_tokens,
+    * shard) a training run actually reads.
+    *
+    * Every stage is an already-hash-verified operator; this query
+    * proves they COMPOSE — the DuckDB oracle chains the same four
+    * stages, so any drift in stage boundaries (dedup before stats,
+    * budget over kept-only mass, deal over selected-only ranks) breaks
+    * the hash. Scale properties are inherited per stage: one md5
+    * aggregate, narrow-map stats, two banded constructions — the only
+    * unpartitioned windows remain the bounded band-domain frames. */
+  def trainingManifest(spark: SparkSession, dir: String,
+                       frac: Double = 0.30, nShards: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val keepIds = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val kept = docs.join(keepIds, "doc_id")
+      .select(col("doc_id"), col("source"), col("text"),
+        expr("graft_text_stats(text)").as("st"),
+        expr("cast(size(graft_token_counts(text)) as bigint)").as("n_distinct"))
+      .select(col("doc_id"), col("source"), col("text"),
+        col("st.n_tokens").as("n_tokens"), col("st.stop_ct").as("stop_ct"),
+        col("n_distinct"))
+      .filter(col("n_tokens") >= 20 && col("stop_ct") > 0 &&
+        col("n_distinct") * 100 >= col("n_tokens") * 35)
+    val selected = tokenBudgetCore(
+      kept.select("doc_id", "source", "text"), frac)
+    shardDeal(selected.select(col("doc_id"), col("n_tokens")), nShards)
   }
 }

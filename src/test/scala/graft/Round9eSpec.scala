@@ -166,6 +166,40 @@ class Round9eSpec extends SparkSpec {
     assert(nViol === violating && holds === (if (violating == 0) 1L else 0L))
   }
 
+  test("trainingManifest funnel: stage boundaries hold end-to-end") {
+    import graft.text.Curation
+    val manifest = Curation.trainingManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(manifest.nonEmpty)
+    // no duplicate docs in the manifest, all shards in range
+    assert(manifest.map(_._1).distinct.length === manifest.length)
+    assert(manifest.forall(t => t._3 >= 0 && t._3 < 8))
+    // the kept (post-dedup, post-quality) frame this funnel cut from
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val keepIds = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val kept = docs.join(keepIds, "doc_id")
+      .select(col("doc_id"), expr("graft_text_stats(text)").as("st"),
+        expr("cast(size(graft_token_counts(text)) as bigint)").as("nd"))
+      .select(col("doc_id"), col("st.n_tokens").as("n"), col("st.stop_ct").as("sc"), col("nd"))
+      .filter(col("n") >= 20 && col("sc") > 0 && col("nd") * 100 >= col("n") * 35)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // manifest docs all survived dedup+quality, with their exact counts
+    manifest.foreach { case (id, n, _) =>
+      assert(kept.contains(id) && kept(id) === n)
+    }
+    // the budget cut is tight: kept mass <= 30% of surviving mass, and
+    // adding the largest excluded survivor would overflow
+    val budget = math.floor(kept.values.map(_.toDouble).sum * 0.30).toLong
+    val used = manifest.map(_._2).sum
+    assert(used <= budget)
+    val excluded = kept.keySet -- manifest.map(_._1).toSet
+    if (excluded.nonEmpty)
+      assert(used + excluded.map(kept).max > budget,
+        "a larger selection would have fit — the cut is not tight")
+  }
+
   test("scd2Compact is lossless: adjacent runs differ, intervals chain, as-of agrees") {
     val compacted = Changelog.scd2Compact(spark, dir).collect()
     assert(compacted.nonEmpty)
