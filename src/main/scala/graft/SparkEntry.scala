@@ -349,6 +349,10 @@ object SparkEntry {
     // the composed training-data funnel: dedup -> quality gate ->
     // banded token budget -> banded shard deal (q23/q135/q174/q188)
     "q200_training_manifest"   -> ((s, d) => graft.text.Curation.trainingManifest(s, d)),
+    // --- round 9f: exact duplicated-SPAN detection (Lee et al. 2021
+    //     n-gram-postings shape) — audit + keep-first corpus rewrite ---
+    "q201_dup_spans"           -> ((s, d) => graft.dedup.SpanDedup.dupSpans(s, d)),
+    "q202_substring_dedup"     -> ((s, d) => graft.dedup.SpanDedup.substringDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2695,6 +2699,63 @@ object SparkEntry {
         |      FROM sel)
         |SELECT doc_id, n_tokens, (rn - 1) % 8 AS shard
         |FROM r ORDER BY doc_id""".stripMargin,
+    // q201: duplicated-span audit. Positions are 1-based here vs 0-based
+    // in Spark — every output column is a count or a position DIFFERENCE,
+    // so the base cancels. Span merge: equal-length intervals sorted by
+    // start are one contiguous covered run while successive starts differ
+    // by <= GramLen.
+    "q201_dup_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |p0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+        |         THEN list_transform(generate_series(1, len(t) - 7),
+        |                i -> {'pos': i, 'h': md5(array_to_string(list_slice(t, i, i + 7), ' '))})
+        |         ELSE [] END) AS g FROM tok),
+        |p AS (SELECT doc_id, g.pos AS pos, g.h AS h FROM p0),
+        |d AS (SELECT h FROM p GROUP BY h HAVING COUNT(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM p WHERE h IN (SELECT h FROM d)),
+        |s AS (SELECT doc_id, pos, CASE WHEN LAG(pos) OVER w IS NULL
+        |            OR pos - LAG(pos) OVER w > 8 THEN 1 ELSE 0 END AS ns
+        |      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |si AS (SELECT doc_id, pos, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |sp AS (SELECT doc_id, sid, COUNT(*) AS n_marked, MAX(pos) + 8 - MIN(pos) AS span_len FROM si GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(n_marked) AS n_dup_grams, SUM(span_len) AS dup_tokens FROM sp GROUP BY 1),
+        |ds AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, CAST(GREATEST(len(t) - 7, 0) AS BIGINT) AS n_grams FROM tok)
+        |SELECT ds.doc_id, ds.n_tokens, ds.n_grams,
+        |       CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        |       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |       CAST(FLOOR(1000000.0 * COALESCE(dup_tokens, 0) / ds.n_tokens + 0.5) AS BIGINT) AS dup_micro
+        |FROM ds LEFT JOIN agg USING (doc_id) ORDER BY ds.doc_id""".stripMargin,
+    // q202: keep-first rewrite. The oracle replays first-occurrence
+    // selection (ROW_NUMBER over the global (doc_id, pos) order — the
+    // argmin the Spark side computes as min(struct)), coverage as a
+    // position-vs-interval join, and the cleaned text md5 over kept
+    // tokens in order; an all-removed doc hashes the empty string on
+    // both engines.
+    "q202_substring_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |p0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+        |         THEN list_transform(generate_series(1, len(t) - 7),
+        |                i -> {'pos': i, 'h': md5(array_to_string(list_slice(t, i, i + 7), ' '))})
+        |         ELSE [] END) AS g FROM tok),
+        |p AS (SELECT doc_id, g.pos AS pos, g.h AS h FROM p0),
+        |c AS (SELECT h, doc_id, pos,
+        |             COUNT(*) OVER (PARTITION BY h) AS cnt,
+        |             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |      FROM p),
+        |rm AS (SELECT doc_id, pos FROM c WHERE cnt >= 2 AND rn > 1),
+        |pt AS (SELECT doc_id, x.i AS i, x.tok AS tok FROM (
+        |         SELECT doc_id, unnest(list_transform(generate_series(1, len(t)), i -> {'i': i, 'tok': t[i]})) AS x
+        |         FROM tok)),
+        |cov AS (SELECT pt.doc_id, pt.i, pt.tok, COUNT(rm.pos) AS ncov
+        |        FROM pt LEFT JOIN rm ON rm.doc_id = pt.doc_id AND pt.i BETWEEN rm.pos AND rm.pos + 7
+        |        GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |       COUNT(*) AS n_tokens,
+        |       CAST(SUM(CASE WHEN ncov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |       CAST(SUM(CASE WHEN ncov = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       md5(COALESCE(string_agg(CASE WHEN ncov = 0 THEN tok END, ' ' ORDER BY i), '')) AS cleaned_fp
+        |FROM cov GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.SpanDedup
+
+/** Round-9f: exact duplicated-SPAN detection (q201) and the keep-first
+  * substring-dedup rewrite (q202). The load-bearing properties:
+  *
+  *  - detection guarantee: any shared token run of length ≥ GramLen
+  *    yields marked grams covering EXACTLY that run in both documents
+  *    (the n-gram-postings approximation over-marks never, under-marks
+  *    never at run granularity);
+  *  - span merging: overlapping/adjacent marked intervals collapse to
+  *    maximal contiguous runs with exact token coverage;
+  *  - keep-first: the globally first occurrence (min (doc_id, pos)) of a
+  *    duplicated gram survives the rewrite, every later occurrence's
+  *    interval is removed, and the cleaned text fingerprint replays
+  *    byte-for-byte;
+  *  - audit/rewrite reconciliation on the real corpus: removals are a
+  *    subset of the audited duplicated coverage, and untouched documents
+  *    hash to their normalized originals.
+  */
+class Round9fSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val L = SpanDedup.GramLen
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Planted corpus: doc 0 and doc 2 share an 11-token run, doc 1 repeats
+    * an 8-token run internally, doc 3 is clean, doc 4 is shorter than one
+    * gram. Filler words are all distinct so no accidental 8-grams repeat. */
+  private val shared = (1 to 11).map(i => s"run$i").mkString(" ")
+  private val rep = (1 to L).map(i => s"rep$i").mkString(" ")
+  private def plantedDocs = {
+    import spark.implicits._
+    Seq(
+      (0L, s"alpha0 alpha1 alpha2 $shared omega0 omega1"),
+      (1L, s"beta0 beta1 $rep gamma0 gamma1 $rep delta0"),
+      (2L, s"kappa0 $shared kappa1 kappa2 kappa3"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "tiny doc here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("dupSpans: planted shared runs are detected with exact coverage") {
+    val posts = SpanDedup.gramPostingsOf(plantedDocs)
+    val rows = SpanDedup.dupSpansOf(plantedDocs, posts).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // docs 0 and 2: the 11-token run produces 11-L+1 = 4 marked grams,
+    // one span, 11 covered tokens
+    for (d <- Seq(0L, 2L)) {
+      val (_, _, nDup, nSpans, dupToks, _) = rows(d)
+      assert(nDup === (11 - L + 1).toLong, s"doc $d marked grams")
+      assert(nSpans === 1L, s"doc $d spans")
+      assert(dupToks === 11L, s"doc $d covered tokens")
+    }
+    // doc 1: the internal 8-token repeat marks both occurrences — two
+    // disjoint spans of exactly L tokens each
+    val (_, _, nDup1, nSpans1, dupToks1, _) = rows(1L)
+    assert(nDup1 === 2L && nSpans1 === 2L && dupToks1 === 2L * L)
+    // doc 3 clean, doc 4 too short for any gram
+    assert(rows(3L)._3 === 0L && rows(3L)._5 === 0L)
+    assert(rows(4L)._2 === 0L && rows(4L)._3 === 0L)
+    // dup_micro replay for doc 2: floor(1e6 * 11 / n_tokens + 0.5)
+    val (nToks2, _, _, _, _, micro2) = rows(2L)
+    assert(micro2 === math.floor(1000000.0 * 11 / nToks2 + 0.5).toLong)
+  }
+
+  test("dupSpans: adjacent and overlapping marked intervals merge into one span") {
+    import spark.implicits._
+    // doc 10 = A B, doc 11 = A, doc 12 = B where A and B are 8-grams and
+    // doc 10's copies are adjacent: coverage [0,7] ∪ [8,15] must merge
+    // into ONE 16-token span
+    val a = (1 to L).map(i => s"a$i").mkString(" ")
+    val b = (1 to L).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"$a $b"),
+      (11L, s"x1 x2 x3 $a y1 y2"),
+      (12L, s"z1 z2 z3 $b w1 w2")).toDF("doc_id", "text")
+    val got = SpanDedup.dupSpansOf(docs, SpanDedup.gramPostingsOf(docs))
+      .filter(col("doc_id") === 10L).collect().head
+    assert(got.getLong(4) === 1L, "adjacent intervals must merge to one span")
+    assert(got.getLong(5) === 16L, "merged coverage is the full 16 tokens")
+  }
+
+  test("substringDedup: keep-first semantics and exact fingerprint replay") {
+    val posts = SpanDedup.gramPostingsOf(plantedDocs)
+    val rows = SpanDedup.substringDedupOf(plantedDocs, posts).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    // doc 0 holds the globally-first occurrence of the shared run → kept
+    // whole; doc 2's copy is removed in full (11 tokens)
+    assert(rows(0L)._2 === 0L, "first occurrence must be kept")
+    assert(rows(2L)._2 === 11L, "second occurrence removed in full")
+    val cleaned2 = "kappa0 kappa1 kappa2 kappa3"
+    assert(rows(2L)._4 === md5hex(cleaned2), "cleaned text fingerprint")
+    // doc 1: first internal copy kept, second removed
+    assert(rows(1L)._2 === L.toLong)
+    val cleaned1 = s"beta0 beta1 $rep gamma0 gamma1 delta0"
+    assert(rows(1L)._4 === md5hex(cleaned1))
+    // untouched docs hash to their normalized originals
+    assert(rows(3L)._4 === md5hex("one two three four five six seven eight nine ten eleven twelve"))
+    assert(rows(4L)._4 === md5hex("tiny doc here"))
+  }
+
+  test("substringDedup reconciles with dupSpans on the real corpus") {
+    val audit = SpanDedup.dupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
+    val rewrite = SpanDedup.substringDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(audit.keySet === rewrite.keySet)
+    val normFp = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(graft.text.TextOps.normText(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var removedTotal = 0L
+    audit.keySet.foreach { d =>
+      val (nToksA, nDup, dupToks) = audit(d)
+      val (nToksR, nRemoved, fp) = rewrite(d)
+      assert(nToksA === nToksR, s"doc $d token count")
+      // removals mark a subset of the audited duplicated positions
+      assert(nRemoved <= dupToks, s"doc $d removed beyond audited coverage")
+      if (nDup === 0L) {
+        assert(nRemoved === 0L, s"clean doc $d was rewritten")
+        assert(fp === normFp(d), s"clean doc $d fingerprint drifted")
+      }
+      removedTotal += nRemoved
+    }
+    // the corpus actually exercises the rewrite path
+    assert(removedTotal > 0L, "expected some duplicated text in the corpus")
+  }
+}
