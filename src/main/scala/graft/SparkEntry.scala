@@ -353,6 +353,8 @@ object SparkEntry {
     //     n-gram-postings shape) — audit + keep-first corpus rewrite ---
     "q201_dup_spans"           -> ((s, d) => graft.dedup.SpanDedup.dupSpans(s, d)),
     "q202_substring_dedup"     -> ((s, d) => graft.dedup.SpanDedup.substringDedup(s, d)),
+    // DSIR-style importance weights toward a target-domain unigram LM
+    "q203_dsir_weights"        -> ((s, d) => graft.text.Curation.dsirWeights(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2756,6 +2758,31 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN ncov = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       md5(COALESCE(string_agg(CASE WHEN ncov = 0 THEN tok END, ' ' ORDER BY i), '')) AS cleaned_fp
         |FROM cov GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // q203: DSIR unigram importance. The per-token smoothed likelihood
+    // ratio is micro-rounded BEFORE the per-doc sum (q152 discipline), so
+    // the aggregate is an order-free BIGINT sum; each ratio is ONE double
+    // division of double products with every factor cast first — the
+    // identical IEEE sequence in both engines.
+    "q203_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |             FROM documents),
+        |v AS (SELECT token, COUNT(*) AS cr,
+        |             SUM(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END) AS ct
+        |      FROM tok GROUP BY 1),
+        |t AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt, COUNT(*) AS nv FROM v),
+        |r AS (SELECT token,
+        |             CAST(FLOOR(1000000.0
+        |               * (CAST(ct + 1 AS DOUBLE) * CAST(nr + nv AS DOUBLE))
+        |               / (CAST(cr + 1 AS DOUBLE) * CAST(nt + nv AS DOUBLE)) + 0.5) AS BIGINT) AS ratio_micro
+        |      FROM v, t),
+        |s AS (SELECT doc_id, source, COUNT(*) AS n_tokens, SUM(ratio_micro) AS imp_sum_micro
+        |      FROM tok JOIN r USING (token) GROUP BY 1, 2)
+        |SELECT doc_id, source,
+        |       CAST(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END AS BIGINT) AS is_target,
+        |       n_tokens, CAST(imp_sum_micro AS BIGINT) AS imp_sum_micro,
+        |       CAST(imp_sum_micro // n_tokens AS BIGINT) AS avg_imp_micro
+        |FROM s ORDER BY doc_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

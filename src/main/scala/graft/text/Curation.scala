@@ -19,6 +19,65 @@ import graft.ops.Percentiles
   */
 object Curation {
 
+  /** The "high-quality target domain" stand-in for [[dsirWeights]]:
+    * importance is estimated toward these sources' unigram
+    * distribution. */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1", "src2")
+
+  /** q203 — DSIR-style data-selection importance weights (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling", reduced to unigram features): every document is scored
+    * by how much more likely its tokens are under the TARGET domain's
+    * add-one-smoothed unigram distribution than under the raw corpus's.
+    * The published estimator sums per-feature log-likelihood ratios; to
+    * stay engine-exact the per-TOKEN ratio is micro-rounded to an
+    * integer FIRST (the q152 discipline: round before the sum, so the
+    * aggregation is an order-free BIGINT sum instead of an
+    * order-sensitive float fold), and the per-doc weight is the exact
+    * integer mean of those micros — a monotone transform of the
+    * arithmetic-mean-ratio score, which ranks documents for resampling
+    * exactly like the ratio itself.
+    *
+    * Scale: token explode → ONE groupBy(token) builds the joint
+    * (target, raw) vocabulary in a single pass (map-side partial
+    * aggregation); totals are a 1-row broadcast; the score join is
+    * shuffle-by-token with AQE owning skew on stopword-heavy keys, then
+    * one groupBy(doc_id). The smoothed ratio is computed with each
+    * factor cast to DOUBLE before multiplying, so the expression never
+    * overflows BIGINT at any corpus size and both engines evaluate the
+    * identical IEEE sequence. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirCore(graft.Tables.documents(spark, dir))
+
+  private[graft] def dsirCore(docs: DataFrame): DataFrame = {
+    val isT = col("source").isin(DsirTargetSources: _*)
+    val tok = docs
+      .select(col("doc_id"), col("source"),
+        explode(expr(graft.text.TextOps.TokensExpr)).as("token"))
+    val vocab = tok
+      .groupBy("token")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(isT, 1L).otherwise(0L)).as("ct"))
+    val totals = vocab.agg(
+      sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("nv"))
+    val ratios = vocab.crossJoin(broadcast(totals))
+      .select(col("token"), expr(
+        """CAST(FLOOR(1000000.0
+          |  * (CAST(ct + 1 AS DOUBLE) * CAST(nr + nv AS DOUBLE))
+          |  / (CAST(cr + 1 AS DOUBLE) * CAST(nt + nv AS DOUBLE)) + 0.5) AS BIGINT)"""
+          .stripMargin).as("ratio_micro"))
+    tok.join(ratios, "token")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ratio_micro")).as("imp_sum_micro"))
+      .select(col("doc_id"), col("source"),
+        when(isT, 1L).otherwise(0L).as("is_target"),
+        col("n_tokens"), col("imp_sum_micro"),
+        expr("imp_sum_micro div n_tokens").as("avg_imp_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Quality filter cascade: classify every document by its FIRST
     * failing rule — the funnel report (per source × verdict: doc count
     * and token mass) a corpus builder reads to see where data is lost.

@@ -107,6 +107,52 @@ class Round9fSpec extends SparkSpec {
     assert(rows(4L)._4 === md5hex("tiny doc here"))
   }
 
+  test("dsirWeights: exact driver-side replay and planted-domain ordering") {
+    import graft.text.Curation
+    // exact replay at sf0.001: recompute vocab, smoothed ratios, and
+    // per-doc sums in plain Scala with the same rounding discipline
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), lower(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").toSeq))
+    val target = Curation.DsirTargetSources.toSet
+    val allToks = docs.flatMap { case (_, s, ts) => ts.map(tok => (tok, target(s))) }
+    val cr = allToks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = allToks.groupBy(_._1).view.mapValues(_.count(_._2).toLong).toMap
+    val (nr, nt, nv) = (allToks.size.toLong,
+      allToks.count(_._2).toLong, cr.size.toLong)
+    def ratioMicro(tok: String): Long =
+      math.floor(1000000.0 * ((ct(tok) + 1).toDouble * (nr + nv).toDouble) /
+        ((cr(tok) + 1).toDouble * (nt + nv).toDouble) + 0.5).toLong
+    val got = Curation.dsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size === docs.length)
+    docs.foreach { case (id, src, ts) =>
+      val (gSrc, gIsT, gN, gSum, gAvg) = got(id)
+      assert(gSrc === src && gIsT === (if (target(src)) 1L else 0L))
+      assert(gN === ts.size.toLong, s"doc $id token count")
+      val expSum = ts.map(ratioMicro).sum
+      assert(gSum === expSum, s"doc $id importance sum")
+      assert(gAvg === expSum / ts.size, s"doc $id importance mean")
+    }
+    // planted-domain ordering: a corpus where the target domain is
+    // dominated by one word must rank target-looking docs first
+    import spark.implicits._
+    val planted = Seq(
+      (0L, "src0", "foo foo foo foo bar"),
+      (1L, "src0", "foo foo bar foo foo"),
+      (2L, "src9", "baz qux quux corge grault"),
+      (3L, "src9", "foo foo foo foo bar"),
+      (4L, "src9", "baz baz qux qux corge")).toDF("doc_id", "source", "text")
+    val w = Curation.dsirCore(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    // doc 3 has target-domain content despite a non-target source label —
+    // DSIR scores CONTENT, so it must match doc 0 and beat docs 2/4
+    assert(w(3L) === w(0L))
+    assert(w(0L) > w(2L) && w(0L) > w(4L))
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
