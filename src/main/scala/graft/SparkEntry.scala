@@ -355,6 +355,9 @@ object SparkEntry {
     "q202_substring_dedup"     -> ((s, d) => graft.dedup.SpanDedup.substringDedup(s, d)),
     // DSIR-style importance weights toward a target-domain unigram LM
     "q203_dsir_weights"        -> ((s, d) => graft.text.Curation.dsirWeights(s, d)),
+    // prefix-filtered EXACT set-similarity join (All-Pairs/PPJoin) —
+    // provably complete, candidate set from prefix postings only
+    "q204_ppjoin_pairs"        -> ((s, d) => graft.dedup.PrefixJoin.ppjoinPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -520,6 +523,7 @@ object SparkEntry {
         |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "q24_ngram_jaccard" -> JaccardPairsSql,
     "q25_minhash_lsh" -> JaccardPairsSql, // LSH + exact verify ≡ exact pairs
+    "q204_ppjoin_pairs" -> JaccardPairsSql, // prefix filter is lossless (theorem)
     "q26_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w FROM documents),
         |h AS (SELECT doc_id, md5(w) AS m FROM tok),

@@ -1,0 +1,118 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtered EXACT set-similarity self-join (All-Pairs / SSJoin /
+  * PPJoin family: Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06, Xiao
+  * et al. WWW'08) over the 3-gram shingle sets — the third leg of the
+  * near-dup pair stack:
+  *
+  *  - q24 `ngramJaccardPairs`: the QUADRATIC ground-truth anchor (joins
+  *    every shared shingle; capped at verify SFs);
+  *  - q25 `minhashLshPairs`: the probabilistic scale path (banded LSH
+  *    candidates, overwhelming-probability completeness);
+  *  - q204 THIS: the exact scale path — candidate generation from
+  *    PREFIX postings only, with a completeness THEOREM instead of a
+  *    probability: sort each doc's set by the global (df, element)
+  *    order (rarest first) and keep the first n − ⌈t·n⌉ + 1 elements;
+  *    any pair with J ≥ t must share a prefix element. Proof (SSJoin
+  *    lemma): J ≥ t forces overlap o ≥ t·|x| and o ≥ t·|y|; if the
+  *    smallest shared element e were outside x's prefix the whole
+  *    intersection would sit in x's suffix of size ⌈t·|x|⌉ − 1 < o —
+  *    contradiction; symmetrically for y, so e is in BOTH prefixes.
+  *
+  * Candidates therefore come from a self-join over ~(1−t)·n postings
+  * per doc instead of all n, restricted by the size filter
+  * t·|x| ≤ |y| ≤ |x|/t (necessary for J ≥ t), then verified EXACTLY —
+  * output provably equals q24's. Rare-first ordering is also the
+  * performance lever: prefixes prefer the corpus's rarest shingles, so
+  * prefix-posting buckets are the smallest ones. No bucket cap here
+  * (unlike the LSH path's [[DedupOps.DefaultMaxBucket]]): exact
+  * completeness is the contract, so residual hot-prefix skew belongs
+  * to AQE's skew-join handling, not to silent truncation.
+  *
+  * Scale: one groupBy(sh64) for df, one doc-partitioned window for the
+  * prefix ranks, the skinny prefix self-join (doc_id, n, sh64 only —
+  * the sets do NOT travel through candidate generation), and exact
+  * verification joins the memoized per-doc arrays onto the candidate
+  * list UNHINTED (the q25 discipline: a corpus-sized side must never
+  * be forced to broadcast; AQE picks at runtime).
+  */
+object PrefixJoin {
+
+  /** Fixed Jaccard threshold 0.7 = 7/10 — integer-exact prefix/size
+    * arithmetic, and the final filter uses the same double compare as
+    * q24 so the two paths are bit-identical. */
+  private val TNum = 7
+  private val TDen = 10
+
+  def ppjoinPairs(spark: SparkSession, dir: String): DataFrame =
+    ppjoinPairsOf(DedupOps.docShingleArr(spark, dir)) // memo-cached input
+
+  /** The full join over any (doc_id, arr) set table (spec hook). */
+  private[graft] def ppjoinPairsOf(withArr: DataFrame): DataFrame = {
+    val sh = withArr.select(col("doc_id"),
+      size(col("arr")).cast("long").as("n"), explode(col("arr")).as("sh64"))
+    val dfreq = sh.groupBy("sh64").agg(count(lit(1)).as("dfreq"))
+    // prefix length p = n - ceil(t*n) + 1, ceil(7n/10) = (7n+9) div 10
+    val w = Window.partitionBy("doc_id").orderBy(col("dfreq").asc, col("sh64").asc)
+    val prefix = sh.join(dfreq, "sh64")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - expr(s"($TNum * n + ${TDen - 1}) div $TDen") + 1)
+      .select("doc_id", "n", "sh64")
+    val a = prefix.as("a"); val b = prefix.as("b")
+    val cands = a.join(b,
+        col("a.sh64") === col("b.sh64") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * TNum <= col("b.n") * TDen &&
+          col("b.n") * TNum <= col("a.n") * TDen)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verified(withArr, cands)
+  }
+
+  /** Exact verification of candidate pairs against the per-doc shingle
+    * arrays; the output filter and jaccard double mirror q24 exactly. */
+  private[graft] def verified(withArr: DataFrame, cands: DataFrame): DataFrame = {
+    val withA = withArr.select(col("doc_id").as("doc_a"), col("arr").as("sa"))
+      .join(cands, "doc_a")
+    withArr.select(col("doc_id").as("doc_b"), col("arr").as("sb"))
+      .join(withA, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("na"),
+        size(col("sb")).cast("long").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= TNum.toDouble / TDen)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Candidate-pair counts for the pruning spec: (prefix-filtered
+    * candidates, all shared-shingle pairs). The first must contain every
+    * qualifying pair (theorem) and be strictly smaller than the second
+    * on any corpus where pruning matters. */
+  private[graft] def candidateCounts(spark: SparkSession, dir: String): (Long, Long) = {
+    val withArr = DedupOps.docShingleArr(spark, dir)
+    val sh = withArr.select(col("doc_id"),
+      size(col("arr")).cast("long").as("n"), explode(col("arr")).as("sh64"))
+    val dfreq = sh.groupBy("sh64").agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy("doc_id").orderBy(col("dfreq").asc, col("sh64").asc)
+    val prefix = sh.join(dfreq, "sh64")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - expr(s"($TNum * n + ${TDen - 1}) div $TDen") + 1)
+      .select("doc_id", "n", "sh64")
+    def pairs(p: DataFrame, sizeFilter: Boolean): Long = {
+      val a = p.as("a"); val b = p.as("b")
+      val cond = col("a.sh64") === col("b.sh64") && col("a.doc_id") < col("b.doc_id")
+      val full = if (sizeFilter)
+        cond && col("a.n") * TNum <= col("b.n") * TDen &&
+          col("b.n") * TNum <= col("a.n") * TDen
+      else cond
+      a.join(b, full)
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    }
+    (pairs(prefix, sizeFilter = true), pairs(sh, sizeFilter = false))
+  }
+}

@@ -153,6 +153,40 @@ class Round9fSpec extends SparkSpec {
     assert(w(0L) > w(2L) && w(0L) > w(4L))
   }
 
+  test("ppjoinPairs equals the quadratic anchor and actually prunes") {
+    import graft.dedup.{DedupOps, PrefixJoin}
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = asMap(DedupOps.ngramJaccardPairs(spark, dir))
+    val pp = asMap(PrefixJoin.ppjoinPairs(spark, dir))
+    assert(pp === exact, "prefix-filtered join must equal the exact anchor")
+    assert(exact.nonEmpty)
+    // pruning: prefix candidates must be a strict subset of the
+    // all-shared-shingle candidate space, yet cover every final pair
+    val (prefixCands, allCands) = PrefixJoin.candidateCounts(spark, dir)
+    assert(prefixCands < allCands,
+      s"prefix filter pruned nothing ($prefixCands vs $allCands)")
+    assert(prefixCands >= exact.size.toLong)
+  }
+
+  test("ppjoinPairs: planted pair at exactly J = 0.7 is found, below-threshold is not") {
+    import spark.implicits._
+    import graft.dedup.PrefixJoin
+    // |a|=|b|=17, inter=14 -> J = 14/20 = 0.7 exactly (boundary kept);
+    // |c|=|d|=17, inter=13 -> J = 13/21 ~ 0.62 (dropped). Disjoint id
+    // ranges keep the two pairs independent.
+    val a = (1L to 17L).toArray
+    val b = (1L to 14L).toArray ++ Array(18L, 19L, 20L)
+    val c = (100L to 116L).toArray
+    val d = (100L to 112L).toArray ++ Array(117L, 118L, 119L, 120L)
+    val withArr = Seq((0L, a), (1L, b), (2L, c), (3L, d))
+      .toDF("doc_id", "arr")
+    val got = PrefixJoin.ppjoinPairsOf(withArr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set((0L, 1L)), s"got ${got.keySet}")
+    assert(math.abs(got((0L, 1L)) - 0.7) < 1e-15)
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
