@@ -358,6 +358,9 @@ object SparkEntry {
     // prefix-filtered EXACT set-similarity join (All-Pairs/PPJoin) —
     // provably complete, candidate set from prefix postings only
     "q204_ppjoin_pairs"        -> ((s, d) => graft.dedup.PrefixJoin.ppjoinPairs(s, d)),
+    // BM25 ranked retrieval (Okapi/Lucene idf) — the scoring layer on
+    // top of the q09 boolean-match search surface
+    "q205_bm25_search"         -> ((s, d) => Publisher.bm25Search(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2787,6 +2790,28 @@ object SparkEntry {
         |       n_tokens, CAST(imp_sum_micro AS BIGINT) AS imp_sum_micro,
         |       CAST(imp_sum_micro // n_tokens AS BIGINT) AS avg_imp_micro
         |FROM s ORDER BY doc_id""".stripMargin,
+    // q205: BM25. The per-term micro-score expression is SHARED VERBATIM
+    // with the Spark plan (Publisher.bm25TermExpr) — column names
+    // included — so both engines run the identical IEEE sequence; the
+    // only libm call (LN) is micro-rounded per (doc, term) before the
+    // integer sum.
+    "q205_bm25_search" -> {
+      val termCols = Publisher.Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(",\n|        ")
+      val dfCols = Publisher.Bm25Terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val score = Publisher.Bm25Terms.indices.map(Publisher.bm25TermExpr).mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |        $termCols
+        |      FROM tok),
+        |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, $dfCols FROM d),
+        |sc AS (SELECT doc_id, dl AS n_tokens, $score AS score_micro FROM d, st)
+        |SELECT doc_id, n_tokens, score_micro FROM sc
+        |WHERE score_micro > 0
+        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+    },
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -27,6 +27,62 @@ import graft.Tables
   */
 object Publisher {
 
+  /** q205 query terms — the multi-term ranked-retrieval analog of the
+    * reference's full-text search surface. */
+  val Bm25Terms: Seq[String] = Seq("spark", "query", "join")
+
+  /** q205 — BM25 ranked retrieval over the documents table (Robertson &
+    * Walker's Okapi BM25 with the Lucene idf form `ln(1 + (N−df+0.5)/
+    * (df+0.5))`, k1 = 1.2, b = 0.75): the scoring layer the reference's
+    * ES keyword search (F4/q09) lacks — boolean match finds documents,
+    * BM25 orders them.
+    *
+    * Determinism: each per-(doc, term) score is micro-rounded BEFORE
+    * the per-doc sum (q152/q203 discipline — the only float fold is one
+    * literal-identical expression both engines evaluate per row), so
+    * the aggregate is an integer add and the final ordering compares
+    * BIGINTs with a doc_id tie-break. The expression text is shared
+    * verbatim between the Spark plan and the DuckDB oracle.
+    *
+    * Scale: per-term tf is an IN-ROW array count (no token explode —
+    * the query has a fixed handful of terms, so tf columns beat a
+    * corpus-wide token shuffle); corpus stats (N, Σdl, per-term df) are
+    * ONE partial-agg pass collapsing to a single broadcast row; the
+    * top-k is TakeOrdered (per-partition heads + driver merge), never a
+    * global sort. */
+  def bm25Search(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25Core(Tables.documents(spark, dir), Bm25Terms, k)
+
+  private[graft] def bm25Core(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id") +: expr(graft.text.TextOps.TokensExpr).as("toks") +: Nil: _*)
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          expr(s"CAST(size(filter(toks, x -> x = '$t')) AS BIGINT)").as(s"tf$i")
+        }: _*)
+    val aggCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = tf.agg(aggCols.head, aggCols.tail: _*)
+    val termScore = terms.indices.map(i => bm25TermExpr(i)).mkString(" + ")
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+        expr(termScore).as("score_micro"))
+      .filter(col("score_micro") > 0)
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The per-term BM25 micro-score — ONE expression string shared
+    * verbatim with the oracle SQL (column names included), so both
+    * engines run the identical IEEE sequence before the floor. */
+  private[graft] def bm25TermExpr(i: Int): String =
+    s"""CAST(FLOOR(1000000.0
+       | * LN(1.0 + (CAST(n AS DOUBLE) - df$i + 0.5) / (df$i + 0.5))
+       | * (tf$i * 2.2)
+       | / (tf$i + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+       | + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")
+
   /** F4 + O2: full-text-ish keyword search over part names with
     * deterministic pagination (page 2, size 10). */
   /** The F4 match semantics as a reusable predicate: every analyzed

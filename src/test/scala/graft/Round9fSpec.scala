@@ -187,6 +187,42 @@ class Round9fSpec extends SparkSpec {
     assert(math.abs(got((0L, 1L)) - 0.7) < 1e-15)
   }
 
+  test("bm25Search: exact driver-side replay of scores, ordering, and top-k") {
+    import graft.ops.Publisher
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val n = docs.length.toLong
+    val sumdl = docs.map(_._2.size.toLong).sum
+    val avgdl = sumdl.toDouble / n.toDouble
+    val terms = Publisher.Bm25Terms
+    val dfs = terms.map(t => docs.count(_._2.contains(t)).toLong)
+    def scoreMicro(ts: Seq[String]): Long = {
+      val dl = ts.size.toLong
+      terms.zip(dfs).map { case (t, df) =>
+        val tf = ts.count(_ == t).toLong
+        math.floor(1000000.0 *
+          math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5)) *
+          (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl)) + 0.5).toLong
+      }.sum
+    }
+    val expected = docs.map { case (id, ts) => (id, ts.size.toLong, scoreMicro(ts)) }
+      .filter(_._3 > 0)
+      .sortBy { case (id, _, s) => (-s, id) }
+      .take(10)
+    val got = Publisher.bm25Search(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected.toSeq, "BM25 top-10 must replay exactly")
+    assert(got.nonEmpty)
+    // a document containing none of the query terms can never appear
+    got.foreach { case (id, _, s) =>
+      val ts = docs.find(_._1 == id).get._2
+      assert(terms.exists(ts.contains), s"doc $id scored without any query term")
+      assert(s > 0)
+    }
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
