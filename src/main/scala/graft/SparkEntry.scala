@@ -361,6 +361,8 @@ object SparkEntry {
     // BM25 ranked retrieval (Okapi/Lucene idf) — the scoring layer on
     // top of the q09 boolean-match search surface
     "q205_bm25_search"         -> ((s, d) => Publisher.bm25Search(s, d)),
+    // shingle-containment pairs (quote detection — what Jaccard misses)
+    "q206_containment_pairs"   -> ((s, d) => graft.dedup.PrefixJoin.containmentPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2812,6 +2814,19 @@ object SparkEntry {
         |WHERE score_micro > 0
         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
     },
+    // q206: ordered containment pairs over the same shingle domain as
+    // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥
+    // 3·na) and a micro-rounded ratio.
+    "q206_containment_pairs" ->
+      s"""WITH $ShingleCtes,
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+        |       CAST(x.n AS BIGINT) AS na, CAST(y.n AS BIGINT) AS nb,
+        |       CAST(FLOOR(1000000.0 * inter / x.n + 0.5) AS BIGINT) AS containment_micro
+        |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |WHERE 4 * inter >= 3 * x.n AND x.n >= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),
@@ -2941,14 +2956,20 @@ object SparkEntry {
   /** The shared CTE chain computing exact Jaccard pairs at 0.7, reused by
     * the pair queries (as `JaccardPairsSql`) and the cluster query (q51,
     * which chains connected components on top of `jpairs`). */
-  private val JaccardCtes: String =
+  /** The shared 3-gram shingle-set CTEs (tok → distinct shingles → per-
+    * doc sizes) — the base of the Jaccard oracle AND the q206
+    * containment oracle. */
+  private val ShingleCtes: String =
     """tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |              unnest(CASE WHEN len(t) >= 3
       |                     THEN list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       |                     ELSE [] END) AS s
       |       FROM tok),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)""".stripMargin
+
+  private val JaccardCtes: String =
+    s"""$ShingleCtes,
       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |jpairs AS (SELECT doc_a, doc_b, inter / (x.n + y.n - inter) AS jaccard

@@ -89,6 +89,55 @@ object PrefixJoin {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q206 — shingle CONTAINMENT pairs (quote / near-superset detection):
+    * ordered pairs (a, b) with |Sa ∩ Sb| / |Sa| ≥ 3/4 — "at least 75% of
+    * a's shingles also appear in b". The case Jaccard-threshold dedup
+    * (q24/q25/q204) structurally misses: an eval question quoted inside
+    * a long training document has tiny Jaccard (union is dominated by
+    * the container) but containment ≈ 1. This is the pairwise
+    * counterpart of q161's doc-vs-eval-set decontamination.
+    *
+    * Scale: the prefix-filter optimization is ONE-SIDED here — the
+    * required overlap o ≥ ⌈t·|Sa|⌉ depends only on the contained side,
+    * so only a's prefix (rare-first, length n − ⌈t·n⌉ + 1) is probed,
+    * against the FULL postings of every other doc (the container's size
+    * is unconstrained, so its postings cannot be pruned; the SSJoin
+    * lemma argument applies to a's suffix alone). Verification is exact
+    * on candidates, unhinted joins as in [[ppjoinPairs]]. */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       minShingles: Long = 5L): DataFrame =
+    containmentPairsOf(DedupOps.docShingleArr(spark, dir), minShingles)
+
+  private[graft] def containmentPairsOf(withArr: DataFrame,
+                                        minShingles: Long): DataFrame = {
+    // containment threshold 3/4; ceil(3n/4) = (3n+3) div 4
+    val sh = withArr.select(col("doc_id"),
+      size(col("arr")).cast("long").as("n"), explode(col("arr")).as("sh64"))
+    val dfreq = sh.groupBy("sh64").agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy("doc_id").orderBy(col("dfreq").asc, col("sh64").asc)
+    val prefixA = sh.join(dfreq, "sh64")
+      .filter(col("n") >= minShingles)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - expr("(3 * n + 3) div 4") + 1)
+      .select(col("doc_id").as("doc_a"), col("sh64"))
+    val cands = prefixA
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh64")), "sh64")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    val withA = withArr.select(col("doc_id").as("doc_a"), col("arr").as("sa"))
+      .join(cands, "doc_a")
+    withArr.select(col("doc_id").as("doc_b"), col("arr").as("sb"))
+      .join(withA, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("na"),
+        size(col("sb")).cast("long").as("nb"))
+      .filter(col("inter") * 4 >= col("na") * 3 && col("na") >= minShingles)
+      .withColumn("containment_micro",
+        expr("CAST(FLOOR(1000000.0 * inter / na + 0.5) AS BIGINT)"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Candidate-pair counts for the pruning spec: (prefix-filtered
     * candidates, all shared-shingle pairs). The first must contain every
     * qualifying pair (theorem) and be strictly smaller than the second

@@ -223,6 +223,32 @@ class Round9fSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs finds the quote case that Jaccard structurally misses") {
+    import spark.implicits._
+    import graft.dedup.PrefixJoin
+    // doc 0's shingles are FULLY contained in doc 1 (a quote inside a
+    // long container): containment(0 -> 1) = 1.0 but J = 8/69 ~ 0.12
+    val a = (1L to 8L).toArray
+    val b = (1L to 8L).toArray ++ (100L to 160L).toArray
+    val withArr = Seq((0L, a), (1L, b)).toDF("doc_id", "arr")
+    val jac = PrefixJoin.ppjoinPairsOf(withArr).collect()
+    assert(jac.isEmpty, "Jaccard at 0.7 must miss the quote pair")
+    val got = PrefixJoin.containmentPairsOf(withArr, minShingles = 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === Set((0L, 1L)),
+      s"exactly the contained->container direction, got ${got.keySet}")
+    val (inter, na, nb, micro) = got((0L, 1L))
+    assert(inter === 8L && na === 8L && nb === 69L && micro === 1000000L)
+    // real corpus: every emitted pair satisfies the threshold exactly and
+    // the direction convention (a is the contained side)
+    val real = PrefixJoin.containmentPairs(spark, dir).collect()
+    real.foreach { r =>
+      assert(r.getLong(2) * 4 >= r.getLong(3) * 3)
+      assert(r.getLong(3) >= 5L)
+    }
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
