@@ -363,6 +363,10 @@ object SparkEntry {
     "q205_bm25_search"         -> ((s, d) => Publisher.bm25Search(s, d)),
     // shingle-containment pairs (quote detection — what Jaccard misses)
     "q206_containment_pairs"   -> ((s, d) => graft.dedup.PrefixJoin.containmentPairs(s, d)),
+    // exponential time-decay customer value (half-life aggregation)
+    "q207_decayed_value"       -> ((s, d) => Publisher.decayedCustomerValue(s, d)),
+    // water-filling (max-min fair) token-budget allocation per source
+    "q208_waterfill_budget"    -> ((s, d) => graft.text.Curation.waterfillBudget(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2827,6 +2831,47 @@ object SparkEntry {
         |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
         |WHERE 4 * inter >= 3 * x.n AND x.n >= 5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q207: per-order decayed cents are rounded to integers BEFORE the
+    // customer sum (the one POWER call per row, identical expression both
+    // engines), so the aggregate is order-free.
+    "q207_decayed_value" ->
+      """WITH o AS (SELECT o_custkey,
+        |             CAST(DATE '2001-09-01' - CAST(o_orderdate AS DATE) AS BIGINT) AS age,
+        |             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS vc
+        |           FROM orders),
+        |d AS (SELECT o_custkey, vc,
+        |             CAST(FLOOR(POWER(0.5, CAST(age AS DOUBLE) / 180.0) * vc + 0.5) AS BIGINT) AS dc
+        |      FROM o)
+        |SELECT o_custkey, COUNT(*) AS n_orders,
+        |       CAST(SUM(vc) AS BIGINT) AS total_cents,
+        |       CAST(SUM(dc) AS BIGINT) AS decayed_cents
+        |FROM d GROUP BY 1
+        |ORDER BY decayed_cents DESC, o_custkey LIMIT 25""".stripMargin,
+    // q208: all-integer waterfill — affordability f(k) is monotone so the
+    // cutoff is a COUNT; remainder units go to the first (k − k*) ≤ rem
+    // sources in the ascending (supply, source) order.
+    "q208_waterfill_budget" ->
+      """WITH tok AS (SELECT source, len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks FROM documents),
+        |s AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS supply FROM tok GROUP BY 1),
+        |r AS (SELECT source, supply,
+        |             ROW_NUMBER() OVER (ORDER BY supply, source) AS k,
+        |             SUM(supply) OVER (ORDER BY supply, source ROWS UNBOUNDED PRECEDING) AS pk
+        |      FROM s),
+        |t AS (SELECT SUM(supply) AS total, COUNT(*) AS n FROM s),
+        |a AS (SELECT r.*, t.n, t.total // 2 AS budget,
+        |             pk - supply + supply * (t.n - k + 1) AS f
+        |      FROM r, t),
+        |a2 AS (SELECT *, CASE WHEN f <= budget THEN 1 ELSE 0 END AS wholly FROM a),
+        |c AS (SELECT SUM(wholly) AS kstar,
+        |             SUM(CASE WHEN wholly = 1 THEN supply ELSE 0 END) AS full_total
+        |      FROM a2)
+        |SELECT source, supply,
+        |       CAST(CASE WHEN wholly = 1 THEN supply
+        |            ELSE (budget - full_total) // (n - kstar)
+        |                 + CASE WHEN k - kstar <= (budget - full_total) % (n - kstar) THEN 1 ELSE 0 END
+        |       END AS BIGINT) AS allocated,
+        |       CAST(1 - wholly AS BIGINT) AS capped
+        |FROM a2, c ORDER BY source""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -481,6 +481,33 @@ object Publisher {
     * contract (proven by q43), and band edges compare identical doubles.
     * Scores: 4 = best (most recent / most frequent / highest spend). */
   val RfmAsOf = "1998-08-02"
+  /** q207 — exponential time-decay customer value (half-life 180 days,
+    * reference date 2001-09-01): each order contributes
+    * `cents · 2^(−age/180)`, the standard recency-decayed monetary
+    * feature (a smooth refinement of q79's banded R×M). Determinism: the
+    * order amount goes to INTEGER cents first (q198 discipline), the
+    * single libm call (POWER) is rounded to integer decayed-cents PER
+    * ORDER, and the per-customer aggregate is an order-free BIGINT sum.
+    * Scale: one pushed-projection scan → narrow map → one partial-agg
+    * groupBy(custkey) → TakeOrdered(25); no window, no join. */
+  def decayedCustomerValue(spark: SparkSession, dir: String,
+                           k: Int = 25): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        datediff(lit("2001-09-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("age"),
+        expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").as("vc"))
+      .select(col("o_custkey"),
+        col("vc"),
+        expr("CAST(FLOOR(POWER(0.5, CAST(age AS DOUBLE) / 180.0) * vc + 0.5) AS BIGINT)")
+          .as("dc"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("vc")).as("total_cents"),
+        sum(col("dc")).as("decayed_cents"))
+      .orderBy(col("decayed_cents").desc, col("o_custkey").asc)
+      .limit(k)
+
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val m = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))

@@ -78,6 +78,57 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q208 — water-filling token-budget allocation across sources: given
+    * each source's token supply and a global budget B (half the corpus
+    * here), find the unique level L with Σ min(sᵢ, L) = B — small
+    * sources keep everything, large sources are clipped to the common
+    * level (the max-min-fair allocation; the planning complement of
+    * q152's temperature weights, which REWEIGHT, and q174's budget cut,
+    * which SELECTS). Entirely integer: sort sources ascending by
+    * (supply, source); the affordability statistic
+    * f(k) = P(k−1) + sₖ·(n−k+1) is nondecreasing in k, so the cutoff is
+    * simply the COUNT of affordable rows; the residual R = B − P(k*)
+    * splits as base = R div m with the `R mod m` leftover units handed
+    * to the first remainder sources in sort order — fully deterministic,
+    * no floats anywhere.
+    *
+    * Scale: the windows run over the SOURCE domain (bounded — 20 here,
+    * a few hundred at worst), never over documents; supplies come from
+    * one partial-agg pass over the corpus. The 1-row cutoff aggregate
+    * broadcasts back. */
+  def waterfillBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val supplies = graft.Tables.documents(spark, dir)
+      .select(col("source"), expr(s"size(${graft.text.TextOps.TokensExpr})")
+        .cast("long").as("toks"))
+      .groupBy("source").agg(sum(col("toks")).as("supply"))
+    val w = Window.orderBy(col("supply").asc, col("source").asc)
+    val ranked = supplies
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pk", sum(col("supply")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = ranked.agg(sum(col("supply")).as("total"),
+      count(lit(1)).as("n"))
+    val affordable = ranked.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total div 2"))
+      .withColumn("f", col("pk") - col("supply") +
+        col("supply") * (col("n") - col("k") + 1))
+      .withColumn("full", (col("f") <= col("budget")).cast("long"))
+    val cut = affordable.agg(
+      sum(col("full")).as("kstar"),
+      sum(when(col("full") === 1L, col("supply")).otherwise(0L)).as("full_total"))
+    affordable.crossJoin(broadcast(cut))
+      .select(col("source"), col("supply"),
+        when(col("full") === 1L, col("supply"))
+          .otherwise(
+            expr("(budget - full_total) div (n - kstar)") +
+              when(col("k") - col("kstar") <= expr("(budget - full_total) % (n - kstar)"),
+                1L).otherwise(0L))
+          .as("allocated"),
+        (lit(1L) - col("full")).as("capped"))
+      .orderBy("source")
+  }
+
   /** Quality filter cascade: classify every document by its FIRST
     * failing rule — the funnel report (per source × verdict: doc count
     * and token mass) a corpus builder reads to see where data is lost.

@@ -249,6 +249,61 @@ class Round9fSpec extends SparkSpec {
     }
   }
 
+  test("decayedCustomerValue replays exactly from raw orders") {
+    import graft.ops.Publisher
+    val ref = java.time.LocalDate.parse("2001-09-01")
+    val raw = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0),
+        r.getDate(1).toLocalDate, r.getDouble(2)))
+    val byCust = raw.groupBy(_._1).map { case (ck, os) =>
+      val terms = os.map { case (_, d, v) =>
+        val vc = math.floor(v * 100 + 0.5).toLong
+        val age = java.time.temporal.ChronoUnit.DAYS.between(d, ref).toDouble
+        (vc, math.floor(math.pow(0.5, age / 180.0) * vc + 0.5).toLong)
+      }
+      ck -> ((os.length.toLong, terms.map(_._1).sum, terms.map(_._2).sum))
+    }
+    val expected = byCust.toSeq
+      .sortBy { case (ck, (_, _, dc)) => (-dc, ck) }.take(25)
+      .map { case (ck, (n, tc, dc)) => (ck, n, tc, dc) }
+    val got = Publisher.decayedCustomerValue(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // decay sanity: decayed value never exceeds the nominal total
+    got.foreach { case (_, _, tc, dc) => assert(dc <= tc) }
+  }
+
+  test("waterfillBudget: exact budget fill, max-min fairness, cap consistency") {
+    import graft.text.Curation
+    val rows = Curation.waterfillBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    val budget = total / 2
+    assert(rows.map(_._3).sum === budget, "allocations must exactly fill the budget")
+    rows.foreach { case (src, supply, alloc, capped) =>
+      assert(alloc <= supply, s"$src allocated beyond supply")
+      if (capped === 0L) assert(alloc === supply, s"uncapped $src must keep all")
+      else assert(alloc < supply, s"capped $src must lose something")
+    }
+    // max-min fairness: capped allocations differ by at most one unit,
+    // and every uncapped supply is <= every capped allocation
+    val cappedAllocs = rows.filter(_._4 === 1L).map(_._3)
+    assert(cappedAllocs.nonEmpty, "a 50% budget must cap someone")
+    assert(cappedAllocs.max - cappedAllocs.min <= 1L)
+    val uncappedSupplies = rows.filter(_._4 === 0L).map(_._2)
+    if (uncappedSupplies.nonEmpty)
+      assert(uncappedSupplies.max <= cappedAllocs.min)
+    // driver-side waterfill replay: level search over min(s, L) sums
+    val supplies = rows.map(_._2)
+    def filled(l: Long): Long = supplies.map(math.min(_, l)).sum
+    val lvl = (0L to supplies.max).find(l => filled(l) >= budget).get
+    // allocations at the found level bracket the exact fill
+    assert(filled(lvl - 1) < budget && filled(lvl) >= budget)
+    assert(cappedAllocs.forall(a => a === lvl || a === lvl - 1))
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
