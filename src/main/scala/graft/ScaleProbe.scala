@@ -322,6 +322,36 @@ object ScaleProbe {
             expr("graft_text_stats(text).n_tokens").as("n_tokens"))
           .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
           .filter(col("start_tok") >= 0L).count()
+      },
+      // --- round-9f ops. Content-pair probes use docsSalted (distinct
+      //     cross-copy content) so the duplicate/similarity graph
+      //     replicates per copy instead of densifying quadratically. ---
+      // .agg over a COMPUTED column, not .count(): the audit/rewrite end
+      // in a left join on aggregated (unique) keys, which Catalyst
+      // rightly eliminates under a row count — a count() probe would
+      // measure an empty plan.
+      "span-dedup audit (gram postings agg + semi-join + doc windows)" -> { t =>
+        val p = graft.dedup.SpanDedup.gramPostingsOf(t.docsSalted)
+        graft.dedup.SpanDedup.dupSpansOf(t.docsSalted, p)
+          .agg(sum(col("dup_micro"))).collect().length.toLong
+      },
+      "substring rewrite (argmin + in-row removal filter)" -> { t =>
+        val p = graft.dedup.SpanDedup.gramPostingsOf(t.docsSalted)
+        graft.dedup.SpanDedup.substringDedupOf(t.docsSalted, p)
+          .agg(sum(col("n_removed")), sum(length(col("cleaned_fp")))).collect().length.toLong
+      },
+      "ppjoin exact pairs (prefix postings self-join + verify)" -> { t =>
+        graft.dedup.PrefixJoin.ppjoinPairsOf(
+          t.docsSalted.select(col("doc_id"),
+            expr("graft_shingle_hashes(text, 3)").as("arr"))).count()
+      },
+      "containment pairs (one-sided prefix vs full postings)" -> { t =>
+        graft.dedup.PrefixJoin.containmentPairsOf(
+          t.docsSalted.select(col("doc_id"),
+            expr("graft_shingle_hashes(text, 3)").as("arr")), 5L).count()
+      },
+      "dsir weights (vocab agg + token-join + doc agg)" -> { t =>
+        graft.text.Curation.dsirCore(t.docsSalted).count()
       })
 
     val t1 = Tabs(1)

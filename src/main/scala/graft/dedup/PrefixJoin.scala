@@ -119,10 +119,13 @@ object PrefixJoin {
       .filter(col("n") >= minShingles)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - expr("(3 * n + 3) div 4") + 1)
-      .select(col("doc_id").as("doc_a"), col("sh64"))
+      .select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh64"))
+    // size bound: the overlap can't exceed the container, so a container
+    // smaller than ⌈t·na⌉ shingles can never qualify — pruned in the
+    // candidate join, before the pair explosion
     val cands = prefixA
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh64")), "sh64")
-      .filter(col("doc_a") =!= col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh64")), "sh64")
+      .filter(col("doc_a") =!= col("doc_b") && col("nb") * 4 >= col("na") * 3)
       .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
     val withA = withArr.select(col("doc_id").as("doc_a"), col("arr").as("sa"))
       .join(cands, "doc_a")

@@ -78,7 +78,11 @@ object SpanDedup {
     * previous interval ends at lag+L-1; contiguous coverage extends
     * through lag+L). One row per document, zero-filled for clean docs. */
   def dupSpans(spark: SparkSession, dir: String): DataFrame =
-    dupSpansOf(Tables.documents(spark, dir), gramPostings(spark, dir))
+    // repartitioned like the postings: the docStats tokenize projection
+    // must not run as one task over the single-row-group parquet
+    dupSpansOf(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism),
+      gramPostings(spark, dir))
 
   private[graft] def dupSpansOf(docs: DataFrame, postings: DataFrame): DataFrame = {
     val docStats = docs
@@ -125,7 +129,9 @@ object SpanDedup {
     * token counts and the md5 of the cleaned text — the fingerprint
     * pins the entire rewrite byte-for-byte against the oracle. */
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
-    substringDedupOf(Tables.documents(spark, dir), gramPostings(spark, dir))
+    substringDedupOf(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism),
+      gramPostings(spark, dir))
 
   private[graft] def substringDedupOf(docs: DataFrame, postings: DataFrame): DataFrame = {
     // min-struct argmin: the lexicographically first (doc_id, pos) per

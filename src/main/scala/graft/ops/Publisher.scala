@@ -51,7 +51,9 @@ object Publisher {
     * top-k is TakeOrdered (per-partition heads + driver merge), never a
     * global sort. */
   def bm25Search(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    bm25Core(Tables.documents(spark, dir), Bm25Terms, k)
+    // single-row-group parquet: spread BEFORE the tokenize projection
+    bm25Core(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism), Bm25Terms, k)
 
   private[graft] def bm25Core(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val tf = docs

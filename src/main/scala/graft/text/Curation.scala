@@ -47,7 +47,11 @@ object Curation {
     * overflows BIGINT at any corpus size and both engines evaluate the
     * identical IEEE sequence. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
-    dsirCore(graft.Tables.documents(spark, dir))
+    // repartition BEFORE the tokenize+explode projection: the single-
+    // row-group parquet would otherwise run the whole token fan-out in
+    // ONE task (TextOps.withTokens discipline)
+    dsirCore(graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
 
   private[graft] def dsirCore(docs: DataFrame): DataFrame = {
     val isT = col("source").isin(DsirTargetSources: _*)
@@ -99,6 +103,8 @@ object Curation {
   def waterfillBudget(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val supplies = graft.Tables.documents(spark, dir)
+      // single-row-group parquet: spread BEFORE the tokenize projection
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("source"), expr(s"size(${graft.text.TextOps.TokensExpr})")
         .cast("long").as("toks"))
       .groupBy("source").agg(sum(col("toks")).as("supply"))
