@@ -367,6 +367,8 @@ object SparkEntry {
     "q207_decayed_value"       -> ((s, d) => Publisher.decayedCustomerValue(s, d)),
     // water-filling (max-min fair) token-budget allocation per source
     "q208_waterfill_budget"    -> ((s, d) => graft.text.Curation.waterfillBudget(s, d)),
+    // perceptual image hash over the REAL BMP decode + dup grouping
+    "q209_image_phash"         -> ((s, d) => graft.multimodal.Multimodal.imagePHash(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2872,6 +2874,30 @@ object SparkEntry {
         |       END AS BIGINT) AS allocated,
         |       CAST(1 - wholly AS BIGINT) AS capped
         |FROM a2, c ORDER BY source""".stripMargin,
+    // q209: the oracle recomputes the 8x8 grid from the GENERATOR
+    // arithmetic; the Spark side reads pixels through the real BMP codec
+    // round trip — a decoder bug anywhere diverges the hash. All-integer
+    // (nearest-neighbor sampling, integer mean, bit sums split hi/lo).
+    "q209_image_phash" ->
+      """WITH p AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |g AS (SELECT doc_id, 1 + len % 32 AS w, 1 + (len * 7) % 24 AS h FROM p),
+        |cells AS (SELECT doc_id, w, h, gy, gx,
+        |            (doc_id * 31 + ((gx * w) // 8) * 7 + ((gy * h) // 8) * 13) % 256 AS v,
+        |            gy * 8 + gx AS i
+        |          FROM g,
+        |               (SELECT unnest(generate_series(0, 7)) AS gy) a,
+        |               (SELECT unnest(generate_series(0, 7)) AS gx) b),
+        |m AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h, SUM(v) // 64 AS mean FROM cells GROUP BY 1),
+        |bits AS (SELECT c.doc_id, m.w, m.h,
+        |           SUM(CASE WHEN c.v >= m.mean AND c.i >= 32 THEN (CAST(1 AS BIGINT) << (c.i - 32)) ELSE 0 END) AS ahash_hi,
+        |           SUM(CASE WHEN c.v >= m.mean AND c.i < 32 THEN (CAST(1 AS BIGINT) << c.i) ELSE 0 END) AS ahash_lo
+        |         FROM cells c JOIN m USING (doc_id) GROUP BY 1, 2, 3),
+        |grp AS (SELECT ahash_hi, ahash_lo, COUNT(*) AS group_n FROM bits GROUP BY 1, 2)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ahash_hi AS BIGINT) AS ahash_hi, CAST(ahash_lo AS BIGINT) AS ahash_lo,
+        |       CAST(group_n AS BIGINT) AS group_n
+        |FROM bits JOIN grp USING (ahash_hi, ahash_lo)
+        |ORDER BY doc_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -65,6 +65,34 @@ object BmpCodec {
   final case class Decoded(width: Int, height: Int, bpp: Int,
                            nPixels: Long, pxSum: Long, cornerPx: Int)
 
+  /** Blue-channel random access in IMAGE coordinates ((0,0) top-left),
+    * with the same structural validation as [[decode]] — the resampling
+    * consumer (perceptual hashing, q209) reads single pixels rather than
+    * folding the whole plane. Returns (width, height, blueAt(x, y)). */
+  def bluePlane(bytes: Array[Byte]): (Int, Int, (Int, Int) => Int) = {
+    require(bytes.length >= HeaderSize, s"truncated BMP: ${bytes.length} bytes")
+    require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "bad BMP magic")
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOff = b.getInt(10)
+    val width = b.getInt(18)
+    val rawHeight = b.getInt(22)
+    val bpp = b.getShort(28).toInt
+    require(bpp == 24, s"unsupported bpp $bpp (only uncompressed 24-bpp)")
+    require(b.getInt(30) == 0, "unsupported compression")
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    require(width > 0 && height > 0, s"bad geometry ${width}x$rawHeight")
+    val rowBytes = width * 3 + padOf(width)
+    require(bytes.length >= dataOff + rowBytes.toLong * height, "pixel array truncated")
+    val at = (x: Int, y: Int) => {
+      require(x >= 0 && x < width && y >= 0 && y < height, s"pixel ($x,$y) out of range")
+      val fy = if (topDown) y else height - 1 - y
+      bytes(dataOff + fy * rowBytes + x * 3) & 0xff
+    }
+    (width, height, at)
+  }
+
   def decode(bytes: Array[Byte]): Decoded = {
     require(bytes.length >= HeaderSize, s"truncated BMP: ${bytes.length} bytes")
     require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "bad BMP magic")

@@ -126,6 +126,62 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  case class AHashRow(doc_id: Long, width: Long, height: Long,
+                      ahash_hi: Long, ahash_lo: Long)
+
+  /** q209 — perceptual image hash (aHash family) over the REAL BMP
+    * decode path + exact-duplicate grouping: each document's 24-bpp BMP
+    * (the q128 generator) round-trips through [[BmpCodec]], the decoded
+    * blue plane is nearest-neighbor resampled to an 8×8 grid, and each
+    * cell thresholds against the integer mean of the 64 samples —
+    * a 64-bit perceptual fingerprint, split hi/lo into two BIGINTs so
+    * neither engine touches the 2⁶³ sign bit. Identical-hash groups are
+    * the image-level duplicate clusters (the multimodal analog of q23's
+    * exact text dedup; Hamming-near pairs would reuse the q26/q34
+    * pigeonhole blocking on the same fingerprints).
+    *
+    * The oracle recomputes the grid from the GENERATOR arithmetic while
+    * this path reads pixels through the codec round trip — any decoder
+    * bug (channel order, bottom-up rows, padding, header offsets) makes
+    * the sampled values, and therefore the hash, diverge.
+    *
+    * Scale: hashing is per-row inside `mapPartitions` (batch-per-task,
+    * nothing on the driver); the duplicate grouping is one partial-agg
+    * shuffle on the 64-bit hash plus a same-key join back. */
+  def imagePHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val params = Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+      .as[(Long, Int)]
+    val hashed = params.mapPartitions { it =>
+      it.map { case (id, len) =>
+        val w = 1 + len % 32
+        val h = 1 + (len * 7) % 24
+        val payload = BmpCodec.encode(w, h, (x, y) => {
+          val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          (v, (v + 1) % 256, (v + 2) % 256)
+        })
+        val (dw, dh, blue) = BmpCodec.bluePlane(payload)
+        val cells = for (gy <- 0 until 8; gx <- 0 until 8)
+          yield blue(gx * dw / 8, gy * dh / 8)
+        val mean = cells.map(_.toLong).sum / 64
+        var hi = 0L; var lo = 0L
+        cells.zipWithIndex.foreach { case (v, i) =>
+          if (v >= mean) {
+            if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+          }
+        }
+        AHashRow(id, dw.toLong, dh.toLong, hi, lo)
+      }
+    }.toDF()
+    val grp = hashed.groupBy("ahash_hi", "ahash_lo")
+      .agg(count(lit(1)).as("group_n"))
+    hashed.join(grp, Seq("ahash_hi", "ahash_lo"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("ahash_hi"), col("ahash_lo"), col("group_n"))
+      .orderBy("doc_id")
+  }
+
   case class WavDoc(doc_id: Long, payload: Array[Byte])
   case class WavWindowRow(doc_id: Long, win_idx: Long, win_n: Long,
                           win_sumsq: Long, win_peak: Long, rms_milli: Long)

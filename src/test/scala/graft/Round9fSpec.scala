@@ -304,6 +304,41 @@ class Round9fSpec extends SparkSpec {
     assert(cappedAllocs.forall(a => a === lvl || a === lvl - 1))
   }
 
+  test("imagePHash: codec round trip matches the generator, groups reconcile") {
+    import graft.multimodal.{BmpCodec, Multimodal}
+    // the sampled-pixel path through the real codec must agree with the
+    // generator arithmetic for arbitrary geometries (incl. w < 8, where
+    // nearest-neighbor resampling repeats columns)
+    for ((id, len) <- Seq((7L, 13), (123L, 95), (42L, 255), (0L, 1))) {
+      val w = 1 + len % 32; val h = 1 + (len * 7) % 24
+      val payload = BmpCodec.encode(w, h, (x, y) => {
+        val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        (v, (v + 1) % 256, (v + 2) % 256)
+      })
+      val (dw, dh, blue) = BmpCodec.bluePlane(payload)
+      assert(dw === w && dh === h)
+      for (gy <- 0 until 8; gx <- 0 until 8) {
+        val (x, y) = (gx * w / 8, gy * h / 8)
+        val expected = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        assert(blue(x, y) === expected, s"pixel ($x,$y) of ${w}x$h id=$id")
+      }
+    }
+    // structural validation: a truncated payload must be rejected
+    intercept[IllegalArgumentException] {
+      BmpCodec.bluePlane(Array[Byte](66, 77, 0))
+    }
+    // group sizes must reconcile with the actual hash multiplicities,
+    // and identical generated images must land in one group
+    val rows = Multimodal.imagePHash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byHash = rows.groupBy(r => (r._4, r._5))
+    rows.foreach { r =>
+      assert(r._6 === byHash((r._4, r._5)).length.toLong, s"doc ${r._1} group_n")
+    }
+    assert(rows.exists(_._6 > 1L), "expected duplicate image groups in the corpus")
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
