@@ -369,6 +369,8 @@ object SparkEntry {
     "q208_waterfill_budget"    -> ((s, d) => graft.text.Curation.waterfillBudget(s, d)),
     // perceptual image hash over the REAL BMP decode + dup grouping
     "q209_image_phash"         -> ((s, d) => graft.multimodal.Multimodal.imagePHash(s, d)),
+    // Hamming-near image pairs (pigeonhole bands over q209 fingerprints)
+    "q210_image_neardup"       -> ((s, d) => graft.multimodal.Multimodal.imageHammingPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2898,6 +2900,28 @@ object SparkEntry {
         |       CAST(group_n AS BIGINT) AS group_n
         |FROM bits JOIN grp USING (ahash_hi, ahash_lo)
         |ORDER BY doc_id""".stripMargin,
+    // q210: naive all-pairs popcount oracle over the same generator-
+    // derived hash bits (the pigeonhole blocking is complete for
+    // maxHamming = 3 by construction, so blocked ≡ naive).
+    "q210_image_neardup" ->
+      """WITH p AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |g AS (SELECT doc_id, 1 + len % 32 AS w, 1 + (len * 7) % 24 AS h FROM p),
+        |cells AS (SELECT doc_id, w, h, gy, gx,
+        |            (doc_id * 31 + ((gx * w) // 8) * 7 + ((gy * h) // 8) * 13) % 256 AS v,
+        |            gy * 8 + gx AS i
+        |          FROM g,
+        |               (SELECT unnest(generate_series(0, 7)) AS gy) a,
+        |               (SELECT unnest(generate_series(0, 7)) AS gx) b),
+        |m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM cells GROUP BY 1),
+        |bits AS (SELECT c.doc_id,
+        |           SUM(CASE WHEN c.v >= m.mean AND c.i >= 32 THEN (CAST(1 AS BIGINT) << (c.i - 32)) ELSE 0 END) AS hi,
+        |           SUM(CASE WHEN c.v >= m.mean AND c.i < 32 THEN (CAST(1 AS BIGINT) << c.i) ELSE 0 END) AS lo
+        |         FROM cells c JOIN m USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

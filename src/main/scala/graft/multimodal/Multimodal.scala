@@ -148,38 +148,82 @@ object Multimodal {
     * Scale: hashing is per-row inside `mapPartitions` (batch-per-task,
     * nothing on the driver); the duplicate grouping is one partial-agg
     * shuffle on the 64-bit hash plus a same-key join back. */
-  def imagePHash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val params = Tables.documents(spark, dir)
-      .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
-      .as[(Long, Int)]
-    val hashed = params.mapPartitions { it =>
-      it.map { case (id, len) =>
-        val w = 1 + len % 32
-        val h = 1 + (len * 7) % 24
-        val payload = BmpCodec.encode(w, h, (x, y) => {
-          val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
-          (v, (v + 1) % 256, (v + 2) % 256)
-        })
-        val (dw, dh, blue) = BmpCodec.bluePlane(payload)
-        val cells = for (gy <- 0 until 8; gx <- 0 until 8)
-          yield blue(gx * dw / 8, gy * dh / 8)
-        val mean = cells.map(_.toLong).sum / 64
-        var hi = 0L; var lo = 0L
-        cells.zipWithIndex.foreach { case (v, i) =>
-          if (v >= mean) {
-            if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+  /** Memoized per-doc aHash fingerprints (doc_id, width, height,
+    * ahash_hi, ahash_lo) — shared by the dup-grouping (q209) and the
+    * Hamming-near pair join (q210). */
+  private[graft] def imageHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoCache(spark,
+      s"image-ahash/${Tables.pathFingerprint(spark, s"$dir/documents.parquet")}") {
+      import spark.implicits._
+      val params = Tables.documents(spark, dir)
+        .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+        .as[(Long, Int)]
+      params.mapPartitions { it =>
+        it.map { case (id, len) =>
+          val w = 1 + len % 32
+          val h = 1 + (len * 7) % 24
+          val payload = BmpCodec.encode(w, h, (x, y) => {
+            val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            (v, (v + 1) % 256, (v + 2) % 256)
+          })
+          val (dw, dh, blue) = BmpCodec.bluePlane(payload)
+          val cells = for (gy <- 0 until 8; gx <- 0 until 8)
+            yield blue(gx * dw / 8, gy * dh / 8)
+          val mean = cells.map(_.toLong).sum / 64
+          var hi = 0L; var lo = 0L
+          cells.zipWithIndex.foreach { case (v, i) =>
+            if (v >= mean) {
+              if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+            }
           }
+          AHashRow(id, dw.toLong, dh.toLong, hi, lo)
         }
-        AHashRow(id, dw.toLong, dh.toLong, hi, lo)
-      }
-    }.toDF()
+      }.toDF()
+    }
+
+  def imagePHash(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = imageHashes(spark, dir)
     val grp = hashed.groupBy("ahash_hi", "ahash_lo")
       .agg(count(lit(1)).as("group_n"))
     hashed.join(grp, Seq("ahash_hi", "ahash_lo"))
       .select(col("doc_id"), col("width"), col("height"),
         col("ahash_hi"), col("ahash_lo"), col("group_n"))
       .orderBy("doc_id")
+  }
+
+  /** q210 — Hamming-near image pairs over the q209 fingerprints: pairs
+    * whose 64-bit aHashes differ in ≤ 3 bits (re-encoded/resized
+    * variants of one image land a few bits apart; exact dups are
+    * Hamming 0). Same pigeonhole blocking as q34's simhash pairs: the
+    * hash splits into 4 disjoint 16-bit bands, and a ≤ 3-bit difference
+    * leaves at least one band untouched, so the band-bucket self-join
+    * proposes every qualifying pair; popcount-verify on candidates. The
+    * hash never travels as a packed 64-bit word — hi/lo stay separate
+    * so neither engine's signed BIGINT sees the 2⁶³ bit. */
+  def imageHammingPairs(spark: SparkSession, dir: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val banded = imageHashes(spark, dir)
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        explode(expr(
+          """transform(sequence(0, 3),
+            |  b -> struct(b AS band_idx,
+            |              CASE WHEN b < 2 THEN shiftright(ahash_lo, b * 16) & 65535
+            |                   ELSE shiftright(ahash_hi, (b - 2) * 16) & 65535
+            |              END AS band_key))""".stripMargin)).as("band"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("band.band_idx"), col("band.band_key"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        expr("""CAST(bit_count(l.ahash_hi ^ r.ahash_hi)
+               |   + bit_count(l.ahash_lo ^ r.ahash_lo) AS BIGINT)""".stripMargin
+          .replace("\n", "")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
   }
 
   case class WavDoc(doc_id: Long, payload: Array[Byte])

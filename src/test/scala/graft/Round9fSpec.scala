@@ -339,6 +339,22 @@ class Round9fSpec extends SparkSpec {
     assert(rows.exists(_._6 > 1L), "expected duplicate image groups in the corpus")
   }
 
+  test("imageHammingPairs: band-blocked join equals the naive popcount scan") {
+    import graft.multimodal.Multimodal
+    val hashes = Multimodal.imageHashes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    val naive = (for {
+      (a, ahi, alo) <- hashes; (b, bhi, blo) <- hashes if a < b
+      h = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    val got = Multimodal.imageHammingPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === naive, "pigeonhole blocking must be lossless at maxHamming = 3")
+    assert(got.nonEmpty, "expected Hamming-near image pairs in the corpus")
+    assert(got.values.exists(_ === 0L), "exact-dup groups imply Hamming-0 pairs")
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
