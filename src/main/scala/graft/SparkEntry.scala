@@ -371,6 +371,8 @@ object SparkEntry {
     "q209_image_phash"         -> ((s, d) => graft.multimodal.Multimodal.imagePHash(s, d)),
     // Hamming-near image pairs (pigeonhole bands over q209 fingerprints)
     "q210_image_neardup"       -> ((s, d) => graft.multimodal.Multimodal.imageHammingPairs(s, d)),
+    // position-based (40/20/40) multi-touch attribution
+    "q211_multi_touch"         -> ((s, d) => Publisher.multiTouchAttribution(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2922,6 +2924,31 @@ object SparkEntry {
         |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q211: all-integer U-model credits; the middle-split remainder
+    // (≤ 1 micro per conversion) is deliberately unassigned on both
+    // engines.
+    "q211_multi_touch" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us,
+        |             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type AS channel, epoch_us(ts) AS t_us, event_id AS t_id
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.p_id, p.vc, t.channel, t.t_us, t.t_id
+        |      FROM p JOIN t USING (user_id)
+        |      WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS rk,
+        |             COUNT(*) OVER (PARTITION BY p_id) AS n
+        |      FROM j),
+        |c AS (SELECT channel, p_id,
+        |             (vc * CASE WHEN n = 1 THEN 1000000
+        |                        WHEN n = 2 THEN 500000
+        |                        WHEN rk = 1 OR rk = n THEN 400000
+        |                        ELSE 200000 // (n - 2) END) // 1000000 AS credit_cents
+        |      FROM r)
+        |SELECT channel, COUNT(*) AS n_touches,
+        |       COUNT(DISTINCT p_id) AS n_conversions,
+        |       CAST(SUM(credit_cents) AS BIGINT) AS credit_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -633,6 +633,51 @@ object Publisher {
     * Scale design: one per-user window (last over rows-preceding frame,
     * ignore-nulls — no self-join, no fan-out), then a 5-row aggregate;
     * revenue sums in exact DECIMAL before the final double cast. */
+  /** q211 — position-based multi-touch attribution (the 40/20/40 "U"
+    * model): each purchase credits its click/view touchpoints within a
+    * 7-day lookback — first touch 40%, last touch 40%, middles split
+    * the remaining 20% (1 touch → 100%, 2 → 50/50). The credit model
+    * complement of q106's last-touch argmax.
+    *
+    * Determinism: shares are integer micros (the middle split is an
+    * integer division — the ≤ 1-micro remainder per conversion is
+    * deliberately unassigned and documented); credited cents are
+    * (vc · share) div 10⁶, all BIGINT.
+    *
+    * Scale: user-keyed join of purchases × touches bounded by the
+    * 7-day window, then per-CONVERSION windows (rank + count over
+    * touch lists that are small by construction), one bounded-domain
+    * groupBy(channel). */
+  def multiTouchAttribution(spark: SparkSession, dir: String,
+                            lookbackDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"),
+        expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        unix_micros(col("ts")).as("t_us"), col("event_id").as("t_id"))
+    val lookbackUs = lookbackDays.toLong * 86400000000L
+    val w = Window.partitionBy("p_id").orderBy(col("t_us").asc, col("t_id").asc)
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - lookbackUs)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("p_id")))
+      .withColumn("share_micro",
+        when(col("n") === 1L, 1000000L)
+          .when(col("n") === 2L, 500000L)
+          .when(col("rk") === 1L || col("rk") === col("n"), 400000L)
+          .otherwise(expr("200000 div (n - 2)")))
+      .withColumn("credit_cents", expr("(vc * share_micro) div 1000000"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_conversions"),
+        sum(col("credit_cents")).as("credit_cents"))
+      .orderBy("channel")
+  }
+
   def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame =
     lastTouchCore(Tables.events(spark, dir))
 

@@ -355,6 +355,42 @@ class Round9fSpec extends SparkSpec {
     assert(got.values.exists(_ === 0L), "exact-dup groups imply Hamming-0 pairs")
   }
 
+  test("multiTouchAttribution: U-model credits replay exactly from raw events") {
+    import graft.ops.Publisher
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val touches = ev.filter(e => e._4 == "click" || e._4 == "view")
+    val credits = scala.collection.mutable.Map.empty[String, (Long, Set[Long], Long)]
+      .withDefaultValue((0L, Set.empty, 0L))
+    ev.filter(_._4 == "purchase").foreach { case (pid, uid, pus, _, v) =>
+      val vc = math.floor(v * 100 + 0.5).toLong
+      val tl = touches.filter(t => t._2 == uid && t._3 < pus &&
+        t._3 >= pus - 604800000000L).sortBy(t => (t._3, t._1))
+      val n = tl.length
+      tl.zipWithIndex.foreach { case ((_, _, _, ch, _), i) =>
+        val share =
+          if (n == 1) 1000000L
+          else if (n == 2) 500000L
+          else if (i == 0 || i == n - 1) 400000L
+          else 200000L / (n - 2)
+        val (ct, ps, cc) = credits(ch)
+        credits(ch) = (ct + 1, ps + pid, cc + vc * share / 1000000L)
+      }
+    }
+    val got = Publisher.multiTouchAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === credits.keySet)
+    credits.foreach { case (ch, (nt, ps, cc)) =>
+      val (gNt, gNc, gCc) = got(ch)
+      assert(gNt === nt, s"$ch touches")
+      assert(gNc === ps.size.toLong, s"$ch conversions")
+      assert(gCc === cc, s"$ch credited cents")
+    }
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
