@@ -373,6 +373,8 @@ object SparkEntry {
     "q210_image_neardup"       -> ((s, d) => graft.multimodal.Multimodal.imageHammingPairs(s, d)),
     // position-based (40/20/40) multi-touch attribution
     "q211_multi_touch"         -> ((s, d) => Publisher.multiTouchAttribution(s, d)),
+    // survival risk table (signup -> first purchase, right-censored)
+    "q212_survival_table"      -> ((s, d) => Sessions.survivalTable(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2949,6 +2951,28 @@ object SparkEntry {
         |       COUNT(DISTINCT p_id) AS n_conversions,
         |       CAST(SUM(credit_cents) AS BIGINT) AS credit_cents
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q212: KM risk-table layout, all integers; n_risk is the suffix sum
+    // over the bounded duration domain.
+    "q212_survival_table" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |h AS (SELECT MAX(us) AS h_us FROM ev),
+        |s AS (SELECT user_id, MIN(us) AS s_us FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |e AS (SELECT s.user_id, s.s_us, MIN(p.us) AS e_us
+        |      FROM s LEFT JOIN ev p ON p.user_id = s.user_id
+        |                           AND p.event_type = 'purchase' AND p.us >= s.s_us
+        |      GROUP BY 1, 2),
+        |d AS (SELECT user_id,
+        |             CASE WHEN e_us IS NOT NULL THEN 1 ELSE 0 END AS observed,
+        |             (COALESCE(e_us, h.h_us) - s_us) // 86400000000 AS dur_days
+        |      FROM e, h),
+        |b AS (SELECT dur_days, CAST(SUM(observed) AS BIGINT) AS d_events,
+        |             CAST(SUM(1 - observed) AS BIGINT) AS d_censored,
+        |             COUNT(*) AS d_total
+        |      FROM d GROUP BY 1),
+        |r AS (SELECT *, SUM(d_total) OVER (ORDER BY dur_days DESC ROWS UNBOUNDED PRECEDING) AS n_risk FROM b)
+        |SELECT dur_days, CAST(n_risk AS BIGINT) AS n_risk, d_events, d_censored,
+        |       CAST(FLOOR(1000000.0 * d_events / n_risk + 0.5) AS BIGINT) AS hazard_micro
+        |FROM r ORDER BY dur_days""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

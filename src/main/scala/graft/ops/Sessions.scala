@@ -240,6 +240,51 @@ object Sessions {
     * Equivalent because orders is unique per key and count(l_orderkey)
     * distributes over the per-key groups; the unmatched-side semantics
     * (zero-detail orders, orphan details) are identical. */
+  /** q212 — survival-analysis risk table (Kaplan–Meier layout) for
+    * signup → first purchase: per user, the duration in whole days from
+    * first signup to first subsequent purchase (event) or to the
+    * corpus's last timestamp (right-censored). One row per distinct
+    * duration: users still at risk, events, and censorings at that
+    * duration, plus the integer-micro hazard d/n — every column the KM
+    * estimator needs, all integers (the survival PRODUCT itself is a
+    * float fold with no stable SQL twin, so the table stops at the
+    * hazard; S(t) is a trivial driver-side fold over these rows).
+    *
+    * Scale: two per-user argmin aggregates (one shuffle), a 1-row
+    * broadcast for the censoring horizon, then windows over the
+    * bounded DURATION domain (≤ observation days), never over users. */
+  def survivalTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val horizon = ev.agg(max(col("us")).as("h_us"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("s_us"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us"))
+    val durations = signup
+      .join(firstPurchase,
+        col("user_id") === col("p_user") && col("p_us") >= col("s_us"), "left")
+      .groupBy("user_id", "s_us").agg(min(col("p_us")).as("e_us"))
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"),
+        when(col("e_us").isNotNull, 1L).otherwise(0L).as("observed"),
+        expr("(coalesce(e_us, h_us) - s_us) div 86400000000").as("dur_days"))
+    val byDur = durations.groupBy("dur_days")
+      .agg(sum(col("observed")).as("d_events"),
+        sum(lit(1L) - col("observed")).as("d_censored"),
+        count(lit(1)).as("d_total"))
+    byDur
+      .withColumn("n_risk",
+        sum(col("d_total")).over(Window.orderBy(col("dur_days").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("hazard_micro",
+        expr("CAST(FLOOR(1000000.0 * d_events / n_risk + 0.5) AS BIGINT)"))
+      .select(col("dur_days"), col("n_risk"), col("d_events"),
+        col("d_censored"), col("hazard_micro"))
+      .orderBy("dur_days")
+  }
+
   def fullOuterOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"))

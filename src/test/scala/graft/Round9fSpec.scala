@@ -391,6 +391,43 @@ class Round9fSpec extends SparkSpec {
     }
   }
 
+  test("survivalTable: risk-set identities and exact replay from raw events") {
+    import graft.ops.Sessions
+    val rows = Sessions.survivalTable(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // KM identities: n_risk at the smallest duration equals the cohort;
+    // n_risk decreases by exactly the events+censorings of prior rows
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, n1, e1, c1, _), (_, n2, _, _, _)) =>
+        assert(n2 === n1 - e1 - c1, "risk set must shrink by exits")
+      case _ =>
+    }
+    assert(sorted.head._2 === rows.map(r => r._3 + r._4).sum,
+      "initial risk set = all cohort members")
+    // exact replay from raw events
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val hUs = ev.map(_._2).max
+    val durations = ev.filter(_._3 == "signup").groupBy(_._1).toSeq.map { case (u, es) =>
+      val sUs = es.map(_._2).min
+      val p = ev.filter(e => e._1 == u && e._3 == "purchase" && e._2 >= sUs)
+      if (p.nonEmpty) ((p.map(_._2).min - sUs) / 86400000000L, 1L)
+      else ((hUs - sUs) / 86400000000L, 0L)
+    }
+    val expected = durations.groupBy(_._1).map { case (d, xs) =>
+      d -> ((xs.count(_._2 == 1L).toLong, xs.count(_._2 == 0L).toLong))
+    }
+    rows.foreach { case (d, n, e, c, hz) =>
+      val (ee, ec) = expected(d)
+      assert(e === ee && c === ec, s"duration $d exits")
+      assert(n === durations.count(_._1 >= d).toLong, s"duration $d risk set")
+      assert(hz === math.floor(1000000.0 * e / n + 0.5).toLong)
+    }
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
