@@ -375,6 +375,12 @@ object SparkEntry {
     "q211_multi_touch"         -> ((s, d) => Publisher.multiTouchAttribution(s, d)),
     // survival risk table (signup -> first purchase, right-censored)
     "q212_survival_table"      -> ((s, d) => Sessions.survivalTable(s, d)),
+    // ratio-to-parent hierarchy report (percent-of-parent drilldown)
+    "q213_ratio_to_parent"     -> ((s, d) => Olap.ratioToParent(s, d)),
+    // gap-constrained sequence funnel (max 1 day between steps)
+    "q214_gap_funnel"          -> ((s, d) => Sessions.gapFunnel(s, d)),
+    // two-proportion A/B readout with pooled-variance z statistic
+    "q215_ab_readout"          -> ((s, d) => Quality.abTestReadout(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2973,6 +2979,53 @@ object SparkEntry {
         |SELECT dur_days, CAST(n_risk AS BIGINT) AS n_risk, d_events, d_censored,
         |       CAST(FLOOR(1000000.0 * d_events / n_risk + 0.5) AS BIGINT) AS hazard_micro
         |FROM r ORDER BY dur_days""".stripMargin,
+    // q213: exact DECIMAL-cent sums; parent total via the same window.
+    "q213_ratio_to_parent" ->
+      """WITH b AS (SELECT r.r_name AS region, n.n_name AS nation,
+        |             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS nation_cents
+        |           FROM orders o
+        |           JOIN customer c ON o.o_custkey = c.c_custkey
+        |           JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |           JOIN region r ON n.n_regionkey = r.r_regionkey
+        |           GROUP BY 1, 2)
+        |SELECT region, nation, nation_cents,
+        |       CAST(SUM(nation_cents) OVER (PARTITION BY region) AS BIGINT) AS region_cents,
+        |       CAST(FLOOR(1000000.0 * nation_cents / SUM(nation_cents) OVER (PARTITION BY region) + 0.5) AS BIGINT) AS share_micro
+        |FROM b ORDER BY region, nation""".stripMargin,
+    // q214: the chain joins replayed literally; both gaps strict-lower /
+    // inclusive-upper, 1 day each.
+    "q214_gap_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |v AS (SELECT user_id, us AS t1 FROM ev WHERE event_type = 'view'),
+        |c AS (SELECT user_id, us AS t2 FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us AS t3 FROM ev WHERE event_type = 'purchase'),
+        |ch AS (SELECT v.user_id, t3
+        |       FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+        |       WHERE t2 > t1 AND t2 - t1 <= 86400000000
+        |         AND t3 > t2 AND t3 - t2 <= 86400000000)
+        |SELECT strftime(make_timestamp(t3), '%Y-%m-%d') AS log_date,
+        |       COUNT(DISTINCT user_id) AS users, COUNT(*) AS chains
+        |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q215: integer counts; the z expression's only non-algebraic op is
+    // SQRT, which IEEE 754 requires to be correctly rounded — the double
+    // is bit-identical across engines by spec (unlike ln/exp).
+    "q215_ab_readout" ->
+      """WITH u AS (SELECT user_id,
+        |             MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0 THEN 1 ELSE 0 END) AS converted
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT user_id % 2 AS arm, COUNT(*) AS n, SUM(converted) AS c FROM u GROUP BY 1),
+        |w AS (SELECT
+        |        CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+        |        CAST(SUM(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c_a,
+        |        CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+        |        CAST(SUM(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c_b
+        |      FROM a)
+        |SELECT n_a, c_a, n_b, c_b,
+        |       CAST(FLOOR(1000000.0 * c_a / n_a + 0.5) AS BIGINT) AS p_a_micro,
+        |       CAST(FLOOR(1000000.0 * c_b / n_b + 0.5) AS BIGINT) AS p_b_micro,
+        |       CAST(FLOOR(1000000.0 * (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)  / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))         * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))         * (1.0 / n_a + 1.0 / n_b)) + 0.5) AS BIGINT) AS z_micro,
+        |       CAST(CASE WHEN ABS(CAST(FLOOR(1000000.0 * (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)  / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))         * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))         * (1.0 / n_a + 1.0 / n_b)) + 0.5) AS BIGINT)) > 1960000 THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM w""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

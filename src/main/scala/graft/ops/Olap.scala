@@ -21,6 +21,32 @@ import graft.Tables
   */
 object Olap {
 
+  /** q213 — ratio-to-parent hierarchy report: per (region, nation),
+    * the nation's order revenue, its region's total, and the nation's
+    * integer-micro share of its parent — the classic BI "percent of
+    * parent" drilldown (the share complement of q46's rollup, which
+    * totals levels without relating child to parent). Exact DECIMAL
+    * cent sums; the share is one micro-rounded division.
+    *
+    * Scale: one fact aggregate by (region, nation) — a bounded
+    * dimension domain — then a window over the same tiny domain for
+    * the parent totals; the dims broadcast onto the fact scan. */
+  def ratioToParent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byNation = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")).as("nation_cents"))
+    byNation
+      .withColumn("region_cents",
+        sum(col("nation_cents")).over(Window.partitionBy("region")))
+      .withColumn("share_micro",
+        expr("CAST(FLOOR(1000000.0 * nation_cents / region_cents + 0.5) AS BIGINT)"))
+      .orderBy("region", "nation")
+  }
+
   /** Revenue rollup over the nation → segment hierarchy (GROUPING SETS):
     * (nation, segment), (nation), () — NULL group keys surfaced as 'ALL'
     * (unambiguous: dimension values never contain literal 'ALL'). */

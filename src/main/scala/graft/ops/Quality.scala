@@ -20,6 +20,47 @@ import graft.Tables
   */
 object Quality {
 
+  /** q215 — two-proportion experiment readout (A/B z-test): users split
+    * into arms by the low bit of user_id (the deterministic hash-split
+    * stand-in for an assignment service), conversion = at least one
+    * purchase event of value >= 100 (an all-users-convert corpus makes
+    * the pooled variance zero; the value bar restores a real rate). Emits per-arm counts, integer-micro conversion
+    * rates, the absolute lift, the pooled-variance z statistic, and the
+    * |z| > 1.96 significance verdict.
+    *
+    * Determinism: counts are exact integers; the z computation is pure
+    * IEEE arithmetic whose ONLY non-algebraic op is sqrt — which IEEE
+    * 754 requires to be CORRECTLY ROUNDED, so unlike ln/exp the double
+    * is bit-identical across engines by spec; it is still micro-rounded
+    * on output. Scale: one per-user aggregate (purchase flag), one
+    * 2-row arm aggregate, one 1-row readout — nothing after the first
+    * shuffle exceeds two rows. */
+  def abTestReadout(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 100.0, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("arm", expr("user_id % 2"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+    arms.agg(
+        sum(when(col("arm") === 0, col("n"))).as("n_a"),
+        sum(when(col("arm") === 0, col("c"))).as("c_a"),
+        sum(when(col("arm") === 1, col("n"))).as("n_b"),
+        sum(when(col("arm") === 1, col("c"))).as("c_b"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr("CAST(FLOOR(1000000.0 * c_a / n_a + 0.5) AS BIGINT)").as("p_a_micro"),
+        expr("CAST(FLOOR(1000000.0 * c_b / n_b + 0.5) AS BIGINT)").as("p_b_micro"),
+        expr(
+          """CAST(FLOOR(1000000.0 * (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+            |  / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+            |         * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+            |         * (1.0 / n_a + 1.0 / n_b)) + 0.5) AS BIGINT)""".stripMargin
+            .replace("\n", "")).as("z_micro"))
+      .withColumn("significant",
+        (abs(col("z_micro")) > 1960000L).cast("long"))
+  }
+
   /** Referential-integrity audit over the star schema: for every
     * fact → dim edge, how many child rows have no parent (orphans).
     * Each edge is one left-anti join reduced to a count — the dim side

@@ -285,6 +285,38 @@ object Sessions {
       .orderBy("dur_days")
   }
 
+  /** q214 — gap-constrained sequence funnel: users completing
+    * view → click → purchase with EACH consecutive step at most one
+    * day after the previous (the corpus's inter-event cadence makes a
+    * 1-hour gap empty; the semantics are gap-parametric). q72's funnel tests ordered EXISTENCE
+    * (any order-respecting triple); this is the stricter sequential-
+    * pattern-matching semantics (SPADE/PrefixSpan-style max-gap
+    * constraint) a product analyst means by "did the click happen
+    * BECAUSE of the view". Output per completion date: distinct
+    * completing users and total qualifying chains.
+    *
+    * Scale: two user-keyed interval joins, each bounded by the 1-hour
+    * gap (per-user event lists are small by construction; the join
+    * never crosses users); the fan-out is chains-per-user, cut by the
+    * gap before it can multiply. */
+  def gapFunnel(spark: SparkSession, dir: String,
+                maxGapUs: Long = 86400000000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    def step(t: String, asName: String) =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("us").as(asName))
+    step("view", "t1")
+      .join(step("click", "t2"), "user_id")
+      .filter(col("t2") > col("t1") && col("t2") - col("t1") <= maxGapUs)
+      .join(step("purchase", "t3"), "user_id")
+      .filter(col("t3") > col("t2") && col("t3") - col("t2") <= maxGapUs)
+      .groupBy(date_format(timestamp_micros(col("t3")), "yyyy-MM-dd").as("log_date"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("chains"))
+      .orderBy("log_date")
+  }
+
   def fullOuterOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"))

@@ -428,6 +428,69 @@ class Round9fSpec extends SparkSpec {
     }
   }
 
+  test("ratioToParent: shares sum to ~1e6 per region and replay from rollup totals") {
+    import graft.ops.Olap
+    val rows = Olap.ratioToParent(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (region, ns) =>
+      val regionCents = ns.head._4
+      assert(ns.forall(_._4 === regionCents), s"$region parent total consistent")
+      assert(ns.map(_._3).sum === regionCents, s"$region children sum to parent")
+      // micro-rounded shares sum to 1e6 within rounding slack (±|children|/2)
+      val shareSum = ns.map(_._5).sum
+      assert(math.abs(shareSum - 1000000L) <= ns.length.toLong,
+        s"$region share sum $shareSum")
+      ns.foreach { case (_, _, nc, rc, sm) =>
+        assert(sm === math.floor(1000000.0 * nc / rc + 0.5).toLong)
+      }
+    }
+  }
+
+  test("gapFunnel: every chain respects order and gaps; counts replay") {
+    import graft.ops.Sessions
+    val got = Sessions.gapFunnel(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val gap = 86400000000L
+    val chains = for {
+      (u, t1, "view") <- ev
+      (u2, t2, "click") <- ev if u2 == u && t2 > t1 && t2 - t1 <= gap
+      (u3, t3, "purchase") <- ev if u3 == u && t3 > t2 && t3 - t2 <= gap
+    } yield (u, t3)
+    val expected = chains.groupBy { case (_, t3) =>
+      java.time.Instant.ofEpochSecond(t3 / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    }.map { case (d, xs) => d -> ((xs.map(_._1).distinct.length.toLong, xs.length.toLong)) }
+    assert(got === expected)
+    assert(got.nonEmpty, "expected completed chains at the 1-day gap")
+  }
+
+  test("abTestReadout: exact replay and the z statistic's algebra") {
+    import graft.ops.Quality
+    val r = Quality.abTestReadout(spark, dir).collect().head
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+      .groupBy(_._1).map { case (u, es) =>
+        (u, es.exists(e => e._2 == "purchase" && e._3 >= 100.0))
+      }
+    assert(na === users.count(_._1 % 2 == 0).toLong)
+    assert(ca === users.count(u => u._1 % 2 == 0 && u._2).toLong)
+    assert(nb === users.count(_._1 % 2 == 1).toLong)
+    assert(cb === users.count(u => u._1 % 2 == 1 && u._2).toLong)
+    // conversion must be non-degenerate or the z statistic is undefined
+    assert(ca + cb > 0 && ca + cb < na + nb, "pooled rate must be in (0,1)")
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (cb.toDouble / nb - ca.toDouble / na) /
+      math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(r.getLong(6) === math.floor(1000000.0 * z + 0.5).toLong)
+    assert(r.getLong(7) === (if (math.abs(r.getLong(6)) > 1960000L) 1L else 0L))
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
