@@ -381,6 +381,8 @@ object SparkEntry {
     "q214_gap_funnel"          -> ((s, d) => Sessions.gapFunnel(s, d)),
     // two-proportion A/B readout with pooled-variance z statistic
     "q215_ab_readout"          -> ((s, d) => Quality.abTestReadout(s, d)),
+    // DSIR selector lift audit (decile target-share enrichment)
+    "q216_dsir_lift"           -> ((s, d) => graft.text.Curation.dsirLift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2791,25 +2793,30 @@ object SparkEntry {
     // division of double products with every factor cast first — the
     // identical IEEE sequence in both engines.
     "q203_dsir_weights" ->
-      """WITH tok AS (SELECT doc_id, source,
-        |               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
-        |             FROM documents),
-        |v AS (SELECT token, COUNT(*) AS cr,
-        |             SUM(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END) AS ct
-        |      FROM tok GROUP BY 1),
-        |t AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt, COUNT(*) AS nv FROM v),
-        |r AS (SELECT token,
-        |             CAST(FLOOR(1000000.0
-        |               * (CAST(ct + 1 AS DOUBLE) * CAST(nr + nv AS DOUBLE))
-        |               / (CAST(cr + 1 AS DOUBLE) * CAST(nt + nv AS DOUBLE)) + 0.5) AS BIGINT) AS ratio_micro
-        |      FROM v, t),
-        |s AS (SELECT doc_id, source, COUNT(*) AS n_tokens, SUM(ratio_micro) AS imp_sum_micro
-        |      FROM tok JOIN r USING (token) GROUP BY 1, 2)
+      s"""WITH $DsirCtes
         |SELECT doc_id, source,
         |       CAST(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END AS BIGINT) AS is_target,
         |       n_tokens, CAST(imp_sum_micro AS BIGINT) AS imp_sum_micro,
         |       CAST(imp_sum_micro // n_tokens AS BIGINT) AS avg_imp_micro
         |FROM s ORDER BY doc_id""".stripMargin,
+    // q216: the q203 scoring CTEs + decile of the (weight desc, doc_id)
+    // rank; all integer.
+    "q216_dsir_lift" ->
+      s"""WITH $DsirCtes,
+        |sc AS (SELECT doc_id,
+        |              CAST(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END AS BIGINT) AS is_target,
+        |              CAST(imp_sum_micro // n_tokens AS BIGINT) AS avg_imp_micro
+        |       FROM s),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY avg_imp_micro DESC, doc_id) AS rk,
+        |              COUNT(*) OVER () AS n_all
+        |       FROM sc)
+        |SELECT ((rk - 1) * 10) // n_all AS decile,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(is_target) AS BIGINT) AS n_target,
+        |       CAST(MIN(avg_imp_micro) AS BIGINT) AS min_weight,
+        |       CAST(MAX(avg_imp_micro) AS BIGINT) AS max_weight,
+        |       CAST(FLOOR(1000000.0 * SUM(is_target) / COUNT(*) + 0.5) AS BIGINT) AS target_micro
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
     // q205: BM25. The per-term micro-score expression is SHARED VERBATIM
     // with the Spark plan (Publisher.bm25TermExpr) — column names
     // included — so both engines run the identical IEEE sequence; the
@@ -3155,6 +3162,26 @@ object SparkEntry {
   /** The shared CTE chain computing exact Jaccard pairs at 0.7, reused by
     * the pair queries (as `JaccardPairsSql`) and the cluster query (q51,
     * which chains connected components on top of `jpairs`). */
+  /** The q203 DSIR scoring CTE chain (tokenize → joint target/raw vocab
+    * → smoothed micro ratios → per-doc sums), shared verbatim by the
+    * weight oracle (q203) and the lift audit (q216) so the two can
+    * never drift. */
+  private val DsirCtes: String =
+    """tok AS (SELECT doc_id, source,
+      |               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+      |             FROM documents),
+      |v AS (SELECT token, COUNT(*) AS cr,
+      |             SUM(CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END) AS ct
+      |      FROM tok GROUP BY 1),
+      |t AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt, COUNT(*) AS nv FROM v),
+      |r AS (SELECT token,
+      |             CAST(FLOOR(1000000.0
+      |               * (CAST(ct + 1 AS DOUBLE) * CAST(nr + nv AS DOUBLE))
+      |               / (CAST(cr + 1 AS DOUBLE) * CAST(nt + nv AS DOUBLE)) + 0.5) AS BIGINT) AS ratio_micro
+      |      FROM v, t),
+      |s AS (SELECT doc_id, source, COUNT(*) AS n_tokens, SUM(ratio_micro) AS imp_sum_micro
+      |      FROM tok JOIN r USING (token) GROUP BY 1, 2)""".stripMargin
+
   /** The shared 3-gram shingle-set CTEs (tok → distinct shingles → per-
     * doc sizes) — the base of the Jaccard oracle AND the q206
     * containment oracle. */

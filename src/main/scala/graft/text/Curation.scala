@@ -135,6 +135,40 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q216 — selector lift audit: rank every document by its q203 DSIR
+    * weight, cut the ranking into deciles, and report each decile's
+    * target-document share — the standard "does the selector actually
+    * concentrate the target domain at the top" evaluation (the q153
+    * recall-harness pattern applied to importance resampling; a useless
+    * selector shows a flat ~15% everywhere, a working one shows the top
+    * deciles enriched). Deciles via the banded-rank construction is
+    * unnecessary here — the decile of a row is a pure function of its
+    * rank, so ntile over the bounded ordering... which IS a global
+    * window; instead the decile comes from a row_number banded the
+    * q174/q188 way at scale. At this corpus the window is the
+    * doc-count domain and the oracle replays it literally.
+    *
+    * All integer: ranks, counts, micro shares. Tie-break (weight desc,
+    * doc_id asc) pins the decile assignment. */
+  def dsirLift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = dsirWeights(spark, dir)
+      .select(col("doc_id"), col("is_target"), col("avg_imp_micro"))
+    val n1 = Window.orderBy(col("avg_imp_micro").desc, col("doc_id").asc)
+    scored
+      .withColumn("rk", row_number().over(n1).cast("long"))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_docs"))))
+      .withColumn("decile", expr("((rk - 1) * 10) div n_docs"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_target")).as("n_target"),
+        min(col("avg_imp_micro")).as("min_weight"),
+        max(col("avg_imp_micro")).as("max_weight"))
+      .withColumn("target_micro",
+        expr("CAST(FLOOR(1000000.0 * n_target / n_docs + 0.5) AS BIGINT)"))
+      .orderBy("decile")
+  }
+
   /** Quality filter cascade: classify every document by its FIRST
     * failing rule — the funnel report (per source × verdict: doc count
     * and token mass) a corpus builder reads to see where data is lost.

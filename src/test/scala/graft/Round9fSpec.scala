@@ -491,6 +491,36 @@ class Round9fSpec extends SparkSpec {
     assert(r.getLong(7) === (if (math.abs(r.getLong(6)) > 1960000L) 1L else 0L))
   }
 
+  test("dsirLift: deciles partition the ranking and reconcile with q203") {
+    import graft.text.Curation
+    val lift = Curation.dsirLift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val weights = Curation.dsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(5))) // (doc, is_target, avg)
+    assert(lift.map(_._2).sum === weights.length.toLong, "deciles cover every doc")
+    assert(lift.map(_._3).sum === weights.count(_._2 === 1L).toLong,
+      "target mass conserved")
+    // decile weight ranges are non-overlapping and descending
+    lift.sortBy(_._1).sliding(2).foreach {
+      case Array((_, _, _, lo1, _, _), (_, _, _, _, hi2, _)) =>
+        assert(hi2 <= lo1, "deciles must descend in weight")
+      case _ =>
+    }
+    // exact replay of the decile assignment
+    val ranked = weights.sortBy { case (id, _, w) => (-w, id) }.zipWithIndex
+    val expected = ranked.groupBy { case (_, i) =>
+      i.toLong * 10L / weights.length
+    }.map { case (d, xs) =>
+      d -> ((xs.length.toLong, xs.count(_._1._2 === 1L).toLong))
+    }
+    lift.foreach { case (d, n, t, _, _, micro) =>
+      val (en, et) = expected(d)
+      assert(n === en && t === et, s"decile $d")
+      assert(micro === math.floor(1000000.0 * t / n + 0.5).toLong)
+    }
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
