@@ -383,6 +383,10 @@ object SparkEntry {
     "q215_ab_readout"          -> ((s, d) => Quality.abTestReadout(s, d)),
     // DSIR selector lift audit (decile target-share enrichment)
     "q216_dsir_lift"           -> ((s, d) => graft.text.Curation.dsirLift(s, d)),
+    // per-segment OLS revenue trend from exact BIGINT sufficient stats
+    "q217_segment_trend"       -> ((s, d) => Olap.segmentTrend(s, d)),
+    // kth-NN-distance embedding outliers (Ramaswamy et al. 2000)
+    "q218_knn_outliers"        -> ((s, d) => graft.vector.VectorOps.knnOutliers(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3033,6 +3037,37 @@ object SparkEntry {
         |       CAST(FLOOR(1000000.0 * (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)  / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))         * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))         * (1.0 / n_a + 1.0 / n_b)) + 0.5) AS BIGINT) AS z_micro,
         |       CAST(CASE WHEN ABS(CAST(FLOOR(1000000.0 * (CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)  / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))         * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))         * (1.0 / n_a + 1.0 / n_b)) + 0.5) AS BIGINT)) > 1960000 THEN 1 ELSE 0 END AS BIGINT) AS significant
         |FROM w""".stripMargin,
+    // q217: the five OLS sufficient statistics as exact BIGINT sums; the
+    // closed-form divisions cast every sum to DOUBLE in the identical
+    // order before combining.
+    "q217_segment_trend" ->
+      """WITH daily AS (SELECT c.c_mktsegment AS segment,
+        |        CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |        CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |      GROUP BY 1, 2),
+        |s AS (SELECT segment, COUNT(*) AS n_days,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) AS BIGINT) AS syy
+        |      FROM daily GROUP BY 1)
+        |SELECT segment, n_days,
+        |       CAST(FLOOR(1000000.0  * (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))  / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))  + 0.5) AS BIGINT) AS slope_micro,
+        |       CAST(FLOOR(1000000.0  * (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))  * (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))  / ((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))     * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))  + 0.5) AS BIGINT) AS r2_micro,
+        |       CAST(sy // n_days AS BIGINT) AS mean_daily_cents
+        |FROM s ORDER BY segment""".stripMargin,
+    // q218: all-pairs kth-neighbor rank with the q28 cosine formula
+    // (norms as the identical sqrt subexpressions).
+    "q218_knn_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id, b.vec_id AS o_id,
+        |        list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+        |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, o_id) AS rk
+        |      FROM p)
+        |SELECT vec_id, cos AS cos_k FROM r WHERE rk = 5
+        |ORDER BY cos_k, vec_id LIMIT 20""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -47,6 +47,47 @@ object Olap {
       .orderBy("region", "nation")
   }
 
+  /** q217 — per-segment revenue trend via closed-form OLS: regress
+    * daily revenue (integer cents) on the epoch day, per market
+    * segment. Slope, intercept-free normalization (means), and r² all
+    * derive from five EXACT BIGINT sums (n, Σx, Σy, Σxy, Σx², Σy²) —
+    * the single-pass sufficient statistics of simple regression — so
+    * the only doubles are the final closed-form divisions, written
+    * identically in both engines and micro-rounded. (Σxy with
+    * epoch-day x ≈ 10⁴ stays within BIGINT to ~1000× this SF; past
+    * that, shift x to days-since-window-start — same slope, smaller
+    * products.)
+    *
+    * Scale: one fact aggregate to (segment, day) — bounded domain —
+    * then one 5-sum aggregate per segment. No window, no sort. */
+  def segmentTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"))
+      .agg(sum(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")).as("y"))
+    daily.groupBy("segment")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("segment"), col("n_days"),
+        expr("""CAST(FLOOR(1000000.0
+               |  * (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               |  / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |  + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")).as("slope_micro"),
+        expr("""CAST(FLOOR(1000000.0
+               |  * (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               |  * (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               |  / ((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |     * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               |  + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")).as("r2_micro"),
+        expr("sy div n_days").as("mean_daily_cents"))
+      .orderBy("segment")
+  }
+
   /** Revenue rollup over the nation → segment hierarchy (GROUPING SETS):
     * (nation, segment), (nation), () — NULL group keys surfaced as 'ALL'
     * (unambiguous: dimension values never contain literal 'ALL'). */

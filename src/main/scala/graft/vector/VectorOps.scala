@@ -55,6 +55,41 @@ object VectorOps {
         expr("transform(embedding, x -> cast(x as double))").as("v"))
   }
 
+  /** q218 — kth-NN-distance outliers: each vector's anomaly score is
+    * its cosine similarity to its kth (default 5th) nearest neighbor —
+    * a vector whose 5th-closest neighbor is still far away sits in
+    * empty space (the distance-based outlier definition of Ramaswamy
+    * et al. 2000; the score behind embedding-space data-quality sweeps
+    * for mislabeled/garbage training examples). Emits the `topN`
+    * lowest-cos5 vectors.
+    *
+    * Exact all-pairs under the same [[QuadraticAnchorMaxVecs]] guard as
+    * the near-dup verifier; at scale the kth-NN distance comes from the
+    * IVF-probed candidate set (q35's index — probing underestimates
+    * cos5 never, since missing candidates can only be FARTHER). Norms
+    * are precomputed once per vector; cos stays bit-identical to the
+    * oracle formula. */
+  def knnOutliers(spark: SparkSession, dir: String,
+                  kth: Int = 5, topN: Int = 20): DataFrame = {
+    val nVecs = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    require(nVecs <= QuadraticAnchorMaxVecs,
+      s"knnOutliers is quadratic-exact ($nVecs vectors > " +
+        s"$QuadraticAnchorMaxVecs cap): use the IVF candidate path at this size")
+    val n = vecs(spark, dir).withColumn("nrm", sqrt(dot("v", "v")))
+    val a = n.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("o_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("o_id").asc)
+    a.join(b, col("vec_id") =!= col("o_id"))
+      .select(col("vec_id"), col("o_id"),
+        (dot("va", "vb") / (col("na") * col("nb"))).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") === kth.toLong)
+      .select(col("vec_id"), col("cos").as("cos_k"))
+      .orderBy(col("cos_k").asc, col("vec_id").asc)
+      .limit(topN)
+  }
+
   /** Brute-force cosine top-k against the embedding of `queryId`. */
   def cosineTopK(spark: SparkSession, dir: String,
                  queryId: Long = 0L, k: Int = 10): DataFrame = {

@@ -521,6 +521,60 @@ class Round9fSpec extends SparkSpec {
     }
   }
 
+  test("segmentTrend: OLS sufficient statistics replay exactly") {
+    import graft.ops.Olap
+    val got = Olap.segmentTrend(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long"),
+        expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((seg, x), rows) => (seg, x, rows.map(_._3).sum) }
+    got.keySet.foreach { seg =>
+      val pts = daily.filter(_._1 == seg).toSeq
+      val n = pts.length.toLong
+      val (sx, sy) = (pts.map(_._2).sum, pts.map(_._3).sum)
+      val sxy = pts.map(p => p._2 * p._3).sum
+      val sxx = pts.map(p => p._2 * p._2).sum
+      val syy = pts.map(p => p._3 * p._3).sum
+      val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      val slope = math.floor(1000000.0 * num / den + 0.5).toLong
+      val r2 = math.floor(1000000.0 * num * num /
+        (den * (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble)) + 0.5).toLong
+      val (gn, gs, gr2, gm) = got(seg)
+      assert(gn === n && gs === slope && gr2 === r2 && gm === sy / n, s"segment $seg")
+      assert(gr2 >= 0L && gr2 <= 1000000L, s"segment $seg r2 range")
+    }
+  }
+
+  test("knnOutliers: kth-neighbor ranks replay from an exact pair scan") {
+    import graft.vector.VectorOps
+    val got = VectorOps.knnOutliers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length === 20)
+    // scores ascend (most isolated first) with the doc tie-break
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cos5 = vecs.map { case (id, v) =>
+      val nv = math.sqrt(dotp(v, v))
+      val sims = vecs.filter(_._1 != id)
+        .map { case (oid, o) => (dotp(v, o) / (nv * math.sqrt(dotp(o, o))), oid) }
+        .sortBy { case (c, oid) => (-c, oid) }
+      id -> sims(4)._1
+    }.toMap
+    val expected = cos5.toSeq.sortBy { case (id, c) => (c, id) }.take(20)
+    assert(got.toSeq === expected, "kth-NN outlier ranking must replay exactly")
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
