@@ -387,6 +387,10 @@ object SparkEntry {
     "q217_segment_trend"       -> ((s, d) => Olap.segmentTrend(s, d)),
     // kth-NN-distance embedding outliers (Ramaswamy et al. 2000)
     "q218_knn_outliers"        -> ((s, d) => graft.vector.VectorOps.knnOutliers(s, d)),
+    // within-source quality percentile calibration
+    "q219_quality_calibration" -> ((s, d) => graft.text.Curation.qualityCalibration(s, d)),
+    // incremental span dedup: fresh batch audited against the corpus
+    "q220_incremental_spans"   -> ((s, d) => graft.dedup.SpanDedup.incrementalSpanDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3068,6 +3072,46 @@ object SparkEntry {
         |      FROM p)
         |SELECT vec_id, cos AS cos_k FROM r WHERE rk = 5
         |ORDER BY cos_k, vec_id LIMIT 20""".stripMargin,
+    // q219: integer percentile rank within source, doc_id tie-break.
+    "q219_quality_calibration" ->
+      """WITH s AS (SELECT doc_id, source,
+        |             CAST(FLOOR(1000000.0 * len(list_distinct(t)) / len(t) + 0.5) AS BIGINT) AS score_micro
+        |           FROM (SELECT doc_id, source,
+        |                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |                 FROM documents)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_micro, doc_id) AS rk,
+        |             COUNT(*) OVER (PARTITION BY source) AS n_src
+        |      FROM s)
+        |SELECT doc_id, source, score_micro,
+        |       CAST(CASE WHEN n_src > 1 THEN ((rk - 1) * 1000000) // (n_src - 1)
+        |            ELSE 500000 END AS BIGINT) AS pct_micro
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q220: fresh grams semi-matched against the corpus's distinct gram
+    // set; the span merge is the q201 lag rule.
+    "q220_incremental_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |p0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+        |         THEN list_transform(generate_series(1, len(t) - 7),
+        |                i -> {'pos': i, 'h': md5(array_to_string(list_slice(t, i, i + 7), ' '))})
+        |         ELSE [] END) AS g FROM tok),
+        |p AS (SELECT doc_id, g.pos AS pos, g.h AS h FROM p0),
+        |cg AS (SELECT DISTINCT h FROM p WHERE doc_id < 250),
+        |m AS (SELECT doc_id, pos FROM p WHERE doc_id >= 250 AND h IN (SELECT h FROM cg)),
+        |s AS (SELECT doc_id, pos, CASE WHEN LAG(pos) OVER w IS NULL
+        |            OR pos - LAG(pos) OVER w > 8 THEN 1 ELSE 0 END AS ns
+        |      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |si AS (SELECT doc_id, pos, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |sp AS (SELECT doc_id, sid, COUNT(*) AS n_marked, MAX(pos) + 8 - MIN(pos) AS span_len FROM si GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(n_marked) AS n_dup_grams, SUM(span_len) AS dup_tokens FROM sp GROUP BY 1),
+        |ds AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, CAST(GREATEST(len(t) - 7, 0) AS BIGINT) AS n_grams
+        |       FROM tok WHERE doc_id >= 250)
+        |SELECT ds.doc_id, ds.n_tokens, ds.n_grams,
+        |       CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        |       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |       CAST(FLOOR(1000000.0 * COALESCE(dup_tokens, 0) / ds.n_tokens + 0.5) AS BIGINT) AS dup_micro,
+        |       CAST(CASE WHEN FLOOR(1000000.0 * COALESCE(dup_tokens, 0) / ds.n_tokens + 0.5) < 500000 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+        |FROM ds LEFT JOIN agg USING (doc_id) ORDER BY ds.doc_id""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

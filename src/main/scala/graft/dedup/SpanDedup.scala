@@ -93,8 +93,23 @@ object SpanDedup {
     val dup = postings.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
     val marked = postings.join(dup.select("h"), Seq("h"), "left_semi")
+    docStats.join(spanStats(marked), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        expr("CAST(FLOOR(1000000.0 * coalesce(dup_tokens, 0L) / n_tokens + 0.5) AS BIGINT)")
+          .as("dup_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc maximal-contiguous-span aggregation over MARKED postings
+    * (equal-length intervals sorted by start merge while successive
+    * starts differ by ≤ L) — shared by the corpus audit (q201) and the
+    * incremental variant (q220). */
+  private[graft] def spanStats(marked: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(col("pos").asc)
-    val spans = marked
+    marked
       .withColumn("new_span",
         when(col("pos") - lag(col("pos"), 1).over(w) > GramLen, 1L)
           .otherwise(when(lag(col("pos"), 1).over(w).isNull, 1L).otherwise(0L)))
@@ -107,13 +122,46 @@ object SpanDedup {
       .agg(count(lit(1)).as("n_spans"),
         sum(col("n_marked")).as("n_dup_grams"),
         sum(col("span_len")).as("dup_tokens"))
-    docStats.join(spans, Seq("doc_id"), "left")
+  }
+
+  /** q220 — incremental span dedup: audit a FRESH batch (doc_id ≥
+    * `splitAt`) against the ALREADY-INGESTED corpus (doc_id < splitAt) —
+    * the q38/q154 incremental-ingest pattern at span granularity. A
+    * fresh doc's gram is marked iff it occurs ANYWHERE in the corpus;
+    * within-batch repeats are deliberately NOT marked (they are the
+    * NEXT batch's corpus problem — this operator answers "how much of
+    * the new crawl is already-ingested text"). Fresh docs whose
+    * duplicated coverage reaches half their tokens are flagged
+    * rejected — the admission rule a crawler's dedup gate applies.
+    *
+    * Scale: the corpus side collapses to its DISTINCT gram set (one
+    * partial-agg pass, or an incrementally-maintained gram index in
+    * production — the q154 bloom layering applies verbatim in front of
+    * this semi-join); the batch side is the same semi-join + per-doc
+    * windows as q201. */
+  def incrementalSpanDedup(spark: SparkSession, dir: String,
+                           splitAt: Long = 250L): DataFrame = {
+    val posts = gramPostings(spark, dir)
+    val corpusGrams = posts.filter(col("doc_id") < splitAt)
+      .select("h").distinct()
+    val freshPosts = posts.filter(col("doc_id") >= splitAt)
+    val freshStats = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .filter(col("doc_id") >= splitAt)
+      .select(col("doc_id"),
+        expr(s"size(${graft.text.TextOps.TokensExpr})").cast("long").as("n_tokens"))
+      .withColumn("n_grams",
+        greatest(col("n_tokens") - lit(GramLen - 1), lit(0L)))
+    val marked = freshPosts.join(corpusGrams, Seq("h"), "left_semi")
+    freshStats.join(spanStats(marked), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_grams"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         expr("CAST(FLOOR(1000000.0 * coalesce(dup_tokens, 0L) / n_tokens + 0.5) AS BIGINT)")
           .as("dup_micro"))
+      .withColumn("admitted",
+        (col("dup_micro") < 500000L).cast("long"))
       .orderBy("doc_id")
   }
 

@@ -169,6 +169,37 @@ object Curation {
       .orderBy("decile")
   }
 
+  /** q219 — within-source quality calibration: map each document's raw
+    * quality score (lexical diversity, integer micro) to its PERCENTILE
+    * RANK inside its own source. Raw scores are not comparable across
+    * sources (a boilerplate-heavy crawl and a curated corpus have
+    * different score distributions); rank-normalizing per source is the
+    * standard quantile-calibration step before a cross-source quality
+    * threshold or mixture rule. pct = (rank − 1)·10⁶ div (n − 1), all
+    * integer, tie-broken by doc_id.
+    *
+    * Scale: one narrow score map, then windows partitioned by SOURCE —
+    * per-source doc lists parallelize across sources; no global sort. */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        expr(s"${graft.text.TextOps.TokensExpr}").as("toks"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(FLOOR(1000000.0 * size(array_distinct(toks)) / size(toks) + 0.5) AS BIGINT)")
+          .as("score_micro"))
+    val w = Window.partitionBy("source").orderBy(col("score_micro").asc, col("doc_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("pct_micro",
+        when(col("n_src") > 1L, expr("((rk - 1) * 1000000) div (n_src - 1)"))
+          .otherwise(lit(500000L)))
+      .select("doc_id", "source", "score_micro", "pct_micro")
+      .orderBy("doc_id")
+  }
+
   /** Quality filter cascade: classify every document by its FIRST
     * failing rule — the funnel report (per source × verdict: doc count
     * and token mass) a corpus builder reads to see where data is lost.

@@ -575,6 +575,45 @@ class Round9fSpec extends SparkSpec {
     assert(got.toSeq === expected, "kth-NN outlier ranking must replay exactly")
   }
 
+  test("qualityCalibration: per-source percentile ranks are uniform and exact") {
+    import graft.text.Curation
+    val rows = Curation.qualityCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      // percentiles span [0, 1e6] and are monotone in (score, doc_id)
+      val sorted = ds.sortBy(d => (d._3, d._1))
+      assert(sorted.head._4 === 0L && sorted.last._4 === 1000000L, s"$src range")
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq, s"$src monotone")
+      // exact formula replay
+      sorted.zipWithIndex.foreach { case ((_, _, _, pct), i) =>
+        assert(pct === i.toLong * 1000000L / (ds.length - 1), s"$src rank $i")
+      }
+    }
+  }
+
+  test("incrementalSpanDedup: corpus-only marking and q201 consistency") {
+    import graft.dedup.SpanDedup
+    val inc = SpanDedup.incrementalSpanDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    assert(inc.nonEmpty && inc.forall(_._1 >= 250L), "fresh docs only")
+    // dup coverage never exceeds the doc, and the admission rule replays
+    inc.foreach { case (id, nToks, _, dupToks, micro, admitted) =>
+      assert(dupToks <= nToks, s"doc $id coverage")
+      assert(micro === math.floor(1000000.0 * dupToks / nToks + 0.5).toLong)
+      assert(admitted === (if (micro < 500000L) 1L else 0L))
+    }
+    // a fresh doc's against-corpus dup grams can never exceed its q201
+    // corpus-wide dup grams (corpus matches are a subset of all matches)
+    val full = SpanDedup.dupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    inc.foreach { case (id, _, nDup, _, _, _) =>
+      assert(nDup <= full(id), s"doc $id incremental marks exceed corpus-wide marks")
+    }
+    assert(inc.exists(_._3 > 0L), "expected some corpus-duplicated fresh docs")
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
