@@ -387,10 +387,14 @@ object SparkEntry {
     "q217_segment_trend"       -> ((s, d) => Olap.segmentTrend(s, d)),
     // kth-NN-distance embedding outliers (Ramaswamy et al. 2000)
     "q218_knn_outliers"        -> ((s, d) => graft.vector.VectorOps.knnOutliers(s, d)),
+    // PMI collocation mining (Church & Hanks) over corpus bigrams
+    "q221_pmi_collocations"    -> ((s, d) => graft.text.TextOps.pmiCollocations(s, d)),
     // within-source quality percentile calibration
     "q219_quality_calibration" -> ((s, d) => graft.text.Curation.qualityCalibration(s, d)),
     // incremental span dedup: fresh batch audited against the corpus
     "q220_incremental_spans"   -> ((s, d) => graft.dedup.SpanDedup.incrementalSpanDedup(s, d)),
+    // quality-cutoff operating curve (banded suffix sums)
+    "q222_threshold_sweep"     -> ((s, d) => graft.text.Curation.thresholdSweep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3112,6 +3116,46 @@ object SparkEntry {
         |       CAST(FLOOR(1000000.0 * COALESCE(dup_tokens, 0) / ds.n_tokens + 0.5) AS BIGINT) AS dup_micro,
         |       CAST(CASE WHEN FLOOR(1000000.0 * COALESCE(dup_tokens, 0) / ds.n_tokens + 0.5) < 500000 THEN 1 ELSE 0 END AS BIGINT) AS admitted
         |FROM ds LEFT JOIN agg USING (doc_id) ORDER BY ds.doc_id""".stripMargin,
+    // q221: exact integer counts into one LN, argument assembled from
+    // DOUBLE casts in the identical order; micro-rounded before ranking.
+    "q221_pmi_collocations" ->
+      """WITH tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |bg AS (SELECT unnest(CASE WHEN len(t) >= 2
+        |               THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+        |               ELSE [] END) AS bigram
+        |       FROM tok),
+        |bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1),
+        |ug AS (SELECT unnest(t) AS word FROM tok),
+        |uc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_w FROM ug GROUP BY 1),
+        |t1 AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM bc),
+        |t2 AS (SELECT CAST(SUM(c_w) AS BIGINT) AS m_uni FROM uc),
+        |cand AS (SELECT bigram, c_ab, string_split(bigram, ' ')[1] AS wa,
+        |                string_split(bigram, ' ')[2] AS wb
+        |         FROM bc WHERE c_ab >= 5)
+        |SELECT c.bigram, c.c_ab, a.c_w AS c_a, b.c_w AS c_b,
+        |       CAST(FLOOR(1000000.0 * LN(  (CAST(c.c_ab AS DOUBLE) * CAST(m_uni AS DOUBLE) * CAST(m_uni AS DOUBLE))  / (CAST(n_bi AS DOUBLE) * CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE)))  + 0.5) AS BIGINT) AS pmi_micro
+        |FROM cand c
+        |JOIN uc a ON c.wa = a.word
+        |JOIN uc b ON c.wb = b.word, t1, t2
+        |ORDER BY pmi_micro DESC, c.bigram ASC LIMIT 25""".stripMargin,
+    // q222: banded suffix sums over the bounded 11-key threshold domain.
+    "q222_threshold_sweep" ->
+      """WITH s AS (SELECT CAST(len(t) AS BIGINT) AS n_tokens,
+        |             CAST(FLOOR(1000000.0 * len(list_distinct(t)) / len(t) + 0.5) AS BIGINT) AS score_micro
+        |           FROM (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents)),
+        |b AS (SELECT score_micro // 100000 AS band, COUNT(*) AS docs,
+        |             CAST(SUM(n_tokens) AS BIGINT) AS toks
+        |      FROM s GROUP BY 1),
+        |t AS (SELECT CAST(SUM(toks) AS BIGINT) AS all_toks FROM b),
+        |r AS (SELECT band,
+        |             SUM(docs) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING) AS docs_retained,
+        |             SUM(toks) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING) AS tokens_retained
+        |      FROM b)
+        |SELECT CAST(band * 100000 AS BIGINT) AS threshold_micro,
+        |       CAST(docs_retained AS BIGINT) AS docs_retained,
+        |       CAST(tokens_retained AS BIGINT) AS tokens_retained,
+        |       CAST(FLOOR(1000000.0 * tokens_retained / all_toks + 0.5) AS BIGINT) AS token_share_micro
+        |FROM r, t ORDER BY threshold_micro""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -200,6 +200,42 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q222 — quality-cutoff operating curve: for each candidate score
+    * threshold (an 11-point grid over the [0, 1] diversity-score range),
+    * how many documents and tokens survive `score ≥ t` — the curve a
+    * curator reads to pick the cutoff (the selection complement of
+    * q135's fixed cascade: q135 reports WHERE data is lost for one rule
+    * set, this reports HOW MUCH for every candidate rule).
+    *
+    * One pass: band each doc by `score div 100000`, aggregate docs and
+    * tokens per band (bounded 11-key domain), then the retained-at-
+    * threshold numbers are SUFFIX sums over that domain. All integer. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(expr(s"${graft.text.TextOps.TokensExpr}").as("toks"))
+      .select(size(col("toks")).cast("long").as("n_tokens"),
+        expr("CAST(FLOOR(1000000.0 * size(array_distinct(toks)) / size(toks) + 0.5) AS BIGINT)")
+          .as("score_micro"))
+    val bands = scored
+      .groupBy(expr("score_micro div 100000").as("band"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("toks"))
+    val totals = bands.agg(sum(col("docs")).as("all_docs"),
+      sum(col("toks")).as("all_toks"))
+    val w = Window.orderBy(col("band").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    bands
+      .withColumn("docs_retained", sum(col("docs")).over(w))
+      .withColumn("tokens_retained", sum(col("toks")).over(w))
+      .crossJoin(broadcast(totals))
+      .select((col("band") * 100000L).as("threshold_micro"),
+        col("docs_retained"), col("tokens_retained"),
+        expr("CAST(FLOOR(1000000.0 * tokens_retained / all_toks + 0.5) AS BIGINT)")
+          .as("token_share_micro"))
+      .orderBy("threshold_micro")
+  }
+
   /** Quality filter cascade: classify every document by its FIRST
     * failing rule — the funnel report (per source × verdict: doc count
     * and token mass) a corpus builder reads to see where data is lost.

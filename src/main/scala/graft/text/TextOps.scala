@@ -235,6 +235,54 @@ object TextOps {
     * no CollapseProject O(tokens²) re-split — see the expression's
     * scaladoc); the global count is then a single partial-aggregated
     * hash aggregate + a k-row TakeOrdered, no global sort. */
+  /** q221 — PMI collocation mining: rank bigrams by pointwise mutual
+    * information `ln((c_ab/N) / ((c_a/M)(c_b/M)))` rather than raw count
+    * (q67's ranking surfaces frequent pairs; PMI surfaces pairs that
+    * co-occur MORE than their unigram frequencies predict — the classic
+    * collocation statistic of Church & Hanks 1990). Min-count floor
+    * keeps low-support flukes out (PMI's known bias toward hapax
+    * pairs). The single LN is micro-rounded; everything upstream is
+    * exact integer counts, and the argument is assembled from DOUBLE
+    * casts in one fixed order shared with the oracle.
+    *
+    * Scale: one bigram aggregate + one unigram aggregate (both
+    * map-side partial), two joins of the bigram table onto the (much
+    * smaller) unigram table keyed by word — AQE-owned — and 1-row
+    * broadcast totals; TakeOrdered top-k. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      minCount: Long = 5L, k: Int = 25): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val bigramCounts = docs
+      .select(explode(expr("graft_ngram_counts(text, 2)")).as("g"))
+      .groupBy(col("g.gram").as("bigram"))
+      .agg(sum(col("g.ct")).as("c_ab"))
+    val unigrams = docs
+      .select(explode(expr("graft_ngram_counts(text, 1)")).as("g"))
+      .groupBy(col("g.gram").as("word"))
+      .agg(sum(col("g.ct")).as("c_w"))
+    // totals over the UNFILTERED tables: N is all bigram positions, M
+    // all token positions — the PMI denominators, not candidate mass
+    val totals = bigramCounts.agg(sum(col("c_ab")).as("n_bi"))
+      .crossJoin(unigrams.agg(sum(col("c_w")).as("m_uni")))
+    val bigrams = bigramCounts
+      .filter(col("c_ab") >= minCount)
+      .withColumn("wa", expr("split(bigram, ' ')[0]"))
+      .withColumn("wb", expr("split(bigram, ' ')[1]"))
+    bigrams
+      .join(unigrams.select(col("word").as("wa"), col("c_w").as("c_a")), "wa")
+      .join(unigrams.select(col("word").as("wb"), col("c_w").as("c_b")), "wb")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("""CAST(FLOOR(1000000.0 * LN(
+               |  (CAST(c_ab AS DOUBLE) * CAST(m_uni AS DOUBLE) * CAST(m_uni AS DOUBLE))
+               |  / (CAST(n_bi AS DOUBLE) * CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)))
+               |  + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")).as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   def topBigrams(spark: SparkSession, dir: String,
                  n: Int = 2, k: Int = 25): DataFrame =
     topBigramsCore(

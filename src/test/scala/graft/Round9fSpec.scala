@@ -614,6 +614,60 @@ class Round9fSpec extends SparkSpec {
     assert(inc.exists(_._3 > 0L), "expected some corpus-duplicated fresh docs")
   }
 
+  test("pmiCollocations: PMI replays exactly from raw counts") {
+    import graft.text.TextOps
+    val toks = Tables.documents(spark, dir)
+      .select(lower(col("text"))).collect()
+      .map(_.getString(0).trim.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = toks.flatMap(t => t.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nBi = bi.values.sum; val mUni = uni.values.sum
+    def pmi(b: String, cab: Long): Long = {
+      val Array(wa, wb) = b.split(" ")
+      math.floor(1000000.0 * math.log(
+        (cab.toDouble * mUni.toDouble * mUni.toDouble) /
+          (nBi.toDouble * uni(wa).toDouble * uni(wb).toDouble)) + 0.5).toLong
+    }
+    val expected = bi.filter(_._2 >= 5L).toSeq
+      .map { case (b, c) => (b, c, pmi(b, c)) }
+      .sortBy { case (b, _, p) => (-p, b) }.take(25)
+      .map { case (b, c, p) => (b, c, p) }
+    val got = TextOps.pmiCollocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(got === expected, "PMI top-25 must replay exactly")
+    got.foreach { case (_, c, _) => assert(c >= 5L, "min-count floor") }
+  }
+
+  test("thresholdSweep: monotone retention and exact replay") {
+    import graft.text.Curation
+    val rows = Curation.thresholdSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // retention is non-increasing in the threshold
+    rows.sliding(2).foreach {
+      case Array((_, d1, t1, _), (_, d2, t2, _)) =>
+        assert(d2 <= d1 && t2 <= t1, "retention must shrink with the cutoff")
+      case _ =>
+    }
+    val scored = Tables.documents(spark, dir)
+      .select(lower(col("text"))).collect()
+      .map { r =>
+        val t = r.getString(0).trim.split("\\s+").toSeq
+        (t.size.toLong, math.floor(1000000.0 * t.distinct.size / t.size + 0.5).toLong)
+      }
+    val allToks = scored.map(_._1).sum
+    rows.foreach { case (thr, docs, toks, share) =>
+      val kept = scored.filter(_._2 / 100000L * 100000L >= thr)
+      assert(docs === kept.length.toLong, s"threshold $thr docs")
+      assert(toks === kept.map(_._1).sum, s"threshold $thr tokens")
+      assert(share === math.floor(1000000.0 * toks / allToks + 0.5).toLong)
+    }
+    // the lowest reported threshold retains the whole corpus
+    assert(rows.head._2 === scored.length.toLong)
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
