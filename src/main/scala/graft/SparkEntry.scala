@@ -395,6 +395,8 @@ object SparkEntry {
     "q220_incremental_spans"   -> ((s, d) => graft.dedup.SpanDedup.incrementalSpanDedup(s, d)),
     // quality-cutoff operating curve (banded suffix sums)
     "q222_threshold_sweep"     -> ((s, d) => graft.text.Curation.thresholdSweep(s, d)),
+    // two-sample KS drift test on the purchase-value distribution
+    "q223_ks_drift"            -> ((s, d) => Quality.ksDrift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3156,6 +3158,31 @@ object SparkEntry {
         |       CAST(tokens_retained AS BIGINT) AS tokens_retained,
         |       CAST(FLOOR(1000000.0 * tokens_retained / all_toks + 0.5) AS BIGINT) AS token_share_micro
         |FROM r, t ORDER BY threshold_micro""".stripMargin,
+    // q223: integer sup statistic (cross-multiplied eCDFs); the only
+    // doubles are one micro division and the critical value whose SQRT
+    // is IEEE-correctly-rounded.
+    "q223_ks_drift" ->
+      """WITH v AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+        |             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS first_half
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT cents, CAST(SUM(first_half) AS BIGINT) AS c1,
+        |             CAST(SUM(1 - first_half) AS BIGINT) AS c2
+        |      FROM v GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+        |cum AS (SELECT cents,
+        |             SUM(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum1,
+        |             SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum2
+        |        FROM c),
+        |s AS (SELECT MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) AS sup_num,
+        |             MAX(t.n1) AS n1, MAX(t.n2) AS n2
+        |      FROM cum, t)
+        |SELECT n1, n2,
+        |       CAST(FLOOR(1000000.0 * sup_num / (n1 * n2) + 0.5) AS BIGINT) AS ks_micro,
+        |       CAST(FLOOR(1000000.0 * 1.358  * SQRT(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))  + 0.5) AS BIGINT) AS crit_micro,
+        |       CAST(CASE WHEN CAST(FLOOR(1000000.0 * sup_num / (n1 * n2) + 0.5) AS BIGINT)
+        |                    > CAST(FLOOR(1000000.0 * 1.358  * SQRT(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))  + 0.5) AS BIGINT)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS drift
+        |FROM s""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

