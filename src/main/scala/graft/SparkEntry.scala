@@ -397,6 +397,10 @@ object SparkEntry {
     "q222_threshold_sweep"     -> ((s, d) => graft.text.Curation.thresholdSweep(s, d)),
     // two-sample KS drift test on the purchase-value distribution
     "q223_ks_drift"            -> ((s, d) => Quality.ksDrift(s, d)),
+    // per-source OOV rate under the top-30 corpus vocabulary
+    "q224_oov_rate"            -> ((s, d) => graft.text.TextOps.oovRate(s, d)),
+    // per-source Zipf exponent via log-log OLS on micro-rounded points
+    "q225_zipf_slope"          -> ((s, d) => graft.text.TextOps.zipfSlope(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3183,6 +3187,35 @@ object SparkEntry {
         |                    > CAST(FLOOR(1000000.0 * 1.358  * SQRT(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))  + 0.5) AS BIGINT)
         |            THEN 1 ELSE 0 END AS BIGINT) AS drift
         |FROM s""".stripMargin,
+    // q224: top-30 vocabulary by (count desc, word), per-source OOV
+    // occurrence shares — all integer.
+    "q224_oov_rate" ->
+      """WITH tok AS (SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents),
+        |vc AS (SELECT word, COUNT(*) AS cw FROM tok GROUP BY 1
+        |       ORDER BY cw DESC, word ASC LIMIT 30)
+        |SELECT source, COUNT(*) AS n_occ,
+        |       CAST(SUM(CASE WHEN word NOT IN (SELECT word FROM vc) THEN 1 ELSE 0 END) AS BIGINT) AS oov_occ,
+        |       CAST(FLOOR(1000000.0 * SUM(CASE WHEN word NOT IN (SELECT word FROM vc) THEN 1 ELSE 0 END) / COUNT(*) + 0.5) AS BIGINT) AS oov_micro
+        |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q225: ln(rank)/ln(freq) micro-rounded per point BEFORE the exact
+    // BIGINT sufficient sums; closed-form slope as in q217.
+    "q225_zipf_slope" ->
+      """WITH tok AS (SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word FROM documents),
+        |f AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cw FROM tok GROUP BY 1, 2),
+        |r AS (SELECT source, cw,
+        |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY cw DESC, word ASC) AS rk
+        |      FROM f),
+        |p AS (SELECT source,
+        |             CAST(FLOOR(1000000.0 * LN(CAST(rk AS DOUBLE)) + 0.5) AS BIGINT) AS lx,
+        |             CAST(FLOOR(1000000.0 * LN(CAST(cw AS DOUBLE)) + 0.5) AS BIGINT) AS ly
+        |      FROM r),
+        |s AS (SELECT source, COUNT(*) AS n_types,
+        |             CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+        |             CAST(SUM(lx * ly) AS BIGINT) AS sxy, CAST(SUM(lx * lx) AS BIGINT) AS sxx
+        |      FROM p GROUP BY 1)
+        |SELECT source, n_types,
+        |       CAST(FLOOR(1000000.0  * (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))  / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))  + 0.5) AS BIGINT) AS slope_micro
+        |FROM s ORDER BY source""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

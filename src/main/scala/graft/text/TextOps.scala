@@ -283,6 +283,70 @@ object TextOps {
       .limit(k)
   }
 
+  /** q224 — out-of-vocabulary rate per source: the share of each
+    * source's token occurrences not covered by the top-`vocabSize`
+    * corpus vocabulary — the first number a tokenizer/vocab plan needs
+    * (a source with high OOV under the corpus vocabulary will fragment
+    * into long byte-level token sequences). One corpus-wide count
+    * aggregate → TakeOrdered vocab (deterministic (count desc, token)
+    * cut) → broadcast membership join → per-source integer rates. */
+  def oovRate(spark: SparkSession, dir: String,
+              vocabSize: Int = 30): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val occ = docs
+      .select(col("source"), explode(expr("graft_ngram_counts(text, 1)")).as("g"))
+      .select(col("source"), col("g.gram").as("word"), col("g.ct").as("ct"))
+    val vocab = occ.groupBy("word").agg(sum(col("ct")).as("cw"))
+      .orderBy(col("cw").desc, col("word").asc).limit(vocabSize)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    occ.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("source")
+      .agg(sum(col("ct")).as("n_occ"),
+        sum(when(col("in_vocab").isNull, col("ct")).otherwise(0L)).as("oov_occ"))
+      .withColumn("oov_micro",
+        expr("CAST(FLOOR(1000000.0 * oov_occ / n_occ + 0.5) AS BIGINT)"))
+      .orderBy("source")
+  }
+
+  /** q225 — per-source Zipf slope: fit `ln freq ~ ln rank` within each
+    * source by OLS (a Zipfian source slopes ≈ −1; a boilerplate-heavy
+    * or templated source flattens or steepens). q118 exposes the
+    * corpus's rank/frequency TABLE; this reduces each source to the
+    * fitted exponent — the per-source summary a mixture planner
+    * compares. Determinism: each point's ln(rank)/ln(freq) is micro-
+    * rounded FIRST (the q152/q203 discipline), so the OLS sufficient
+    * statistics are exact BIGINT sums of integers and the closed form
+    * is the q217 expression. Ranks are per-source windows (parallel by
+    * source); the slope is per-point arithmetic + one 6-sum aggregate. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), explode(expr("graft_ngram_counts(text, 1)")).as("g"))
+      .groupBy(col("source"), col("g.gram").as("word"))
+      .agg(sum(col("g.ct")).as("cw"))
+    val w = Window.partitionBy("source").orderBy(col("cw").desc, col("word").asc)
+    val pts = freq
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("source"),
+        expr("CAST(FLOOR(1000000.0 * LN(CAST(rk AS DOUBLE)) + 0.5) AS BIGINT)").as("lx"),
+        expr("CAST(FLOOR(1000000.0 * LN(CAST(cw AS DOUBLE)) + 0.5) AS BIGINT)").as("ly"))
+    pts.groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      .select(col("source"), col("n_types"),
+        expr("""CAST(FLOOR(1000000.0
+               |  * (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               |  / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |  + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")).as("slope_micro"))
+      .orderBy("source")
+  }
+
   def topBigrams(spark: SparkSession, dir: String,
                  n: Int = 2, k: Int = 25): DataFrame =
     topBigramsCore(

@@ -694,6 +694,46 @@ class Round9fSpec extends SparkSpec {
     assert(ks >= 0L && ks <= 1000000L)
   }
 
+  test("oovRate and zipfSlope replay exactly from raw token counts") {
+    import graft.text.TextOps
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), lower(col("text"))).collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+").map(w => (r.getString(0), w)))
+    // q224 replay
+    val vocab = toks.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(30).map(_._1).toSet
+    val oovGot = TextOps.oovRate(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    toks.groupBy(_._1).foreach { case (src, ws) =>
+      val oov = ws.count(w => !vocab(w._2)).toLong
+      val (gn, go, gm) = oovGot(src)
+      assert(gn === ws.length.toLong && go === oov, s"$src OOV counts")
+      assert(gm === math.floor(1000000.0 * oov / ws.length + 0.5).toLong)
+    }
+    // q225 replay
+    val zipfGot = TextOps.zipfSlope(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    toks.groupBy(_._1).foreach { case (src, ws) =>
+      val pts = ws.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (w, c) => (-c, w) }.zipWithIndex
+        .map { case ((_, c), i) =>
+          (math.floor(1000000.0 * math.log((i + 1).toDouble) + 0.5).toLong,
+            math.floor(1000000.0 * math.log(c.toDouble) + 0.5).toLong)
+        }
+      val n = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = math.floor(1000000.0 *
+        (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) + 0.5).toLong
+      val (gn, gs) = zipfGot(src)
+      assert(gn === n && gs === slope, s"$src zipf slope")
+      // a natural-ish corpus slopes negative (frequency falls with rank)
+      assert(gs < 0L, s"$src slope sign")
+    }
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
