@@ -401,6 +401,8 @@ object SparkEntry {
     "q224_oov_rate"            -> ((s, d) => graft.text.TextOps.oovRate(s, d)),
     // per-source Zipf exponent via log-log OLS on micro-rounded points
     "q225_zipf_slope"          -> ((s, d) => graft.text.TextOps.zipfSlope(s, d)),
+    // PSI drift bands (the banded companion of the q223 KS test)
+    "q226_psi_drift"           -> ((s, d) => Quality.psiDrift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3216,6 +3218,21 @@ object SparkEntry {
         |SELECT source, n_types,
         |       CAST(FLOOR(1000000.0  * (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))  / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))  + 0.5) AS BIGINT) AS slope_micro
         |FROM s ORDER BY source""".stripMargin,
+    // q226: reference-range equal-width bands, Laplace-smoothed shares,
+    // per-band micro-rounded (p−q)·ln(p/q).
+    "q226_psi_drift" ->
+      """WITH v AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+        |             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+        |           FROM events WHERE event_type = 'purchase'),
+        |rg AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM v WHERE is_ref = 1),
+        |b AS (SELECT GREATEST(0, LEAST(9, ((cents - rg.lo) * 10) // (rg.hi - rg.lo + 1))) AS band,
+        |             CAST(SUM(is_ref) AS BIGINT) AS ref_ct,
+        |             CAST(SUM(1 - is_ref) AS BIGINT) AS cur_ct
+        |      FROM v, rg GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ref_ct) AS BIGINT) AS n_ref, CAST(SUM(cur_ct) AS BIGINT) AS n_cur FROM b)
+        |SELECT CAST(band AS BIGINT) AS band, ref_ct, cur_ct,
+        |       CAST(FLOOR(1000000.0  * ((CAST(ref_ct + 1 AS DOUBLE) / (n_ref + 10) - CAST(cur_ct + 1 AS DOUBLE) / (n_cur + 10))     * LN((CAST(ref_ct + 1 AS DOUBLE) / (n_ref + 10)) / (CAST(cur_ct + 1 AS DOUBLE) / (n_cur + 10))))  + 0.5) AS BIGINT) AS psi_term_micro
+        |FROM b, t ORDER BY band""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

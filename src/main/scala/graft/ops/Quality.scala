@@ -105,6 +105,44 @@ object Quality {
       .withColumn("drift", (col("ks_micro") > col("crit_micro")).cast("long"))
   }
 
+  /** q226 — Population Stability Index: the banded companion of the
+    * q223 KS test (KS answers "is there drift", PSI tells WHICH value
+    * bands carry it and by how much — the score monitoring dashboards
+    * band). Purchase cents band into 10 equal-width bins over the
+    * REFERENCE half's range (values outside clamp to the edge bins, the
+    * standard convention); per band the contribution is
+    * (p − q)·ln(p/q) with Laplace-smoothed shares p = (ref+1)/(nRef+10)
+    * — the zero-count guard PSI needs — micro-rounded PER BAND before
+    * any consumer sums them (10 integers, order-free).
+    *
+    * Scale: one pass to per-(band, side) counts (bounded 10-key
+    * domain) after a 1-row min/max broadcast of the reference range. */
+  def psiDrift(spark: SparkSession, dir: String,
+               splitAt: String = "2024-01-16"): DataFrame = {
+    val v = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        when(col("ts") < lit(splitAt).cast("timestamp"), 1L).otherwise(0L).as("is_ref"))
+    val range = v.filter(col("is_ref") === 1L)
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val banded = v.crossJoin(broadcast(range))
+      .withColumn("band",
+        greatest(lit(0L), least(lit(9L),
+          expr("((cents - lo) * 10) div (hi - lo + 1)"))))
+      .groupBy("band")
+      .agg(sum(col("is_ref")).as("ref_ct"),
+        sum(lit(1L) - col("is_ref")).as("cur_ct"))
+    val totals = banded.agg(sum(col("ref_ct")).as("n_ref"),
+      sum(col("cur_ct")).as("n_cur"))
+    banded.crossJoin(broadcast(totals))
+      .select(col("band"), col("ref_ct"), col("cur_ct"),
+        expr("""CAST(FLOOR(1000000.0
+               | * ((CAST(ref_ct + 1 AS DOUBLE) / (n_ref + 10) - CAST(cur_ct + 1 AS DOUBLE) / (n_cur + 10))
+               |    * LN((CAST(ref_ct + 1 AS DOUBLE) / (n_ref + 10)) / (CAST(cur_ct + 1 AS DOUBLE) / (n_cur + 10))))
+               | + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")).as("psi_term_micro"))
+      .orderBy("band")
+  }
+
   /** Referential-integrity audit over the star schema: for every
     * fact → dim edge, how many child rows have no parent (orphans).
     * Each edge is one left-anti join reduced to a count — the dim side

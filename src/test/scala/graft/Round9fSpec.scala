@@ -734,6 +734,32 @@ class Round9fSpec extends SparkSpec {
     }
   }
 
+  test("psiDrift: bands cover both halves and terms replay exactly") {
+    import graft.ops.Quality
+    val rows = Quality.psiDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0L && r._1 <= 9L))
+    val samples = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"),
+        (col("ts") < lit("2024-01-16").cast("timestamp")).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1) == 1L))
+    assert(rows.map(r => r._2 + r._3).sum === samples.length.toLong,
+      "every sample lands in exactly one band")
+    val ref = samples.filter(_._2).map(_._1)
+    val (lo, hi) = (ref.min, ref.max)
+    def band(c: Long): Long = math.max(0L, math.min(9L, (c - lo) * 10 / (hi - lo + 1)))
+    val (nRef, nCur) = (ref.length.toLong, samples.count(!_._2).toLong)
+    rows.foreach { case (b, rc, cc, term) =>
+      assert(rc === samples.count(s => s._2 && band(s._1) == b).toLong, s"band $b ref")
+      assert(cc === samples.count(s => !s._2 && band(s._1) == b).toLong, s"band $b cur")
+      val p = (rc + 1).toDouble / (nRef + 10)
+      val q = (cc + 1).toDouble / (nCur + 10)
+      assert(term === math.floor(1000000.0 * ((p - q) * math.log(p / q)) + 0.5).toLong)
+      assert(term >= 0L, s"band $b PSI term must be non-negative")
+    }
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
