@@ -403,6 +403,8 @@ object SparkEntry {
     "q225_zipf_slope"          -> ((s, d) => graft.text.TextOps.zipfSlope(s, d)),
     // PSI drift bands (the banded companion of the q223 KS test)
     "q226_psi_drift"           -> ((s, d) => Quality.psiDrift(s, d)),
+    // per-user behavioral entropy banding (bot/browser signature)
+    "q227_behavior_entropy"    -> ((s, d) => Quality.behaviorEntropy(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3233,6 +3235,26 @@ object SparkEntry {
         |SELECT CAST(band AS BIGINT) AS band, ref_ct, cur_ct,
         |       CAST(FLOOR(1000000.0  * ((CAST(ref_ct + 1 AS DOUBLE) / (n_ref + 10) - CAST(cur_ct + 1 AS DOUBLE) / (n_cur + 10))     * LN((CAST(ref_ct + 1 AS DOUBLE) / (n_ref + 10)) / (CAST(cur_ct + 1 AS DOUBLE) / (n_cur + 10))))  + 0.5) AS BIGINT) AS psi_term_micro
         |FROM b, t ORDER BY band""".stripMargin,
+    // q227: per-(user, type) −p·ln(p) micro-rounded before the per-user
+    // sum; band thresholds are 0.97·ln(5) and 0.99·ln(5) as integer micros.
+    "q227_behavior_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS ct FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, ct,
+        |             SUM(ct) OVER (PARTITION BY user_id) AS n_ev
+        |      FROM c),
+        |e AS (SELECT user_id, MAX(n_ev) AS n_events,
+        |             CAST(SUM(CAST(FLOOR(1000000.0  * (-(CAST(ct AS DOUBLE) / n_ev) * LN(CAST(ct AS DOUBLE) / n_ev))  + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro
+        |      FROM u GROUP BY 1),
+        |b AS (SELECT CASE WHEN entropy_micro < 1561155 THEN 'concentrated'
+        |                  WHEN entropy_micro < 1593345 THEN 'balanced'
+        |                  ELSE 'uniform' END AS band,
+        |             n_events, entropy_micro
+        |      FROM e)
+        |SELECT band, COUNT(*) AS n_users,
+        |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |       CAST(MIN(entropy_micro) AS BIGINT) AS min_entropy_micro,
+        |       CAST(MAX(entropy_micro) AS BIGINT) AS max_entropy_micro
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

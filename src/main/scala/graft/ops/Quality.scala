@@ -143,6 +143,46 @@ object Quality {
       .orderBy("band")
   }
 
+  /** q227 — per-user behavioral entropy: Shannon entropy of each user's
+    * event-type mix, banded into concentrated / balanced / uniform —
+    * the "is this account a bot or a browser" behavioral signature
+    * (q163's Simpson index measures corpus token diversity; this is
+    * the same family over user behavior, with entropy's finer tail
+    * sensitivity). Per-term −p·ln(p) is micro-rounded per (user, type)
+    * BEFORE the per-user sum (order-free BIGINT aggregation), and the
+    * band thresholds compare against ln(5)·10⁶ thirds as integer
+    * literals. Scale: one (user, type) partial-agg pass, one bounded
+    * per-user sum, one banded rollup. */
+  def behaviorEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("ct"))
+    val byUser = byType
+      .withColumn("n_ev", sum(col("ct")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .select(col("user_id"), col("n_ev"),
+        expr("""CAST(FLOOR(1000000.0
+               | * (-(CAST(ct AS DOUBLE) / n_ev) * LN(CAST(ct AS DOUBLE) / n_ev))
+               | + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")).as("term_micro"))
+      .groupBy("user_id")
+      .agg(max(col("n_ev")).as("n_events"),
+        sum(col("term_micro")).as("entropy_micro"))
+    // 0.97·ln(5) and 0.99·ln(5) as integer micros: with 5 event types
+    // real populations sit NEAR the ln(5) maximum, so the discriminating
+    // cuts live in the top few percent of the range
+    byUser
+      .withColumn("band",
+        when(col("entropy_micro") < 1561155L, "concentrated")
+          .when(col("entropy_micro") < 1593345L, "balanced")
+          .otherwise("uniform"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        min(col("entropy_micro")).as("min_entropy_micro"),
+        max(col("entropy_micro")).as("max_entropy_micro"))
+      .orderBy("band")
+  }
+
   /** Referential-integrity audit over the star schema: for every
     * fact → dim edge, how many child rows have no parent (orphans).
     * Each edge is one left-anti join reduced to a count — the dim side

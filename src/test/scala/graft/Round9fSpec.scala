@@ -760,6 +760,30 @@ class Round9fSpec extends SparkSpec {
     }
   }
 
+  test("behaviorEntropy: per-user entropy and banding replay exactly") {
+    import graft.ops.Quality
+    val rows = Quality.behaviorEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perUser = ev.groupBy(_._1).map { case (u, es) =>
+      val n = es.length
+      val h = es.groupBy(_._2).values.map { g =>
+        val p = g.size.toDouble / n
+        math.floor(1000000.0 * (-p * math.log(p)) + 0.5).toLong
+      }.sum
+      (u, n.toLong, h)
+    }.toSeq
+    def band(h: Long): String =
+      if (h < 1561155L) "concentrated" else if (h < 1593345L) "balanced" else "uniform"
+    val expected = perUser.groupBy(u => band(u._3)).map { case (b, us) =>
+      b -> ((us.size.toLong, us.map(_._2).sum, us.map(_._3).min, us.map(_._3).max))
+    }
+    assert(rows === expected)
+    assert(rows.map(_._2._1).sum === perUser.size.toLong)
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
