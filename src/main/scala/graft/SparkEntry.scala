@@ -405,6 +405,8 @@ object SparkEntry {
     "q226_psi_drift"           -> ((s, d) => Quality.psiDrift(s, d)),
     // per-user behavioral entropy banding (bot/browser signature)
     "q227_behavior_entropy"    -> ((s, d) => Quality.behaviorEntropy(s, d)),
+    // near-dup pair explanation: shared 8-gram mass + longest shared run
+    "q228_shared_run_explain"  -> ((s, d) => graft.dedup.SpanDedup.sharedRunExplain(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3255,6 +3257,39 @@ object SparkEntry {
         |       CAST(MIN(entropy_micro) AS BIGINT) AS min_entropy_micro,
         |       CAST(MAX(entropy_micro) AS BIGINT) AS max_entropy_micro
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q228: the q24/q204 pair set joined onto 8-gram postings; shared
+    // runs as islands per (pair, diagonal). Positions are 1-based here
+    // vs 0-based in Spark — diagonals and run lengths are DIFFERENCES,
+    // so the base cancels.
+    "q228_shared_run_explain" ->
+      s"""WITH $JaccardCtes,
+        |tok8 AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |p80 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+        |         THEN list_transform(generate_series(1, len(t) - 7),
+        |                i -> {'pos': i, 'h': md5(array_to_string(list_slice(t, i, i + 7), ' '))})
+        |         ELSE [] END) AS g FROM tok8),
+        |p8 AS (SELECT doc_id, g.pos AS pos, g.h AS h FROM p80),
+        |m AS (SELECT j.doc_a, j.doc_b, a.pos AS pa, a.pos - b.pos AS diag
+        |      FROM jpairs j
+        |      JOIN p8 a ON a.doc_id = j.doc_a
+        |      JOIN p8 b ON b.doc_id = j.doc_b AND b.h = a.h),
+        |i AS (SELECT doc_a, doc_b, diag, pa,
+        |             CASE WHEN LAG(pa) OVER w IS NULL OR pa - LAG(pa) OVER w > 1 THEN 1 ELSE 0 END AS nr
+        |      FROM m WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)),
+        |ri AS (SELECT doc_a, doc_b, diag, pa,
+        |              SUM(nr) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa ROWS UNBOUNDED PRECEDING) AS run_id
+        |       FROM i),
+        |rg AS (SELECT doc_a, doc_b, diag, run_id, COUNT(*) AS run_grams FROM ri GROUP BY 1, 2, 3, 4),
+        |agg AS (SELECT doc_a, doc_b, SUM(run_grams) AS n_matched_grams,
+        |               COUNT(DISTINCT diag) AS n_diags,
+        |               MAX(run_grams) + 7 AS longest_run_tokens
+        |        FROM rg GROUP BY 1, 2)
+        |SELECT j.doc_a, j.doc_b,
+        |       CAST(COALESCE(n_matched_grams, 0) AS BIGINT) AS n_matched_grams,
+        |       CAST(COALESCE(n_diags, 0) AS BIGINT) AS n_diags,
+        |       CAST(COALESCE(longest_run_tokens, 0) AS BIGINT) AS longest_run_tokens
+        |FROM jpairs j LEFT JOIN agg USING (doc_a, doc_b)
+        |ORDER BY j.doc_a, j.doc_b""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

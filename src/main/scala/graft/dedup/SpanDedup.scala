@@ -165,6 +165,50 @@ object SpanDedup {
       .orderBy("doc_id")
   }
 
+  /** q228 — near-dup pair EXPLANATION: for every q204 pair (exact
+    * Jaccard ≥ 0.7), the evidence a human reviewer wants — how many
+    * 8-grams the two documents share, and the length of their longest
+    * shared token run. Matched gram positions (pa, pb) lie on DIAGONALS
+    * (pa − pb constant); consecutive positions on one diagonal extend a
+    * shared run one token at a time, so the longest run is
+    * max(island length) + L − 1 over per-(pair, diagonal) islands.
+    * A pair can legitimately share NO 8-gram (high 3-gram Jaccard from
+    * scattered overlap) — reported with zeros, not dropped.
+    *
+    * Scale: pairs join onto the memoized postings twice (each join
+    * keyed by a doc id — AQE-owned), the gram-hash equijoin bounds the
+    * position fan-out to true matches, and the island windows partition
+    * by (pair, diagonal). */
+  def sharedRunExplain(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = PrefixJoin.ppjoinPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val posts = gramPostings(spark, dir)
+    val matched = pairs
+      .join(posts.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("h")), "doc_a")
+      .join(posts.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("h")), Seq("doc_b", "h"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy(col("pa").asc)
+    val runs = matched
+      .withColumn("nr",
+        when(col("pa") - lag(col("pa"), 1).over(w) > 1, 1L)
+          .otherwise(when(lag(col("pa"), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("run_id",
+        sum(col("nr")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_a", "doc_b", "diag", "run_id")
+      .agg(count(lit(1)).as("run_grams"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("run_grams")).as("n_matched_grams"),
+        countDistinct(col("diag")).as("n_diags"),
+        (max(col("run_grams")) + lit(GramLen.toLong) - 1L).as("longest_run_tokens"))
+    pairs.join(runs, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("n_matched_grams"), lit(0L)).as("n_matched_grams"),
+        coalesce(col("n_diags"), lit(0L)).as("n_diags"),
+        coalesce(col("longest_run_tokens"), lit(0L)).as("longest_run_tokens"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q202 — keep-first substring-dedup rewrite: for every duplicated
     * gram, its globally FIRST occurrence (min (doc_id, pos)) stays; every
     * other occurrence marks its [pos, pos+L-1] token interval for

