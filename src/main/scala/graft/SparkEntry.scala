@@ -407,6 +407,8 @@ object SparkEntry {
     "q227_behavior_entropy"    -> ((s, d) => Quality.behaviorEntropy(s, d)),
     // near-dup pair explanation: shared 8-gram mass + longest shared run
     "q228_shared_run_explain"  -> ((s, d) => graft.dedup.SpanDedup.sharedRunExplain(s, d)),
+    // rendezvous-hash resharding audit (monotone vs mod-hash churn)
+    "q229_reshard_audit"       -> ((s, d) => graft.ops.Layout.reshardAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3290,6 +3292,27 @@ object SparkEntry {
         |       CAST(COALESCE(longest_run_tokens, 0) AS BIGINT) AS longest_run_tokens
         |FROM jpairs j LEFT JOIN agg USING (doc_a, doc_b)
         |ORDER BY j.doc_a, j.doc_b""".stripMargin,
+    // q229: md5-keyed rendezvous argmax as a lexicographic struct max,
+    // identical in both engines; all counts integer.
+    "q229_reshard_audit" ->
+      """WITH a AS (SELECT doc_id,
+        |             list_max(list_transform(generate_series(0, 7),
+        |               x -> {'hkey': md5(CAST(doc_id AS VARCHAR) || ':' || CAST(x AS VARCHAR)),
+        |                     'shard': CAST(x AS BIGINT)})).shard AS s_old,
+        |             list_max(list_transform(generate_series(0, 9),
+        |               x -> {'hkey': md5(CAST(doc_id AS VARCHAR) || ':' || CAST(x AS VARCHAR)),
+        |                     'shard': CAST(x AS BIGINT)})).shard AS s_new,
+        |             doc_id % 8 AS m_old, doc_id % 10 AS m_new
+        |           FROM documents),
+        |s AS (SELECT COUNT(*) AS n_docs,
+        |        CAST(SUM(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT) AS moved_rendezvous,
+        |        CAST(SUM(CASE WHEN s_new >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS moved_to_new,
+        |        CAST(SUM(CASE WHEN m_old <> m_new THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod
+        |      FROM a)
+        |SELECT n_docs, moved_rendezvous, moved_to_new, moved_mod,
+        |       CAST(FLOOR(1000000.0 * moved_rendezvous / n_docs + 0.5) AS BIGINT) AS rendezvous_micro,
+        |       CAST(FLOOR(1000000.0 * moved_mod / n_docs + 0.5) AS BIGINT) AS mod_micro
+        |FROM s""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

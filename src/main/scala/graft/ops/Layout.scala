@@ -36,6 +36,42 @@ object Layout {
     * trick) and the same two-scalar test applies per band with an exact
     * in-band refinement. The naive NOT EXISTS the oracle runs is the
     * O(n²) plan this operator exists to avoid. */
+  /** q229 — rendezvous-hash resharding audit: assign every document to
+    * a shard by highest-random-weight hashing (argmax over shards of
+    * md5(doc:shard) — Thaler & Ravishankar 1996), then grow the fleet
+    * 8 → 10 and measure churn. Rendezvous hashing is MONOTONE: a doc
+    * either keeps its shard or moves to one of the NEW shards, so the
+    * moved fraction is the theoretical minimum (≈ 2/10), where mod-
+    * hashing (doc_id % S, the naive scheme) reshuffles ~80% of docs.
+    * The audit quantifies exactly that — the reason a serving layer
+    * reshards without a full re-index.
+    *
+    * Entirely IN-ROW (one argmax over a 10-element literal-generated
+    * array per doc — no shuffle but the 1-row count aggregate);
+    * deterministic via md5 + lexicographic (hkey, shard) struct max,
+    * identical in both engines. */
+  def reshardAudit(spark: SparkSession, dir: String,
+                   oldShards: Int = 8, newShards: Int = 10): DataFrame = {
+    def argmax(s: Int) = expr(
+      s"""array_max(transform(sequence(0, ${s - 1}),
+         |  x -> struct(md5(concat(cast(doc_id AS STRING), ':', cast(x AS STRING))) AS hkey,
+         |              cast(x AS BIGINT) AS shard))).shard""".stripMargin)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        argmax(oldShards).as("s_old"), argmax(newShards).as("s_new"),
+        expr(s"doc_id % $oldShards").as("m_old"),
+        expr(s"doc_id % $newShards").as("m_new"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s_old") =!= col("s_new"), 1L).otherwise(0L)).as("moved_rendezvous"),
+        sum(when(col("s_new") >= oldShards.toLong, 1L).otherwise(0L)).as("moved_to_new"),
+        sum(when(col("m_old") =!= col("m_new"), 1L).otherwise(0L)).as("moved_mod"))
+      .select(col("n_docs"), col("moved_rendezvous"), col("moved_to_new"), col("moved_mod"),
+        expr("CAST(FLOOR(1000000.0 * moved_rendezvous / n_docs + 0.5) AS BIGINT)")
+          .as("rendezvous_micro"),
+        expr("CAST(FLOOR(1000000.0 * moved_mod / n_docs + 0.5) AS BIGINT)")
+          .as("mod_micro"))
+  }
+
   def paretoFront(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val part = Tables.part(spark, dir)

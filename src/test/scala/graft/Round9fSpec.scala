@@ -817,6 +817,32 @@ class Round9fSpec extends SparkSpec {
     assert(got.exists(_._3 > 0L), "near-dup pairs should share 8-gram runs")
   }
 
+  test("reshardAudit: rendezvous monotonicity holds exactly and beats mod-hash") {
+    import graft.ops.Layout
+    val r = Layout.reshardAudit(spark, dir).collect().head
+    val (n, mv, mvNew, mvMod) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0L)
+    // THE rendezvous property: every moved doc moved to a NEW shard
+    assert(mv === mvNew, "monotonicity: moves only onto new shards")
+    assert(mv < mvMod, "rendezvous must churn less than mod-hash")
+    // driver replay of the argmax assignment for a few docs
+    def md5hex2(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def shard(id: Long, s: Int): Long =
+      (0 until s).map(x => (md5hex2(s"$id:$x"), x.toLong)).max._2
+    val assigns = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("""array_max(transform(sequence(0, 9),
+               |  x -> struct(md5(concat(cast(doc_id AS STRING), ':', cast(x AS STRING))) AS hkey,
+               |              cast(x AS BIGINT) AS shard))).shard""".stripMargin))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assigns.take(25).foreach { case (id, s10) =>
+      assert(s10 === shard(id, 10), s"doc $id rendezvous shard")
+    }
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
