@@ -409,6 +409,8 @@ object SparkEntry {
     "q228_shared_run_explain"  -> ((s, d) => graft.dedup.SpanDedup.sharedRunExplain(s, d)),
     // rendezvous-hash resharding audit (monotone vs mod-hash churn)
     "q229_reshard_audit"       -> ((s, d) => graft.ops.Layout.reshardAudit(s, d)),
+    // greedy coverage-maximizing selection (submodular curation)
+    "q230_greedy_coverage"     -> ((s, d) => graft.text.Curation.greedyCoverage(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3313,6 +3315,26 @@ object SparkEntry {
         |       CAST(FLOOR(1000000.0 * moved_rendezvous / n_docs + 0.5) AS BIGINT) AS rendezvous_micro,
         |       CAST(FLOOR(1000000.0 * moved_mod / n_docs + 0.5) AS BIGINT) AS mod_micro
         |FROM s""".stripMargin,
+    // q230: the identical greedy as a recursive CTE — ORDER BY/LIMIT
+    // inside the recursive term steps the argmax; integer gains,
+    // doc_id tie-break.
+    "q230_greedy_coverage" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |bs AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 2
+        |         THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+        |         ELSE [] END) AS s FROM tok),
+        |g(iter, picked, gain, covered) AS (
+        |  (SELECT 1, doc_id, CAST(len(s) AS BIGINT), s FROM bs ORDER BY len(s) DESC, doc_id LIMIT 1)
+        |  UNION ALL
+        |  (SELECT g.iter + 1, t.doc_id,
+        |          CAST(len(list_filter(t.s, x -> NOT list_contains(g.covered, x))) AS BIGINT),
+        |          list_distinct(list_concat(g.covered, t.s))
+        |   FROM g, bs t WHERE g.iter < 20
+        |   ORDER BY len(list_filter(t.s, x -> NOT list_contains(g.covered, x))) DESC, t.doc_id LIMIT 1)
+        |)
+        |SELECT CAST(iter AS BIGINT) AS iter, picked, gain,
+        |       CAST(len(covered) AS BIGINT) AS covered_types
+        |FROM g ORDER BY iter""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -236,6 +236,52 @@ object Curation {
       .orderBy("threshold_micro")
   }
 
+  /** q230 — greedy coverage-maximizing selection (submodular data
+    * curation): pick `k` documents one at a time, each maximizing the
+    * number of NOT-YET-COVERED distinct bigrams it contributes — the
+    * facility-location/set-cover shape behind coverage-driven corpus
+    * subset selection, with the greedy algorithm's classic (1 − 1/e)
+    * guarantee. Marginal gains decrease monotonically (submodularity —
+    * pinned in the spec); ties break by doc_id.
+    *
+    * Shape: the per-doc bigram sets stay DISTRIBUTED; each of the k
+    * rounds broadcasts the covered set as a literal, computes every
+    * doc's marginal gain in one narrow map, and TakeOrdered(1) returns
+    * a single row — the driver holds only the covered set (bounded by
+    * the bigram VOCABULARY, not the corpus; a web-scale vocabulary
+    * would swap the exact covered set for a bloom — conservative gains,
+    * same guarantee direction — or distributed lazy greedy). k rounds ⇒
+    * k small jobs, the q99/q111 iterative pattern. The oracle replays
+    * the identical greedy as a recursive CTE with ORDER BY/LIMIT in
+    * the recursive term. */
+  def greedyCoverage(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val sets = graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(s"${graft.text.TextOps.TokensExpr}").as("t"))
+      .select(col("doc_id"), expr(
+        """array_distinct(CASE WHEN size(t) >= 2
+          |THEN transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))
+          |ELSE array() END)""".stripMargin).as("s"))
+      .cache()
+    var covered = Set.empty[String]
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    try {
+      for (iter <- 1 to k) {
+        val covLit = typedLit(covered.toSeq.sorted)
+        val row = sets
+          .select(col("doc_id"), array_except(col("s"), covLit).as("novel"))
+          .select(col("doc_id"), size(col("novel")).cast("long").as("gain"), col("novel"))
+          .orderBy(col("gain").desc, col("doc_id").asc)
+          .limit(1).collect().head
+        covered ++= row.getSeq[String](2)
+        picks += ((iter.toLong, row.getLong(0), row.getLong(1), covered.size.toLong))
+      }
+    } finally sets.unpersist(blocking = false)
+    picks.toSeq.toDF("iter", "picked", "gain", "covered_types")
+      .orderBy("iter")
+  }
+
   /** Quality filter cascade: classify every document by its FIRST
     * failing rule — the funnel report (per source × verdict: doc count
     * and token mass) a corpus builder reads to see where data is lost.

@@ -843,6 +843,34 @@ class Round9fSpec extends SparkSpec {
     }
   }
 
+  test("greedyCoverage: submodular gains, exact accounting, distinct picks") {
+    import graft.text.Curation
+    val rows = Curation.greedyCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.length === 20)
+    // submodularity: marginal gains never increase
+    rows.sliding(2).foreach {
+      case Array((_, _, g1, _), (_, _, g2, _)) =>
+        assert(g2 <= g1, "greedy marginal gains must be non-increasing")
+      case _ =>
+    }
+    // coverage accounting: covered_types is the running sum of gains
+    var cum = 0L
+    rows.foreach { case (_, _, g, ct) => cum += g; assert(ct === cum) }
+    // no document picked twice (its second gain would be 0 while others
+    // remain positive at this corpus)
+    assert(rows.map(_._2).distinct.length === rows.length)
+    // the first pick is the argmax bigram-set size
+    val first = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(s"${graft.text.TextOps.TokensExpr}").as("t"))
+      .select(col("doc_id"),
+        expr("size(array_distinct(transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))))").as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .maxBy { case (id, n) => (n, -id) }
+    assert(rows.head._2 === first._1 && rows.head._3 === first._2.toLong)
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
