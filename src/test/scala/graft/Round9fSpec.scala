@@ -871,6 +871,30 @@ class Round9fSpec extends SparkSpec {
     assert(rows.head._2 === first._1 && rows.head._3 === first._2.toLong)
   }
 
+  test("plan pins: span postings materialize once; pair joins never go cartesian") {
+    import graft.dedup.{PrefixJoin, SpanDedup}
+    // q202's lineage reads the postings through the session-memoized
+    // cache — the q156 lesson: both the argmin groupBy and the removal
+    // join must consume InMemoryTableScans, never re-derive the
+    // tokenize→md5 chain as independent subtrees
+    val rewritePlan = SpanDedup.substringDedup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(rewritePlan.contains("InMemoryTableScan"),
+      "span postings must be served from the memoized cache")
+    // the explanation op shares the same cached postings
+    val explainPlan = SpanDedup.sharedRunExplain(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(explainPlan.contains("InMemoryTableScan"))
+    // candidate generation in the prefix joins is always an equi-join on
+    // the element hash — a refactor that loses the join key would plan a
+    // cartesian product and melt at scale
+    for (df <- Seq(PrefixJoin.ppjoinPairs(spark, dir),
+      PrefixJoin.containmentPairs(spark, dir))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), "pair join must stay keyed")
+    }
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
