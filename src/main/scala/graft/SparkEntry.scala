@@ -411,6 +411,8 @@ object SparkEntry {
     "q229_reshard_audit"       -> ((s, d) => graft.ops.Layout.reshardAudit(s, d)),
     // greedy coverage-maximizing selection (submodular curation)
     "q230_greedy_coverage"     -> ((s, d) => graft.text.Curation.greedyCoverage(s, d)),
+    // embedding class-separability audit (Fisher-style ratio per label)
+    "q231_class_separability"  -> ((s, d) => graft.vector.VectorOps.classSeparability(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3335,6 +3337,31 @@ object SparkEntry {
         |SELECT CAST(iter AS BIGINT) AS iter, picked, gain,
         |       CAST(len(covered) AS BIGINT) AS covered_types
         |FROM g ORDER BY iter""".stripMargin,
+    // q231: micro-quantized components, rational centroids (sum, n),
+    // exact BIGINT deviation numerators, nano-rounded per-dim squares
+    // before order-free sums (q94 discipline extended to distances).
+    "q231_class_separability" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id, label, d.dim, CAST(FLOOR(d.x * 1000000.0 + 0.5) AS BIGINT) AS xm
+        |      FROM (SELECT vec_id, label,
+        |              unnest(list_transform(generate_series(1, len(v)), i -> {'dim': CAST(i AS BIGINT), 'x': v[i]})) AS d
+        |            FROM e)),
+        |ls AS (SELECT label, dim, CAST(SUM(xm) AS BIGINT) AS s, COUNT(*) AS n FROM c GROUP BY 1, 2),
+        |gs AS (SELECT dim, CAST(SUM(xm) AS BIGINT) AS sg, COUNT(*) AS ng FROM c GROUP BY 1),
+        |it AS (SELECT c.vec_id, c.label,
+        |         CAST(FLOOR(1000000000.0  * (CAST(c.xm * ls.n - ls.s AS DOUBLE) / (CAST(ls.n AS DOUBLE) * 1000000.0))  * (CAST(c.xm * ls.n - ls.s AS DOUBLE) / (CAST(ls.n AS DOUBLE) * 1000000.0))  + 0.5) AS BIGINT) AS term_nano
+        |       FROM c JOIN ls USING (label, dim)),
+        |d2 AS (SELECT vec_id, label, SUM(term_nano) // 1000 AS d2_micro FROM it GROUP BY 1, 2),
+        |ia AS (SELECT label, COUNT(*) AS n_vecs, SUM(d2_micro) // COUNT(*) AS intra_micro FROM d2 GROUP BY 1),
+        |st AS (SELECT ls.label,
+        |         CAST(FLOOR(1000000000.0  * (CAST(ls.s * gs.ng - gs.sg * ls.n AS DOUBLE) / (CAST(ls.n AS DOUBLE) * gs.ng * 1000000.0))  * (CAST(ls.s * gs.ng - gs.sg * ls.n AS DOUBLE) / (CAST(ls.n AS DOUBLE) * gs.ng * 1000000.0))  + 0.5) AS BIGINT) AS term_nano
+        |       FROM ls JOIN gs USING (dim)),
+        |sp AS (SELECT label, SUM(term_nano) // 1000 AS sep_micro FROM st GROUP BY 1)
+        |SELECT ia.label, ia.n_vecs,
+        |       CAST(intra_micro AS BIGINT) AS intra_micro,
+        |       CAST(sep_micro AS BIGINT) AS sep_micro,
+        |       CAST(FLOOR(1000000.0 * sep_micro / intra_micro + 0.5) AS BIGINT) AS fisher_micro
+        |FROM ia JOIN sp USING (label) ORDER BY ia.label""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

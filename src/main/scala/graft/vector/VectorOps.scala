@@ -90,6 +90,64 @@ object VectorOps {
       .limit(topN)
   }
 
+  /** q231 — embedding class-separability audit (Fisher-style ratio):
+    * per label, the mean squared distance of its vectors to their own
+    * centroid (intra-class compactness) against the squared distance of
+    * that centroid to the global centroid (separation) — the
+    * silhouette-lite health check run before trusting labels for
+    * hard-negative mining (q157) or per-label centroids (q94). A label
+    * whose ratio ≈ 0 is inseparable noise.
+    *
+    * Determinism (the q94 discipline, taken further): components
+    * micro-quantize to BIGINT, centroids stay RATIONAL (sum, n), and
+    * each per-vector squared distance is an EXACT integer numerator
+    * Σ(xᵢ·n − S)² over (n·10⁶)² — no float fold anywhere in the intra
+    * path; the separation's per-dim term is one double squared from an
+    * exact BIGINT numerator, nano-rounded per dim BEFORE the order-free
+    * sum. Scale: one (label, dim) partial-agg pass, a dims-sized join
+    * back (explode is 64 rows per vector), per-vector and per-label
+    * aggregates — no window, no collect. */
+  def classSeparability(spark: SparkSession, dir: String): DataFrame = {
+    val comps = vecs(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("v")))
+      .select(col("vec_id"), col("label"), col("pos").cast("long").as("dim"),
+        expr("CAST(FLOOR(col * 1000000.0 + 0.5) AS BIGINT)").as("xm"))
+    val labelSums = comps.groupBy("label", "dim")
+      .agg(sum(col("xm")).as("s"), count(lit(1)).as("n"))
+    val globalSums = comps.groupBy("dim")
+      .agg(sum(col("xm")).as("sg"), count(lit(1)).as("ng"))
+    // intra: the per-dim deviation (xm·n − S)/(n·10⁶) stays an exact
+    // BIGINT numerator; its square is one double, nano-rounded per dim
+    // BEFORE the order-free per-vector sum (a raw (xm·n − S)² integer
+    // would overflow BIGINT once label sizes reach ~500 under ANSI)
+    val intra = comps.join(labelSums, Seq("label", "dim"))
+      .select(col("vec_id"), col("label"), expr(
+        """CAST(FLOOR(1000000000.0
+          | * (CAST(xm * n - s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
+          | * (CAST(xm * n - s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
+          | + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")).as("term_nano"))
+      .groupBy("vec_id", "label")
+      .agg(expr("sum(term_nano) div 1000").as("d2_micro"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(d2_micro) div count(1)").as("intra_micro"))
+    // separation: per-dim nano terms from exact BIGINT numerators
+    val sep = labelSums.join(globalSums, "dim")
+      .select(col("label"), expr(
+        """CAST(FLOOR(1000000000.0
+          | * (CAST(s * ng - sg * n AS DOUBLE) / (CAST(n AS DOUBLE) * ng * 1000000.0))
+          | * (CAST(s * ng - sg * n AS DOUBLE) / (CAST(n AS DOUBLE) * ng * 1000000.0))
+          | + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")).as("term_nano"))
+      .groupBy("label")
+      .agg(expr("sum(term_nano) div 1000").as("sep_micro"))
+    intra.join(sep, "label")
+      .select(col("label"), col("n_vecs"), col("intra_micro"), col("sep_micro"),
+        expr("CAST(FLOOR(1000000.0 * sep_micro / intra_micro + 0.5) AS BIGINT)")
+          .as("fisher_micro"))
+      .orderBy("label")
+  }
+
   /** Brute-force cosine top-k against the embedding of `queryId`. */
   def cosineTopK(spark: SparkSession, dir: String,
                  queryId: Long = 0L, k: Int = 10): DataFrame = {

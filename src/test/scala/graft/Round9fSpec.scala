@@ -895,6 +895,41 @@ class Round9fSpec extends SparkSpec {
     }
   }
 
+  test("classSeparability: per-label metrics replay from exact micro arithmetic") {
+    import graft.vector.VectorOps
+    val rows = VectorOps.classSeparability(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.nonEmpty)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long"),
+        expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).map(x => math.floor(x * 1000000.0 + 0.5).toLong).toArray))
+    val dims = vecs.head._3.length
+    val byLabel = vecs.groupBy(_._2)
+    val global = Array.tabulate(dims)(d => vecs.map(_._3(d)).sum)
+    val ng = vecs.length.toLong
+    byLabel.foreach { case (lab, vs) =>
+      val n = vs.length.toLong
+      val s = Array.tabulate(dims)(d => vs.map(_._3(d)).sum)
+      val d2s = vs.map { case (_, _, xm) =>
+        (0 until dims).map { d =>
+          val dev = (xm(d) * n - s(d)).toDouble / (n.toDouble * 1000000.0)
+          math.floor(1000000000.0 * dev * dev + 0.5).toLong
+        }.sum / 1000L
+      }
+      val intra = d2s.sum / n
+      val sep = (0 until dims).map { d =>
+        val dev = (s(d) * ng - global(d) * n).toDouble / (n.toDouble * ng * 1000000.0)
+        math.floor(1000000000.0 * dev * dev + 0.5).toLong
+      }.sum / 1000L
+      val (gn, gi, gs2, gf) = rows(lab)
+      assert(gn === n && gi === intra && gs2 === sep, s"label $lab metrics")
+      assert(gf === math.floor(1000000.0 * sep / intra + 0.5).toLong, s"label $lab fisher")
+      assert(gi > 0L, s"label $lab compactness must be positive")
+    }
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
