@@ -413,6 +413,8 @@ object SparkEntry {
     "q230_greedy_coverage"     -> ((s, d) => graft.text.Curation.greedyCoverage(s, d)),
     // embedding class-separability audit (Fisher-style ratio per label)
     "q231_class_separability"  -> ((s, d) => graft.vector.VectorOps.classSeparability(s, d)),
+    // incremental IVF maintenance: frozen-corpus quantizer, cell drift
+    "q232_ivf_drift"           -> ((s, d) => graft.vector.VectorOps.ivfDrift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3362,6 +3364,40 @@ object SparkEntry {
         |       CAST(sep_micro AS BIGINT) AS sep_micro,
         |       CAST(FLOOR(1000000.0 * sep_micro / intra_micro + 0.5) AS BIGINT) AS fisher_micro
         |FROM ia JOIN sp USING (label) ORDER BY ia.label""".stripMargin,
+    // q232: the q166 IVF chain with the quantizer TRAINED ON vec_id <
+    // 250 only, then BOTH sides assigned to the frozen cells.
+    "q232_ivf_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corp AS (SELECT * FROM e WHERE vec_id < 250),
+        |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM corp WHERE vec_id < 16),
+        |a1 AS (SELECT c.vec_id,
+        |              MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, i.cv) + list_inner_product(i.cv, i.cv),
+        |                   'c': i.cell}) AS best
+        |       FROM corp c, init i GROUP BY 1),
+        |u AS (SELECT a1.best.c AS cell,
+        |             unnest(generate_series(1, len(c.v))) - 1 AS dim,
+        |             unnest(c.v) AS x
+        |      FROM corp c JOIN a1 USING (vec_id)),
+        |g AS (SELECT cell, dim, COUNT(*) AS n,
+        |             SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
+        |      FROM u GROUP BY 1, 2),
+        |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
+        |         FROM g GROUP BY 1),
+        |a2 AS (SELECT e.vec_id,
+        |              CASE WHEN e.vec_id < 250 THEN 1 ELSE 0 END AS is_corpus,
+        |              MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.cv) + list_inner_product(c.cv, c.cv),
+        |                   'c': c.cell}) AS best
+        |       FROM e, cent c GROUP BY 1, 2),
+        |b AS (SELECT best.c AS cell, CAST(SUM(is_corpus) AS BIGINT) AS corpus_n,
+        |             CAST(SUM(1 - is_corpus) AS BIGINT) AS fresh_n
+        |      FROM a2 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(corpus_n) AS BIGINT) AS nc, CAST(SUM(fresh_n) AS BIGINT) AS nf FROM b)
+        |SELECT CAST(cell AS BIGINT) AS cell, corpus_n, fresh_n,
+        |       CAST(FLOOR(1000000.0 * corpus_n / nc + 0.5) AS BIGINT) AS corpus_micro,
+        |       CAST(FLOOR(1000000.0 * fresh_n / nf + 0.5) AS BIGINT) AS fresh_micro,
+        |       ABS(CAST(FLOOR(1000000.0 * fresh_n / nf + 0.5) AS BIGINT)
+        |           - CAST(FLOOR(1000000.0 * corpus_n / nc + 0.5) AS BIGINT)) AS drift_micro
+        |FROM b, t ORDER BY cell""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

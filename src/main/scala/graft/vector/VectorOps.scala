@@ -148,6 +148,41 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** q232 — incremental IVF maintenance audit: freeze the coarse
+    * quantizer built from the already-indexed CORPUS (vec_id < splitAt,
+    * same derivable seeds + one Lloyd step), assign the FRESH batch to
+    * those frozen cells, and report per-cell occupancy drift — the
+    * routine an index operator runs before deciding to re-train the
+    * quantizer (the q220 incremental-ingest pattern in vector space;
+    * drifted cells are where recall decays first, q153's metric).
+    *
+    * Scale: the quantizer collect is k-sized (precedent q35/q111); both
+    * assignments are one narrow map over the scan (k codegen dots per
+    * row); the report is one partial-agg pass over the bounded cell
+    * domain. */
+  def ivfDrift(spark: SparkSession, dir: String,
+               nCentroids: Int = 16, splitAt: Long = 250L): DataFrame = {
+    val e = vecs(spark, dir)
+    val cents = centroidMemo.get(spark,
+      s"drift/$nCentroids/$splitAt/${Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")}")(
+      buildCentroidsOf(e.filter(col("vec_id") < splitAt), nCentroids))
+    val assigned = e
+      .withColumn("cell",
+        cellOf(cents.zipWithIndex.map { case (cv, ci) => (ci, typedLit(cv)) }))
+      .withColumn("is_corpus", (col("vec_id") < splitAt).cast("long"))
+    val byCell = assigned.groupBy("cell")
+      .agg(sum(col("is_corpus")).as("corpus_n"),
+        sum(lit(1L) - col("is_corpus")).as("fresh_n"))
+    val totals = byCell.agg(sum(col("corpus_n")).as("nc"),
+      sum(col("fresh_n")).as("nf"))
+    byCell.crossJoin(broadcast(totals))
+      .select(col("cell").cast("long").as("cell"), col("corpus_n"), col("fresh_n"),
+        expr("CAST(FLOOR(1000000.0 * corpus_n / nc + 0.5) AS BIGINT)").as("corpus_micro"),
+        expr("CAST(FLOOR(1000000.0 * fresh_n / nf + 0.5) AS BIGINT)").as("fresh_micro"))
+      .withColumn("drift_micro", abs(col("fresh_micro") - col("corpus_micro")))
+      .orderBy("cell")
+  }
+
   /** Brute-force cosine top-k against the embedding of `queryId`. */
   def cosineTopK(spark: SparkSession, dir: String,
                  queryId: Long = 0L, k: Int = 10): DataFrame = {
@@ -280,9 +315,15 @@ object VectorOps {
   private val centroidMemo = new graft.SessionMemo[Seq[Seq[Double]]]
 
   private def buildIvfCentroids(spark: SparkSession, dir: String,
-                                nCentroids: Int): Seq[Seq[Double]] = {
+                                nCentroids: Int): Seq[Seq[Double]] =
+    buildCentroidsOf(vecs(spark, dir), nCentroids)
+
+  /** The derivable quantizer (first-k seeds + one exact Lloyd step) over
+    * ANY (vec_id, v) frame — shared by the whole-corpus index and the
+    * q232 frozen-corpus incremental variant. */
+  private def buildCentroidsOf(e: DataFrame,
+                               nCentroids: Int): Seq[Seq[Double]] = {
     {
-      val e = vecs(spark, dir)
       val seeds = e.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").cast("int").as("cell"), col("v"))
         .collect()

@@ -930,6 +930,30 @@ class Round9fSpec extends SparkSpec {
     }
   }
 
+  test("ivfDrift: conservation, share accounting, and frozen-quantizer stability") {
+    import graft.vector.VectorOps
+    val rows = VectorOps.ivfDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val nVecs = Tables.embeddings(spark, dir).count()
+    // every vector lands in exactly one cell, on exactly one side
+    assert(rows.map(r => r._2 + r._3).sum === nVecs)
+    assert(rows.map(_._2).sum === math.min(250L, nVecs), "corpus side size")
+    rows.foreach { case (cell, cn, fn, cm, fm, dm) =>
+      assert(cell >= 0L && cell < 16L)
+      assert(cm === math.floor(1000000.0 * cn / rows.map(_._2).sum + 0.5).toLong)
+      assert(fm === math.floor(1000000.0 * fn / rows.map(_._3).sum + 0.5).toLong)
+      assert(dm === math.abs(fm - cm))
+    }
+    // frozen-quantizer property: re-running must reproduce the same
+    // assignment exactly (memoized quantizer; deterministic argmin)
+    val again = VectorOps.ivfDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
