@@ -415,6 +415,8 @@ object SparkEntry {
     "q231_class_separability"  -> ((s, d) => graft.vector.VectorOps.classSeparability(s, d)),
     // incremental IVF maintenance: frozen-corpus quantizer, cell drift
     "q232_ivf_drift"           -> ((s, d) => graft.vector.VectorOps.ivfDrift(s, d)),
+    // month-over-month top-seller set churn (stability monitoring)
+    "q233_topk_churn"          -> ((s, d) => Publisher.topSellerChurn(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3398,6 +3400,27 @@ object SparkEntry {
         |       ABS(CAST(FLOOR(1000000.0 * fresh_n / nf + 0.5) AS BIGINT)
         |           - CAST(FLOOR(1000000.0 * corpus_n / nc + 0.5) AS BIGINT)) AS drift_micro
         |FROM b, t ORDER BY cell""".stripMargin,
+    // q233: month-partitioned top-10 rank + previous-calendar-month
+    // overlap join; churn is exact integer micros.
+    "q233_topk_churn" ->
+      """WITH m AS (SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+        |             l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT month, l_partkey,
+        |             ROW_NUMBER() OVER (PARTITION BY month ORDER BY qty DESC, l_partkey) AS rk
+        |      FROM m),
+        |tops AS (SELECT month, l_partkey FROM r WHERE rk <= 10),
+        |cc AS (SELECT month, COUNT(*) AS n_top FROM tops GROUP BY 1),
+        |pm AS (SELECT DISTINCT month + INTERVAL 1 MONTH AS month FROM tops),
+        |ret AS (SELECT c.month, COUNT(*) AS retained
+        |        FROM tops c JOIN tops p
+        |          ON c.month = p.month + INTERVAL 1 MONTH AND c.l_partkey = p.l_partkey
+        |        GROUP BY 1)
+        |SELECT strftime(cc.month, '%Y-%m') AS month, cc.n_top,
+        |       CAST(COALESCE(ret.retained, 0) AS BIGINT) AS retained,
+        |       CAST(FLOOR(1000000.0 * (cc.n_top - COALESCE(ret.retained, 0)) / cc.n_top + 0.5) AS BIGINT) AS churn_micro
+        |FROM cc JOIN pm USING (month) LEFT JOIN ret ON ret.month = cc.month
+        |ORDER BY month""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

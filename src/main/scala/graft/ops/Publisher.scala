@@ -510,6 +510,47 @@ object Publisher {
       .orderBy(col("decayed_cents").desc, col("o_custkey").asc)
       .limit(k)
 
+  /** q233 — top-seller churn: month over month, how much of the top-10
+    * best-seller set turned over — the set-stability monitor behind
+    * "did the ranking pipeline break or did the catalog really shift"
+    * alerts (a stable business churns a little every month; a data bug
+    * churns everything at once). Per month: top-10 parts by shipped
+    * quantity (qty desc, partkey tie-break), overlap with the previous
+    * month's set, churn as exact integer micros.
+    *
+    * Scale: one (month, part) partial-agg pass, month-partitioned rank
+    * windows (bounded per-month part domain), and a skinny
+    * (month, partkey) self-join on the previous calendar month. */
+  def topSellerChurn(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.lineitem(spark, dir)
+      .groupBy(trunc(col("l_shipdate").cast("date"), "MM").as("month"),
+        col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val w = Window.partitionBy("month").orderBy(col("qty").desc, col("l_partkey").asc)
+    val tops = monthly
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("month"), col("l_partkey"))
+    val cur = tops.as("c"); val prev = tops.as("p")
+    val curCounts = tops.groupBy("month").agg(count(lit(1)).as("n_top"))
+    val retained = cur.join(prev,
+        col("c.month") === add_months(col("p.month"), 1) &&
+          col("c.l_partkey") === col("p.l_partkey"))
+      .groupBy(col("c.month").as("month"))
+      .agg(count(lit(1)).as("retained"))
+    // months 2..n: only months with a predecessor month present
+    val prevMonths = tops.select(add_months(col("month"), 1).as("month")).distinct()
+    curCounts.join(prevMonths, "month")
+      .join(retained, Seq("month"), "left")
+      .select(date_format(col("month"), "yyyy-MM").as("month"),
+        col("n_top"),
+        coalesce(col("retained"), lit(0L)).as("retained"))
+      .withColumn("churn_micro",
+        expr("CAST(FLOOR(1000000.0 * (n_top - retained) / n_top + 0.5) AS BIGINT)"))
+      .orderBy("month")
+  }
+
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val m = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))

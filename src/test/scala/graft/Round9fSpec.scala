@@ -954,6 +954,35 @@ class Round9fSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("topSellerChurn: retained counts replay from exact monthly top-10 sets") {
+    import graft.ops.Publisher
+    val got = Publisher.topSellerChurn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val monthly = Tables.lineitem(spark, dir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM"), col("l_partkey"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val tops = monthly.keySet.map(_._1).map { m =>
+      m -> monthly.collect { case ((`m`, p), q) => (p, q) }.toSeq
+        .sortBy { case (p, q) => (-q, p) }.take(10).map(_._1).toSet
+    }.toMap
+    def nextMonth(m: String): String = {
+      val Array(y, mo) = m.split("-").map(_.toInt)
+      if (mo == 12) f"${y + 1}%04d-01" else f"$y%04d-${mo + 1}%02d"
+    }
+    got.foreach { case (m, (nTop, retained, churn)) =>
+      assert(nTop === tops(m).size.toLong, s"$m top size")
+      val prev = tops.keySet.find(p => nextMonth(p) == m)
+      assert(prev.isDefined, s"$m must have a predecessor month")
+      assert(retained === (tops(m) & tops(prev.get)).size.toLong, s"$m retained")
+      assert(churn === math.floor(1000000.0 * (nTop - retained) / nTop + 0.5).toLong)
+    }
+    // every month except the first appears
+    assert(got.size === tops.size - 1)
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
