@@ -417,6 +417,8 @@ object SparkEntry {
     "q232_ivf_drift"           -> ((s, d) => graft.vector.VectorOps.ivfDrift(s, d)),
     // month-over-month top-seller set churn (stability monitoring)
     "q233_topk_churn"          -> ((s, d) => Publisher.topSellerChurn(s, d)),
+    // matched-basket Laspeyres price index vs the 1995-01 base month
+    "q234_price_index"         -> ((s, d) => Olap.priceIndex(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3421,6 +3423,22 @@ object SparkEntry {
         |       CAST(FLOOR(1000000.0 * (cc.n_top - COALESCE(ret.retained, 0)) / cc.n_top + 0.5) AS BIGINT) AS churn_micro
         |FROM cc JOIN pm USING (month) LEFT JOIN ret ON ret.month = cc.month
         |ORDER BY month""".stripMargin,
+    // q234: micro-rounded rational unit prices, exact BIGINT
+    // price×base-qty sums, one final micro division.
+    "q234_price_index" ->
+      """WITH m AS (SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+        |             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+        |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |           FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT month, l_partkey, qty,
+        |             CAST(FLOOR(1000000.0 * cents / qty + 0.5) AS BIGINT) AS price_micro
+        |      FROM m),
+        |b AS (SELECT l_partkey, qty AS q0, price_micro AS p0_micro
+        |      FROM p WHERE month = '1995-01')
+        |SELECT p.month, COUNT(*) AS n_matched,
+        |       CAST(FLOOR(1000000.0 * SUM(p.price_micro * b.q0) / SUM(b.p0_micro * b.q0) + 0.5) AS BIGINT) AS index_micro
+        |FROM p JOIN b USING (l_partkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

@@ -88,6 +88,41 @@ object Olap {
       .orderBy("segment")
   }
 
+  /** q234 — matched-basket Laspeyres price index: for every month, the
+    * base-month-quantity-weighted price level of the parts traded in
+    * BOTH months, relative to the base month (1995-01) — the inflation
+    * series of the catalog (the matched-model variant: parts missing
+    * from either side drop from that month's basket, the standard
+    * answer to assortment churn). Unit prices are micro-rounded
+    * RATIONALS (Σ extendedprice cents / Σ quantity per (month, part)),
+    * the index numerator/denominator are exact BIGINT
+    * price-micro × base-quantity products, and the final ratio is one
+    * micro division.
+    *
+    * Scale: one (month, part) partial-agg pass; the base month is a
+    * part-keyed join (AQE); per-month sums close it. */
+  def priceIndex(spark: SparkSession, dir: String,
+                 baseMonth: String = "1995-01"): DataFrame = {
+    val monthly = Tables.lineitem(spark, dir)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_partkey"))
+      .agg(sum(expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")).as("cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .withColumn("price_micro",
+        expr("CAST(FLOOR(1000000.0 * cents / qty + 0.5) AS BIGINT)"))
+    val base = monthly.filter(col("month") === baseMonth)
+      .select(col("l_partkey"), col("qty").as("q0"),
+        col("price_micro").as("p0_micro"))
+    monthly.join(base, "l_partkey")
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("price_micro") * col("q0")).as("num"),
+        sum(col("p0_micro") * col("q0")).as("den"))
+      .select(col("month"), col("n_matched"),
+        expr("CAST(FLOOR(1000000.0 * num / den + 0.5) AS BIGINT)").as("index_micro"))
+      .orderBy("month")
+  }
+
   /** Revenue rollup over the nation → segment hierarchy (GROUPING SETS):
     * (nation, segment), (nation), () — NULL group keys surfaced as 'ALL'
     * (unambiguous: dimension values never contain literal 'ALL'). */

@@ -983,6 +983,38 @@ class Round9fSpec extends SparkSpec {
     assert(got.size === tops.size - 1)
   }
 
+  test("priceIndex: base month indexes at exactly 1.0 and replays from raw sums") {
+    import graft.ops.Olap
+    val got = Olap.priceIndex(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    // the base month compared against itself is the identity index
+    assert(got("1995-01")._2 === 1000000L, "base month must index at 1.0")
+    // exact replay for a few months
+    val raw = Tables.lineitem(spark, dir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM"), col("l_partkey"),
+        expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2)).view
+      .mapValues(rs => (rs.map(_._3).sum, rs.map(_._4).sum)).toMap
+    def priceMicro(cents: Long, qty: Long): Long =
+      math.floor(1000000.0 * cents / qty + 0.5).toLong
+    val base = raw.collect { case ((m, p), (c, q)) if m == "1995-01" =>
+      p -> ((q, priceMicro(c, q)))
+    }.toMap
+    got.keys.toSeq.sorted.take(5).foreach { m =>
+      val matched = raw.collect { case ((`m`, p), (c, q)) if base.contains(p) =>
+        (priceMicro(c, q), base(p)._1, base(p)._2)
+      }
+      val num = matched.map(t => t._1 * t._2).sum
+      val den = matched.map(t => t._3 * t._2).sum
+      val (gn, gi) = got(m)
+      assert(gn === matched.size.toLong, s"$m basket size")
+      assert(gi === math.floor(1000000.0 * num / den + 0.5).toLong, s"$m index")
+    }
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
