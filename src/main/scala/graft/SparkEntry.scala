@@ -419,6 +419,8 @@ object SparkEntry {
     "q233_topk_churn"          -> ((s, d) => Publisher.topSellerChurn(s, d)),
     // matched-basket Laspeyres price index vs the 1995-01 base month
     "q234_price_index"         -> ((s, d) => Olap.priceIndex(s, d)),
+    // per-source bigram conditional entropy (information rate)
+    "q235_cond_entropy"        -> ((s, d) => graft.text.TextOps.conditionalEntropy(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3439,6 +3441,26 @@ object SparkEntry {
         |       CAST(FLOOR(1000000.0 * SUM(p.price_micro * b.q0) / SUM(b.p0_micro * b.q0) + 0.5) AS BIGINT) AS index_micro
         |FROM p JOIN b USING (l_partkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q235: exact integer count ratios into one LN per bigram,
+    // nano-rounded before the order-free per-source sum.
+    "q235_cond_entropy" ->
+      """WITH tok AS (SELECT source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |bg AS (SELECT source, unnest(CASE WHEN len(t) >= 2
+        |               THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+        |               ELSE [] END) AS bigram
+        |       FROM tok),
+        |bc AS (SELECT source, bigram, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+        |fw AS (SELECT source, string_split(bigram, ' ')[1] AS w1, CAST(SUM(c_ab) AS BIGINT) AS c_w1
+        |       FROM bc GROUP BY 1, 2),
+        |t2 AS (SELECT source, CAST(SUM(c_ab) AS BIGINT) AS nb FROM bc GROUP BY 1),
+        |terms AS (SELECT bc.source, t2.nb,
+        |            CAST(FLOOR(1000000000.0  * (CAST(c_ab AS DOUBLE) / t2.nb)  * (-LN(CAST(c_ab AS DOUBLE) / fw.c_w1))  + 0.5) AS BIGINT) AS term_nano
+        |          FROM bc
+        |          JOIN fw ON fw.source = bc.source AND fw.w1 = string_split(bc.bigram, ' ')[1]
+        |          JOIN t2 ON t2.source = bc.source)
+        |SELECT source, MAX(nb) AS n_bigrams,
+        |       CAST(SUM(term_nano) // 1000 AS BIGINT) AS cond_entropy_micro
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     // Intentionally no oracle (rows-only checks):
     //   q160_rolling_uv_sketch (DataSketches HLL binaries; 3σ-bounded
     //   against the hash-verified exact twin q84 in SketchBounds),

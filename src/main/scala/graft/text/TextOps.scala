@@ -347,6 +347,44 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q235 — per-source bigram conditional entropy H(w₂|w₁): how
+    * predictable each source's next token is given the previous one —
+    * the information-rate complement of q225's Zipf slope (templated/
+    * boilerplate sources score LOW, diverse prose scores high; the
+    * bigram-level signal q129's LM scores per document, aggregated to
+    * a per-source rate). H = Σ p(w₁,w₂)·(−ln p(w₂|w₁)) with
+    * p(w₂|w₁) = c(w₁w₂)/c(w₁·) — every probability an exact integer
+    * ratio, each term nano-rounded BEFORE the order-free per-source
+    * sum (the q226/q227 discipline).
+    *
+    * Scale: one bigram partial-agg pass per source, one first-word
+    * rollup OF THAT RESULT (never a second corpus scan), a broadcast
+    * join back, and one per-source sum. */
+  def conditionalEntropy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bigrams = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), explode(expr("graft_ngram_counts(text, 2)")).as("g"))
+      .groupBy(col("source"), col("g.gram").as("bigram"))
+      .agg(sum(col("g.ct")).as("c_ab"))
+      .withColumn("w1", expr("split(bigram, ' ')[0]"))
+    val firsts = bigrams.groupBy("source", "w1")
+      .agg(sum(col("c_ab")).as("c_w1"))
+    val totals = bigrams.groupBy("source").agg(sum(col("c_ab")).as("nb"))
+    bigrams
+      .join(firsts, Seq("source", "w1"))
+      .join(totals, "source")
+      .select(col("source"), col("nb"), expr(
+        """CAST(FLOOR(1000000000.0
+          | * (CAST(c_ab AS DOUBLE) / nb)
+          | * (-LN(CAST(c_ab AS DOUBLE) / c_w1))
+          | + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")).as("term_nano"))
+      .groupBy("source")
+      .agg(max(col("nb")).as("n_bigrams"),
+        expr("sum(term_nano) div 1000").as("cond_entropy_micro"))
+      .orderBy("source")
+  }
+
   def topBigrams(spark: SparkSession, dir: String,
                  n: Int = 2, k: Int = 25): DataFrame =
     topBigramsCore(

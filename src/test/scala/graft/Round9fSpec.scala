@@ -1015,6 +1015,34 @@ class Round9fSpec extends SparkSpec {
     }
   }
 
+  test("conditionalEntropy: chain rule bounds hold and terms replay exactly") {
+    import graft.text.TextOps
+    val got = TextOps.conditionalEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("source"), lower(col("text"))).collect()
+      .flatMap { r =>
+        r.getString(1).trim.split("\\s+").toSeq.sliding(2)
+          .filter(_.size == 2).map(p => (r.getString(0), p.head, p.mkString(" ")))
+      }
+    bigrams.groupBy(_._1).foreach { case (src, bs) =>
+      val nb = bs.length.toLong
+      val cAb = bs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val cW1 = bs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val h = cAb.map { case (bg, c) =>
+        val w1 = bg.split(" ").head
+        math.floor(1000000000.0 * (c.toDouble / nb) *
+          (-math.log(c.toDouble / cW1(w1))) + 0.5).toLong
+      }.sum / 1000L
+      val (gn, gh) = got(src)
+      assert(gn === nb && gh === h, s"$src entropy")
+      // conditional entropy is nonnegative and cannot exceed ln(vocab)
+      assert(gh >= 0L && gh <= math.ceil(1000000.0 *
+        math.log(bs.map(_._2).distinct.size.toDouble + 1)).toLong + cAb.size)
+    }
+  }
+
   test("substringDedup reconciles with dupSpans on the real corpus") {
     val audit = SpanDedup.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
