@@ -2409,7 +2409,7 @@ object SparkEntry {
         |                    LATERAL (SELECT unnest(generate_series(1, len(text))) AS i)),
         |w AS (SELECT doc_id, (i - 1) // 64 AS win_idx,
         |             COUNT(*) AS win_n,
-        |             SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS win_sumsq,
+        |             CAST(SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT) AS win_sumsq,
         |             MAX(ABS(CAST(s AS BIGINT))) AS win_peak
         |      FROM chars GROUP BY 1, 2)
         |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx, win_n, win_sumsq, win_peak,
@@ -2604,10 +2604,10 @@ object SparkEntry {
     "q192_partition_checksums" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |       COUNT(*) AS n_rows,
-        |       SUM(((o_orderkey % 1000000007) * 1000003 % 1000000007
+        |       CAST(SUM(((o_orderkey % 1000000007) * 1000003 % 1000000007
         |            + (o_custkey % 1000000007) * 9176 % 1000000007
         |            + CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 1000000007
-        |            + ord(o_orderstatus)) % 1000000007) % 1000000007 AS checksum
+        |            + ord(o_orderstatus)) % 1000000007) % 1000000007 AS BIGINT) AS checksum
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // q193: same islands construction in SQL over the q71 intervals —
     // runs of unchanged event_type collapse to one interval; the

@@ -244,16 +244,21 @@ object Curation {
     * guarantee. Marginal gains decrease monotonically (submodularity —
     * pinned in the spec); ties break by doc_id.
     *
-    * Shape: the per-doc bigram sets stay DISTRIBUTED; each of the k
-    * rounds broadcasts the covered set as a literal, computes every
-    * doc's marginal gain in one narrow map, and TakeOrdered(1) returns
-    * a single row — the driver holds only the covered set (bounded by
-    * the bigram VOCABULARY, not the corpus; a web-scale vocabulary
-    * would swap the exact covered set for a bloom — conservative gains,
-    * same guarantee direction — or distributed lazy greedy). k rounds ⇒
-    * k small jobs, the q99/q111 iterative pattern. The oracle replays
-    * the identical greedy as a recursive CTE with ORDER BY/LIMIT in
-    * the recursive term. */
+    * Shape: BOTH the per-doc bigram sets AND the covered set stay
+    * DISTRIBUTED — the covered set is a localCheckpointed one-column
+    * frame that each round's gain query probes with a left-anti join
+    * (AQE broadcasts it while small), so the plan is CONSTANT-SIZE in
+    * |covered| (pinned in Round9fSpec): no O(|covered|) literal, no
+    * growing analysis/serialization cost at web-scale vocabularies.
+    * Per round: one broadcast anti-join over the cached exploded
+    * (doc, bigram) frame, a partial-agg count shuffle keyed by doc,
+    * TakeOrdered(1); then the winner's novel bigrams are appended to
+    * the covered frame and the lineage truncated with localCheckpoint.
+    * The driver holds only the k picks — covered_types is the exact
+    * running sum of gains (each gain IS the count of newly covered
+    * types). k rounds ⇒ k small jobs, the q99/q111 iterative pattern.
+    * The oracle replays the identical greedy as a recursive CTE with
+    * ORDER BY/LIMIT in the recursive term. */
   def greedyCoverage(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import spark.implicits._
     val sets = graft.Tables.documents(spark, dir)
@@ -264,23 +269,49 @@ object Curation {
           |THEN transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))
           |ELSE array() END)""".stripMargin).as("s"))
       .cache()
-    var covered = Set.empty[String]
+    val docIds = sets.select(col("doc_id"))
+    // (doc, bigram) pairs — already distinct within a doc (array_distinct
+    // upstream), so the covered frame below stays duplicate-free without
+    // any .distinct() shuffle
+    val exploded = sets.select(col("doc_id"), explode(col("s")).as("bigram")).cache()
+    var covDf = spark.emptyDataset[String].toDF("bigram")
+    var coveredTypes = 0L
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     try {
       for (iter <- 1 to k) {
-        val covLit = typedLit(covered.toSeq.sorted)
-        val row = sets
-          .select(col("doc_id"), array_except(col("s"), covLit).as("novel"))
-          .select(col("doc_id"), size(col("novel")).cast("long").as("gain"), col("novel"))
+        val row = roundGains(docIds, exploded, covDf)
           .orderBy(col("gain").desc, col("doc_id").asc)
           .limit(1).collect().head
-        covered ++= row.getSeq[String](2)
-        picks += ((iter.toLong, row.getLong(0), row.getLong(1), covered.size.toLong))
+        val (winner, gain) = (row.getLong(0), row.getLong(1))
+        coveredTypes += gain // gain = |novel| = newly covered type count
+        covDf = covDf
+          .union(exploded.filter(col("doc_id") === winner).select(col("bigram"))
+            .join(covDf, Seq("bigram"), "left_anti"))
+          .localCheckpoint(true)
+        picks += ((iter.toLong, winner, gain, coveredTypes))
       }
-    } finally sets.unpersist(blocking = false)
+    } finally {
+      sets.unpersist(blocking = false)
+      exploded.unpersist(blocking = false)
+    }
     picks.toSeq.toDF("iter", "picked", "gain", "covered_types")
       .orderBy("iter")
   }
+
+  /** One greedy round's marginal gains: per doc, the count of its
+    * bigrams NOT in the covered frame — semantically identical to
+    * `size(array_except(s, covered))` but with the covered set as a
+    * join relation, never a plan literal. Docs whose every bigram is
+    * covered (or with no bigrams) coalesce to gain 0, preserving the
+    * original all-docs tie-break domain. Spec hook for the
+    * constant-plan-size pin. */
+  private[graft] def roundGains(docIds: DataFrame, exploded: DataFrame,
+                                covDf: DataFrame): DataFrame =
+    docIds.join(
+      exploded.join(covDf, Seq("bigram"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("g")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("g"), lit(0L)).as("gain"))
 
   /** Quality filter cascade: classify every document by its FIRST
     * failing rule — the funnel report (per source × verdict: doc count

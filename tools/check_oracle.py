@@ -43,7 +43,24 @@ for name in sorted(oracle):
     else:
         for c in spark_df.columns:
             a, b = spark_df[c].values, duck_df[c].values
-            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+            # The driver's hash is TYPE-sensitive: a DuckDB HUGEINT
+            # (surfacing here as float64 or object) vs a Spark BIGINT
+            # hashes differently even when every value is numerically
+            # identical (r9 verdict: q179/q192). Mirror that strictness:
+            # an int-vs-float dtype-kind mismatch is a FAIL even if the
+            # values match — report it as TYPE-ONLY so it's attributable
+            # (fix is a CAST in the oracle SQL, not in the engine).
+            ka, kb = a.dtype.kind, b.dtype.kind
+            int_kinds, flt_kinds = ('i', 'u'), ('f',)
+            if (ka in int_kinds and kb in flt_kinds) or (ka in flt_kinds and kb in int_kinds):
+                ok = False
+                fa, fb = a.astype('float64'), b.astype('float64')
+                vals_eq = bool((((pd.isna(fa)) & (pd.isna(fb))) | (fa == fb)).all())
+                tag = "TYPE-ONLY mismatch (values identical)" if vals_eq else "type AND value mismatch"
+                print(f"FAIL {name}: col {c} dtype spark={a.dtype} duck={b.dtype} — {tag};"
+                      f" driver hash would red this — CAST the oracle SQL")
+                break
+            if ka in flt_kinds or kb in flt_kinds:
                 eq = (pd.isna(a) & pd.isna(b)) | (a == b)
             else:
                 eq = (pd.Series(a).astype(str).values == pd.Series(b).astype(str).values)
