@@ -72,7 +72,15 @@ object Bench {
     // hit the bounded-heap rewrite in EVERY pass, not only after the
     // query that happens to install it has run once
     graft.functions.GraftFunctions.register(spark)
-    val ordered = SparkEntry.queries.toIndexedSeq
+    // Targeted mode (presnapshot's perf gate): args are query-name
+    // prefixes; a non-empty selection benches only those queries and
+    // writes `bench_partial.json` — NEVER `bench_last.json`, so a
+    // partial run can't masquerade as a full bench to the driver.
+    val only = args.filter(_.nonEmpty)
+    val allQueries = SparkEntry.queries.toIndexedSeq
+    val ordered =
+      if (only.isEmpty) allQueries
+      else allQueries.filter { case (n, _) => only.exists(n.startsWith) }
 
     // warm-up at the smallest SF: JIT + codegen + catalyst caches get hot
     // cheaply. (Warming at the target SF was tried and measured WORSE —
@@ -202,7 +210,9 @@ object Bench {
     // safety net beside the stdout contract: a file copy of the same line
     // (round-1 grading lost the stdout line to an sbt log prefix)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), json + "\n")
+      java.nio.file.Paths.get(
+        if (only.isEmpty) "bench_last.json" else "bench_partial.json"),
+      json + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -244,19 +244,21 @@ object Curation {
     * guarantee. Marginal gains decrease monotonically (submodularity —
     * pinned in the spec); ties break by doc_id.
     *
-    * Shape: BOTH the per-doc bigram sets AND the covered set stay
-    * DISTRIBUTED — the covered set is a localCheckpointed one-column
-    * frame that each round's gain query probes with a left-anti join
-    * (AQE broadcasts it while small), so the plan is CONSTANT-SIZE in
-    * |covered| (pinned in Round9fSpec): no O(|covered|) literal, no
-    * growing analysis/serialization cost at web-scale vocabularies.
-    * Per round: one broadcast anti-join over the cached exploded
-    * (doc, bigram) frame, a partial-agg count shuffle keyed by doc,
-    * TakeOrdered(1); then the winner's novel bigrams are appended to
-    * the covered frame and the lineage truncated with localCheckpoint.
-    * The driver holds only the k picks — covered_types is the exact
-    * running sum of gains (each gain IS the count of newly covered
-    * types). k rounds ⇒ k small jobs, the q99/q111 iterative pattern.
+    * Shape: the per-doc bigram sets stay DISTRIBUTED (cached once);
+    * the covered set lives DRIVER-SIDE and is shipped each round as a
+    * torrent **broadcast variable** consulted inside a predicate UDF —
+    * never a plan literal and never a join relation — so the plan is
+    * CONSTANT-SIZE in |covered| (pinned in Round9fSpec via
+    * `roundNovel`) AND each round is exactly ONE narrow map over the
+    * cached sets + TakeOrdered(1): no per-round shuffle, no
+    * checkpoint. The covered set is inherently small — bounded by the
+    * union of the k winners' bigram vocabularies (k docs' worth, NOT
+    * the corpus vocabulary), so it broadcasts in O(k · doc_vocab)
+    * regardless of corpus size. The argmax row carries the winner's
+    * novel bigrams as payload (one doc's array), which the driver
+    * folds into the covered set — k rounds ⇒ k narrow jobs, the
+    * q99/q111 iterative pattern. covered_types is the exact running
+    * sum of gains (each gain IS the count of newly covered types).
     * The oracle replays the identical greedy as a recursive CTE with
     * ORDER BY/LIMIT in the recursive term. */
   def greedyCoverage(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
@@ -269,49 +271,44 @@ object Curation {
           |THEN transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))
           |ELSE array() END)""".stripMargin).as("s"))
       .cache()
-    val docIds = sets.select(col("doc_id"))
-    // (doc, bigram) pairs — already distinct within a doc (array_distinct
-    // upstream), so the covered frame below stays duplicate-free without
-    // any .distinct() shuffle
-    val exploded = sets.select(col("doc_id"), explode(col("s")).as("bigram")).cache()
-    var covDf = spark.emptyDataset[String].toDF("bigram")
+    var covered = Set.empty[String]
     var coveredTypes = 0L
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     try {
       for (iter <- 1 to k) {
-        val row = roundGains(docIds, exploded, covDf)
-          .orderBy(col("gain").desc, col("doc_id").asc)
-          .limit(1).collect().head
-        val (winner, gain) = (row.getLong(0), row.getLong(1))
+        val bc = spark.sparkContext.broadcast(covered)
+        val row =
+          try roundNovel(sets, bc)
+            .orderBy(col("gain").desc, col("doc_id").asc)
+            .limit(1).collect().head
+          finally bc.destroy()
+        val (winner, gain) = (row.getLong(0), row.getInt(1).toLong)
+        covered ++= row.getSeq[String](2)
         coveredTypes += gain // gain = |novel| = newly covered type count
-        covDf = covDf
-          .union(exploded.filter(col("doc_id") === winner).select(col("bigram"))
-            .join(covDf, Seq("bigram"), "left_anti"))
-          .localCheckpoint(true)
         picks += ((iter.toLong, winner, gain, coveredTypes))
       }
     } finally {
       sets.unpersist(blocking = false)
-      exploded.unpersist(blocking = false)
     }
     picks.toSeq.toDF("iter", "picked", "gain", "covered_types")
       .orderBy("iter")
   }
 
-  /** One greedy round's marginal gains: per doc, the count of its
-    * bigrams NOT in the covered frame — semantically identical to
-    * `size(array_except(s, covered))` but with the covered set as a
-    * join relation, never a plan literal. Docs whose every bigram is
-    * covered (or with no bigrams) coalesce to gain 0, preserving the
-    * original all-docs tie-break domain. Spec hook for the
-    * constant-plan-size pin. */
-  private[graft] def roundGains(docIds: DataFrame, exploded: DataFrame,
-                                covDf: DataFrame): DataFrame =
-    docIds.join(
-      exploded.join(covDf, Seq("bigram"), "left_anti")
-        .groupBy("doc_id").agg(count(lit(1)).as("g")),
-      Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("g"), lit(0L)).as("gain"))
+  /** One greedy round's candidate frame: per doc, the bigrams NOT yet
+    * covered (`novel`) and their count (`gain`) — semantically
+    * `array_except(s, covered)`, but the covered set arrives through a
+    * broadcast VARIABLE read inside the UDF closure, so the query plan
+    * contains only the UDF reference: its size is invariant in
+    * |covered| (the Round9fSpec plan-size pin). Docs with no bigrams
+    * (or fully covered) yield gain 0, preserving the all-docs
+    * tie-break domain. One narrow map; no shuffle. */
+  private[graft] def roundNovel(sets: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Set[String]]): DataFrame = {
+    val novelUdf = udf((s: Seq[String]) =>
+      if (s == null) Seq.empty[String] else s.filterNot(bc.value.contains))
+    sets.select(col("doc_id"), novelUdf(col("s")).as("novel"))
+      .select(col("doc_id"), size(col("novel")).as("gain"), col("novel"))
+  }
 
   /** Quality filter cascade: classify every document by its FIRST
     * failing rule — the funnel report (per source × verdict: doc count

@@ -871,6 +871,42 @@ class Round9fSpec extends SparkSpec {
     assert(rows.head._2 === first._1 && rows.head._3 === first._2.toLong)
   }
 
+  test("greedyCoverage: round plan is constant-size in |covered| (broadcast, not literal)") {
+    import graft.text.Curation
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(s"${graft.text.TextOps.TokensExpr}").as("t"))
+      .select(col("doc_id"), expr(
+        """array_distinct(CASE WHEN size(t) >= 2
+          |THEN transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))
+          |ELSE array() END)""".stripMargin).as("s"))
+    val bcEmpty = spark.sparkContext.broadcast(Set.empty[String])
+    val bcBig = spark.sparkContext.broadcast(
+      (0 until 50000).map(i => s"tok$i next$i").toSet)
+    try {
+      val pEmpty = Curation.roundNovel(sets, bcEmpty)
+        .orderBy(col("gain").desc, col("doc_id").asc).limit(1)
+        .queryExecution.analyzed.toString
+      val pBig = Curation.roundNovel(sets, bcBig)
+        .orderBy(col("gain").desc, col("doc_id").asc).limit(1)
+        .queryExecution.analyzed.toString
+      // the covered set travels as a broadcast variable inside the UDF
+      // closure — a 50k-entry covered set must not change the plan text
+      // at all (a plan literal would grow it by megabytes)
+      assert(pEmpty.length === pBig.length,
+        s"round plan grew with |covered|: ${pEmpty.length} -> ${pBig.length}")
+      assert(!pBig.contains("tok17 next17"),
+        "covered-set contents leaked into the plan as a literal")
+      // and the round semantics are right under a non-empty covered set:
+      // gain counts only NOT-covered bigrams
+      val probe = Curation.roundNovel(sets, bcBig)
+      val one = probe.orderBy(col("gain").desc, col("doc_id").asc)
+        .limit(1).collect().head
+      assert(one.getInt(1) === one.getSeq[String](2).length)
+    } finally {
+      bcEmpty.destroy(); bcBig.destroy()
+    }
+  }
+
   test("plan pins: span postings materialize once; pair joins never go cartesian") {
     import graft.dedup.{PrefixJoin, SpanDedup}
     // q202's lineage reads the postings through the session-memoized
