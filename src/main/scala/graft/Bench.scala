@@ -76,7 +76,7 @@ object Bench {
     // prefixes; a non-empty selection benches only those queries and
     // writes `bench_partial.json` — NEVER `bench_last.json`, so a
     // partial run can't masquerade as a full bench to the driver.
-    val only = args.filter(_.nonEmpty)
+    val only = args.flatMap(_.split(',')).filter(_.nonEmpty)
     val allQueries = SparkEntry.queries.toIndexedSeq
     val ordered =
       if (only.isEmpty) allQueries

@@ -421,6 +421,12 @@ object SparkEntry {
     "q234_price_index"         -> ((s, d) => Olap.priceIndex(s, d)),
     // per-source bigram conditional entropy (information rate)
     "q235_cond_entropy"        -> ((s, d) => graft.text.TextOps.conditionalEntropy(s, d)),
+    // incremental exact PPJoin: fresh batch probes the corpus's frozen
+    // one-sided prefix postings; exact-threshold near-dup pairs
+    "q236_incremental_ppjoin"  -> ((s, d) => graft.dedup.PrefixJoin.incrementalPpjoin(s, d)),
+    // windowed spectral features on the WAV path: exact DFT-bin energies
+    // at the integer-twiddle bins (DC, fs/4, Nyquist) + HF share
+    "q237_wav_spectral"        -> ((s, d) => graft.multimodal.Multimodal.wavSpectral(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -705,6 +711,9 @@ object SparkEntry {
         |FROM orders FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q38_incremental_dedup" -> IncrementalDedupSql,
+    // q236: one-sided prefix probe is lossless (corpus-side SSJoin
+    // lemma), so the oracle is the plain quadratic fresh x corpus join
+    "q236_incremental_ppjoin" -> IncrementalPpjoinSql,
     // q154: bloom pre-filter is result-transparent (false positives only
     // add rows to the exact anti-join, never to the output), so the
     // bloom variant verifies against the SAME oracle as q38.
@@ -2415,6 +2424,34 @@ object SparkEntry {
         |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx, win_n, win_sumsq, win_peak,
         |       CAST(FLOOR(1000.0 * SQRT(win_sumsq * 1.0 / win_n) + 0.5) AS BIGINT) AS rms_milli
         |FROM w ORDER BY doc_id, win_idx""".stripMargin,
+    // q237: same chars→PCM→RIFF round-trip as q179, reduced to the
+    // three integer-twiddle DFT bins — every sum/power is exact BIGINT
+    // in both engines (bins ≤ 2^21, powers ≤ 2^42); hf_ratio is the one
+    // derived float, multiplied-then-divided in the same order so the
+    // micro rounding is bit-identical.
+    "q237_wav_spectral" ->
+      """WITH chars AS (SELECT doc_id, i,
+        |                      (ord(substr(text, CAST(i AS INT), 1)) - 96) * 256 AS s
+        |               FROM documents,
+        |                    LATERAL (SELECT unnest(generate_series(1, len(text))) AS i)),
+        |w AS (SELECT doc_id, (i - 1) // 64 AS win_idx, (i - 1) % 64 AS n,
+        |             CAST(s AS BIGINT) AS s
+        |      FROM chars),
+        |b AS (SELECT doc_id, win_idx, COUNT(*) AS win_n,
+        |             SUM(s) AS dc,
+        |             SUM(CASE WHEN n % 2 = 0 THEN s ELSE -s END) AS nyq,
+        |             SUM(CASE WHEN n % 4 = 0 THEN s WHEN n % 4 = 2 THEN -s ELSE 0 END) AS re_q,
+        |             SUM(CASE WHEN n % 4 = 3 THEN s WHEN n % 4 = 1 THEN -s ELSE 0 END) AS im_q
+        |      FROM w GROUP BY 1, 2)
+        |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx, win_n,
+        |       CAST(dc * dc AS BIGINT) AS dc_pow,
+        |       CAST(re_q * re_q + im_q * im_q AS BIGINT) AS quarter_pow,
+        |       CAST(nyq * nyq AS BIGINT) AS nyq_pow,
+        |       CASE WHEN dc * dc + re_q * re_q + im_q * im_q + nyq * nyq = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(FLOOR(1000000.0 * (re_q * re_q + im_q * im_q + nyq * nyq)
+        |                            / (dc * dc + re_q * re_q + im_q * im_q + nyq * nyq) + 0.5) AS BIGINT)
+        |       END AS hf_ratio_micro
+        |FROM b ORDER BY doc_id, win_idx""".stripMargin,
     // q180: both engines rebuild the planted old/new snapshots from the
     // same modular rules and full-outer diff them — the hash match pins
     // the insert/delete/update classification exactly (update rows are
@@ -3681,6 +3718,19 @@ object SparkEntry {
       |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
       |  AND doc_id NOT IN (SELECT fid FROM nd)
       |ORDER BY doc_id""".stripMargin
+
+  /** q236 oracle: cross-split exact Jaccard pairs (fresh doc_id ≥ 250
+    * vs corpus < 250, the q38 split) — the prefix-postings probe is
+    * provably complete, so the quadratic formulation pins it. */
+  private val IncrementalPpjoinSql: String =
+    s"""WITH $ShingleCtes,
+       |pr AS (SELECT f.doc_id AS fresh_id, c.doc_id AS corpus_id, COUNT(*) AS inter
+       |       FROM sh f JOIN sh c ON f.s = c.s AND f.doc_id >= 250 AND c.doc_id < 250
+       |       GROUP BY 1, 2)
+       |SELECT fresh_id, corpus_id, inter / (x.n + y.n - inter) AS jaccard
+       |FROM pr JOIN sz x ON fresh_id = x.doc_id JOIN sz y ON corpus_id = y.doc_id
+       |WHERE inter / (x.n + y.n - inter) >= 0.7
+       |ORDER BY fresh_id, corpus_id""".stripMargin
 
   private val JaccardPairsSql: String =
     s"""WITH $JaccardCtes

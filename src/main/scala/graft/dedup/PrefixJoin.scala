@@ -141,6 +141,89 @@ object PrefixJoin {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Frozen ONE-SIDED prefix postings of an already-ingested corpus —
+    * the q204 prefix index restated as a PERSISTENT ARTIFACT an ingest
+    * path probes: (sh64, corpus_id, nb) rows for only the prefix
+    * (rare-first, length n − ⌈t·n⌉ + 1) of each corpus doc's shingle
+    * set, under the CORPUS's global (df, sh64) order.
+    *
+    * Completeness is one-sided (the [[containmentPairsOf]] argument):
+    * for any fresh doc x and corpus doc y with J(x, y) ≥ t, the overlap
+    * o ≥ ⌈t·|y|⌉; were no shared element in y's prefix, the whole
+    * intersection would sit in y's suffix of size ⌈t·|y|⌉ − 1 < o —
+    * contradiction. So probing ALL of x's shingles against these
+    * postings can never miss a qualifying pair, and x needs NO prefix
+    * of its own — no df lookup, no window rank — which is exactly what
+    * lets the probe run as a stateless stream-static join in
+    * [[graft.streaming.TrainingPipeline]]'s admission gate. */
+  private[graft] def prefixPostingsOf(corpusArr: DataFrame): DataFrame = {
+    val sh = corpusArr.select(col("doc_id"),
+      size(col("arr")).cast("long").as("n"), explode(col("arr")).as("sh64"))
+    val dfreq = sh.groupBy("sh64").agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy("doc_id").orderBy(col("dfreq").asc, col("sh64").asc)
+    sh.join(dfreq, "sh64")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - expr(s"($TNum * n + ${TDen - 1}) div $TDen") + 1)
+      .select(col("sh64"), col("doc_id").as("corpus_id"), col("n").as("nb"))
+  }
+
+  /** q236 — INCREMENTAL exact set-similarity join (the q38/q154/q220
+    * incremental-ingest pattern applied to q204): docs below `splitAt`
+    * are the already-indexed corpus, the rest are the fresh batch, and
+    * the output is every cross pair (fresh_id, corpus_id) with exact
+    * 3-gram Jaccard ≥ 0.7 — the near-dup evidence an ingest gate
+    * rejects on. Unlike the minhash layer inside `incrementalDedup`
+    * (probabilistic completeness), this path carries q204's exact
+    * completeness THEOREM into the incremental setting.
+    *
+    * Scale: the corpus side builds [[prefixPostingsOf]] ONCE (memoized
+    * here; a persisted index artifact in production — rebuilt only when
+    * the corpus grows enough to shift the df order, and an out-of-date
+    * order only weakens PRUNING, never completeness, because the
+    * one-sided lemma holds for any fixed per-doc prefix under any total
+    * order). Fresh docs explode to (doc, sh64) and equi-join the
+    * postings with the J ≥ t size filter (t·|x| ≤ |y| ≤ |x|/t) in the
+    * join condition; candidates are verified exactly against the
+    * memoized per-doc arrays with unhinted joins (the q25/q204
+    * discipline — AQE picks broadcast vs shuffle at runtime). Probe
+    * cost is O(batch shingles) joined against the smallest ~30% of
+    * corpus postings; the corpus is never re-paired against itself. */
+  def incrementalPpjoin(spark: SparkSession, dir: String,
+                        splitAt: Long = 250L): DataFrame = {
+    val withArr = DedupOps.docShingleArr(spark, dir)
+    val corpusArr = withArr.filter(col("doc_id") < splitAt)
+    val freshArr = withArr.filter(col("doc_id") >= splitAt)
+    val postings = graft.Tables.memoCache(spark,
+      s"ppjoin-prefix/$splitAt/$dir")(prefixPostingsOf(corpusArr))
+    incrementalPpjoinOf(corpusArr, freshArr, postings)
+  }
+
+  /** The probe + exact verify over any (corpus, fresh, postings) triple
+    * (spec hook; the streaming gate replays the same probe shape). */
+  private[graft] def incrementalPpjoinOf(corpusArr: DataFrame,
+      freshArr: DataFrame, postings: DataFrame): DataFrame = {
+    val probe = freshArr.select(col("doc_id").as("fresh_id"),
+      size(col("arr")).cast("long").as("na"), explode(col("arr")).as("sh64"))
+    val cands = probe.join(postings,
+        Seq("sh64"))
+      .filter(col("na") * TNum <= col("nb") * TDen &&
+        col("nb") * TNum <= col("na") * TDen)
+      .select("fresh_id", "corpus_id")
+      .dropDuplicates("fresh_id", "corpus_id")
+    val withF = freshArr.select(col("doc_id").as("fresh_id"), col("arr").as("sa"))
+      .join(cands, "fresh_id")
+    corpusArr.select(col("doc_id").as("corpus_id"), col("arr").as("sb"))
+      .join(withF, "corpus_id")
+      .select(col("fresh_id"), col("corpus_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("na"),
+        size(col("sb")).cast("long").as("nb"))
+      .select(col("fresh_id"), col("corpus_id"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= TNum.toDouble / TDen)
+      .orderBy("fresh_id", "corpus_id")
+  }
+
   /** Candidate-pair counts for the pruning spec: (prefix-filtered
     * candidates, all shared-shingle pairs). The first must contain every
     * qualifying pair (theorem) and be strictly smaller than the second

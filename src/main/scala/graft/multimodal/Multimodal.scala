@@ -279,6 +279,94 @@ object Multimodal {
     }.toDF().orderBy("doc_id", "win_idx")
   }
 
+  case class WavSpectralRow(doc_id: Long, win_idx: Long, win_n: Long,
+                            dc_pow: Long, quarter_pow: Long, nyq_pow: Long,
+                            hf_ratio_micro: Long)
+
+  /** q237 — windowed SPECTRAL features on the WAV path (the r9 stretch:
+    * q179's time-domain energy extended to frequency bins, feeding the
+    * vector stack): per 64-sample window, the exact DFT-bin energies at
+    * the three frequencies whose twiddle factors are INTEGERS — DC
+    * (k = 0), fs/4 (k = N/4) and Nyquist (k = N/2):
+    *
+    *   - k = 0:   X = Σ xₙ                    → dc_pow   = X²
+    *   - k = N/4: e^{−iπn/2} cycles {1,−i,−1,i}, so
+    *              re = Σ_{n≡0(4)} xₙ − Σ_{n≡2(4)} xₙ,
+    *              im = Σ_{n≡3(4)} xₙ − Σ_{n≡1(4)} xₙ → quarter_pow = re² + im²
+    *   - k = N/2: X = Σ (−1)ⁿ xₙ              → nyq_pow  = X²
+    *
+    * This is Goertzel evaluated exactly: at these bins cos(2πk/N) ∈
+    * {0, ±1}, so the recurrence's state stays integral and no float ever
+    * enters the accumulation — the determinism contract the exact-hash
+    * oracle needs (a general-k Goertzel would accumulate rounded
+    * cosines and could differ between engines in the last bit).
+    * `hf_ratio_micro` (the high-frequency share — quarter + Nyquist
+    * over total binned power, micro-rounded) is the one derived float,
+    * rounded identically in both engines; it is the voiced/unvoiced-
+    * style balance feature an audio curation pipeline thresholds on.
+    *
+    * Bounds: |sample| ≤ 2¹⁵, window = 64 → each bin sum |X| ≤ 2²¹,
+    * each power ≤ 2⁴², their sum ≤ 2⁴⁴ — exact in BIGINT everywhere.
+    * Scale: same shape as [[wavEnergy]] — both codec halves inside
+    * `mapPartitions`, the window flatMap narrow, nothing shuffles until
+    * the display sort. */
+  def wavSpectral(spark: SparkSession, dir: String,
+                  winSize: Int = 64, sampleRate: Int = 44100): DataFrame = {
+    import spark.implicits._
+    val encoded = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val samples = new Array[Short](text.length)
+          var i = 0
+          while (i < text.length) {
+            samples(i) = ((text.charAt(i).toInt - 96) * 256).toShort
+            i += 1
+          }
+          WavDoc(id, WavCodec.encode(sampleRate, samples))
+        }
+      }
+    spectralCore(encoded, winSize).orderBy("doc_id", "win_idx")
+  }
+
+  /** The decode + exact-bin reduction over any WAV payload set (spec
+    * hook: synthetic pure tones pin the bin algebra — a DC ramp, an
+    * fs/4 tone and a Nyquist square each land ALL their binned energy
+    * in exactly their own bin). */
+  private[graft] def spectralCore(
+      encoded: org.apache.spark.sql.Dataset[WavDoc], winSize: Int): DataFrame = {
+    import encoded.sparkSession.implicits._
+    encoded.mapPartitions { it =>
+      it.flatMap { d =>
+        val dec = WavCodec.decode(d.payload)
+        dec.samples.grouped(winSize).zipWithIndex.map { case (win, wi) =>
+          var dc = 0L; var nyq = 0L; var reQ = 0L; var imQ = 0L
+          var n = 0
+          while (n < win.length) {
+            val s = win(n).toLong
+            dc += s
+            nyq += (if ((n & 1) == 0) s else -s)
+            (n & 3) match {
+              case 0 => reQ += s
+              case 2 => reQ -= s
+              case 1 => imQ -= s
+              case _ => imQ += s
+            }
+            n += 1
+          }
+          val dcPow = dc * dc
+          val qPow = reQ * reQ + imQ * imQ
+          val nyqPow = nyq * nyq
+          val tot = dcPow + qPow + nyqPow
+          val hf = if (tot == 0L) 0L
+            else math.floor(1000000.0 * (qPow + nyqPow).toDouble / tot + 0.5).toLong
+          WavSpectralRow(d.doc_id, wi.toLong, win.length.toLong,
+            dcPow, qPow, nyqPow, hf)
+        }
+      }
+    }.toDF()
+  }
+
   case class MediaFeature(doc_id: Long, n_bytes: Long, mean_byte: Double, feature: Array[Float])
 
   /** STUB decode/feature-extract: the real implementation would decode

@@ -41,7 +41,8 @@ object TrainingPipeline {
                    minTokens: Int = 10,
                    stopRatioMin: Double = 0.02,
                    stopRatioMax: Double = 0.6,
-                   corpusIndex: Option[(Array[Byte], DataFrame)] = None): DataFrame = {
+                   corpusIndex: Option[(Array[Byte], DataFrame)] = None,
+                   nearDupIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val gated = docs
       .withColumn("st", expr("graft_text_stats(text)"))
@@ -56,9 +57,86 @@ object TrainingPipeline {
         gated.filter(!might).unionByName(
           gated.filter(might).join(corpusFp, Seq("fp"), "left_anti"))
     }
+    val admitted = nearDupIndex match {
+      case None => fresh.select("doc_id", "source", "text", "fp")
+      case Some((postings, corpusSets)) =>
+        nearDupGate(fresh, postings, corpusSets)
+    }
     TextOps.chunkCore(
-      fresh.dropDuplicates("fp").withColumn("tokens", expr(TextOps.TokensExpr)),
+      admitted.dropDuplicates("fp").withColumn("tokens", expr(TextOps.TokensExpr)),
       chunkLen, stride, carry = Seq("source"))
+  }
+
+  /** A doc that survived the gates, as the near-dup gate re-emits it. */
+  case class GateDoc(doc_id: Long, source: String, text: String, fp: String)
+  /** One candidate-verification row inside [[nearDupGate]] (public only
+    * because encoder codegen must reach the class from generated code). */
+  case class GateRow(doc_id: Long, source: String, text: String,
+                     fp: String, dup: Boolean)
+
+  /** Streaming NEAR-DUP admission gate — q236's incremental exact
+    * PPJoin moved into the ingest path, the layer the exact-fingerprint
+    * index (q154 bloom + anti-join above) cannot cover: a re-crawled
+    * page with one edited sentence has a novel md5 but 3-gram Jaccard
+    * ≥ 0.7 against the already-ingested original. Each micro-batch doc
+    * probes the corpus's FROZEN one-sided prefix postings
+    * ([[graft.dedup.PrefixJoin.prefixPostingsOf]] — completeness is a
+    * theorem of the corpus-side prefix alone, so the stream side needs
+    * no df lookup or window rank: one in-row shingle expression and
+    * stateless stream-static joins), candidates are verified with the
+    * exact Jaccard the batch operator uses, and a doc is admitted only
+    * if NO corpus doc matches at threshold.
+    *
+    * The per-doc "no candidate matched" fold runs as
+    * `flatMapGroupsWithState` (the [[quotaAdmit]] pattern; state unused
+    * — each doc_id lives in one micro-batch) so the gate stays a single
+    * streaming-legal operator; identical code serves batch frames,
+    * where the state store is simply absent.
+    *
+    * Scale: postings cover only the rare-first prefix (~(1−t)·n per
+    * corpus doc); the probe join is keyed on sh64 with the J ≥ t size
+    * filter (t·|x| ≤ |y| ≤ |x|/t) applied inside the join; corpus
+    * shingle arrays join onto the (small) candidate set only — the
+    * q204 skinny-candidate discipline. Both static sides are index
+    * artifacts persisted across batches, like the q154 bloom. */
+  private[graft] def nearDupGate(fresh: DataFrame, postings: DataFrame,
+                                 corpusSets: DataFrame): DataFrame = {
+    val spark = fresh.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val withHs = fresh.select(col("doc_id"), col("source"), col("text"), col("fp"),
+        expr("graft_shingle_hashes(text, 3)").as("hs"))
+      .withColumn("na", size(col("hs")).cast("long"))
+    // explode_outer: a doc with no shingles still flows through (admitted)
+    val probe = withHs.select(col("doc_id"), col("source"), col("text"),
+      col("fp"), col("hs"), col("na"), explode_outer(col("hs")).as("sh64"))
+    // left_outer keeps no-candidate docs; the size filter lives IN the
+    // join condition so a filtered-out posting row never drops the doc
+    val cand = probe.join(
+        postings.select(col("sh64").as("psh"), col("corpus_id"), col("nb")),
+        col("sh64") === col("psh") &&
+          col("na") * lit(7L) <= col("nb") * lit(10L) &&
+          col("nb") * lit(7L) <= col("na") * lit(10L),
+        "left_outer")
+      .join(corpusSets.select(col("doc_id").as("cid"), col("arr").as("sb")),
+        col("corpus_id") === col("cid"), "left_outer")
+      .select(col("doc_id"), col("source"), col("text"), col("fp"),
+        coalesce(
+          size(array_intersect(col("hs"), col("sb"))).cast("double") /
+            (col("na") + size(col("sb")).cast("long")
+              - size(array_intersect(col("hs"), col("sb"))).cast("long"))
+            >= lit(7.0 / 10.0),
+          lit(false)).as("dup"))
+      .as[GateRow]
+    cand.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, GateDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, _) =>
+          val rs = rows.toSeq
+          if (rs.exists(_.dup)) Iterator.empty
+          else rs.headOption
+            .map(r => GateDoc(r.doc_id, r.source, r.text, r.fp)).iterator
+      }.toDF()
   }
 
   /** Streaming PARTIAL-overlap screen — q156's winnowing moved into the

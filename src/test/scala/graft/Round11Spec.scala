@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{DedupOps, PrefixJoin}
+
+/** Round-11: the INCREMENTAL exact PPJoin (q236) and its streaming
+  * admission face. Load-bearing properties:
+  *
+  *  - ground-truth equality: the one-sided prefix-postings probe finds
+  *    exactly the cross-split pairs the quadratic anchor (q24) finds —
+  *    the corpus-side SSJoin lemma is lossless;
+  *  - the postings really prune: the frozen index holds strictly fewer
+  *    rows than the full corpus postings;
+  *  - batch face of the streaming gate: [[graft.streaming
+  *    .TrainingPipeline.nearDupGate]] run on a batch frame admits
+  *    exactly the docs with NO q236 pair (the two code paths share the
+  *    probe shape, so the admission decision and the pair list must
+  *    reconcile doc-for-doc).
+  */
+class Round11Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val splitAt = 250L
+
+  test("incremental ppjoin equals the quadratic cross-split ground truth") {
+    val got = PrefixJoin.incrementalPpjoin(spark, dir, splitAt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // q24's pairs have doc_a < doc_b, so cross-split pairs are exactly
+    // those with doc_a < splitAt <= doc_b, remapped (fresh, corpus)
+    val truth = DedupOps.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < splitAt && b >= splitAt }
+      .map { case (a, b, j) => (b, a, j) }
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(got.nonEmpty, "the sf0.001 corpus plants cross-split near-dups")
+    assert(got === truth)
+  }
+
+  test("frozen prefix postings prune but never lose a qualifying pair") {
+    val withArr = DedupOps.docShingleArr(spark, dir)
+    val corpusArr = withArr.filter(col("doc_id") < splitAt)
+    val postings = PrefixJoin.prefixPostingsOf(corpusArr)
+    val fullPostings = corpusArr
+      .select(col("doc_id"), explode(col("arr")).as("sh64")).count()
+    val prefixPostings = postings.count()
+    assert(prefixPostings < fullPostings,
+      s"prefix index must be smaller than full postings ($prefixPostings vs $fullPostings)")
+    // ~(1-t) fraction + 1 per doc: sanity bound that it's a real prune,
+    // not an off-by-one
+    assert(prefixPostings.toDouble / fullPostings < 0.5)
+    // completeness re-check at the candidate level: every ground-truth
+    // pair appears among the raw candidates the postings generate
+    val freshArr = withArr.filter(col("doc_id") >= splitAt)
+    val cands = freshArr
+      .select(col("doc_id").as("fresh_id"), explode(col("arr")).as("sh64"))
+      .join(postings, "sh64")
+      .select("fresh_id", "corpus_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = PrefixJoin.incrementalPpjoin(spark, dir, splitAt).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(cands), s"lost pairs: ${truth -- cands}")
+  }
+
+  test("wavSpectral: pure tones land all binned energy in exactly their own bin") {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, WavCodec}
+    def enc(samples: Array[Short]) = WavCodec.encode(44100, samples)
+    val n = 64
+    val a = 256
+    val dcSig = Array.fill(n)(a.toShort)
+    val quarterSig = Array.tabulate(n)(i => (i % 4 match {
+      case 0 => a; case 2 => -a; case _ => 0
+    }).toShort)
+    val nyqSig = Array.tabulate(n)(i => (if (i % 2 == 0) a else -a).toShort)
+    val ds = Seq(
+      Multimodal.WavDoc(1L, enc(dcSig)),
+      Multimodal.WavDoc(2L, enc(quarterSig)),
+      Multimodal.WavDoc(3L, enc(nyqSig))).toDS()
+    val rows = Multimodal.spectralCore(ds, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))).sortBy(_._1)
+    val full = 64L * a * (64L * a)
+    // constant (k=0): everything in the DC bin, zero HF share
+    assert(rows(0) === ((1L, full, 0L, 0L, 0L)))
+    // fs/4 tone [A,0,-A,0,...]: re = 32A, im = 0 -> quarter bin only
+    assert(rows(1) === ((2L, 0L, 32L * a * (32L * a), 0L, 1000000L)))
+    // Nyquist square [A,-A,...]: everything in the Nyquist bin
+    assert(rows(2) === ((3L, 0L, 0L, full, 1000000L)))
+  }
+
+  test("nearDupGate batch face reconciles with the q236 pair list") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val withArr = DedupOps.docShingleArr(spark, dir)
+    val corpusArr = withArr.filter(col("doc_id") < splitAt)
+    val postings = PrefixJoin.prefixPostingsOf(corpusArr)
+    val fresh = docs.filter(col("doc_id") >= splitAt)
+      .select(col("doc_id"), col("source"), col("text"),
+        md5(graft.text.TextOps.normText(col("text"))).as("fp"))
+    val admitted = graft.streaming.TrainingPipeline
+      .nearDupGate(fresh, postings, corpusArr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nearDup = PrefixJoin.incrementalPpjoin(spark, dir, splitAt).collect()
+      .map(_.getLong(0)).toSet
+    val allFresh = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === allFresh -- nearDup)
+    assert(nearDup.nonEmpty && admitted.nonEmpty)
+  }
+}

@@ -564,6 +564,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup admission: prefix-index matches die at exact threshold, sub-threshold docs survive") {
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // frozen corpus: a 12-token doc (10 shingles, prefix length
+    // 10 - ceil(7) + 1 = 4) and an unrelated filler doc
+    val corpusArr = Seq(
+      (100L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+      (101L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("arr"))
+    val postings = graft.dedup.PrefixJoin.prefixPostingsOf(corpusArr)
+    val input = MemoryStream[Doc]
+    val out = graft.streaming.TrainingPipeline.corpusIngest(
+      input.toDF(), chunkLen = 4, stride = 4, minTokens = 3,
+      stopRatioMin = 0.0, stopRatioMax = 1.0,
+      nearDupIndex = Some((postings, corpusArr)))
+    val q = out.writeStream.format("memory")
+      .queryName("neardup_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        // 14 tokens = 12 shingles sharing corpus doc 100's 10:
+        // J = 10/12 > 0.7 -> rejected despite a NOVEL md5
+        Doc(1, "web", "en", "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"),
+        // 9 tokens = corpus doc's first 7 shingles, all shared:
+        // J = 7/(7 + 10 - 7) = 0.7 EXACTLY -> rejected (>= threshold),
+        // and sits exactly on the size-filter boundary (7*10 == 10*7)
+        Doc(2, "web", "en", "alpha bravo charlie delta echo foxtrot golf hotel india"),
+        // shares the "alpha bravo charlie" shingle only: J = 1/18 -> admitted
+        Doc(3, "web", "en", "alpha bravo charlie completely different continuation of twelve unrelated words here"),
+        // nothing shared at all -> admitted
+        Doc(4, "books", "en", "entirely novel text with no overlap against the frozen corpus index"))
+      q.processAllAvailable()
+      input.addData(
+        // later batch still probes the frozen index -> rejected
+        Doc(5, "web", "en", "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima oscar papa"),
+        // in-stream exact dup of admitted doc 4 -> killed by the fp state
+        Doc(6, "web", "en", "entirely novel text with no overlap against the frozen corpus index"))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(3L, 4L),
+        s"near-dups (1, 2, 5) and in-stream dup (6) must die; got $ids")
+    } finally q.stop()
+  }
+
   test("keyed upsert recovers from a crash mid-swap without losing prior keys") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert3").toString
     val path = s"$dir/dim"
