@@ -427,6 +427,12 @@ object SparkEntry {
     // windowed spectral features on the WAV path: exact DFT-bin energies
     // at the integer-twiddle bins (DC, fs/4, Nyquist) + HF share
     "q237_wav_spectral"        -> ((s, d) => graft.multimodal.Multimodal.wavSpectral(s, d)),
+    // the WAV->vector hookup: per-doc spectral-shape shares, query doc's
+    // cosine top-k (q27 contract over audio-derived features)
+    "q238_spectral_knn"        -> ((s, d) => graft.multimodal.Multimodal.spectralKnn(s, d)),
+    // CCNet-style per-doc perplexity under the target-domain bigram LM
+    // (Laplace-smoothed; exact-integer counts, nano-rounded NLL terms)
+    "q239_doc_perplexity"      -> ((s, d) => graft.text.Curation.docPerplexity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2452,6 +2458,74 @@ object SparkEntry {
         |                            / (dc * dc + re_q * re_q + im_q * im_q + nyq * nyq) + 0.5) AS BIGINT)
         |       END AS hf_ratio_micro
         |FROM b ORDER BY doc_id, win_idx""".stripMargin,
+    // q238: q237's bins folded to per-doc micro-rounded power SHARES
+    // (exact BIGINT), then the q27 cosine-top-k contract — numerators
+    // are exact integers <= 3e12, denominators products of sqrts over
+    // exact operands, so the doubles are bit-identical cross-engine.
+    "q238_spectral_knn" ->
+      """WITH chars AS (SELECT doc_id, i,
+        |                      (ord(substr(text, CAST(i AS INT), 1)) - 96) * 256 AS s
+        |               FROM documents,
+        |                    LATERAL (SELECT unnest(generate_series(1, len(text))) AS i)),
+        |w AS (SELECT doc_id, (i - 1) // 64 AS win_idx, (i - 1) % 64 AS n,
+        |             CAST(s AS BIGINT) AS s
+        |      FROM chars),
+        |b AS (SELECT doc_id, win_idx,
+        |             SUM(s) AS dc,
+        |             SUM(CASE WHEN n % 2 = 0 THEN s ELSE -s END) AS nyq,
+        |             SUM(CASE WHEN n % 4 = 0 THEN s WHEN n % 4 = 2 THEN -s ELSE 0 END) AS re_q,
+        |             SUM(CASE WHEN n % 4 = 3 THEN s WHEN n % 4 = 1 THEN -s ELSE 0 END) AS im_q
+        |      FROM w GROUP BY 1, 2),
+        |p AS (SELECT doc_id, SUM(dc * dc) AS sd,
+        |             SUM(re_q * re_q + im_q * im_q) AS sq,
+        |             SUM(nyq * nyq) AS sn
+        |      FROM b GROUP BY 1),
+        |f AS (SELECT doc_id,
+        |             CASE WHEN sd + sq + sn = 0 THEN CAST(0 AS BIGINT)
+        |                  ELSE CAST(FLOOR(1000000.0 * sd / (sd + sq + sn) + 0.5) AS BIGINT) END AS f_dc,
+        |             CASE WHEN sd + sq + sn = 0 THEN CAST(0 AS BIGINT)
+        |                  ELSE CAST(FLOOR(1000000.0 * sq / (sd + sq + sn) + 0.5) AS BIGINT) END AS f_q,
+        |             CASE WHEN sd + sq + sn = 0 THEN CAST(0 AS BIGINT)
+        |                  ELSE CAST(FLOOR(1000000.0 * sn / (sd + sq + sn) + 0.5) AS BIGINT) END AS f_ny
+        |      FROM p),
+        |g AS (SELECT * FROM f WHERE f_dc * f_dc + f_q * f_q + f_ny * f_ny > 0),
+        |q AS (SELECT f_dc AS q_dc, f_q AS q_q, f_ny AS q_ny FROM g WHERE doc_id = 0)
+        |SELECT g.doc_id,
+        |       (g.f_dc * q.q_dc + g.f_q * q.q_q + g.f_ny * q.q_ny)
+        |       / (sqrt(g.f_dc * g.f_dc + g.f_q * g.f_q + g.f_ny * g.f_ny)
+        |          * sqrt(q.q_dc * q.q_dc + q.q_q * q.q_q + q.q_ny * q.q_ny)) AS cos
+        |FROM g, q WHERE g.doc_id <> 0
+        |ORDER BY cos DESC, g.doc_id LIMIT 10""".stripMargin,
+    // q239: the LM tables are exact integer counts off the target
+    // sources; each (doc, bigram)'s NLL is nano-rounded BEFORE the
+    // count-weighted order-free per-doc sum (q235 discipline), so
+    // ce/ppl round identically cross-engine.
+    "q239_doc_perplexity" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, source, unnest(CASE WHEN len(t) >= 2
+        |               THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+        |               ELSE [] END) AS bigram
+        |       FROM tok),
+        |dm AS (SELECT doc_id, source, bigram, CAST(COUNT(*) AS BIGINT) AS m
+        |       FROM bg GROUP BY 1, 2, 3),
+        |tb AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |       FROM bg WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+        |hw AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(SUM(c_ab) AS BIGINT) AS c_w1
+        |       FROM tb GROUP BY 1),
+        |vv AS (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v_types
+        |       FROM (SELECT unnest(t) AS tk FROM tok WHERE source IN ('src0', 'src1', 'src2'))),
+        |sc AS (SELECT dm.doc_id, dm.source, dm.m,
+        |              CAST(FLOOR(1000000000.0
+        |                * (-LN(CAST(COALESCE(tb.c_ab, 0) + 1 AS DOUBLE)
+        |                       / CAST(COALESCE(hw.c_w1, 0) + vv.v_types AS DOUBLE)))
+        |                + 0.5) AS BIGINT) AS nll_nano
+        |       FROM dm
+        |       LEFT JOIN tb USING (bigram)
+        |       LEFT JOIN hw ON hw.w1 = string_split(dm.bigram, ' ')[1], vv)
+        |SELECT doc_id, source, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        |       CAST(FLOOR(CAST(SUM(m * nll_nano) AS DOUBLE) / (1000.0 * SUM(m)) + 0.5) AS BIGINT) AS ce_micro,
+        |       CAST(FLOOR(1000.0 * EXP(CAST(SUM(m * nll_nano) AS DOUBLE) / (1.0e9 * SUM(m))) + 0.5) AS BIGINT) AS ppl_milli
+        |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // q180: both engines rebuild the planted old/new snapshots from the
     // same modular rules and full-outer diff them — the hash match pins
     // the insert/delete/update classification exactly (update rows are

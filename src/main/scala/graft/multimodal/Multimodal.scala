@@ -367,6 +367,56 @@ object Multimodal {
     }.toDF()
   }
 
+  /** q238 — spectral k-NN: the vector-stack hookup the WAV path was
+    * built toward (documents → PCM → exact DFT bins → per-doc feature →
+    * nearest neighbors). Each doc's windows fold into a 3-dim SPECTRAL
+    * SHAPE vector — the micro-rounded shares of total binned power in
+    * the DC / fs-4 / Nyquist bins — and the query doc's top-k cosine
+    * neighbors are returned, exactly the [[graft.vector.VectorOps
+    * .cosineTopK]] (q27) contract on audio-derived features.
+    *
+    * Determinism: shares are exact BIGINT (power sums ≤ 2⁴⁹ convert to
+    * double exactly; multiply-then-divide in the same order as the
+    * oracle before the micro round), so every cosine's numerator is an
+    * EXACT integer ≤ 3·10¹² and the denominator a product of sqrts
+    * over exact operands — both engines produce bit-identical doubles,
+    * no epsilon anywhere. Zero-power docs (no binned energy) are
+    * excluded on both sides rather than dividing by zero.
+    *
+    * Scale: feature extraction is the q237 narrow map + one partial-agg
+    * shuffle keyed by doc; the search is a broadcast-query linear scan
+    * (one pass, no shuffle) — at corpus scale the same 3-dim feature
+    * drops into the IVF path (q35/q232) unchanged. */
+  def spectralKnn(spark: SparkSession, dir: String,
+                  queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val t = col("sd") + col("sq") + col("sn")
+    def share(c: org.apache.spark.sql.Column) =
+      when(t === 0L, 0L)
+        .otherwise(floor(lit(1000000.0) * c / t + lit(0.5)).cast("long"))
+    val feats = wavSpectral(spark, dir)
+      .groupBy("doc_id")
+      .agg(sum("dc_pow").as("sd"), sum("quarter_pow").as("sq"),
+        sum("nyq_pow").as("sn"))
+      .select(col("doc_id"), share(col("sd")).as("f_dc"),
+        share(col("sq")).as("f_q"), share(col("sn")).as("f_ny"))
+      .filter(col("f_dc") * col("f_dc") + col("f_q") * col("f_q")
+        + col("f_ny") * col("f_ny") > 0L)
+    val q = feats.filter(col("doc_id") === queryId)
+      .select(col("f_dc").as("q_dc"), col("f_q").as("q_q"),
+        col("f_ny").as("q_ny"))
+    feats.filter(col("doc_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        ((col("f_dc") * col("q_dc") + col("f_q") * col("q_q")
+          + col("f_ny") * col("q_ny")) /
+          (sqrt(col("f_dc") * col("f_dc") + col("f_q") * col("f_q")
+            + col("f_ny") * col("f_ny")) *
+            sqrt(col("q_dc") * col("q_dc") + col("q_q") * col("q_q")
+              + col("q_ny") * col("q_ny")))).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   case class MediaFeature(doc_id: Long, n_bytes: Long, mean_byte: Double, feature: Array[Float])
 
   /** STUB decode/feature-extract: the real implementation would decode

@@ -46,6 +46,72 @@ object Curation {
     * factor cast to DOUBLE before multiplying, so the expression never
     * overflows BIGINT at any corpus size and both engines evaluate the
     * identical IEEE sequence. */
+  /** q239 — per-document PERPLEXITY under a bigram LM of the TARGET
+    * domain (the CCNet recipe, Wenzek et al. 2019, with the n-gram LM
+    * reduced to Laplace-smoothed bigrams): every doc is scored by its
+    * per-token cross-entropy −(1/n)·Σ ln P(w₂|w₁) with
+    * P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) estimated on the
+    * [[DsirTargetSources]] corpus — the quality-filtering signal that
+    * complements q203's importance RATIO: DSIR asks "target-like vs
+    * corpus-like?", perplexity asks "how surprising is this doc to the
+    * target LM at all?" (gibberish and boilerplate both score high).
+    * Distinct from q129's [[graft.text.TextOps.bigramLmScore]], which
+    * averages micro-rounded probabilities under a WHOLE-CORPUS model —
+    * this is the cross-entropy/perplexity form against a held TARGET
+    * domain, the number CCNet actually thresholds.
+    *
+    * Determinism (the q235 discipline): counts and V are exact
+    * integers; each distinct (doc, bigram)'s negative log-likelihood is
+    * nano-rounded BEFORE multiplying by its exact occurrence count and
+    * order-free summing — no float accumulates across rows, so the
+    * per-doc totals (≤ ~2⁴⁷, double-exact) replay bit-for-bit and the
+    * derived `ce_micro`/`ppl_milli` round identically cross-engine.
+    *
+    * Scale: one target-sources scan builds the LM (bigram counts, a
+    * head rollup OF that result, a distinct-token count — all bounded
+    * by target vocabulary, a persistent index artifact in production);
+    * scoring is the per-doc bigram partial-agg joined to the LM tables
+    * keyed by bigram, then one per-doc sum. Docs under 2 tokens have no
+    * bigrams and are absent on both sides. */
+  def docPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val target = docs.filter(col("source").isin(DsirTargetSources: _*))
+    val cbg = target
+      .select(explode(expr("graft_ngram_counts(text, 2)")).as("g"))
+      .groupBy(col("g.gram").as("bigram")).agg(sum(col("g.ct")).as("c_ab"))
+    val cw1 = cbg.withColumn("w1", expr("split(bigram, ' ')[0]"))
+      .groupBy("w1").agg(sum(col("c_ab")).as("c_w1"))
+    val vocab = target
+      .select(explode(expr(s"${graft.text.TextOps.TokensExpr}")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v_types"))
+    val docBg = docs
+      .select(col("doc_id"), col("source"),
+        explode(expr("graft_ngram_counts(text, 2)")).as("g"))
+      .select(col("doc_id"), col("source"), col("g.gram").as("bigram"),
+        col("g.ct").cast("long").as("m"))
+      .withColumn("w1", expr("split(bigram, ' ')[0]"))
+    docBg
+      .join(cbg, Seq("bigram"), "left")
+      .join(cw1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("source"), col("m"), expr(
+        """CAST(FLOOR(1000000000.0
+          | * (-LN(CAST(COALESCE(c_ab, 0) + 1 AS DOUBLE)
+          |        / CAST(COALESCE(c_w1, 0) + v_types AS DOUBLE)))
+          | + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")).as("nll_nano"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("nll_nano")).as("total_nano"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        expr("CAST(FLOOR(CAST(total_nano AS DOUBLE) / (1000.0 * n_bigrams) + 0.5) AS BIGINT)")
+          .as("ce_micro"),
+        expr("CAST(FLOOR(1000.0 * EXP(CAST(total_nano AS DOUBLE) / (1.0e9 * n_bigrams)) + 0.5) AS BIGINT)")
+          .as("ppl_milli"))
+      .orderBy("doc_id")
+  }
+
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     // repartition BEFORE the tokenize+explode projection: the single-
     // row-group parquet would otherwise run the whole token fan-out in

@@ -88,6 +88,48 @@ class Round11Spec extends SparkSpec {
     assert(rows(2) === ((3L, 0L, 0L, full, 1000000L)))
   }
 
+  test("spectralKnn: neighbor list is sane (cos bounded, sorted, shares derived from q237 bins)") {
+    import graft.multimodal.Multimodal
+    val rows = Multimodal.spectralKnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length === 10)
+    // cosines of non-negative share vectors live in [0, 1]
+    assert(rows.forall { case (_, c) => c >= 0.0 && c <= 1.0 })
+    // returned in descending-cos, ascending-id order
+    rows.sliding(2).foreach {
+      case Array((idA, cA), (idB, cB)) =>
+        assert(cA > cB || (cA == cB && idA < idB))
+      case _ =>
+    }
+    assert(!rows.exists(_._1 == 0L), "query doc must not match itself")
+  }
+
+  test("docPerplexity: ce/ppl consistency, smoothing floor, target-LM calibration") {
+    import graft.text.Curation
+    val rows = Curation.docPerplexity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === Tables.documents(spark, dir)
+      .filter(expr(s"size(${graft.text.TextOps.TokensExpr}) >= 2")).count())
+    rows.foreach { case (id, _, nb, ce, ppl) =>
+      assert(nb > 0)
+      // cross-entropy under Laplace smoothing is strictly positive (no
+      // bigram has probability 1 once V > 1) and finite
+      assert(ce > 0L, s"doc $id ce")
+      // ppl_milli replays from ce within the double rounding of the two
+      // paths (ce is micro-rounded; ppl is exp of the unrounded mean)
+      val expected = 1000.0 * math.exp(ce.toDouble / 1e6)
+      assert(math.abs(ppl - expected) <= math.max(2.0, expected * 1e-4),
+        s"doc $id ppl $ppl vs exp(ce) $expected")
+    }
+    // calibration: the target sources' own docs should on average be
+    // LESS surprising to the target LM than the other sources' docs
+    val (tgt, rest) = rows.partition(r => Curation.DsirTargetSources.contains(r._2))
+    val meanT = tgt.map(_._4).sum.toDouble / tgt.length
+    val meanR = rest.map(_._4).sum.toDouble / rest.length
+    assert(meanT < meanR,
+      s"target-domain docs must score lower CE (got $meanT vs $meanR)")
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
