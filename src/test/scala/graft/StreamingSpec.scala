@@ -609,6 +609,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup gate + fp-dedup state survive a checkpointed restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_gate_ckpt").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val corpusArr = Seq(
+      (100L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("arr"))
+    val postings = graft.dedup.PrefixJoin.prefixPostingsOf(corpusArr)
+    def writeFile(rows: Seq[(Long, String, String, String)]): Unit =
+      rows.toDF("doc_id", "source", "lang", "text")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val chunks = graft.streaming.TrainingPipeline.corpusIngest(
+        stream, chunkLen = 4, stride = 4, minTokens = 3,
+        stopRatioMin = 0.0, stopRatioMax = 1.0,
+        nearDupIndex = Some((postings, corpusArr)))
+      val q = chunks.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeFile(Seq(
+      (1L, "web", "en", "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"), // near-dup of corpus
+      (2L, "web", "en", "completely novel sentence with seven brand new words")))
+    runOnce()
+    writeFile(Seq(
+      (3L, "web", "en", "completely novel sentence with seven brand new words"), // exact dup of 2 ACROSS the restart
+      (4L, "books", "en", "another genuinely new document for the corpus here")))
+    runOnce()
+    val ids = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 dies at the frozen prefix index, 3 dies in the RESTORED fp-dedup
+    // state (the restart must reload both stateful operators' stores)
+    assert(ids === Set(2L, 4L),
+      s"state must survive the checkpointed restart; got $ids")
+  }
+
   test("keyed upsert recovers from a crash mid-swap without losing prior keys") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert3").toString
     val path = s"$dir/dim"
