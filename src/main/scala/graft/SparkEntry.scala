@@ -433,6 +433,9 @@ object SparkEntry {
     // CCNet-style per-doc perplexity under the target-domain bigram LM
     // (Laplace-smoothed; exact-integer counts, nano-rounded NLL terms)
     "q239_doc_perplexity"      -> ((s, d) => graft.text.Curation.docPerplexity(s, d)),
+    // retrieval-quality eval of the q205 BM25 ranking: graded nDCG@10 +
+    // full-match MRR against derivable term-count relevance labels
+    "q240_retrieval_eval"      -> ((s, d) => Publisher.retrievalEval(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2987,6 +2990,50 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, score_micro FROM sc
         |WHERE score_micro > 0
         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+    },
+    // q240: the q205 CTE chain reused verbatim, plus relevance labels
+    // from the SAME tf columns; DCG gains are CASE literals × plan-time
+    // discount literals (Publisher.dcgTermExpr, shared verbatim), each
+    // term nano-rounded before the order-free integer sum — no
+    // query-time libm call in either engine.
+    "q240_retrieval_eval" -> {
+      val termCols = Publisher.Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(",\n|        ")
+      val dfCols = Publisher.Bm25Terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val score = Publisher.Bm25Terms.indices.map(Publisher.bm25TermExpr).mkString(" + ")
+      val relSum = Publisher.Bm25Terms.indices.map(i =>
+        s"LEAST(tf$i, 3)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |        $termCols
+        |      FROM tok),
+        |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, $dfCols FROM d),
+        |sc AS (SELECT doc_id, $score AS score_micro FROM d, st),
+        |ranked AS (SELECT doc_id, score_micro FROM sc
+        |           WHERE score_micro > 0
+        |           ORDER BY score_micro DESC, doc_id LIMIT 10),
+        |rl AS (SELECT doc_id, CAST($relSum AS BIGINT) AS rel FROM d),
+        |rr AS (SELECT ranked.doc_id, rl.rel,
+        |              CAST(row_number() OVER (ORDER BY score_micro DESC, ranked.doc_id) AS BIGINT) AS r
+        |       FROM ranked JOIN rl USING (doc_id)),
+        |rg AS (SELECT r, rel, ${Publisher.dcgTermExpr} AS gain_nano FROM rr),
+        |ideal AS (SELECT rel,
+        |                 CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS r
+        |          FROM rl ORDER BY rel DESC, doc_id LIMIT 10),
+        |ig AS (SELECT ${Publisher.dcgTermExpr} AS gain_nano FROM ideal),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_eval,
+        |             CAST(SUM(gain_nano) AS BIGINT) AS dcg_nano,
+        |             CAST(COALESCE(MIN(CASE WHEN rel = 9 THEN r END), 0) AS BIGINT) AS first_full
+        |      FROM rg),
+        |i AS (SELECT CAST(SUM(gain_nano) AS BIGINT) AS idcg_nano FROM ig)
+        |SELECT k_eval, dcg_nano, idcg_nano,
+        |       CAST(FLOOR(1000000.0 * CAST(dcg_nano AS DOUBLE) / CAST(idcg_nano AS DOUBLE) + 0.5) AS BIGINT) AS ndcg_micro,
+        |       first_full,
+        |       CASE WHEN first_full = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(FLOOR(1000000.0 / first_full + 0.5) AS BIGINT) END AS mrr_full_micro
+        |FROM m, i""".stripMargin
     },
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥

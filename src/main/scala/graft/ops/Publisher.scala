@@ -75,6 +75,73 @@ object Publisher {
       .limit(k)
   }
 
+  /** q240 — retrieval-quality EVAL of the q205 BM25 ranking: graded
+    * nDCG@10 and full-match MRR against DERIVABLE relevance labels
+    * (rel = Σ min(tf, 3) over the query terms, graded 0–9 — so nDCG
+    * asks "does the ranker put high-tf multi-term docs first?", which
+    * BM25's tf saturation and length normalization do NOT guarantee;
+    * verified non-degenerate: the corpus's best-BM25 doc is not its
+    * best-labeled doc, so a ranking bug moves the metric). The evaluation
+    * stage every retrieval pipeline (RAG indexing, dedup-aware search)
+    * runs before trusting its ranker.
+    *
+    * Determinism: gains (2^rel − 1) are CASE literals, rank discounts
+    * 1/log₂(r+1) are PLAN-TIME double literals shared verbatim with
+    * the oracle (the q29 plane-literal precedent — Double.toString
+    * round-trips losslessly), each DCG term is nano-rounded BEFORE the
+    * order-free integer sum, and nDCG is one final integer-ratio
+    * division. No libm call happens at query time in either engine.
+    *
+    * Scale: label scan is one narrow map; the ideal list is a global
+    * top-10 (TakeOrdered); metrics fold 10 rows. The ranked side
+    * reuses the q205 plan unchanged. */
+  def retrievalEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val rels = docs
+      .select(col("doc_id") +: expr(graft.text.TextOps.TokensExpr).as("toks") +: Nil: _*)
+      .select(col("doc_id"), Bm25Terms.map(t =>
+        expr(s"LEAST(size(filter(toks, x -> x = '$t')), 3)"))
+        .reduce(_ + _).cast("long").as("rel"))
+    val ranked = bm25Core(docs, Bm25Terms, k)
+      .join(rels, "doc_id")
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
+      .withColumn("gain_nano", expr(dcgTermExpr))
+    val ideal = rels.orderBy(col("rel").desc, col("doc_id").asc).limit(k)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("rel").desc, col("doc_id").asc)).cast("long"))
+      .withColumn("gain_nano", expr(dcgTermExpr))
+      .agg(sum(col("gain_nano")).as("idcg_nano"))
+    ranked
+      .agg(count(lit(1)).as("k_eval"),
+        sum(col("gain_nano")).as("dcg_nano"),
+        coalesce(min(when(col("rel") === 9L, col("r"))), lit(0L)).as("first_full"))
+      .crossJoin(broadcast(ideal))
+      .select(col("k_eval"), col("dcg_nano"), col("idcg_nano"),
+        expr("CAST(FLOOR(1000000.0 * CAST(dcg_nano AS DOUBLE) / CAST(idcg_nano AS DOUBLE) + 0.5) AS BIGINT)")
+          .as("ndcg_micro"),
+        col("first_full"),
+        expr("CASE WHEN first_full = 0 THEN CAST(0 AS BIGINT) ELSE CAST(FLOOR(1000000.0 / first_full + 0.5) AS BIGINT) END")
+          .as("mrr_full_micro"))
+  }
+
+  /** One DCG term, nano-rounded: (2^rel − 1) as CASE literals ×
+    * 1/log₂(r+1) as plan-time double literals — shared verbatim with
+    * the oracle so no query-time libm call exists in either engine. */
+  private[graft] def dcgTermExpr: String = {
+    val gains = (0 to 9).map(v =>
+      s"WHEN $v THEN ${((1 << v) - 1).toDouble}").mkString(" ")
+    val discounts = (1 to 10).map { r =>
+      s"WHEN $r THEN ${1.0 / (math.log(r + 1.0) / math.log(2.0))}"
+    }.mkString(" ")
+    s"""CAST(FLOOR(1000000000.0
+       | * (CASE rel $gains ELSE 0.0 END)
+       | * (CASE r $discounts ELSE 0.0 END)
+       | + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")
+  }
+
   /** The per-term BM25 micro-score — ONE expression string shared
     * verbatim with the oracle SQL (column names included), so both
     * engines run the identical IEEE sequence before the floor. */

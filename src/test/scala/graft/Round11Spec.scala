@@ -130,6 +130,21 @@ class Round11Spec extends SparkSpec {
       s"target-domain docs must score lower CE (got $meanT vs $meanR)")
   }
 
+  test("retrievalEval: DCG bounded by IDCG and the derived metrics replay") {
+    import graft.ops.Publisher
+    val r = Publisher.retrievalEval(spark, dir).collect().head
+    val (k, dcg, idcg, ndcg, firstFull, mrr) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    assert(k === 10L)
+    assert(dcg > 0L && dcg <= idcg, "ranked DCG can never beat the ideal")
+    assert(ndcg ===
+      math.floor(1e6 * dcg.toDouble / idcg.toDouble + 0.5).toLong)
+    assert(ndcg > 0L && ndcg <= 1000000L)
+    if (firstFull == 0L) assert(mrr === 0L)
+    else assert(mrr === math.floor(1e6 / firstFull + 0.5).toLong)
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
