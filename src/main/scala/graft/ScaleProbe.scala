@@ -253,6 +253,24 @@ object ScaleProbe {
       "session funnel (islands + session-window min)" -> { t =>
         graft.ops.Sessions.sessionFunnelCore(t.events).count()
       },
+      "incremental ppjoin (frozen prefix postings, fixed fresh batch)" -> { t =>
+        // the realistic incremental-ingest shape: the CORPUS amplifies
+        // (its prefix-postings index grows linearly) while the fresh
+        // batch stays FIXED — one salted copy-0-flavored batch whose
+        // docs each near-dup their copy-0 counterpart, so candidate
+        // generation and exact verification do real (bounded) work at
+        // every scale instead of probing an empty match set
+        val corpusArr = t.docsSalted.select(col("doc_id"),
+          expr("graft_shingle_hashes(text, 3)").as("arr"))
+        val freshArr = Tables.documents(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .withColumn("doc_id", col("doc_id") + lit(8000000000000L))
+          .withColumn("text", regexp_replace(col("text"), "(^|\\s)", "$1c0"))
+          .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("arr"))
+        val postings = graft.dedup.PrefixJoin.prefixPostingsOf(corpusArr)
+        graft.dedup.PrefixJoin
+          .incrementalPpjoinOf(corpusArr, freshArr, postings).count()
+      },
       "Q5-shape 6-way join (AQE-chosen dim joins)" -> { t =>
         // dims stay FIXED while the facts amplify — the realistic shape
         // (amplified customer keys would orphan the fact rows anyway)

@@ -436,6 +436,9 @@ object SparkEntry {
     // retrieval-quality eval of the q205 BM25 ranking: graded nDCG@10 +
     // full-match MRR against derivable term-count relevance labels
     "q240_retrieval_eval"      -> ((s, d) => Publisher.retrievalEval(s, d)),
+    // apply the q152 mixture as a deterministic md5-threshold sampler;
+    // achieved-vs-target kept-token share audit
+    "q241_mixture_sample"      -> ((s, d) => graft.text.TextOps.mixtureSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2018,6 +2021,45 @@ object SparkEntry {
         |       CAST(FLOOR(1000000.0 * src_tokens / tot_tokens + 0.5) AS BIGINT) AS nat_micro,
         |       CAST(FLOOR(1000000.0 * sqrt_micro / tot_sqrt + 0.5) AS BIGINT) AS w_micro
         |FROM w CROSS JOIN g ORDER BY source""".stripMargin,
+    // q241: the q152 CTEs verbatim + the q130 hex-threshold sampler;
+    // rate = per-source ratio normalized by an order-free MAX, kept
+    // volumes are exact integer aggregates of the deterministic
+    // md5-prefix predicate.
+    "q241_mixture_sample" ->
+      """WITH t AS (SELECT source,
+        |             CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS src_tokens
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, src_tokens,
+        |        CAST(FLOOR(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS sqrt_micro
+        |      FROM t),
+        |g AS (SELECT CAST(SUM(sqrt_micro) AS BIGINT) AS tot_sqrt FROM w),
+        |ww AS (SELECT source, src_tokens,
+        |         CAST(FLOOR(1000000.0 * sqrt_micro / tot_sqrt + 0.5) AS BIGINT) AS w_micro
+        |       FROM w CROSS JOIN g),
+        |r AS (SELECT source, src_tokens, w_micro,
+        |             CAST(w_micro AS DOUBLE) / src_tokens AS ratio FROM ww),
+        |mx AS (SELECT MAX(ratio) AS maxr FROM r),
+        |rated AS (SELECT source, w_micro, ratio / maxr AS rate,
+        |                 CAST(FLOOR(ratio / maxr * 1000000.0 + 0.5) AS BIGINT) AS rate_micro,
+        |                 CASE WHEN ratio / maxr >= 1.0 THEN 'g'
+        |                      ELSE printf('%08x', CAST(FLOOR(ratio / maxr * 4294967296.0) AS BIGINT))
+        |                 END AS thresh
+        |          FROM r CROSS JOIN mx),
+        |pd AS (SELECT doc_id, source,
+        |              CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |       FROM documents),
+        |k AS (SELECT pd.source, COUNT(*) AS docs_kept,
+        |             CAST(SUM(pd.n_tokens) AS BIGINT) AS tokens_kept
+        |      FROM pd JOIN rated ON pd.source = rated.source
+        |      WHERE substring(md5(CAST(pd.doc_id AS VARCHAR)), 1, 8) < rated.thresh
+        |      GROUP BY 1),
+        |tk AS (SELECT CAST(SUM(tokens_kept) AS BIGINT) AS tot_kept FROM k)
+        |SELECT rated.source, rate_micro, w_micro AS target_micro,
+        |       COALESCE(k.docs_kept, 0) AS docs_kept,
+        |       COALESCE(k.tokens_kept, 0) AS tokens_kept,
+        |       CAST(FLOOR(1000000.0 * COALESCE(k.tokens_kept, 0) / tot_kept + 0.5) AS BIGINT) AS achieved_micro
+        |FROM rated LEFT JOIN k ON rated.source = k.source CROSS JOIN tk
+        |ORDER BY rated.source""".stripMargin,
     // q153: recall@10 of the IVF index vs exact cosine top-10 over a
     // 5-query eval set — q35's derivable quantizer (seed + one exact
     // Lloyd step) and probe rule generalized per query, both rankings

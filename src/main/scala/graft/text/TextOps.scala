@@ -907,6 +907,62 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q241 — APPLY the q152 temperature mixture as a deterministic
+    * doc-level SAMPLER and audit the achieved mix: per-source inclusion
+    * rate ∝ w(s)/tokens(s) normalized so the most-upweighted source
+    * keeps everything (down-sampling only — the realizable half of a
+    * sampling distribution without replacement), docs selected by the
+    * engine-identical md5-threshold (q45/q53/q70/q130 machinery — a
+    * pure function of doc_id: reproducible across runs, partitionings,
+    * engines), and the report compares ACHIEVED kept-token shares to
+    * the q152 TARGETS. This is the step that turns "what should the
+    * mixture be" (q152) into "which docs are in the run" — the manifest
+    * a training job actually reads.
+    *
+    * Determinism: src_tokens and w_micro are exact integers (q152);
+    * the per-source ratio and its max are one double division and an
+    * order-free MAX; the rate renders to the same 8-hex-digit threshold
+    * in both engines ('g' for the rate-1 source). Kept counts/tokens
+    * are exact integer aggregates of a deterministic predicate.
+    *
+    * Shape at scale: q152's per-source aggregates + a |sources|-row
+    * broadcast threshold table back onto the scan; fact rows never
+    * shuffle (both aggregates combine map-side). */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSampleCore(Tables.documents(spark, dir))
+
+  private[graft] def mixtureSampleCore(docs: DataFrame): DataFrame = {
+    val w = mixtureWeightsCore(docs)
+      .withColumn("ratio", col("w_micro").cast("double") / col("src_tokens"))
+    val maxr = w.agg(max(col("ratio")).as("maxr"))
+    val rated = w.crossJoin(broadcast(maxr))
+      .withColumn("rate", col("ratio") / col("maxr"))
+      .withColumn("rate_micro",
+        expr("cast(floor(rate * 1000000.0d + 0.5d) as bigint)"))
+      .withColumn("thresh",
+        when(col("rate") >= 1.0, lit("g"))
+          .otherwise(format_string("%08x",
+            floor(col("rate") * lit(4294967296.0)).cast("long"))))
+    val perDoc = withTokens(docs)
+      .select(col("doc_id"), col("source"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+    val kept = perDoc
+      .join(broadcast(rated.select("source", "thresh")), "source")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("thresh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+    val tot = kept.agg(sum(col("tokens_kept")).as("tot_kept"))
+    rated.join(kept, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("rate_micro"),
+        col("w_micro").as("target_micro"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        expr("cast(floor(1000000.0d * coalesce(tokens_kept, 0) / tot_kept + 0.5d) as bigint)")
+          .as("achieved_micro"))
+      .orderBy("source")
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
     * algorithm): hash every k-gram (k=3 tokens), slide a window of
     * w=4 consecutive hashes, select each window's MINIMUM — the

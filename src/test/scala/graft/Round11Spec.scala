@@ -145,6 +145,39 @@ class Round11Spec extends SparkSpec {
     else assert(mrr === math.floor(1e6 / firstFull + 0.5).toLong)
   }
 
+  test("mixtureSample: deterministic monotone rates, partitioned achieved shares") {
+    import graft.text.TextOps
+    val rows = TextOps.mixtureSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // every rate is a real probability; the most-upweighted source
+    // keeps everything (down-sampling-only normalization)
+    assert(rows.forall { case (_, rate, _, _, _, _) => rate > 0L && rate <= 1000000L })
+    assert(rows.exists(_._2 == 1000000L))
+    // no source keeps more docs than it has
+    val perSource = Tables.documents(spark, dir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (s, _, _, kept, _, _) => assert(kept <= perSource(s)) }
+    // the achieved shares partition the kept mass (Σ = 1e6 ± rounding)
+    val achievedSum = rows.map(_._6).sum
+    assert(math.abs(achievedSum - 1000000L) <= rows.length,
+      s"achieved shares must partition the kept tokens (sum $achievedSum)")
+    // rate ∝ tokens^(−1/2): a strictly larger source never gets a
+    // strictly larger rate (±1 micro for the rounding of w_micro)
+    val srcTokens = TextOps.mixtureWeights(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byRate = rows.map { case (s, rate, _, _, _, _) => (srcTokens(s), rate) }
+    for ((ta, ra) <- byRate; (tb, rb) <- byRate if ta > tb)
+      assert(ra <= rb + 1L,
+        s"larger source ($ta tokens) must not out-rate smaller ($tb): $ra vs $rb")
+    // the sampler is a pure function of doc_id: a second run is identical
+    val again = TextOps.mixtureSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq === rows.map(r => (r._1, r._4, r._5)).toSeq)
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
