@@ -439,6 +439,11 @@ object SparkEntry {
     // apply the q152 mixture as a deterministic md5-threshold sampler;
     // achieved-vs-target kept-token share audit
     "q241_mixture_sample"      -> ((s, d) => graft.text.TextOps.mixtureSample(s, d)),
+    // cross-source near-dup flow matrix over the q204 exact pair set
+    "q242_dup_flow"            -> ((s, d) => graft.dedup.PrefixJoin.dupFlowMatrix(s, d)),
+    // content-defined chunking (CDC): rolling-hash boundaries, per-doc
+    // chunk statistics; insertion stability pinned in the spec
+    "q243_cdc_chunks"          -> ((s, d) => graft.text.TextOps.cdcChunks(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3076,6 +3081,50 @@ object SparkEntry {
         |       CASE WHEN first_full = 0 THEN CAST(0 AS BIGINT)
         |            ELSE CAST(FLOOR(1000000.0 / first_full + 0.5) AS BIGINT) END AS mrr_full_micro
         |FROM m, i""".stripMargin
+    },
+    // q242: the Jaccard pair CTEs + two source joins + a bounded-domain
+    // aggregate; source pairs canonicalized by string least/greatest.
+    "q242_dup_flow" ->
+      s"""WITH $JaccardCtes,
+        |lb AS (SELECT LEAST(x.source, y.source) AS source_a,
+        |              GREATEST(x.source, y.source) AS source_b
+        |       FROM jpairs
+        |       JOIN documents x ON doc_a = x.doc_id
+        |       JOIN documents y ON doc_b = y.doc_id),
+        |tt AS (SELECT COUNT(*) AS n_all FROM lb)
+        |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(FLOOR(1000000.0 * COUNT(*) / n_all + 0.5) AS BIGINT) AS share_micro
+        |FROM lb CROSS JOIN tt GROUP BY source_a, source_b, n_all
+        |ORDER BY source_a, source_b""".stripMargin,
+    // q243: the CDC window hash replayed 1-based — token codes are the
+    // q130 md5-hex-prefix integers, B^j mod M coefficients are shared
+    // plan-time constants, all modular BIGINT arithmetic.
+    "q243_cdc_chunks" -> {
+      val w = graft.text.TextOps.CdcWindow
+      val m = 2147483647L
+      val mask = graft.text.TextOps.CdcMask + 1
+      val terms = (0 until w).map(j =>
+        s"(CAST(concat('0x', substring(md5(t[p - ${w - 1} + $j]), 1, 6)) AS BIGINT)" +
+          s" * ${graft.text.TextOps.cdcPow(j)} % $m)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |        CASE WHEN len(t) >= ${w + 1}
+        |        THEN list_filter(generate_series($w, len(t) - 1),
+        |                         p -> (($terms) % $m) % $mask = 0)
+        |        ELSE [] END AS cuts
+        |      FROM tok),
+        |l AS (SELECT doc_id, n_tokens, CAST(len(cuts) AS BIGINT) AS n_cuts,
+        |        list_transform(
+        |          generate_series(1, len(cuts) + 1),
+        |          i -> list_concat(list_concat([0], cuts), [n_tokens])[i + 1]
+        |             - list_concat(list_concat([0], cuts), [n_tokens])[i]) AS lens
+        |      FROM c)
+        |SELECT doc_id, n_tokens, n_cuts,
+        |       n_cuts + 1 AS n_chunks,
+        |       CAST(list_max(lens) AS BIGINT) AS max_chunk,
+        |       CAST(list_min(lens) AS BIGINT) AS min_chunk,
+        |       CAST(FLOOR(1000.0 * n_tokens / (n_cuts + 1) + 0.5) AS BIGINT) AS mean_chunk_milli
+        |FROM l ORDER BY doc_id""".stripMargin
     },
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥

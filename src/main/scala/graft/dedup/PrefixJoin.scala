@@ -224,6 +224,38 @@ object PrefixJoin {
       .orderBy("fresh_id", "corpus_id")
   }
 
+  /** q242 — cross-source near-dup FLOW matrix: the q204 exact pair set
+    * aggregated to source granularity — for every unordered source
+    * pair, how many near-dup pairs cross it (and each pair's share of
+    * the whole dup mass). The dashboard a curation team reads to see
+    * WHO copies WHOM: a web source near-dupping a books source is
+    * license trouble; a source near-dupping itself wants per-source
+    * dedup before the global pass. Source pairs are canonicalized by
+    * string order (least/greatest), so within-source flows land on the
+    * diagonal (source_a = source_b).
+    *
+    * Scale: the heavy lifting is q204's prefix join (memoized within a
+    * session via the shared shingle table); on top of it ride two
+    * broadcast-able doc→source joins of the (small) pair set and a
+    * bounded-domain aggregate — at most |sources|² rows out. */
+  def dupFlowMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ppjoinPairs(spark, dir).select("doc_a", "doc_b")
+    val src = graft.Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val labeled = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    val totals = labeled.agg(count(lit(1)).as("n_all"))
+    labeled.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(totals))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        expr("CAST(FLOOR(1000000.0 * n_pairs / n_all + 0.5) AS BIGINT)")
+          .as("share_micro"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Candidate-pair counts for the pruning spec: (prefix-filtered
     * candidates, all shared-shingle pairs). The first must contain every
     * qualifying pair (theorem) and be strictly smaller than the second

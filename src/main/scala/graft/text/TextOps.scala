@@ -963,6 +963,76 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q243 — CONTENT-DEFINED chunking (the CDC/FastCDC idea applied to
+    * token streams): chunk boundaries are cut where a rolling
+    * polynomial hash of the last `CdcWindow` tokens hits 0 mod
+    * `CdcMask+1` — so boundaries are a function of local CONTENT, not
+    * position. The property fixed-stride chunking (q40) lacks: insert
+    * one sentence at the top of a document and every q40 chunk shifts
+    * (nothing dedups), while every CDC boundary past the edit window
+    * re-aligns and the downstream chunk-hash dedup (q22/q23) still
+    * kills the unchanged tail. This is how backup/dedup systems (and
+    * dedup-friendly corpus stores) chunk; the insertion-stability
+    * property is pinned in the spec.
+    *
+    * Determinism: token codes are md5-hex-prefix integers (the q130
+    * engine-identical trick), the window hash is exact BIGINT modular
+    * arithmetic (codes < 2²⁴, B^j mod M < 2³¹ ⇒ products < 2⁵⁵, the
+    * 4-term sum < 2³³ — no overflow anywhere), and every output is an
+    * integer or one milli-rounded ratio. A production run would swap a
+    * byte-level Rabin hash computed once per token (the winnowing
+    * caveat); the boundary statistics are hash-agnostic.
+    *
+    * Scale: entirely IN-ROW (one projection computes cuts and chunk
+    * lengths per doc) — zero shuffle until the display sort. */
+  val CdcWindow = 4
+  val CdcMask = 15L // cut when hash % 16 == 0 -> expected ~16-token chunks
+  private val CdcM = 2147483647L // 2^31 - 1
+  private val CdcB = 1000003L
+  private[graft] def cdcPow(j: Int): Long =
+    BigInt(CdcB).modPow(BigInt(j), BigInt(CdcM)).toLong
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcCore(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** The cut-position layer of [[cdcCore]]: (doc_id, n_tokens, cuts)
+    * with 0-based cut positions — the spec's hook for the insertion-
+    * stability property (cut decisions depend only on the window's
+    * tokens, so an edit re-aligns every boundary past it). */
+  private[graft] def cdcCuts(docs: DataFrame): DataFrame = {
+    val w = CdcWindow
+    val terms = (0 until w).map(j =>
+      s"((CAST(CONV(substring(md5(toks[p - ${w - 1} + $j]), 1, 6), 16, 10) AS BIGINT)" +
+        s" * ${cdcPow(j)}L) % ${CdcM}L)").mkString(" + ")
+    docs
+      .select(col("doc_id"), expr(TokensExpr).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"), expr(
+        s"""CASE WHEN size(toks) >= ${w + 1}
+           |THEN filter(sequence(${w - 1}, size(toks) - 2),
+           |            p -> (($terms) % ${CdcM}L) % ${CdcMask + 1}L = 0L)
+           |ELSE array() END""".stripMargin).as("cuts"))
+  }
+
+  /** [[cdcChunks]] over any (doc_id, text) frame. */
+  private[graft] def cdcCore(docs: DataFrame): DataFrame = {
+    cdcCuts(docs)
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("cuts")).cast("long").as("n_cuts"), expr(
+          """transform(
+            |  sequence(1, size(cuts) + 1),
+            |  i -> element_at(concat(array(-1), cuts, array(CAST(n_tokens AS INT) - 1)), i + 1)
+            |     - element_at(concat(array(-1), cuts, array(CAST(n_tokens AS INT) - 1)), i))""".stripMargin)
+          .as("lens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_cuts"),
+        (col("n_cuts") + 1L).as("n_chunks"),
+        expr("CAST(array_max(lens) AS BIGINT)").as("max_chunk"),
+        expr("CAST(array_min(lens) AS BIGINT)").as("min_chunk"),
+        expr("CAST(FLOOR(1000.0 * n_tokens / (n_cuts + 1) + 0.5) AS BIGINT)")
+          .as("mean_chunk_milli"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
     * algorithm): hash every k-gram (k=3 tokens), slide a window of
     * w=4 consecutive hashes, select each window's MINIMUM — the

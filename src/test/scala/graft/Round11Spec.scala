@@ -178,6 +178,42 @@ class Round11Spec extends SparkSpec {
     assert(again.toSeq === rows.map(r => (r._1, r._4, r._5)).toSeq)
   }
 
+  test("cdcChunks: boundaries are content-defined — a front insertion re-aligns past the edit") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val base = (1 to 200).map(i => s"tok${i * 7 % 97}")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, ("zzz " +: base).mkString(" "))).toDF("doc_id", "text")
+    val cuts = TextOps.cdcCuts(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2).toSet).toMap
+    assert(cuts(1L).nonEmpty, "a 200-token doc must cut somewhere")
+    // every base boundary survives the insertion, shifted by exactly 1
+    // (its window contains only pre-edit tokens), and the only possible
+    // NEW boundary is the one window that contains the inserted token
+    val shifted = cuts(1L).map(_ + 1)
+    assert(shifted.subsetOf(cuts(2L)),
+      s"lost boundaries: ${shifted -- cuts(2L)}")
+    assert((cuts(2L) -- shifted).subsetOf(Set(TextOps.CdcWindow - 1)),
+      s"unexpected new boundaries: ${cuts(2L) -- shifted}")
+    // contrast: q40 fixed-stride chunks would ALL shift — no boundary of
+    // doc 1 would survive as content (this is the CDC selling point)
+  }
+
+  test("dupFlowMatrix: canonical pairs, shares partition the q204 pair mass") {
+    import graft.dedup.PrefixJoin
+    val rows = PrefixJoin.dupFlowMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, n, _) =>
+      assert(a <= b, s"source pair ($a, $b) must be canonicalized")
+      assert(n > 0L)
+    }
+    assert(rows.map(_._3).sum === PrefixJoin.ppjoinPairs(spark, dir).count())
+    val shareSum = rows.map(_._4).sum
+    assert(math.abs(shareSum - 1000000L) <= rows.length)
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
