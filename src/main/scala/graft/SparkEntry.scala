@@ -444,6 +444,9 @@ object SparkEntry {
     // content-defined chunking (CDC): rolling-hash boundaries, per-doc
     // chunk statistics; insertion stability pinned in the spec
     "q243_cdc_chunks"          -> ((s, d) => graft.text.TextOps.cdcChunks(s, d)),
+    // curriculum order manifest: q239 perplexity quartile stages +
+    // md5 within-stage shuffle + round-robin shards
+    "q244_curriculum_order"    -> ((s, d) => graft.text.Curation.curriculumOrder(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2551,31 +2554,22 @@ object SparkEntry {
     // count-weighted order-free per-doc sum (q235 discipline), so
     // ce/ppl round identically cross-engine.
     "q239_doc_perplexity" ->
-      """WITH tok AS (SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
-        |bg AS (SELECT doc_id, source, unnest(CASE WHEN len(t) >= 2
-        |               THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
-        |               ELSE [] END) AS bigram
-        |       FROM tok),
-        |dm AS (SELECT doc_id, source, bigram, CAST(COUNT(*) AS BIGINT) AS m
-        |       FROM bg GROUP BY 1, 2, 3),
-        |tb AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
-        |       FROM bg WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
-        |hw AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(SUM(c_ab) AS BIGINT) AS c_w1
-        |       FROM tb GROUP BY 1),
-        |vv AS (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v_types
-        |       FROM (SELECT unnest(t) AS tk FROM tok WHERE source IN ('src0', 'src1', 'src2'))),
-        |sc AS (SELECT dm.doc_id, dm.source, dm.m,
-        |              CAST(FLOOR(1000000000.0
-        |                * (-LN(CAST(COALESCE(tb.c_ab, 0) + 1 AS DOUBLE)
-        |                       / CAST(COALESCE(hw.c_w1, 0) + vv.v_types AS DOUBLE)))
-        |                + 0.5) AS BIGINT) AS nll_nano
-        |       FROM dm
-        |       LEFT JOIN tb USING (bigram)
-        |       LEFT JOIN hw ON hw.w1 = string_split(dm.bigram, ' ')[1], vv)
-        |SELECT doc_id, source, CAST(SUM(m) AS BIGINT) AS n_bigrams,
-        |       CAST(FLOOR(CAST(SUM(m * nll_nano) AS DOUBLE) / (1000.0 * SUM(m)) + 0.5) AS BIGINT) AS ce_micro,
-        |       CAST(FLOOR(1000.0 * EXP(CAST(SUM(m * nll_nano) AS DOUBLE) / (1.0e9 * SUM(m))) + 0.5) AS BIGINT) AS ppl_milli
-        |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+      s"""WITH $PerplexityCtes
+        |SELECT doc_id, source, n_bigrams, ce_micro, ppl_milli
+        |FROM ppl ORDER BY doc_id""".stripMargin,
+    // q244: the q239 CTEs verbatim + NTILE stages over (ce, doc_id) +
+    // md5 within-stage shuffle + round-robin shards - all pure
+    // functions of the data, bit-reproducible in both engines.
+    "q244_curriculum_order" ->
+      s"""WITH $PerplexityCtes,
+        |st AS (SELECT doc_id, NTILE(4) OVER (ORDER BY ce_micro, doc_id) AS stage,
+        |              md5('cur:' || CAST(doc_id AS VARCHAR)) AS sk
+        |       FROM ppl),
+        |o AS (SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+        |             CAST(row_number() OVER (PARTITION BY stage ORDER BY sk, doc_id) AS BIGINT) AS pos
+        |      FROM st)
+        |SELECT doc_id, stage, pos, (pos - 1) % 8 AS shard
+        |FROM o ORDER BY stage, pos""".stripMargin,
     // q180: both engines rebuild the planted old/new snapshots from the
     // same modular rules and full-outer diff them — the hash match pins
     // the insert/delete/update classification exactly (update rows are
@@ -3843,6 +3837,37 @@ object SparkEntry {
     * → smoothed micro ratios → per-doc sums), shared verbatim by the
     * weight oracle (q203) and the lift audit (q216) so the two can
     * never drift. */
+  /** The q239 scoring CTE chain (tokenize -> target bigram LM ->
+    * nano-rounded NLL -> per-doc ce/ppl), shared verbatim by the
+    * perplexity oracle (q239) and the curriculum manifest (q244) so
+    * the two can never drift. */
+  private val PerplexityCtes: String =
+    """tok AS (SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, source, unnest(CASE WHEN len(t) >= 2
+      |               THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+      |               ELSE [] END) AS bigram
+      |       FROM tok),
+      |dm AS (SELECT doc_id, source, bigram, CAST(COUNT(*) AS BIGINT) AS m
+      |       FROM bg GROUP BY 1, 2, 3),
+      |tb AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+      |       FROM bg WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+      |hw AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(SUM(c_ab) AS BIGINT) AS c_w1
+      |       FROM tb GROUP BY 1),
+      |vv AS (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v_types
+      |       FROM (SELECT unnest(t) AS tk FROM tok WHERE source IN ('src0', 'src1', 'src2'))),
+      |sc AS (SELECT dm.doc_id, dm.source, dm.m,
+      |              CAST(FLOOR(1000000000.0
+      |                * (-LN(CAST(COALESCE(tb.c_ab, 0) + 1 AS DOUBLE)
+      |                       / CAST(COALESCE(hw.c_w1, 0) + vv.v_types AS DOUBLE)))
+      |                + 0.5) AS BIGINT) AS nll_nano
+      |       FROM dm
+      |       LEFT JOIN tb USING (bigram)
+      |       LEFT JOIN hw ON hw.w1 = string_split(dm.bigram, ' ')[1], vv),
+      |ppl AS (SELECT doc_id, source, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+      |               CAST(FLOOR(CAST(SUM(m * nll_nano) AS DOUBLE) / (1000.0 * SUM(m)) + 0.5) AS BIGINT) AS ce_micro,
+      |               CAST(FLOOR(1000.0 * EXP(CAST(SUM(m * nll_nano) AS DOUBLE) / (1.0e9 * SUM(m))) + 0.5) AS BIGINT) AS ppl_milli
+      |        FROM sc GROUP BY 1, 2)""".stripMargin
+
   private val DsirCtes: String =
     """tok AS (SELECT doc_id, source,
       |               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token

@@ -112,6 +112,37 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q244 — deterministic CURRICULUM ORDER manifest: the step that
+    * turns q239's difficulty signal into an actual training order.
+    * Docs are banded into `nStages` perplexity quartiles (easy → hard,
+    * the curriculum-learning schedule), pseudo-shuffled WITHIN each
+    * stage by the md5 of the doc id (a pure function — the "random"
+    * order an engineer can replay anywhere), and dealt round-robin
+    * onto `nShards` data shards. Every training job that consumes the
+    * corpus reads this manifest, so it must be bit-reproducible across
+    * runs, partitionings, and engines — which is exactly what the
+    * md5-order + total tie-breaks give.
+    *
+    * Scale: the stage assignment is one global NTILE over
+    * (ce, doc_id) — a range-partitioned sort at corpus scale (the
+    * q55 banded-global-rank shape); the within-stage shuffle is a
+    * stage-partitioned window. Nothing else shuffles. */
+  def curriculumOrder(spark: SparkSession, dir: String,
+                      nStages: Int = 4, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docPerplexity(spark, dir).select("doc_id", "ce_micro")
+    scored
+      .withColumn("stage", ntile(nStages).over(
+        Window.orderBy(col("ce_micro").asc, col("doc_id").asc)).cast("long"))
+      .withColumn("shuffle_key", md5(concat(lit("cur:"), col("doc_id").cast("string"))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("stage"))
+          .orderBy(col("shuffle_key").asc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("stage"), col("pos"),
+        ((col("pos") - 1L) % nShards).as("shard"))
+      .orderBy("stage", "pos")
+  }
+
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     // repartition BEFORE the tokenize+explode projection: the single-
     // row-group parquet would otherwise run the whole token fan-out in

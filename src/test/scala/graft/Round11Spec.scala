@@ -214,6 +214,35 @@ class Round11Spec extends SparkSpec {
     assert(math.abs(shareSum - 1000000L) <= rows.length)
   }
 
+  test("curriculumOrder: stages band by difficulty, positions/shards deal cleanly, replayable") {
+    import graft.text.Curation
+    val rows = Curation.curriculumOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ce = Curation.docPerplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows.length === ce.size)
+    val byStage = rows.groupBy(_._2)
+    assert(byStage.keySet === Set(1L, 2L, 3L, 4L))
+    // NTILE balance: stage sizes differ by at most 1
+    val sizes = byStage.values.map(_.length)
+    assert(sizes.max - sizes.min <= 1)
+    // easy -> hard: stage k's hardest doc never exceeds stage k+1's easiest
+    for (k <- 1L to 3L) {
+      val mx = byStage(k).map(t => ce(t._1)).max
+      val mn = byStage(k + 1).map(t => ce(t._1)).min
+      assert(mx <= mn, s"stage $k max ce $mx > stage ${k + 1} min ce $mn")
+    }
+    // positions are 1..size within each stage; shards deal round-robin
+    byStage.foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq === (1L to g.length).toSeq)
+      g.foreach { case (_, _, pos, shard) => assert(shard === (pos - 1) % 8) }
+    }
+    // the manifest is a pure function of the data: a rerun is identical
+    val again = Curation.curriculumOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
