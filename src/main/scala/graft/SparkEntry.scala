@@ -447,6 +447,9 @@ object SparkEntry {
     // curriculum order manifest: q239 perplexity quartile stages +
     // md5 within-stage shuffle + round-robin shards
     "q244_curriculum_order"    -> ((s, d) => graft.text.Curation.curriculumOrder(s, d)),
+    // int8 scalar-quantization audit of the embedding store (recon
+    // error + SNR, nano-rounded per-dim terms)
+    "q245_quantization_audit"  -> ((s, d) => graft.vector.VectorOps.quantizationAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3120,6 +3123,35 @@ object SparkEntry {
         |       CAST(FLOOR(1000.0 * n_tokens / (n_cuts + 1) + 0.5) AS BIGINT) AS mean_chunk_milli
         |FROM l ORDER BY doc_id""".stripMargin
     },
+    // q245: same one-rounding quantize/reconstruct expressions, per-dim
+    // error/energy terms nano-rounded before order-free list_sum.
+    "q245_quantization_audit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mx AS (SELECT vec_id, v, CAST(len(v) AS BIGINT) AS n_dims,
+        |              list_max(list_transform(v, x -> abs(x))) AS maxabs
+        |       FROM e),
+        |r AS (SELECT vec_id, v, n_dims,
+        |             CAST(FLOOR(1000000000.0 * maxabs + 0.5) AS BIGINT) AS maxabs_nano,
+        |             CASE WHEN maxabs = 0.0 THEN list_transform(v, x -> 0.0)
+        |                  ELSE list_transform(v, x -> FLOOR(127.0 * x / maxabs + 0.5) * maxabs / 127.0)
+        |             END AS rv
+        |      FROM mx),
+        |t AS (SELECT vec_id, n_dims, maxabs_nano,
+        |             CAST(list_sum(list_transform(generate_series(1, CAST(n_dims AS INT)),
+        |               i -> CAST(FLOOR(1000000000.0 * abs(v[i] - rv[i]) + 0.5) AS BIGINT))) AS BIGINT) AS l1_err_nano,
+        |             CAST(list_max(list_transform(generate_series(1, CAST(n_dims AS INT)),
+        |               i -> CAST(FLOOR(1000000000.0 * abs(v[i] - rv[i]) + 0.5) AS BIGINT))) AS BIGINT) AS linf_err_nano,
+        |             CAST(list_sum(list_transform(generate_series(1, CAST(n_dims AS INT)),
+        |               i -> CAST(FLOOR(1000000000.0 * v[i] * v[i] + 0.5) AS BIGINT))) AS BIGINT) AS sig_sq_nano,
+        |             CAST(list_sum(list_transform(generate_series(1, CAST(n_dims AS INT)),
+        |               i -> CAST(FLOOR(1000000000.0 * (v[i] - rv[i]) * (v[i] - rv[i]) + 0.5) AS BIGINT))) AS BIGINT) AS err_sq_nano
+        |      FROM r)
+        |SELECT vec_id, n_dims, maxabs_nano, l1_err_nano, linf_err_nano,
+        |       sig_sq_nano, err_sq_nano,
+        |       CASE WHEN err_sq_nano = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(FLOOR(1000.0 * CAST(sig_sq_nano AS DOUBLE) / CAST(err_sq_nano AS DOUBLE) + 0.5) AS BIGINT)
+        |       END AS snr_milli
+        |FROM t ORDER BY vec_id""".stripMargin,
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥
     // 3·na) and a micro-rounded ratio.

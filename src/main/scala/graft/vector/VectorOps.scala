@@ -184,6 +184,58 @@ object VectorOps {
   }
 
   /** Brute-force cosine top-k against the embedding of `queryId`. */
+  /** q245 — INT8 scalar-quantization audit of the embedding store:
+    * every vector is symmetric-quantized (q = round(127·x/max|x|), the
+    * per-vector-scale int8 scheme vector stores use to cut memory 4×)
+    * and the report carries the reconstruction error a recall budget is
+    * judged against — L1/L∞ error, signal and error energies, and the
+    * SNR. Run before switching an ANN index (q29/q35) to int8 storage:
+    * a low-SNR tail is where quantized recall decays first.
+    *
+    * Determinism: max|x| and q are exact one-rounding expressions
+    * (FLOOR(127·x/maxabs + 0.5) — round-half-up, identical for
+    * negatives in both engines); every per-dim error/energy term is
+    * nano-rounded BEFORE the order-free in-row integer sum (the q235
+    * discipline applied per-vector), so the frame hash-verifies with
+    * doubles never accumulating. The all-zero vector quantizes to
+    * itself (maxabs 0 guard) with SNR 0 by convention.
+    *
+    * Scale: entirely IN-ROW (one projection per vector, no shuffle
+    * until the display sort) — the audit reads the store once. */
+  def quantizationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    e.select(col("vec_id"),
+        expr("CAST(size(v) AS BIGINT)").as("n_dims"),
+        expr("array_max(transform(v, x -> abs(x)))").as("maxabs"),
+        col("v"))
+      .select(col("vec_id"), col("n_dims"),
+        expr("CAST(FLOOR(1000000000.0 * maxabs + 0.5) AS BIGINT)").as("maxabs_nano"),
+        expr("""CASE WHEN maxabs = 0.0 THEN transform(v, x -> 0.0)
+               |ELSE transform(v, x -> FLOOR(127.0 * x / maxabs + 0.5) * maxabs / 127.0)
+               |END""".stripMargin).as("r"),
+        col("v"))
+      .select(col("vec_id"), col("n_dims"), col("maxabs_nano"),
+        expr("""aggregate(zip_with(v, r, (x, y) ->
+               |  CAST(FLOOR(1000000000.0 * abs(x - y) + 0.5) AS BIGINT)),
+               |  0L, (a, t) -> a + t)""".stripMargin).as("l1_err_nano"),
+        expr("""array_max(zip_with(v, r, (x, y) ->
+               |  CAST(FLOOR(1000000000.0 * abs(x - y) + 0.5) AS BIGINT)))""".stripMargin)
+          .as("linf_err_nano"),
+        expr("""aggregate(transform(v, x ->
+               |  CAST(FLOOR(1000000000.0 * x * x + 0.5) AS BIGINT)),
+               |  0L, (a, t) -> a + t)""".stripMargin).as("sig_sq_nano"),
+        expr("""aggregate(zip_with(v, r, (x, y) ->
+               |  CAST(FLOOR(1000000000.0 * (x - y) * (x - y) + 0.5) AS BIGINT)),
+               |  0L, (a, t) -> a + t)""".stripMargin).as("err_sq_nano"))
+      .select(col("vec_id"), col("n_dims"), col("maxabs_nano"),
+        col("l1_err_nano"), col("linf_err_nano"),
+        col("sig_sq_nano"), col("err_sq_nano"),
+        expr("""CASE WHEN err_sq_nano = 0 THEN CAST(0 AS BIGINT)
+               |ELSE CAST(FLOOR(1000.0 * CAST(sig_sq_nano AS DOUBLE) / CAST(err_sq_nano AS DOUBLE) + 0.5) AS BIGINT)
+               |END""".stripMargin).as("snr_milli"))
+      .orderBy("vec_id")
+  }
+
   def cosineTopK(spark: SparkSession, dir: String,
                  queryId: Long = 0L, k: Int = 10): DataFrame = {
     val e = vecs(spark, dir)

@@ -243,6 +243,25 @@ class Round11Spec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("quantizationAudit: errors bounded by half a quantization step, SNR sane") {
+    import graft.vector.VectorOps
+    val rows = VectorOps.quantizationAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nDims, maxabsN, l1, linf, sigSq, errSq, snr) =>
+      assert(nDims === 64L)
+      // symmetric round-to-nearest: per-dim error <= maxabs/254 (half a
+      // step), so Linf is bounded by it (+1 nano for the rounding)
+      assert(linf <= maxabsN / 254L + 1L,
+        s"vec $id Linf $linf exceeds half-step ${maxabsN / 254L}")
+      assert(l1 >= linf && l1 <= nDims * (maxabsN / 254L + 1L))
+      assert(errSq <= sigSq, s"vec $id error energy above signal energy")
+      // int8 with per-vector scale keeps SNR comfortably high
+      assert(snr > 10000L, s"vec $id snr_milli $snr implausibly low for int8")
+    }
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
