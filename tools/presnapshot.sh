@@ -11,9 +11,13 @@
 # check; run it before every end-of-round commit (verify skill step 2
 # covers the full query set when time allows).
 #
-# Usage: tools/presnapshot.sh  (from the repo root; exit 0 = safe)
+# Usage: tools/presnapshot.sh [--gate-only]  (from the repo root; exit 0 = safe)
+#   --gate-only skips the Verify smoke and evaluates only the bench
+#   freshness gate (used by tools/test_presnapshot.sh to prove a planted
+#   stale-bench regression cannot snapshot).
 set -euo pipefail
 cd "$(dirname "$0")/.."
+if [ "${1:-}" != "--gate-only" ]; then
 out=$(mktemp -d /tmp/graft_presnapshot.XXXXXX)
 trap 'rm -rf "$out"' EXIT
 SPARK_GRAFT_CPUS=4 sbt -batch \
@@ -30,6 +34,7 @@ for q in q05_dau_table q14_alerts q36_sessions; do
   fi
 done
 echo "presnapshot: events-path queries green on current testdata"
+fi
 # Per-query bench budget gate (judge r8: a 768 s query shipped unnoticed;
 # judge r10: a 13.6 s regression shipped because the bench predated the
 # source change and this gate only WARNED). Hardened: a snapshot now
