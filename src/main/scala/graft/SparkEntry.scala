@@ -450,6 +450,8 @@ object SparkEntry {
     // int8 scalar-quantization audit of the embedding store (recon
     // error + SNR, nano-rounded per-dim terms)
     "q245_quantization_audit"  -> ((s, d) => graft.vector.VectorOps.quantizationAudit(s, d)),
+    // hybrid retrieval: RRF fusion of the BM25 and cosine rankings
+    "q246_hybrid_rrf"          -> ((s, d) => Publisher.hybridRrf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3152,6 +3154,45 @@ object SparkEntry {
         |            ELSE CAST(FLOOR(1000.0 * CAST(sig_sq_nano AS DOUBLE) / CAST(err_sq_nano AS DOUBLE) + 0.5) AS BIGINT)
         |       END AS snr_milli
         |FROM t ORDER BY vec_id""".stripMargin,
+    // q246: the q205 scoring CTEs + the q27 cosine CTEs, each ranked
+    // with its total tie-break order, fused by micro-rounded RRF
+    // contributions over integer ranks.
+    "q246_hybrid_rrf" -> {
+      val termCols = Publisher.Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(",\n|        ")
+      val dfCols = Publisher.Bm25Terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val score = Publisher.Bm25Terms.indices.map(Publisher.bm25TermExpr).mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |        $termCols
+        |      FROM tok),
+        |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, $dfCols FROM d),
+        |sc AS (SELECT doc_id, $score AS score_micro FROM d, st),
+        |lexr AS (SELECT doc_id,
+        |                CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rl
+        |         FROM sc WHERE score_micro > 0
+        |         ORDER BY score_micro DESC, doc_id LIMIT 50),
+        |lex AS (SELECT doc_id, CAST(FLOOR(1000000.0 / (60 + rl) + 0.5) AS BIGINT) AS lex_micro FROM lexr),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cosr AS (SELECT e.vec_id AS doc_id,
+        |                list_inner_product(e.v, q.qv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+        |         FROM e, q WHERE e.vec_id <> 0),
+        |vecr AS (SELECT doc_id,
+        |                CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rv
+        |         FROM cosr ORDER BY cos DESC, doc_id LIMIT 50),
+        |vec AS (SELECT doc_id, CAST(FLOOR(1000000.0 / (60 + rv) + 0.5) AS BIGINT) AS vec_micro FROM vecr),
+        |f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+        |             CASE WHEN lex.doc_id IS NULL THEN 0 ELSE 1 END AS in_lex,
+        |             CASE WHEN vec.doc_id IS NULL THEN 0 ELSE 1 END AS in_vec,
+        |             COALESCE(lex_micro, 0) + COALESCE(vec_micro, 0) AS rrf_micro
+        |      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        |SELECT doc_id, CAST(in_lex AS BIGINT) AS in_lex, CAST(in_vec AS BIGINT) AS in_vec,
+        |       CAST(rrf_micro AS BIGINT) AS rrf_micro
+        |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+    },
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥
     // 3·na) and a micro-rounded ratio.

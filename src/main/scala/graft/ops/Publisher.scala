@@ -127,6 +127,48 @@ object Publisher {
           .as("mrr_full_micro"))
   }
 
+  /** q246 — HYBRID retrieval by Reciprocal Rank Fusion (Cormack et al.
+    * SIGIR'09): the q205 lexical (BM25) ranking fused with a vector
+    * ranking (cosine neighbors of a fixed anchor embedding, the q27
+    * contract) by RRF score Σ 1/(60 + rank) — the
+    * "more-like-this AND matches-the-keywords" query every hybrid
+    * search stack (RAG retrieval, dedup-aware search) serves. Docs on
+    * only one list still score (the other list contributes 0); the
+    * `in_lex`/`in_vec` flags make the fusion auditable.
+    *
+    * Determinism: both input rankings are already bit-reproducible
+    * (q205's integer scores; q27's bit-identical cosines) with total
+    * tie-break orders; each RRF contribution micro-rounds 1/(60+r)
+    * from an integer rank — one double division, then integer adds.
+    *
+    * Scale: two top-`depth` lists (TakeOrdered each), a full-outer
+    * join of two depth-row frames, one more TakeOrdered — the fusion
+    * itself never touches corpus-sized data. */
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = 10,
+                depth: Int = 50, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val lex = bm25Core(docs, Bm25Terms, depth)
+      .withColumn("rl", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"),
+        expr(s"CAST(FLOOR(1000000.0 / ($rrfK + rl) + 0.5) AS BIGINT)").as("lex_micro"))
+    val vec = graft.vector.VectorOps.cosineTopK(spark, dir, 0L, depth)
+      .withColumn("rv", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("doc_id"),
+        expr(s"CAST(FLOOR(1000000.0 / ($rrfK + rv) + 0.5) AS BIGINT)").as("vec_micro"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("lex_micro").isNotNull, 1L).otherwise(0L).as("in_lex"),
+        when(col("vec_micro").isNotNull, 1L).otherwise(0L).as("in_vec"),
+        (coalesce(col("lex_micro"), lit(0L)) + coalesce(col("vec_micro"), lit(0L)))
+          .as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** One DCG term, nano-rounded: (2^rel − 1) as CASE literals ×
     * 1/log₂(r+1) as plan-time double literals — shared verbatim with
     * the oracle so no query-time libm call exists in either engine. */

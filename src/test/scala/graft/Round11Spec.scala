@@ -262,6 +262,33 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("hybridRrf: fused scores replay exactly from the two underlying rankings") {
+    import graft.ops.Publisher
+    import graft.vector.VectorOps
+    val out = Publisher.hybridRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 10)
+    // recompute both rank lists independently
+    val lex = Publisher.bm25Search(spark, dir, k = 50).collect()
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> math.floor(1e6 / (60 + i + 1) + 0.5).toLong }.toMap
+    val vec = VectorOps.cosineTopK(spark, dir, 0L, 50).collect()
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> math.floor(1e6 / (60 + i + 1) + 0.5).toLong }.toMap
+    out.foreach { case (id, inLex, inVec, rrf) =>
+      assert(inLex === (if (lex.contains(id)) 1L else 0L))
+      assert(inVec === (if (vec.contains(id)) 1L else 0L))
+      assert(rrf === lex.getOrElse(id, 0L) + vec.getOrElse(id, 0L),
+        s"doc $id fused score")
+    }
+    // fusion is ordered and the winners beat any doc outside the lists
+    out.sliding(2).foreach {
+      case Array((ida, _, _, a), (idb, _, _, b)) =>
+        assert(a > b || (a == b && ida < idb))
+      case _ =>
+    }
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
