@@ -452,6 +452,10 @@ object SparkEntry {
     "q245_quantization_audit"  -> ((s, d) => graft.vector.VectorOps.quantizationAudit(s, d)),
     // hybrid retrieval: RRF fusion of the BM25 and cosine rankings
     "q246_hybrid_rrf"          -> ((s, d) => Publisher.hybridRrf(s, d)),
+    // per-doc memorization-risk score from corpus-hapax tokens
+    "q247_hapax_risk"          -> ((s, d) => graft.text.TextOps.hapaxRisk(s, d)),
+    // k-anonymity strata audit over (source, lang, length band)
+    "q248_kanon_strata"        -> ((s, d) => graft.text.TextOps.kAnonymityStrata(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3193,6 +3197,35 @@ object SparkEntry {
         |       CAST(rrf_micro AS BIGINT) AS rrf_micro
         |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
     },
+    // q247: distinct per-doc tokens -> corpus df -> df=1 subset joined
+    // back; exact integers + one micro share.
+    "q247_hapax_risk" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, source, unnest(t) AS tok FROM tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY 1),
+        |hx AS (SELECT tok FROM df WHERE df = 1),
+        |pd AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_types FROM dt GROUP BY 1, 2),
+        |hd AS (SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hapax
+        |       FROM dt JOIN hx USING (tok) GROUP BY 1)
+        |SELECT pd.doc_id, pd.source, pd.n_types,
+        |       COALESCE(hd.n_hapax, 0) AS n_hapax,
+        |       CAST(FLOOR(1000000.0 * COALESCE(hd.n_hapax, 0) / pd.n_types + 0.5) AS BIGINT) AS hapax_micro
+        |FROM pd LEFT JOIN hd ON pd.doc_id = hd.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
+    // q248: bounded-domain strata counts + risky flag; integer band
+    // from the shared tokenizer.
+    "q248_kanon_strata" ->
+      """WITH d AS (SELECT source, lang,
+        |             CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) // 100 AS len_band
+        |           FROM documents),
+        |st AS (SELECT source, lang, len_band, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |       FROM d GROUP BY 1, 2, 3),
+        |tt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all FROM st)
+        |SELECT source, lang, len_band, n_docs,
+        |       CASE WHEN n_docs < 5 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS risky,
+        |       CAST(FLOOR(1000000.0 * n_docs / n_all + 0.5) AS BIGINT) AS share_micro
+        |FROM st CROSS JOIN tt
+        |ORDER BY source, lang, len_band""".stripMargin,
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥
     // 3·na) and a micro-rounded ratio.

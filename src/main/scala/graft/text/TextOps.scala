@@ -907,6 +907,73 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q247 — per-doc MEMORIZATION-RISK score from corpus-hapax tokens:
+    * for every document, how many of its distinct tokens appear in NO
+    * other document (corpus doc-frequency 1), and what share of its
+    * vocabulary that is. Documents dense in corpus-unique tokens are
+    * where verbatim memorization and PII-like strings concentrate —
+    * the per-doc triage signal a privacy/memorization review ranks by
+    * (the Carlini-style extraction-risk heuristic reduced to exact
+    * corpus statistics).
+    *
+    * Scale: one (token → doc-frequency) partial-agg pass over per-doc
+    * DISTINCT tokens, the df=1 subset joined back onto the same
+    * exploded frame (a skinny semi-ish join keyed by token), one
+    * per-doc count — all exact integers plus one micro-rounded share.
+    * The df table is corpus-vocabulary-bounded and reusable as an
+    * index artifact. */
+  def hapaxRisk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docTok = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        explode(expr(s"array_distinct($TokensExpr)")).as("tok"))
+    val hapax = docTok.groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") === 1L)
+      .select("tok")
+    val perDoc = docTok.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_types"))
+    val hapaxPerDoc = docTok.join(hapax, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hapax"))
+    perDoc.join(hapaxPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+      .withColumn("hapax_micro",
+        expr("CAST(FLOOR(1000000.0 * n_hapax / n_types + 0.5) AS BIGINT)"))
+      .orderBy("doc_id")
+  }
+
+  /** q248 — K-ANONYMITY strata audit over the corpus's quasi-
+    * identifiers: every document falls in a stratum
+    * (source, lang, token-length band of 100), and any stratum with
+    * fewer than `k` documents is a re-identification risk — the
+    * released-dataset audit a privacy review runs before publishing a
+    * corpus or its per-stratum statistics (small cells leak; they get
+    * suppressed or merged). Output is the full bounded-domain stratum
+    * table with sizes and the risky flag, plus each stratum's share of
+    * all docs.
+    *
+    * Scale: one narrow map per doc (band expression) + one partial-agg
+    * pass over a bounded domain (|sources| × |langs| × bands) — fact
+    * rows never shuffle beyond the map-side combine. */
+  def kAnonymityStrata(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val strata = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        expr(s"CAST(graft_text_stats(text).n_tokens AS BIGINT) div 100").as("len_band"))
+      .groupBy("source", "lang", "len_band")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = strata.agg(sum(col("n_docs")).as("n_all"))
+    strata.crossJoin(broadcast(totals))
+      .select(col("source"), col("lang"), col("len_band"), col("n_docs"),
+        when(col("n_docs") < k, 1L).otherwise(0L).as("risky"),
+        expr("CAST(FLOOR(1000000.0 * n_docs / n_all + 0.5) AS BIGINT)")
+          .as("share_micro"))
+      .orderBy("source", "lang", "len_band")
+  }
+
   /** q241 — APPLY the q152 temperature mixture as a deterministic
     * doc-level SAMPLER and audit the achieved mix: per-source inclusion
     * rate ∝ w(s)/tokens(s) normalized so the most-upweighted source

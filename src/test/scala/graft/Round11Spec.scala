@@ -289,6 +289,37 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("hapaxRisk: conservation — per-doc hapax counts sum to the corpus hapax vocabulary") {
+    import graft.text.TextOps
+    val rows = TextOps.hapaxRisk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === 500)
+    rows.foreach { case (id, nTypes, nHapax, micro) =>
+      assert(nHapax >= 0L && nHapax <= nTypes, s"doc $id")
+      assert(micro === math.floor(1e6 * nHapax.toDouble / nTypes + 0.5).toLong)
+    }
+    // every df=1 token belongs to exactly one doc, so the per-doc counts
+    // sum to the corpus-wide hapax vocabulary size
+    val corpusHapax = Tables.documents(spark, dir)
+      .select(explode(expr(s"array_distinct(${graft.text.TextOps.TokensExpr})")).as("tok"))
+      .groupBy("tok").count().filter(col("count") === 1L).count()
+    assert(rows.map(_._3).sum === corpusHapax)
+  }
+
+  test("kAnonymityStrata: strata partition the corpus, risky flag replays") {
+    import graft.text.TextOps
+    val rows = TextOps.kAnonymityStrata(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._4).sum === Tables.documents(spark, dir).count())
+    rows.foreach { case (_, _, _, n, risky, _) =>
+      assert(risky === (if (n < 5) 1L else 0L))
+      assert(n > 0L)
+    }
+    // strata keys are unique (it is a partition, not a rollup)
+    assert(rows.map(t => (t._1, t._2, t._3)).distinct.length === rows.length)
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
