@@ -456,6 +456,8 @@ object SparkEntry {
     "q247_hapax_risk"          -> ((s, d) => graft.text.TextOps.hapaxRisk(s, d)),
     // k-anonymity strata audit over (source, lang, length band)
     "q248_kanon_strata"        -> ((s, d) => graft.text.TextOps.kAnonymityStrata(s, d)),
+    // per-source train/eval generalization gap under a train-split LM
+    "q249_split_gap"           -> ((s, d) => graft.text.Curation.splitGap(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2563,14 +2565,14 @@ object SparkEntry {
     // count-weighted order-free per-doc sum (q235 discipline), so
     // ce/ppl round identically cross-engine.
     "q239_doc_perplexity" ->
-      s"""WITH $PerplexityCtes
+      s"""WITH ${perplexityCtes("source IN ('src0', 'src1', 'src2')")}
         |SELECT doc_id, source, n_bigrams, ce_micro, ppl_milli
         |FROM ppl ORDER BY doc_id""".stripMargin,
     // q244: the q239 CTEs verbatim + NTILE stages over (ce, doc_id) +
     // md5 within-stage shuffle + round-robin shards - all pure
     // functions of the data, bit-reproducible in both engines.
     "q244_curriculum_order" ->
-      s"""WITH $PerplexityCtes,
+      s"""WITH ${perplexityCtes("source IN ('src0', 'src1', 'src2')")},
         |st AS (SELECT doc_id, NTILE(4) OVER (ORDER BY ce_micro, doc_id) AS stage,
         |              md5('cur:' || CAST(doc_id AS VARCHAR)) AS sk
         |       FROM ppl),
@@ -3226,6 +3228,26 @@ object SparkEntry {
         |       CAST(FLOOR(1000000.0 * n_docs / n_all + 0.5) AS BIGINT) AS share_micro
         |FROM st CROSS JOIN tt
         |ORDER BY source, lang, len_band""".stripMargin,
+    // q249: the q239 CTEs with the LM filtered to the TRAIN split
+    // (md5 doc split), pooled per (source, split) from exact sums.
+    "q249_split_gap" -> {
+      val trainFilter = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1')"
+      s"""WITH ${perplexityCtes(trainFilter)},
+        |sp AS (SELECT doc_id,
+        |              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |                   THEN 'eval' ELSE 'train' END AS split
+        |       FROM documents),
+        |pd AS (SELECT sc.doc_id, sc.source,
+        |              CAST(SUM(m) AS BIGINT) AS nb,
+        |              CAST(SUM(m * nll_nano) AS BIGINT) AS tot
+        |       FROM sc GROUP BY 1, 2)
+        |SELECT pd.source, sp.split,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+        |       CAST(FLOOR(CAST(SUM(tot) AS DOUBLE) / (1000.0 * SUM(nb)) + 0.5) AS BIGINT) AS ce_micro
+        |FROM pd JOIN sp ON pd.doc_id = sp.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥
     // 3·na) and a micro-rounded ratio.
@@ -3943,11 +3965,11 @@ object SparkEntry {
     * → smoothed micro ratios → per-doc sums), shared verbatim by the
     * weight oracle (q203) and the lift audit (q216) so the two can
     * never drift. */
-  /** The q239 scoring CTE chain (tokenize -> target bigram LM ->
-    * nano-rounded NLL -> per-doc ce/ppl), shared verbatim by the
-    * perplexity oracle (q239) and the curriculum manifest (q244) so
-    * the two can never drift. */
-  private val PerplexityCtes: String =
+  /** The q239 scoring CTE chain (tokenize -> bigram LM over the
+    * `lmFilter` subset -> nano-rounded NLL -> per-doc ce/ppl), shared
+    * verbatim by the perplexity oracle (q239), the curriculum manifest
+    * (q244) and the split-gap audit (q249) so none can drift. */
+  private def perplexityCtes(lmFilter: String): String =
     """tok AS (SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
       |bg AS (SELECT doc_id, source, unnest(CASE WHEN len(t) >= 2
       |               THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
@@ -3956,11 +3978,11 @@ object SparkEntry {
       |dm AS (SELECT doc_id, source, bigram, CAST(COUNT(*) AS BIGINT) AS m
       |       FROM bg GROUP BY 1, 2, 3),
       |tb AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
-      |       FROM bg WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+      |       FROM bg WHERE LMFILTER GROUP BY 1),
       |hw AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(SUM(c_ab) AS BIGINT) AS c_w1
       |       FROM tb GROUP BY 1),
       |vv AS (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v_types
-      |       FROM (SELECT unnest(t) AS tk FROM tok WHERE source IN ('src0', 'src1', 'src2'))),
+      |       FROM (SELECT unnest(t) AS tk FROM tok WHERE LMFILTER)),
       |sc AS (SELECT dm.doc_id, dm.source, dm.m,
       |              CAST(FLOOR(1000000000.0
       |                * (-LN(CAST(COALESCE(tb.c_ab, 0) + 1 AS DOUBLE)
@@ -3972,7 +3994,7 @@ object SparkEntry {
       |ppl AS (SELECT doc_id, source, CAST(SUM(m) AS BIGINT) AS n_bigrams,
       |               CAST(FLOOR(CAST(SUM(m * nll_nano) AS DOUBLE) / (1000.0 * SUM(m)) + 0.5) AS BIGINT) AS ce_micro,
       |               CAST(FLOOR(1000.0 * EXP(CAST(SUM(m * nll_nano) AS DOUBLE) / (1.0e9 * SUM(m))) + 0.5) AS BIGINT) AS ppl_milli
-      |        FROM sc GROUP BY 1, 2)""".stripMargin
+      |        FROM sc GROUP BY 1, 2)""".stripMargin.replace("LMFILTER", lmFilter)
 
   private val DsirCtes: String =
     """tok AS (SELECT doc_id, source,

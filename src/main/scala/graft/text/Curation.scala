@@ -77,13 +77,26 @@ object Curation {
     graft.functions.GraftFunctions.register(spark)
     val docs = graft.Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-    val target = docs.filter(col("source").isin(DsirTargetSources: _*))
-    val cbg = target
+    nllScored(docs, docs.filter(col("source").isin(DsirTargetSources: _*)))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        expr("CAST(FLOOR(CAST(total_nano AS DOUBLE) / (1000.0 * n_bigrams) + 0.5) AS BIGINT)")
+          .as("ce_micro"),
+        expr("CAST(FLOOR(1000.0 * EXP(CAST(total_nano AS DOUBLE) / (1.0e9 * n_bigrams)) + 0.5) AS BIGINT)")
+          .as("ppl_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** The scoring core shared by [[docPerplexity]] (LM = target sources)
+    * and [[splitGap]] (LM = train split): per doc, the exact bigram
+    * count and the nano-rounded total NLL under a Laplace-smoothed
+    * bigram LM of `lmDocs`. */
+  private[graft] def nllScored(docs: DataFrame, lmDocs: DataFrame): DataFrame = {
+    val cbg = lmDocs
       .select(explode(expr("graft_ngram_counts(text, 2)")).as("g"))
       .groupBy(col("g.gram").as("bigram")).agg(sum(col("g.ct")).as("c_ab"))
     val cw1 = cbg.withColumn("w1", expr("split(bigram, ' ')[0]"))
       .groupBy("w1").agg(sum(col("c_ab")).as("c_w1"))
-    val vocab = target
+    val vocab = lmDocs
       .select(explode(expr(s"${graft.text.TextOps.TokensExpr}")).as("tok"))
       .agg(countDistinct(col("tok")).as("v_types"))
     val docBg = docs
@@ -104,12 +117,37 @@ object Curation {
       .groupBy("doc_id", "source")
       .agg(sum(col("m")).as("n_bigrams"),
         sum(col("m") * col("nll_nano")).as("total_nano"))
-      .select(col("doc_id"), col("source"), col("n_bigrams"),
+  }
+
+  /** q249 — per-source GENERALIZATION GAP: a bigram LM is fit on the
+    * TRAIN split only (the q130-style md5 split of
+    * [[graft.text.TextOps.splitCol]]) and both splits are scored
+    * against it; per (source, split) the POOLED cross-entropy
+    * (Σ m·nll / Σ m — order-free exact sums, one final division) shows
+    * how much harder unseen same-source text is than the text the LM
+    * memorized. A near-zero eval−train gap for a source is the
+    * leakage/contamination smell q161 then localizes doc-by-doc; an
+    * outsized gap flags a source too heterogeneous for its volume.
+    *
+    * Scale: the LM tables aggregate the train split once (vocabulary-
+    * bounded artifacts); scoring is the q239 bigram-keyed join; the
+    * report is a bounded (source × split) partial agg. */
+  def splitGap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("split", graft.text.TextOps.splitCol)
+    val scored = nllScored(docs, docs.filter(col("split") === "train"))
+    scored
+      .join(docs.select("doc_id", "split"), "doc_id")
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("total_nano")).as("total_nano"))
+      .select(col("source"), col("split"), col("n_docs"), col("n_bigrams"),
         expr("CAST(FLOOR(CAST(total_nano AS DOUBLE) / (1000.0 * n_bigrams) + 0.5) AS BIGINT)")
-          .as("ce_micro"),
-        expr("CAST(FLOOR(1000.0 * EXP(CAST(total_nano AS DOUBLE) / (1.0e9 * n_bigrams)) + 0.5) AS BIGINT)")
-          .as("ppl_milli"))
-      .orderBy("doc_id")
+          .as("ce_micro"))
+      .orderBy("source", "split")
   }
 
   /** q244 — deterministic CURRICULUM ORDER manifest: the step that

@@ -445,7 +445,7 @@ object TextOps {
 
   /** The split-assignment column shared by [[trainEvalSplit]] and
     * [[contamination]] — a pure function of doc_id (md5 hex prefix). */
-  private def splitCol: Column =
+  private[graft] def splitCol: Column =
     when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"), "eval")
       .otherwise("train")
 

@@ -320,6 +320,34 @@ class Round11Spec extends SparkSpec {
     assert(rows.map(t => (t._1, t._2, t._3)).distinct.length === rows.length)
   }
 
+  test("splitGap: the train-split LM finds unseen eval text harder") {
+    import graft.text.Curation
+    val rows = Curation.splitGap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bySplit = rows.groupBy(_._2)
+    assert(bySplit.keySet === Set("train", "eval"))
+    // all scored docs are accounted for
+    val scoredDocs = Tables.documents(spark, dir)
+      .filter(expr(s"size(${graft.text.TextOps.TokensExpr}) >= 2")).count()
+    assert(rows.map(_._3).sum === scoredDocs)
+    // pooled across sources, the LM's own training text must score
+    // lower cross-entropy than held-out text (it memorized the former)
+    def pooledCe(split: String): Double = {
+      val g = bySplit(split)
+      // ce_micro weighted by bigram mass approximates the pooled CE
+      g.map(r => r._5.toDouble * r._4).sum / g.map(_._4).sum
+    }
+    assert(pooledCe("train") < pooledCe("eval"),
+      s"train CE ${pooledCe("train")} must undercut eval CE ${pooledCe("eval")}")
+    // and the gap is visible for the large majority of sources
+    val gaps = rows.groupBy(_._1).collect {
+      case (_, g) if g.length == 2 =>
+        g.find(_._2 == "eval").get._5 - g.find(_._2 == "train").get._5
+    }
+    assert(gaps.count(_ > 0L) * 10 >= gaps.size * 8,
+      s"at least 80% of sources must show a positive gap (${gaps.count(_ > 0L)}/${gaps.size})")
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
