@@ -458,6 +458,8 @@ object SparkEntry {
     "q248_kanon_strata"        -> ((s, d) => graft.text.TextOps.kAnonymityStrata(s, d)),
     // per-source train/eval generalization gap under a train-split LM
     "q249_split_gap"           -> ((s, d) => graft.text.Curation.splitGap(s, d)),
+    // BPE first-merge candidates: adjacent char-pair mass inside tokens
+    "q250_bpe_pairs"           -> ((s, d) => graft.text.TextOps.bpePairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3248,6 +3250,18 @@ object SparkEntry {
         |FROM pd JOIN sp ON pd.doc_id = sp.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    // q250: per-occurrence adjacent char pairs inside tokens, top-25
+    // with the total tie-break; substring semantics match (1-based,
+    // length-2) in both engines.
+    "q250_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+        |pr AS (SELECT unnest(CASE WHEN length(tok) >= 2
+        |               THEN list_transform(generate_series(1, length(tok) - 1), i -> substring(tok, CAST(i AS INT), 2))
+        |               ELSE [] END) AS pair
+        |       FROM tok)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS ct
+        |FROM pr GROUP BY 1
+        |ORDER BY ct DESC, pair LIMIT 25""".stripMargin,
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥
     // 3·na) and a micro-rounded ratio.

@@ -945,6 +945,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q250 — BPE first-merge candidates: the corpus-wide frequency
+    * table of ADJACENT CHARACTER PAIRS inside tokens (each token
+    * occurrence counts — BPE merges by occurrence mass, not type),
+    * top-k by count. This is literally the statistic byte-pair-
+    * encoding training computes before its first merge — the
+    * tokenizer-training face of the pipeline, next to q19's token
+    * counting and q131's char diversity. The count table doubles as
+    * the merge-priority audit when comparing tokenizer builds.
+    *
+    * Scale: one in-row expression fans each token occurrence into its
+    * (len−1) pairs, then a single partial-agg shuffle keyed by pair —
+    * a bounded domain (alphabet², a few hundred live keys) — and
+    * TakeOrdered(k). The corpus is scanned once. */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(expr(s"$TokensExpr")).as("tok"))
+      .select(explode(expr(
+        """CASE WHEN length(tok) >= 2
+          |THEN transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))
+          |ELSE array() END""".stripMargin)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** q248 — K-ANONYMITY strata audit over the corpus's quasi-
     * identifiers: every document falls in a stratum
     * (source, lang, token-length band of 100), and any stratum with

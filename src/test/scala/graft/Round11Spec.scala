@@ -348,6 +348,24 @@ class Round11Spec extends SparkSpec {
       s"at least 80% of sources must show a positive gap (${gaps.count(_ > 0L)}/${gaps.size})")
   }
 
+  test("bpePairs: ordered top-k and pair-mass conservation") {
+    import graft.text.TextOps
+    val rows = TextOps.bpePairs(spark, dir, k = 1000000).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { case (p, ct) => assert(p.length == 2 && ct > 0L) }
+    // every token occurrence of length L contributes exactly L-1 pairs
+    val expectedMass = Tables.documents(spark, dir)
+      .select(explode(expr(s"${graft.text.TextOps.TokensExpr}")).as("tok"))
+      .select(expr("CAST(GREATEST(length(tok) - 1, 0) AS BIGINT)").as("m"))
+      .agg(sum(col("m"))).collect().head.getLong(0)
+    assert(rows.map(_._2).sum === expectedMass)
+    // and the display query is the ordered head of that table
+    val top = TextOps.bpePairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.length === 25)
+    assert(top.toSeq === rows.sortBy { case (p, ct) => (-ct, p) }.take(25).toSeq)
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
