@@ -366,6 +366,38 @@ class Round11Spec extends SparkSpec {
     assert(top.toSeq === rows.sortBy { case (p, ct) => (-ct, p) }.take(25).toSeq)
   }
 
+  test("plan pins: round-11 joins stay equi-keyed, never cartesian") {
+    import graft.dedup.{DedupOps, PrefixJoin}
+    graft.functions.GraftFunctions.register(spark)
+    def noCartesian(plan: String, label: String): Unit = {
+      assert(!plan.contains("CartesianProduct"), s"$label plans a cartesian product")
+      // BroadcastNestedLoopJoin is legal only for the deliberate 1-row
+      // stat/query broadcasts (crossJoin(broadcast(1-row))); a corpus-
+      // sized BNLJ would be the 100 TB failure mode. The round-11 pair
+      // generators must all be hash equi-joins.
+      ()
+    }
+    val q236 = PrefixJoin.incrementalPpjoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    noCartesian(q236, "q236")
+    assert(q236.contains("HashJoin") || q236.contains("SortMergeJoin"),
+      "q236 candidate probe must be an equi-join")
+    val withArr = DedupOps.docShingleArr(spark, dir)
+    val corpusArr = withArr.filter(col("doc_id") < 250L)
+    val postings = PrefixJoin.prefixPostingsOf(corpusArr)
+    val docs = Tables.documents(spark, dir)
+    val gate = graft.streaming.TrainingPipeline.nearDupGate(
+      docs.filter(col("doc_id") >= 250L)
+        .select(col("doc_id"), col("source"), col("text"),
+          md5(graft.text.TextOps.normText(col("text"))).as("fp")),
+      postings, corpusArr)
+      .queryExecution.executedPlan.toString
+    noCartesian(gate, "nearDupGate")
+    val q242 = PrefixJoin.dupFlowMatrix(spark, dir)
+      .queryExecution.executedPlan.toString
+    noCartesian(q242, "q242")
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
