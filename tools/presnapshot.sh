@@ -44,7 +44,8 @@ fi
 # bench_partial.json) — and that artifact must carry zero slow_flags.
 newest_src=$(git ls-files 'src/main/*.scala' | xargs -r stat -c %Y 2>/dev/null | sort -n | tail -1)
 fresh_bench=""
-for b in bench_last.json bench_partial.json; do
+# partial checked first so the FULL bench wins when both are fresh
+for b in bench_partial.json bench_last.json; do
   if [ -f "$b" ] && [ -n "$newest_src" ] && [ "$(stat -c %Y "$b")" -gt "$newest_src" ]; then
     fresh_bench="$b"
   fi
