@@ -49,7 +49,14 @@ object PrefixJoin {
   private val TDen = 10
 
   def ppjoinPairs(spark: SparkSession, dir: String): DataFrame =
-    ppjoinPairsOf(DedupOps.docShingleArr(spark, dir)) // memo-cached input
+    // the verified pair set is itself a session index artifact: q204
+    // displays it, q242 aggregates it to source flows — memoized so the
+    // prefix join runs once per (session, corpus), like the shingle
+    // table it reads (the pair frame is near-dup-mass-sized, tiny
+    // relative to the corpus)
+    graft.Tables.memoCache(spark, s"ppjoin-pairs/$dir") {
+      ppjoinPairsOf(DedupOps.docShingleArr(spark, dir)) // memo-cached input
+    }
 
   /** The full join over any (doc_id, arr) set table (spec hook). */
   private[graft] def ppjoinPairsOf(withArr: DataFrame): DataFrame = {
