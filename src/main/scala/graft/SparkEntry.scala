@@ -460,6 +460,8 @@ object SparkEntry {
     "q249_split_gap"           -> ((s, d) => graft.text.Curation.splitGap(s, d)),
     // BPE first-merge candidates: adjacent char-pair mass inside tokens
     "q250_bpe_pairs"           -> ((s, d) => graft.text.TextOps.bpePairs(s, d)),
+    // per-day PSI drift vs the corpus reference (q226's monitor form)
+    "q251_windowed_psi"        -> ((s, d) => graft.ops.Quality.windowedPsi(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3262,6 +3264,25 @@ object SparkEntry {
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS ct
         |FROM pr GROUP BY 1
         |ORDER BY ct DESC, pair LIMIT 25""".stripMargin,
+    // q251: conditional band sums per day + the 1-row reference; the
+    // 10-band PSI sum is Quality.psiTermsExpr shared verbatim.
+    "q251_windowed_psi" -> {
+      val refSums = (0 to 9).map(b =>
+        s"CAST(SUM(CASE WHEN band = $b THEN 1 ELSE 0 END) AS BIGINT) AS r$b").mkString(", ")
+      val daySums = (0 to 9).map(b =>
+        s"CAST(SUM(CASE WHEN band = $b THEN 1 ELSE 0 END) AS BIGINT) AS c$b").mkString(", ")
+      s"""WITH v AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM v),
+        |b AS (SELECT day, GREATEST(0, LEAST(9, ((cents - lo) * 10) // (hi - lo + 1))) AS band FROM v, r),
+        |ref AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ref, $refSums FROM b),
+        |d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events, $daySums FROM b GROUP BY 1)
+        |SELECT day, n_events, ${graft.ops.Quality.psiTermsExpr} AS psi_micro,
+        |       CASE WHEN ${graft.ops.Quality.psiTermsExpr} > 200000
+        |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS drifted
+        |FROM d, ref ORDER BY day""".stripMargin
+    },
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥
     // 3·na) and a micro-rounded ratio.

@@ -143,6 +143,61 @@ object Quality {
       .orderBy("band")
   }
 
+  /** q251 — WINDOWED PSI drift: every day's purchase-value distribution
+    * scored against the whole-corpus reference by the Population
+    * Stability Index over the q226 reference-range bands — the shape a
+    * drift MONITOR has (one score + flag per time window, alert at the
+    * classic 0.2), where q226 is the one-shot before/after audit. The
+    * identical banding + per-band term feeds [[graft.streaming
+    * .Pipelines.psiStream]], whose output must match this frame
+    * day-for-day on in-order data (StreamingSpec parity).
+    *
+    * Determinism: band counts are exact integers (missing bands count
+    * 0 via the conditional-sum formulation — their Laplace term still
+    * contributes); each of the 10 per-band terms is micro-rounded
+    * BEFORE the fixed-order integer add ([[psiTermsExpr]], shared
+    * verbatim with the oracle).
+    *
+    * Scale: one narrow band map (after a 1-row range broadcast), ONE
+    * partial-agg pass keyed by day producing 11 conditional sums, a
+    * 1-row reference broadcast, in-row PSI — no shuffle beyond the
+    * day agg. */
+  def windowedPsi(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val range = v.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val banded = v.crossJoin(broadcast(range))
+      .withColumn("band",
+        greatest(lit(0L), least(lit(9L),
+          expr("((cents - lo) * 10) div (hi - lo + 1)"))))
+    def bandSums(prefix: String) = (0 to 9).map(b =>
+      sum(when(col("band") === b.toLong, 1L).otherwise(0L)).as(s"$prefix$b"))
+    val ref = banded.agg(count(lit(1)).as("n_ref"), bandSums("r"): _*)
+    banded.groupBy("day")
+      .agg(count(lit(1)).as("n_events"), bandSums("c"): _*)
+      .crossJoin(broadcast(ref))
+      .select(col("day"), col("n_events"),
+        expr(psiTermsExpr).as("psi_micro"))
+      .withColumn("drifted",
+        when(col("psi_micro") > 200000L, 1L).otherwise(0L))
+      .orderBy("day")
+  }
+
+  /** The 10-band PSI sum — each band's Laplace-smoothed
+    * (p_ref − p_day)·ln(p_ref/p_day) term micro-rounded BEFORE the
+    * fixed-order integer add; shared verbatim (column names included:
+    * c0..c9/n_events vs r0..r9/n_ref) with the q251 oracle and the
+    * streaming face. */
+  private[graft] def psiTermsExpr: String =
+    (0 to 9).map { b =>
+      s"""CAST(FLOOR(1000000.0
+         | * ((CAST(r$b + 1 AS DOUBLE) / (n_ref + 10) - CAST(c$b + 1 AS DOUBLE) / (n_events + 10))
+         |    * LN((CAST(r$b + 1 AS DOUBLE) / (n_ref + 10)) / (CAST(c$b + 1 AS DOUBLE) / (n_events + 10))))
+         | + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")
+    }.mkString(" + ")
+
   /** q227 — per-user behavioral entropy: Shannon entropy of each user's
     * event-type mix, banded into concentrated / balanced / uniform —
     * the "is this account a bot or a browser" behavioral signature

@@ -163,4 +163,42 @@ object Pipelines {
       .withWatermark(tsCol, watermark)
       .withColumn("minute_bucket", (unix_micros(col(tsCol)) / lit(60000000L)).cast("long"))
       .dropDuplicatesWithinWatermark("user_id", "minute_bucket")
+
+  /** Streaming PSI DRIFT MONITOR — the q251 batch operator's streaming
+    * face: each 1-day event-time window's purchase-value distribution
+    * is scored against a FROZEN reference (band range + counts captured
+    * when the monitor was armed — the frozen-artifact pattern of the
+    * q154 bloom and the near-dup postings), alerting at the classic
+    * PSI > 0.2. On in-order data the emitted rows match
+    * [[graft.ops.Quality.windowedPsi]] day-for-day (StreamingSpec).
+    *
+    * Shape: ONE stateful operator — the windowed aggregation producing
+    * 11 conditional sums per window — then the PSI is computed IN-ROW
+    * from those sums and the reference literals (10 + 2 numbers; a
+    * constant-size plan). Run in update mode for a live dashboard;
+    * with a watermark, append emits each day once finalized. */
+  def psiStream(events: DataFrame, lo: Long, hi: Long,
+                refCounts: Seq[Long], watermark: String = "2 days"): DataFrame = {
+    require(refCounts.length == 10, "ten reference bands")
+    val nRef = refCounts.sum
+    val banded = events
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .withColumn("cents", expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("band", greatest(lit(0L), least(lit(9L),
+        expr(s"((cents - ${lo}L) * 10) div (${hi}L - ${lo}L + 1)"))))
+    val aggCols = count(lit(1)).as("n_events") +: (0 to 9).map(b =>
+      sum(when(col("band") === b.toLong, 1L).otherwise(0L)).as(s"c$b"))
+    val refCols = lit(nRef).as("n_ref") +: (0 to 9).map(b =>
+      lit(refCounts(b)).as(s"r$b"))
+    banded
+      .groupBy(window(col("ts"), "1 day").as("win"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(Seq(date_format(col("win.start"), "yyyy-MM-dd").as("day"),
+        col("n_events")) ++ (0 to 9).map(b => col(s"c$b")) ++ refCols: _*)
+      .select(col("day"), col("n_events"),
+        expr(graft.ops.Quality.psiTermsExpr).as("psi_micro"))
+      .withColumn("drifted",
+        when(col("psi_micro") > 200000L, 1L).otherwise(0L))
+  }
 }

@@ -609,6 +609,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI monitor matches the batch windowedPsi day-for-day on in-order data") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // arm the monitor with the frozen reference the batch op derives
+    val cents = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val Array(lo, hi) = cents.agg(
+        org.apache.spark.sql.functions.min(col("cents")),
+        max(col("cents"))).collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val refCounts = cents
+      .withColumn("band", expr(
+        s"GREATEST(0L, LEAST(9L, ((cents - ${lo}L) * 10) div (${hi}L - ${lo}L + 1)))"))
+      .groupBy("band").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = (0 to 9).map(b => refCounts.getOrElse(b.toLong, 0L))
+    val input = MemoryStream[Ev]
+    val out = Pipelines.psiStream(input.toDF(), lo, hi, ref)
+    val q = out.writeStream.format("memory")
+      .queryName("psi_out").outputMode(OutputMode.Update()).start()
+    try {
+      val evs = graft.Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .collect().map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getString(5)))
+      input.addData(evs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // update mode re-emits on change; all data in one batch -> one row
+      // per day, which must equal the batch frame exactly
+      val got = spark.table("psi_out")
+        .select("day", "n_events", "psi_micro", "drifted").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map(_._2.last).toSeq.sortBy(_._1)
+      val want = graft.ops.Quality.windowedPsi(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("near-dup gate + fp-dedup state survive a checkpointed restart") {
     import org.apache.spark.sql.streaming.Trigger
     graft.functions.GraftFunctions.register(spark)
