@@ -462,6 +462,8 @@ object SparkEntry {
     "q250_bpe_pairs"           -> ((s, d) => graft.text.TextOps.bpePairs(s, d)),
     // per-day PSI drift vs the corpus reference (q226's monitor form)
     "q251_windowed_psi"        -> ((s, d) => graft.ops.Quality.windowedPsi(s, d)),
+    // kNN label-noise audit (edited-nearest-neighbor minority vote)
+    "q252_label_noise"         -> ((s, d) => graft.vector.VectorOps.labelNoise(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3283,6 +3285,23 @@ object SparkEntry {
         |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS drifted
         |FROM d, ref ORDER BY day""".stripMargin
     },
+    // q252: the quadratic pair scan with the q27 cosine, rank-5 vote,
+    // integer strict-minority flag, per-label rollup.
+    "q252_label_noise" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(label AS BIGINT) AS label FROM embeddings),
+        |p AS (SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id, b.label,
+        |             list_inner_product(b.v, a.v) / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(a.v, a.v))) AS cos
+        |      FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+        |r AS (SELECT qid, qlabel, label,
+        |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |      FROM p),
+        |v AS (SELECT qid, qlabel,
+        |             CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS same
+        |      FROM r WHERE rk <= 5 GROUP BY 1, 2)
+        |SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       CAST(SUM(CASE WHEN same * 2 < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       CAST(FLOOR(1000000.0 * SUM(CASE WHEN same * 2 < 5 THEN 1 ELSE 0 END) / COUNT(*) + 0.5) AS BIGINT) AS flag_micro
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥
     // 3·na) and a micro-rounded ratio.

@@ -621,6 +621,53 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
+  /** q252 — k-NN LABEL-NOISE audit (Wilson's edited-nearest-neighbor
+    * rule as a REPORT): every labeled vector is voted on by its `k`
+    * exact cosine nearest neighbors; a vector whose own-label vote is
+    * a strict minority (2·same < k) is flagged as probable annotation
+    * noise — the filter classification-data curation runs before
+    * training, and the per-label flag rates localize which class's
+    * labels are unreliable.
+    *
+    * Determinism: neighbor sets use the bit-identical cosine with the
+    * (cos desc, vec_id asc) total order; votes are integer counts; the
+    * flag is an integer cross-multiplied strict-minority test — no
+    * thresholds on floats anywhere.
+    *
+    * Scale: all-pairs UNDER THE FOOTER-COUNT GUARD (the q28/q218
+    * quadratic-anchor rule — this is the exact verifier; at corpus
+    * scale the IVF candidate path (q35) feeds the same vote, and
+    * probing more cells can only IMPROVE the neighbor set); the vote
+    * itself is a k-bounded aggregate per vector. */
+  def labelNoise(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val nVecs = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    require(nVecs <= QuadraticAnchorMaxVecs,
+      s"labelNoise is the QUADRATIC exact verifier ($nVecs vectors > " +
+        s"$QuadraticAnchorMaxVecs cap): feed the vote from the IVF candidate path")
+    val e = vecs(spark, dir) // carries (vec_id, label, v)
+    val a = e.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("label").as("qlabel"))
+    val b = e.select(col("vec_id"), col("v"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    val votes = b.join(a, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        cosine("v", "qv").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .groupBy("qid", "qlabel")
+      .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("same"))
+    votes
+      .select(col("qlabel").as("label"),
+        when(col("same") * 2 < k, 1L).otherwise(0L).as("flagged"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("flagged")).as("n_flagged"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"), col("n_flagged"),
+        expr("CAST(FLOOR(1000000.0 * n_flagged / n_vecs + 0.5) AS BIGINT)")
+          .as("flag_micro"))
+      .orderBy("label")
+  }
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * anchor (query) vector, the k most COSINE-SIMILAR corpus vectors
     * carrying a DIFFERENT label. Semantically-near-but-differently-

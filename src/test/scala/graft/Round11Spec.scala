@@ -398,6 +398,37 @@ class Round11Spec extends SparkSpec {
     noCartesian(q242, "q242")
   }
 
+  test("labelNoise: per-label accounting and a hand-replayed vote") {
+    import graft.vector.VectorOps
+    val rows = VectorOps.labelNoise(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every labeled vector is voted on exactly once
+    assert(rows.map(_._2).sum === Tables.embeddings(spark, dir).count())
+    rows.foreach { case (_, n, flagged, micro) =>
+      assert(flagged >= 0L && flagged <= n)
+      assert(micro === math.floor(1e6 * flagged.toDouble / n + 0.5).toLong)
+    }
+    // replay one vector's vote by brute force
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"),
+        col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val (qid, qv, qlabel) = e.head
+    val neighbors = e.filter(_._1 != qid)
+      .map { case (id, v, l) => (id, l, cos(qv, v)) }
+      .sortBy { case (id, _, c) => (-c, id) }.take(5)
+    val same = neighbors.count(_._2 == qlabel)
+    val expectFlag = if (same * 2 < 5) 1L else 0L
+    // fold the replayed flag into the per-label row it lands in
+    val row = rows.find(_._1 == qlabel.toLong).get
+    assert(row._3 >= expectFlag, s"vec $qid replayed flag $expectFlag under label row $row")
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
