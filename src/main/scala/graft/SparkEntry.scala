@@ -464,6 +464,8 @@ object SparkEntry {
     "q251_windowed_psi"        -> ((s, d) => graft.ops.Quality.windowedPsi(s, d)),
     // kNN label-noise audit (edited-nearest-neighbor minority vote)
     "q252_label_noise"         -> ((s, d) => graft.vector.VectorOps.labelNoise(s, d)),
+    // dedup ROI: per-source raw/exact-dup/near-dup/effective token mass
+    "q253_dedup_roi"           -> ((s, d) => graft.dedup.PrefixJoin.dedupRoi(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3302,6 +3304,27 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN same * 2 < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
         |       CAST(FLOOR(1000000.0 * SUM(CASE WHEN same * 2 < 5 THEN 1 ELSE 0 END) / COUNT(*) + 0.5) AS BIGINT) AS flag_micro
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q253: the Jaccard pair CTEs for the near side + md5 groups for
+    // the exact side; strict no-double-count accounting, per source.
+    "q253_dedup_roi" ->
+      s"""WITH $JaccardCtes,
+        |nd AS (SELECT DISTINCT doc_b AS doc_id FROM jpairs),
+        |d AS (SELECT doc_id, source,
+        |             CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+        |             md5(text) AS fp
+        |      FROM documents),
+        |rep AS (SELECT fp, MIN(doc_id) AS rep_id FROM d GROUP BY 1),
+        |m AS (SELECT d.source, d.n_tokens,
+        |             CASE WHEN d.doc_id <> rep.rep_id THEN 1 ELSE 0 END AS exact_rm,
+        |             CASE WHEN d.doc_id = rep.rep_id AND nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_rm
+        |      FROM d JOIN rep USING (fp) LEFT JOIN nd ON d.doc_id = nd.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+        |       CAST(SUM(exact_rm * n_tokens) AS BIGINT) AS exact_dup_tokens,
+        |       CAST(SUM(near_rm * n_tokens) AS BIGINT) AS near_dup_tokens,
+        |       CAST(SUM(n_tokens) - SUM(exact_rm * n_tokens) - SUM(near_rm * n_tokens) AS BIGINT) AS effective_tokens,
+        |       CAST(FLOOR(1000000.0 * (SUM(exact_rm * n_tokens) + SUM(near_rm * n_tokens)) / SUM(n_tokens) + 0.5) AS BIGINT) AS dup_tax_micro
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥
     // 3·na) and a micro-rounded ratio.

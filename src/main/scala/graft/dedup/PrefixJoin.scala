@@ -263,6 +263,51 @@ object PrefixJoin {
       .orderBy("source_a", "source_b")
   }
 
+  /** q253 — DEDUP ROI report: what deduplication actually buys, per
+    * source — raw token mass split into exact-dup copies (every doc
+    * that is not the min-doc_id representative of its content hash,
+    * the q22/q23 keep-rule), near-dup mass on top (the HIGHER side of
+    * every exact-threshold q204 pair, counted only if not already an
+    * exact copy — no double counting), and the EFFECTIVE remainder.
+    * `dup_tax_micro` is the fraction of the source's tokens a training
+    * run would re-see without dedup — the number that justifies the
+    * dedup pipeline's cost, read per source to find who ships the
+    * redundancy.
+    *
+    * Scale: one narrow stats+hash map, a content-hash partial agg for
+    * representatives, the MEMOIZED q204 pair frame for the near side
+    * (skinny doc_b id set), one bounded per-source rollup. */
+  def dedupRoi(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(graft_text_stats(text).n_tokens AS BIGINT)").as("n_tokens"),
+        md5(col("text")).as("fp"))
+    val reps = docs.groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
+    val nearIds = ppjoinPairs(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("is_near", lit(1L))
+    docs.join(reps, "fp")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("source"), col("n_tokens"),
+        when(col("doc_id") =!= col("rep_id"), 1L).otherwise(0L).as("exact_rm"),
+        when(col("doc_id") === col("rep_id") && col("is_near").isNotNull, 1L)
+          .otherwise(0L).as("near_rm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(col("exact_rm") * col("n_tokens")).as("exact_dup_tokens"),
+        sum(col("near_rm") * col("n_tokens")).as("near_dup_tokens"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("exact_dup_tokens"), col("near_dup_tokens"),
+        (col("raw_tokens") - col("exact_dup_tokens") - col("near_dup_tokens"))
+          .as("effective_tokens"),
+        expr("CAST(FLOOR(1000000.0 * (exact_dup_tokens + near_dup_tokens) / raw_tokens + 0.5) AS BIGINT)")
+          .as("dup_tax_micro"))
+      .orderBy("source")
+  }
+
   /** Candidate-pair counts for the pruning spec: (prefix-filtered
     * candidates, all shared-shingle pairs). The first must contain every
     * qualifying pair (theorem) and be strictly smaller than the second

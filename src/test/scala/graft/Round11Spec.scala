@@ -429,6 +429,30 @@ class Round11Spec extends SparkSpec {
     assert(row._3 >= expectFlag, s"vec $qid replayed flag $expectFlag under label row $row")
   }
 
+  test("dedupRoi: token masses partition and reconcile with the dedup operators") {
+    import graft.dedup.{DedupOps, PrefixJoin}
+    val rows = PrefixJoin.dedupRoi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    rows.foreach { case (_, _, raw, ex, near, eff, _) =>
+      assert(ex + near + eff === raw, "masses must partition the raw tokens")
+      assert(ex >= 0L && near >= 0L && eff > 0L)
+    }
+    assert(rows.map(_._2).sum === Tables.documents(spark, dir).count())
+    // exact-removable docs reconcile with the q23 keep-rule: total docs
+    // minus distinct content hashes
+    val exactRemovableDocs = Tables.documents(spark, dir).count() -
+      DedupOps.exactDedup(spark, dir).count()
+    val exDocs = {
+      // recompute removable doc count from the same frame the op uses
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val reps = docs.groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
+      docs.join(reps, "fp").filter(col("doc_id") =!= col("rep_id")).count()
+    }
+    assert(exDocs === exactRemovableDocs)
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
