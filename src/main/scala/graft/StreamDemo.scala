@@ -94,13 +94,26 @@ object StreamDemo {
           Seq("user_id"), "ts", "event_id")
       }.start()
 
-    // 6. Training-data ingest — quality gate → content dedup → chunks,
-    //    appended into a source-partitioned table (the LLM-corpus path)
+    // 6. Training-data ingest — quality gate → content dedup → NEAR-DUP
+    //    admission against the frozen corpus prefix index → chunks,
+    //    appended into a source-partitioned table (the LLM-corpus path).
+    //    Docs below 250 play the already-ingested corpus (the q236
+    //    split): their one-sided prefix postings + shingle arrays are
+    //    the frozen index artifacts; the stream carries the fresh half.
     val docsDir = staged("documents")
     val dSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val chunksOut = s"$stage/chunks_table"
+    graft.functions.GraftFunctions.register(spark)
+    val corpusArr = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 250L)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr("graft_shingle_hashes(text, 3)").as("arr"))
+      .cache()
+    val prefixIdx = graft.dedup.PrefixJoin.prefixPostingsOf(corpusArr).cache()
     val qCorpus = graft.streaming.TrainingPipeline.corpusIngest(
-        spark.readStream.schema(dSchema).parquet(docsDir))
+        spark.readStream.schema(dSchema).parquet(docsDir)
+          .filter(col("doc_id") >= 250L),
+        nearDupIndex = Some((prefixIdx, corpusArr)))
       .writeStream.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$stage/corpus_ckpt")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -130,7 +143,7 @@ object StreamDemo {
     println(s"[stream-demo] gmv keyed table rows: ${spark.read.parquet(gmvOut).count()}")
     println(s"[stream-demo] stream-stream joined rows: ${spark.table("demo_join").count()}")
     println(s"[stream-demo] dim latest-per-user rows: ${spark.read.parquet(dimOut).count()}")
-    println(s"[stream-demo] corpus chunks (gated+deduped): ${spark.read.parquet(chunksOut).count()}")
+    println(s"[stream-demo] corpus chunks (gated+deduped+neardup-gated, fresh half): ${spark.read.parquet(chunksOut).count()}")
     println(s"[stream-demo] funnel users (stateful): ${spark.table("demo_funnel").select("user_id").distinct().count()}")
     println(f"[stream-demo] 7 concurrent pipelines, ${nEvents + nOrders + nItems + nDocs}%,d input rows in $wallSec%.1f s")
 
