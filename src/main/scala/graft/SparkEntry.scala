@@ -466,6 +466,8 @@ object SparkEntry {
     "q252_label_noise"         -> ((s, d) => graft.vector.VectorOps.labelNoise(s, d)),
     // dedup ROI: per-source raw/exact-dup/near-dup/effective token mass
     "q253_dedup_roi"           -> ((s, d) => graft.dedup.PrefixJoin.dedupRoi(s, d)),
+    // IVF tuning sweep: recall@10 at probe budgets 1..4 (q153 per point)
+    "q254_ann_recall_sweep"    -> ((s, d) => graft.vector.VectorOps.annRecallSweep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2092,54 +2094,7 @@ object SparkEntry {
     // Lloyd step) and probe rule generalized per query, both rankings
     // total-ordered by (cos desc, vec_id), so the RECALL of the
     // approximate index itself hash-verifies.
-    "q153_ann_recall" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 16),
-        |a1 AS (SELECT e.vec_id,
-        |              MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, i.cv) + list_inner_product(i.cv, i.cv),
-        |                   'c': i.cell}) AS best
-        |       FROM e, init i GROUP BY 1),
-        |u AS (SELECT a1.best.c AS cell,
-        |             unnest(generate_series(1, len(e.v))) - 1 AS dim,
-        |             unnest(e.v) AS x
-        |      FROM e JOIN a1 USING (vec_id)),
-        |g AS (SELECT cell, dim, COUNT(*) AS n,
-        |             SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
-        |      FROM u GROUP BY 1, 2),
-        |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
-        |         FROM g GROUP BY 1),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-        |probe AS (SELECT query_id, cell FROM (
-        |            SELECT q.query_id, cent.cell,
-        |                   row_number() OVER (PARTITION BY q.query_id
-        |                     ORDER BY list_inner_product(q.qv, q.qv) - 2.0 * list_inner_product(q.qv, cent.cv) + list_inner_product(cent.cv, cent.cv),
-        |                              cent.cell) AS pr
-        |            FROM q, cent) WHERE pr <= 4),
-        |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
-        |a2 AS (SELECT c.vec_id,
-        |              MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, ct.cv) + list_inner_product(ct.cv, ct.cv),
-        |                   'c': ct.cell}) AS best
-        |       FROM corpus c, cent ct GROUP BY 1),
-        |exact AS (SELECT query_id, vec_id FROM (
-        |            SELECT q.query_id, c.vec_id,
-        |                   row_number() OVER (PARTITION BY q.query_id
-        |                     ORDER BY list_inner_product(c.v, q.qv) / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv))) DESC,
-        |                              c.vec_id) AS rk
-        |            FROM corpus c, q) WHERE rk <= 10),
-        |ivf AS (SELECT query_id, vec_id FROM (
-        |          SELECT p.query_id, c.vec_id,
-        |                 row_number() OVER (PARTITION BY p.query_id
-        |                   ORDER BY list_inner_product(c.v, q.qv) / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv))) DESC,
-        |                            c.vec_id) AS rk
-        |          FROM a2 JOIN probe p ON a2.best.c = p.cell
-        |          JOIN corpus c ON a2.vec_id = c.vec_id
-        |          JOIN q ON p.query_id = q.query_id) WHERE rk <= 10),
-        |ov AS (SELECT query_id, COUNT(*) AS n_overlap
-        |       FROM exact JOIN ivf USING (query_id, vec_id) GROUP BY 1)
-        |SELECT q.query_id,
-        |       COALESCE(ov.n_overlap, 0) AS n_overlap,
-        |       CAST(FLOOR(1000000.0 * COALESCE(ov.n_overlap, 0) / 10 + 0.5) AS BIGINT) AS recall_micro
-        |FROM q LEFT JOIN ov USING (query_id) ORDER BY query_id""".stripMargin,
+    "q153_ann_recall" -> annRecallSqlFor(4, withProbeCol = false),
     // q155: the selection statistic is a STRING min over fixed-length
     // md5-hex prefixes — lexicographic = numeric, engine-identical; the
     // whole fingerprint list rides in fp_list so the SELECTION (not
@@ -3325,6 +3280,11 @@ object SparkEntry {
         |       CAST(SUM(n_tokens) - SUM(exact_rm * n_tokens) - SUM(near_rm * n_tokens) AS BIGINT) AS effective_tokens,
         |       CAST(FLOOR(1000000.0 * (SUM(exact_rm * n_tokens) + SUM(near_rm * n_tokens)) / SUM(n_tokens) + 0.5) AS BIGINT) AS dup_tax_micro
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q254: the q153 SQL at each probe budget, UNION ALL'd with the
+    // nprobe column (annRecallSqlFor shared verbatim with q153).
+    "q254_ann_recall_sweep" ->
+      (1 to 4).map(p => s"SELECT * FROM (${annRecallSqlFor(p, withProbeCol = true)})")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY nprobe, query_id"),
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥
     // 3·na) and a micro-rounded ratio.
@@ -4042,6 +4002,63 @@ object SparkEntry {
     * → smoothed micro ratios → per-doc sums), shared verbatim by the
     * weight oracle (q203) and the lift audit (q216) so the two can
     * never drift. */
+  /** The q153 IVF-recall SQL, parameterized by probe budget — shared
+    * by the single-point oracle (q153, nProbe 4) and the q254 sweep so
+    * the two can never drift. `withProbeCol` prefixes the output with
+    * the sweep's nprobe column. */
+  private def annRecallSqlFor(nProbe: Int, withProbeCol: Boolean): String = {
+    val head = if (withProbeCol) s"CAST($nProbe AS BIGINT) AS nprobe, " else ""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |a1 AS (SELECT e.vec_id,
+        |              MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, i.cv) + list_inner_product(i.cv, i.cv),
+        |                   'c': i.cell}) AS best
+        |       FROM e, init i GROUP BY 1),
+        |u AS (SELECT a1.best.c AS cell,
+        |             unnest(generate_series(1, len(e.v))) - 1 AS dim,
+        |             unnest(e.v) AS x
+        |      FROM e JOIN a1 USING (vec_id)),
+        |g AS (SELECT cell, dim, COUNT(*) AS n,
+        |             SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
+        |      FROM u GROUP BY 1, 2),
+        |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
+        |         FROM g GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |probe AS (SELECT query_id, cell FROM (
+        |            SELECT q.query_id, cent.cell,
+        |                   row_number() OVER (PARTITION BY q.query_id
+        |                     ORDER BY list_inner_product(q.qv, q.qv) - 2.0 * list_inner_product(q.qv, cent.cv) + list_inner_product(cent.cv, cent.cv),
+        |                              cent.cell) AS pr
+        |            FROM q, cent) WHERE pr <= 4),
+        |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+        |a2 AS (SELECT c.vec_id,
+        |              MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, ct.cv) + list_inner_product(ct.cv, ct.cv),
+        |                   'c': ct.cell}) AS best
+        |       FROM corpus c, cent ct GROUP BY 1),
+        |exact AS (SELECT query_id, vec_id FROM (
+        |            SELECT q.query_id, c.vec_id,
+        |                   row_number() OVER (PARTITION BY q.query_id
+        |                     ORDER BY list_inner_product(c.v, q.qv) / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv))) DESC,
+        |                              c.vec_id) AS rk
+        |            FROM corpus c, q) WHERE rk <= 10),
+        |ivf AS (SELECT query_id, vec_id FROM (
+        |          SELECT p.query_id, c.vec_id,
+        |                 row_number() OVER (PARTITION BY p.query_id
+        |                   ORDER BY list_inner_product(c.v, q.qv) / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv))) DESC,
+        |                            c.vec_id) AS rk
+        |          FROM a2 JOIN probe p ON a2.best.c = p.cell
+        |          JOIN corpus c ON a2.vec_id = c.vec_id
+        |          JOIN q ON p.query_id = q.query_id) WHERE rk <= 10),
+        |ov AS (SELECT query_id, COUNT(*) AS n_overlap
+        |       FROM exact JOIN ivf USING (query_id, vec_id) GROUP BY 1)
+        |SELECT q.query_id,
+        |       COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |       CAST(FLOOR(1000000.0 * COALESCE(ov.n_overlap, 0) / 10 + 0.5) AS BIGINT) AS recall_micro
+        |FROM q LEFT JOIN ov USING (query_id) ORDER BY query_id""".stripMargin
+      .replace("WHERE pr <= 4", s"WHERE pr <= $nProbe")
+      .replace("SELECT q.query_id,", s"SELECT ${head}q.query_id,")
+  }
+
   /** The q239 scoring CTE chain (tokenize -> bigram LM over the
     * `lmFilter` subset -> nano-rounded NLL -> per-doc ce/ppl), shared
     * verbatim by the perplexity oracle (q239), the curriculum manifest

@@ -602,6 +602,25 @@ object VectorOps {
       .orderBy("query_id")
   }
 
+  /** q254 — IVF TUNING SWEEP: recall@10 of the q35 index at every
+    * probe budget 1..`maxProbe`, per query — the operating curve an
+    * index operator reads to pick nprobe (the latency knob) for a
+    * recall target. Same derivable quantizer, probe rule, and
+    * total-ordered rankings as q153, so each sweep point hash-verifies;
+    * the monotonicity (more probes ⇒ recall never drops, because the
+    * candidate set only grows) is pinned in the spec.
+    *
+    * Scale: the sweep re-ranks only candidate cells per probe budget —
+    * each point is the q35/q153 plan (cell-pruned scan, bounded-heap
+    * top-k); the exact baseline is computed once per query set. */
+  def annRecallSweep(spark: SparkSession, dir: String,
+                     maxProbe: Int = 4): DataFrame =
+    (1 to maxProbe).map { p =>
+      annRecallEval(spark, dir, nProbe = p)
+        .select(lit(p.toLong).as("nprobe"), col("query_id"),
+          col("n_overlap"), col("recall_micro"))
+    }.reduce(_ unionByName _).orderBy("nprobe", "query_id")
+
   /** The k-NN join over any (vec_id, v: array<double>) frame — split out
     * so ScaleProbe times the EXACT operator shape on amplified inputs
     * (mirrors AsOf.asofCore; an inline probe copy drifts silently). */

@@ -453,6 +453,25 @@ class Round11Spec extends SparkSpec {
     assert(exDocs === exactRemovableDocs)
   }
 
+  test("annRecallSweep: recall is monotone in probe budget and tops out at the q153 point") {
+    import graft.vector.VectorOps
+    val rows = VectorOps.annRecallSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byQuery = rows.groupBy(_._2)
+    byQuery.foreach { case (qid, g) =>
+      val seq = g.sortBy(_._1).map(_._3)
+      seq.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b,
+          s"query $qid recall dropped as probes grew: $seq")
+        case _ =>
+      }
+    }
+    val atMax = rows.filter(_._1 == 4L).map(t => t._2 -> t._3).toMap
+    val q153 = VectorOps.annRecallEval(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(atMax === q153, "the 4-probe sweep point must equal q153")
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
