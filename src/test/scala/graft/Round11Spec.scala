@@ -461,8 +461,8 @@ class Round11Spec extends SparkSpec {
     byQuery.foreach { case (qid, g) =>
       val seq = g.sortBy(_._1).map(_._3)
       seq.sliding(2).foreach {
-        case Seq(a, b) => assert(a <= b,
-          s"query $qid recall dropped as probes grew: $seq")
+        case Array(a, b) => assert(a <= b,
+          s"query $qid recall dropped as probes grew: ${seq.toSeq}")
         case _ =>
       }
     }
