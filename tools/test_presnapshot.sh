@@ -15,6 +15,9 @@ saved=$(mktemp /tmp/graft_bp_saved.XXXXXX)
 had_partial=0
 [ -f bench_partial.json ] && { cp bench_partial.json "$saved"; had_partial=1; }
 restore() {
+  # put the touched source's mtime back so the real perf gate still
+  # sees the benches as fresh after this self-test
+  [ -n "${src_mtime:-}" ] && touch -d "@$src_mtime" "$src" 2>/dev/null || true
   if [ "$had_partial" = 1 ]; then mv "$saved" bench_partial.json
   else rm -f bench_partial.json "$saved"; fi
 }
@@ -22,6 +25,7 @@ trap restore EXIT
 
 src=$(git ls-files 'src/main/*.scala' | head -1)
 [ -n "$src" ] || fail "no tracked src file"
+src_mtime=$(stat -c %Y "$src")
 
 # 1. planted regression: source newer than every bench artifact
 touch "$src"
