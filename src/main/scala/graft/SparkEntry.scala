@@ -468,6 +468,8 @@ object SparkEntry {
     "q253_dedup_roi"           -> ((s, d) => graft.dedup.PrefixJoin.dedupRoi(s, d)),
     // IVF tuning sweep: recall@10 at probe budgets 1..4 (q153 per point)
     "q254_ann_recall_sweep"    -> ((s, d) => graft.vector.VectorOps.annRecallSweep(s, d)),
+    // language-metadata confusion matrix (declared vs q21-detected)
+    "q255_lang_confusion"      -> ((s, d) => graft.text.TextOps.langConfusion(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -606,24 +608,23 @@ object SparkEntry {
         |       CAST(CASE WHEN n_tokens >= 10 AND stop_ct / n_tokens >= 0.02 AND stop_ct / n_tokens <= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
         |FROM s ORDER BY doc_id""".stripMargin,
     "q21_lang_id" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens FROM documents),
-        |s AS (SELECT doc_id, lang,
-        |        CAST(len(list_filter(tokens, x -> x IN ('table', 'row'))) AS BIGINT) AS de_ct,
-        |        CAST(len(list_filter(tokens, x -> x IN ('the', 'a'))) AS BIGINT) AS en_ct,
-        |        CAST(len(list_filter(tokens, x -> x IN ('data', 'value'))) AS BIGINT) AS es_ct,
-        |        CAST(len(list_filter(tokens, x -> x IN ('query', 'join'))) AS BIGINT) AS fr_ct,
-        |        CAST(len(list_filter(tokens, x -> x IN ('spark', 'stream'))) AS BIGINT) AS zh_ct
-        |      FROM t),
-        |p AS (SELECT *, CASE WHEN de_ct >= en_ct AND de_ct >= es_ct AND de_ct >= fr_ct AND de_ct >= zh_ct THEN 'de'
-        |                     WHEN en_ct >= es_ct AND en_ct >= fr_ct AND en_ct >= zh_ct THEN 'en'
-        |                     WHEN es_ct >= fr_ct AND es_ct >= zh_ct THEN 'es'
-        |                     WHEN fr_ct >= zh_ct THEN 'fr'
-        |                     ELSE 'zh' END AS pred_lang
-        |      FROM s)
+      s"""WITH $LangIdCtes
         |SELECT doc_id, lang, pred_lang,
         |       CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match,
         |       de_ct, en_ct, es_ct, fr_ct, zh_ct
         |FROM p ORDER BY doc_id""".stripMargin,
+    // q255: the q21 CTEs aggregated to the (declared, detected) cells
+    // with within-declared shares and the diagonal flag.
+    "q255_lang_confusion" ->
+      s"""WITH $LangIdCtes,
+        |c AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |      FROM p GROUP BY 1, 2),
+        |pl AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang FROM c GROUP BY 1)
+        |SELECT c.lang, c.pred_lang, c.n_docs,
+        |       CAST(FLOOR(1000000.0 * c.n_docs / pl.n_lang + 0.5) AS BIGINT) AS share_micro,
+        |       CAST(CASE WHEN c.lang = c.pred_lang THEN 1 ELSE 0 END AS BIGINT) AS agree
+        |FROM c JOIN pl ON c.lang = pl.lang
+        |ORDER BY c.lang, c.pred_lang""".stripMargin,
     "q22_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |       CAST(length(text) AS BIGINT) AS n_chars_actual
@@ -4058,6 +4059,25 @@ object SparkEntry {
       .replace("WHERE pr <= 4", s"WHERE pr <= $nProbe")
       .replace("SELECT q.query_id,", s"SELECT ${head}q.query_id,")
   }
+
+  /** The q21 marker-detector CTE chain (tokenize -> per-lang marker
+    * counts -> lexicographic-cascade argmax), shared verbatim by the
+    * per-doc oracle (q21) and the confusion matrix (q255). */
+  private val LangIdCtes: String =
+    """t AS (SELECT doc_id, lang, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |        CAST(len(list_filter(tokens, x -> x IN ('table', 'row'))) AS BIGINT) AS de_ct,
+      |        CAST(len(list_filter(tokens, x -> x IN ('the', 'a'))) AS BIGINT) AS en_ct,
+      |        CAST(len(list_filter(tokens, x -> x IN ('data', 'value'))) AS BIGINT) AS es_ct,
+      |        CAST(len(list_filter(tokens, x -> x IN ('query', 'join'))) AS BIGINT) AS fr_ct,
+      |        CAST(len(list_filter(tokens, x -> x IN ('spark', 'stream'))) AS BIGINT) AS zh_ct
+      |      FROM t),
+      |p AS (SELECT *, CASE WHEN de_ct >= en_ct AND de_ct >= es_ct AND de_ct >= fr_ct AND de_ct >= zh_ct THEN 'de'
+      |                     WHEN en_ct >= es_ct AND en_ct >= fr_ct AND en_ct >= zh_ct THEN 'en'
+      |                     WHEN es_ct >= fr_ct AND es_ct >= zh_ct THEN 'es'
+      |                     WHEN fr_ct >= zh_ct THEN 'fr'
+      |                     ELSE 'zh' END AS pred_lang
+      |      FROM s)""".stripMargin
 
   /** The q239 scoring CTE chain (tokenize -> bigram LM over the
     * `lmFilter` subset -> nano-rounded NLL -> per-doc ce/ppl), shared

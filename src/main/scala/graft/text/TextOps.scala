@@ -109,6 +109,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q255 — LANGUAGE-METADATA CONFUSION matrix: q21's marker-based
+    * detector aggregated against the DECLARED `lang` column — one row
+    * per (declared, detected) cell with its within-declared share, the
+    * audit that finds systematically mislabeled language metadata (a
+    * few percent of any crawled corpus) before the mixture/quota layers
+    * trust `lang`. The diagonal share per declared language is the
+    * detector-agreement rate; a hot off-diagonal cell is either a
+    * mislabeled source or a detector blind spot.
+    *
+    * Scale: q21's narrow per-doc map + ONE partial agg over the
+    * |langs|² bounded domain + a per-declared-lang rollup OF that
+    * result. Fact rows never shuffle. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+    val perLang = cells.groupBy("lang").agg(sum(col("n_docs")).as("n_lang"))
+    cells.join(perLang, "lang")
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        expr("CAST(FLOOR(1000000.0 * n_docs / n_lang + 0.5) AS BIGINT)")
+          .as("share_micro"),
+        when(col("lang") === col("pred_lang"), 1L).otherwise(0L).as("agree"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Chunking: split each document into overlapping token windows
     * (length `chunkLen`, stride `stride`) — the canonical LLM
     * training-data prep step. Chunks start at 0, stride, 2·stride, …;

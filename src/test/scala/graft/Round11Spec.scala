@@ -472,6 +472,25 @@ class Round11Spec extends SparkSpec {
     assert(atMax === q153, "the 4-probe sweep point must equal q153")
   }
 
+  test("langConfusion: cells partition each declared language and replay q21's verdicts") {
+    import graft.text.TextOps
+    val cells = TextOps.langConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // within each declared language the shares partition (Σ ≈ 1e6)
+    cells.groupBy(_._1).foreach { case (lang, g) =>
+      val s = g.map(_._4).sum
+      assert(math.abs(s - 1000000L) <= g.length, s"$lang shares sum $s")
+      g.foreach { case (l, p, _, _, agree) =>
+        assert(agree === (if (l == p) 1L else 0L))
+      }
+    }
+    // cell counts replay from the per-doc q21 frame
+    val perDoc = TextOps.langId(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expected = perDoc.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(cells.map(c => (c._1, c._2) -> c._3).toMap === expected)
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
