@@ -470,6 +470,8 @@ object SparkEntry {
     "q254_ann_recall_sweep"    -> ((s, d) => graft.vector.VectorOps.annRecallSweep(s, d)),
     // language-metadata confusion matrix (declared vs q21-detected)
     "q255_lang_confusion"      -> ((s, d) => graft.text.TextOps.langConfusion(s, d)),
+    // dedup-index maintenance diff between two derivable snapshots
+    "q256_dedup_index_diff"    -> ((s, d) => graft.dedup.PrefixJoin.pairDiff(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3286,6 +3288,16 @@ object SparkEntry {
     "q254_ann_recall_sweep" ->
       (1 to 4).map(p => s"SELECT * FROM (${annRecallSqlFor(p, withProbeCol = true)})")
         .mkString("", "\nUNION ALL\n", "\nORDER BY nprobe, query_id"),
+    // q256: two suffixed snapshot pair-CTE chains, full-outer diffed.
+    "q256_dedup_index_diff" ->
+      s"""WITH ${jpairsFor("o", "doc_id % 23 <> 0")},
+        |${jpairsFor("n", "doc_id % 29 <> 0")}
+        |SELECT COALESCE(jo.doc_a, jn.doc_a) AS doc_a,
+        |       COALESCE(jo.doc_b, jn.doc_b) AS doc_b,
+        |       CASE WHEN jo.doc_a IS NULL THEN 'appeared' ELSE 'vanished' END AS op
+        |FROM jo FULL OUTER JOIN jn ON jo.doc_a = jn.doc_a AND jo.doc_b = jn.doc_b
+        |WHERE jo.doc_a IS NULL OR jn.doc_a IS NULL
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥
     // 3·na) and a micro-rounded ratio.
@@ -4078,6 +4090,23 @@ object SparkEntry {
       |                     WHEN fr_ct >= zh_ct THEN 'fr'
       |                     ELSE 'zh' END AS pred_lang
       |      FROM s)""".stripMargin
+
+  /** One snapshot's exact Jaccard pair CTE chain with `sfx`-suffixed
+    * names and a doc_id filter — two instances feed the q256 diff. */
+  private def jpairsFor(sfx: String, filterSql: String): String =
+    s"""tok$sfx AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+       |            FROM documents WHERE $filterSql),
+       |sh$sfx AS (SELECT DISTINCT doc_id,
+       |              unnest(CASE WHEN len(t) >= 3
+       |                     THEN list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |                     ELSE [] END) AS s
+       |       FROM tok$sfx),
+       |sz$sfx AS (SELECT doc_id, COUNT(*) AS n FROM sh$sfx GROUP BY 1),
+       |pr$sfx AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |       FROM sh$sfx a JOIN sh$sfx b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |j$sfx AS (SELECT doc_a, doc_b FROM pr$sfx
+       |           JOIN sz$sfx x ON doc_a = x.doc_id JOIN sz$sfx y ON doc_b = y.doc_id
+       |           WHERE inter / (x.n + y.n - inter) >= 0.7)""".stripMargin
 
   /** The q239 scoring CTE chain (tokenize -> bigram LM over the
     * `lmFilter` subset -> nano-rounded NLL -> per-doc ce/ppl), shared

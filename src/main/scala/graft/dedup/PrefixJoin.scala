@@ -308,6 +308,35 @@ object PrefixJoin {
       .orderBy("source")
   }
 
+  /** q256 — DEDUP-INDEX MAINTENANCE DIFF: the near-dup pair sets of
+    * two corpus snapshots (old = doc_id % 23 ≠ 0, new = doc_id % 29 ≠ 0
+    * — the q180 derivable-snapshot rule applied to documents)
+    * full-outer diffed into `appeared` / `vanished` pairs. This is the
+    * ledger an incremental dedup index maintains when membership
+    * changes: content is immutable here, so EVERY diff row must be
+    * explained by a membership change at one of its endpoints — the
+    * invariant the spec pins (an unexplained diff row would mean the
+    * index maintenance corrupted pairs between untouched docs).
+    *
+    * Scale: two prefix joins (each the q204 plan over its snapshot's
+    * postings) + a skinny full-outer diff keyed on the pair — at real
+    * scale the old side is the PERSISTED pair ledger, and only the
+    * delta docs' probes run (the q236 incremental path); recomputing
+    * both sides here keeps the oracle exact. */
+  def pairDiff(spark: SparkSession, dir: String,
+               oldMod: Long = 23L, newMod: Long = 29L): DataFrame = {
+    val withArr = DedupOps.docShingleArr(spark, dir)
+    val oldPairs = ppjoinPairsOf(withArr.filter(col("doc_id") % oldMod =!= 0L))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_old"))
+    val newPairs = ppjoinPairsOf(withArr.filter(col("doc_id") % newMod =!= 0L))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_new"))
+    oldPairs.join(newPairs, Seq("doc_a", "doc_b"), "full_outer")
+      .filter(col("in_old").isNull || col("in_new").isNull)
+      .select(col("doc_a"), col("doc_b"),
+        when(col("in_old").isNull, "appeared").otherwise("vanished").as("op"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Candidate-pair counts for the pruning spec: (prefix-filtered
     * candidates, all shared-shingle pairs). The first must contain every
     * qualifying pair (theorem) and be strictly smaller than the second

@@ -491,6 +491,27 @@ class Round11Spec extends SparkSpec {
     assert(cells.map(c => (c._1, c._2) -> c._3).toMap === expected)
   }
 
+  test("pairDiff: every diff row is explained by a membership change at an endpoint") {
+    import graft.dedup.PrefixJoin
+    val rows = PrefixJoin.pairDiff(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty, "the 23/29 snapshot rules must move some pairs")
+    rows.foreach { case (a, b, op) =>
+      op match {
+        case "appeared" =>
+          // both endpoints live in NEW, at least one was absent from OLD
+          assert(a % 29 != 0 && b % 29 != 0)
+          assert(a % 23 == 0 || b % 23 == 0,
+            s"appeared pair ($a, $b) has no newly-added endpoint")
+        case "vanished" =>
+          assert(a % 23 != 0 && b % 23 != 0)
+          assert(a % 29 == 0 || b % 29 == 0,
+            s"vanished pair ($a, $b) has no removed endpoint")
+        case other => fail(s"unknown op $other")
+      }
+    }
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
