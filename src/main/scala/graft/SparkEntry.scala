@@ -472,6 +472,8 @@ object SparkEntry {
     "q255_lang_confusion"      -> ((s, d) => graft.text.TextOps.langConfusion(s, d)),
     // dedup-index maintenance diff between two derivable snapshots
     "q256_dedup_index_diff"    -> ((s, d) => graft.dedup.PrefixJoin.pairDiff(s, d)),
+    // ranked curation keep-list: q239 CE + 2x q247 hapax share, top-50
+    "q257_curation_rank"       -> ((s, d) => graft.text.Curation.curationRank(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3298,6 +3300,23 @@ object SparkEntry {
         |FROM jo FULL OUTER JOIN jn ON jo.doc_a = jn.doc_a AND jo.doc_b = jn.doc_b
         |WHERE jo.doc_a IS NULL OR jn.doc_a IS NULL
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q257: the q239 perplexity CTEs + the q247 hapax CTEs joined on
+    // doc, 1:2 weighted risk, top-50 safest with total tie-break.
+    "q257_curation_rank" ->
+      s"""WITH ${perplexityCtes("source IN ('src0', 'src1', 'src2')")},
+        |dt AS (SELECT DISTINCT doc_id, unnest(t) AS tk FROM tok),
+        |dfq AS (SELECT tk, COUNT(*) AS df FROM dt GROUP BY 1),
+        |hx AS (SELECT tk FROM dfq WHERE df = 1),
+        |pdh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_types FROM dt GROUP BY 1),
+        |hd AS (SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hapax
+        |       FROM dt JOIN hx USING (tk) GROUP BY 1),
+        |hm AS (SELECT pdh.doc_id,
+        |              CAST(FLOOR(1000000.0 * COALESCE(hd.n_hapax, 0) / pdh.n_types + 0.5) AS BIGINT) AS hapax_micro
+        |       FROM pdh LEFT JOIN hd ON pdh.doc_id = hd.doc_id)
+        |SELECT ppl.doc_id, ppl.source, ppl.ce_micro, hm.hapax_micro,
+        |       ppl.ce_micro + 2 * hm.hapax_micro AS risk_micro
+        |FROM ppl JOIN hm ON ppl.doc_id = hm.doc_id
+        |ORDER BY risk_micro, ppl.doc_id LIMIT 50""".stripMargin,
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥
     // 3·na) and a micro-rounded ratio.

@@ -181,6 +181,32 @@ object Curation {
       .orderBy("stage", "pos")
   }
 
+  /** q257 — the ranked CURATION KEEP-LIST: every scored doc ordered by
+    * a composite of the two round-11 per-doc risk signals — target-LM
+    * cross-entropy (q239: surprising docs are gibberish/boilerplate
+    * risks) and hapax share (q247: corpus-unique-token-dense docs are
+    * memorization/PII risks), weighted 1:2 (a unit of hapax share is
+    * rarer and more alarming than a unit of CE; the weights are policy,
+    * documented, and trivially re-tuned). The top-`k` SAFEST docs with
+    * their component scores are the artifact a human review samples
+    * and the batch a pilot training run starts from — the composition
+    * endpoint of the scoring stack, the way q244 is the ordering
+    * endpoint of the difficulty stack.
+    *
+    * Scale: both component frames are per-doc aggregates already
+    * bounded by the corpus; the combination is a doc-keyed join + one
+    * TakeOrdered(k). */
+  def curationRank(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val ppl = docPerplexity(spark, dir).select("doc_id", "source", "ce_micro")
+    val hapax = graft.text.TextOps.hapaxRisk(spark, dir)
+      .select(col("doc_id"), col("hapax_micro"))
+    ppl.join(hapax, "doc_id")
+      .select(col("doc_id"), col("source"), col("ce_micro"), col("hapax_micro"),
+        (col("ce_micro") + lit(2L) * col("hapax_micro")).as("risk_micro"))
+      .orderBy(col("risk_micro").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     // repartition BEFORE the tokenize+explode projection: the single-
     // row-group parquet would otherwise run the whole token fan-out in

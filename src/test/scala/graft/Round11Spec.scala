@@ -512,6 +512,24 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("curationRank: risk replays from its components and heads the full ordering") {
+    import graft.text.Curation
+    import graft.text.TextOps
+    val top = Curation.curationRank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(top.length === 50)
+    top.foreach { case (_, ce, hx, risk) => assert(risk === ce + 2 * hx) }
+    // the top-50 really are the 50 lowest-risk docs of the full join
+    val ce = Curation.docPerplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val hx = TextOps.hapaxRisk(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val expected = ce.keySet.intersect(hx.keySet).toSeq
+      .map(id => (id, ce(id) + 2 * hx(id)))
+      .sortBy { case (id, r) => (r, id) }.take(50).map(_._1)
+    assert(top.map(_._1).toSeq === expected)
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
