@@ -326,9 +326,15 @@ object PrefixJoin {
   def pairDiff(spark: SparkSession, dir: String,
                oldMod: Long = 23L, newMod: Long = 29L): DataFrame = {
     val withArr = DedupOps.docShingleArr(spark, dir)
-    val oldPairs = ppjoinPairsOf(withArr.filter(col("doc_id") % oldMod =!= 0L))
+    // each snapshot's pair set is a persisted ledger in production —
+    // memoized per (session, snapshot rule), like the live pair frame
+    def snapPairs(mod: Long): DataFrame =
+      graft.Tables.memoCache(spark, s"ppjoin-pairs-snap/$mod/$dir") {
+        ppjoinPairsOf(withArr.filter(col("doc_id") % mod =!= 0L))
+      }
+    val oldPairs = snapPairs(oldMod)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_old"))
-    val newPairs = ppjoinPairsOf(withArr.filter(col("doc_id") % newMod =!= 0L))
+    val newPairs = snapPairs(newMod)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_new"))
     oldPairs.join(newPairs, Seq("doc_a", "doc_b"), "full_outer")
       .filter(col("in_old").isNull || col("in_new").isNull)

@@ -75,9 +75,15 @@ object Curation {
     * bigrams and are absent on both sides. */
   def docPerplexity(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val docs = graft.Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-    nllScored(docs, docs.filter(col("source").isin(DsirTargetSources: _*)))
+    // memoized END-TO-END (the q129 bigramLmScore rule): the scored
+    // frame feeds q239 itself, the q244 curriculum and the q257 keep
+    // list in one session — without this each re-ran the LM build +
+    // scoring join
+    graft.Tables.memoCache(spark, s"doc-ppl/$dir") {
+      val docs = graft.Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+      nllScored(docs, docs.filter(col("source").isin(DsirTargetSources: _*)))
+    }
       .select(col("doc_id"), col("source"), col("n_bigrams"),
         expr("CAST(FLOOR(CAST(total_nano AS DOUBLE) / (1000.0 * n_bigrams) + 0.5) AS BIGINT)")
           .as("ce_micro"),
