@@ -474,6 +474,9 @@ object SparkEntry {
     "q256_dedup_index_diff"    -> ((s, d) => graft.dedup.PrefixJoin.pairDiff(s, d)),
     // ranked curation keep-list: q239 CE + 2x q247 hapax share, top-50
     "q257_curation_rank"       -> ((s, d) => graft.text.Curation.curationRank(s, d)),
+    // batch face of the streaming partial-overlap screen (winnow probe)
+    "q258_incremental_overlap" -> ((s, d) =>
+      graft.streaming.TrainingPipeline.overlapScreenBatch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3317,6 +3320,28 @@ object SparkEntry {
         |       ppl.ce_micro + 2 * hm.hapax_micro AS risk_micro
         |FROM ppl JOIN hm ON ppl.doc_id = hm.doc_id
         |ORDER BY risk_micro, ppl.doc_id LIMIT 50""".stripMargin,
+    // q258: the q155 winnow CTEs split corpus/fresh at 250, exploded
+    // fingerprints joined, shared count >= 2 - the streaming screen's
+    // arithmetic replayed exactly.
+    "q258_incremental_overlap" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |        CASE WHEN len(t) >= 3
+        |          THEN list_transform(generate_series(1, len(t) - 2), i -> substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16))
+        |          ELSE [] END AS hs
+        |      FROM tok),
+        |w AS (SELECT doc_id,
+        |        CASE WHEN len(hs) >= 4
+        |          THEN list_sort(list_distinct(list_transform(generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
+        |          WHEN len(hs) > 0 THEN [list_min(hs)]
+        |          ELSE [] END AS fps
+        |      FROM h),
+        |cf AS (SELECT doc_id AS corpus_doc, unnest(fps) AS fp FROM w WHERE doc_id < 250),
+        |ff AS (SELECT doc_id, unnest(fps) AS fp FROM w WHERE doc_id >= 250)
+        |SELECT ff.doc_id, cf.corpus_doc, CAST(COUNT(*) AS BIGINT) AS shared_fp
+        |FROM ff JOIN cf USING (fp)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY doc_id, corpus_doc""".stripMargin,
     // q206: ordered containment pairs over the same shingle domain as
     // the Jaccard CTEs; integer cross-multiplied threshold (4·inter ≥
     // 3·na) and a micro-rounded ratio.

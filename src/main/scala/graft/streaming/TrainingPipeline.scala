@@ -154,6 +154,28 @@ object TrainingPipeline {
     * per-(doc, corpus_doc) count — bounded by matches, not corpus size
     * (run in update mode; the static side partitions on fp exactly like
     * the batch self-join). */
+  /** q258 — the BATCH face of [[overlapScreen]]: docs ≥ `splitAt`
+    * probe the FROZEN winnow postings of the corpus below it — the
+    * identical DataFrame code the stream runs (Structured Streaming
+    * contract), so the hash-verified batch result IS the verification
+    * of the streaming transform's arithmetic (the StreamingSpec then
+    * only needs to pin the micro-batch mechanics). Completes the
+    * partial-overlap screen's story the way q236 did for the exact-
+    * threshold gate: q154 exact fingerprints, q236 whole-doc Jaccard,
+    * THIS for a pasted-paragraph overlap with a novel remainder. */
+  def overlapScreenBatch(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, splitAt: Long = 250L): DataFrame = {
+    val corpusPostings = graft.Tables.memoCache(spark,
+      s"winnow-postings-corpus/$splitAt/$dir") {
+      graft.text.TextOps.winnowPostings(
+        graft.Tables.documents(spark, dir).filter(col("doc_id") < splitAt))
+    }
+    overlapScreen(
+      graft.Tables.documents(spark, dir).filter(col("doc_id") >= splitAt),
+      corpusPostings)
+      .orderBy("doc_id", "corpus_doc")
+  }
+
   def overlapScreen(docs: DataFrame, corpusPostings: DataFrame,
                     minShared: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)

@@ -530,6 +530,25 @@ class Round11Spec extends SparkSpec {
     assert(top.map(_._1).toSeq === expected)
   }
 
+  test("overlapScreenBatch: rows respect the split and replay from the winnow fingerprints") {
+    import graft.streaming.TrainingPipeline
+    import graft.text.TextOps
+    val rows = TrainingPipeline.overlapScreenBatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "the corpus plants cross-split partial overlaps")
+    rows.foreach { case (f, c, shared) =>
+      assert(f >= 250L && c < 250L && shared >= 2L)
+    }
+    // replay every pair's shared count from the per-doc fingerprint sets
+    val fps = TextOps.winnowingFingerprints(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3).split(',').filter(_.nonEmpty).toSet)
+      .toMap
+    rows.foreach { case (f, c, shared) =>
+      assert((fps(f) intersect fps(c)).size.toLong === shared,
+        s"pair ($f, $c) shared-fp count")
+    }
+  }
+
   test("nearDupGate batch face reconciles with the q236 pair list") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
