@@ -477,6 +477,14 @@ object SparkEntry {
     // batch face of the streaming partial-overlap screen (winnow probe)
     "q258_incremental_overlap" -> ((s, d) =>
       graft.streaming.TrainingPipeline.overlapScreenBatch(s, d)),
+    // REAL compressed-image decode (PNG, javax.imageio; lossless →
+    // oracle-exact channel sums)
+    "q259_png_decode"          -> ((s, d) => graft.multimodal.Multimodal.pngFeatures(s, d)),
+    // JPEG decode-drift audit (lossy — bound-gated in SketchBounds)
+    "q260_jpeg_drift"          -> ((s, d) => graft.multimodal.Multimodal.jpegDrift(s, d)),
+    // incremental ANN admission vs a frozen IVF index (batch face of
+    // the streaming vector gate)
+    "q261_ann_admission"       -> ((s, d) => graft.vector.VectorOps.annAdmission(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3442,6 +3450,27 @@ object SparkEntry {
         |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q259: the oracle recomputes the PNG generator's arithmetic
+    // independently — the Spark side gets these numbers by DECODING real
+    // PNG bytes (zlib inflate + filter reconstruction inside
+    // javax.imageio), so any codec-plumbing bug (channel order, row
+    // orientation, color model) breaks the hash. PNG is lossless, hence
+    // exact. Same generate_series shape as q128.
+    "q259_png_decode" ->
+      """WITH p AS (SELECT doc_id, 1 + octet_length(encode(text)) % 32 AS w,
+        |                  1 + (octet_length(encode(text)) * 7) % 24 AS h
+        |           FROM documents),
+        |f AS (SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+        |             CAST(SUM((doc_id * 31 + x.g * 7 + y.g * 13) % 256) AS BIGINT) AS r_sum,
+        |             CAST(SUM(((doc_id * 31 + x.g * 7 + y.g * 13) % 256 + 1) % 256) AS BIGINT) AS g_sum,
+        |             CAST(SUM(((doc_id * 31 + x.g * 7 + y.g * 13) % 256 + 2) % 256) AS BIGINT) AS b_sum
+        |      FROM p, generate_series(0, 31) x(g), generate_series(0, 23) y(g)
+        |      WHERE x.g < w AND y.g < h
+        |      GROUP BY doc_id)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(w * h AS BIGINT) AS n_pixels, r_sum, g_sum, b_sum,
+        |       CAST(doc_id * 31 % 256 AS BIGINT) AS corner_r
+        |FROM f ORDER BY doc_id""".stripMargin,
     // q211: all-integer U-model credits; the middle-split remainder
     // (≤ 1 micro per conversion) is deliberately unassigned on both
     // engines.
@@ -3869,6 +3898,54 @@ object SparkEntry {
         |       ABS(CAST(FLOOR(1000000.0 * fresh_n / nf + 0.5) AS BIGINT)
         |           - CAST(FLOOR(1000000.0 * corpus_n / nc + 0.5) AS BIGINT)) AS drift_micro
         |FROM b, t ORDER BY cell""".stripMargin,
+    // q261: the q232 frozen-quantizer CTEs (trained on vec_id < 250),
+    // corpus assigned to its cells, then each fresh vector's 4 nearest
+    // cells by (dist, cell) rank and exact cosine verification against
+    // only those cells' corpus vectors; ties on best cosine go to the
+    // LOWER corpus id (MIN over the argmax rows = Spark's
+    // max(struct(cm, -id))). NULLs for candidate-free vectors match.
+    "q261_ann_admission" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corp AS (SELECT * FROM e WHERE vec_id < 250),
+        |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM corp WHERE vec_id < 16),
+        |a1 AS (SELECT c.vec_id,
+        |              MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, i.cv) + list_inner_product(i.cv, i.cv),
+        |                   'c': i.cell}) AS best
+        |       FROM corp c, init i GROUP BY 1),
+        |u AS (SELECT a1.best.c AS cell,
+        |             unnest(generate_series(1, len(c.v))) - 1 AS dim,
+        |             unnest(c.v) AS x
+        |      FROM corp c JOIN a1 USING (vec_id)),
+        |g AS (SELECT cell, dim, COUNT(*) AS n,
+        |             SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
+        |      FROM u GROUP BY 1, 2),
+        |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
+        |         FROM g GROUP BY 1),
+        |ca AS (SELECT c.vec_id AS corpus_id, c.v AS cv,
+        |              (MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, cc.cv) + list_inner_product(cc.cv, cc.cv),
+        |                    'c': cc.cell})).c AS cell
+        |       FROM corp c, cent cc GROUP BY 1, 2),
+        |fresh AS (SELECT * FROM e WHERE vec_id >= 250),
+        |pd AS (SELECT f.vec_id, cc.cell,
+        |              list_inner_product(f.v, f.v) - 2.0 * list_inner_product(f.v, cc.cv) + list_inner_product(cc.cv, cc.cv) AS d
+        |       FROM fresh f, cent cc),
+        |pr AS (SELECT vec_id, cell FROM
+        |         (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk FROM pd)
+        |       WHERE rk <= 4),
+        |cand AS (SELECT f.vec_id, ca.corpus_id,
+        |                CAST(FLOOR(1000000.0 * (list_inner_product(f.v, ca.cv)
+        |                  / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(ca.cv, ca.cv)))) + 0.5) AS BIGINT) AS cos_micro
+        |         FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell),
+        |v AS (SELECT vec_id, COUNT(*) AS n_cand, MAX(cos_micro) AS best_cos_micro
+        |      FROM cand GROUP BY 1),
+        |bi AS (SELECT cand.vec_id, CAST(MIN(cand.corpus_id) AS BIGINT) AS best_corpus_id
+        |       FROM cand JOIN v ON cand.vec_id = v.vec_id AND cand.cos_micro = v.best_cos_micro
+        |       GROUP BY 1)
+        |SELECT f.vec_id, CAST(COALESCE(v.n_cand, 0) AS BIGINT) AS n_cand,
+        |       v.best_cos_micro, bi.best_corpus_id,
+        |       CAST(CASE WHEN COALESCE(v.best_cos_micro, -1000000000) >= 400000 THEN 0 ELSE 1 END AS BIGINT) AS admit
+        |FROM fresh f LEFT JOIN v USING (vec_id) LEFT JOIN bi USING (vec_id)
+        |ORDER BY f.vec_id""".stripMargin,
     // q233: month-partitioned top-10 rank + previous-calendar-month
     // overlap join; churn is exact integer micros.
     "q233_topk_churn" ->

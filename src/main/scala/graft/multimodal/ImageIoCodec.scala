@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/** COMPRESSED-image tier of the multimodal decode path, on the JDK's own
+  * `javax.imageio` codecs (JPEG/PNG/TIFF/GIF/BMP readers ship with this
+  * JRE — probe re-verified this round; the old "no codecs in this
+  * container" claim was wrong for images and held only for MP3/H.264).
+  * Reference analog: the payload-decode step a media ingest pipeline
+  * runs before feature extraction (the contract
+  * `gmall-realtime/src/main/scala/com/atguigu/app/DauApp.scala:30-41`
+  * models for JSON payloads — parse the opaque bytes, then operate on
+  * typed columns).
+  *
+  * Both halves are driver-free: encode/decode run inside executor tasks
+  * (`mapPartitions`), one `BufferedImage` at a time — the batch-per-task
+  * shape a JNI codec would use. Headless mode is forced before any AWT
+  * class loads so no display is ever required.
+  *
+  * Determinism contract (probe-verified): PNG is LOSSLESS — a round trip
+  * returns the exact pixels, so PNG-decoded features are oracle-exact.
+  * JPEG is LOSSY — the decode is deterministic for a fixed payload but
+  * its pixel values are codec-defined, so JPEG-decoded features are
+  * bound-gated (SketchBounds) rather than hash-compared.
+  */
+object ImageIoCodec {
+  // set BEFORE ImageIO/AWT initialize anywhere in the executor JVM;
+  // referenced by the encode/decode entry points so the property is
+  // guaranteed set on whichever executor thread touches images first
+  private lazy val headless: Unit =
+    System.setProperty("java.awt.headless", "true")
+
+  /** Decoded pixels in image (top-down) orientation, packed 0xRRGGBB. */
+  final case class Decoded(width: Int, height: Int, argb: Array[Int]) {
+    @inline def r(x: Int, y: Int): Int = (argb(y * width + x) >> 16) & 0xff
+    @inline def g(x: Int, y: Int): Int = (argb(y * width + x) >> 8) & 0xff
+    @inline def b(x: Int, y: Int): Int = argb(y * width + x) & 0xff
+  }
+
+  /** Lossless PNG encode of a generated RGB image. */
+  def encodePng(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(render(w, h, px), "png", bos)
+    bos.toByteArray
+  }
+
+  /** JPEG encode at an explicit quality (default 0.9). Encoding is
+    * deterministic for fixed input in this JVM (probe-verified), but the
+    * round trip is lossy by design. */
+  def encodeJpeg(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int),
+                 quality: Float = 0.9f): Array[Byte] = {
+    headless
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(render(w, h, px), null, null), param)
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-supported payload (JPEG/PNG/TIFF/GIF/BMP) to
+    * packed RGB. Throws on undecodable bytes — an ingest pipeline routes
+    * those to a quarantine sink rather than silently zero-filling. */
+  def decode(bytes: Array[Byte]): Decoded = {
+    headless
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    val arr = new Array[Int](w * h)
+    img.getRGB(0, 0, w, h, arr, 0, w)
+    Decoded(w, h, arr)
+  }
+
+  private def render(w: Int, h: Int,
+                     px: (Int, Int) => (Int, Int, Int)): BufferedImage = {
+    headless
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+}

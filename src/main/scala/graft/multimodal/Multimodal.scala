@@ -7,16 +7,18 @@ import graft.Tables
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, plus a decode/feature-extract stage.
   *
-  * Decode comes in two tiers. For uncompressed formats a codec-less
-  * container can still parse, decode is REAL: [[bmpFeatures]] builds
-  * standard 24-bpp BMP payloads and parses them back byte-by-byte with
-  * [[BmpCodec]] (little-endian headers, BGR channel order, bottom-up
-  * rows, 4-byte row padding), oracle-verified end to end. For compressed
-  * formats (JPEG/MP3/H.264 — no codecs in this container) the decode
-  * step stays a clearly-marked deterministic STUB ([[fakeDecode]]); the
-  * Spark-side plumbing — binary column, metadata schema, batch-friendly
-  * per-partition shape — is identical in both tiers and oracle-checked
-  * via [[binaryMeta]].
+  * Decode is REAL in both image tiers. Uncompressed: [[bmpFeatures]]
+  * builds standard 24-bpp BMP payloads and parses them back byte-by-byte
+  * with [[BmpCodec]] (little-endian headers, BGR channel order,
+  * bottom-up rows, 4-byte row padding), oracle-verified end to end.
+  * Compressed: [[pngFeatures]] (lossless → oracle-exact) and
+  * [[jpegDrift]] (lossy → bound-gated) round-trip through the JDK's own
+  * `javax.imageio` codecs via [[ImageIoCodec]] — the round-12 probe
+  * showed JPEG/PNG/TIFF/GIF/BMP readers ship with this JRE, retiring the
+  * old fake-decode stub. Only compressed AUDIO/VIDEO (MP3/AAC/H.264)
+  * remain genuinely absent from the JVM (javax.sound.sampled speaks
+  * WAV/AU/AIFF only — probe in COVERAGE.md); those formats keep the
+  * typed-metadata tier ([[binaryMeta]]) without pixel/sample decode.
   *
   * Scale design: payload bytes travel as a single binary column next to
   * columnar metadata, so metadata-only queries never touch the payload
@@ -417,26 +419,117 @@ object Multimodal {
       .limit(k)
   }
 
-  case class MediaFeature(doc_id: Long, n_bytes: Long, mean_byte: Double, feature: Array[Float])
+  case class ImgDoc(doc_id: Long, payload: Array[Byte])
+  case class PngFeatureRow(doc_id: Long, width: Long, height: Long,
+                           n_pixels: Long, r_sum: Long, g_sum: Long,
+                           b_sum: Long, corner_r: Long)
 
-  /** STUB decode/feature-extract: the real implementation would decode
-    * the payload with an image/audio library inside `mapPartitions`
-    * (batch-per-partition, exactly the arrow-batch shape of a Pandas
-    * UDF). With no codecs in this container, it derives a deterministic
-    * fake 8-dim feature from the raw bytes; the partitioning, schema and
-    * batch shape are the real contract. */
-  def fakeDecode(spark: SparkSession, dir: String): DataFrame = {
+  /** q259 — REAL compressed-image decode (PNG via the JDK's own
+    * `javax.imageio` codec — the round that retired the old fake-decode
+    * stub): each document gets a genuine PNG payload (geometry and pixel
+    * content derived deterministically from doc attributes, the q128 BMP
+    * generator's pattern), which [[ImageIoCodec.decode]] then parses
+    * back from the compressed bytes — signature, IDAT inflate, filter
+    * reconstruction, all inside the codec. PNG is LOSSLESS, so the
+    * per-channel pixel sums and the top-left red value are oracle-EXACT:
+    * DuckDB recomputes them from the generator arithmetic while this
+    * path reads them through a real zlib/PNG decode; any codec-plumbing
+    * bug (channel order, row orientation, color-model mismatch) breaks
+    * the hash.
+    *
+    * Scale: both codec halves run inside `mapPartitions` (batch-per-task,
+    * nothing on the driver, one image in flight per task thread); the
+    * payload bytes never shuffle — only the k-column feature row does. */
+  def pngFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val withPayload = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-    withPayload.mapPartitions { it =>
-      // real codec would initialize per-partition here (conn/lib handle)
-      it.map { case (id, bytes) =>
-        val mean = if (bytes.isEmpty) 0.0 else bytes.map(_ & 0xff).sum.toDouble / bytes.length
-        // ??? <- real decode goes here; deterministic fake feature instead:
-        val feat = Array.tabulate(8)(i => ((bytes.length * (i + 1)) % 255).toFloat)
-        MediaFeature(id, bytes.length.toLong, mean, feat)
+    val params = Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+      .as[(Long, Int)]
+    val encoded = params.mapPartitions { it =>
+      it.map { case (id, len) =>
+        val w = 1 + len % 32
+        val h = 1 + (len * 7) % 24
+        ImgDoc(id, ImageIoCodec.encodePng(w, h, (x, y) => {
+          val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          (v, (v + 1) % 256, (v + 2) % 256) // distinct channels: RGB
+        }))                                 // order bugs shift the sums
+      }
+    }
+    encoded.mapPartitions { it =>
+      it.map { d =>
+        val dec = ImageIoCodec.decode(d.payload)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = 0
+        while (y < dec.height) {
+          var x = 0
+          while (x < dec.width) {
+            rs += dec.r(x, y); gs += dec.g(x, y); bs += dec.b(x, y)
+            x += 1
+          }
+          y += 1
+        }
+        PngFeatureRow(d.doc_id, dec.width.toLong, dec.height.toLong,
+          dec.width.toLong * dec.height, rs, gs, bs, dec.r(0, 0).toLong)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  case class JpegDriftRow(doc_id: Long, width: Long, height: Long,
+                          geom_ok: Boolean, mae_milli: Long, max_err: Long)
+
+  /** q260 — JPEG decode-drift audit: the LOSSY half of the compressed
+    * tier. Each doc's smooth-gradient image (no mod-256 wraps — the
+    * generator keeps every channel strictly inside [32, 211], so there
+    * are no synthetic sharp edges for the DCT to ring on) encodes to
+    * JPEG at quality 0.9 and decodes back through the same
+    * `javax.imageio` codec; the row reports the decoded geometry and the
+    * mean/max absolute per-channel error against the generated pixels —
+    * the "how much did compression move my pixels" audit an image
+    * curation pipeline runs before trusting JPEG-derived features.
+    *
+    * JPEG pixel values are codec-defined (IDCT variant, rounding), so
+    * this query is bound-gated, not hash-compared: SketchBounds holds
+    * geometry drift to ZERO and the worst per-image MAE / single-channel
+    * error to the smooth-gradient envelope measured for this codec.
+    * Same `mapPartitions` batch shape as [[pngFeatures]]. */
+  def jpegDrift(spark: SparkSession, dir: String,
+                quality: Float = 0.9f): DataFrame = {
+    import spark.implicits._
+    val params = Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+      .as[(Long, Int)]
+    params.mapPartitions { it =>
+      it.map { case (id, len) =>
+        val w = 1 + len % 32
+        val h = 1 + (len * 7) % 24
+        def px(x: Int, y: Int): (Int, Int, Int) = {
+          val base = (32 + id % 64).toInt
+          (base + 2 * x + y, base + x + 2 * y, base + x + y)
+        }
+        val bytes = ImageIoCodec.encodeJpeg(w, h, px, quality)
+        val dec = ImageIoCodec.decode(bytes)
+        val geomOk = dec.width == w && dec.height == h
+        var absErr = 0L; var maxErr = 0L
+        if (geomOk) {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (er, eg, eb) = px(x, y)
+              val dr = math.abs(dec.r(x, y) - er).toLong
+              val dg = math.abs(dec.g(x, y) - eg).toLong
+              val db = math.abs(dec.b(x, y) - eb).toLong
+              absErr += dr + dg + db
+              maxErr = math.max(maxErr, math.max(dr, math.max(dg, db)))
+              x += 1
+            }
+            y += 1
+          }
+        }
+        val n = 3L * w * h
+        JpegDriftRow(id, dec.width.toLong, dec.height.toLong, geomOk,
+          if (n == 0) 0L else math.floor(1000.0 * absErr / n + 0.5).toLong,
+          maxErr)
       }
     }.toDF().orderBy("doc_id")
   }

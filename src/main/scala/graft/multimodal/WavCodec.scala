@@ -4,8 +4,10 @@ package graft.multimodal
   * uncompressed container a codec-less environment can produce and parse
   * for real (little-endian headers, mono 16-bit PCM), so the
   * audio-pipeline plumbing is exercised end-to-end instead of stubbed.
-  * Compressed audio (MP3/AAC) stays in the [[Multimodal.fakeDecode]]
-  * tier — no codecs in this container (documented environmental gap). */
+  * Compressed audio (MP3/AAC) stays metadata-only ([[Multimodal
+  * .binaryMeta]] tier): javax.sound.sampled in this JRE speaks only
+  * WAV/AU/AIFF (probe in COVERAGE.md) — unlike images, where
+  * javax.imageio provides real JPEG/PNG decode ([[ImageIoCodec]]). */
 object WavCodec {
 
   private def putLE32(b: Array[Byte], off: Int, v: Int): Unit = {

@@ -239,6 +239,31 @@ object SketchBounds {
       adcWorst <= 0.0,
       "ADC recall floor: mean >= 0.40 and min >= 0.20 (failure modes " +
         "land at ~0.02; see scaladoc)")
+
+    // q260: JPEG decode is lossy BY DESIGN (pixel values are
+    // codec-defined), so the gate holds the decode to the
+    // smooth-gradient envelope instead of a hash: geometry must match
+    // exactly, and the per-image mean / single-channel absolute error
+    // must stay inside 3x the measured codec envelope (observed at
+    // q=0.9 on the wrap-free gradient generator: worst MAE 0.94, worst
+    // single-channel 4 — failure modes like a channel swap or row flip
+    // land at MAE 40+ on this generator, an order of magnitude past the
+    // gate). Image geometry is SF-invariant (w <= 32, h <= 24), so the
+    // envelope does not scale with corpus size.
+    val jd = graft.multimodal.Multimodal.jpegDrift(spark, dir)
+      .select("geom_ok", "mae_milli", "max_err").collect()
+    checks += zeroCheck("q260_jpeg_drift", "geom_mismatch_ct",
+      jd.count(r => !r.getAs[Boolean]("geom_ok")).toLong,
+      "decoded JPEG geometry must equal encoded geometry exactly")
+    val worstMae = jd.iterator.map(_.getAs[Long]("mae_milli")).max / 1000.0
+    checks += BoundCheck("q260_jpeg_drift", "mae vs generated pixels",
+      jd.length.toLong, worstMae, 3.0, worstMae <= 3.0,
+      "per-image mean abs channel error <= 3.0 (3x observed 0.94 at q=0.9; " +
+        "channel-swap/row-flip bugs land at 40+)")
+    val worstPx = jd.iterator.map(_.getAs[Long]("max_err")).max.toDouble
+    checks += BoundCheck("q260_jpeg_drift", "max single-channel error",
+      jd.length.toLong, worstPx, 12.0, worstPx <= 12.0,
+      "worst single-channel abs error <= 12 (3x observed 4 at q=0.9)")
     checks.toSeq
   }
 

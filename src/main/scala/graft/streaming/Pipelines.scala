@@ -176,10 +176,25 @@ object Pipelines {
     * 11 conditional sums per window — then the PSI is computed IN-ROW
     * from those sums and the reference literals (10 + 2 numbers; a
     * constant-size plan). Run in update mode for a live dashboard;
-    * with a watermark, append emits each day once finalized. */
+    * with a watermark, append emits each day once finalized.
+    *
+    * CONTRACT: the session time zone MUST be UTC (asserted below). The
+    * `day` label comes from `date_format` (session TZ) while the 1-day
+    * window buckets are UTC-epoch-aligned — they agree only under UTC,
+    * and the window cannot be swapped for a derived date column without
+    * losing watermark-based state eviction. Every graft entry point
+    * pins `spark.sql.session.timeZone=UTC`; an embedding that doesn't
+    * would silently shift day labels vs the batch face, so the mismatch
+    * fails loudly here instead (advisor r11). */
   def psiStream(events: DataFrame, lo: Long, hi: Long,
                 refCounts: Seq[Long], watermark: String = "2 days"): DataFrame = {
     require(refCounts.length == 10, "ten reference bands")
+    val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"psiStream requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+        "the 1-day event-time windows are UTC-epoch-aligned while the day " +
+        "label follows the session TZ — day-for-day parity with the batch " +
+        "windowedPsi holds only under UTC")
     val nRef = refCounts.sum
     val banded = events
       .filter(col("event_type") === "purchase")

@@ -69,10 +69,14 @@ object TrainingPipeline {
 
   /** A doc that survived the gates, as the near-dup gate re-emits it. */
   case class GateDoc(doc_id: Long, source: String, text: String, fp: String)
-  /** One candidate-verification row inside [[nearDupGate]] (public only
-    * because encoder codegen must reach the class from generated code). */
-  case class GateRow(doc_id: Long, source: String, text: String,
-                     fp: String, dup: Boolean)
+  /** One event inside [[nearDupGate]]'s per-doc fold: either the doc's
+    * single PAYLOAD row (payload=true, carries text/source/fp exactly
+    * once) or a skinny candidate-verification row (payload=false, only
+    * the verdict — the document body never fans out with the candidate
+    * set). Public only because encoder codegen must reach the class
+    * from generated code. */
+  case class GateEvt(doc_id: Long, source: String, text: String,
+                     fp: String, dup: Boolean, payload: Boolean)
 
   /** Streaming NEAR-DUP admission gate — q236's incremental exact
     * PPJoin moved into the ingest path, the layer the exact-fingerprint
@@ -97,7 +101,14 @@ object TrainingPipeline {
     * corpus doc); the probe join is keyed on sh64 with the J ≥ t size
     * filter (t·|x| ≤ |y| ≤ |x|/t) applied inside the join; corpus
     * shingle arrays join onto the (small) candidate set only — the
-    * q204 skinny-candidate discipline. Both static sides are index
+    * q204 skinny-candidate discipline. The document BODY never rides
+    * the candidate fan-out (advisor r11): the probe leg is skinny
+    * (doc_id, hs, na) and each doc's text/source/fp travel exactly once
+    * on a separate PAYLOAD leg, unioned in front of the per-doc fold —
+    * a union, not a join, so the shape stays streaming-legal in append
+    * mode. The fold itself is a lazy single pass over the group's
+    * iterator (O(1) memory — first payload row + any-dup flag), never a
+    * `toSeq` of the candidate fan-out. Both static sides are index
     * artifacts persisted across batches, like the q154 bloom. */
   private[graft] def nearDupGate(fresh: DataFrame, postings: DataFrame,
                                  corpusSets: DataFrame): DataFrame = {
@@ -107,35 +118,45 @@ object TrainingPipeline {
     val withHs = fresh.select(col("doc_id"), col("source"), col("text"), col("fp"),
         expr("graft_shingle_hashes(text, 3)").as("hs"))
       .withColumn("na", size(col("hs")).cast("long"))
-    // explode_outer: a doc with no shingles still flows through (admitted)
-    val probe = withHs.select(col("doc_id"), col("source"), col("text"),
-      col("fp"), col("hs"), col("na"), explode_outer(col("hs")).as("sh64"))
-    // left_outer keeps no-candidate docs; the size filter lives IN the
-    // join condition so a filtered-out posting row never drops the doc
+    // payload leg: one row per doc, the only leg that carries the body.
+    // A doc with no shingles (or no candidates) has ONLY this row and is
+    // admitted by the fold's no-dup default.
+    val payload = withHs.select(col("doc_id"), col("source"), col("text"),
+      col("fp"), lit(false).as("dup"), lit(true).as("payload"))
+    // probe leg: skinny (doc_id, hs, na) fan-out; inner joins — a doc
+    // that matches no posting simply contributes zero candidate rows
+    val probe = withHs.select(col("doc_id"), col("hs"), col("na"),
+      explode(col("hs")).as("sh64"))
+    // the size filter lives IN the join condition so the join itself
+    // prunes candidates outside t·|x| <= |y| <= |x|/t
     val cand = probe.join(
         postings.select(col("sh64").as("psh"), col("corpus_id"), col("nb")),
         col("sh64") === col("psh") &&
           col("na") * lit(7L) <= col("nb") * lit(10L) &&
-          col("nb") * lit(7L) <= col("na") * lit(10L),
-        "left_outer")
+          col("nb") * lit(7L) <= col("na") * lit(10L))
       .join(corpusSets.select(col("doc_id").as("cid"), col("arr").as("sb")),
-        col("corpus_id") === col("cid"), "left_outer")
-      .select(col("doc_id"), col("source"), col("text"), col("fp"),
-        coalesce(
-          size(array_intersect(col("hs"), col("sb"))).cast("double") /
-            (col("na") + size(col("sb")).cast("long")
-              - size(array_intersect(col("hs"), col("sb"))).cast("long"))
-            >= lit(7.0 / 10.0),
-          lit(false)).as("dup"))
-      .as[GateRow]
-    cand.groupByKey(_.doc_id)
+        col("corpus_id") === col("cid"))
+      .select(col("doc_id"), lit(null).cast("string").as("source"),
+        lit(null).cast("string").as("text"), lit(null).cast("string").as("fp"),
+        (size(array_intersect(col("hs"), col("sb"))).cast("double") /
+          (col("na") + size(col("sb")).cast("long")
+            - size(array_intersect(col("hs"), col("sb"))).cast("long"))
+          >= lit(7.0 / 10.0)).as("dup"),
+        lit(false).as("payload"))
+    payload.unionByName(cand).as[GateEvt]
+      .groupByKey(_.doc_id)
       .flatMapGroupsWithState[Boolean, GateDoc](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (_, rows, _) =>
-          val rs = rows.toSeq
-          if (rs.exists(_.dup)) Iterator.empty
-          else rs.headOption
-            .map(r => GateDoc(r.doc_id, r.source, r.text, r.fp)).iterator
+          // lazy single pass: keep the first payload row, OR the dup flags
+          var head: GateEvt = null
+          var anyDup = false
+          rows.foreach { r =>
+            if (r.payload && head == null) head = r
+            if (r.dup) anyDup = true
+          }
+          if (anyDup || head == null) Iterator.empty
+          else Iterator(GateDoc(head.doc_id, head.source, head.text, head.fp))
       }.toDF()
   }
 
@@ -185,6 +206,68 @@ object TrainingPipeline {
       .groupBy(col("doc_id"), col("corpus_doc"))
       .agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= minShared)
+  }
+
+  /** One event inside [[annGate]]'s per-vector fold — the vector twin
+    * of [[GateEvt]]: payload row (carries the embedding once) or skinny
+    * candidate verdict. */
+  case class VecGateEvt(vec_id: Long, label: Long, v: Seq[Double],
+                        dup: Boolean, payload: Boolean)
+  /** A vector the ANN gate admitted into the embedding store. */
+  case class VecAdmit(vec_id: Long, label: Long, v: Seq[Double])
+
+  /** Streaming ANN admission gate — the VECTOR analog of [[nearDupGate]]
+    * (judge r11 task 2): fresh embeddings probe the corpus's FROZEN IVF
+    * index ([[graft.vector.VectorOps.frozenIvfIndex]] — quantizer +
+    * corpus cell assignments, built once like the q154 bloom and the
+    * q236 prefix postings) for near-duplicate vectors at ingest; a
+    * vector is admitted only if NO probed corpus vector reaches cosine
+    * ≥ the threshold. The candidate frame is the exact code the
+    * oracle-verified batch face (q261, [[graft.vector.VectorOps
+    * .annAdmission]]) runs — the Structured Streaming contract — so the
+    * hash-verified batch result IS the verification of the stream's
+    * arithmetic; StreamingSpec pins only the micro-batch mechanics.
+    *
+    * Lives beside the doc-side gates rather than inside [[corpusIngest]]
+    * because `documents` carries no embedding column — this gate guards
+    * the EMBEDDING store's ingest (the vector leg of a multimodal
+    * training pipeline), fed by whatever encoder produced the vectors.
+    *
+    * Same payload-leg/skinny-probe shape as [[nearDupGate]]: the
+    * embedding travels once per vector on the union's payload leg, the
+    * probe leg is (vec_id, cos-verdict) only, and the per-vector fold is
+    * a lazy O(1) pass under `flatMapGroupsWithState` (append-mode legal;
+    * state unused — each vec_id lives in one micro-batch). */
+  def annGate(freshVecs: DataFrame,
+              cents: Seq[Seq[Double]], corpusAssigned: DataFrame,
+              nProbe: Int = 4, thresholdMicro: Long = 400000L): DataFrame = {
+    val spark = freshVecs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    graft.functions.GraftFunctions.register(spark)
+    val payload = freshVecs.select(col("vec_id"), col("label"), col("v"),
+      lit(false).as("dup"), lit(true).as("payload"))
+    val cand = graft.vector.VectorOps
+      .annGateCandidates(freshVecs, cents, corpusAssigned, nProbe)
+      .select(col("vec_id"), lit(0L).as("label"),
+        lit(null).cast("array<double>").as("v"),
+        (expr("CAST(FLOOR(1000000.0d * cos + 0.5d) AS BIGINT)")
+          >= lit(thresholdMicro)).as("dup"),
+        lit(false).as("payload"))
+    payload.unionByName(cand).as[VecGateEvt]
+      .groupByKey(_.vec_id)
+      .flatMapGroupsWithState[Boolean, VecAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, _) =>
+          var head: VecGateEvt = null
+          var anyDup = false
+          rows.foreach { r =>
+            if (r.payload && head == null) head = r
+            if (r.dup) anyDup = true
+          }
+          if (anyDup || head == null) Iterator.empty
+          else Iterator(VecAdmit(head.vec_id, head.label, head.v))
+      }.toDF()
   }
 
   case class QuotaDoc(doc_id: Long, source: String, n_tokens: Long)

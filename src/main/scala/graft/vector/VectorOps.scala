@@ -1255,4 +1255,104 @@ object VectorOps {
           .as("share_micro"))
       .orderBy("cell")
   }
+
+  /** The FROZEN ANN index artifact of the incremental admission gate:
+    * (quantizer centroids, corpus cell assignments). The corpus side —
+    * like q236's prefix postings and the q154 bloom — is built ONCE and
+    * persisted across micro-batches; ingest never re-assigns it. */
+  private[graft] def frozenIvfIndex(spark: SparkSession, dir: String,
+                                    nCentroids: Int = 16, splitAt: Long = 250L):
+      (Seq[Seq[Double]], DataFrame) = {
+    val e = vecs(spark, dir)
+    val cents = centroidMemo.get(spark,
+      s"gate/$nCentroids/$splitAt/${Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")}")(
+      buildCentroidsOf(e.filter(col("vec_id") < splitAt), nCentroids))
+    val assigned = e.filter(col("vec_id") < splitAt)
+      .withColumn("cell",
+        cellOf(cents.zipWithIndex.map { case (cv, c) => (c, typedLit(cv)) }))
+      .select(col("cell"), col("vec_id").as("corpus_id"), col("v").as("cv"))
+    (cents, assigned)
+  }
+
+  /** Candidate frame of the streaming/incremental ANN admission gate:
+    * each fresh vector computes its distance to every FROZEN centroid
+    * IN-ROW (k codegen dots against literals — no shuffle, no state),
+    * keeps its `nProbe` nearest cells (lexicographic array_sort on
+    * (dist, cell) structs — ties to the lower cell id, the q35 probe
+    * rule), and exact-verifies cosine against only the corpus vectors
+    * assigned to those cells via a stream-static equi-join on cell.
+    * Each (fresh, corpus) pair appears at most once: a corpus vector
+    * lives in exactly one cell and probed cells are distinct.
+    *
+    * Scale: probe cost per fresh vector is k dots + |probed cells|
+    * verifications ≈ nProbe/k of the corpus — O(batch), never O(corpus
+    * × batch); the corpus side is the frozen index artifact. */
+  private[graft] def annGateCandidates(fresh: DataFrame,
+                                       cents: Seq[Seq[Double]],
+                                       corpusAssigned: DataFrame,
+                                       nProbe: Int): DataFrame = {
+    def sdot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0d; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val distStructs = cents.zipWithIndex.map { case (cv, c) =>
+      struct((dotC(col("v"), col("v"))
+        - lit(2.0d) * dotC(col("v"), typedLit(cv))
+        + lit(sdot(cv, cv))).as("d"), lit(c).as("cell"))
+    }
+    fresh
+      .withColumn("pc", slice(array_sort(array(distStructs: _*)), 1, nProbe))
+      .select(col("vec_id"), col("v"),
+        explode(expr("transform(pc, x -> x.cell)")).as("cell"))
+      .join(corpusAssigned, Seq("cell"))
+      .select(col("vec_id"), col("corpus_id"),
+        (dotC(col("v"), col("cv"))
+          / (sqrt(dotC(col("v"), col("v")))
+            * sqrt(dotC(col("cv"), col("cv"))))).as("cos"))
+  }
+
+  /** q261 — incremental ANN ADMISSION audit, the batch face of the
+    * streaming vector gate ([[graft.streaming.TrainingPipeline
+    * .annGate]]): embeddings ≥ `splitAt` probe the FROZEN corpus-side
+    * IVF index (quantizer trained on vec_id < splitAt only — the q232
+    * frozen-quantizer discipline) and each fresh vector reports its
+    * candidate count, best verified cosine (micro-rounded; ties to the
+    * lower corpus id) and the admission verdict: admitted iff no probed
+    * corpus vector reaches cos ≥ 0.4 (the q151 near-dup threshold).
+    *
+    * Approximate only in RECALL (a true near-dup hiding in an unprobed
+    * cell is missed — exactly what q153/q254 measure); the pipeline is
+    * deterministic, so DuckDB replays the identical quantizer, probe
+    * ranking and verification bit-for-bit and the frame hash-verifies.
+    *
+    * Scale: the identical candidate frame the streaming gate runs —
+    * O(batch) probe cost against a frozen index; the final verdict here
+    * is one partial-agg shuffle on vec_id (batch reporting face), where
+    * the stream folds per-vector with flatMapGroupsWithState instead. */
+  def annAdmission(spark: SparkSession, dir: String,
+                   nCentroids: Int = 16, nProbe: Int = 4,
+                   splitAt: Long = 250L,
+                   thresholdMicro: Long = 400000L): DataFrame = {
+    val (cents, corpusAssigned) = frozenIvfIndex(spark, dir, nCentroids, splitAt)
+    val fresh = vecs(spark, dir).filter(col("vec_id") >= splitAt)
+    val verdict = annGateCandidates(fresh, cents, corpusAssigned, nProbe)
+      .withColumn("cos_micro", expr("CAST(FLOOR(1000000.0d * cos + 0.5d) AS BIGINT)"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_cand"),
+        // max of (cos_micro, -corpus_id): best cosine, ties to LOWER id
+        max(struct(col("cos_micro").as("cm"),
+          (col("corpus_id") * lit(-1L)).as("ni"))).as("b"))
+      .select(col("vec_id"), col("n_cand"),
+        col("b.cm").as("best_cos_micro"),
+        (col("b.ni") * lit(-1L)).as("best_corpus_id"))
+    fresh.select("vec_id")
+      .join(verdict, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("best_cos_micro"), col("best_corpus_id"),
+        when(coalesce(col("best_cos_micro"), lit(Long.MinValue))
+          >= lit(thresholdMicro), 0L).otherwise(1L).as("admit"))
+      .orderBy("vec_id")
+  }
 }

@@ -128,6 +128,101 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](WavCodec.decode(overrun))
   }
 
+  // ——— ImageIoCodec: the compressed tier (JPEG/PNG via javax.imageio) ———
+
+  /** 2×1 truecolor PNG hand-assembled from the PNG spec (NOT by the
+    * encoder under test): signature, IHDR, one IDAT whose zlib stream is
+    * a single STORED (uncompressed) deflate block — filter byte 0 then
+    * the six RGB bytes — and IEND. CRC32/Adler32 come from java.util.zip
+    * (the spec's checksums, independent of ImageIO). Pixels:
+    * (0,0)=(10,20,30), (1,0)=(200,150,100) — values >127 exercise the
+    * signed-byte path. */
+  private val goldenPng: Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+      be32(body.length.toLong) ++ tag.getBytes("US-ASCII") ++ body ++
+        be32(crc.getValue)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be32(2L) ++ be32(1L) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, no interlace
+    val raw = Array(0, 10, 20, 30, 200, 150, 100).map(_.toByte) // filter 0 + px
+    val adler = new java.util.zip.Adler32(); adler.update(raw)
+    val zlib = Array[Byte](0x78, 0x01,               // zlib header
+      0x01,                                          // final stored block
+      raw.length.toByte, 0, (~raw.length & 0xff).toByte, 0xff.toByte) ++
+      raw ++ be32(adler.getValue)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zlib) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("ImageIoCodec decodes a spec-assembled golden PNG exactly") {
+    import graft.multimodal.ImageIoCodec
+    val d = ImageIoCodec.decode(goldenPng)
+    assert((d.width, d.height) === ((2, 1)))
+    assert((d.r(0, 0), d.g(0, 0), d.b(0, 0)) === ((10, 20, 30)))
+    assert((d.r(1, 0), d.g(1, 0), d.b(1, 0)) === ((200, 150, 100)))
+  }
+
+  test("PNG round-trip is pixel-exact (lossless contract behind q259)") {
+    import graft.multimodal.ImageIoCodec
+    def px(x: Int, y: Int) = ((x * 53 + y * 11) % 256, (x + 3 * y) % 256, 255 - x % 256)
+    val d = ImageIoCodec.decode(ImageIoCodec.encodePng(33, 17, px))
+    assert((d.width, d.height) === ((33, 17)))
+    for (y <- 0 until 17; x <- 0 until 33)
+      assert((d.r(x, y), d.g(x, y), d.b(x, y)) === px(x, y), s"($x,$y)")
+  }
+
+  test("JPEG decode: exact geometry, bounded drift, deterministic encode") {
+    import graft.multimodal.ImageIoCodec
+    def px(x: Int, y: Int) = (40 + 2 * x + y, 40 + x + 2 * y, 40 + x + y)
+    val b1 = ImageIoCodec.encodeJpeg(31, 23, px)
+    val b2 = ImageIoCodec.encodeJpeg(31, 23, px)
+    assert(b1.toSeq === b2.toSeq) // deterministic bytes for fixed input
+    val d = ImageIoCodec.decode(b1)
+    assert((d.width, d.height) === ((31, 23)))
+    var absErr = 0L; var maxErr = 0
+    for (y <- 0 until 23; x <- 0 until 31) {
+      val (er, eg, eb) = px(x, y)
+      val errs = Seq(d.r(x, y) - er, d.g(x, y) - eg, d.b(x, y) - eb).map(math.abs)
+      absErr += errs.sum; maxErr = math.max(maxErr, errs.max)
+    }
+    val mae = absErr.toDouble / (3 * 31 * 23)
+    assert(mae <= 3.0, s"smooth-gradient MAE $mae blew the q260 envelope")
+    assert(maxErr <= 12, s"single-channel error $maxErr blew the q260 envelope")
+  }
+
+  test("ImageIoCodec rejects undecodable payloads loudly") {
+    import graft.multimodal.ImageIoCodec
+    intercept[IllegalArgumentException](
+      ImageIoCodec.decode("not an image".getBytes("UTF-8")))
+  }
+
+  test("q259 channel sums match a direct recompute of the generator (real docs)") {
+    val out = graft.multimodal.Multimodal
+      .pngFeatures(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val lens = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length).toMap
+    out.foreach { r =>
+      val id = r.getLong(0); val len = lens(id)
+      val w = 1 + len % 32; val h = 1 + (len * 7) % 24
+      val vs = for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13) % 256
+      assert(r.getAs[Long]("width") === w.toLong)
+      assert(r.getAs[Long]("height") === h.toLong)
+      assert(r.getAs[Long]("r_sum") === vs.sum)
+      assert(r.getAs[Long]("g_sum") === vs.map(v => (v + 1) % 256).sum)
+      assert(r.getAs[Long]("b_sum") === vs.map(v => (v + 2) % 256).sum)
+      assert(r.getAs[Long]("corner_r") === id * 31 % 256)
+    }
+  }
+
   test("q179 window energy matches a direct recompute from the text (real docs)") {
     val out = graft.multimodal.Multimodal
       .wavEnergy(spark, "/root/testdata/sf0.001").collect()

@@ -609,6 +609,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class Vec(vec_id: Long, label: Long, v: Seq[Double])
+
+  test("streaming ANN admission: frozen-IVF probe rejects at the exact micro threshold, admits sub-threshold and unprobed-cell misses") {
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // frozen index fixture (2-D so every cosine is exact rational
+    // integer arithmetic): quantizer cells c0=(1,0), c1=(0,1); corpus
+    // vector 100=(3,4) pinned to cell 0, 101=(0,5) to cell 1.
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val corpusAssigned = Seq(
+      (0, 100L, Seq(3.0, 4.0)),
+      (1, 101L, Seq(0.0, 5.0)))
+      .toDF("cell", "corpus_id", "cv")
+    val input = MemoryStream[Vec]
+    // threshold = the exact micro value of fresh 1's cosine (24/25):
+    // the >= boundary must REJECT, one micro below must survive
+    val out = graft.streaming.TrainingPipeline.annGate(
+      input.toDF(), cents, corpusAssigned, nProbe = 1,
+      thresholdMicro = 960000L)
+    val q = out.writeStream.format("memory")
+      .queryName("anngate_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        // d(v,c0)=18 < d(v,c1)=20 -> probes cell 0; cos vs 100 =
+        // 24/25 -> micro 960000, EXACTLY the threshold -> rejected
+        Vec(1, 0, Seq(4.0, 3.0)),
+        // probes cell 0; cos vs 100 = 15/25 = 0.6 -> 600000 -> admitted
+        Vec(2, 0, Seq(5.0, 0.0)),
+        // probes cell 1; cos vs 101 = 45/45 = 1.0 -> rejected
+        Vec(3, 0, Seq(0.0, 9.0)))
+      q.processAllAvailable()
+      input.addData(
+        // later micro-batch still probes the FROZEN index -> rejected
+        Vec(4, 0, Seq(0.0, 7.0)),
+        // RECALL-limited by design: (3,4) probes cell 1 (d=18 vs 20),
+        // missing its true near-dup 100=(3,4) pinned in cell 0; the
+        // probed cos vs 101 = 20/25 -> 800000 < threshold -> admitted
+        Vec(5, 0, Seq(3.0, 4.0)))
+      q.processAllAvailable()
+      val got = spark.table("anngate_out")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got === Set(2L, 5L),
+        s"boundary (1), exact dup (3), late dup (4) must die; " +
+          s"sub-threshold (2) and unprobed-cell miss (5) survive; got $got")
+      // the admitted rows carry the embedding payload through the gate
+      val v2 = spark.table("anngate_out").filter(col("vec_id") === 2L)
+        .select("v").head().getSeq[Double](0)
+      assert(v2 === Seq(5.0, 0.0))
+    } finally q.stop()
+  }
+
   test("streaming PSI monitor matches the batch windowedPsi day-for-day on in-order data") {
     implicit val sq = spark.sqlContext
     val dir = "/root/testdata/sf0.001"

@@ -74,6 +74,13 @@ def compare_frames(name, spark_df, duck_df):
     return True, msgs
 
 
+def unknown_only_names(only, oracle_names):
+    """Names requested via `only` that oracle_sql.json does not carry —
+    failures, never silent skips (a typo used to print '1/1 match' and
+    exit 0 without verifying anything). Pure so the self-test drives it."""
+    return sorted(set(only) - set(oracle_names)) if only else []
+
+
 def main():
     import duckdb
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -102,6 +109,13 @@ def main():
             print(f"ok   {name}: {len(spark_df)} rows")
         else:
             fails.append(name)
+
+    # a name passed as `only` but absent from oracle_sql.json is a
+    # FAILURE, not a silent skip (advisor r11)
+    for name in unknown_only_names(only, oracle):
+        fails.append(name)
+        print(f"FAIL {name}: not in oracle_sql.json (typo'd name, or a "
+              f"no-oracle query — pass its real prefix to graft.Verify first)")
 
     checked = len(only) if only else len(oracle)
     print(f"\n{checked - len(fails)}/{checked} match")

@@ -57,17 +57,32 @@ if [ -z "$fresh_bench" ]; then
   echo "  with SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 before snapshotting."
   exit 1
 fi
-flags=$(python3 - "$fresh_bench" <<'EOF'
+# gate verdict: "flags:<list>" or "empty" (zero measured queries) or "ok:<n>".
+# An empty selection (typo'd Bench prefix) must refuse: empty slow_flags
+# over zero queries measured nothing (advisor r11). Bench itself also
+# refuses to write such an artifact; this guards pre-existing files.
+verdict=$(python3 - "$fresh_bench" <<'EOF'
 import json, sys
 try:
     d = json.load(open(sys.argv[1]))
-    print(",".join(d.get("slow_flags", [])))
+    flags = d.get("slow_flags", [])
+    nq = d.get("n_queries", len(d.get("queries", {})))
+    if flags:
+        print("flags:" + ",".join(flags))
+    elif nq == 0:
+        print("empty")
+    else:
+        print("ok:%d" % nq)
 except Exception:
-    print("")
+    print("empty")
 EOF
 )
-if [ -n "$flags" ]; then
-  echo "presnapshot: REFUSING — $fresh_bench is current and carries slow_flags: $flags"
-  exit 1
-fi
-echo "presnapshot: perf gate green ($fresh_bench fresh, no slow_flags)"
+case "$verdict" in
+  flags:*)
+    echo "presnapshot: REFUSING — $fresh_bench is current and carries slow_flags: ${verdict#flags:}"
+    exit 1 ;;
+  empty)
+    echo "presnapshot: REFUSING — $fresh_bench measured ZERO queries (typo'd prefix or unreadable artifact)"
+    exit 1 ;;
+esac
+echo "presnapshot: perf gate green ($fresh_bench fresh, ${verdict#ok:} queries, no slow_flags)"

@@ -68,5 +68,14 @@ d2 = pd.DataFrame({"v": np.array([1, 3], dtype="int64")})
 ok, msgs = compare_frames("value_diff", d1, d2)
 expect("plain value diff fails", ok, False, msgs, "differs at row")
 
-print(f"\n{7 - len(failures)}/7 planted cases behave")
+# 8. A typo'd `only` name must surface as unknown, never a silent skip
+#    that prints 'N/N match' over nothing (advisor r11).
+from check_oracle import unknown_only_names
+got = unknown_only_names({"q01_real", "q999_typo"}, {"q01_real", "q02_real"})
+expect("typo'd only-name surfaces as unknown", got == ["q999_typo"],
+       True, [str(got)])
+got2 = unknown_only_names(set(), {"q01_real"})
+expect("empty only has no unknowns", got2 == [], True, [str(got2)])
+
+print(f"\n{9 - len(failures)}/9 planted cases behave")
 sys.exit(1 if failures else 0)

@@ -5,6 +5,9 @@
 #   1. a src/main file newer than every bench artifact -> REFUSE
 #   2. a fresh bench artifact with empty slow_flags     -> PASS
 #   3. a fresh bench artifact WITH slow_flags           -> REFUSE
+#   4. a fresh artifact that measured ZERO queries      -> REFUSE
+#      (advisor r11: a typo'd Bench prefix used to yield an empty
+#      artifact with vacuously-clean slow_flags and greenlight)
 # Only mtimes and the throwaway bench_partial.json are touched; the
 # original bench_partial.json (if any) is restored on exit.
 set -euo pipefail
@@ -34,17 +37,24 @@ if tools/presnapshot.sh --gate-only >/dev/null 2>&1; then
 fi
 echo "ok   stale bench refuses"
 
-# 2. fresh targeted bench, no flags -> pass
+# 2. fresh targeted bench, no flags, nonzero queries -> pass
 sleep 1
-echo '{"metric":"total","value":1.0,"unit":"sec","queries":{},"slow_flags":[]}' > bench_partial.json
+echo '{"metric":"total","value":1.0,"unit":"sec","n_queries":1,"queries":{"q01_gmv_by_date":1.0},"slow_flags":[]}' > bench_partial.json
 tools/presnapshot.sh --gate-only >/dev/null 2>&1 || fail "fresh clean bench must PASS"
 echo "ok   fresh clean bench passes"
 
 # 3. fresh bench carrying a slow flag -> refuse
-echo '{"metric":"total","value":99.0,"unit":"sec","queries":{},"slow_flags":["q999_planted"]}' > bench_partial.json
+echo '{"metric":"total","value":99.0,"unit":"sec","n_queries":1,"queries":{"q999_planted":99.0},"slow_flags":["q999_planted"]}' > bench_partial.json
 if tools/presnapshot.sh --gate-only >/dev/null 2>&1; then
   fail "fresh bench WITH slow_flags must REFUSE"
 fi
 echo "ok   flagged bench refuses"
 
-echo "3/3 gate cases behave"
+# 4. fresh bench that measured zero queries -> refuse (empty selection)
+echo '{"metric":"total","value":0.0,"unit":"sec","queries":{},"slow_flags":[]}' > bench_partial.json
+if tools/presnapshot.sh --gate-only >/dev/null 2>&1; then
+  fail "fresh bench with ZERO measured queries must REFUSE"
+fi
+echo "ok   empty-selection bench refuses"
+
+echo "4/4 gate cases behave"
