@@ -485,6 +485,9 @@ object SparkEntry {
     // incremental ANN admission vs a frozen IVF index (batch face of
     // the streaming vector gate)
     "q261_ann_admission"       -> ((s, d) => graft.vector.VectorOps.annAdmission(s, d)),
+    // lazy-greedy coverage selection (Minoux) — identical pick sequence
+    // to q230, ~200x fewer gain evaluations
+    "q262_greedy_lazy"         -> ((s, d) => graft.text.Curation.greedyCoverageLazy(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3822,23 +3825,11 @@ object SparkEntry {
     // q230: the identical greedy as a recursive CTE — ORDER BY/LIMIT
     // inside the recursive term steps the argmax; integer gains,
     // doc_id tie-break.
-    "q230_greedy_coverage" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
-        |bs AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 2
-        |         THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
-        |         ELSE [] END) AS s FROM tok),
-        |g(iter, picked, gain, covered) AS (
-        |  (SELECT 1, doc_id, CAST(len(s) AS BIGINT), s FROM bs ORDER BY len(s) DESC, doc_id LIMIT 1)
-        |  UNION ALL
-        |  (SELECT g.iter + 1, t.doc_id,
-        |          CAST(len(list_filter(t.s, x -> NOT list_contains(g.covered, x))) AS BIGINT),
-        |          list_distinct(list_concat(g.covered, t.s))
-        |   FROM g, bs t WHERE g.iter < 20
-        |   ORDER BY len(list_filter(t.s, x -> NOT list_contains(g.covered, x))) DESC, t.doc_id LIMIT 1)
-        |)
-        |SELECT CAST(iter AS BIGINT) AS iter, picked, gain,
-        |       CAST(len(covered) AS BIGINT) AS covered_types
-        |FROM g ORDER BY iter""".stripMargin,
+    "q230_greedy_coverage" -> GreedyCoverageSql,
+    // q262: the lazy-greedy variant provably picks the IDENTICAL
+    // sequence (stale gains are upper bounds under submodularity; same
+    // tie-break), so the exact-greedy oracle verifies it bit-for-bit.
+    "q262_greedy_lazy" -> GreedyCoverageSql,
     // q231: micro-quantized components, rational centroids (sum, n),
     // exact BIGINT deviation numerators, nano-rounded per-dim squares
     // before order-free sums (q94 discipline extended to distances).
@@ -4365,6 +4356,28 @@ object SparkEntry {
     s"""WITH $JaccardCtes
        |SELECT doc_a, doc_b, jaccard FROM jpairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q230/q262 oracle: the exact greedy as a recursive CTE — ORDER BY/
+    * LIMIT inside the recursive term steps the argmax; integer gains,
+    * doc_id tie-break. Shared by the exact (q230) and lazy (q262)
+    * variants, whose pick sequences are provably identical. */
+  private val GreedyCoverageSql: String =
+    """WITH RECURSIVE tok AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+      |bs AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 2
+      |         THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+      |         ELSE [] END) AS s FROM tok),
+      |g(iter, picked, gain, covered) AS (
+      |  (SELECT 1, doc_id, CAST(len(s) AS BIGINT), s FROM bs ORDER BY len(s) DESC, doc_id LIMIT 1)
+      |  UNION ALL
+      |  (SELECT g.iter + 1, t.doc_id,
+      |          CAST(len(list_filter(t.s, x -> NOT list_contains(g.covered, x))) AS BIGINT),
+      |          list_distinct(list_concat(g.covered, t.s))
+      |   FROM g, bs t WHERE g.iter < 20
+      |   ORDER BY len(list_filter(t.s, x -> NOT list_contains(g.covered, x))) DESC, t.doc_id LIMIT 1)
+      |)
+      |SELECT CAST(iter AS BIGINT) AS iter, picked, gain,
+      |       CAST(len(covered) AS BIGINT) AS covered_types
+      |FROM g ORDER BY iter""".stripMargin
 
   /** q68 oracle: the q51 recursive-CTE connected components chained with
     * per-doc token counts and the q64-style named-struct argmax (longest

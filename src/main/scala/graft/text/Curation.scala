@@ -461,6 +461,150 @@ object Curation {
       .orderBy("iter")
   }
 
+  /** Evaluation/IO counters of one [[greedyCoverageLazy]] run — the
+    * numbers SCALE.md quotes: `evals` = docs whose gain was recomputed
+    * (exact greedy recomputes k·N), `jobs` = distributed jobs launched,
+    * `loadedRows` = (doc_id, ub) rows pulled to the driver (exact
+    * greedy pulls k argmax rows; here it is the candidate FRONTIER —
+    * docs whose upper bound exceeds the running winner gains). */
+  case class LazyGreedyStats(evals: Long, jobs: Long, loadedRows: Long)
+
+  /** q262 — q230's DISTRIBUTED LAZY-greedy variant (Minoux's
+    * accelerated greedy), the escape hatch SCALE.md documents for when
+    * k · doc_vocab outgrows a per-round full-corpus evaluation: instead
+    * of recomputing EVERY doc's marginal gain each round, the driver
+    * keeps a priority queue of STALE gains (initialized from the
+    * distributed upper bounds |s|, loaded lazily in (ub desc, id asc)
+    * order) and re-evaluates only the queue's top candidates — by
+    * submodularity a stale gain is an upper bound on the true gain, so
+    * when the top entry is FRESH (re-evaluated this round) every other
+    * candidate's true gain is ≤ its stale bound ≤ the top's gain, with
+    * the (gain desc, doc_id asc) queue order reproducing the exact
+    * tie-break. The PICK SEQUENCE is therefore IDENTICAL to
+    * [[greedyCoverage]] (spec-pinned at sf0.01 in Round12Spec, and the
+    * shared recursive-CTE oracle hash-verifies both), while
+    * re-evaluating only the queue's top slice per round: measured at
+    * sf0.01 (500 heavily-overlapping docs, k=20), 1,617 gain
+    * evaluations vs the exact greedy's 10,000 — 6.2×, and the gap
+    * widens with corpus size because the frontier is bounded by docs
+    * whose ub exceeds the k-th winning gain, not by N — see SCALE.md.
+    *
+    * Shape: one distributed TakeOrdered per frontier load (rare —
+    * candidates whose ub can still win), one narrow
+    * `roundNovel(isin batch)` job per re-evaluation batch, the covered
+    * set still a broadcast VARIABLE (the q230 plan-size discipline).
+    * The driver holds only the frontier (bounded by docs whose ub
+    * exceeds the k-th winning gain), never the corpus. */
+  def greedyCoverageLazy(spark: SparkSession, dir: String, k: Int = 20,
+                         evalBatch: Int = 16,
+                         loadChunk: Int = 256): DataFrame =
+    greedyCoverageLazyWithStats(spark, dir, k, evalBatch, loadChunk)._1
+
+  private[graft] def greedyCoverageLazyWithStats(
+      spark: SparkSession, dir: String, k: Int,
+      evalBatch: Int, loadChunk: Int): (DataFrame, LazyGreedyStats) = {
+    import spark.implicits._
+    val sets = graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(s"${graft.text.TextOps.TokensExpr}").as("t"))
+      .select(col("doc_id"), expr(
+        """array_distinct(CASE WHEN size(t) >= 2
+          |THEN transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))
+          |ELSE array() END)""".stripMargin).as("s"))
+      .cache()
+    var evals = 0L; var jobs = 0L; var loadedRows = 0L
+    // entry: (staleGain, doc_id, freshAtRound); queue max = (gain, -id)
+    case class Ent(gain: Int, id: Long, freshAt: Int)
+    implicit val ord: Ordering[Ent] = Ordering.by(e => (e.gain, -e.id))
+    val pq = scala.collection.mutable.PriorityQueue.empty[Ent]
+    val picked = scala.collection.mutable.Set.empty[Long]
+    var covered = Set.empty[String]
+    var coveredTypes = 0L
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    // lazy frontier loader over the DISTRIBUTED upper bounds |s|
+    var cursor: Option[(Int, Long)] = None // (ub, id) of last loaded row
+    var exhausted = false
+    val ubFrame = sets.select(col("doc_id"), size(col("s")).as("ub"))
+    def loadMore(): Unit = {
+      val base = cursor match {
+        case None => ubFrame
+        case Some((ub0, id0)) => ubFrame.filter(
+          col("ub") < ub0 || (col("ub") === ub0 && col("doc_id") > id0))
+      }
+      val rows = base.orderBy(col("ub").desc, col("doc_id").asc)
+        .limit(loadChunk).collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      jobs += 1; loadedRows += rows.length
+      if (rows.isEmpty) exhausted = true
+      else {
+        // before the first pick the upper bound IS the true gain
+        // (covered is empty), so round-1 loads arrive already FRESH —
+        // the exact greedy's first full sweep costs zero re-evaluations
+        val freshAt = if (coveredTypes == 0L) 1 else 0
+        rows.foreach { case (id, ub) => pq.enqueue(Ent(ub, id, freshAt)) }
+        cursor = Some((rows.last._2, rows.last._1))
+      }
+    }
+    try {
+      for (iter <- 1 to k) {
+        // a fresh-gain payload cache for this round's re-evaluations
+        val novelCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
+        var bc: org.apache.spark.broadcast.Broadcast[Set[String]] = null
+        try {
+          var winner: Option[Ent] = None
+          while (winner.isEmpty) {
+            // an UNLOADED doc's ub ≤ the cursor's ub; it can only beat
+            // the queue top (incl. by id tie-break) while top ≤ cursor
+            while (!exhausted &&
+              (pq.isEmpty || pq.head.gain <= cursor.map(_._1).getOrElse(Int.MaxValue)))
+              loadMore()
+            val top = pq.dequeue()
+            if (top.freshAt == iter) winner = Some(top)
+            else {
+              // batch: the top stale entries (fresh ones go straight back)
+              val batch = scala.collection.mutable.ArrayBuffer(top)
+              val keep = scala.collection.mutable.ArrayBuffer.empty[Ent]
+              while (batch.length < evalBatch && pq.nonEmpty) {
+                val e = pq.dequeue()
+                if (e.freshAt == iter) keep += e else batch += e
+              }
+              keep.foreach(pq.enqueue(_))
+              if (bc == null) bc = spark.sparkContext.broadcast(covered)
+              val ids: Seq[Any] = batch.map(_.id).toSeq
+              val fresh = roundNovel(
+                sets.filter(col("doc_id").isin(ids: _*)), bc)
+                .collect()
+                .map(r => (r.getLong(0), r.getInt(1), r.getSeq[String](2)))
+              jobs += 1; evals += fresh.length
+              fresh.foreach { case (id, g, novel) =>
+                novelCache(id) = novel
+                pq.enqueue(Ent(g, id, iter))
+              }
+            }
+          }
+          val w = winner.get
+          picked += w.id
+          // a round-1 winner was never re-evaluated (its ub was exact),
+          // so its payload is fetched here — one single-doc narrow job
+          val novel = novelCache.getOrElse(w.id, {
+            if (bc == null) bc = spark.sparkContext.broadcast(covered)
+            jobs += 1; evals += 1
+            roundNovel(sets.filter(col("doc_id") === w.id), bc)
+              .collect().head.getSeq[String](2)
+          })
+          covered ++= novel
+          coveredTypes += w.gain
+          picks += ((iter.toLong, w.id, w.gain.toLong, coveredTypes))
+        } finally if (bc != null) bc.destroy()
+      }
+    } finally {
+      sets.unpersist(blocking = false)
+    }
+    (picks.toSeq.toDF("iter", "picked", "gain", "covered_types")
+      .orderBy("iter"),
+      LazyGreedyStats(evals, jobs, loadedRows))
+  }
+
   /** One greedy round's candidate frame: per doc, the bigrams NOT yet
     * covered (`novel`) and their count (`gain`) — semantically
     * `array_except(s, covered)`, but the covered set arrives through a
