@@ -486,8 +486,11 @@ object SparkEntry {
     // the streaming vector gate)
     "q261_ann_admission"       -> ((s, d) => graft.vector.VectorOps.annAdmission(s, d)),
     // lazy-greedy coverage selection (Minoux) — identical pick sequence
-    // to q230, ~200x fewer gain evaluations
+    // to q230, 6x fewer gain evaluations at sf0.01
     "q262_greedy_lazy"         -> ((s, d) => graft.text.Curation.greedyCoverageLazy(s, d)),
+    // incremental IVF re-balance: split-hot/merge-cold maintenance step,
+    // (cell_before, cell_after) assignment-transition matrix
+    "q263_ivf_rebalance"       -> ((s, d) => graft.vector.VectorOps.ivfRebalance(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3937,6 +3940,71 @@ object SparkEntry {
         |       CAST(CASE WHEN COALESCE(v.best_cos_micro, -1000000000) >= 400000 THEN 0 ELSE 1 END AS BIGINT) AS admit
         |FROM fresh f LEFT JOIN v USING (vec_id) LEFT JOIN bi USING (vec_id)
         |ORDER BY f.vec_id""".stripMargin,
+    // q263: the q232 frozen-quantizer CTEs, then ONE maintenance step —
+    // hottest corpus cell (ties lower) split via two smallest-vec_id
+    // seeds + one in-cell Lloyd step (the base quantizer's exact
+    // micro-mean arithmetic), coldest cell merged away — and the
+    // (cell_before, cell_after) transition matrix over all vectors.
+    "q263_ivf_rebalance" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corp AS (SELECT * FROM e WHERE vec_id < 250),
+        |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM corp WHERE vec_id < 16),
+        |a1 AS (SELECT c.vec_id,
+        |              MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, i.cv) + list_inner_product(i.cv, i.cv),
+        |                   'c': i.cell}) AS best
+        |       FROM corp c, init i GROUP BY 1),
+        |u AS (SELECT a1.best.c AS cell,
+        |             unnest(generate_series(1, len(c.v))) - 1 AS dim,
+        |             unnest(c.v) AS x
+        |      FROM corp c JOIN a1 USING (vec_id)),
+        |g AS (SELECT cell, dim, COUNT(*) AS n,
+        |             SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
+        |      FROM u GROUP BY 1, 2),
+        |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
+        |         FROM g GROUP BY 1),
+        |ca AS (SELECT c.vec_id, c.v,
+        |              (MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, cc.cv) + list_inner_product(cc.cv, cc.cv),
+        |                    'c': cc.cell})).c AS cell
+        |       FROM corp c, cent cc GROUP BY 1, 2),
+        |cnt AS (SELECT cell, COUNT(*) AS n FROM ca GROUP BY 1),
+        |hot AS (SELECT cell FROM cnt ORDER BY n DESC, cell LIMIT 1),
+        |cold AS (SELECT cell FROM cnt ORDER BY n ASC, cell LIMIT 1),
+        |hv AS (SELECT ca.vec_id, ca.v FROM ca JOIN hot ON ca.cell = hot.cell),
+        |sd AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS sc, v AS sv
+        |       FROM (SELECT * FROM hv ORDER BY vec_id LIMIT 2)),
+        |sa AS (SELECT hv.vec_id,
+        |              (MIN({'d': list_inner_product(hv.v, hv.v) - 2.0 * list_inner_product(hv.v, sd.sv) + list_inner_product(sd.sv, sd.sv),
+        |                    'c': sd.sc})).c AS sc
+        |       FROM hv, sd GROUP BY 1),
+        |su AS (SELECT sa.sc, unnest(generate_series(1, len(hv.v))) - 1 AS dim, unnest(hv.v) AS x
+        |       FROM hv JOIN sa USING (vec_id)),
+        |sg AS (SELECT sc, dim, COUNT(*) AS n,
+        |              SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
+        |       FROM su GROUP BY 1, 2),
+        |subc AS (SELECT sc, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
+        |         FROM sg GROUP BY 1),
+        |aft AS (SELECT cell, cv FROM cent
+        |        WHERE cell NOT IN (SELECT cell FROM hot)
+        |          AND cell NOT IN (SELECT cell FROM cold)
+        |        UNION ALL SELECT (SELECT cell FROM hot) AS cell, cv FROM subc WHERE sc = 0
+        |        UNION ALL SELECT 16 AS cell, cv FROM subc WHERE sc = 1),
+        |ab AS (SELECT e.vec_id, CASE WHEN e.vec_id < 250 THEN 1 ELSE 0 END AS is_corpus,
+        |              (MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, cc.cv) + list_inner_product(cc.cv, cc.cv),
+        |                    'c': cc.cell})).c AS cell_before
+        |       FROM e, cent cc GROUP BY 1, 2),
+        |aa AS (SELECT e.vec_id,
+        |              (MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, af.cv) + list_inner_product(af.cv, af.cv),
+        |                    'c': af.cell})).c AS cell_after
+        |       FROM e, aft af GROUP BY 1)
+        |SELECT CAST(ab.cell_before AS BIGINT) AS cell_before,
+        |       CAST(aa.cell_after AS BIGINT) AS cell_after,
+        |       COUNT(*) AS n_vecs,
+        |       CAST(SUM(ab.is_corpus) AS BIGINT) AS n_corpus,
+        |       CAST(SUM(1 - ab.is_corpus) AS BIGINT) AS n_fresh,
+        |       CAST(CASE WHEN ab.cell_before <> aa.cell_after THEN 1 ELSE 0 END AS BIGINT) AS moved
+        |FROM ab JOIN aa USING (vec_id)
+        |GROUP BY ab.cell_before, aa.cell_after
+        |ORDER BY 1, 2""".stripMargin,
     // q233: month-partitioned top-10 rank + previous-calendar-month
     // overlap join; churn is exact integer micros.
     "q233_topk_churn" ->

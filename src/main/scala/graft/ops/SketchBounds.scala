@@ -264,6 +264,22 @@ object SketchBounds {
     checks += BoundCheck("q260_jpeg_drift", "max single-channel error",
       jd.length.toLong, worstPx, 12.0, worstPx <= 12.0,
       "worst single-channel abs error <= 12 (3x observed 4 at q=0.9)")
+
+    // q263: recall preservation of the split-hot/merge-cold re-balance.
+    // Fresh-vector top-1 recall through the re-balanced index may move
+    // only within the seam allowance (observed: -0.012 at sf0.01,
+    // +0.008 at sf0.001) and must stay above the q186-style floor; a
+    // broken split (wrong seed order, mean arithmetic, merged-cell
+    // reassignment) sends probed cells astray and drops recall toward
+    // the ~nProbe/k chance line (0.25).
+    val (centsBefore, centsAfter) =
+      graft.vector.VectorOps.rebalancedIvf(spark, dir)
+    val rBefore = graft.vector.VectorOps.ivfTop1Recall(spark, dir, centsBefore)
+    val rAfter = graft.vector.VectorOps.ivfTop1Recall(spark, dir, centsAfter)
+    val rebWorst = math.max(rBefore - 0.05 - rAfter, 0.40 - rAfter)
+    checks += BoundCheck("q263_ivf_rebalance", "fresh top-1 recall, after vs before",
+      1L, math.max(rebWorst, 0.0), 0.0, rebWorst <= 0.0,
+      f"recall_after ($rAfter%.3f) >= max(recall_before ($rBefore%.3f) - 0.05, 0.40)")
     checks.toSeq
   }
 

@@ -1312,6 +1312,148 @@ object VectorOps {
             * sqrt(dotC(col("cv"), col("cv"))))).as("cos"))
   }
 
+  /** Before/after centroid sets of the q263 incremental re-balance:
+    * the FROZEN corpus quantizer (16 cells, trained on vec_id <
+    * splitAt — q232's artifact), then ONE maintenance step on it:
+    * the hottest cell (by corpus count; ties to the lower cell id) is
+    * SPLIT into two sub-cells (seeds = its two smallest corpus
+    * vec_ids, one Lloyd step restricted to the cell — the identical
+    * micro-rounded mean arithmetic as the base quantizer) and the
+    * coldest cell (ties to the lower id) is MERGED away (its vectors
+    * re-assign to their nearest surviving centroid). Cell ids stay
+    * stable except at the seam: the split keeps the hot id and mints
+    * id = nCentroids; the merged id disappears — the minimal-churn
+    * property the assignment diff quantifies. */
+  private[graft] def rebalancedIvf(spark: SparkSession, dir: String,
+                                   nCentroids: Int = 16, splitAt: Long = 250L):
+      (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])]) = {
+    val (cents, corpusAssigned) = frozenIvfIndex(spark, dir, nCentroids, splitAt)
+    val before = cents.zipWithIndex.map { case (cv, c) => (c, cv) }
+    val counts = corpusAssigned.groupBy("cell")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val hot = counts.maxBy { case (c, n) => (n, -c) }._1
+    val cold = counts.minBy { case (c, n) => (n, c) }._1
+    require(hot != cold,
+      s"re-balance needs distinct hot/cold cells (all ${counts.length} cells equal?)")
+    val hotVecs = corpusAssigned.filter(col("cell") === hot)
+      .select(col("corpus_id").as("vec_id"), col("cv").as("v"))
+    val seeds = hotVecs.orderBy("vec_id").limit(2).collect()
+      .map(r => r.getSeq[Double](1))
+    require(seeds.length == 2,
+      s"hot cell $hot has < 2 corpus vectors — nothing to split")
+    // one Lloyd step inside the hot cell, sub-cells 0/1 (ties to 0) —
+    // the base quantizer's exact micro-mean arithmetic
+    val sub = hotVecs
+      .withColumn("sc", cellOf(seeds.toIndexedSeq.zipWithIndex
+        .map { case (sv, i) => (i, typedLit(sv.toSeq)) }))
+      .select(col("sc"), posexplode(col("v")))
+      .groupBy("sc", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(col * 1000000.0d + 0.5d) as long)")).as("sm"))
+      .select(col("sc"), col("pos"),
+        (col("sm").cast("double") / (col("n") * lit(1000000.0d))).as("mean"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (sc, rows) => sc -> rows.sortBy(_._2).map(_._3).toSeq }
+    require(sub.size == 2,
+      s"hot-cell split left an empty sub-cell (duplicate seed vectors?)")
+    val after = before.filterNot { case (c, _) => c == hot || c == cold } ++
+      Seq((hot, sub(0)), (nCentroids, sub(1)))
+    (before, after.sortBy(_._1))
+  }
+
+  /** q263 — incremental IVF RE-BALANCE audit (the q256 ledger-diff
+    * pattern applied to cell assignments): one split-hot/merge-cold
+    * maintenance step on the frozen quantizer ([[rebalancedIvf]]), and
+    * the report is the (cell_before, cell_after) assignment-transition
+    * matrix over the whole store — corpus/fresh counts per transition
+    * and the moved flag. The diff shape a vector store's index
+    * maintenance job emits so operators can see churn BEFORE swapping
+    * the index in (only seam cells should move; a global reshuffle
+    * means the quantizer drifted and a full retrain is due).
+    * Recall preservation is bound-gated in SketchBounds: the fresh-
+    * vector top-1 recall through the re-balanced index must not drop
+    * more than the documented seam allowance.
+    *
+    * Scale: two in-row argmin assignments per vector (k+1 codegen dots
+    * against literals) + ONE partial-agg shuffle on the bounded
+    * (cell_before, cell_after) domain; no joins, no pairs. */
+  def ivfRebalance(spark: SparkSession, dir: String,
+                   nCentroids: Int = 16, splitAt: Long = 250L): DataFrame = {
+    val (before, after) = rebalancedIvf(spark, dir, nCentroids, splitAt)
+    vecs(spark, dir)
+      .withColumn("cell_before",
+        cellOf(before.map { case (c, cv) => (c, typedLit(cv)) }))
+      .withColumn("cell_after",
+        cellOf(after.map { case (c, cv) => (c, typedLit(cv)) }))
+      .withColumn("is_corpus", (col("vec_id") < splitAt).cast("long"))
+      .groupBy("cell_before", "cell_after")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("is_corpus")).as("n_corpus"),
+        sum(lit(1L) - col("is_corpus")).as("n_fresh"))
+      .select(col("cell_before").cast("long").as("cell_before"),
+        col("cell_after").cast("long").as("cell_after"),
+        col("n_vecs"), col("n_corpus"), col("n_fresh"),
+        (col("cell_before") =!= col("cell_after")).cast("long").as("moved"))
+      .orderBy("cell_before", "cell_after")
+  }
+
+  /** Fresh-vector top-1 recall of an IVF index built from `cents`:
+    * fraction of fresh vectors whose EXACT nearest corpus vector (by
+    * cosine; ties to the lower corpus id) sits inside their `nProbe`
+    * probed cells. The q263 recall-preservation bound evaluates this on
+    * the before/after centroid sets; the exact side is the quadratic
+    * verifier, valid only at verify SFs (guarded). */
+  private[graft] def ivfTop1Recall(spark: SparkSession, dir: String,
+                                   cents: Seq[(Int, Seq[Double])],
+                                   nProbe: Int = 4,
+                                   splitAt: Long = 250L): Double = {
+    val nVecs = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    require(nVecs <= QuadraticAnchorMaxVecs,
+      s"ivfTop1Recall's exact side is quadratic ($nVecs vectors) — audit-only")
+    def sdot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0d; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val lits = cents.map { case (c, cv) => (c, typedLit(cv)) }
+    val e = vecs(spark, dir)
+    val corp = e.filter(col("vec_id") < splitAt)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .withColumn("ccell", cellOfCv(lits))
+    val probeStructs = cents.map { case (c, cv) =>
+      struct((dotC(col("v"), col("v"))
+        - lit(2.0d) * dotC(col("v"), typedLit(cv))
+        + lit(sdot(cv, cv))).as("d"), lit(c).as("cell"))
+    }
+    val freshP = e.filter(col("vec_id") >= splitAt)
+      .withColumn("pcs", slice(array_sort(array(probeStructs: _*)), 1, nProbe))
+      .select(col("vec_id"), col("v"),
+        expr("transform(pcs, x -> x.cell)").as("pc"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cid").asc)
+    val top1 = freshP.crossJoin(corp)
+      .select(col("vec_id"), col("pc"), col("cid"), col("ccell"),
+        (dotC(col("v"), col("cv"))
+          / (sqrt(dotC(col("v"), col("v")))
+            * sqrt(dotC(col("cv"), col("cv"))))).as("cos"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"),
+        array_contains(col("pc"), col("ccell")).cast("double").as("hit"))
+    top1.agg(avg(col("hit"))).head().getDouble(0)
+  }
+
+  /** [[cellOf]] over a (cid, cv)-named frame (the recall audit assigns
+    * CORPUS rows, whose vector column is `cv`). */
+  private def cellOfCv(cents: Seq[(Int, Column)]): Column =
+    least(cents.map { case (c, cv) =>
+      struct((dotC(col("cv"), col("cv")) - lit(2.0d) * dotC(col("cv"), cv)
+        + dotC(cv, cv)).as("d"), lit(c).as("cell"))
+    }: _*).getField("cell")
+
   /** q261 — incremental ANN ADMISSION audit, the batch face of the
     * streaming vector gate ([[graft.streaming.TrainingPipeline
     * .annGate]]): embeddings ≥ `splitAt` probe the FROZEN corpus-side

@@ -43,6 +43,30 @@ class Round12Spec extends SparkSpec {
     assert(lzy.toSeq === exact.toSeq)
   }
 
+  test("q263 re-balance: merged cell vanishes, split mints cell 16, transition matrix accounts for every vector") {
+    import graft.vector.VectorOps
+    val (before, after) = VectorOps.rebalancedIvf(spark, dir)
+    val beforeIds = before.map(_._1).toSet
+    val afterIds = after.map(_._1).toSet
+    val Seq(cold) = (beforeIds -- afterIds).toSeq
+    assert(afterIds -- beforeIds === Set(16), "split must mint cell 16")
+    // the hot cell keeps its id but gets a NEW centroid (sub-cell 0)
+    val changed = before.toMap.keySet.intersect(after.toMap.keySet)
+      .filter(c => before.toMap.apply(c) != after.toMap.apply(c))
+    assert(changed.size === 1, s"exactly the hot cell re-centroids: $changed")
+    val out = VectorOps.ivfRebalance(spark, dir).collect()
+    val total = out.map(_.getAs[Long]("n_vecs")).sum
+    assert(total === Tables.embeddings(spark, dir).count())
+    out.foreach { r =>
+      val (b, a) = (r.getAs[Long]("cell_before"), r.getAs[Long]("cell_after"))
+      assert(a !== cold.toLong, "no vector may land in the merged-away cell")
+      if (b == cold.toLong) assert(r.getAs[Long]("moved") === 1L)
+      assert(r.getAs[Long]("moved") === (if (b == a) 0L else 1L))
+      assert(r.getAs[Long]("n_corpus") + r.getAs[Long]("n_fresh")
+        === r.getAs[Long]("n_vecs"))
+    }
+  }
+
   test("q261 ANN admission: verdicts recompute from first principles (frozen index, probe rule, tie-break)") {
     import graft.vector.VectorOps
     val out = VectorOps.annAdmission(spark, "/root/testdata/sf0.001").collect()
