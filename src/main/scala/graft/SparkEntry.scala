@@ -491,6 +491,14 @@ object SparkEntry {
     // incremental IVF re-balance: split-hot/merge-cold maintenance step,
     // (cell_before, cell_after) assignment-transition matrix
     "q263_ivf_rebalance"       -> ((s, d) => graft.vector.VectorOps.ivfRebalance(s, d)),
+    // dedup threshold sensitivity sweep over the memoized pair ledger
+    "q264_dedup_sensitivity"   -> ((s, d) => graft.dedup.PrefixJoin.dedupSensitivity(s, d)),
+    // cross-modal agreement: text Jaccard bands vs embedding cosine
+    "q265_modal_agreement"     -> ((s, d) => graft.vector.VectorOps.modalAgreement(s, d)),
+    // dominant covariance eigenpair via fixed 8-step power iteration
+    "q266_power_iteration"     -> ((s, d) => graft.vector.VectorOps.powerIteration(s, d)),
+    // chunk-level duplication audit over the q40 chunking output
+    "q267_chunk_dup"           -> ((s, d) => graft.text.TextOps.chunkDupAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3086,6 +3094,92 @@ object SparkEntry {
         |       CAST(FLOOR(1000000.0 * COUNT(*) / n_all + 0.5) AS BIGINT) AS share_micro
         |FROM lb CROSS JOIN tt GROUP BY source_a, source_b, n_all
         |ORDER BY source_a, source_b""".stripMargin,
+    // q264: the Jaccard pair CTEs swept over a VALUES threshold list;
+    // the pairwise min-id removal rule (doc_b of any qualifying pair)
+    // is applied identically in both engines.
+    "q264_dedup_sensitivity" -> (s"WITH $JaccardCtes,\n" +
+      """tk AS (SELECT doc_id, CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_toks FROM tk),
+        |th(threshold_micro) AS (SELECT unnest([700000, 750000, 800000, 850000, 900000, 950000])),
+        |pm AS (SELECT doc_b, CAST(FLOOR(1000000.0 * jaccard + 0.5) AS BIGINT) AS jm FROM jpairs),
+        |np AS (SELECT threshold_micro, COUNT(*) AS n_pairs FROM th JOIN pm ON jm >= threshold_micro GROUP BY 1),
+        |rd AS (SELECT DISTINCT threshold_micro, doc_b FROM th JOIN pm ON jm >= threshold_micro),
+        |ra AS (SELECT threshold_micro, COUNT(*) AS docs_removed,
+        |              CAST(SUM(n_tokens) AS BIGINT) AS tokens_removed
+        |       FROM rd JOIN tk ON rd.doc_b = tk.doc_id GROUP BY 1)
+        |SELECT CAST(th.threshold_micro AS BIGINT) AS threshold_micro,
+        |       CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |       CAST(COALESCE(ra.docs_removed, 0) AS BIGINT) AS docs_removed,
+        |       CAST(COALESCE(ra.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+        |       CAST(FLOOR(1000000.0 * (tot.total_toks - COALESCE(ra.tokens_removed, 0)) / tot.total_toks + 0.5) AS BIGINT) AS surviving_share_micro
+        |FROM th LEFT JOIN np USING (threshold_micro) LEFT JOIN ra USING (threshold_micro) CROSS JOIN tot
+        |ORDER BY 1""".stripMargin),
+    // q265: the pair CTEs joined twice against the embedding store;
+    // micro-rounded cosine per pair, mean = one double division over
+    // the exact integer sum (negative-safe half-up, not floor-div).
+    "q265_modal_agreement" -> (s"WITH $JaccardCtes,\n" +
+      """em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pc AS (SELECT CAST(FLOOR(1000000.0 * jaccard + 0.5) AS BIGINT) AS jm,
+        |              CAST(FLOOR(1000000.0 * (list_inner_product(a.v, b.v)
+        |                / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))) + 0.5) AS BIGINT) AS cos_micro
+        |       FROM jpairs JOIN em a ON doc_a = a.vec_id JOIN em b ON doc_b = b.vec_id)
+        |SELECT (jm - (jm % 50000)) AS jaccard_band_micro,
+        |       COUNT(*) AS n_pairs,
+        |       CAST(FLOOR(1.0 * SUM(cos_micro) / COUNT(*) + 0.5) AS BIGINT) AS mean_cos_micro,
+        |       MIN(cos_micro) AS min_cos_micro, MAX(cos_micro) AS max_cos_micro
+        |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin),
+    // q266: nano-rational covariance (q231 discipline), then the power
+    // iteration replayed as a recursive CTE carrying (x, y = C·x) in
+    // the state — every matvec a sequential list_inner_product over the
+    // same exact entries, x micro-requantized after each normalization
+    // (the determinism anchor), Rayleigh quotient read off the final
+    // state. 64 = the embedding dimensionality (schema constant).
+    "q266_power_iteration" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x FROM e),
+        |m AS (SELECT dim, SUM(CAST(FLOOR(1000000.0 * x + 0.5) AS BIGINT)) AS sm, COUNT(*) AS n FROM u GROUP BY 1),
+        |mu AS (SELECT dim, CAST(sm AS DOUBLE) / (n * 1000000.0) AS mu FROM m),
+        |uc AS (SELECT u.vec_id, u.dim, u.x - mu.mu AS cx FROM u JOIN mu USING (dim)),
+        |cv AS (SELECT a.dim AS di, b.dim AS dj,
+        |              SUM(CAST(FLOOR(1000000000.0 * a.cx * b.cx + 0.5) AS BIGINT)) AS s_nano,
+        |              COUNT(*) AS n
+        |       FROM uc a JOIN uc b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |crow AS (SELECT di, list(CAST(s_nano AS DOUBLE) / (n * 1000000000.0) ORDER BY dj) AS cr FROM cv GROUP BY di),
+        |cm AS (SELECT list(cr ORDER BY di) AS cmat FROM crow),
+        |x0 AS (SELECT list_transform(generate_series(1, 64), i -> CAST(0.125 AS DOUBLE)) AS x0),
+        |pi(it, x, y) AS (
+        |  SELECT 0, x0, list_transform(generate_series(1, 64), d -> list_inner_product(cmat[d], x0))
+        |  FROM cm, x0
+        |  UNION ALL
+        |  SELECT it + 1,
+        |    list_transform(y, v -> FLOOR(1000000.0 * v / sqrt(list_inner_product(y, y)) + 0.5) / 1000000.0),
+        |    list_transform(generate_series(1, 64), d -> list_inner_product(cmat[d],
+        |      list_transform(y, v -> FLOOR(1000000.0 * v / sqrt(list_inner_product(y, y)) + 0.5) / 1000000.0)))
+        |  FROM pi, cm WHERE it < 8
+        |)
+        |SELECT CAST(g.d AS BIGINT) AS dim,
+        |       CAST(FLOOR(x[g.d] * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
+        |       CAST(FLOOR(1000000.0 * list_inner_product(x, y) + 0.5) AS BIGINT) AS eig_micro
+        |FROM pi, generate_series(1, 64) g(d)
+        |WHERE it = 8
+        |ORDER BY dim""".stripMargin,
+    // q267: the q40 chunk CTE + md5 fingerprints; per-source distinct/
+    // dup masses and cross-source shared fingerprints.
+    "q267_chunk_dup" ->
+      """WITH t AS (SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens FROM documents),
+        |c AS (SELECT source, md5(array_to_string(tokens[i*50+1 : i*50+100], ' ')) AS fp
+        |      FROM t, (SELECT unnest(generate_series(0, (SELECT MAX((len(tokens) - 1) // 50) FROM t))) AS i) idx
+        |      WHERE i <= (len(tokens) - 1) // 50),
+        |pf AS (SELECT source, fp, COUNT(*) AS ct FROM c GROUP BY 1, 2),
+        |fs AS (SELECT fp, COUNT(*) AS n_sources FROM pf GROUP BY 1)
+        |SELECT pf.source,
+        |       CAST(SUM(pf.ct) AS BIGINT) AS n_chunks,
+        |       COUNT(*) AS distinct_chunks,
+        |       CAST(SUM(pf.ct) - COUNT(*) AS BIGINT) AS dup_chunks,
+        |       CAST(FLOOR(1000000.0 * (SUM(pf.ct) - COUNT(*)) / SUM(pf.ct) + 0.5) AS BIGINT) AS dup_share_micro,
+        |       CAST(SUM(CASE WHEN fs.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_fps
+        |FROM pf JOIN fs USING (fp)
+        |GROUP BY pf.source ORDER BY pf.source""".stripMargin,
     // q243: the CDC window hash replayed 1-based — token codes are the
     // q130 md5-hex-prefix integers, B^j mod M coefficients are shared
     // plan-time constants, all modular BIGINT arithmetic.

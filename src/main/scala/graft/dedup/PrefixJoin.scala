@@ -96,6 +96,51 @@ object PrefixJoin {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q264 — dedup threshold SENSITIVITY sweep: the decision table a
+    * corpus builder reads before fixing the near-dup threshold — for
+    * each candidate threshold t ≥ 0.7, how many verified pairs still
+    * qualify, how many docs the PAIRWISE MIN-ID rule removes (doc_b of
+    * any qualifying pair; the deterministic upper bound on greedy
+    * keep-first removal — both engines apply the identical rule), and
+    * what token share survives. Rides the MEMOIZED q204 pair ledger:
+    * the ledger is complete for every t ≥ the build threshold 0.7, so
+    * the sweep re-aggregates a tiny frame — no new pair generation.
+    *
+    * Scale: |thresholds| × |pairs| cross — pairs are near-dup-mass-
+    * sized; the token table joins only the removed-doc ids. */
+  def dedupSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val thresholds = Seq(700000L, 750000L, 800000L, 850000L, 900000L, 950000L)
+    val th = thresholds.toDF("threshold_micro")
+    val pm = ppjoinPairs(spark, dir)
+      .select(col("doc_b"),
+        expr("CAST(FLOOR(1000000.0d * jaccard + 0.5d) AS BIGINT)").as("jm"))
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(s"CAST(size(${graft.text.TextOps.TokensExpr}) AS BIGINT)").as("n_tokens"))
+    val qual = pm.crossJoin(broadcast(th))
+      .filter(col("jm") >= col("threshold_micro"))
+    val nPairs = qual.groupBy("threshold_micro")
+      .agg(count(lit(1)).as("n_pairs"))
+    val removed = qual.select("threshold_micro", "doc_b").distinct()
+      .join(toks, col("doc_b") === col("doc_id"))
+      .groupBy("threshold_micro")
+      .agg(count(lit(1)).as("docs_removed"),
+        sum(col("n_tokens")).as("tokens_removed"))
+    val total = toks.agg(sum(col("n_tokens")).as("total_toks"))
+    th.join(nPairs, Seq("threshold_micro"), "left_outer")
+      .join(removed, Seq("threshold_micro"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("threshold_micro"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("docs_removed"), lit(0L)).as("docs_removed"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        expr("""CAST(FLOOR(1000000.0d * (total_toks - COALESCE(tokens_removed, 0L))
+               |  / total_toks + 0.5d) AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("surviving_share_micro"))
+      .orderBy("threshold_micro")
+  }
+
   /** q206 — shingle CONTAINMENT pairs (quote / near-superset detection):
     * ordered pairs (a, b) with |Sa ∩ Sb| / |Sa| ≥ 3/4 — "at least 75% of
     * a's shingles also appear in b". The case Jaccard-threshold dedup

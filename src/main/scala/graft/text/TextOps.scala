@@ -164,6 +164,41 @@ object TextOps {
         col("c.chunk_text") :+
         col("c.chunk_tokens").cast("long").as("chunk_tokens"): _*)
 
+  /** q267 — CHUNK-level duplication audit: the q40 chunking's output is
+    * what actually enters training, so dedup quality must be measured
+    * THERE, not only at doc level (stride overlap and shared boilerplate
+    * create duplicate chunks between NON-duplicate docs). Per source:
+    * chunk volume, distinct chunk fingerprints, the duplicate mass, and
+    * how many of this source's distinct chunks also appear verbatim in
+    * ANOTHER source (the cross-source contamination q117/q175 measure at
+    * doc granularity, here at the training-unit granularity).
+    *
+    * Scale: the chunk explode is narrow (q40); ONE partial-agg shuffle
+    * keyed by (source, md5) then a fingerprint-keyed count — the q23
+    * exact-dedup shape on chunk fingerprints. */
+  def chunkDupAudit(spark: SparkSession, dir: String,
+                    chunkLen: Int = 100, stride: Int = 50): DataFrame = {
+    val chunks = chunkCore(withTokens(Tables.documents(spark, dir)),
+      chunkLen, stride, carry = Seq("source"))
+      .select(col("source"), md5(col("chunk_text")).as("fp"))
+    val perSrcFp = chunks.groupBy("source", "fp")
+      .agg(count(lit(1)).as("ct"))
+    val fpSources = perSrcFp.groupBy("fp")
+      .agg(count(lit(1)).as("n_sources"))
+    perSrcFp.join(fpSources, Seq("fp"))
+      .groupBy("source")
+      .agg(sum(col("ct")).as("n_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(when(col("n_sources") > 1L, 1L).otherwise(0L)).as("shared_fps"))
+      .select(col("source"), col("n_chunks"), col("distinct_chunks"),
+        (col("n_chunks") - col("distinct_chunks")).as("dup_chunks"),
+        expr("""CAST(FLOOR(1000000.0d * (n_chunks - distinct_chunks)
+               |  / n_chunks + 0.5d) AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("dup_share_micro"),
+        col("shared_fps"))
+      .orderBy("source")
+  }
+
   /** Per-source corpus report — the rollup every training-data pipeline
     * keeps: volume, quality-gate pass rate, mean token count per source. */
   def corpusReport(spark: SparkSession, dir: String): DataFrame =

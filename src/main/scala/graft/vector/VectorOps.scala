@@ -1399,6 +1399,108 @@ object VectorOps {
       .orderBy("cell_before", "cell_after")
   }
 
+  /** q265 — CROSS-MODAL dedup agreement: do the TEXT near-dup pairs
+    * (q204's exact Jaccard ≥ 0.7 ledger) also look like duplicates in
+    * EMBEDDING space? Per 0.05-wide Jaccard band, the count and the
+    * mean/min/max cosine of the same pairs (vec_id ≡ doc_id in this
+    * store). The calibration table that justifies — or refutes —
+    * swapping the exact text verifier for the cheaper embedding gate
+    * (q261) at a given threshold: a band whose min cosine is low means
+    * embedding-only dedup WOULD MISS pairs the text verifier catches.
+    *
+    * Rides the memoized q204 ledger; joins only pair ids against the
+    * embedding store (two broadcast-able id joins); one bounded-domain
+    * band aggregate. Mean is micro-summed then half-up rounded (one
+    * double division over exact integer operands — negative-safe,
+    * unlike an integer floor division). */
+  def modalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.PrefixJoin.ppjoinPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(FLOOR(1000000.0d * jaccard + 0.5d) AS BIGINT)").as("jm"))
+    val e = vecs(spark, dir)
+    pairs
+      .join(e.select(col("vec_id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
+      .join(e.select(col("vec_id").as("doc_b"), col("v").as("vb")), Seq("doc_b"))
+      .select(
+        ((col("jm") - (col("jm") % lit(50000L)))).as("jaccard_band_micro"),
+        expr("""CAST(FLOOR(1000000.0d * (graft_dot(va, vb)
+               |  / (sqrt(graft_dot(va, va)) * sqrt(graft_dot(vb, vb))))
+               |  + 0.5d) AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("cos_micro"))
+      .groupBy("jaccard_band_micro")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cos_micro")).as("sum_cos_micro"),
+        min(col("cos_micro")).as("min_cos_micro"),
+        max(col("cos_micro")).as("max_cos_micro"))
+      .select(col("jaccard_band_micro"), col("n_pairs"),
+        expr("CAST(FLOOR(1.0d * sum_cos_micro / n_pairs + 0.5d) AS BIGINT)")
+          .as("mean_cos_micro"),
+        col("min_cos_micro"), col("max_cos_micro"))
+      .orderBy("jaccard_band_micro")
+  }
+
+  /** q266 — dominant eigenpair of the embedding COVARIANCE by a fixed
+    * 8-step power iteration (spectral data-audit: the top principal
+    * direction and its variance — how much of the store's energy one
+    * axis explains; a near-rank-1 embedding store is a red flag for a
+    * collapsed encoder). The result is DEFINED as the 8-iteration
+    * estimate from x₀ = (1/8, …, 1/8), micro-requantized after every
+    * normalization — that requantization is the determinism anchor
+    * that lets DuckDB replay the float iteration bit-for-bit (every
+    * matvec is a sequential `graft_dot`/`list_inner_product` fold over
+    * covariance entries that are exact nano-rationals).
+    *
+    * Scale: covariance is ONE (dim_i, dim_j)-keyed partial-agg pass
+    * over per-row centered products (N·d² rows, linear in N, bounded
+    * 64²-key shuffle; the q231 nano-round-before-sum discipline); the
+    * iteration itself runs on the collected d×d matrix — k-sized
+    * driver arithmetic, the q35 quantizer pattern. */
+  def powerIteration(spark: SparkSession, dir: String,
+                     iters: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir)
+    val u = e.select(col("vec_id"), posexplode(col("v")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("dim"), col("x"))
+    val mu = u.groupBy("dim")
+      .agg(sum(expr("CAST(FLOOR(1000000.0d * x + 0.5d) AS BIGINT)")).as("sm"),
+        count(lit(1)).as("n"))
+      .select(col("dim"),
+        (col("sm").cast("double") / (col("n") * lit(1000000.0d))).as("mu"))
+    val uc = u.join(broadcast(mu), Seq("dim"))
+      .select(col("vec_id"), col("dim"), (col("x") - col("mu")).as("cx"))
+    val cov = uc.as("a").join(uc.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .select(col("a.dim").as("di"), col("b.dim").as("dj"),
+        expr("CAST(FLOOR(1000000000.0d * a.cx * b.cx + 0.5d) AS BIGINT)").as("t"))
+      .groupBy("di", "dj")
+      .agg(sum(col("t")).as("s_nano"), count(lit(1)).as("n"))
+      .select(col("di"), col("dj"),
+        (col("s_nano").cast("double") / (col("n") * lit(1000000000.0d))).as("c"))
+      .collect()
+    val dims = cov.iterator.map(_.getAs[Int]("di")).max
+    val C = Array.ofDim[Double](dims, dims)
+    cov.foreach(r =>
+      C(r.getAs[Int]("di") - 1)(r.getAs[Int]("dj") - 1) = r.getAs[Double]("c"))
+    // sequential folds — the exact arithmetic of list_inner_product
+    def ip(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def matvec(x: Array[Double]): Array[Double] =
+      Array.tabulate(dims)(d => ip(C(d), x))
+    var x = Array.fill(dims)(0.125d)
+    var y = matvec(x)
+    for (_ <- 1 to iters) {
+      val nrm = math.sqrt(ip(y, y))
+      x = y.map(v => math.floor(1000000.0d * v / nrm + 0.5d) / 1000000.0d)
+      y = matvec(x)
+    }
+    val eig = math.floor(1000000.0d * ip(x, y) + 0.5d).toLong
+    (1 to dims).map(d =>
+      (d.toLong, math.floor(x(d - 1) * 1000000.0d + 0.5d).toLong, eig))
+      .toDF("dim", "v_micro", "eig_micro").orderBy("dim")
+  }
+
   /** Fresh-vector top-1 recall of an IVF index built from `cents`:
     * fraction of fresh vectors whose EXACT nearest corpus vector (by
     * cosine; ties to the lower corpus id) sits inside their `nProbe`

@@ -67,6 +67,74 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q264 sensitivity sweep: monotone in the threshold and anchored to the full ledger at 0.7") {
+    import graft.dedup.PrefixJoin
+    val rows = PrefixJoin.dedupSensitivity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.length === 6)
+    // raising the threshold can only LOSE pairs/removals and GAIN survivors
+    rows.sliding(2).foreach {
+      case Array((_, p1, d1, t1, s1), (_, p2, d2, t2, s2)) =>
+        assert(p2 <= p1 && d2 <= d1 && t2 <= t1 && s2 >= s1)
+      case _ =>
+    }
+    // the 0.7 row is the whole ledger
+    assert(rows.head._2 === PrefixJoin.ppjoinPairs(spark, dir).count())
+  }
+
+  test("q265 modal agreement: bands partition the q204 ledger; min <= mean <= max per band") {
+    import graft.vector.VectorOps
+    val rows = VectorOps.modalAgreement(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(total === graft.dedup.PrefixJoin.ppjoinPairs(spark, dir).count())
+    rows.foreach { r =>
+      val band = r.getAs[Long]("jaccard_band_micro")
+      assert(band >= 700000L && band <= 1000000L && band % 50000L === 0L)
+      assert(r.getAs[Long]("min_cos_micro") <= r.getAs[Long]("mean_cos_micro"))
+      assert(r.getAs[Long]("mean_cos_micro") <= r.getAs[Long]("max_cos_micro"))
+    }
+  }
+
+  test("q266 power iteration: unit eigenvector, positive variance, eig bounded by trace") {
+    import graft.vector.VectorOps
+    val rows = VectorOps.powerIteration(spark, dir).collect()
+    assert(rows.length === 64)
+    val eig = rows.map(_.getAs[Long]("eig_micro")).distinct
+    assert(eig.length === 1 && eig.head > 0L,
+      s"one positive Rayleigh estimate expected: ${eig.toSeq}")
+    // micro-requantized unit vector: sum of squares within the
+    // quantization envelope of 1 (64 components, each off by <= 0.5e-6)
+    val ss = rows.map { r =>
+      val v = r.getAs[Long]("v_micro").toDouble / 1e6; v * v
+    }.sum
+    assert(math.abs(ss - 1.0) < 1e-3, s"eigenvector norm^2 = $ss")
+    // dominant eigenvalue <= trace = total variance (micro units)
+    val e2 = Tables.embeddings(spark, dir)
+    val trace = graft.vector.VectorOps.quantizationAudit(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum(col("sig_sq_nano"))).head().getLong(0)
+    // sig_sq is UNcentered energy (>= centered variance), nano per
+    // vector summed over all: convert to a per-vector mean micro bound
+    val n = e2.count()
+    assert(eig.head <= trace / n / 1000L + 1000L,
+      s"eig ${eig.head} exceeds the uncentered-energy bound")
+  }
+
+  test("q267 chunk dup audit: internal consistency and total-chunk reconciliation with q40") {
+    import graft.text.TextOps
+    val rows = TextOps.chunkDupAudit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_chunks")
+        === r.getAs[Long]("n_chunks") - r.getAs[Long]("distinct_chunks"))
+      assert(r.getAs[Long]("dup_chunks") >= 0L)
+      assert(r.getAs[Long]("shared_fps") <= r.getAs[Long]("distinct_chunks"))
+    }
+    assert(rows.map(_.getAs[Long]("n_chunks")).sum
+      === TextOps.chunk(spark, dir).count())
+  }
+
   test("q261 ANN admission: verdicts recompute from first principles (frozen index, probe rule, tie-break)") {
     import graft.vector.VectorOps
     val out = VectorOps.annAdmission(spark, "/root/testdata/sf0.001").collect()
