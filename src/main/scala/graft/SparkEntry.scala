@@ -499,6 +499,10 @@ object SparkEntry {
     "q266_power_iteration"     -> ((s, d) => graft.vector.VectorOps.powerIteration(s, d)),
     // chunk-level duplication audit over the q40 chunking output
     "q267_chunk_dup"           -> ((s, d) => graft.text.TextOps.chunkDupAudit(s, d)),
+    // pairwise source Hellinger^2 divergence (log-free, IEEE-sqrt exact)
+    "q268_source_divergence"   -> ((s, d) => graft.text.Curation.sourceDivergence(s, d)),
+    // tokenizer fertility: chars/bytes per token, tokens per doc
+    "q269_fertility"           -> ((s, d) => graft.text.TextOps.tokenizerFertility(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3180,6 +3184,52 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN fs.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_fps
         |FROM pf JOIN fs USING (fp)
         |GROUP BY pf.source ORDER BY pf.source""".stripMargin,
+    // q268: Hellinger needs only sqrt (IEEE correctly-rounded in both
+    // engines — the reason it was chosen over KL's libm ln); every term
+    // nano-rounded before the order-free sum; shared-term join algebra
+    // so only co-occurring terms pair.
+    "q268_source_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+        |cnt AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |f AS (SELECT source, w, c,
+        |             CAST(FLOOR(1000000000.0 * sqrt(CAST(c + 1 AS DOUBLE)) + 0.5) AS BIGINT) AS f_nano
+        |      FROM cnt),
+        |per AS (SELECT source, CAST(SUM(f_nano) AS BIGINT) AS s_nano,
+        |               COUNT(*) AS p_terms, CAST(SUM(c) AS BIGINT) AS n_toks
+        |        FROM f GROUP BY 1),
+        |vv AS (SELECT COUNT(DISTINCT w) AS v FROM cnt),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+        |              CAST(SUM(CAST(FLOOR(1000000000.0 * sqrt(CAST((a.c + 1) * (b.c + 1) AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT) AS ff_nano,
+        |              CAST(SUM(a.f_nano) AS BIGINT) AS fa_shared_nano,
+        |              CAST(SUM(b.f_nano) AS BIGINT) AS fb_shared_nano,
+        |              COUNT(*) AS n_shared
+        |       FROM f a JOIN f b ON a.w = b.w AND a.source < b.source GROUP BY 1, 2),
+        |pr AS (SELECT pa.source AS source_a, pb.source AS source_b,
+        |              pa.s_nano AS sa_nano, pb.s_nano AS sb_nano,
+        |              pa.p_terms AS pa_terms, pb.p_terms AS pb_terms,
+        |              pa.n_toks AS na_toks, pb.n_toks AS nb_toks
+        |       FROM per pa JOIN per pb ON pa.source < pb.source)
+        |SELECT pr.source_a, pr.source_b,
+        |       CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |       CAST(FLOOR(1000000.0 * (1.0 - (CAST(COALESCE(sh.ff_nano, 0)
+        |         + (pr.sa_nano - COALESCE(sh.fa_shared_nano, 0))
+        |         + (pr.sb_nano - COALESCE(sh.fb_shared_nano, 0))
+        |         + (vv.v - pr.pa_terms - pr.pb_terms + COALESCE(sh.n_shared, 0)) * 1000000000 AS DOUBLE) / 1000000000.0)
+        |         / sqrt(CAST((pr.na_toks + vv.v) * (pr.nb_toks + vv.v) AS DOUBLE))) + 0.5) AS BIGINT) AS h2_micro
+        |FROM pr LEFT JOIN sh USING (source_a, source_b) CROSS JOIN vv
+        |ORDER BY 1, 2""".stripMargin,
+    // q269: all-integer sums + three micro divisions; DuckDB length()
+    // is per code point — equal to Spark's UTF-16 length on this ASCII
+    // corpus (the q131 premise).
+    "q269_fertility" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       CAST(FLOOR(1000000.0 * SUM(length(text)) / SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) + 0.5) AS BIGINT) AS chars_per_token_micro,
+        |       CAST(FLOOR(1000000.0 * SUM(octet_length(encode(text))) / SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) + 0.5) AS BIGINT) AS bytes_per_token_micro,
+        |       CAST(FLOOR(1000000.0 * SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) / COUNT(*) + 0.5) AS BIGINT) AS tokens_per_doc_micro
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q243: the CDC window hash replayed 1-based — token codes are the
     // q130 md5-hex-prefix integers, B^j mod M coefficients are shared
     // plan-time constants, all modular BIGINT arithmetic.

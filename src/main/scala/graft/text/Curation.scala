@@ -621,6 +621,71 @@ object Curation {
       .select(col("doc_id"), size(col("novel")).as("gain"), col("novel"))
   }
 
+  /** q268 — pairwise SOURCE DIVERGENCE (Hellinger²) between add-one-
+    * smoothed unigram distributions: the mixture-design table that says
+    * which sources are near-duplicates of each other distribution-wise
+    * (upweighting both buys little diversity) and which are outliers.
+    * Hellinger is chosen over KL deliberately: it needs only √ — which
+    * IEEE 754 requires to be CORRECTLY ROUNDED, so both engines compute
+    * identical terms — where KL's ln is libm-dependent and would flip
+    * micro-roundings between JVM and DuckDB.
+    *
+    * Algebra (so only CO-OCCURRING terms ever join): with smoothed
+    * p_s(w) = (c_s(w)+1)/(N_s+V) over the global vocab V,
+    * BC·√(D_a·D_b) = Σ_{w∈A∩B}√((c_a+1)(c_b+1))
+    *   + (S_a − Σ_{∩}√(c_a+1)) + (S_b − Σ_{∩}√(c_b+1))
+    *   + (V − P_a − P_b + |∩|), where D_s = N_s+V, S_s = Σ_{w∈s}√(c_s+1),
+    * P_s = |terms in s| — per-source scalars plus ONE shared-term join.
+    * Every √ term is nano-rounded to BIGINT before the order-free sum
+    * (the q231/q235 discipline); H² = 1 − BC, micro-rounded.
+    *
+    * Scale: the join is keyed by term over vocabulary-sized per-source
+    * count tables (never documents); pair count is |sources|². */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"), explode(expr(graft.text.TextOps.TokensExpr)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val f = cnt.select(col("source"), col("w"), col("c"),
+      expr("CAST(FLOOR(1000000000.0d * sqrt(CAST(c + 1 AS DOUBLE)) + 0.5d) AS BIGINT)")
+        .as("f_nano"))
+    val per = f.groupBy("source").agg(
+      sum(col("f_nano")).as("s_nano"),
+      count(lit(1)).as("p_terms"),
+      sum(col("c")).as("n_toks"))
+    val vocab = cnt.select("w").distinct().count()
+    val shared = f.as("a").join(f.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(
+        sum(expr("""CAST(FLOOR(1000000000.0d
+               |  * sqrt(CAST((a.c + 1) * (b.c + 1) AS DOUBLE)) + 0.5d) AS BIGINT)"""
+          .stripMargin.replace("\n", ""))).as("ff_nano"),
+        sum(col("a.f_nano")).as("fa_shared_nano"),
+        sum(col("b.f_nano")).as("fb_shared_nano"),
+        count(lit(1)).as("n_shared"))
+    val pairs = per.as("pa").join(per.as("pb"),
+        col("pa.source") < col("pb.source"))
+      .select(col("pa.source").as("source_a"), col("pb.source").as("source_b"),
+        col("pa.s_nano").as("sa_nano"), col("pb.s_nano").as("sb_nano"),
+        col("pa.p_terms").as("pa_terms"), col("pb.p_terms").as("pb_terms"),
+        col("pa.n_toks").as("na_toks"), col("pb.n_toks").as("nb_toks"))
+    pairs.join(shared, Seq("source_a", "source_b"), "left_outer")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("ff_nano"), lit(0L))
+          + (col("sa_nano") - coalesce(col("fa_shared_nano"), lit(0L)))
+          + (col("sb_nano") - coalesce(col("fb_shared_nano"), lit(0L)))
+          + (lit(vocab) - col("pa_terms") - col("pb_terms")
+            + coalesce(col("n_shared"), lit(0L))) * lit(1000000000L)).as("bc_num_nano"),
+        ((col("na_toks") + lit(vocab)) * (col("nb_toks") + lit(vocab))).as("dd"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        expr("""CAST(FLOOR(1000000.0d * (1.0d - (CAST(bc_num_nano AS DOUBLE) / 1000000000.0d)
+               |  / sqrt(CAST(dd AS DOUBLE))) + 0.5d) AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("h2_micro"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Quality filter cascade: classify every document by its FIRST
     * failing rule — the funnel report (per source × verdict: doc count
     * and token mass) a corpus builder reads to see where data is lost.

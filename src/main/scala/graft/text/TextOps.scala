@@ -199,6 +199,35 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q269 — tokenizer FERTILITY audit per (source, lang): characters and
+    * bytes per whitespace token plus tokens per document — the
+    * compression-ratio table a tokenizer/budget planner reads (a source
+    * whose bytes-per-token is an outlier either has unusual content or
+    * is mis-labeled; token budgets priced in bytes need this table to
+    * convert). All-integer sums, three micro divisions; the corpus is
+    * ASCII so char≡codepoint≡UTF-16 unit on both engines (the q131
+    * premise). One narrow projection + one bounded-domain partial agg. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        expr(s"CAST(size($TokensExpr) AS BIGINT)").as("toks"),
+        length(col("text")).cast("long").as("chars"),
+        expr("octet_length(cast(text AS binary))").cast("long").as("bytes"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("chars")).as("total_chars"),
+        sum(col("bytes")).as("total_bytes"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("total_tokens"), col("total_chars"), col("total_bytes"),
+        expr("CAST(FLOOR(1000000.0d * total_chars / total_tokens + 0.5d) AS BIGINT)")
+          .as("chars_per_token_micro"),
+        expr("CAST(FLOOR(1000000.0d * total_bytes / total_tokens + 0.5d) AS BIGINT)")
+          .as("bytes_per_token_micro"),
+        expr("CAST(FLOOR(1000000.0d * total_tokens / n_docs + 0.5d) AS BIGINT)")
+          .as("tokens_per_doc_micro"))
+      .orderBy("source", "lang")
+
   /** Per-source corpus report — the rollup every training-data pipeline
     * keeps: volume, quality-gate pass rate, mean token count per source. */
   def corpusReport(spark: SparkSession, dir: String): DataFrame =

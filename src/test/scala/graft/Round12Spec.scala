@@ -135,6 +135,57 @@ class Round12Spec extends SparkSpec {
       === TextOps.chunk(spark, dir).count())
   }
 
+  test("q268 Hellinger divergence: full pair coverage, [0,1] range, one pair re-derived from raw counts") {
+    import graft.text.Curation
+    val rows = Curation.sourceDivergence(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("h2_micro")))
+    val nSources = Tables.documents(spark, dir)
+      .select("source").distinct().count().toInt
+    assert(rows.length === nSources * (nSources - 1) / 2)
+    rows.foreach { case (_, h2) => assert(h2 >= 0L && h2 <= 1000000L) }
+    // re-derive one pair's H^2 directly (plain double sums — the nano
+    // discipline only changes the last digits)
+    val (sa, sb) = rows.head._1
+    val toks = Tables.documents(spark, dir)
+      .filter(col("source").isin(sa, sb))
+      .select(col("source"), explode(expr(graft.text.TextOps.TokensExpr)).as("w"))
+      .groupBy("source", "w").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val vocabAll = Tables.documents(spark, dir)
+      .select(explode(expr(graft.text.TextOps.TokensExpr)).as("w"))
+      .distinct().count()
+    val ca = toks.filter(_._1 == sa).map(t => t._2 -> t._3).toMap
+    val cb = toks.filter(_._1 == sb).map(t => t._2 -> t._3).toMap
+    val da = ca.values.sum + vocabAll.toDouble
+    val db = cb.values.sum + vocabAll.toDouble
+    val union = ca.keySet ++ cb.keySet
+    val bcPresent = union.toSeq.map { w =>
+      math.sqrt((ca.getOrElse(w, 0L) + 1L).toDouble / da
+        * (cb.getOrElse(w, 0L) + 1L).toDouble / db)
+    }.sum
+    val bc = bcPresent + (vocabAll - union.size) / math.sqrt(da * db)
+    val expected = 1.0 - bc
+    assert(math.abs(rows.head._2 / 1e6 - expected) < 1e-3,
+      s"pair ($sa, $sb): got ${rows.head._2 / 1e6}, direct $expected")
+  }
+
+  test("q269 fertility: one (source, lang) group re-derived from raw documents") {
+    import graft.text.TextOps
+    val rows = TextOps.tokenizerFertility(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    val (src, lang) = (r.getString(0), r.getString(1))
+    val docs = Tables.documents(spark, dir)
+      .filter(col("source") === src && col("lang") === lang)
+      .select(col("text")).collect().map(_.getString(0))
+    val toks = docs.map(_.trim.split("\\s+").length.toLong).sum
+    assert(r.getAs[Long]("n_docs") === docs.length.toLong)
+    assert(r.getAs[Long]("total_tokens") === toks)
+    assert(r.getAs[Long]("total_chars") === docs.map(_.length.toLong).sum)
+    assert(r.getAs[Long]("chars_per_token_micro")
+      === math.floor(1e6 * docs.map(_.length.toLong).sum / toks + 0.5).toLong)
+  }
+
   test("q261 ANN admission: verdicts recompute from first principles (frozen index, probe rule, tie-break)") {
     import graft.vector.VectorOps
     val out = VectorOps.annAdmission(spark, "/root/testdata/sf0.001").collect()
