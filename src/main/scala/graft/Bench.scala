@@ -210,8 +210,11 @@ object Bench {
     // local[32] scheduling) that min hides and that would be a p99
     // problem on a shared cluster — both the medians and the divergent
     // set ship in the artifact.
+    // lower-middle for even counts: with exactly two warm passes (the
+    // common case) the upper-middle would report the NOISY pass as the
+    // median, inverting the field's purpose
     def medianOf(v: Vector[Double]): Double =
-      if (v.isEmpty) -1.0 else v.sorted.apply(v.length / 2)
+      if (v.isEmpty) -1.0 else v.sorted.apply((v.length - 1) / 2)
     val warmMedian = ordered.map { case (name, _) =>
       val warm = passTimes.getOrElse(name, Vector.empty).drop(1).filter(_ >= 0)
       s"\"$name\":${fmt(medianOf(warm))}"

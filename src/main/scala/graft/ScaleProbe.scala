@@ -370,6 +370,41 @@ object ScaleProbe {
       },
       "dsir weights (vocab agg + token-join + doc agg)" -> { t =>
         graft.text.Curation.dsirCore(t.docsSalted).count()
+      },
+      // --- round-12 ops ---
+      "ann admission gate (frozen IVF probe, fixed fresh batch)" -> { t =>
+        // the q261/annGate incremental-ingest shape: the CORPUS side of
+        // the frozen index amplifies (assignment scan + postings grow
+        // linearly) while the fresh batch stays FIXED — per-batch cost
+        // must track the probed slice, not the corpus
+        val cents = Tables.embeddings(spark, dir)
+          .filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("c"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+          .sortBy(_._1).map(_._2).toIndexedSeq
+        val corpusAssigned = t.embSalted
+          .withColumn("cell", graft.vector.VectorOps.cellOf(
+            cents.zipWithIndex.map { case (cv, c) =>
+              (c, org.apache.spark.sql.functions.typedLit(cv))
+            }))
+          .select(col("cell"), col("vec_id").as("corpus_id"), col("v").as("cv"))
+        val fresh = Tables.embeddings(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select((col("vec_id") + lit(9000000000000L)).as("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        graft.vector.VectorOps
+          .annGateCandidates(fresh, cents, corpusAssigned, nProbe = 4).count()
+      },
+      "chunk dup audit (chunk explode + fp partial aggs)" -> { t =>
+        graft.text.TextOps.chunkDupAuditCore(
+          graft.text.TextOps.withTokens(t.docsSalted)).count()
+      },
+      "source divergence (term-keyed count-table join)" -> { t =>
+        // docsSalted: cross-copy terms are disjoint, so vocabulary and
+        // join rows grow ~copies x while the source-pair domain stays
+        // fixed — a larger corpus, not a denser one
+        graft.text.Curation.sourceDivergenceCore(t.docsSalted).count()
       })
 
     val t1 = Tabs(1)

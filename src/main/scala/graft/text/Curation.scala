@@ -482,19 +482,26 @@ object Curation {
     * the (gain desc, doc_id asc) queue order reproducing the exact
     * tie-break. The PICK SEQUENCE is therefore IDENTICAL to
     * [[greedyCoverage]] (spec-pinned at sf0.01 in Round12Spec, and the
-    * shared recursive-CTE oracle hash-verifies both), while
-    * re-evaluating only the queue's top slice per round: measured at
-    * sf0.01 (500 heavily-overlapping docs, k=20), 1,617 gain
-    * evaluations vs the exact greedy's 10,000 — 6.2×, and the gap
-    * widens with corpus size because the frontier is bounded by docs
-    * whose ub exceeds the k-th winning gain, not by N — see SCALE.md.
+    * shared recursive-CTE oracle hash-verifies both).
+    *
+    * Hunt cost is JOB-bounded, not only eval-bounded: per round, two
+    * escalating top-slice batches (×4 growth), then — if the stale
+    * bounds still aren't pruning (this corpus's vocabulary overlap is
+    * heavy, the adversarial regime for Minoux) — ONE bulk refresh of
+    * the whole loaded queue (gains-only, skinny) and the round
+    * resolves. Measured at sf0.01 (500 docs, k=20): 2,367 evals /
+    * 57 jobs vs exact's 10,000 evals; at sf0.1: 54,873 evals / 96 jobs
+    * vs 100,000. Without the bulk fallback the pure-Minoux hunt
+    * launched 873 jobs at sf0.1 and per-job overhead swamped the eval
+    * savings — the regression Round12Spec's job bound pins. On
+    * sparse-overlap corpora (the intended regime) the queue prunes and
+    * bulk never fires; either way every evaluation stays distributed
+    * and the frontier, not the corpus, lives on the driver.
     *
     * Shape: one distributed TakeOrdered per frontier load (rare —
     * candidates whose ub can still win), one narrow
     * `roundNovel(isin batch)` job per re-evaluation batch, the covered
-    * set still a broadcast VARIABLE (the q230 plan-size discipline).
-    * The driver holds only the frontier (bounded by docs whose ub
-    * exceeds the k-th winning gain), never the corpus. */
+    * set still a broadcast VARIABLE (the q230 plan-size discipline). */
   def greedyCoverageLazy(spark: SparkSession, dir: String, k: Int = 20,
                          evalBatch: Int = 16,
                          loadChunk: Int = 256): DataFrame =
@@ -547,11 +554,14 @@ object Curation {
     }
     try {
       for (iter <- 1 to k) {
-        // a fresh-gain payload cache for this round's re-evaluations
-        val novelCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
         var bc: org.apache.spark.broadcast.Broadcast[Set[String]] = null
+        def bcNow(): org.apache.spark.broadcast.Broadcast[Set[String]] = {
+          if (bc == null) bc = spark.sparkContext.broadcast(covered)
+          bc
+        }
         try {
           var winner: Option[Ent] = None
+          var huntBatches = 0
           while (winner.isEmpty) {
             // an UNLOADED doc's ub ≤ the cursor's ub; it can only beat
             // the queue top (incl. by id tie-break) while top ≤ cursor
@@ -560,38 +570,51 @@ object Curation {
               loadMore()
             val top = pq.dequeue()
             if (top.freshAt == iter) winner = Some(top)
-            else {
-              // batch: the top stale entries (fresh ones go straight back)
+            else if (huntBatches >= 2) {
+              // BULK refresh: a round whose hunt needs a 3rd job means
+              // the stale bounds are not pruning on this corpus (heavy
+              // vocabulary overlap) — per-batch jobs would then cost
+              // more scans than the exact greedy's one. Evaluate EVERY
+              // loaded entry in ONE narrow job (gains only — skinny)
+              // and rebuild the queue fresh; still provably exact,
+              // since fresh values are exact values.
+              val members = (pq.iterator.map(_.id) ++ Iterator(top.id)).toSet
+              val freshGain = roundNovel(sets, bcNow())
+                .select(col("doc_id"), col("gain")).collect()
+                .map(r => r.getLong(0) -> r.getInt(1)).toMap
+              jobs += 1; evals += members.size
+              pq.clear()
+              members.foreach(id => pq.enqueue(Ent(freshGain(id), id, iter)))
+            } else {
+              // batch: the top stale entries (fresh ones go straight
+              // back); batch size escalates 4x per extra hunt job so a
+              // slow hunt converges in bounded jobs
+              val cap = evalBatch * (1 << (2 * huntBatches))
               val batch = scala.collection.mutable.ArrayBuffer(top)
               val keep = scala.collection.mutable.ArrayBuffer.empty[Ent]
-              while (batch.length < evalBatch && pq.nonEmpty) {
+              while (batch.length < cap && pq.nonEmpty) {
                 val e = pq.dequeue()
                 if (e.freshAt == iter) keep += e else batch += e
               }
               keep.foreach(pq.enqueue(_))
-              if (bc == null) bc = spark.sparkContext.broadcast(covered)
               val ids: Seq[Any] = batch.map(_.id).toSeq
               val fresh = roundNovel(
-                sets.filter(col("doc_id").isin(ids: _*)), bc)
-                .collect()
-                .map(r => (r.getLong(0), r.getInt(1), r.getSeq[String](2)))
-              jobs += 1; evals += fresh.length
-              fresh.foreach { case (id, g, novel) =>
-                novelCache(id) = novel
-                pq.enqueue(Ent(g, id, iter))
-              }
+                sets.filter(col("doc_id").isin(ids: _*)), bcNow())
+                .select(col("doc_id"), col("gain")).collect()
+                .map(r => (r.getLong(0), r.getInt(1)))
+              jobs += 1; evals += fresh.length; huntBatches += 1
+              fresh.foreach { case (id, g) => pq.enqueue(Ent(g, id, iter)) }
             }
           }
           val w = winner.get
           picked += w.id
-          // a round-1 winner was never re-evaluated (its ub was exact),
-          // so its payload is fetched here — one single-doc narrow job
-          val novel = novelCache.getOrElse(w.id, {
-            if (bc == null) bc = spark.sparkContext.broadcast(covered)
-            jobs += 1; evals += 1
-            roundNovel(sets.filter(col("doc_id") === w.id), bc)
+          // gains travel skinny; only the WINNER's novel payload is
+          // materialized — one single-doc narrow job per round
+          val novel = {
+            jobs += 1
+            roundNovel(sets.filter(col("doc_id") === w.id), bcNow())
               .collect().head.getSeq[String](2)
-          })
+          }
           covered ++= novel
           coveredTypes += w.gain
           picks += ((iter.toLong, w.id, w.gain.toLong, coveredTypes))
@@ -641,9 +664,13 @@ object Curation {
     *
     * Scale: the join is keyed by term over vocabulary-sized per-source
     * count tables (never documents); pair count is |sources|². */
-  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
-    val cnt = graft.Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    sourceDivergenceCore(graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Core over any (source, text) frame (ScaleProbe hook). */
+  private[graft] def sourceDivergenceCore(docs: DataFrame): DataFrame = {
+    val cnt = docs
       .select(col("source"), explode(expr(graft.text.TextOps.TokensExpr)).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
     val f = cnt.select(col("source"), col("w"), col("c"),

@@ -31,7 +31,7 @@ object TextOps {
     * lambda work. At 100 TB the source would already be many splits and
     * Spark would skip nothing — this only matters for small single-file
     * inputs. */
-  private def withTokens(docs: DataFrame): DataFrame =
+  private[graft] def withTokens(docs: DataFrame): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("tokens", expr(TokensExpr))
 
@@ -177,9 +177,14 @@ object TextOps {
     * keyed by (source, md5) then a fingerprint-keyed count — the q23
     * exact-dedup shape on chunk fingerprints. */
   def chunkDupAudit(spark: SparkSession, dir: String,
-                    chunkLen: Int = 100, stride: Int = 50): DataFrame = {
-    val chunks = chunkCore(withTokens(Tables.documents(spark, dir)),
-      chunkLen, stride, carry = Seq("source"))
+                    chunkLen: Int = 100, stride: Int = 50): DataFrame =
+    chunkDupAuditCore(withTokens(Tables.documents(spark, dir)), chunkLen, stride)
+
+  /** Core over any (doc_id, source, tokens) frame (ScaleProbe hook). */
+  private[graft] def chunkDupAuditCore(docsWithTokens: DataFrame,
+                                       chunkLen: Int = 100,
+                                       stride: Int = 50): DataFrame = {
+    val chunks = chunkCore(docsWithTokens, chunkLen, stride, carry = Seq("source"))
       .select(col("source"), md5(col("chunk_text")).as("fp"))
     val perSrcFp = chunks.groupBy("source", "fp")
       .agg(count(lit(1)).as("ct"))

@@ -408,7 +408,7 @@ object VectorOps {
     * structs — lexicographic `least`, the exact semantics of the oracle's
     * MIN({'d':…, 'c':…}) — with all dot products on the codegen'd
     * graft_dot path (no interpreted HOF in the hot loop). */
-  private def cellOf(cents: Seq[(Int, Column)]): Column =
+  private[graft] def cellOf(cents: Seq[(Int, Column)]): Column =
     least(cents.map { case (c, cv) =>
       struct((dotC(col("v"), col("v")) - lit(2.0d) * dotC(col("v"), cv)
         + dotC(cv, cv)).as("d"), lit(c).as("cell"))

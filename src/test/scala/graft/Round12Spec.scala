@@ -20,13 +20,19 @@ class Round12Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(lzy.toSeq === exact.toSeq,
       "lazy greedy must reproduce every (iter, pick, gain, covered) row")
-    // the point of Minoux: far fewer re-evaluations than the exact
-    // greedy's k x N = 20 x 500 = 10,000 (round 1 is free — the upper
-    // bounds are exact gains; later rounds re-evaluate only queue tops)
+    // the point of Minoux + the bulk fallback: fewer gain evaluations
+    // than the exact greedy's k x N (round 1 is free — upper bounds are
+    // exact gains) AND a bounded JOB count (<= ~5 jobs/round: two
+    // escalating batches, one bulk refresh, the winner payload, frontier
+    // loads) — per-job overhead is what actually dominates on a small
+    // cluster, and 873 unbounded hunt jobs is the regression this pins
     val n = Tables.documents(spark, dir).count()
-    assert(stats.evals * 4 < 20L * n,
-      s"lazy greedy re-evaluated ${stats.evals} gains — expected well " +
-        s"under a quarter of the exact greedy's ${20 * n}")
+    assert(stats.evals * 2 < 20L * n,
+      s"lazy greedy re-evaluated ${stats.evals} gains — expected under " +
+        s"half the exact greedy's ${20 * n}")
+    assert(stats.jobs <= 5L * 20 + 10,
+      s"lazy greedy launched ${stats.jobs} jobs — the bulk fallback " +
+        "must bound the per-round hunt")
     info(s"lazy greedy: ${stats.evals} evals / ${stats.jobs} jobs / " +
       s"${stats.loadedRows} frontier rows vs exact ${20 * n} evals")
   }
