@@ -131,7 +131,26 @@ object StreamDemo {
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
     }
 
-    Seq(qDau, qAlerts, qGmv, qJoin, qDim, qCorpus, qFunnel).foreach(_.awaitTermination())
+    // 8. Embedding-store ingest — streaming ANN admission against the
+    //    frozen corpus IVF index (the vector leg of the training
+    //    pipeline; q261's batch face hash-verifies the arithmetic).
+    //    Vectors below 250 play the already-indexed store.
+    val vecsDir = staged("embeddings")
+    val eSchema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val (gateCents, gateCorpus) =
+      graft.vector.VectorOps.frozenIvfIndex(spark, sfDir)
+    gateCorpus.cache()
+    val qVecGate = graft.streaming.TrainingPipeline.annGate(
+        spark.readStream.schema(eSchema).parquet(vecsDir)
+          .filter(col("vec_id") >= 250L)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            expr("transform(embedding, x -> cast(x as double))").as("v")),
+        gateCents, gateCorpus)
+      .writeStream.format("memory").queryName("demo_vecgate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+
+    Seq(qDau, qAlerts, qGmv, qJoin, qDim, qCorpus, qFunnel, qVecGate)
+      .foreach(_.awaitTermination())
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
@@ -145,7 +164,9 @@ object StreamDemo {
     println(s"[stream-demo] dim latest-per-user rows: ${spark.read.parquet(dimOut).count()}")
     println(s"[stream-demo] corpus chunks (gated+deduped+neardup-gated, fresh half): ${spark.read.parquet(chunksOut).count()}")
     println(s"[stream-demo] funnel users (stateful): ${spark.table("demo_funnel").select("user_id").distinct().count()}")
-    println(f"[stream-demo] 7 concurrent pipelines, ${nEvents + nOrders + nItems + nDocs}%,d input rows in $wallSec%.1f s")
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    println(s"[stream-demo] vector-gate admitted (fresh half vs frozen IVF): ${spark.table("demo_vecgate").count()}")
+    println(f"[stream-demo] 8 concurrent pipelines, ${nEvents + nOrders + nItems + nDocs + nVecs}%,d input rows in $wallSec%.1f s")
 
     spark.stop()
   }
