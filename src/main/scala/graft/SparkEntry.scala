@@ -503,6 +503,10 @@ object SparkEntry {
     "q268_source_divergence"   -> ((s, d) => graft.text.Curation.sourceDivergence(s, d)),
     // tokenizer fertility: chars/bytes per token, tokens per doc
     "q269_fertility"           -> ((s, d) => graft.text.TextOps.tokenizerFertility(s, d)),
+    // duplicate-cluster size distribution (doc + token mass per size)
+    "q270_cluster_sizes"       -> ((s, d) => graft.dedup.DedupOps.clusterSizeDist(s, d)),
+    // context-budget truncation/padding waste sweep
+    "q271_truncation_waste"    -> ((s, d) => graft.text.Curation.truncationWaste(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3230,6 +3234,50 @@ object SparkEntry {
         |       CAST(FLOOR(1000000.0 * SUM(octet_length(encode(text))) / SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) + 0.5) AS BIGINT) AS bytes_per_token_micro,
         |       CAST(FLOOR(1000000.0 * SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) / COUNT(*) + 0.5) AS BIGINT) AS tokens_per_doc_micro
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q270: the q51 recursive-CC CTEs grouped by cluster size, with
+    // token mass and micro shares.
+    "q270_cluster_sizes" ->
+      (s"WITH RECURSIVE $JaccardCtes,\n" +
+      """edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+        |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+        |reach(n, m) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+        |comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY 1),
+        |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |sized AS (SELECT doc_id, cluster_id,
+        |                 COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |          FROM lab),
+        |tk AS (SELECT doc_id, CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS toks FROM documents),
+        |tot AS (SELECT COUNT(*) AS all_docs, CAST(SUM(toks) AS BIGINT) AS all_toks FROM tk)
+        |SELECT CAST(s.cluster_size AS BIGINT) AS cluster_size,
+        |       CAST(COUNT(DISTINCT s.cluster_id) AS BIGINT) AS n_clusters,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(tk.toks) AS BIGINT) AS tokens_in_size,
+        |       CAST(FLOOR(1000000.0 * COUNT(*) / tot.all_docs + 0.5) AS BIGINT) AS doc_share_micro,
+        |       CAST(FLOOR(1000000.0 * SUM(tk.toks) / tot.all_toks + 0.5) AS BIGINT) AS token_share_micro
+        |FROM sized s JOIN tk USING (doc_id) CROSS JOIN tot
+        |GROUP BY s.cluster_size, tot.all_docs, tot.all_toks
+        |ORDER BY cluster_size""".stripMargin),
+    // q271: one doc token-count projection crossed with a budget list;
+    // all-integer sums + micro divisions.
+    "q271_truncation_waste" ->
+      """WITH tk AS (SELECT CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS toks FROM documents),
+        |b(budget) AS (SELECT unnest([128, 256, 512, 1024]))
+        |SELECT CAST(b.budget AS BIGINT) AS budget,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN toks <= budget THEN 1 ELSE 0 END) AS BIGINT) AS docs_fit,
+        |       CAST(COUNT(*) - SUM(CASE WHEN toks <= budget THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+        |       CAST(SUM(LEAST(toks, budget)) AS BIGINT) AS tokens_kept,
+        |       CAST(SUM(GREATEST(toks - budget, 0)) AS BIGINT) AS tokens_lost,
+        |       CAST(FLOOR(1000000.0 * SUM(GREATEST(toks - budget, 0))
+        |         / (SUM(LEAST(toks, budget)) + SUM(GREATEST(toks - budget, 0))) + 0.5) AS BIGINT) AS lost_share_micro,
+        |       CAST(FLOOR(1000000.0 * (COUNT(*) * budget - SUM(LEAST(toks, budget)))
+        |         / (COUNT(*) * budget) + 0.5) AS BIGINT) AS pad_share_micro
+        |FROM tk CROSS JOIN b
+        |GROUP BY b.budget ORDER BY budget""".stripMargin,
     // q243: the CDC window hash replayed 1-based — token codes are the
     // q130 md5-hex-prefix integers, B^j mod M coefficients are shared
     // plan-time constants, all modular BIGINT arithmetic.

@@ -572,6 +572,37 @@ object DedupOps {
         minhashLshPairs(spark, dir, threshold).select(col("doc_a"), col("doc_b"))
       })
 
+  /** q270 — duplicate-cluster SIZE distribution: the "head of
+    * duplication" curve a corpus builder reads off the q51 clusters —
+    * per cluster size: how many clusters, how many documents, and how
+    * much TOKEN mass sits there (plus micro shares). A corpus whose
+    * mass concentrates in a few huge clusters dedups cheaply and
+    * shrinks a lot; a long tail of 2-clusters costs the same pair
+    * generation for little mass — the economics this table prices.
+    * Shape: the memoized cluster labeling + one bounded-domain
+    * (cluster_size) partial agg over doc token counts. */
+  def clusterSizeDist(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(spark, dir)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(s"CAST(size(${graft.text.TextOps.TokensExpr}) AS BIGINT)").as("toks"))
+    val t = cl.join(toks, Seq("doc_id"))
+    val totals = toks.agg(count(lit(1)).as("all_docs"),
+      sum(col("toks")).as("all_toks"))
+    t.groupBy("cluster_size")
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("tokens_in_size"))
+      .crossJoin(broadcast(totals))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("tokens_in_size"),
+        expr("CAST(FLOOR(1000000.0d * n_docs / all_docs + 0.5d) AS BIGINT)")
+          .as("doc_share_micro"),
+        expr("CAST(FLOOR(1000000.0d * tokens_in_size / all_toks + 0.5d) AS BIGINT)")
+          .as("token_share_micro"))
+      .orderBy("cluster_size")
+  }
+
   /** The step after clustering: pick ONE canonical document per near-dup
     * cluster — longest (most tokens) wins, ties break to the smallest
     * doc_id — the keep-best policy a training-data pipeline applies

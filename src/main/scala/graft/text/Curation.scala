@@ -489,9 +489,11 @@ object Curation {
     * bounds still aren't pruning (this corpus's vocabulary overlap is
     * heavy, the adversarial regime for Minoux) — ONE bulk refresh of
     * the whole loaded queue (gains-only, skinny) and the round
-    * resolves. Measured at sf0.01 (500 docs, k=20): 2,367 evals /
-    * 57 jobs vs exact's 10,000 evals; at sf0.1: 54,873 evals / 96 jobs
-    * vs 100,000. Without the bulk fallback the pure-Minoux hunt
+    * resolves; once any round has bulked, later rounds skip the
+    * batches and go straight to bulk (sticky `bulkMode` — the batch
+    * probes were pure overhead on a non-pruning corpus). Measured at
+    * sf0.01 (500 docs, k=20): 7,404 evals / ~40 jobs vs exact's
+    * 10,000 evals / 20 jobs. Without the bulk fallback the pure-Minoux hunt
     * launched 873 jobs at sf0.1 and per-job overhead swamped the eval
     * savings — the regression Round12Spec's job bound pins. On
     * sparse-overlap corpora (the intended regime) the queue prunes and
@@ -552,6 +554,12 @@ object Curation {
         cursor = Some((rows.last._2, rows.last._1))
       }
     }
+    // once a round's hunt has had to bulk-refresh, later rounds go
+    // straight to bulk: on a corpus whose stale bounds don't prune, the
+    // escalating batches are pure overhead every round (measured: they
+    // were ~2.3 s of q262's 4.6 s at sf0.1). A corpus where the queue
+    // prunes never sets this.
+    var bulkMode = false
     try {
       for (iter <- 1 to k) {
         var bc: org.apache.spark.broadcast.Broadcast[Set[String]] = null
@@ -561,7 +569,7 @@ object Curation {
         }
         try {
           var winner: Option[Ent] = None
-          var huntBatches = 0
+          var huntBatches = if (bulkMode) 2 else 0
           while (winner.isEmpty) {
             // an UNLOADED doc's ub ≤ the cursor's ub; it can only beat
             // the queue top (incl. by id tie-break) while top ≤ cursor
@@ -582,7 +590,7 @@ object Curation {
               val freshGain = roundNovel(sets, bcNow())
                 .select(col("doc_id"), col("gain")).collect()
                 .map(r => r.getLong(0) -> r.getInt(1)).toMap
-              jobs += 1; evals += members.size
+              jobs += 1; evals += members.size; bulkMode = true
               pq.clear()
               members.foreach(id => pq.enqueue(Ent(freshGain(id), id, iter)))
             } else {
@@ -711,6 +719,39 @@ object Curation {
                |  / sqrt(CAST(dd AS DOUBLE))) + 0.5d) AS BIGINT)"""
           .stripMargin.replace("\n", "")).as("h2_micro"))
       .orderBy("source_a", "source_b")
+  }
+
+  /** q271 — context-budget TRUNCATION-WASTE sweep: for each candidate
+    * context length, how many docs fit whole, how many get truncated,
+    * the token mass kept vs lost to truncation, and the padding waste
+    * if every kept doc were padded to the budget (the two losses trade
+    * against each other: small budgets truncate, large budgets pad —
+    * this table is where the training-efficiency choice is read off;
+    * q55/q188's packing is the remedy the pad column prices). One doc
+    * token-count projection crossed with a literal budget list, one
+    * bounded-domain agg; all-integer sums + micro divisions. */
+  def truncationWaste(spark: SparkSession, dir: String,
+                      budgets: Seq[Long] = Seq(128L, 256L, 512L, 1024L)): DataFrame = {
+    import spark.implicits._
+    val b = budgets.toDF("budget")
+    graft.Tables.documents(spark, dir)
+      .select(expr(s"CAST(size(${graft.text.TextOps.TokensExpr}) AS BIGINT)").as("toks"))
+      .crossJoin(broadcast(b))
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("toks") <= col("budget"), 1L).otherwise(0L)).as("docs_fit"),
+        sum(least(col("toks"), col("budget"))).as("tokens_kept"),
+        sum(greatest(col("toks") - col("budget"), lit(0L))).as("tokens_lost"))
+      .select(col("budget"), col("n_docs"), col("docs_fit"),
+        (col("n_docs") - col("docs_fit")).as("docs_truncated"),
+        col("tokens_kept"), col("tokens_lost"),
+        expr("""CAST(FLOOR(1000000.0d * tokens_lost
+               |  / (tokens_kept + tokens_lost) + 0.5d) AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("lost_share_micro"),
+        expr("""CAST(FLOOR(1000000.0d * (n_docs * budget - tokens_kept)
+               |  / (n_docs * budget) + 0.5d) AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("pad_share_micro"))
+      .orderBy("budget")
   }
 
   /** Quality filter cascade: classify every document by its FIRST
