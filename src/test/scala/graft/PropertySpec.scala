@@ -30,6 +30,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PNG round-trip is pixel-exact for random geometries and pixel functions") {
+    import graft.multimodal.ImageIoCodec
+    val gen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 30)
+      a <- Gen.chooseNum(0, 255)
+      b <- Gen.chooseNum(1, 17)
+      c <- Gen.chooseNum(1, 13)
+    } yield (w, h, a, b, c)
+    cases(gen, 40).foreach { case (w, h, a, b, c) =>
+      def px(x: Int, y: Int) =
+        ((a + b * x + c * y) % 256, (a + c * x) % 256, (255 - (b * y) % 256))
+      val d = ImageIoCodec.decode(ImageIoCodec.encodePng(w, h, px))
+      assert((d.width, d.height) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert((d.r(x, y), d.g(x, y), d.b(x, y)) === px(x, y),
+          s"w=$w h=$h a=$a b=$b c=$c at ($x,$y)")
+    }
+  }
+
+  test("JPEG decode keeps exact geometry and stays inside the q260 envelope on smooth gradients") {
+    import graft.multimodal.ImageIoCodec
+    val gen = for {
+      w <- Gen.chooseNum(2, 32)
+      h <- Gen.chooseNum(2, 24)
+      base <- Gen.chooseNum(32, 96)
+    } yield (w, h, base)
+    cases(gen, 25).foreach { case (w, h, base) =>
+      def px(x: Int, y: Int) = (base + 2 * x + y, base + x + 2 * y, base + x + y)
+      val d = ImageIoCodec.decode(ImageIoCodec.encodeJpeg(w, h, px))
+      assert((d.width, d.height) === ((w, h)), s"w=$w h=$h base=$base")
+      var absErr = 0L
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val (er, eg, eb) = px(x, y)
+        val errs = Seq(d.r(x, y) - er, d.g(x, y) - eg, d.b(x, y) - eb).map(math.abs)
+        absErr += errs.sum; maxErr = math.max(maxErr, errs.max)
+      }
+      assert(absErr.toDouble / (3 * w * h) <= 3.0, s"MAE blew q260's bound: w=$w h=$h base=$base")
+      assert(maxErr <= 12, s"single-channel error blew q260's bound: w=$w h=$h base=$base")
+    }
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     cases(Gen.listOfN(30, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0, 86399))), 5)
       .foreach { pairs =>
