@@ -507,6 +507,8 @@ object SparkEntry {
     "q270_cluster_sizes"       -> ((s, d) => graft.dedup.DedupOps.clusterSizeDist(s, d)),
     // context-budget truncation/padding waste sweep
     "q271_truncation_waste"    -> ((s, d) => graft.text.Curation.truncationWaste(s, d)),
+    // k-hop BFS reachability over the co-purchase graph (shortest hops)
+    "q272_khop_reach"          -> ((s, d) => graft.ops.Graph.khopReach(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3278,6 +3280,21 @@ object SparkEntry {
         |         / (COUNT(*) * budget) + 0.5) AS BIGINT) AS pad_share_micro
         |FROM tk CROSS JOIN b
         |GROUP BY b.budget ORDER BY budget""".stripMargin,
+    // q272: recursive-CTE BFS with UNION per-level dedup (working-table
+    // semantics bound each step to NEW rows) + MIN(hop) rollup.
+    "q272_khop_reach" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                         AND a.l_partkey <> b.l_partkey),
+        |s AS (SELECT MIN(l_partkey) AS seed FROM li),
+        |r(part_id, hop) AS (
+        |  SELECT seed, 0 FROM s
+        |  UNION
+        |  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.part_id WHERE r.hop < 3
+        |)
+        |SELECT part_id, CAST(MIN(hop) AS BIGINT) AS hop
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // q243: the CDC window hash replayed 1-based — token codes are the
     // q130 md5-hex-prefix integers, B^j mod M coefficients are shared
     // plan-time constants, all modular BIGINT arithmetic.

@@ -100,6 +100,50 @@ object Graph {
     * triangle participation is orientation-invariant, so the hash match
     * doubles as the equivalence proof of the oriented plan (the
     * q174/q175 pattern: naive oracle, scalable engine). */
+  /** q272 — k-hop BFS reachability over the co-purchase part graph
+    * (edges: two parts in the same order), from a deterministic seed
+    * (the smallest part key present): every part within `hops` hops
+    * with its SHORTEST hop distance — the neighborhood-expansion
+    * primitive behind related-item candidates and graph-based feature
+    * radius cuts; completes the graph family (pagerank q99 /
+    * triangles q184 / connected components q51) with bounded-depth
+    * traversal.
+    *
+    * Shape: `hops` iterations, each ONE equi-join of the current
+    * frontier with the edge list + distinct + LEFT ANTI against the
+    * visited set — the textbook distributed BFS; frontiers never
+    * collect, lineage grows linearly (checkpoint every ~10 hops in a
+    * production loop, the q99 note). The oracle replays it as a
+    * recursive CTE with UNION (per-level dedup — the working-table
+    * semantics that bound each step to NEW (part, hop) rows, not path
+    * enumeration) + a MIN(hop) rollup. */
+  def khopReach(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+      .cache()
+    val seed = li.agg(min(col("l_partkey"))).head().getLong(0)
+    var visited = Seq((seed, 0L)).toDF("part_id", "hop")
+    var frontier = visited.select("part_id")
+    try {
+      for (h <- 1 to hops) {
+        val next = frontier.join(edges, col("part_id") === col("src"))
+          .select(col("dst").as("part_id")).distinct()
+          .join(visited.select("part_id"), Seq("part_id"), "left_anti")
+          .cache()
+        visited = visited.unionByName(
+          next.withColumn("hop", lit(h.toLong))).cache()
+        frontier = next
+      }
+      visited.orderBy("part_id")
+    } finally edges.unpersist(blocking = false)
+  }
+
   def coPurchaseTriangles(spark: SparkSession, dir: String,
                           topK: Int = 10, minSupport: Long = 2L): DataFrame =
     trianglesCore(Tables.lineitem(spark, dir), topK, minSupport)

@@ -221,6 +221,35 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q272 k-hop BFS: seed at hop 0, hop-1 set is exactly the seed's neighborhood, hops are shortest") {
+    import graft.ops.Graph
+    val sdir = "/root/testdata/sf0.001"
+    val out = Graph.khopReach(spark, sdir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("hop")).toMap
+    val li = Tables.lineitem(spark, sdir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+    val seed = li.map(_._2).min
+    assert(out(seed) === 0L)
+    val nbrs = byOrder.filter(_.contains(seed)).flatten.toSet - seed
+    assert(out.filter(_._2 == 1L).keySet === nbrs,
+      "hop-1 must be exactly the seed's co-purchase neighborhood")
+    // shortest-path property via a driver BFS reference
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    byOrder.foreach { parts =>
+      parts.foreach(p => adj(p) = adj.getOrElse(p, Set.empty) ++ (parts - p))
+    }
+    var vis = Map(seed -> 0L)
+    var frontier = Set(seed)
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- vis.keySet
+      vis ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    assert(out === vis)
+  }
+
   test("q261 ANN admission: verdicts recompute from first principles (frozen index, probe rule, tie-break)") {
     import graft.vector.VectorOps
     val out = VectorOps.annAdmission(spark, "/root/testdata/sf0.001").collect()
