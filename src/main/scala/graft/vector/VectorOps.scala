@@ -1491,7 +1491,14 @@ object VectorOps {
     var x = Array.fill(dims)(0.125d)
     var y = matvec(x)
     for (_ <- 1 to iters) {
-      val nrm = math.sqrt(ip(y, y))
+      val nn = ip(y, y)
+      // a zero-variance corpus (all vectors identical) would divide by
+      // zero and silently propagate NaN through every later step — fail
+      // loudly instead (the oracle's replay would NaN the same way)
+      require(nn > 0.0d,
+        "power iteration: C·x vanished (zero-variance corpus, or x0 " +
+          "orthogonal to the column space) — dominant eigenpair undefined")
+      val nrm = math.sqrt(nn)
       x = y.map(v => math.floor(1000000.0d * v / nrm + 0.5d) / 1000000.0d)
       y = matvec(x)
     }

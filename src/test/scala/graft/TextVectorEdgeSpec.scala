@@ -81,4 +81,28 @@ class TextVectorEdgeSpec extends SparkSpec {
     val out = graft.text.TextOps.langId(spark, tmp).select("pred_lang").collect()
     assert(out.head.getString(0) === "de") // de_ct == en_ct == 1 → lex-smallest
   }
+
+  test("ImageIoCodec handles 1x1 images in both formats") {
+    import graft.multimodal.ImageIoCodec
+    val p = ImageIoCodec.decode(ImageIoCodec.encodePng(1, 1, (_, _) => (7, 200, 133)))
+    assert((p.width, p.height, p.r(0, 0), p.g(0, 0), p.b(0, 0)) === ((1, 1, 7, 200, 133)))
+    val j = ImageIoCodec.decode(ImageIoCodec.encodeJpeg(1, 1, (_, _) => (128, 128, 128)))
+    assert((j.width, j.height) === ((1, 1)))
+    // flat gray survives JPEG almost exactly
+    assert(math.abs(j.r(0, 0) - 128) <= 4)
+  }
+
+  test("ANN gate candidate frame is empty for an empty fresh batch and for out-of-reach sizes") {
+    import graft.vector.VectorOps
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val corpusAssigned = Seq((0, 100L, Seq(1.0, 0.0)))
+      .toDF("cell", "corpus_id", "cv")
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    assert(VectorOps.annGateCandidates(empty, cents, corpusAssigned, 1)
+      .count() === 0L)
+    // a fresh vector probing the OTHER cell produces no candidates
+    val other = Seq((5L, Seq(0.0, 9.0))).toDF("vec_id", "v")
+    assert(VectorOps.annGateCandidates(other, cents, corpusAssigned, 1)
+      .count() === 0L)
+  }
 }
