@@ -805,6 +805,44 @@ class StreamingSpec extends SparkSpec {
       s"state must survive the checkpointed restart; got $ids")
   }
 
+  test("ANN admission gate survives a checkpointed restart against the frozen index") {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_anngate_ckpt").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val corpusAssigned = Seq(
+      (0, 100L, Seq(3.0, 4.0)), (1, 101L, Seq(0.0, 5.0)))
+      .toDF("cell", "corpus_id", "cv")
+    def writeFile(rows: Seq[(Long, Long, Seq[Double])]): Unit =
+      rows.toDF("vec_id", "label", "v")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = graft.streaming.TrainingPipeline.annGate(
+          stream, cents, corpusAssigned, nProbe = 1, thresholdMicro = 960000L)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeFile(Seq(
+      (1L, 0L, Seq(4.0, 3.0)),  // cos 24/25 = threshold -> rejected
+      (2L, 0L, Seq(5.0, 0.0)))) // cos 0.6 -> admitted
+    runOnce()
+    writeFile(Seq(
+      (3L, 0L, Seq(0.0, 9.0)),  // frozen index STILL probed post-restart -> rejected
+      (4L, 0L, Seq(-7.0, 0.0)))) // cos 0 -> admitted
+    runOnce()
+    val ids = spark.read.parquet(out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L, 4L),
+      s"gate must keep rejecting via the frozen index across the restart; got $ids")
+  }
+
   test("keyed upsert recovers from a crash mid-swap without losing prior keys") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert3").toString
     val path = s"$dir/dim"
