@@ -509,6 +509,8 @@ object SparkEntry {
     "q271_truncation_waste"    -> ((s, d) => graft.text.Curation.truncationWaste(s, d)),
     // k-hop BFS reachability over the co-purchase graph (shortest hops)
     "q272_khop_reach"          -> ((s, d) => graft.ops.Graph.khopReach(s, d)),
+    // per-pair cosine explanation: top contributing embedding dims
+    "q273_cosine_explain"      -> ((s, d) => graft.vector.VectorOps.cosineExplain(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3295,6 +3297,25 @@ object SparkEntry {
         |)
         |SELECT part_id, CAST(MIN(hop) AS BIGINT) AS hop
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q273: the pair CTEs + per-dim nano-rounded products ranked by
+    // (-|p|, dim) — both engines sort the same exact integers; shares
+    // divide by the full exact dot.
+    "q273_cosine_explain" -> (s"WITH $JaccardCtes,\n" +
+      """em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pe AS (SELECT doc_a, doc_b, a.v AS va, b.v AS vb,
+        |              list_inner_product(a.v, b.v) AS dot
+        |       FROM jpairs JOIN em a ON doc_a = a.vec_id JOIN em b ON doc_b = b.vec_id),
+        |dims AS (SELECT doc_a, doc_b, dot, d.dim,
+        |                CAST(FLOOR(1000000000.0 * va[d.dim + 1] * vb[d.dim + 1] + 0.5) AS BIGINT) AS p
+        |         FROM pe, (SELECT unnest(generate_series(0, 63)) AS dim) d(dim)),
+        |rk AS (SELECT doc_a, doc_b, dot, dim, p,
+        |              ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b ORDER BY ABS(p) DESC, dim) AS rank
+        |       FROM dims)
+        |SELECT doc_a, doc_b, CAST(rank AS BIGINT) AS rank,
+        |       CAST(dim AS BIGINT) AS dim, p AS contrib_nano,
+        |       CAST(FLOOR(1000000.0 * (CAST(p AS DOUBLE) / 1000000000.0) / dot + 0.5) AS BIGINT) AS share_micro
+        |FROM rk WHERE rank <= 5
+        |ORDER BY doc_a, doc_b, rank""".stripMargin),
     // q243: the CDC window hash replayed 1-based — token codes are the
     // q130 md5-hex-prefix integers, B^j mod M coefficients are shared
     // plan-time constants, all modular BIGINT arithmetic.

@@ -1439,6 +1439,51 @@ object VectorOps {
       .orderBy("jaccard_band_micro")
   }
 
+  /** q273 — cosine EXPLANATION for the cross-modal near-dup pairs: for
+    * each q204 text pair, the `topDims` embedding dimensions that
+    * contribute most |v_a·v_b| product mass, with nano-rounded signed
+    * contributions and each dim's micro share of the full dot product —
+    * the vector analog of q228's shared-run span explanation (WHY does
+    * the embedding gate consider these two documents similar; a pair
+    * whose similarity concentrates in one or two dims is a feature
+    * artifact, not semantic duplication — exactly what an embedding-
+    * dedup reviewer needs to see before trusting the q261 gate).
+    *
+    * Determinism: per-dim products are nano-rounded BEFORE ranking
+    * (ties to the lower dim via the (-|p|, dim) sort struct — both
+    * engines sort the same exact integers); the share divides the
+    * nano-rounded contribution by the exact double dot, micro-rounded.
+    * Scale: rides the memoized pair ledger; the ranking is IN-ROW
+    * (array_sort over d structs inside codegen) — no extra shuffle
+    * beyond the two id joins. */
+  def cosineExplain(spark: SparkSession, dir: String,
+                    topDims: Int = 5): DataFrame = {
+    val pairs = graft.dedup.PrefixJoin.ppjoinPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val e = vecs(spark, dir)
+    pairs
+      .join(e.select(col("vec_id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
+      .join(e.select(col("vec_id").as("doc_b"), col("v").as("vb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_dot(va, vb)").as("dot"),
+        expr("""slice(array_sort(transform(sequence(0, size(va) - 1),
+               |  i -> struct(
+               |    -abs(CAST(FLOOR(1000000000.0d * va[i] * vb[i] + 0.5d) AS BIGINT)) AS na,
+               |    i AS dim,
+               |    CAST(FLOOR(1000000000.0d * va[i] * vb[i] + 0.5d) AS BIGINT) AS p))),
+               |  1, """.stripMargin.replace("\n", "") + topDims + ")").as("top"))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        posexplode(col("top")).as(Seq("rk", "t")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("rk") + 1).cast("long").as("rank"),
+        col("t.dim").cast("long").as("dim"),
+        col("t.p").as("contrib_nano"),
+        expr("""CAST(FLOOR(1000000.0d * (CAST(t.p AS DOUBLE) / 1000000000.0d)
+               |  / dot + 0.5d) AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("share_micro"))
+      .orderBy("doc_a", "doc_b", "rank")
+  }
+
   /** q266 — dominant eigenpair of the embedding COVARIANCE by a fixed
     * 8-step power iteration (spectral data-audit: the top principal
     * direction and its variance — how much of the store's energy one

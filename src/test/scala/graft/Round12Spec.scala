@@ -250,6 +250,25 @@ class Round12Spec extends SparkSpec {
     assert(out === vis)
   }
 
+  test("q273 cosine explain: 5 ranked dims per pair, contributions re-derived from the raw embeddings") {
+    import graft.vector.VectorOps
+    val rows = VectorOps.cosineExplain(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("rank"),
+        r.getAs[Long]("dim"), r.getAs[Long]("contrib_nano")))
+    assert(rows.nonEmpty && rows.length % 5 === 0)
+    val embs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.groupBy(_._1).foreach { case ((a, b), g) =>
+      val products = embs(a).zip(embs(b)).zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong, math.floor(1e9 * x * y + 0.5).toLong)
+      }
+      val expected = products.sortBy { case (dim, p) => (-math.abs(p), dim) }.take(5)
+      val got = g.sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(got === expected.toSeq, s"pair ($a, $b)")
+    }
+  }
+
   test("q261 ANN admission: verdicts recompute from first principles (frozen index, probe rule, tie-break)") {
     import graft.vector.VectorOps
     val out = VectorOps.annAdmission(spark, "/root/testdata/sf0.001").collect()
