@@ -22,6 +22,19 @@ object Bench {
     * warms up against the same data as the benchmark it mimics. */
   private[graft] val WarmupDir = "/root/testdata/sf0.001"
 
+  /** Median of warm passes; lower-middle for even counts (with exactly
+    * two warm passes the upper-middle would report the NOISY pass as
+    * the median, inverting the field's purpose). Pure: spec-pinned. */
+  private[graft] def warmMedian(warm: Vector[Double]): Double =
+    if (warm.isEmpty) -1.0 else warm.sorted.apply((warm.length - 1) / 2)
+
+  /** True when a query's WARM passes diverge >3x after the adaptive
+    * re-runs — interference (GC / scheduler) that min-over-passes hides
+    * and a shared cluster would see at p99. Pure: spec-pinned. */
+  private[graft] def varianceFlagged(warm: Vector[Double]): Boolean =
+    warm.length >= 2 && warm.max > 0.5 &&
+      warm.max / math.max(warm.min, 1e-3) > 3.0
+
   /** Per-query budget gate (judge r8): round 8 shipped a 768 s query —
     * 90% of the whole bench — because nothing re-checked per-query cost
     * after the last plan audit. Flag every query whose best (warm) time
@@ -210,21 +223,13 @@ object Bench {
     // local[32] scheduling) that min hides and that would be a p99
     // problem on a shared cluster — both the medians and the divergent
     // set ship in the artifact.
-    // lower-middle for even counts: with exactly two warm passes (the
-    // common case) the upper-middle would report the NOISY pass as the
-    // median, inverting the field's purpose
-    def medianOf(v: Vector[Double]): Double =
-      if (v.isEmpty) -1.0 else v.sorted.apply((v.length - 1) / 2)
-    val warmMedian = ordered.map { case (name, _) =>
+    val warmMedianJson = ordered.map { case (name, _) =>
       val warm = passTimes.getOrElse(name, Vector.empty).drop(1).filter(_ >= 0)
-      s"\"$name\":${fmt(medianOf(warm))}"
+      s"\"$name\":${fmt(warmMedian(warm))}"
     }.mkString("{", ",", "}")
     val varianceFlags = ordered.collect {
-      case (name, _) if {
-        val warm = passTimes.getOrElse(name, Vector.empty).drop(1).filter(_ >= 0)
-        warm.length >= 2 && warm.max > 0.5 &&
-          warm.max / math.max(warm.min, 1e-3) > 3.0
-      } => name
+      case (name, _) if varianceFlagged(
+        passTimes.getOrElse(name, Vector.empty).drop(1).filter(_ >= 0)) => name
     }
     val varianceJson = varianceFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = best.collect { case (_, v) if v >= 0 => v }.sum
@@ -239,7 +244,7 @@ object Bench {
     // passes >= 2 reuse session-memoized artifacts (cached dims, IVF
     // model, LSH band index), so min-over-passes is a warm timing for the
     // index-backed queries — stated here rather than silently implied.
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ordered.length},"queries":$qs,"passes":$rawPasses,"warm_median":$warmMedian,"cold_extra":$coldExtra,"failed":$failed,"slow_flags":$flagsJson,"variance_flags":$varianceJson,"timing":"min over recorded passes; pass1 natural order, pass2 reversed, pass3+ adaptive re-runs of diverged/slow queries; passes >= 2 warm; cold_extra = pass1 - warm min (one-time memo/index build cost); warm_median = median of warm passes; variance_flags = warm passes diverge >3x after adaptive re-runs (host noise / GC interference a shared cluster would see at p99)","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ordered.length},"queries":$qs,"passes":$rawPasses,"warm_median":$warmMedianJson,"cold_extra":$coldExtra,"failed":$failed,"slow_flags":$flagsJson,"variance_flags":$varianceJson,"timing":"min over recorded passes; pass1 natural order, pass2 reversed, pass3+ adaptive re-runs of diverged/slow queries; passes >= 2 warm; cold_extra = pass1 - warm min (one-time memo/index build cost); warm_median = median of warm passes; variance_flags = warm passes diverge >3x after adaptive re-runs (host noise / GC interference a shared cluster would see at p99)","sf":"$sfDir"}"""
     println(json)
     // safety net beside the stdout contract: a file copy of the same line
     // (round-1 grading lost the stdout line to an sbt log prefix)

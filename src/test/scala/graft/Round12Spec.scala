@@ -269,6 +269,23 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("bench warm-median and variance-flag helpers behave on the boundary cases") {
+    import graft.Bench.{warmMedian, varianceFlagged}
+    assert(warmMedian(Vector.empty) === -1.0)
+    assert(warmMedian(Vector(2.0)) === 2.0)
+    // lower-middle for even counts: the steady pass, never the noisy one
+    assert(warmMedian(Vector(6.881, 1.087)) === 1.087)
+    assert(warmMedian(Vector(1.0, 2.0, 9.0)) === 2.0)
+    // variance flag: needs >= 2 warm passes, a non-trivial max (> 0.5 s),
+    // and a >3x spread
+    assert(!varianceFlagged(Vector.empty))
+    assert(!varianceFlagged(Vector(5.0)))
+    assert(varianceFlagged(Vector(1.087, 6.881)))
+    assert(!varianceFlagged(Vector(1.0, 2.9)))        // < 3x spread
+    assert(!varianceFlagged(Vector(0.1, 0.45)))       // sub-0.5 s noise
+    assert(varianceFlagged(Vector(0.1, 0.2, 0.9)))    // 9x with real max
+  }
+
   test("q261 ANN admission: verdicts recompute from first principles (frozen index, probe rule, tie-break)") {
     import graft.vector.VectorOps
     val out = VectorOps.annAdmission(spark, "/root/testdata/sf0.001").collect()
