@@ -511,6 +511,9 @@ object SparkEntry {
     "q272_khop_reach"          -> ((s, d) => graft.ops.Graph.khopReach(s, d)),
     // per-pair cosine explanation: top contributing embedding dims
     "q273_cosine_explain"      -> ((s, d) => graft.vector.VectorOps.cosineExplain(s, d)),
+    // same lossless decode contract via the TIFF byte path (shared
+    // oracle with q259: lossless => format-invariant output)
+    "q274_tiff_decode"         -> ((s, d) => graft.multimodal.Multimodal.tiffFeatures(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3686,27 +3689,17 @@ object SparkEntry {
         |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // q259: the oracle recomputes the PNG generator's arithmetic
+    // q259: the oracle recomputes the generator's arithmetic
     // independently — the Spark side gets these numbers by DECODING real
     // PNG bytes (zlib inflate + filter reconstruction inside
     // javax.imageio), so any codec-plumbing bug (channel order, row
     // orientation, color model) breaks the hash. PNG is lossless, hence
     // exact. Same generate_series shape as q128.
-    "q259_png_decode" ->
-      """WITH p AS (SELECT doc_id, 1 + octet_length(encode(text)) % 32 AS w,
-        |                  1 + (octet_length(encode(text)) * 7) % 24 AS h
-        |           FROM documents),
-        |f AS (SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
-        |             CAST(SUM((doc_id * 31 + x.g * 7 + y.g * 13) % 256) AS BIGINT) AS r_sum,
-        |             CAST(SUM(((doc_id * 31 + x.g * 7 + y.g * 13) % 256 + 1) % 256) AS BIGINT) AS g_sum,
-        |             CAST(SUM(((doc_id * 31 + x.g * 7 + y.g * 13) % 256 + 2) % 256) AS BIGINT) AS b_sum
-        |      FROM p, generate_series(0, 31) x(g), generate_series(0, 23) y(g)
-        |      WHERE x.g < w AND y.g < h
-        |      GROUP BY doc_id)
-        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-        |       CAST(w * h AS BIGINT) AS n_pixels, r_sum, g_sum, b_sum,
-        |       CAST(doc_id * 31 % 256 AS BIGINT) AS corner_r
-        |FROM f ORDER BY doc_id""".stripMargin,
+    "q259_png_decode" -> LosslessDecodeSql,
+    // q274: the identical contract through the TIFF codec — lossless
+    // means the format must be output-invariant, so the SAME oracle
+    // verifies both byte paths.
+    "q274_tiff_decode" -> LosslessDecodeSql,
     // q211: all-integer U-model credits; the middle-split remainder
     // (≤ 1 micro per conversion) is deliberately unassigned on both
     // engines.
@@ -4654,6 +4647,25 @@ object SparkEntry {
     s"""WITH $JaccardCtes
        |SELECT doc_a, doc_b, jaccard FROM jpairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q259/q274 oracle: generator arithmetic recomputed independently of
+    * any codec; shared by the PNG and TIFF byte paths (lossless ⇒
+    * format-invariant output). */
+  private val LosslessDecodeSql: String =
+    """WITH p AS (SELECT doc_id, 1 + octet_length(encode(text)) % 32 AS w,
+      |                  1 + (octet_length(encode(text)) * 7) % 24 AS h
+      |           FROM documents),
+      |f AS (SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+      |             CAST(SUM((doc_id * 31 + x.g * 7 + y.g * 13) % 256) AS BIGINT) AS r_sum,
+      |             CAST(SUM(((doc_id * 31 + x.g * 7 + y.g * 13) % 256 + 1) % 256) AS BIGINT) AS g_sum,
+      |             CAST(SUM(((doc_id * 31 + x.g * 7 + y.g * 13) % 256 + 2) % 256) AS BIGINT) AS b_sum
+      |      FROM p, generate_series(0, 31) x(g), generate_series(0, 23) y(g)
+      |      WHERE x.g < w AND y.g < h
+      |      GROUP BY doc_id)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(w * h AS BIGINT) AS n_pixels, r_sum, g_sum, b_sum,
+      |       CAST(doc_id * 31 % 256 AS BIGINT) AS corner_r
+      |FROM f ORDER BY doc_id""".stripMargin
 
   /** q230/q262 oracle: the exact greedy as a recursive CTE — ORDER BY/
     * LIMIT inside the recursive term steps the argmax; integer gains,

@@ -40,9 +40,19 @@ object ImageIoCodec {
   }
 
   /** Lossless PNG encode of a generated RGB image. */
-  def encodePng(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+  def encodePng(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodeLossless("png", w, h, px)
+
+  /** Lossless encode in any ImageIO format whose round trip is
+    * pixel-exact (png, tiff, bmp in this JRE — probe-verified). The
+    * format string is the only difference between the q259 and q274
+    * byte paths; the decode side is format-agnostic. */
+  def encodeLossless(format: String, w: Int, h: Int,
+                     px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    headless
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(render(w, h, px), "png", bos)
+    require(ImageIO.write(render(w, h, px), format, bos),
+      s"no ImageIO writer for format '$format'")
     bos.toByteArray
   }
 

@@ -440,7 +440,20 @@ object Multimodal {
     * Scale: both codec halves run inside `mapPartitions` (batch-per-task,
     * nothing on the driver, one image in flight per task thread); the
     * payload bytes never shuffle — only the k-column feature row does. */
-  def pngFeatures(spark: SparkSession, dir: String): DataFrame = {
+  def pngFeatures(spark: SparkSession, dir: String): DataFrame =
+    losslessFeatures(spark, dir, "png")
+
+  /** q274 — the SAME lossless decode contract through the TIFF byte
+    * path: identical generator, identical features, a different codec
+    * on the wire (TIFF directory structures + strip layout vs PNG's
+    * zlib filters). Registered against the SAME oracle SQL as q259 —
+    * lossless means format choice must be output-invariant, and the
+    * shared oracle makes that an executable statement. */
+  def tiffFeatures(spark: SparkSession, dir: String): DataFrame =
+    losslessFeatures(spark, dir, "tiff")
+
+  private def losslessFeatures(spark: SparkSession, dir: String,
+                               format: String): DataFrame = {
     import spark.implicits._
     val params = Tables.documents(spark, dir)
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
@@ -449,7 +462,7 @@ object Multimodal {
       it.map { case (id, len) =>
         val w = 1 + len % 32
         val h = 1 + (len * 7) % 24
-        ImgDoc(id, ImageIoCodec.encodePng(w, h, (x, y) => {
+        ImgDoc(id, ImageIoCodec.encodeLossless(format, w, h, (x, y) => {
           val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
           (v, (v + 1) % 256, (v + 2) % 256) // distinct channels: RGB
         }))                                 // order bugs shift the sums

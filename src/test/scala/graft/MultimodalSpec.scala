@@ -196,6 +196,22 @@ class MultimodalSpec extends SparkSpec {
     assert(maxErr <= 12, s"single-channel error $maxErr blew the q260 envelope")
   }
 
+  test("TIFF lossless round-trip is pixel-exact, and q274's frame equals q259's row-for-row") {
+    import graft.multimodal.ImageIoCodec
+    def px(x: Int, y: Int) = ((x * 29 + y * 3) % 256, (y * 41) % 256, (x + y * 7) % 256)
+    val d = ImageIoCodec.decode(ImageIoCodec.encodeLossless("tiff", 19, 11, px))
+    assert((d.width, d.height) === ((19, 11)))
+    for (y <- 0 until 11; x <- 0 until 19)
+      assert((d.r(x, y), d.g(x, y), d.b(x, y)) === px(x, y), s"($x,$y)")
+    // format invariance on real docs: identical generator through two
+    // different codecs must produce identical feature frames
+    val png = graft.multimodal.Multimodal.pngFeatures(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    val tif = graft.multimodal.Multimodal.tiffFeatures(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(tif === png)
+  }
+
   test("ImageIoCodec rejects undecodable payloads loudly") {
     import graft.multimodal.ImageIoCodec
     intercept[IllegalArgumentException](
