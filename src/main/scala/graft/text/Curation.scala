@@ -576,6 +576,15 @@ object Curation {
             while (!exhausted &&
               (pq.isEmpty || pq.head.gain <= cursor.map(_._1).getOrElse(Int.MaxValue)))
               loadMore()
+            // saturation contract (advisor r12): the exact greedy's
+            // saturated regime re-picks the smallest-id doc at gain 0
+            // over ALL docs (picked included) — a domain the lazy queue,
+            // which removes picked docs permanently, cannot reproduce.
+            // k > |docs| (empty queue after exhaustion) fails LOUDLY
+            // here instead of pq.dequeue() throwing NoSuchElement.
+            require(pq.nonEmpty, s"greedyCoverageLazy: candidate queue " +
+              s"exhausted at iter $iter (k > distinct docs) — the " +
+              "saturated regime is out of contract; use greedyCoverage")
             val top = pq.dequeue()
             if (top.freshAt == iter) winner = Some(top)
             else if (huntBatches >= 2) {
@@ -587,12 +596,25 @@ object Curation {
               // and rebuild the queue fresh; still provably exact,
               // since fresh values are exact values.
               val members = (pq.iterator.map(_.id) ++ Iterator(top.id)).toSet
-              val freshGain = roundNovel(sets, bcNow())
-                .select(col("doc_id"), col("gain")).collect()
-                .map(r => r.getLong(0) -> r.getInt(1)).toMap
-              jobs += 1; evals += members.size; bulkMode = true
-              pq.clear()
-              members.foreach(id => pq.enqueue(Ent(freshGain(id), id, iter)))
+              // the refresh is filtered to the LOADED members before the
+              // collect (advisor r12): a full-corpus roundNovel would
+              // pull N (doc_id, gain) rows to the driver, violating the
+              // "frontier, not corpus, on the driver" discipline. The
+              // member set rides a broadcast variable consulted in a
+              // predicate UDF — the covered-set plan-size discipline.
+              val bcIds = spark.sparkContext.broadcast(members)
+              try {
+                val inQueue = udf((id: Long) => bcIds.value.contains(id))
+                val freshGain = roundNovel(
+                    sets.filter(inQueue(col("doc_id"))), bcNow())
+                  .select(col("doc_id"), col("gain")).collect()
+                  .map(r => r.getLong(0) -> r.getInt(1)).toMap
+                // evals counts the rows the job actually computed (==
+                // members here), so LazyGreedyStats.evals is the work
+                jobs += 1; evals += freshGain.size; bulkMode = true
+                pq.clear()
+                members.foreach(id => pq.enqueue(Ent(freshGain(id), id, iter)))
+              } finally bcIds.destroy()
             } else {
               // batch: the top stale entries (fresh ones go straight
               // back); batch size escalates 4x per extra hunt job so a
@@ -615,6 +637,14 @@ object Curation {
             }
           }
           val w = winner.get
+          // second half of the saturation contract: a fresh max gain of
+          // 0 means every remaining doc is fully covered — the exact
+          // greedy would re-pick the smallest-id doc over ALL docs
+          // (picked included), which the queue's picked-removal cannot
+          // mirror, so the divergence fails loudly instead of silently.
+          require(w.gain > 0, s"greedyCoverageLazy: corpus saturated at " +
+            s"iter $iter (max marginal gain 0) — out of contract; " +
+            "use greedyCoverage for the saturated tie-break domain")
           picked += w.id
           // gains travel skinny; only the WINNER's novel payload is
           // materialized — one single-doc narrow job per round

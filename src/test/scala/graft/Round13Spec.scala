@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions: the khop edge build's skew guard, the lazy
+  * greedy's loud saturation contract, and the bulk-refresh driver-pull
+  * bound (advisor r12 items). */
+class Round13Spec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String)], name: String): String = {
+    import spark.implicits._
+    val dir = s"/tmp/graft_r13_$name"
+    rows.map { case (id, t) => (id, t, "en", "synthetic", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("khop edge build: salted self-join spreads a planted hot order with identical edge semantics") {
+    import spark.implicits._
+    // one pathological basket (120 parts -> 120*119 directed pairs) plus
+    // ordinary orders; the salted build must produce EXACTLY the naive
+    // self-join's edge set while keying the shuffle on (okey, __salt)
+    val hot = (1L to 120L).map(p => (1000L, p))
+    val normal = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 5L))
+    val li = (hot ++ normal).toDF("l_orderkey", "l_partkey")
+    val salted = graft.ops.Graph.coPurchaseEdges(li, saltFactor = 8)
+    val naive = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    assert(salted.count() === naive.count())
+    assert(salted.except(naive).isEmpty && naive.except(salted).isEmpty,
+      "salted edge set must equal the unsalted inner self-join's")
+    // the physical join must actually be keyed on the salt so the hot
+    // order's fan-out lands on saltFactor reduce tasks, not one
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"),
+      "edge-build plan lost the salt key")
+  }
+
+  test("lazy greedy fails LOUDLY at saturation (max fresh gain 0) instead of silently diverging from the exact tie-break") {
+    // d2's bigrams are a subset of d1's: after picking d1 every
+    // remaining gain is 0 — the exact greedy would re-pick over ALL
+    // docs at gain 0 (a domain the queue cannot mirror), so the lazy
+    // variant must refuse rather than return a diverging pick
+    val dir = writeDocs(Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta"), (3L, "beta gamma")),
+      "saturate")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Curation.greedyCoverageLazy(spark, dir, k = 3).collect()
+    }
+    assert(e.getMessage.contains("out of contract"))
+  }
+
+  test("lazy greedy fails LOUDLY when k exceeds the corpus (queue exhaustion) instead of NoSuchElement") {
+    // disjoint vocabularies: every pick has positive gain until the
+    // corpus is exhausted, then the queue runs dry at iter 4
+    val dir = writeDocs(Seq(
+      (1L, "aa bb"), (2L, "cc dd"), (3L, "ee ff")), "exhaust")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Curation.greedyCoverageLazy(spark, dir, k = 4).collect()
+    }
+    assert(e.getMessage.contains("out of contract") ||
+      e.getMessage.contains("exhausted"))
+  }
+
+  test("lazy greedy bulk refresh pulls only loaded members to the driver, and evals counts computed rows") {
+    // force bulk mode cheaply: batch 1 + two escalations on an
+    // overlapping corpus; loadedRows + per-round pulls must stay far
+    // below corpus-size-per-round (the advisor-r12 full-corpus collect
+    // would have loadedRows-equivalent pulls of k * N)
+    val dirSmall = "/root/testdata/sf0.001"
+    val (df, stats) = graft.text.Curation.greedyCoverageLazyWithStats(
+      spark, dirSmall, k = 8, evalBatch = 1, loadChunk = 16)
+    df.collect()
+    val n = Tables.documents(spark, dirSmall).count()
+    assert(stats.evals <= 8L * n,
+      s"evals ${stats.evals} exceeds exact greedy's bound ${8 * n}")
+    info(s"stats: ${stats.evals} evals / ${stats.jobs} jobs / " +
+      s"${stats.loadedRows} frontier rows (corpus $n)")
+  }
+}
