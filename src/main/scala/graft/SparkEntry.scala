@@ -514,6 +514,12 @@ object SparkEntry {
     // same lossless decode contract via the TIFF byte path (shared
     // oracle with q259: lossless => format-invariant output)
     "q274_tiff_decode"         -> ((s, d) => graft.multimodal.Multimodal.tiffFeatures(s, d)),
+    // decode-or-quarantine ingest hardening: planted-corrupt payloads
+    // route to (status, reason) rows instead of killing the job
+    "q275_decode_quarantine"   -> ((s, d) => graft.multimodal.Multimodal.decodeOrQuarantine(s, d)),
+    // same lossless decode contract via the NON-INTERLACED GIF byte
+    // path (shared oracle with q259/q274)
+    "q276_gif_decode"          -> ((s, d) => graft.multimodal.Multimodal.gifFeatures(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3700,6 +3706,37 @@ object SparkEntry {
     // means the format must be output-invariant, so the SAME oracle
     // verifies both byte paths.
     "q274_tiff_decode" -> LosslessDecodeSql,
+    // q276: third lossless byte path (non-interlaced GIF; the JDK
+    // writer's interlaced default corrupts heights 2-4 — probe r13).
+    "q276_gif_decode" -> LosslessDecodeSql,
+    // q275: the oracle replays the planted-corruption id rule and the
+    // q259 generator arithmetic — a misrouted reason, a swallowed
+    // decode failure, or a feature drift all break the hash.
+    "q275_decode_quarantine" ->
+      """WITH p AS (SELECT doc_id, 1 + octet_length(encode(text)) % 32 AS w,
+        |                  1 + (octet_length(encode(text)) * 7) % 24 AS h
+        |           FROM documents),
+        |f AS (SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+        |             CAST(SUM((doc_id * 31 + x.g * 7 + y.g * 13) % 256) AS BIGINT) AS r_sum,
+        |             CAST(SUM(((doc_id * 31 + x.g * 7 + y.g * 13) % 256 + 1) % 256) AS BIGINT) AS g_sum,
+        |             CAST(SUM(((doc_id * 31 + x.g * 7 + y.g * 13) % 256 + 2) % 256) AS BIGINT) AS b_sum
+        |      FROM p, generate_series(0, 31) x(g), generate_series(0, 23) y(g)
+        |      WHERE x.g < w AND y.g < h
+        |      GROUP BY doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 11 IN (3, 7) THEN 'quarantined'
+        |            ELSE 'decoded' END AS status,
+        |       CASE WHEN doc_id % 11 = 3 THEN 'unrecognized'
+        |            WHEN doc_id % 11 = 7 THEN 'decode_error'
+        |            ELSE 'ok' END AS reason,
+        |       CASE WHEN doc_id % 11 IN (3, 7) THEN NULL
+        |            ELSE CAST(w AS BIGINT) END AS width,
+        |       CASE WHEN doc_id % 11 IN (3, 7) THEN NULL
+        |            ELSE CAST(h AS BIGINT) END AS height,
+        |       CASE WHEN doc_id % 11 IN (3, 7) THEN NULL ELSE r_sum END AS r_sum,
+        |       CASE WHEN doc_id % 11 IN (3, 7) THEN NULL ELSE g_sum END AS g_sum,
+        |       CASE WHEN doc_id % 11 IN (3, 7) THEN NULL ELSE b_sum END AS b_sum
+        |FROM f ORDER BY doc_id""".stripMargin,
     // q211: all-integer U-model credits; the middle-split remainder
     // (≤ 1 micro per conversion) is deliberately unassigned on both
     // engines.

@@ -44,14 +44,39 @@ object ImageIoCodec {
     encodeLossless("png", w, h, px)
 
   /** Lossless encode in any ImageIO format whose round trip is
-    * pixel-exact (png, tiff, bmp in this JRE — probe-verified). The
-    * format string is the only difference between the q259 and q274
-    * byte paths; the decode side is format-agnostic. */
+    * pixel-exact (png, tiff, bmp, and non-interlaced gif in this JRE —
+    * probe-verified). The format string is the only difference between
+    * the q259 / q274 / q276 byte paths; the decode side is
+    * format-agnostic.
+    *
+    * GIF is special-cased to NON-INTERLACED output: the JDK's
+    * GIFImageWriter defaults to interlaced frames and its interlace
+    * pass logic corrupts rows for image heights 2–4 (r13 probe: the
+    * second row of every 32×2 image decodes as palette slot 0;
+    * heights 1 and ≥5 are unaffected). With progressive mode disabled
+    * the round trip is pixel-exact over the full generator shape
+    * space (15,360-image probe, zero diffs). GIF's palette holds 256
+    * entries, so losslessness additionally requires ≤256 distinct
+    * colors — guaranteed here because the q259 generator derives all
+    * three channels from one byte-valued parameter. */
   def encodeLossless(format: String, w: Int, h: Int,
                      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     headless
+    val img = render(w, h, px)
     val bos = new ByteArrayOutputStream()
-    require(ImageIO.write(render(w, h, px), format, bos),
+    if (format == "gif") {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(ImageWriteParam.MODE_DISABLED)
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new IIOImage(img, null, null), param)
+      } finally {
+        ios.close()
+        writer.dispose()
+      }
+    } else require(ImageIO.write(img, format, bos),
       s"no ImageIO writer for format '$format'")
     bos.toByteArray
   }
@@ -79,8 +104,10 @@ object ImageIoCodec {
   }
 
   /** Decode any ImageIO-supported payload (JPEG/PNG/TIFF/GIF/BMP) to
-    * packed RGB. Throws on undecodable bytes — an ingest pipeline routes
-    * those to a quarantine sink rather than silently zero-filling. */
+    * packed RGB. Throws on undecodable bytes — fixture paths (q259/
+    * q274/q276/q260) use this form because their payloads are
+    * generated and a decode failure IS a codec-plumbing bug. Ingest
+    * paths use [[decodeOrReason]] instead. */
   def decode(bytes: Array[Byte]): Decoded = {
     headless
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
@@ -90,6 +117,31 @@ object ImageIoCodec {
     val arr = new Array[Int](w * h)
     img.getRGB(0, 0, w, h, arr, 0, w)
     Decoded(w, h, arr)
+  }
+
+  /** Decode-or-quarantine form for INGEST paths, where corrupt payloads
+    * are a certainty at 100 TB and must be routed, not fatal. Returns
+    * `Left(reason)` with a COARSE deterministic reason code:
+    * "unrecognized" when no installed reader claims the bytes
+    * (`ImageIO.read` returns null — zeroed/foreign signature), or
+    * "decode_error" when a reader claimed the payload but failed mid
+    * parse (truncation, stream corruption — `IOException` family, the
+    * only failure mode `javax.imageio` codecs surface for bad bytes).
+    * Coarse on purpose: exception MESSAGES are codec-version-specific,
+    * the two-way classification is stable. */
+  def decodeOrReason(bytes: Array[Byte]): Either[String, Decoded] = {
+    headless
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) Left("unrecognized")
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val arr = new Array[Int](w * h)
+        img.getRGB(0, 0, w, h, arr, 0, w)
+        Right(Decoded(w, h, arr))
+      }
+    } catch { case _: java.io.IOException => Left("decode_error") }
   }
 
   private def render(w: Int, h: Int,

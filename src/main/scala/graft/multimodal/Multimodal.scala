@@ -452,6 +452,19 @@ object Multimodal {
   def tiffFeatures(spark: SparkSession, dir: String): DataFrame =
     losslessFeatures(spark, dir, "tiff")
 
+  /** q276 — the lossless decode contract through the GIF byte path
+    * (palette-indexed LZW on the wire), completing the format-invariance
+    * statement for every still-image codec this JRE ships. Lossless
+    * holds under two conditions this path pins: (a) ≤256 distinct
+    * colors — guaranteed because the generator derives all three
+    * channels from one byte-valued parameter — and (b) NON-INTERLACED
+    * output, because the JDK GIF writer's interlaced default corrupts
+    * rows at heights 2–4 ([[ImageIoCodec.encodeLossless]]'s probe
+    * note). Shares q259's oracle: same generator, same features, third
+    * codec. */
+  def gifFeatures(spark: SparkSession, dir: String): DataFrame =
+    losslessFeatures(spark, dir, "gif")
+
   private def losslessFeatures(spark: SparkSession, dir: String,
                                format: String): DataFrame = {
     import spark.implicits._
@@ -483,6 +496,72 @@ object Multimodal {
         }
         PngFeatureRow(d.doc_id, dec.width.toLong, dec.height.toLong,
           dec.width.toLong * dec.height, rs, gs, bs, dec.r(0, 0).toLong)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  case class QuarantineRow(doc_id: Long, status: String, reason: String,
+                           width: Option[Long], height: Option[Long],
+                           r_sum: Option[Long], g_sum: Option[Long],
+                           b_sum: Option[Long])
+
+  /** q275 — decode-or-QUARANTINE over a payload set with planted
+    * corruption: the ingest-hardening face of the compressed tier. At
+    * 100 TB corrupt payloads are a certainty, and q259's throw-on-bad-
+    * bytes contract (right for generated fixtures) would kill the job;
+    * this operator routes every payload through
+    * [[ImageIoCodec.decodeOrReason]] and emits (status, reason) plus
+    * the decoded features for the healthy rows — the row shape a
+    * quarantine sink and a retry queue both consume.
+    *
+    * Corruption is PLANTED deterministically so the whole table is
+    * hash-verifiable: docs with id % 11 == 3 get their 8 signature
+    * bytes zeroed (no reader claims them → 'unrecognized'); id % 11
+    * == 7 get truncated to half (the PNG reader claims the payload,
+    * then dies mid-IDAT → 'decode_error'); everything else decodes to
+    * the exact q259 feature row. The oracle replays the id rule and
+    * the generator arithmetic — a misrouted reason, a swallowed
+    * failure, or a feature drift all break the hash.
+    *
+    * Same `mapPartitions` batch shape as [[pngFeatures]]; quarantined
+    * rows carry NULL features, never zero-fills (a zero-filled sum is
+    * indistinguishable from a black image downstream). */
+  def decodeOrQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val params = Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+      .as[(Long, Int)]
+    params.mapPartitions { it =>
+      it.map { case (id, len) =>
+        val w = 1 + len % 32
+        val h = 1 + (len * 7) % 24
+        val good = ImageIoCodec.encodeLossless("png", w, h, (x, y) => {
+          val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          (v, (v + 1) % 256, (v + 2) % 256)
+        })
+        val payload = (id % 11) match {
+          case 3 =>
+            val b = good.clone(); java.util.Arrays.fill(b, 0, 8, 0.toByte); b
+          case 7 => java.util.Arrays.copyOf(good, good.length / 2)
+          case _ => good
+        }
+        ImageIoCodec.decodeOrReason(payload) match {
+          case Left(reason) =>
+            QuarantineRow(id, "quarantined", reason, None, None, None, None, None)
+          case Right(dec) =>
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var y = 0
+            while (y < dec.height) {
+              var x = 0
+              while (x < dec.width) {
+                rs += dec.r(x, y); gs += dec.g(x, y); bs += dec.b(x, y)
+                x += 1
+              }
+              y += 1
+            }
+            QuarantineRow(id, "decoded", "ok", Some(dec.width.toLong),
+              Some(dec.height.toLong), Some(rs), Some(gs), Some(bs))
+        }
       }
     }.toDF().orderBy("doc_id")
   }

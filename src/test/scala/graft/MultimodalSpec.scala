@@ -239,6 +239,76 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GIF lossless round-trip is pixel-exact INCLUDING the interlace-bug heights 2-4, and q276 equals q259 row-for-row") {
+    import graft.multimodal.ImageIoCodec
+    // regression pin for the JDK GIFImageWriter interlace bug: with the
+    // writer's default (interlaced) mode every 32x2..32x4 image came
+    // back with corrupted rows (r13 probe); the non-interlaced encode
+    // must round-trip these shapes exactly
+    def px(id: Long)(x: Int, y: Int) = {
+      val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+      (v, (v + 1) % 256, (v + 2) % 256)
+    }
+    for (h <- 1 to 6; id <- Seq(0L, 7L, 201L)) {
+      val d = ImageIoCodec.decode(ImageIoCodec.encodeLossless("gif", 32, h, px(id)))
+      assert((d.width, d.height) === ((32, h)))
+      for (y <- 0 until h; x <- 0 until 32)
+        assert((d.r(x, y), d.g(x, y), d.b(x, y)) === px(id)(x, y),
+          s"id=$id h=$h ($x,$y)")
+    }
+    val png = graft.multimodal.Multimodal.pngFeatures(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    val gif = graft.multimodal.Multimodal.gifFeatures(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(gif === png)
+  }
+
+  test("decodeOrReason classifies corruption deterministically: unrecognized vs decode_error vs decoded") {
+    import graft.multimodal.ImageIoCodec
+    def px(x: Int, y: Int) = ((x * 3 + y) % 256, (y * 5) % 256, (x + y) % 256)
+    val good = ImageIoCodec.encodePng(17, 11, px)
+    assert(ImageIoCodec.decodeOrReason(good).isRight)
+    val zeroSig = good.clone(); java.util.Arrays.fill(zeroSig, 0, 8, 0.toByte)
+    assert(ImageIoCodec.decodeOrReason(zeroSig) === Left("unrecognized"))
+    assert(ImageIoCodec.decodeOrReason(
+      java.util.Arrays.copyOf(good, good.length / 2)) === Left("decode_error"))
+    assert(ImageIoCodec.decodeOrReason(Array.emptyByteArray) ===
+      Left("unrecognized"))
+    // determinism: same bytes, same verdict on repeat
+    assert(ImageIoCodec.decodeOrReason(
+      java.util.Arrays.copyOf(good, good.length / 2)) === Left("decode_error"))
+  }
+
+  test("q275 quarantine: planted corruption routes by the id rule, healthy rows equal q259's features") {
+    val out = graft.multimodal.Multimodal
+      .decodeOrQuarantine(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val png = graft.multimodal.Multimodal
+      .pngFeatures(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      (id % 11) match {
+        case 3 =>
+          assert(r.getString(1) === "quarantined" && r.getString(2) === "unrecognized")
+          assert(r.isNullAt(3) && r.isNullAt(5), s"doc $id leaked features")
+        case 7 =>
+          assert(r.getString(1) === "quarantined" && r.getString(2) === "decode_error")
+          assert(r.isNullAt(3) && r.isNullAt(5), s"doc $id leaked features")
+        case _ =>
+          assert(r.getString(1) === "decoded" && r.getString(2) === "ok")
+          val p = png(id)
+          assert(r.getAs[Long]("width") === p.getAs[Long]("width"))
+          assert(r.getAs[Long]("r_sum") === p.getAs[Long]("r_sum"))
+          assert(r.getAs[Long]("g_sum") === p.getAs[Long]("g_sum"))
+          assert(r.getAs[Long]("b_sum") === p.getAs[Long]("b_sum"))
+      }
+    }
+    // both corruption classes actually occur in the fixture set
+    assert(out.count(_.getString(2) == "unrecognized") > 0)
+    assert(out.count(_.getString(2) == "decode_error") > 0)
+  }
+
   test("q179 window energy matches a direct recompute from the text (real docs)") {
     val out = graft.multimodal.Multimodal
       .wavEnergy(spark, "/root/testdata/sf0.001").collect()
