@@ -65,6 +65,41 @@ class Round13Spec extends SparkSpec {
       e.getMessage.contains("exhausted"))
   }
 
+  test("bench varianceResolved: transient outliers clear, persistent divergence stays flagged") {
+    import graft.Bench.{varianceFlagged, varianceResolved}
+    // the diverging pair alone proves nothing — needs >= 3 warm passes
+    assert(!varianceResolved(Vector(0.4, 1.8)))
+    // one clean re-run is not enough (its most recent TWO must agree)
+    assert(!varianceResolved(Vector(0.4, 1.8, 0.45)))
+    // two consecutive clean re-runs resolve the flag
+    assert(varianceResolved(Vector(0.4, 1.8, 0.45, 0.42)))
+    assert(varianceFlagged(Vector(0.4, 1.8, 0.45, 0.42)),
+      "divergence itself is still true — resolution is a separate fact")
+    // still bouncing at the end -> stays flagged
+    assert(!varianceResolved(Vector(0.4, 1.8, 0.45, 1.7)))
+    assert(!varianceResolved(Vector(0.4, 1.8, 1.7, 0.45)))
+    // absolute slack: sub-second times within +0.2s of best resolve even
+    // when the ratio gate (1.5x of a tiny min) would be impossibly tight
+    assert(varianceResolved(Vector(0.1, 0.9, 0.25, 0.28)))
+    // empty / degenerate inputs never resolve
+    assert(!varianceResolved(Vector.empty))
+  }
+
+  test("bench host sampling yields consistent counters for attribution") {
+    // smoke the /proc parsers: two samples a moment apart must be
+    // monotone in total/busy/self and carry a sane loadavg
+    val m = graft.Bench.getClass.getDeclaredMethods
+      .find(_.getName == "sampleHost").get
+    m.setAccessible(true)
+    val a = m.invoke(graft.Bench).asInstanceOf[graft.Bench.HostSample]
+    val spin = (1 to 20000000).foldLeft(0L)(_ + _) // burn some self CPU
+    val b = m.invoke(graft.Bench).asInstanceOf[graft.Bench.HostSample]
+    assert(spin > 0)
+    assert(a.total > 0 && b.total >= a.total)
+    assert(b.busy >= a.busy && b.selfTicks >= a.selfTicks)
+    assert(a.load1 >= 0.0 && a.procsRunning >= 1)
+  }
+
   test("lazy greedy bulk refresh pulls only loaded members to the driver, and evals counts computed rows") {
     // force bulk mode cheaply: batch 1 + two escalations on an
     // overlapping corpus; loadedRows + per-round pulls must stay far
