@@ -85,6 +85,53 @@ object Sinks {
     fs.delete(bak, true)
   }
 
+  /** Publish one VERSION of the ANN gate's frozen IVF index (quantizer
+    * centroids + corpus cell assignments) under the K1 two-phase swap:
+    * both tables are written to `path__tmp` and the whole DIRECTORY is
+    * renamed in (dst aside to bak → tmp in → drop bak), so the gate
+    * always loads a complete, mutually consistent (centroids, assigned)
+    * pair — never a quantizer from one version probing assignments from
+    * another. This is the q263 maintenance handoff: the re-balance job
+    * computes the new index as a batch audit, publishes it here, and
+    * the gate picks it up at its next (re)start from the same
+    * checkpoint (StreamingSpec pins the mid-stream swap, including the
+    * crash-mid-swap recovery). */
+  def publishIvfIndex(path: String, cents: Seq[Seq[Double]],
+                      corpusAssigned: DataFrame): Unit = {
+    val spark = corpusAssigned.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    fs.delete(tmp, true)
+    cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString + "/centroids")
+    corpusAssigned.write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString + "/assigned")
+    fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    fs.rename(tmp, dst)
+    fs.delete(bak, true)
+  }
+
+  /** Load the current IVF index version (restoring from bak after a
+    * crash between the two renames, the [[upsertByKey]] recovery). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (Seq[Seq[Double]], DataFrame) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    if (!fs.exists(dst) && fs.exists(bak)) fs.rename(bak, dst)
+    val cents = spark.read.parquet(path + "/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).map(_._2).toIndexedSeq
+    (cents, spark.read.parquet(path + "/assigned"))
+  }
+
   /** K3 analog: append into a dt-partitioned table (the daily-index
     * naming of the ES sink, reference SaleDetailApp.scala:164-171);
     * `dropDuplicates(idCols)` inside the batch reproduces doc-id

@@ -843,6 +843,87 @@ class StreamingSpec extends SparkSpec {
       s"gate must keep rejecting via the frozen index across the restart; got $ids")
   }
 
+  test("ANN gate picks up an ATOMICALLY re-balanced index across a restart; crash-mid-swap still loads a complete old index") {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfswap").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    val idx = s"$base/ivf_index"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // v1 = the q261 fixture: (3,4) probes cell 1 and MISSES its exact
+    // dup corpus 100=(3,4) assigned to cell 0 — the recall seam the
+    // q263 re-balance then fixes by re-assigning 100 to cell 1
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val v1Assigned = Seq((0, 100L, Seq(3.0, 4.0)), (1, 101L, Seq(0.0, 5.0)))
+      .toDF("cell", "corpus_id", "cv")
+    val v2Assigned = Seq((1, 100L, Seq(3.0, 4.0)), (1, 101L, Seq(0.0, 5.0)))
+      .toDF("cell", "corpus_id", "cv")
+    graft.streaming.Sinks.publishIvfIndex(idx, cents, v1Assigned)
+    def writeFile(rows: Seq[(Long, Long, Seq[Double])]): Unit =
+      rows.toDF("vec_id", "label", "v")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    // the gate loads WHATEVER index version is current at (re)start —
+    // the maintenance handoff under test
+    def runOnce(): Unit = {
+      val (c, assigned) = graft.streaming.Sinks.loadIvfIndex(spark, idx)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = graft.streaming.TrainingPipeline.annGate(
+          stream, c, assigned, nProbe = 1, thresholdMicro = 960000L)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // each micro-batch's expected admission = the ORACLE-VERIFIED batch
+    // arithmetic (annGateCandidates IS the shared code) on that batch's
+    // index version
+    def batchAdmit(rows: Seq[(Long, Long, Seq[Double])],
+                   assigned: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val df = rows.toDF("vec_id", "label", "v")
+      val rejected = graft.vector.VectorOps
+        .annGateCandidates(df, cents, assigned, nProbe = 1)
+        .filter(expr("CAST(FLOOR(1000000.0d * cos + 0.5d) AS BIGINT) >= 960000"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      rows.map(_._1).toSet -- rejected
+    }
+    val batch1 = Seq(
+      (1L, 0L, Seq(3.0, 4.0)),  // v1 seam: probes cell 1, cos 0.8 -> ADMITTED
+      (2L, 0L, Seq(4.0, 3.0)))  // probes cell 0, cos 24/25 -> rejected
+    writeFile(batch1)
+    runOnce()
+    assert(batchAdmit(batch1, v1Assigned) === Set(1L))
+    // maintenance computes v2, then CRASHES between the two renames:
+    // tmp fully written, dst moved aside — the worst swap instant
+    cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
+      .write.parquet(idx + "__tmp/centroids")
+    v2Assigned.write.parquet(idx + "__tmp/assigned")
+    fs.rename(p(idx), p(idx + "__bak"))
+    assert(!fs.exists(p(idx)))
+    val (_, midAssigned) = graft.streaming.Sinks.loadIvfIndex(spark, idx)
+    assert(midAssigned.filter(col("corpus_id") === 100L)
+      .head().getInt(0) === 0,
+      "crash-mid-swap must recover the COMPLETE v1 index, not the torn tmp")
+    fs.delete(p(idx + "__tmp"), true)
+    // now the real atomic publish, then the gate restarts from the SAME
+    // checkpoint and must probe v2
+    graft.streaming.Sinks.publishIvfIndex(idx, cents, v2Assigned)
+    val batch2 = Seq(
+      (3L, 0L, Seq(3.0, 4.0)),  // v2: probes cell 1, exact dup present -> REJECTED
+      (4L, 0L, Seq(5.0, 0.0)))  // probes cell 0, now EMPTY -> admitted
+    writeFile(batch2)
+    runOnce()
+    assert(batchAdmit(batch2, v2Assigned) === Set(4L))
+    val ids = spark.read.parquet(out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 4L),
+      s"admitted sets must match the per-version batch faces; got $ids")
+  }
+
   test("keyed upsert recovers from a crash mid-swap without losing prior keys") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert3").toString
     val path = s"$dir/dim"
