@@ -520,6 +520,11 @@ object SparkEntry {
     // same lossless decode contract via the NON-INTERLACED GIF byte
     // path (shared oracle with q259/q274)
     "q276_gif_decode"          -> ((s, d) => graft.multimodal.Multimodal.gifFeatures(s, d)),
+    // BPE merge-loop training: k corpus-wide argmax merges, replayed
+    // by the oracle as a recursive CTE over the segmented vocabulary
+    "q277_bpe_train"           -> ((s, d) => graft.text.Curation.bpeTrain(s, d)),
+    // per-source fertility before/after the q277 tokenizer
+    "q278_bpe_fertility"       -> ((s, d) => graft.text.Curation.bpeFertility(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3709,6 +3714,41 @@ object SparkEntry {
     // q276: third lossless byte path (non-interlaced GIF; the JDK
     // writer's interlaced default corrupts heights 2-4 — probe r13).
     "q276_gif_decode" -> LosslessDecodeSql,
+    // q277/q278: the recursive CTE replays the ENTIRE merge loop — state
+    // is the segmented vocabulary (one list-typed row); each iteration
+    // re-derives weighted pair counts in a LATERAL aggregate, steps the
+    // argmax under the identical (count desc, pair asc) tie-break, and
+    // re-tokenizes with the same leftmost-non-overlapping replace. One
+    // diverging merge derails all later rows, so the hash pins the
+    // sequence (the q266 micro-requantization discipline for strings).
+    "q277_bpe_train" ->
+      s"""WITH RECURSIVE $BpeCtes
+         |SELECT CAST(iter AS BIGINT) AS merge_idx, a AS pair_a, b AS pair_b,
+         |       a || b AS merged, cnt AS pair_count
+         |FROM m WHERE iter >= 1 ORDER BY merge_idx""".stripMargin,
+    "q278_bpe_fertility" ->
+      s"""WITH RECURSIVE $BpeCtes,
+         |final AS (
+         |  SELECT u.w.s AS s
+         |  FROM (SELECT state FROM m ORDER BY iter DESC LIMIT 1) f,
+         |       unnest(f.state) u(w)),
+         |vocab AS (
+         |  SELECT replace(trim(s), ' ', '') AS word,
+         |         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_syms
+         |  FROM final),
+         |sw AS (SELECT d.source, u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+         |       FROM (SELECT source, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+         |             FROM documents) d,
+         |            unnest(d.t) u(w)
+         |       GROUP BY 1, 2)
+         |SELECT sw.source,
+         |       CAST(SUM(sw.freq) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(sw.freq * length(sw.word)) AS BIGINT) AS chars_total,
+         |       CAST(SUM(sw.freq * v.n_syms) AS BIGINT) AS syms_total,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * length(sw.word)) / SUM(sw.freq) + 0.5) AS BIGINT) AS base_fertility_micro,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * v.n_syms) / SUM(sw.freq) + 0.5) AS BIGINT) AS bpe_fertility_micro
+         |FROM sw JOIN vocab v USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q275: the oracle replays the planted-corruption id rule and the
     // q259 generator arithmetic — a misrouted reason, a swallowed
     // decode failure, or a feature drift all break the hash.
@@ -4703,6 +4743,38 @@ object SparkEntry {
       |       CAST(w * h AS BIGINT) AS n_pixels, r_sum, g_sum, b_sum,
       |       CAST(doc_id * 31 % 256 AS BIGINT) AS corner_r
       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** q277/q278 shared CTE chain: word frequencies → boundary-delimited
+    * character segmentation → the merge loop as a recursive CTE whose
+    * single-row state is the whole segmented vocabulary (a LIST of
+    * {s, f} structs — vocabulary-sized, the same thing the Spark loop
+    * keeps distributed). The LATERAL re-derives weighted adjacent-pair
+    * counts per iteration and steps the (count desc, pair asc) argmax;
+    * recursion ends early if the vocabulary fully collapses (LATERAL
+    * joins empty), mirroring the Spark loop's break. */
+  private val BpeCtes: String =
+    """tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+      |w AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
+      |seg AS (SELECT '  ' || array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), '  ') || '  ' AS s, freq FROM w),
+      |st AS (SELECT LIST({'s': s, 'f': freq}) AS state FROM seg),
+      |m(iter, a, b, cnt, state) AS (
+      |  SELECT 0, '', '', CAST(0 AS BIGINT), (SELECT state FROM st)
+      |  UNION ALL
+      |  SELECT m.iter + 1, best.a, best.b, best.cnt,
+      |    list_transform(m.state, w -> {'s': replace(w.s, ' ' || best.a || '  ' || best.b || ' ', ' ' || best.a || best.b || ' '), 'f': w.f})
+      |  FROM m,
+      |  LATERAL (
+      |    SELECT p.pa AS a, p.pb AS b, CAST(SUM(p.f) AS BIGINT) AS cnt
+      |    FROM (SELECT unnest(flatten(list_transform(m.state, w ->
+      |            list_transform([string_split(trim(w.s), '  ')], arr ->
+      |              list_transform(generate_series(1, len(arr) - 1),
+      |                j -> {'pa': arr[j], 'pb': arr[j+1], 'f': w.f}))[1]))) AS p)
+      |    GROUP BY 1, 2
+      |    ORDER BY cnt DESC, a, b
+      |    LIMIT 1
+      |  ) best
+      |  WHERE m.iter < 12
+      |)""".stripMargin
 
   /** q230/q262 oracle: the exact greedy as a recursive CTE — ORDER BY/
     * LIMIT inside the recursive term steps the argmax; integer gains,

@@ -697,6 +697,142 @@ object Curation {
       .select(col("doc_id"), size(col("novel")).as("gain"), col("novel"))
   }
 
+  /** One trained BPE artifact per (session, dir, merges): the merge
+    * table rows plus the final vocabulary segmentation (vocab-sized
+    * frame, localCheckpoint'd). Memoized because q277 and q278 are two
+    * faces of the SAME training run — re-deriving it per query would
+    * re-launch the k-round loop; the held state is k rows + a
+    * vocabulary-sized frame, negligible against the Bench heap note on
+    * [[graft.Tables.clearMemo]]. */
+  private val bpeMemo =
+    new graft.SessionMemo[(Seq[(Long, String, String, String, Long)], DataFrame)]
+
+  /** q277 — BPE merge-loop TRAINING: the "train the tokenizer" face of
+    * the fertility/OOV audit family (q250's pair statistics pick ONE
+    * merge; this iterates `merges` of them). Words are whitespace
+    * tokens; the initial segmentation is boundary-delimited characters;
+    * each round counts adjacent symbol pairs weighted by word frequency,
+    * merges the (count desc, pair asc) argmax corpus-wide, and
+    * re-tokenizes. Output: one row per executed merge (the loop stops
+    * early if every word collapses to a single symbol).
+    *
+    * Cross-engine determinism (the q266 replay discipline, applied to
+    * strings instead of floats): pair counts are exact BIGINT sums;
+    * the argmax tie-break is binary string order in both engines; and
+    * re-tokenization is `replace(s, ' a b ', ' ab ')` over the
+    * boundary-delimited segmentation — leftmost non-overlapping
+    * replacement, which IS BPE's greedy one-pass merge order, and
+    * which Spark's `replace` and DuckDB's `replace` implement
+    * identically. The oracle replays the whole loop as a recursive CTE
+    * whose state is the segmented vocabulary; a single diverging merge
+    * derails every later row, so the hash pins the full sequence.
+    *
+    * Scale: training state is the WORD-FREQUENCY table (vocabulary-
+    * sized, never corpus-sized — the one corpus scan is the word
+    * count); each round is one narrow pair-explode + a partial agg on
+    * the pair domain + a TakeOrdered(1), with the winner merged in-row
+    * via codegen `replace`. k rounds ⇒ k bounded jobs (the q230/q99
+    * iterative-driver pattern); the driver holds only the k winners. */
+  def bpeTrain(spark: SparkSession, dir: String, merges: Int = 12): DataFrame = {
+    import spark.implicits._
+    bpeArtifacts(spark, dir, merges)._1
+      .toDF("merge_idx", "pair_a", "pair_b", "merged", "pair_count")
+      .orderBy("merge_idx")
+  }
+
+  /** q278 — tokenizer fertility BEFORE/AFTER the q277 training run, per
+    * source: chars-per-token (the untrained character tokenizer) vs
+    * symbols-per-token under the trained merges — the measurement that
+    * says whether a tokenizer trained on the whole corpus serves every
+    * source equally or leaves one source paying a fertility tax (the
+    * q269 fertility audit, now against OUR OWN trained tokenizer).
+    * The per-source word tables join the GLOBAL final segmentation
+    * (one tokenizer, per-source fertility — vocab-sized broadcast). */
+  def bpeFertility(spark: SparkSession, dir: String,
+                   merges: Int = 12): DataFrame = {
+    val (_, finalSeg) = bpeArtifacts(spark, dir, merges)
+    val vocab = finalSeg.select(
+      regexp_replace(trim(col("s")), " ", "").as("word"),
+      size(split(trim(col("s")), "  ")).cast("long").as("n_syms"))
+    val sw = graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"),
+        explode(expr(s"${graft.text.TextOps.TokensExpr}")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("freq"))
+    sw.join(broadcast(vocab), Seq("word"))
+      .groupBy("source")
+      .agg(sum(col("freq")).as("n_tokens"),
+        sum(col("freq") * length(col("word"))).as("chars_total"),
+        sum(col("freq") * col("n_syms")).as("syms_total"))
+      .select(col("source"), col("n_tokens"), col("chars_total"),
+        col("syms_total"),
+        expr("CAST(FLOOR(CAST(1000000 AS DOUBLE) * chars_total / n_tokens + 0.5d) AS BIGINT)")
+          .as("base_fertility_micro"),
+        expr("CAST(FLOOR(CAST(1000000 AS DOUBLE) * syms_total / n_tokens + 0.5d) AS BIGINT)")
+          .as("bpe_fertility_micro"))
+      .orderBy("source")
+  }
+
+  private def bpeArtifacts(spark: SparkSession, dir: String, merges: Int):
+      (Seq[(Long, String, String, String, Long)], DataFrame) =
+    bpeMemo.get(spark, s"bpe/$dir/$merges") {
+      val words = graft.Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(explode(expr(s"${graft.text.TextOps.TokensExpr}")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      bpeTrainCore(spark, words, merges)
+    }
+
+  /** Core over any (word, freq) frame (spec/ScaleProbe hook). Returns
+    * (merge rows, final boundary-delimited segmentation). */
+  private[graft] def bpeTrainCore(spark: SparkSession, words: DataFrame,
+                                  merges: Int):
+      (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    // '  c1  c2  ..  ck  ': every symbol carries TWO boundary spaces on
+    // each side. One space of each double gap belongs to the merge
+    // pattern ' a  b ' (so it can never match across a symbol boundary:
+    // [xa, b] renders '  xa  b  ', which does not contain ' a  b '),
+    // and one survives the replacement ' ab ' — so CONSECUTIVE
+    // occurrences in a run don't share a matched character and the
+    // engines' leftmost-continue replace implements canonical one-pass
+    // BPE: [a,a,a,a] -> [aa,aa], not the [aa,a,a] a single-space form
+    // yields (probe r13; pinned in Round13Spec).
+    var seg = words.select(
+      concat(lit("  "),
+        concat_ws("  ", filter(split(col("word"), ""), x => x =!= lit(""))),
+        lit("  ")).as("s"),
+      col("freq")).localCheckpoint()
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var done = false
+    for (i <- 1 to merges if !done) {
+      val best = seg
+        .select(split(trim(col("s")), "  ").as("arr"), col("freq"))
+        .select(explode(expr(
+          """CASE WHEN size(arr) >= 2
+            |THEN transform(sequence(0, size(arr) - 2),
+            |  j -> struct(arr[j] AS a, arr[j + 1] AS b))
+            |ELSE array() END""".stripMargin)).as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true // vocabulary fully collapsed
+      else {
+        val (a, b, cnt) =
+          (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        out += ((i.toLong, a, b, a + b, cnt))
+        // lit() operands, never string-spliced SQL: tokens may contain
+        // quotes/regex metacharacters; localCheckpoint keeps each
+        // round's job one narrow pass over the vocab-sized frame
+        seg = seg.withColumn("s", call_function("replace", col("s"),
+            lit(s" $a  $b "), lit(s" ${a + b} ")))
+          .localCheckpoint()
+      }
+    }
+    (out.toSeq, seg)
+  }
+
   /** q268 — pairwise SOURCE DIVERGENCE (Hellinger²) between add-one-
     * smoothed unigram distributions: the mixture-design table that says
     * which sources are near-duplicates of each other distribution-wise

@@ -86,6 +86,42 @@ class Round13Spec extends SparkSpec {
       s"queue failed to prune: ${st.evals} evals on a $nDocs-doc corpus")
   }
 
+  test("BPE merge loop: hand-worked sequence — weighted counts, pair tie-break, CANONICAL run merging, early stop") {
+    import spark.implicits._
+    // aaaa(x2): round-1 (a,a) count 3 occ x 2 = 6 wins; canonical
+    // one-pass merging gives [aa, aa] (a single-space replace would
+    // yield [aa, a, a] and derail round 3's (aa, aa) merge)
+    val words = Seq(("aaaa", 2L), ("ab", 3L), ("ba", 1L)).toDF("word", "freq")
+    val (ms, seg) = graft.text.Curation.bpeTrainCore(spark, words, merges = 6)
+    assert(ms === Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "aa", "aaaa", 2L),
+      (4L, "b", "a", "ba", 1L)),
+      "merge table must follow the weighted argmax with canonical run merging")
+    // early stop: every word collapsed to one symbol after 4 merges
+    val segs = seg.collect().map(_.getString(0)).toSet
+    assert(segs === Set("  aaaa  ", "  ab  ", "  ba  "))
+  }
+
+  test("BPE fertility: per-source table is internally consistent and improves on the char baseline (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.text.Curation.bpeFertility(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, chars, syms) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(syms <= chars, s"${r.getString(0)}: merging can only shrink")
+      assert(syms >= n, s"${r.getString(0)}: every token has >= 1 symbol")
+      assert(r.getLong(4) ===
+        math.floor(1e6 * chars / n + 0.5).toLong)
+      assert(r.getLong(5) ===
+        math.floor(1e6 * syms / n + 0.5).toLong)
+      assert(r.getLong(5) < r.getLong(4),
+        s"${r.getString(0)}: 12 merges must reduce fertility on this corpus")
+    }
+  }
+
   test("bench varianceResolved: transient outliers clear, persistent divergence stays flagged") {
     import graft.Bench.{varianceFlagged, varianceResolved}
     // the diverging pair alone proves nothing — needs >= 3 warm passes
