@@ -16,15 +16,17 @@ class Round13Spec extends SparkSpec {
     dir
   }
 
-  test("khop edge build: salted self-join spreads a planted hot order with identical edge semantics") {
+  test("khop edge build: ADAPTIVE salt — a planted hot order trips the guard with identical edge semantics, healthy baskets stay unsalted") {
     import spark.implicits._
     // one pathological basket (120 parts -> 120*119 directed pairs) plus
-    // ordinary orders; the salted build must produce EXACTLY the naive
-    // self-join's edge set while keying the shuffle on (okey, __salt)
+    // ordinary orders; past the threshold the build must produce EXACTLY
+    // the naive self-join's edge set while keying the shuffle on
+    // (okey, __salt)
     val hot = (1L to 120L).map(p => (1000L, p))
     val normal = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 5L))
     val li = (hot ++ normal).toDF("l_orderkey", "l_partkey")
-    val salted = graft.ops.Graph.coPurchaseEdges(li, saltFactor = 8)
+    val salted = graft.ops.Graph.coPurchaseEdges(li, saltFactor = 8,
+      hotBasketThreshold = 100L)
     val naive = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
@@ -37,6 +39,13 @@ class Round13Spec extends SparkSpec {
     // order's fan-out lands on saltFactor reduce tasks, not one
     assert(salted.queryExecution.executedPlan.toString.contains("__salt"),
       "edge-build plan lost the salt key")
+    // under the threshold the build must NOT pay the saltFactor x probe
+    // replication (the 3x q272 inflation bench r13 caught)
+    val unsalted = graft.ops.Graph.coPurchaseEdges(li, saltFactor = 8,
+      hotBasketThreshold = 256L)
+    assert(!unsalted.queryExecution.executedPlan.toString.contains("__salt"),
+      "healthy-shaped data must take the unsalted plan")
+    assert(unsalted.count() === naive.count())
   }
 
   test("lazy greedy fails LOUDLY at saturation (max fresh gain 0) instead of silently diverging from the exact tie-break") {
