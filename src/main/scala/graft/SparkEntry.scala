@@ -525,6 +525,10 @@ object SparkEntry {
     "q277_bpe_train"           -> ((s, d) => graft.text.Curation.bpeTrain(s, d)),
     // per-source fertility before/after the q277 tokenizer
     "q278_bpe_fertility"       -> ((s, d) => graft.text.Curation.bpeFertility(s, d)),
+    // real multi-frame decode + frame sampling (animated GIF)
+    "q279_gif_frames"          -> ((s, d) => graft.multimodal.Multimodal.gifFrameSample(s, d)),
+    // real decode + deterministic nearest-neighbor resize
+    "q280_resize"              -> ((s, d) => graft.multimodal.Multimodal.resizedFeatures(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3749,6 +3753,43 @@ object SparkEntry {
          |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * v.n_syms) / SUM(sw.freq) + 0.5) AS BIGINT) AS bpe_fertility_micro
          |FROM sw JOIN vocab v USING (word)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q279: the oracle replays the generator over the SAMPLED
+    // (frame, x, y) lattice — the Spark side reads the same numbers
+    // through the animated-GIF LZW frame sequence, so a frame-indexing
+    // bug (off-by-one, disposal compositing, wrong count) breaks the
+    // hash.
+    "q279_gif_frames" ->
+      """WITH p AS (SELECT doc_id,
+        |                  1 + octet_length(encode(text)) % 16 AS w,
+        |                  1 + (octet_length(encode(text)) * 5) % 12 AS h,
+        |                  2 + octet_length(encode(text)) % 9 AS nf
+        |           FROM documents)
+        |SELECT doc_id, CAST(f.g AS BIGINT) AS frame_idx,
+        |       CAST(ANY_VALUE(w) AS BIGINT) AS width,
+        |       CAST(ANY_VALUE(h) AS BIGINT) AS height,
+        |       CAST(SUM((doc_id * 31 + f.g * 17 + x.g * 7 + y.g * 13) % 256) AS BIGINT) AS r_sum,
+        |       CAST(SUM(((doc_id * 31 + f.g * 17 + x.g * 7 + y.g * 13) % 256 + 1) % 256) AS BIGINT) AS g_sum,
+        |       CAST(SUM(((doc_id * 31 + f.g * 17 + x.g * 7 + y.g * 13) % 256 + 2) % 256) AS BIGINT) AS b_sum
+        |FROM p, generate_series(0, 10) f(g), generate_series(0, 15) x(g), generate_series(0, 11) y(g)
+        |WHERE f.g < nf AND f.g % 3 = 0 AND x.g < w AND y.g < h
+        |GROUP BY doc_id, f.g
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // q280: the oracle replays the NN source-index arithmetic
+    // (floor division on non-negatives — identical in both engines)
+    // against the generator; the Spark side reads the source pixels
+    // through a real PNG round trip first.
+    "q280_resize" ->
+      """WITH p AS (SELECT doc_id, 1 + octet_length(encode(text)) % 32 AS w,
+        |                  1 + (octet_length(encode(text)) * 7) % 24 AS h
+        |           FROM documents),
+        |m AS (SELECT doc_id,
+        |             (x.g * w) // 16 AS sx, (y.g * h) // 12 AS sy
+        |      FROM p, generate_series(0, 15) x(g), generate_series(0, 11) y(g))
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+        |       CAST(SUM((doc_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT) AS r_sum,
+        |       CAST(SUM(((doc_id * 31 + sx * 7 + sy * 13) % 256 + 1) % 256) AS BIGINT) AS g_sum,
+        |       CAST(SUM(((doc_id * 31 + sx * 7 + sy * 13) % 256 + 2) % 256) AS BIGINT) AS b_sum
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q275: the oracle replays the planted-corruption id rule and the
     // q259 generator arithmetic — a misrouted reason, a swallowed
     // decode failure, or a feature drift all break the hash.

@@ -81,6 +81,86 @@ object ImageIoCodec {
     bos.toByteArray
   }
 
+  /** Multi-frame ANIMATED-GIF encode — the one multi-frame format this
+    * JRE can both write and read, used as the real-codec stand-in for
+    * the video tier's frame plumbing (q279): each frame is written
+    * full-frame (no delta/disposal compositing) and NON-INTERLACED
+    * (the same height-2–4 writer bug as the still tier), which the r13
+    * probe verified round-trips pixel-exact per frame (120 payloads ×
+    * up to 7 frames, zero diffs). `px(frame, x, y)`. */
+  def encodeGifFrames(w: Int, h: Int, frames: Int,
+                      px: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    headless
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(ImageWriteParam.MODE_DISABLED)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        writer.writeToSequence(
+          new IIOImage(render(w, h, (x, y) => px(f, x, y)), null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    bos.toByteArray
+  }
+
+  /** Decode ONLY the requested frames of a multi-frame GIF payload —
+    * the frame-SAMPLING shape: a video pipeline never decodes the
+    * frames it won't featurize. Returns (frame_idx, Decoded) in the
+    * requested order; throws on an absent frame index (generated
+    * fixtures) — an ingest path would quarantine instead. */
+  def decodeGifFrames(bytes: Array[Byte],
+                      frames: Seq[Int]): Seq[(Int, Decoded)] = {
+    headless
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      frames.map { f =>
+        val img = reader.read(f)
+        val w = img.getWidth
+        val h = img.getHeight
+        val arr = new Array[Int](w * h)
+        img.getRGB(0, 0, w, h, arr, 0, w)
+        (f, Decoded(w, h, arr))
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Nearest-neighbor resize on DECODED pixels — deterministic integer
+    * source mapping (sx = x·wIn div wOut, floor on non-negatives), so
+    * a resize over a real codec round trip stays oracle-replayable;
+    * the hand-rolled kernel is exactly what a production GPU resize
+    * does, where Graphics2D-style smoothing would be implementation-
+    * defined. */
+  def resizeNearest(d: Decoded, outW: Int, outH: Int): Decoded = {
+    val arr = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * d.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * d.width / outW
+        arr(y * outW + x) = d.argb(sy * d.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(outW, outH, arr)
+  }
+
   /** JPEG encode at an explicit quality (default 0.9). Encoding is
     * deterministic for fixed input in this JVM (probe-verified), but the
     * round trip is lossy by design. */

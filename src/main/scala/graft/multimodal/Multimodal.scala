@@ -500,6 +500,101 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  case class FrameRow(doc_id: Long, frame_idx: Long, width: Long,
+                      height: Long, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** q279 — REAL multi-frame decode + frame SAMPLING: each document
+    * gets an ANIMATED GIF (2–10 full frames, per-frame pixels from the
+    * generator with a frame term) and only every `stride`-th frame is
+    * decoded and featurized — the video-tier shape (decode frame k of
+    * n, skip the rest) through the one multi-frame codec this JRE
+    * ships, upgrading q58's synthetic frame sampler to real compressed
+    * bytes. Per-frame round trips are pixel-exact (the q276
+    * non-interlaced contract), so the sampled features are
+    * oracle-EXACT: DuckDB replays the generator over the sampled
+    * (frame, x, y) lattice while this path reads them through the
+    * codec's LZW frame sequence — a frame-indexing bug (off-by-one,
+    * disposal compositing, wrong frame count) breaks the hash.
+    *
+    * Same `mapPartitions` batch shape as [[pngFeatures]]; unsampled
+    * frames are never pixel-decoded. */
+  def gifFrameSample(spark: SparkSession, dir: String,
+                     stride: Int = 3): DataFrame = {
+    import spark.implicits._
+    val params = Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+      .as[(Long, Int)]
+    params.mapPartitions { it =>
+      it.flatMap { case (id, len) =>
+        val w = 1 + len % 16
+        val h = 1 + (len * 5) % 12
+        val nFrames = 2 + len % 9
+        val bytes = ImageIoCodec.encodeGifFrames(w, h, nFrames, (f, x, y) => {
+          val v = ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
+          (v, (v + 1) % 256, (v + 2) % 256)
+        })
+        val sampled = (0 until nFrames).filter(_ % stride == 0)
+        ImageIoCodec.decodeGifFrames(bytes, sampled).map { case (f, dec) =>
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < dec.height) {
+            var x = 0
+            while (x < dec.width) {
+              rs += dec.r(x, y); gs += dec.g(x, y); bs += dec.b(x, y)
+              x += 1
+            }
+            y += 1
+          }
+          FrameRow(id, f.toLong, dec.width.toLong, dec.height.toLong,
+            rs, gs, bs)
+        }
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  case class ResizeRow(doc_id: Long, width: Long, height: Long,
+                       r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** q280 — REAL decode + nearest-neighbor RESIZE to a fixed (16×12)
+    * feature geometry: the preprocessing step every image pipeline
+    * runs before batching tensors (uniform shape), here through a real
+    * PNG round trip (q259's payloads) followed by the deterministic
+    * integer-mapped NN kernel ([[ImageIoCodec.resizeNearest]]). The
+    * oracle replays the source-index arithmetic (sx = x·w div 16,
+    * sy = y·h div 12 — floor division on non-negatives, identical in
+    * both engines) against the generator, so a kernel bug (rounding
+    * mode, axis swap, row-major confusion) breaks the hash. */
+  def resizedFeatures(spark: SparkSession, dir: String,
+                      outW: Int = 16, outH: Int = 12): DataFrame = {
+    import spark.implicits._
+    val params = Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+      .as[(Long, Int)]
+    params.mapPartitions { it =>
+      it.map { case (id, len) =>
+        val w = 1 + len % 32
+        val h = 1 + (len * 7) % 24
+        val bytes = ImageIoCodec.encodePng(w, h, (x, y) => {
+          val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          (v, (v + 1) % 256, (v + 2) % 256)
+        })
+        val dec = ImageIoCodec.resizeNearest(ImageIoCodec.decode(bytes),
+          outW, outH)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = 0
+        while (y < dec.height) {
+          var x = 0
+          while (x < dec.width) {
+            rs += dec.r(x, y); gs += dec.g(x, y); bs += dec.b(x, y)
+            x += 1
+          }
+          y += 1
+        }
+        ResizeRow(id, dec.width.toLong, dec.height.toLong, rs, gs, bs)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   case class QuarantineRow(doc_id: Long, status: String, reason: String,
                            width: Option[Long], height: Option[Long],
                            r_sum: Option[Long], g_sum: Option[Long],

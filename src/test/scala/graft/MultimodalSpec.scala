@@ -309,6 +309,81 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count(_.getString(2) == "decode_error") > 0)
   }
 
+  test("animated GIF: per-frame round trip is pixel-exact and sampling decodes exactly the requested frames") {
+    import graft.multimodal.ImageIoCodec
+    def px(f: Int, x: Int, y: Int) =
+      (((f * 17 + x * 7 + y * 13) % 256, (f * 17 + x * 7 + y * 13 + 1) % 256,
+        (f * 17 + x * 7 + y * 13 + 2) % 256))
+    val bytes = ImageIoCodec.encodeGifFrames(9, 3, 7, px) // h=3: interlace-bug shape
+    val got = ImageIoCodec.decodeGifFrames(bytes, Seq(0, 3, 6))
+    assert(got.map(_._1) === Seq(0, 3, 6))
+    got.foreach { case (f, d) =>
+      assert((d.width, d.height) === ((9, 3)))
+      for (y <- 0 until 3; x <- 0 until 9)
+        assert((d.r(x, y), d.g(x, y), d.b(x, y)) === px(f, x, y), s"f=$f ($x,$y)")
+    }
+    intercept[Exception](ImageIoCodec.decodeGifFrames(bytes, Seq(7)))
+  }
+
+  test("q279 sampled-frame features match a direct recompute of the generator (real docs)") {
+    val out = graft.multimodal.Multimodal
+      .gifFrameSample(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val lens = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length).toMap
+    // every sampled (doc, frame) present, nothing else, sums exact
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rows) =>
+      val len = lens(id)
+      val nf = 2 + len % 9
+      assert(rows.map(_.getLong(1)).sorted.toSeq ===
+        (0 until nf).filter(_ % 3 == 0).map(_.toLong))
+      val w = 1 + len % 16; val h = 1 + (len * 5) % 12
+      rows.foreach { r =>
+        val f = r.getLong(1).toInt
+        val vs = for (y <- 0 until h; x <- 0 until w)
+          yield (id * 31 + f * 17 + x * 7 + y * 13) % 256
+        assert(r.getAs[Long]("r_sum") === vs.sum, s"doc $id frame $f")
+        assert(r.getAs[Long]("g_sum") === vs.map(v => (v + 1) % 256).sum)
+      }
+    }
+  }
+
+  test("resizeNearest: hand-worked index mapping, downscale and upscale") {
+    import graft.multimodal.ImageIoCodec.{Decoded, resizeNearest}
+    // 4x2 source, pixel value encodes its coordinates
+    val src = Decoded(4, 2, Array.tabulate(8)(i => i))
+    val down = resizeNearest(src, 2, 1)
+    // out(x,y) = in(x*4/2, y*2/1) = in(2x, 2y): indices 0 and 2, row 0
+    assert(down.argb.toSeq === Seq(0, 2))
+    val up = resizeNearest(Decoded(1, 1, Array(42)), 3, 2)
+    assert(up.argb.toSeq === Seq.fill(6)(42), "upscale replicates the pixel")
+    // non-integral ratio: 3 -> 2 maps x2=0->0, x2=1->1 (floor(1*3/2))
+    val odd = resizeNearest(Decoded(3, 1, Array(10, 20, 30)), 2, 1)
+    assert(odd.argb.toSeq === Seq(10, 20))
+  }
+
+  test("q280 resized features match a direct recompute through the index mapping (real docs)") {
+    val out = graft.multimodal.Multimodal
+      .resizedFeatures(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val lens = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length).toMap
+    out.foreach { r =>
+      val id = r.getLong(0); val len = lens(id)
+      val w = 1 + len % 32; val h = 1 + (len * 7) % 24
+      val vs = for (y2 <- 0 until 12; x2 <- 0 until 16) yield {
+        val sx = x2 * w / 16; val sy = y2 * h / 12
+        (id * 31 + sx * 7 + sy * 13) % 256
+      }
+      assert(r.getAs[Long]("width") === 16L)
+      assert(r.getAs[Long]("r_sum") === vs.sum, s"doc $id")
+      assert(r.getAs[Long]("b_sum") === vs.map(v => (v + 2) % 256).sum)
+    }
+  }
+
   test("q179 window energy matches a direct recompute from the text (real docs)") {
     val out = graft.multimodal.Multimodal
       .wavEnergy(spark, "/root/testdata/sf0.001").collect()
