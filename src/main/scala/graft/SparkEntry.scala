@@ -529,6 +529,8 @@ object SparkEntry {
     "q279_gif_frames"          -> ((s, d) => graft.multimodal.Multimodal.gifFrameSample(s, d)),
     // real decode + deterministic nearest-neighbor resize
     "q280_resize"              -> ((s, d) => graft.multimodal.Multimodal.resizedFeatures(s, d)),
+    // l-diversity privacy audit over the k-anonymity strata
+    "q281_l_diversity"         -> ((s, d) => graft.ops.Quality.lDiversity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3753,6 +3755,14 @@ object SparkEntry {
          |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * v.n_syms) / SUM(sw.freq) + 0.5) AS BIGINT) AS bpe_fertility_micro
          |FROM sw JOIN vocab v USING (word)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q281_l_diversity" ->
+      """SELECT c.c_mktsegment,
+        |       CAST(c.c_nationkey AS BIGINT) AS nationkey,
+        |       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS group_size,
+        |       CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS n_sensitive,
+        |       CAST(COUNT(DISTINCT o.o_orderpriority) >= 3 AS BIGINT) AS diverse
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q279: the oracle replays the generator over the SAMPLED
     // (frame, x, y) lattice — the Spark side reads the same numbers
     // through the animated-GIF LZW frame sequence, so a frame-indexing

@@ -621,44 +621,69 @@ object Multimodal {
     * Same `mapPartitions` batch shape as [[pngFeatures]]; quarantined
     * rows carry NULL features, never zero-fills (a zero-filled sum is
     * indistinguishable from a black image downstream). */
-  def decodeOrQuarantine(spark: SparkSession, dir: String): DataFrame = {
+  def decodeOrQuarantine(spark: SparkSession, dir: String): DataFrame =
+    decodeGate(corruptedPayloads(spark, dir)).orderBy("doc_id")
+
+  /** The q275 fixture set: q259's PNG payloads with corruption planted
+    * by the id rule (zeroed signature / half truncation). */
+  private[graft] def corruptedPayloads(spark: SparkSession,
+                                       dir: String): DataFrame = {
     import spark.implicits._
-    val params = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
       .as[(Long, Int)]
-    params.mapPartitions { it =>
-      it.map { case (id, len) =>
-        val w = 1 + len % 32
-        val h = 1 + (len * 7) % 24
-        val good = ImageIoCodec.encodeLossless("png", w, h, (x, y) => {
-          val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
-          (v, (v + 1) % 256, (v + 2) % 256)
-        })
-        val payload = (id % 11) match {
-          case 3 =>
-            val b = good.clone(); java.util.Arrays.fill(b, 0, 8, 0.toByte); b
-          case 7 => java.util.Arrays.copyOf(good, good.length / 2)
-          case _ => good
+      .mapPartitions { it =>
+        it.map { case (id, len) =>
+          val w = 1 + len % 32
+          val h = 1 + (len * 7) % 24
+          val good = ImageIoCodec.encodeLossless("png", w, h, (x, y) => {
+            val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            (v, (v + 1) % 256, (v + 2) % 256)
+          })
+          val payload = (id % 11) match {
+            case 3 =>
+              val b = good.clone(); java.util.Arrays.fill(b, 0, 8, 0.toByte); b
+            case 7 => java.util.Arrays.copyOf(good, good.length / 2)
+            case _ => good
+          }
+          (id, payload)
         }
-        ImageIoCodec.decodeOrReason(payload) match {
-          case Left(reason) =>
-            QuarantineRow(id, "quarantined", reason, None, None, None, None, None)
-          case Right(dec) =>
-            var rs = 0L; var gs = 0L; var bs = 0L
-            var y = 0
-            while (y < dec.height) {
-              var x = 0
-              while (x < dec.width) {
-                rs += dec.r(x, y); gs += dec.g(x, y); bs += dec.b(x, y)
-                x += 1
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Decode-or-route core over ANY (doc_id, payload binary) frame —
+    * a STATELESS narrow map, so the identical code is the q275 batch
+    * query and the streaming ingest stage (StreamingSpec drives it
+    * over a MemoryStream and pins row-for-row agreement with this
+    * batch face): the third ingest gate beside the text near-dup gate
+    * and the vector ANN gate, guarding the PAYLOAD store. */
+  def decodeGate(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          ImageIoCodec.decodeOrReason(payload) match {
+            case Left(reason) =>
+              QuarantineRow(id, "quarantined", reason,
+                None, None, None, None, None)
+            case Right(dec) =>
+              var rs = 0L; var gs = 0L; var bs = 0L
+              var y = 0
+              while (y < dec.height) {
+                var x = 0
+                while (x < dec.width) {
+                  rs += dec.r(x, y); gs += dec.g(x, y); bs += dec.b(x, y)
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
-            }
-            QuarantineRow(id, "decoded", "ok", Some(dec.width.toLong),
-              Some(dec.height.toLong), Some(rs), Some(gs), Some(bs))
+              QuarantineRow(id, "decoded", "ok", Some(dec.width.toLong),
+                Some(dec.height.toLong), Some(rs), Some(gs), Some(bs))
+          }
         }
-      }
-    }.toDF().orderBy("doc_id")
+      }.toDF()
   }
 
   case class JpegDriftRow(doc_id: Long, width: Long, height: Long,

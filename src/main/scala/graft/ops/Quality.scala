@@ -423,6 +423,35 @@ object Quality {
       .filter(col("group_size") < k)
       .orderBy("c_mktsegment", "nationkey")
 
+  /** q281 — l-DIVERSITY audit, the second classical privacy gate on top
+    * of q197/q248's k-anonymity strata: a quasi-identifier group can be
+    * large (k-anonymous) yet still leak if everyone in it shares the
+    * SAME sensitive value — an attacker who pins a target to the group
+    * learns the attribute without identifying the row. Per
+    * (mktsegment, nationkey) equivalence class: member count, distinct
+    * sensitive values (order priority of the members' orders), and the
+    * pass/fail flag at `l`. All groups ship (not only violations) so
+    * the table doubles as the release-review worksheet.
+    *
+    * Scale: one custkey-keyed join (fact-sized, AQE-planned) into a
+    * two-distinct aggregate on the bounded quasi-identifier domain —
+    * Spark plans the multi-distinct as a single Expand pass (the q235
+    * columnProfile shape); nothing else touches the data. */
+  def lDiversity(spark: SparkSession, dir: String, l: Long = 3L): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey").cast("long").as("nationkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_custkey").as("c_custkey"), col("o_orderpriority")),
+        Seq("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("nationkey"))
+      .agg(countDistinct(col("c_custkey")).as("group_size"),
+        countDistinct(col("o_orderpriority")).as("n_sensitive"))
+      .select(col("c_mktsegment"), col("nationkey"), col("group_size"),
+        col("n_sensitive"),
+        (col("n_sensitive") >= l).cast("long").as("diverse"))
+      .orderBy("c_mktsegment", "nationkey")
+
   /** Benford expected first-digit shares in ppm — log10(1 + 1/d)
     * hardcoded as integer literals so BOTH engines carry identical
     * constants (no libm transcendentals anywhere near the oracle

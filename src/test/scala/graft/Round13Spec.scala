@@ -95,6 +95,29 @@ class Round13Spec extends SparkSpec {
       s"queue failed to prune: ${st.evals} evals on a $nDocs-doc corpus")
   }
 
+  test("q281 l-diversity: one stratum re-derived from raw rows; flag follows the threshold") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ops.Quality.lDiversity(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert((r.getLong(4) == 1L) === (r.getLong(3) >= 3L))
+      assert(r.getLong(3) <= 5L, "TPC-H has 5 order priorities")
+      assert(r.getLong(3) >= 1L && r.getLong(2) >= 1L)
+    }
+    // re-derive the first stratum by hand from the raw tables
+    val first = out.head
+    val (seg, nat) = (first.getString(0), first.getLong(1))
+    val custs = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === seg &&
+        col("c_nationkey").cast("long") === nat)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val ords = Tables.orders(spark, dir)
+      .filter(col("o_custkey").isin(custs.toSeq: _*))
+      .select("o_custkey", "o_orderpriority").collect()
+    assert(first.getLong(2) === ords.map(_.getLong(0)).distinct.length.toLong)
+    assert(first.getLong(3) === ords.map(_.getString(1)).distinct.length.toLong)
+  }
+
   test("BPE merge loop: hand-worked sequence — weighted counts, pair tie-break, CANONICAL run merging, early stop") {
     import spark.implicits._
     // aaaa(x2): round-1 (a,a) count 3 occ x 2 = 6 wins; canonical

@@ -924,6 +924,38 @@ class StreamingSpec extends SparkSpec {
       s"admitted sets must match the per-version batch faces; got $ids")
   }
 
+  case class Payload(doc_id: Long, payload: Array[Byte])
+
+  test("streaming decode gate routes corrupt payloads mid-stream exactly like the q275 batch face") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.multimodal.Multimodal.corruptedPayloads(spark, dir)
+      .collect().map(r => Payload(r.getLong(0), r.getAs[Array[Byte]](1)))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[Payload]
+    val out = graft.multimodal.Multimodal.decodeGate(input.toDF())
+    val q = out.writeStream.format("memory")
+      .queryName("decode_gate_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("decode_gate_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))
+        .sortBy(_._1).toSeq
+      val want = graft.multimodal.Multimodal.decodeOrQuarantine(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))
+        .sortBy(_._1).toSeq
+      assert(got === want,
+        "stream routing must equal the batch face row-for-row")
+      assert(got.exists(_._2 == "quarantined") && got.exists(_._2 == "decoded"))
+    } finally q.stop()
+  }
+
   test("keyed upsert recovers from a crash mid-swap without losing prior keys") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert3").toString
     val path = s"$dir/dim"
