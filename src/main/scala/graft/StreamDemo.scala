@@ -149,7 +149,19 @@ object StreamDemo {
       .writeStream.format("memory").queryName("demo_vecgate")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
 
-    Seq(qDau, qAlerts, qGmv, qJoin, qDim, qCorpus, qFunnel, qVecGate)
+    // 9. Payload-store ingest — the decode-or-quarantine gate over real
+    //    PNG bytes with planted corruption (q275's batch face is the
+    //    identical code path; corrupt payloads route, never kill).
+    val payDir = s"$stage/payloads_src"
+    graft.multimodal.Multimodal.corruptedPayloads(spark, sfDir)
+      .write.mode("overwrite").parquet(payDir)
+    val pSchema = spark.read.parquet(payDir).schema
+    val qDecode = graft.multimodal.Multimodal.decodeGate(
+        spark.readStream.schema(pSchema).parquet(payDir))
+      .writeStream.format("memory").queryName("demo_decode")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+
+    Seq(qDau, qAlerts, qGmv, qJoin, qDim, qCorpus, qFunnel, qVecGate, qDecode)
       .foreach(_.awaitTermination())
     val wallSec = (System.nanoTime() - t0) / 1e9
 
@@ -166,7 +178,10 @@ object StreamDemo {
     println(s"[stream-demo] funnel users (stateful): ${spark.table("demo_funnel").select("user_id").distinct().count()}")
     val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     println(s"[stream-demo] vector-gate admitted (fresh half vs frozen IVF): ${spark.table("demo_vecgate").count()}")
-    println(f"[stream-demo] 8 concurrent pipelines, ${nEvents + nOrders + nItems + nDocs + nVecs}%,d input rows in $wallSec%.1f s")
+    val decodeOut = spark.table("demo_decode")
+    println(s"[stream-demo] payload gate: decoded ${decodeOut.filter(col("status") === "decoded").count()}, " +
+      s"quarantined ${decodeOut.filter(col("status") === "quarantined").count()}")
+    println(f"[stream-demo] 9 concurrent pipelines, ${nEvents + nOrders + nItems + 2 * nDocs + nVecs}%,d input rows in $wallSec%.1f s")
 
     spark.stop()
   }
