@@ -179,14 +179,29 @@ object Graph {
                                      hotBasketThreshold: Long = 256L): DataFrame = {
     val maxBasket = li.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
       .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-    val joined =
-      if (maxBasket > hotBasketThreshold)
+    val pairs =
+      if (maxBasket > hotBasketThreshold) {
+        // hot path: the salted self-join — m² work SPREAD over
+        // saltFactor reduce tasks (an in-row expansion would put the
+        // whole m² inside one row's transform)
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+        val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
         SkewJoin.saltedInnerJoin(a, b, "l_orderkey", saltFactor)
-      else a.join(b, Seq("l_orderkey"))
-    joined.filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+          .filter(col("src") =!= col("dst"))
+      } else
+        // healthy path: per-order pair expansion IN-ROW (the
+        // trianglesCore rationale — the okey-keyed shuffle join moves
+        // the table twice and measured ~3x slower on TPC-H shapes);
+        // bounded by the probed basket size, so no row ever balloons
+        li.groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps, x ->
+              |  transform(filter(ps, y -> y != x),
+              |            y -> struct(x AS src, y AS dst))))""".stripMargin))
+            .as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    pairs.select("src", "dst").distinct()
   }
 
   def coPurchaseTriangles(spark: SparkSession, dir: String,
