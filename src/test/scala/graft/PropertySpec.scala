@@ -50,6 +50,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("non-interlaced GIF round-trip is pixel-exact for random geometries and pixel functions (<=256 colors)") {
+    import graft.multimodal.ImageIoCodec
+    val gen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 30) // heights 2-4 = the interlaced-writer bug zone
+      a <- Gen.chooseNum(0, 255)
+      b <- Gen.chooseNum(1, 17)
+      c <- Gen.chooseNum(1, 13)
+    } yield (w, h, a, b, c)
+    cases(gen, 40).foreach { case (w, h, a, b, c) =>
+      // all three channels derive from ONE byte parameter -> <=256
+      // distinct colors, the GIF palette contract
+      def px(x: Int, y: Int) = {
+        val v = (a + b * x + c * y) % 256
+        (v, (v * 3 + 1) % 256, (255 - v))
+      }
+      val d = ImageIoCodec.decode(ImageIoCodec.encodeLossless("gif", w, h, px))
+      assert((d.width, d.height) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert((d.r(x, y), d.g(x, y), d.b(x, y)) === px(x, y),
+          s"w=$w h=$h a=$a b=$b c=$c at ($x,$y)")
+    }
+  }
+
+  test("animated GIF frame sampling is pixel-exact per sampled frame for random geometries and frame counts") {
+    import graft.multimodal.ImageIoCodec
+    val gen = for {
+      w <- Gen.chooseNum(1, 24)
+      h <- Gen.chooseNum(1, 16)
+      n <- Gen.chooseNum(1, 9)
+      a <- Gen.chooseNum(0, 255)
+    } yield (w, h, n, a)
+    cases(gen, 25).foreach { case (w, h, n, a) =>
+      def px(f: Int, x: Int, y: Int) = {
+        val v = (a + f * 19 + x * 7 + y * 11) % 256
+        (v, (v + 5) % 256, (v + 9) % 256)
+      }
+      val bytes = ImageIoCodec.encodeGifFrames(w, h, n, px)
+      val sampled = (0 until n).filter(_ % 2 == 0)
+      val got = ImageIoCodec.decodeGifFrames(bytes, sampled)
+      assert(got.map(_._1) === sampled)
+      got.foreach { case (f, d) =>
+        assert((d.width, d.height) === ((w, h)))
+        for (y <- 0 until h; x <- 0 until w)
+          assert((d.r(x, y), d.g(x, y), d.b(x, y)) === px(f, x, y),
+            s"w=$w h=$h n=$n f=$f ($x,$y)")
+      }
+    }
+  }
+
   test("JPEG decode keeps exact geometry and stays inside the q260 envelope on smooth gradients") {
     import graft.multimodal.ImageIoCodec
     val gen = for {

@@ -95,9 +95,15 @@ class Round13Spec extends SparkSpec {
       s"queue failed to prune: ${st.evals} evals on a $nDocs-doc corpus")
   }
 
-  test("q281 l-diversity: one stratum re-derived from raw rows; flag follows the threshold") {
+  test("q281 l-diversity: one stratum re-derived from raw rows; flag follows the threshold; multi-distinct plans as one Expand") {
     val dir = "/root/testdata/sf0.001"
-    val out = graft.ops.Quality.lDiversity(spark, dir).collect()
+    val df = graft.ops.Quality.lDiversity(spark, dir)
+    // the two COUNT(DISTINCT ...) must compile to a single Expand-based
+    // aggregation (the q235 columnProfile shape), not two scans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      "expected one Expand-based multi-distinct pass")
+    val out = df.collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       assert((r.getLong(4) == 1L) === (r.getLong(3) >= 3L))
