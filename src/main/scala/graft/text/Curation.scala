@@ -498,18 +498,19 @@ object Curation {
     * Hunt cost is JOB-bounded, not only eval-bounded: per round, two
     * escalating top-slice batches (×4 growth), then — if the stale
     * bounds still aren't pruning (this corpus's vocabulary overlap is
-    * heavy, the adversarial regime for Minoux) — ONE bulk refresh of
-    * the whole loaded queue (gains-only, skinny) and the round
-    * resolves; once any round has bulked, later rounds skip the
-    * batches and go straight to bulk (sticky `bulkMode` — the batch
-    * probes were pure overhead on a non-pruning corpus). Measured at
-    * sf0.01 (500 docs, k=20): 7,404 evals / ~40 jobs vs exact's
-    * 10,000 evals / 20 jobs. Without the bulk fallback the pure-Minoux hunt
-    * launched 873 jobs at sf0.1 and per-job overhead swamped the eval
-    * savings — the regression Round12Spec's job bound pins. On
-    * sparse-overlap corpora (the intended regime) the queue prunes and
-    * bulk never fires; either way every evaluation stays distributed
-    * and the frontier, not the corpus, lives on the driver.
+    * heavy, the adversarial regime for Minoux) — the round and all
+    * later rounds fall back to EXACT-greedy rounds (sticky `bulkMode`):
+    * one argmax job over the cached corpus whose single collected row
+    * carries the winner's payload — exactly greedyCoverage's per-round
+    * cost (1 job, N evals, a 1-row driver pull), which is the floor
+    * for a non-pruning corpus. Without the fallback the pure-Minoux
+    * hunt launched 873 jobs at sf0.1 and per-job overhead swamped the
+    * eval savings — the regression Round12Spec's job bound pins. On
+    * sparse-overlap corpora (the intended regime, MEASURED in
+    * ScaleProbe: 304 evals constant at 1×/10× vs k·N of 40k/400k) the
+    * queue prunes and the fallback never fires; either way every
+    * evaluation stays distributed and the driver holds the frontier —
+    * or one row — never the corpus.
     *
     * Shape: one distributed TakeOrdered per frontier load (rare —
     * candidates whose ub can still win), one narrow
@@ -568,12 +569,18 @@ object Curation {
         cursor = Some((rows.last._2, rows.last._1))
       }
     }
-    // once a round's hunt has had to bulk-refresh, later rounds go
-    // straight to bulk: on a corpus whose stale bounds don't prune, the
+    // once a round's hunt has had to fall back, later rounds skip the
+    // queue entirely: on a corpus whose stale bounds don't prune, the
     // escalating batches are pure overhead every round (measured: they
-    // were ~2.3 s of q262's 4.6 s at sf0.1). A corpus where the queue
-    // prunes never sets this.
+    // were ~2.3 s of q262's 4.6 s at sf0.1). The fallback IS an
+    // exact-greedy round — ONE argmax job whose single collected row
+    // carries the winner's novel payload, so a non-pruning corpus pays
+    // exactly greedyCoverage's cost per round (1 job, N evals) and the
+    // driver pull is one row (the advisor-r12 member-filtered bulk
+    // refresh, strengthened: nothing frontier-sized returns either).
+    // A corpus where the queue prunes never sets this.
     var bulkMode = false
+    var corpusN = -1L
     try {
       for (iter <- 1 to k) {
         var bc: org.apache.spark.broadcast.Broadcast[Set[String]] = null
@@ -583,8 +590,8 @@ object Curation {
         }
         try {
           var winner: Option[Ent] = None
-          var huntBatches = if (bulkMode) 2 else 0
-          while (winner.isEmpty) {
+          var huntBatches = 0
+          while (winner.isEmpty && !bulkMode) {
             // an UNLOADED doc's ub ≤ the cursor's ub; it can only beat
             // the queue top (incl. by id tie-break) while top ≤ cursor
             while (!exhausted &&
@@ -602,34 +609,14 @@ object Curation {
             val top = pq.dequeue()
             if (top.freshAt == iter) winner = Some(top)
             else if (huntBatches >= 2) {
-              // BULK refresh: a round whose hunt needs a 3rd job means
-              // the stale bounds are not pruning on this corpus (heavy
-              // vocabulary overlap) — per-batch jobs would then cost
-              // more scans than the exact greedy's one. Evaluate EVERY
-              // loaded entry in ONE narrow job (gains only — skinny)
-              // and rebuild the queue fresh; still provably exact,
-              // since fresh values are exact values.
-              val members = (pq.iterator.map(_.id) ++ Iterator(top.id)).toSet
-              // the refresh is filtered to the LOADED members before the
-              // collect (advisor r12): a full-corpus roundNovel would
-              // pull N (doc_id, gain) rows to the driver, violating the
-              // "frontier, not corpus, on the driver" discipline. The
-              // member set rides a broadcast variable consulted in a
-              // predicate UDF — the covered-set plan-size discipline.
-              val bcIds = spark.sparkContext.broadcast(members)
-              try {
-                val inQueue = udf((id: Long) => bcIds.value.contains(id))
-                val freshGain = roundNovel(
-                    sets.filter(inQueue(col("doc_id"))), bcNow())
-                  .select(col("doc_id"), col("gain")).collect()
-                  .map(r => r.getLong(0) -> r.getInt(1)).toMap
-                // evals counts the rows the job actually computed (==
-                // members here), so LazyGreedyStats.evals is the work
-                jobs += 1; evals += freshGain.size; bulkMode = true
-                bulkRounds += 1
-                pq.clear()
-                members.foreach(id => pq.enqueue(Ent(freshGain(id), id, iter)))
-              } finally bcIds.destroy()
+              // a round whose hunt needs a 3rd job means the stale
+              // bounds are not pruning on this corpus (heavy vocabulary
+              // overlap) — per-batch jobs would then cost more scans
+              // than the exact greedy's one. Flip to exact rounds (the
+              // fallback below); the queue keeps its entries for
+              // consistency but is never consulted again.
+              pq.enqueue(top)
+              bulkMode = true
             } else {
               // batch: the top stale entries (fresh ones go straight
               // back); batch size escalates 4x per extra hunt job so a
@@ -651,26 +638,41 @@ object Curation {
               fresh.foreach { case (id, g) => pq.enqueue(Ent(g, id, iter)) }
             }
           }
-          val w = winner.get
-          // second half of the saturation contract: a fresh max gain of
-          // 0 means every remaining doc is fully covered — the exact
-          // greedy would re-pick the smallest-id doc over ALL docs
-          // (picked included), which the queue's picked-removal cannot
-          // mirror, so the divergence fails loudly instead of silently.
-          require(w.gain > 0, s"greedyCoverageLazy: corpus saturated at " +
-            s"iter $iter (max marginal gain 0) — out of contract; " +
-            "use greedyCoverage for the saturated tie-break domain")
-          picked += w.id
-          // gains travel skinny; only the WINNER's novel payload is
-          // materialized — one single-doc narrow job per round
-          val novel = {
-            jobs += 1
-            roundNovel(sets.filter(col("doc_id") === w.id), bcNow())
-              .collect().head.getSeq[String](2)
+          // second half of the saturation contract (both branches): a
+          // fresh max gain of 0 means every remaining doc is fully
+          // covered — the exact greedy would re-pick the smallest-id
+          // doc over ALL docs (picked included), which the queue's
+          // picked-removal cannot mirror, so the divergence fails
+          // loudly instead of silently.
+          def saturated(): Nothing = throw new IllegalArgumentException(
+            s"requirement failed: greedyCoverageLazy: corpus saturated " +
+              s"at iter $iter (max marginal gain 0) — out of contract; " +
+              "use greedyCoverage for the saturated tie-break domain")
+          val (wId, wGain, novel) = winner match {
+            case Some(w) =>
+              if (w.gain <= 0) saturated()
+              // gains travel skinny; only the WINNER's novel payload is
+              // materialized — one single-doc narrow job per round
+              jobs += 1
+              val nv = roundNovel(sets.filter(col("doc_id") === w.id), bcNow())
+                .collect().head.getSeq[String](2)
+              (w.id, w.gain.toLong, nv)
+            case None =>
+              // EXACT round (bulkMode): one argmax job over the whole
+              // cached corpus — identical to greedyCoverage's round,
+              // winner AND payload in the single collected row
+              if (corpusN < 0L) { corpusN = sets.count(); jobs += 1 }
+              val row = roundNovel(sets, bcNow())
+                .orderBy(col("gain").desc, col("doc_id").asc)
+                .limit(1).collect().head
+              jobs += 1; evals += corpusN; bulkRounds += 1
+              if (row.getInt(1) <= 0) saturated()
+              (row.getLong(0), row.getInt(1).toLong, row.getSeq[String](2))
           }
+          picked += wId
           covered ++= novel
-          coveredTypes += w.gain
-          picks += ((iter.toLong, w.id, w.gain.toLong, coveredTypes))
+          coveredTypes += wGain
+          picks += ((iter.toLong, wId, wGain, coveredTypes))
         } finally if (bc != null) bc.destroy()
       }
     } finally {

@@ -195,11 +195,12 @@ class Round13Spec extends SparkSpec {
     assert(a.load1 >= 0.0 && a.procsRunning >= 1)
   }
 
-  test("lazy greedy bulk refresh pulls only loaded members to the driver, and evals counts computed rows") {
-    // force bulk mode cheaply: batch 1 + two escalations on an
-    // overlapping corpus; loadedRows + per-round pulls must stay far
-    // below corpus-size-per-round (the advisor-r12 full-corpus collect
-    // would have loadedRows-equivalent pulls of k * N)
+  test("lazy greedy exact-round fallback: evals bounded by exact greedy's, 1-row pulls, job count near k") {
+    // force the fallback cheaply: batch 1 + two escalations on an
+    // overlapping corpus. Once bulkMode sticks, every round must be ONE
+    // exact argmax job (advisor-r12 strengthened: the driver pulls one
+    // row, never the member list), so jobs stay ~k and evals never
+    // exceed the exact greedy's k * N
     val dirSmall = "/root/testdata/sf0.001"
     val (df, stats) = graft.text.Curation.greedyCoverageLazyWithStats(
       spark, dirSmall, k = 8, evalBatch = 1, loadChunk = 16)
@@ -207,7 +208,14 @@ class Round13Spec extends SparkSpec {
     val n = Tables.documents(spark, dirSmall).count()
     assert(stats.evals <= 8L * n,
       s"evals ${stats.evals} exceeds exact greedy's bound ${8 * n}")
+    assert(stats.bulkRounds > 0, "this corpus must trip the fallback")
+    assert(stats.jobs <= 8L * 3 + 10,
+      s"fallback rounds must be one job each; got ${stats.jobs} jobs")
+    // the fallback picks must STILL equal the exact greedy's
+    val exact = graft.text.Curation
+      .greedyCoverage(spark, dirSmall, k = 8).collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq === exact)
     info(s"stats: ${stats.evals} evals / ${stats.jobs} jobs / " +
-      s"${stats.loadedRows} frontier rows (corpus $n)")
+      s"${stats.bulkRounds} exact rounds / ${stats.loadedRows} frontier rows (corpus $n)")
   }
 }
