@@ -58,19 +58,24 @@ object Bench {
                                        selfTicks: Long, load1: Double,
                                        procsRunning: Int)
 
+  private def readFile(path: String): String = {
+    val src = scala.io.Source.fromFile(path)
+    try src.mkString finally src.close()
+  }
+
   private def sampleHost(): HostSample =
     try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val cpu = readFile("/proc/stat").linesIterator.next()
         .trim.split("\\s+").drop(1).map(_.toLong)
       val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L)
       val total = cpu.sum
       val self = {
-        val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+        val s = readFile("/proc/self/stat")
         // comm can contain spaces/parens: fields restart after last ')'
         val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
         rest(11).toLong + rest(12).toLong // utime + stime
       }
-      val la = scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")
+      val la = readFile("/proc/loadavg").trim.split("\\s+")
       HostSample(total - idle, total, self, la(0).toDouble,
         la(3).split("/")(0).toInt)
     } catch { case _: Throwable => HostSample(-1, -1, -1, -1.0, -1) }
