@@ -531,6 +531,9 @@ object SparkEntry {
     "q280_resize"              -> ((s, d) => graft.multimodal.Multimodal.resizedFeatures(s, d)),
     // l-diversity privacy audit over the k-anonymity strata
     "q281_l_diversity"         -> ((s, d) => graft.ops.Quality.lDiversity(s, d)),
+    // PQ codebook training: 4 exact Lloyd iterations per subspace,
+    // recursive-CTE-replayed (the q277 discipline for float state)
+    "q282_pq_train"            -> ((s, d) => graft.vector.VectorOps.pqTrain(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3755,6 +3758,51 @@ object SparkEntry {
          |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * v.n_syms) / SUM(sw.freq) + 0.5) AS BIGINT) AS bpe_fertility_micro
          |FROM sw JOIN vocab v USING (word)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q282: the recursive CTE's single-row state is the CODEBOOK; each
+    // iteration re-assigns every (vector, subspace) with the min-struct
+    // argmin (ties to the lower cid) and rebuilds centroids from
+    // integer micro-sums — one assignment flip anywhere in any round
+    // moves the sums and breaks the hash.
+    "q282_pq_train" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |sv AS (SELECT vec_id, s.g AS sub, v[s.g*16+1 : s.g*16+16] AS svec
+        |       FROM e, generate_series(0, 3) s(g)),
+        |seed AS (SELECT sub, CAST(vec_id AS INT) cid, svec AS vals FROM sv WHERE vec_id < 16),
+        |st AS (SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': CAST(0 AS BIGINT)}) AS state FROM seed),
+        |it(iter, state) AS (
+        |  SELECT 0, (SELECT state FROM st)
+        |  UNION ALL
+        |  SELECT it.iter + 1, nxt.new_state
+        |  FROM it,
+        |  LATERAL (
+        |    WITH cents AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+        |                   FROM unnest(it.state) u(c)),
+        |    asg AS (SELECT vec_id, sub, svec, MIN({'d': dist, 'c': cid}) AS best
+        |            FROM (SELECT sv.vec_id, sv.sub, sv.svec, c.cid,
+        |                         list_inner_product(sv.svec, sv.svec)
+        |                           - 2 * list_inner_product(sv.svec, c.vals)
+        |                           + list_inner_product(c.vals, c.vals) AS dist
+        |                  FROM sv JOIN cents c ON c.sub = sv.sub)
+        |            GROUP BY 1, 2, 3),
+        |    agg AS (SELECT sub, best.c AS cid, p.g AS pos, CAST(COUNT(*) AS BIGINT) n,
+        |                   CAST(SUM(CAST(FLOOR(svec[p.g] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) sm
+        |            FROM asg, generate_series(1, 16) p(g) GROUP BY 1, 2, 3),
+        |    nc AS (SELECT sub, cid, LIST(CAST(sm AS DOUBLE) / (n * CAST(1000000 AS DOUBLE)) ORDER BY pos) vals,
+        |                  ANY_VALUE(n) n
+        |           FROM agg GROUP BY 1, 2),
+        |    merged AS (SELECT c.sub, c.cid, COALESCE(nc.vals, c.vals) vals,
+        |                      COALESCE(nc.n, CAST(0 AS BIGINT)) n
+        |               FROM cents c LEFT JOIN nc USING (sub, cid))
+        |    SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': n}) AS new_state FROM merged
+        |  ) nxt
+        |  WHERE it.iter < 4
+        |)
+        |SELECT CAST(u.c.sub AS BIGINT) AS sub, CAST(u.c.cid AS BIGINT) AS cid,
+        |       CAST(p.g AS BIGINT) AS pos, u.c.vals[p.g] AS val, u.c.n AS n_assigned
+        |FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f,
+        |     unnest(f.state) u(c), generate_series(1, 16) p(g)
+        |ORDER BY sub, cid, pos""".stripMargin,
     "q281_l_diversity" ->
       """SELECT c.c_mktsegment,
         |       CAST(c.c_nationkey AS BIGINT) AS nationkey,

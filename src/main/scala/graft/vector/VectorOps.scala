@@ -1093,6 +1093,84 @@ object VectorOps {
   }
 
   /** Explode (id, v) rows into their m PQ sub-vectors (sub, sv). */
+  /** q282 — PQ codebook TRAINING: `iters` exact Lloyd iterations per
+    * subspace, retiring [[pqEncode]]'s documented caveat ("real PQ
+    * trains codebooks with per-subspace k-means") the same way q277
+    * retired the untrained-tokenizer gap. Seeds are the first `c`
+    * vectors' subvectors (the q111 derivable rule); each iteration
+    * assigns every (vector, subspace) to its nearest centroid (L2 via
+    * the dot-product algebra; ties to the lower cid — the q35 rule)
+    * and recomputes centroids as micro-requantized means (integer
+    * micro-sums, ONE double division — the q263 sub-split arithmetic),
+    * which is the anchor that lets DuckDB replay all `iters` rounds in
+    * a recursive CTE whose single-row state is the codebook: every
+    * assignment flip in any round moves integer sums and breaks the
+    * hash. Empty cells keep their previous centroid (n_assigned 0).
+    *
+    * Scale: per iteration ONE distributed job — m narrow assignment
+    * maps over the cached subvector frame (c in-row codegen dots each,
+    * no join, no shuffle beyond one partial agg on the m·c·subDim key
+    * domain) — and an m·c·subDim-row collect; the codebook lives on
+    * the driver (k-sized state, the q35/q99/q266 iterative pattern).
+    * The corpus is scanned once into the cached subvectors. */
+  def pqTrain(spark: SparkSession, dir: String, m: Int = 4, c: Int = 16,
+              iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    def sdot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0d; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val e = vecs(spark, dir)
+    val sv = pqSubVecs(e, "vec_id", m).select(col("sub"), col("sv")).cache()
+    try {
+      var cents: Map[(Int, Int), Seq[Double]] =
+        pqSubVecs(e.filter(col("vec_id") < c), "vec_id", m)
+          .select(col("vec_id").cast("int").as("cid"), col("sub"), col("sv"))
+          .collect()
+          .map(r => (r.getInt(1), r.getInt(0)) -> r.getSeq[Double](2).toSeq)
+          .toMap
+      var nAssigned: Map[(Int, Int), Long] =
+        cents.keys.map(_ -> 0L).toMap
+      for (_ <- 1 to iters) {
+        val assigned = (0 until m).map { s =>
+          val structs = (0 until c).map { k =>
+            val cv = cents((s, k))
+            struct((dotC(col("sv"), col("sv"))
+              - lit(2.0d) * dotC(col("sv"), typedLit(cv))
+              + lit(sdot(cv, cv))).as("d"), lit(k).as("c"))
+          }
+          sv.filter(col("sub") === s)
+            .withColumn("cid",
+              element_at(array_sort(array(structs: _*)), 1).getField("c"))
+        }.reduce(_ unionByName _)
+        val rows = assigned
+          .select(col("sub"), col("cid"), posexplode(col("sv")))
+          .groupBy("sub", "cid", "pos")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(floor(col * 1000000.0d + 0.5d) as long)")).as("sm"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+            r.getLong(3), r.getLong(4)))
+        val byCell = rows.groupBy(t => (t._1, t._2))
+        cents = cents.map { case (key, old) =>
+          key -> byCell.get(key).fold(old) { ps =>
+            ps.sortBy(_._3).map(t => t._5.toDouble / (t._4 * 1000000.0d)).toSeq
+          }
+        }
+        nAssigned = nAssigned.map { case (key, _) =>
+          key -> byCell.get(key).fold(0L)(_.head._4)
+        }
+      }
+      val out = for {
+        ((s, k), vals) <- cents.toSeq
+        (v, i) <- vals.zipWithIndex
+      } yield (s.toLong, k.toLong, (i + 1).toLong, v, nAssigned((s, k)))
+      out.toDF("sub", "cid", "pos", "val", "n_assigned")
+        .orderBy("sub", "cid", "pos")
+    } finally sv.unpersist(blocking = false)
+  }
+
   private def pqSubVecs(df: DataFrame, idCol: String, m: Int): DataFrame = df
     .select(col(idCol), explode(expr(
       s"transform(sequence(0, ${m - 1}), s -> struct(s as sub, slice(v, s * (size(v) div $m) + 1, size(v) div $m) as sv))"))

@@ -95,6 +95,42 @@ class Round13Spec extends SparkSpec {
       s"queue failed to prune: ${st.evals} evals on a $nDocs-doc corpus")
   }
 
+  test("q282 PQ training: full codebook geometry, assignments partition the corpus per subspace, means re-derive from members") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.vector.VectorOps.pqTrain(spark, dir).collect()
+    assert(out.length === 4 * 16 * 16, "m*c*subDim codebook rows")
+    val nVecs = Tables.embeddings(spark, dir).count()
+    // per subspace the assignment counts must partition the corpus
+    (0L until 4L).foreach { s =>
+      val perCell = out.filter(_.getLong(0) == s)
+        .groupBy(_.getLong(1)).map(_._2.head.getLong(4))
+      assert(perCell.sum === nVecs, s"sub $s: counts must sum to $nVecs")
+    }
+    // every centroid value finite, every micro-mean exactly sm/(n*1e6)
+    // for SOME integer sm (the micro-requantization contract)
+    out.filter(_.getLong(4) > 0).foreach { r =>
+      val v = r.getDouble(3); val n = r.getLong(4)
+      assert(!v.isNaN && !v.isInfinite)
+      val sm = math.round(v * n * 1e6)
+      assert(sm.toDouble / (n * 1e6) === v,
+        s"centroid value $v is not an exact micro-mean over $n members")
+    }
+    // training must actually move the seeds: at least one populated
+    // cell differs from its seed subvector
+    val seeds = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 16)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val moved = out.exists { r =>
+      r.getLong(4) > 0 && {
+        val seed = seeds(r.getLong(1))(
+          (r.getLong(0) * 16 + r.getLong(2) - 1).toInt)
+        math.abs(r.getDouble(3) - seed) > 1e-9
+      }
+    }
+    assert(moved, "4 Lloyd iterations left every centroid at its seed")
+  }
+
   test("q281 l-diversity: one stratum re-derived from raw rows; flag follows the threshold; multi-distinct plans as one Expand") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.ops.Quality.lDiversity(spark, dir)
