@@ -534,6 +534,8 @@ object SparkEntry {
     // PQ codebook training: 4 exact Lloyd iterations per subspace,
     // recursive-CTE-replayed (the q277 discipline for float state)
     "q282_pq_train"            -> ((s, d) => graft.vector.VectorOps.pqTrain(s, d)),
+    // did the retrain pay off: seed-vs-trained distortion per subspace
+    "q283_pq_train_gain"       -> ((s, d) => graft.vector.VectorOps.pqTrainGain(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3764,45 +3766,38 @@ object SparkEntry {
     // integer micro-sums — one assignment flip anywhere in any round
     // moves the sums and breaks the hash.
     "q282_pq_train" ->
-      """WITH RECURSIVE
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        |sv AS (SELECT vec_id, s.g AS sub, v[s.g*16+1 : s.g*16+16] AS svec
-        |       FROM e, generate_series(0, 3) s(g)),
-        |seed AS (SELECT sub, CAST(vec_id AS INT) cid, svec AS vals FROM sv WHERE vec_id < 16),
-        |st AS (SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': CAST(0 AS BIGINT)}) AS state FROM seed),
-        |it(iter, state) AS (
-        |  SELECT 0, (SELECT state FROM st)
-        |  UNION ALL
-        |  SELECT it.iter + 1, nxt.new_state
-        |  FROM it,
-        |  LATERAL (
-        |    WITH cents AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
-        |                   FROM unnest(it.state) u(c)),
-        |    asg AS (SELECT vec_id, sub, svec, MIN({'d': dist, 'c': cid}) AS best
-        |            FROM (SELECT sv.vec_id, sv.sub, sv.svec, c.cid,
-        |                         list_inner_product(sv.svec, sv.svec)
-        |                           - 2 * list_inner_product(sv.svec, c.vals)
-        |                           + list_inner_product(c.vals, c.vals) AS dist
-        |                  FROM sv JOIN cents c ON c.sub = sv.sub)
-        |            GROUP BY 1, 2, 3),
-        |    agg AS (SELECT sub, best.c AS cid, p.g AS pos, CAST(COUNT(*) AS BIGINT) n,
-        |                   CAST(SUM(CAST(FLOOR(svec[p.g] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) sm
-        |            FROM asg, generate_series(1, 16) p(g) GROUP BY 1, 2, 3),
-        |    nc AS (SELECT sub, cid, LIST(CAST(sm AS DOUBLE) / (n * CAST(1000000 AS DOUBLE)) ORDER BY pos) vals,
-        |                  ANY_VALUE(n) n
-        |           FROM agg GROUP BY 1, 2),
-        |    merged AS (SELECT c.sub, c.cid, COALESCE(nc.vals, c.vals) vals,
-        |                      COALESCE(nc.n, CAST(0 AS BIGINT)) n
-        |               FROM cents c LEFT JOIN nc USING (sub, cid))
-        |    SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': n}) AS new_state FROM merged
-        |  ) nxt
-        |  WHERE it.iter < 4
-        |)
-        |SELECT CAST(u.c.sub AS BIGINT) AS sub, CAST(u.c.cid AS BIGINT) AS cid,
-        |       CAST(p.g AS BIGINT) AS pos, u.c.vals[p.g] AS val, u.c.n AS n_assigned
-        |FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f,
-        |     unnest(f.state) u(c), generate_series(1, 16) p(g)
-        |ORDER BY sub, cid, pos""".stripMargin,
+      s"""WITH RECURSIVE $PqTrainCtes
+         |SELECT CAST(u.c.sub AS BIGINT) AS sub, CAST(u.c.cid AS BIGINT) AS cid,
+         |       CAST(p.g AS BIGINT) AS pos, u.c.vals[p.g] AS val, u.c.n AS n_assigned
+         |FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f,
+         |     unnest(f.state) u(c), generate_series(1, 16) p(g)
+         |ORDER BY sub, cid, pos""".stripMargin,
+    // q283: both codebooks' distortions re-derived — seed from the
+    // derivable first-c rule, trained through the full recursion —
+    // with per-term micro-rounding before the order-free sums.
+    "q283_pq_train_gain" ->
+      s"""WITH RECURSIVE $PqTrainCtes,
+         |tr AS (SELECT u.c.sub AS sub, u.c.vals AS vals
+         |       FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f,
+         |            unnest(f.state) u(c)),
+         |serr AS (SELECT sub, CAST(SUM(CAST(FLOOR(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS seed_err_micro
+         |         FROM (SELECT sv.vec_id, sv.sub,
+         |                      MIN(list_inner_product(sv.svec, sv.svec)
+         |                          - 2 * list_inner_product(sv.svec, c.vals)
+         |                          + list_inner_product(c.vals, c.vals)) AS mind
+         |               FROM sv JOIN seed c ON c.sub = sv.sub GROUP BY 1, 2)
+         |         GROUP BY sub),
+         |terr AS (SELECT sub, CAST(SUM(CAST(FLOOR(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS trained_err_micro
+         |         FROM (SELECT sv.vec_id, sv.sub,
+         |                      MIN(list_inner_product(sv.svec, sv.svec)
+         |                          - 2 * list_inner_product(sv.svec, c.vals)
+         |                          + list_inner_product(c.vals, c.vals)) AS mind
+         |               FROM sv JOIN tr c ON c.sub = sv.sub GROUP BY 1, 2)
+         |         GROUP BY sub)
+         |SELECT CAST(s.sub AS BIGINT) AS sub, s.seed_err_micro,
+         |       t.trained_err_micro,
+         |       CAST(t.trained_err_micro <= s.seed_err_micro AS BIGINT) AS improved
+         |FROM serr s JOIN terr t USING (sub) ORDER BY sub""".stripMargin,
     "q281_l_diversity" ->
       """SELECT c.c_mktsegment,
         |       CAST(c.c_nationkey AS BIGINT) AS nationkey,
@@ -4873,6 +4868,45 @@ object SparkEntry {
       |    LIMIT 1
       |  ) best
       |  WHERE m.iter < 12
+      |)""".stripMargin
+
+  /** q282/q283 shared CTE chain: subvectors → seed codebook (first-c
+    * rule) → the Lloyd loop as a recursive CTE whose single-row state
+    * is the codebook LIST; min-struct argmin assignment (lower-cid
+    * ties), integer micro-sum means, empty cells carried forward. */
+  private val PqTrainCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |sv AS (SELECT vec_id, s.g AS sub, v[s.g*16+1 : s.g*16+16] AS svec
+      |       FROM e, generate_series(0, 3) s(g)),
+      |seed AS (SELECT sub, CAST(vec_id AS INT) cid, svec AS vals FROM sv WHERE vec_id < 16),
+      |st AS (SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': CAST(0 AS BIGINT)}) AS state FROM seed),
+      |it(iter, state) AS (
+      |  SELECT 0, (SELECT state FROM st)
+      |  UNION ALL
+      |  SELECT it.iter + 1, nxt.new_state
+      |  FROM it,
+      |  LATERAL (
+      |    WITH cents AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+      |                   FROM unnest(it.state) u(c)),
+      |    asg AS (SELECT vec_id, sub, svec, MIN({'d': dist, 'c': cid}) AS best
+      |            FROM (SELECT sv.vec_id, sv.sub, sv.svec, c.cid,
+      |                         list_inner_product(sv.svec, sv.svec)
+      |                           - 2 * list_inner_product(sv.svec, c.vals)
+      |                           + list_inner_product(c.vals, c.vals) AS dist
+      |                  FROM sv JOIN cents c ON c.sub = sv.sub)
+      |            GROUP BY 1, 2, 3),
+      |    agg AS (SELECT sub, best.c AS cid, p.g AS pos, CAST(COUNT(*) AS BIGINT) n,
+      |                   CAST(SUM(CAST(FLOOR(svec[p.g] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) sm
+      |            FROM asg, generate_series(1, 16) p(g) GROUP BY 1, 2, 3),
+      |    nc AS (SELECT sub, cid, LIST(CAST(sm AS DOUBLE) / (n * CAST(1000000 AS DOUBLE)) ORDER BY pos) vals,
+      |                  ANY_VALUE(n) n
+      |           FROM agg GROUP BY 1, 2),
+      |    merged AS (SELECT c.sub, c.cid, COALESCE(nc.vals, c.vals) vals,
+      |                      COALESCE(nc.n, CAST(0 AS BIGINT)) n
+      |               FROM cents c LEFT JOIN nc USING (sub, cid))
+      |    SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': n}) AS new_state FROM merged
+      |  ) nxt
+      |  WHERE it.iter < 4
       |)""".stripMargin
 
   /** q230/q262 oracle: the exact greedy as a recursive CTE — ORDER BY/

@@ -1116,20 +1116,39 @@ object VectorOps {
   def pqTrain(spark: SparkSession, dir: String, m: Int = 4, c: Int = 16,
               iters: Int = 4): DataFrame = {
     import spark.implicits._
-    def sdot(a: Seq[Double], b: Seq[Double]): Double = {
-      var acc = 0.0d; var i = 0; val n = math.min(a.length, b.length)
-      while (i < n) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
+    val (cents, nAssigned) = pqTrainedCents(spark, dir, m, c, iters)
+    val out = for {
+      ((s, k), vals) <- cents.toSeq
+      (v, i) <- vals.zipWithIndex
+    } yield (s.toLong, k.toLong, (i + 1).toLong, v, nAssigned((s, k)))
+    out.toDF("sub", "cid", "pos", "val", "n_assigned")
+      .orderBy("sub", "cid", "pos")
+  }
+
+  private def sdot(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0d; var i = 0; val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Seed codebook: the first `c` vectors' subvectors (q111 rule). */
+  private def pqSeedCents(spark: SparkSession, dir: String, m: Int,
+                          c: Int): Map[(Int, Int), Seq[Double]] =
+    pqSubVecs(vecs(spark, dir).filter(col("vec_id") < c), "vec_id", m)
+      .select(col("vec_id").cast("int").as("cid"), col("sub"), col("sv"))
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(0)) -> r.getSeq[Double](2).toSeq)
+      .toMap
+
+  /** The training loop behind q282/q283: (trained codebook, last-round
+    * assignment counts). */
+  private def pqTrainedCents(spark: SparkSession, dir: String, m: Int,
+                             c: Int, iters: Int):
+      (Map[(Int, Int), Seq[Double]], Map[(Int, Int), Long]) = {
     val e = vecs(spark, dir)
     val sv = pqSubVecs(e, "vec_id", m).select(col("sub"), col("sv")).cache()
     try {
-      var cents: Map[(Int, Int), Seq[Double]] =
-        pqSubVecs(e.filter(col("vec_id") < c), "vec_id", m)
-          .select(col("vec_id").cast("int").as("cid"), col("sub"), col("sv"))
-          .collect()
-          .map(r => (r.getInt(1), r.getInt(0)) -> r.getSeq[Double](2).toSeq)
-          .toMap
+      var cents: Map[(Int, Int), Seq[Double]] = pqSeedCents(spark, dir, m, c)
       var nAssigned: Map[(Int, Int), Long] =
         cents.keys.map(_ -> 0L).toMap
       for (_ <- 1 to iters) {
@@ -1162,12 +1181,51 @@ object VectorOps {
           key -> byCell.get(key).fold(0L)(_.head._4)
         }
       }
-      val out = for {
-        ((s, k), vals) <- cents.toSeq
-        (v, i) <- vals.zipWithIndex
-      } yield (s.toLong, k.toLong, (i + 1).toLong, v, nAssigned((s, k)))
-      out.toDF("sub", "cid", "pos", "val", "n_assigned")
-        .orderBy("sub", "cid", "pos")
+      (cents, nAssigned)
+    } finally sv.unpersist(blocking = false)
+  }
+
+  /** q283 — did the q282 retrain PAY OFF: per subspace, the total
+    * quantization distortion (sum over vectors of the nearest-centroid
+    * squared distance, micro-rounded per term — the q231 order-free
+    * integer-sum discipline) under the SEED codebook vs the TRAINED
+    * one, plus the improvement flag. Lloyd's monotonicity guarantees
+    * trained ≤ seeded, so `improved` doubles as an executable
+    * correctness statement about the trainer — and the table is the
+    * decision artifact an index-maintenance job reads before swapping
+    * a retrained quantizer in (the q263 churn-before-swap discipline
+    * applied to codebooks).
+    *
+    * Scale: two narrow passes over the cached subvector frame (c
+    * in-row codegen dots per row per codebook) into an m-key partial
+    * agg; the codebooks are literals. */
+  def pqTrainGain(spark: SparkSession, dir: String, m: Int = 4,
+                  c: Int = 16, iters: Int = 4): DataFrame = {
+    val seed = pqSeedCents(spark, dir, m, c)
+    val (trained, _) = pqTrainedCents(spark, dir, m, c, iters)
+    val sv = pqSubVecs(vecs(spark, dir), "vec_id", m)
+      .select(col("sub"), col("sv")).cache()
+    try {
+      def errOf(cb: Map[(Int, Int), Seq[Double]], outCol: String): DataFrame =
+        (0 until m).map { s =>
+          val dists = (0 until c).map { k =>
+            val cv = cb((s, k))
+            dotC(col("sv"), col("sv")) -
+              lit(2.0d) * dotC(col("sv"), typedLit(cv)) + lit(sdot(cv, cv))
+          }
+          sv.filter(col("sub") === s)
+            .select(col("sub"), least(dists: _*).as("mind"))
+        }.reduce(_ unionByName _)
+          .select(col("sub"),
+            expr("CAST(FLOOR(mind * 1000000.0d + 0.5d) AS BIGINT)").as("em"))
+          .groupBy("sub").agg(sum(col("em")).as(outCol))
+      val out = errOf(seed, "seed_err_micro")
+        .join(errOf(trained, "trained_err_micro"), Seq("sub"))
+      out.select(col("sub").cast("long").as("sub"),
+          col("seed_err_micro"), col("trained_err_micro"),
+          (col("trained_err_micro") <= col("seed_err_micro")).cast("long")
+            .as("improved"))
+        .orderBy("sub")
     } finally sv.unpersist(blocking = false)
   }
 

@@ -131,6 +131,20 @@ class Round13Spec extends SparkSpec {
     assert(moved, "4 Lloyd iterations left every centroid at its seed")
   }
 
+  test("q283 train gain: Lloyd monotonicity holds — trained distortion <= seeded in every subspace, and strictly better somewhere") {
+    val out = graft.vector.VectorOps
+      .pqTrainGain(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        s"sub ${r.getLong(0)}: training worsened distortion " +
+          s"(${r.getLong(1)} -> ${r.getLong(2)})")
+      assert(r.getLong(3) === 1L)
+    }
+    assert(out.exists(r => r.getLong(2) < r.getLong(1)),
+      "4 iterations must strictly improve at least one subspace")
+  }
+
   test("q281 l-diversity: one stratum re-derived from raw rows; flag follows the threshold; multi-distinct plans as one Expand") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.ops.Quality.lDiversity(spark, dir)
