@@ -1140,10 +1140,24 @@ object VectorOps {
       .map(r => (r.getInt(1), r.getInt(0)) -> r.getSeq[Double](2).toSeq)
       .toMap
 
+  /** One trained PQ codebook per (session, dir, m, c, iters): q282 and
+    * q283 are two faces of the SAME training run (the q277/q278 memo
+    * discipline) and bench passes reuse it; held state is m·c·subDim
+    * doubles. */
+  private val pqMemo = new graft.SessionMemo[
+    (Map[(Int, Int), Seq[Double]], Map[(Int, Int), Long])]
+
   /** The training loop behind q282/q283: (trained codebook, last-round
     * assignment counts). */
   private def pqTrainedCents(spark: SparkSession, dir: String, m: Int,
                              c: Int, iters: Int):
+      (Map[(Int, Int), Seq[Double]], Map[(Int, Int), Long]) =
+    pqMemo.get(spark, s"pq-train/$dir/$m/$c/$iters") {
+      pqTrainLoop(spark, dir, m, c, iters)
+    }
+
+  private def pqTrainLoop(spark: SparkSession, dir: String, m: Int,
+                          c: Int, iters: Int):
       (Map[(Int, Int), Seq[Double]], Map[(Int, Int), Long]) = {
     val e = vecs(spark, dir)
     val sv = pqSubVecs(e, "vec_id", m).select(col("sub"), col("sv")).cache()
