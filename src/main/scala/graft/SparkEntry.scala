@@ -3770,7 +3770,7 @@ object SparkEntry {
          |SELECT CAST(u.c.sub AS BIGINT) AS sub, CAST(u.c.cid AS BIGINT) AS cid,
          |       CAST(p.g AS BIGINT) AS pos, u.c.vals[p.g] AS val, u.c.n AS n_assigned
          |FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f,
-         |     unnest(f.state) u(c), generate_series(1, 16) p(g)
+         |     unnest(f.state) u(c), generate_series(1, $PqSub) p(g)
          |ORDER BY sub, cid, pos""".stripMargin,
     // q283: both codebooks' distortions re-derived — seed from the
     // derivable first-c rule, trained through the full recursion —
@@ -3799,11 +3799,11 @@ object SparkEntry {
          |       CAST(t.trained_err_micro <= s.seed_err_micro AS BIGINT) AS improved
          |FROM serr s JOIN terr t USING (sub) ORDER BY sub""".stripMargin,
     "q281_l_diversity" ->
-      """SELECT c.c_mktsegment,
+      s"""SELECT c.c_mktsegment,
         |       CAST(c.c_nationkey AS BIGINT) AS nationkey,
         |       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS group_size,
         |       CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS n_sensitive,
-        |       CAST(COUNT(DISTINCT o.o_orderpriority) >= 3 AS BIGINT) AS diverse
+        |       CAST(COUNT(DISTINCT o.o_orderpriority) >= ${graft.ops.Quality.LDiversityDefault} AS BIGINT) AS diverse
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q279: the oracle replays the generator over the SAMPLED
@@ -3812,7 +3812,7 @@ object SparkEntry {
     // bug (off-by-one, disposal compositing, wrong count) breaks the
     // hash.
     "q279_gif_frames" ->
-      """WITH p AS (SELECT doc_id,
+      s"""WITH p AS (SELECT doc_id,
         |                  1 + octet_length(encode(text)) % 16 AS w,
         |                  1 + (octet_length(encode(text)) * 5) % 12 AS h,
         |                  2 + octet_length(encode(text)) % 9 AS nf
@@ -3824,7 +3824,7 @@ object SparkEntry {
         |       CAST(SUM(((doc_id * 31 + f.g * 17 + x.g * 7 + y.g * 13) % 256 + 1) % 256) AS BIGINT) AS g_sum,
         |       CAST(SUM(((doc_id * 31 + f.g * 17 + x.g * 7 + y.g * 13) % 256 + 2) % 256) AS BIGINT) AS b_sum
         |FROM p, generate_series(0, 10) f(g), generate_series(0, 15) x(g), generate_series(0, 11) y(g)
-        |WHERE f.g < nf AND f.g % 3 = 0 AND x.g < w AND y.g < h
+        |WHERE f.g < nf AND f.g % ${graft.multimodal.Multimodal.GifDefaultStride} = 0 AND x.g < w AND y.g < h
         |GROUP BY doc_id, f.g
         |ORDER BY doc_id, frame_idx""".stripMargin,
     // q280: the oracle replays the NN source-index arithmetic
@@ -4847,7 +4847,7 @@ object SparkEntry {
     * recursion ends early if the vocabulary fully collapses (LATERAL
     * joins empty), mirroring the Spark loop's break. */
   private val BpeCtes: String =
-    """tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents),
+    s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
       |w AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
       |seg AS (SELECT '  ' || array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), '  ') || '  ' AS s, freq FROM w),
       |st AS (SELECT LIST({'s': s, 'f': freq}) AS state FROM seg),
@@ -4867,18 +4867,20 @@ object SparkEntry {
       |    ORDER BY cnt DESC, a, b
       |    LIMIT 1
       |  ) best
-      |  WHERE m.iter < 12
+      |  WHERE m.iter < ${graft.text.Curation.BpeDefaultMerges}
       |)""".stripMargin
 
   /** q282/q283 shared CTE chain: subvectors → seed codebook (first-c
     * rule) → the Lloyd loop as a recursive CTE whose single-row state
     * is the codebook LIST; min-struct argmin assignment (lower-cid
     * ties), integer micro-sum means, empty cells carried forward. */
+  private val PqSub: Int = graft.vector.VectorOps.PqSubDim
+
   private val PqTrainCtes: String =
-    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-      |sv AS (SELECT vec_id, s.g AS sub, v[s.g*16+1 : s.g*16+16] AS svec
-      |       FROM e, generate_series(0, 3) s(g)),
-      |seed AS (SELECT sub, CAST(vec_id AS INT) cid, svec AS vals FROM sv WHERE vec_id < 16),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |sv AS (SELECT vec_id, s.g AS sub, v[s.g*$PqSub+1 : s.g*$PqSub+$PqSub] AS svec
+      |       FROM e, generate_series(0, ${graft.vector.VectorOps.PqM - 1}) s(g)),
+      |seed AS (SELECT sub, CAST(vec_id AS INT) cid, svec AS vals FROM sv WHERE vec_id < ${graft.vector.VectorOps.PqC}),
       |st AS (SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': CAST(0 AS BIGINT)}) AS state FROM seed),
       |it(iter, state) AS (
       |  SELECT 0, (SELECT state FROM st)
@@ -4897,7 +4899,7 @@ object SparkEntry {
       |            GROUP BY 1, 2, 3),
       |    agg AS (SELECT sub, best.c AS cid, p.g AS pos, CAST(COUNT(*) AS BIGINT) n,
       |                   CAST(SUM(CAST(FLOOR(svec[p.g] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) sm
-      |            FROM asg, generate_series(1, 16) p(g) GROUP BY 1, 2, 3),
+      |            FROM asg, generate_series(1, $PqSub) p(g) GROUP BY 1, 2, 3),
       |    nc AS (SELECT sub, cid, LIST(CAST(sm AS DOUBLE) / (n * CAST(1000000 AS DOUBLE)) ORDER BY pos) vals,
       |                  ANY_VALUE(n) n
       |           FROM agg GROUP BY 1, 2),
@@ -4906,7 +4908,7 @@ object SparkEntry {
       |               FROM cents c LEFT JOIN nc USING (sub, cid))
       |    SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': n}) AS new_state FROM merged
       |  ) nxt
-      |  WHERE it.iter < 4
+      |  WHERE it.iter < ${graft.vector.VectorOps.PqIters}
       |)""".stripMargin
 
   /** q230/q262 oracle: the exact greedy as a recursive CTE — ORDER BY/

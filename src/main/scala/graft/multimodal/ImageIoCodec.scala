@@ -205,10 +205,14 @@ object ImageIoCodec {
     * "unrecognized" when no installed reader claims the bytes
     * (`ImageIO.read` returns null — zeroed/foreign signature), or
     * "decode_error" when a reader claimed the payload but failed mid
-    * parse (truncation, stream corruption — `IOException` family, the
-    * only failure mode `javax.imageio` codecs surface for bad bytes).
-    * Coarse on purpose: exception MESSAGES are codec-version-specific,
-    * the two-way classification is stable. */
+    * parse (truncation, stream corruption). The planted fixtures only
+    * surface the `IOException` family, but `javax.imageio` readers are
+    * known to throw RuntimeExceptions (IndexOutOfBounds, NegativeArray
+    * Size, IllegalArgument) on adversarially malformed headers — the
+    * quarantine contract is "routed, never fatal", so ANY NonFatal
+    * maps to the same coarse code. Coarse on purpose: exception
+    * MESSAGES and types are codec-version-specific, the two-way
+    * classification is stable. */
   def decodeOrReason(bytes: Array[Byte]): Either[String, Decoded] = {
     headless
     try {
@@ -221,7 +225,9 @@ object ImageIoCodec {
         img.getRGB(0, 0, w, h, arr, 0, w)
         Right(Decoded(w, h, arr))
       }
-    } catch { case _: java.io.IOException => Left("decode_error") }
+    } catch {
+      case scala.util.control.NonFatal(_) => Left("decode_error")
+    }
   }
 
   private def render(w: Int, h: Int,

@@ -518,8 +518,12 @@ object Multimodal {
     *
     * Same `mapPartitions` batch shape as [[pngFeatures]]; unsampled
     * frames are never pixel-decoded. */
+  /** Default frame-sampling stride — interpolated into q279's oracle
+    * SQL (advisor r13: shared constant, not a twice-written literal). */
+  private[graft] val GifDefaultStride = 3
+
   def gifFrameSample(spark: SparkSession, dir: String,
-                     stride: Int = 3): DataFrame = {
+                     stride: Int = GifDefaultStride): DataFrame = {
     import spark.implicits._
     val params = Tables.documents(spark, dir)
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))

@@ -129,10 +129,13 @@ object Graph {
     // session and happened to make repeat calls fast via logical-plan
     // cache matching (advisor r12 — the leak is fixed below, the
     // legitimate reuse is now explicit).
-    val edges = Tables.memoCache(spark, s"khop-edges/$dir") {
+    // fingerprint-keyed (drift/gate convention): a regenerated lineitem
+    // at the same path rebuilds the edge list instead of serving stale
+    val liFp = Tables.pathFingerprint(spark, s"$dir/lineitem.parquet")
+    val edges = Tables.memoCache(spark, s"khop-edges/$dir/$liFp") {
       coPurchaseEdges(li)
     }
-    val seed = Tables.memoCache(spark, s"khop-seed/$dir") {
+    val seed = Tables.memoCache(spark, s"khop-seed/$dir/$liFp") {
       li.agg(min(col("l_partkey")).as("seed"))
     }.head().getLong(0)
     var visited = Seq((seed, 0L)).toDF("part_id", "hop")

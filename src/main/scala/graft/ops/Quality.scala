@@ -437,7 +437,12 @@ object Quality {
     * two-distinct aggregate on the bounded quasi-identifier domain —
     * Spark plans the multi-distinct as a single Expand pass (the q235
     * columnProfile shape); nothing else touches the data. */
-  def lDiversity(spark: SparkSession, dir: String, l: Long = 3L): DataFrame =
+  /** Default diversity threshold — interpolated into q281's oracle SQL
+    * (advisor r13: shared constant, not a twice-written literal). */
+  private[graft] val LDiversityDefault = 3L
+
+  def lDiversity(spark: SparkSession, dir: String,
+                 l: Long = LDiversityDefault): DataFrame =
     Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"),
         col("c_nationkey").cast("long").as("nationkey"))

@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   * (the upgrade over the reference's at-most-once, SURVEY §4). */
 object Sinks {
 
+  /** Hadoop `FileSystem.rename` signals failure by returning FALSE, not
+    * by throwing — and renaming onto an EXISTING directory moves the
+    * source INSIDE it (`dst/src__tmp`), silently corrupting a published
+    * table instead of failing the swap. Every swap step goes through
+    * this guard so a failed rename aborts the publish loudly and the
+    * crash-recovery invariant (a complete copy on disk at every
+    * instant) keeps holding. */
+  private def renameOrDie(fs: org.apache.hadoop.fs.FileSystem,
+                          src: org.apache.hadoop.fs.Path,
+                          dst: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+
   /** K1 analog: upsert-by-key into a parquet table. The batch is
     * compacted to one row per key first (last-write-wins) and merged with
     * the existing table — replaces `rdd.saveToPhoenix`
@@ -27,7 +39,7 @@ object Sinks {
     // only bak — restore it so the merge below sees all prior keys
     // (losing them would rebuild the table from one batch, breaking the
     // idempotent-upsert guarantee; flagged in round-1 review).
-    if (!fs.exists(dst) && fs.exists(bak)) fs.rename(bak, dst)
+    if (!fs.exists(dst) && fs.exists(bak)) renameOrDie(fs, bak, dst)
     val compacted = Pipelines.compactLatest(batch, keyCols, tsCol, tieCol)
     val existing =
       if (fs.exists(dst)) Some(spark.read.parquet(path)) else None
@@ -42,8 +54,8 @@ object Sinks {
     // write tmp → move dst aside to bak → move tmp in → drop bak.
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(bak, true)
-    if (fs.exists(dst)) fs.rename(dst, bak)
-    fs.rename(tmp, dst)
+    if (fs.exists(dst)) renameOrDie(fs, dst, bak)
+    renameOrDie(fs, tmp, dst)
     fs.delete(bak, true)
   }
 
@@ -64,7 +76,7 @@ object Sinks {
     val dst = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
     val bak = new org.apache.hadoop.fs.Path(path + "__bak")
-    if (!fs.exists(dst) && fs.exists(bak)) fs.rename(bak, dst)
+    if (!fs.exists(dst) && fs.exists(bak)) renameOrDie(fs, bak, dst)
     // one surviving op per key in this batch: the LATEST wins —
     // an insert→delete sequence inside one batch nets to delete
     val compacted = Pipelines.compactLatest(batch, keyCols, tsCol, tieCol)
@@ -80,8 +92,8 @@ object Sinks {
     }
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(bak, true)
-    if (fs.exists(dst)) fs.rename(dst, bak)
-    fs.rename(tmp, dst)
+    if (fs.exists(dst)) renameOrDie(fs, dst, bak)
+    renameOrDie(fs, tmp, dst)
     fs.delete(bak, true)
   }
 
@@ -112,8 +124,8 @@ object Sinks {
     corpusAssigned.write.mode(SaveMode.Overwrite)
       .parquet(tmp.toString + "/assigned")
     fs.delete(bak, true)
-    if (fs.exists(dst)) fs.rename(dst, bak)
-    fs.rename(tmp, dst)
+    if (fs.exists(dst)) renameOrDie(fs, dst, bak)
+    renameOrDie(fs, tmp, dst)
     fs.delete(bak, true)
   }
 
@@ -125,7 +137,7 @@ object Sinks {
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path + "__bak")
-    if (!fs.exists(dst) && fs.exists(bak)) fs.rename(bak, dst)
+    if (!fs.exists(dst) && fs.exists(bak)) renameOrDie(fs, bak, dst)
     val cents = spark.read.parquet(path + "/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).map(_._2).toIndexedSeq

@@ -735,7 +735,13 @@ object Curation {
     * the pair domain + a TakeOrdered(1), with the winner merged in-row
     * via codegen `replace`. k rounds ⇒ k bounded jobs (the q230/q99
     * iterative-driver pattern); the driver holds only the k winners. */
-  def bpeTrain(spark: SparkSession, dir: String, merges: Int = 12): DataFrame = {
+  /** Default merge count of the BPE training family — interpolated
+    * into the oracle CTE chain in SparkEntry so the two faces cannot
+    * desynchronize (advisor r13). */
+  private[graft] val BpeDefaultMerges = 12
+
+  def bpeTrain(spark: SparkSession, dir: String,
+               merges: Int = BpeDefaultMerges): DataFrame = {
     import spark.implicits._
     bpeArtifacts(spark, dir, merges)._1
       .toDF("merge_idx", "pair_a", "pair_b", "merged", "pair_count")
@@ -751,7 +757,7 @@ object Curation {
     * The per-source word tables join the GLOBAL final segmentation
     * (one tokenizer, per-source fertility — vocab-sized broadcast). */
   def bpeFertility(spark: SparkSession, dir: String,
-                   merges: Int = 12): DataFrame = {
+                   merges: Int = BpeDefaultMerges): DataFrame = {
     val (_, finalSeg) = bpeArtifacts(spark, dir, merges)
     val vocab = finalSeg.select(
       regexp_replace(trim(col("s")), " ", "").as("word"),
@@ -777,7 +783,10 @@ object Curation {
 
   private def bpeArtifacts(spark: SparkSession, dir: String, merges: Int):
       (Seq[(Long, String, String, String, Long)], DataFrame) =
-    bpeMemo.get(spark, s"bpe/$dir/$merges") {
+    // fingerprint-keyed (drift/gate convention): regenerated documents
+    // at the same path retrain rather than serving a stale merge table
+    bpeMemo.get(spark, s"bpe/$dir/$merges/" +
+        graft.Tables.pathFingerprint(spark, s"$dir/documents.parquet")) {
       val words = graft.Tables.documents(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism)
         .select(explode(expr(s"${graft.text.TextOps.TokensExpr}")).as("word"))

@@ -779,6 +779,16 @@ object VectorOps {
     * silently desync from the engine's. */
   private[graft] val OracleDim = 64
 
+  /** Shared defaults of the PQ training family (q282/q283/q284): the
+    * oracle SQL in SparkEntry interpolates THESE values, so changing a
+    * default here cannot silently desynchronize the Spark and DuckDB
+    * faces (advisor r13). `PqSubDim` makes the 64-dim embedding
+    * assumption explicit instead of a hard-coded 16. */
+  private[graft] val PqM = 4
+  private[graft] val PqC = 16
+  private[graft] val PqIters = 4
+  private[graft] val PqSubDim: Int = OracleDim / PqM
+
   private[graft] def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
@@ -1113,8 +1123,8 @@ object VectorOps {
     * domain) — and an m·c·subDim-row collect; the codebook lives on
     * the driver (k-sized state, the q35/q99/q266 iterative pattern).
     * The corpus is scanned once into the cached subvectors. */
-  def pqTrain(spark: SparkSession, dir: String, m: Int = 4, c: Int = 16,
-              iters: Int = 4): DataFrame = {
+  def pqTrain(spark: SparkSession, dir: String, m: Int = PqM, c: Int = PqC,
+              iters: Int = PqIters): DataFrame = {
     import spark.implicits._
     val (cents, nAssigned) = pqTrainedCents(spark, dir, m, c, iters)
     val out = for {
@@ -1152,7 +1162,11 @@ object VectorOps {
   private def pqTrainedCents(spark: SparkSession, dir: String, m: Int,
                              c: Int, iters: Int):
       (Map[(Int, Int), Seq[Double]], Map[(Int, Int), Long]) =
-    pqMemo.get(spark, s"pq-train/$dir/$m/$c/$iters") {
+    // keyed on the data fingerprint too (not just the path string), the
+    // drift/gate convention — regenerating embeddings at the same path
+    // within a session must retrain, not serve a stale codebook
+    pqMemo.get(spark, s"pq-train/$dir/$m/$c/$iters/" +
+        Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
       pqTrainLoop(spark, dir, m, c, iters)
     }
 
@@ -1213,8 +1227,8 @@ object VectorOps {
     * Scale: two narrow passes over the cached subvector frame (c
     * in-row codegen dots per row per codebook) into an m-key partial
     * agg; the codebooks are literals. */
-  def pqTrainGain(spark: SparkSession, dir: String, m: Int = 4,
-                  c: Int = 16, iters: Int = 4): DataFrame = {
+  def pqTrainGain(spark: SparkSession, dir: String, m: Int = PqM,
+                  c: Int = PqC, iters: Int = PqIters): DataFrame = {
     val seed = pqSeedCents(spark, dir, m, c)
     val (trained, _) = pqTrainedCents(spark, dir, m, c, iters)
     val sv = pqSubVecs(vecs(spark, dir), "vec_id", m)
