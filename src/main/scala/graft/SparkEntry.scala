@@ -539,6 +539,9 @@ object SparkEntry {
     // PQ-compressed ANN admission (ADC against corpus PQ codes) with
     // its full-precision exact twin + agreement flag in the same frame
     "q284_pq_admission"        -> ((s, d) => graft.vector.VectorOps.pqAdmission(s, d)),
+    // tokenizer drift: per-source OOV + fertility under the FROZEN
+    // corpus-side tokenizer vs a retrain on everything
+    "q285_bpe_drift"           -> ((s, d) => graft.text.Curation.bpeDrift(s, d)),
     // did the PQ retrain improve RETRIEVAL: ADC-ranked recall@k vs the
     // exact ranking, seeded vs trained codebook
     "q287_adc_train_gain"      -> ((s, d) => graft.vector.VectorOps.adcTrainGain(s, d)),
@@ -3766,6 +3769,50 @@ object SparkEntry {
          |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * v.n_syms) / SUM(sw.freq) + 0.5) AS BIGINT) AS bpe_fertility_micro
          |FROM sw JOIN vocab v USING (word)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q285: BOTH merge recursions replayed — the frozen tokenizer
+    // (bpeChain over the union vocabulary at corpus-side frequencies;
+    // freq-0 words ride along so their segmentation IS the merge-chain
+    // application) and the full-corpus retrain (the q277 chain, sfx 2)
+    // — then the per-source fresh-batch OOV/fertility/drift table.
+    "q285_bpe_drift" ->
+      s"""WITH RECURSIVE tokc AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+         |             FROM documents WHERE doc_id < ${graft.text.Curation.DriftSplitAt}),
+         |wc AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tokc, unnest(t) u(w) GROUP BY 1),
+         |tokf AS (SELECT source, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+         |         FROM documents WHERE doc_id >= ${graft.text.Curation.DriftSplitAt}),
+         |wf AS (SELECT source, u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tokf, unnest(t) u(w) GROUP BY 1, 2),
+         |w AS (SELECT au.word, CAST(COALESCE(wc.freq, 0) AS BIGINT) AS freq
+         |      FROM (SELECT DISTINCT word FROM (SELECT word FROM wc UNION ALL SELECT word FROM wf)) au
+         |      LEFT JOIN wc USING (word)),
+         |${bpeChain("w", "")},
+         |finalA AS (SELECT u.w.s AS s, u.w.f AS f
+         |           FROM (SELECT state FROM m ORDER BY iter DESC LIMIT 1) fs, unnest(fs.state) u(w)),
+         |va AS (SELECT replace(trim(s), ' ', '') AS word,
+         |              CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_syms_a,
+         |              CAST(CASE WHEN f = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_oov
+         |       FROM finalA),
+         |tok2 AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
+         |w2 AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok2, unnest(t) u(w) GROUP BY 1),
+         |${bpeChain("w2", "2")},
+         |finalB AS (SELECT u.w.s AS s
+         |           FROM (SELECT state FROM m2 ORDER BY iter DESC LIMIT 1) fs, unnest(fs.state) u(w)),
+         |vb AS (SELECT replace(trim(s), ' ', '') AS word,
+         |              CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_syms_b
+         |       FROM finalB),
+         |agg AS (SELECT wf.source,
+         |               CAST(SUM(wf.freq) AS BIGINT) AS n_tokens,
+         |               CAST(SUM(wf.freq * va.is_oov) AS BIGINT) AS n_oov,
+         |               CAST(SUM(wf.freq * va.n_syms_a) AS BIGINT) AS syms_frozen,
+         |               CAST(SUM(wf.freq * vb.n_syms_b) AS BIGINT) AS syms_retrained
+         |        FROM wf JOIN va USING (word) JOIN vb USING (word)
+         |        GROUP BY 1)
+         |SELECT source, n_tokens, n_oov,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * n_oov / n_tokens + 0.5) AS BIGINT) AS oov_micro,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * syms_frozen / n_tokens + 0.5) AS BIGINT) AS frozen_fertility_micro,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * syms_retrained / n_tokens + 0.5) AS BIGINT) AS retrained_fertility_micro,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * syms_frozen / n_tokens + 0.5) AS BIGINT)
+         |         - CAST(FLOOR(CAST(1000000 AS DOUBLE) * syms_retrained / n_tokens + 0.5) AS BIGINT) AS drift_micro
+         |FROM agg ORDER BY source""".stripMargin,
     // q282: the recursive CTE's single-row state is the CODEBOOK; each
     // iteration re-assigns every (vector, subspace) with the min-struct
     // argmin (ties to the lower cid) and rebuilds centroids from
@@ -4979,29 +5026,40 @@ object SparkEntry {
     * counts per iteration and steps the (count desc, pair asc) argmax;
     * recursion ends early if the vocabulary fully collapses (LATERAL
     * joins empty), mirroring the Spark loop's break. */
-  private val BpeCtes: String =
-    s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
-      |w AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
-      |seg AS (SELECT '  ' || array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), '  ') || '  ' AS s, freq FROM w),
-      |st AS (SELECT LIST({'s': s, 'f': freq}) AS state FROM seg),
-      |m(iter, a, b, cnt, state) AS (
-      |  SELECT 0, '', '', CAST(0 AS BIGINT), (SELECT state FROM st)
+  /** The BPE merge-loop chain over any (word, freq) CTE `words`,
+    * emitting seg$sfx/st$sfx/m$sfx — shared by the full-corpus training
+    * (q277/q278, sfx = "") and the q285 drift audit, which runs the
+    * chain TWICE (frozen = union vocabulary at corpus frequencies,
+    * retrained = full corpus). HAVING SUM(f) >= 1 mirrors the engine's
+    * cnt >= 1 stop guard: freq-0 (fresh-only) words must never win a
+    * merge. */
+  private def bpeChain(words: String, sfx: String): String =
+    s"""seg$sfx AS (SELECT '  ' || array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), '  ') || '  ' AS s, freq FROM $words),
+      |st$sfx AS (SELECT LIST({'s': s, 'f': freq}) AS state FROM seg$sfx),
+      |m$sfx(iter, a, b, cnt, state) AS (
+      |  SELECT 0, '', '', CAST(0 AS BIGINT), (SELECT state FROM st$sfx)
       |  UNION ALL
-      |  SELECT m.iter + 1, best.a, best.b, best.cnt,
-      |    list_transform(m.state, w -> {'s': replace(w.s, ' ' || best.a || '  ' || best.b || ' ', ' ' || best.a || best.b || ' '), 'f': w.f})
-      |  FROM m,
+      |  SELECT m$sfx.iter + 1, best.a, best.b, best.cnt,
+      |    list_transform(m$sfx.state, w -> {'s': replace(w.s, ' ' || best.a || '  ' || best.b || ' ', ' ' || best.a || best.b || ' '), 'f': w.f})
+      |  FROM m$sfx,
       |  LATERAL (
       |    SELECT p.pa AS a, p.pb AS b, CAST(SUM(p.f) AS BIGINT) AS cnt
-      |    FROM (SELECT unnest(flatten(list_transform(m.state, w ->
+      |    FROM (SELECT unnest(flatten(list_transform(m$sfx.state, w ->
       |            list_transform([string_split(trim(w.s), '  ')], arr ->
       |              list_transform(generate_series(1, len(arr) - 1),
       |                j -> {'pa': arr[j], 'pb': arr[j+1], 'f': w.f}))[1]))) AS p)
       |    GROUP BY 1, 2
+      |    HAVING SUM(p.f) >= 1
       |    ORDER BY cnt DESC, a, b
       |    LIMIT 1
       |  ) best
-      |  WHERE m.iter < ${graft.text.Curation.BpeDefaultMerges}
+      |  WHERE m$sfx.iter < ${graft.text.Curation.BpeDefaultMerges}
       |)""".stripMargin
+
+  private val BpeCtes: String =
+    s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
+      |w AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
+      |""".stripMargin + bpeChain("w", "")
 
   /** q282/q283 shared CTE chain: subvectors → seed codebook (first-c
     * rule) → the Lloyd loop as a recursive CTE whose single-row state

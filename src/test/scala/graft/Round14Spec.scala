@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 pins: the q285 tokenizer-drift mechanics (zero-frequency
+  * invariance + planted vocabulary-shift batch) and the q284 PQ
+  * encode/reconstruction kernels. */
+class Round14Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("q285 zero-frequency invariance: union-vocab training picks EXACTLY the corpus-only merge sequence and stops where it stops") {
+    // corpus {abab:3, abx:2} trains ab -> abab -> abx then exhausts (3
+    // merges). The union adds fresh-only words at freq 0: their pairs
+    // (q,z)/(ab,q) must never win — without the cnt >= 1 stop guard the
+    // loop would keep merging zero-count pairs after exhaustion and the
+    // "frozen" tokenizer would diverge from corpus-only training.
+    val corpus = Seq(("abab", 3L), ("abx", 2L)).toDF("word", "freq")
+    val union = corpus.unionByName(
+      Seq(("qz", 0L), ("abq", 0L)).toDF("word", "freq"))
+    val (mCorpus, _) = graft.text.Curation.bpeTrainCore(spark, corpus, 10)
+    val (mUnion, segU) = graft.text.Curation.bpeTrainCore(spark, union, 10)
+    assert(mCorpus === Seq(
+      (1L, "a", "b", "ab", 8L),
+      (2L, "ab", "ab", "abab", 3L),
+      (3L, "ab", "x", "abx", 2L)))
+    assert(mUnion === mCorpus,
+      "freq-0 words changed the frozen merge sequence")
+    // the freq-0 words' final states ARE the frozen tokenizer applied
+    // to unseen words: abq picked up the trained ab merge, qz did not
+    val segs = segU.select(
+      regexp_replace(trim(col("s")), " ", "").as("word"),
+      size(split(trim(col("s")), "  ")).cast("long").as("n"),
+      col("freq")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(segs === Map(
+      "abab" -> (1L, 3L), "abx" -> (1L, 2L),
+      "qz" -> (2L, 0L), "abq" -> (2L, 0L)))
+  }
+
+  test("q285 planted vocabulary-shift batch: OOV bucketed, frozen fertility pays the drift a retrain recovers") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bpedrift").toString
+    Seq(
+      (1L, "corpus", "en", "aba aba caca"),   // corpus side (doc_id < 250)
+      (300L, "f1", "en", "aba zzz"))          // fresh batch with unseen zzz
+      .toDF("doc_id", "source", "lang", "text")
+      .write.parquet(s"$base/documents.parquet")
+    val out = graft.text.Curation.bpeDrift(spark, base).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "f1")
+    assert(r.getLong(1) === 2L, "n_tokens")
+    assert(r.getLong(2) === 1L, "zzz is OOV under the corpus vocabulary")
+    assert(r.getLong(3) === 500000L, "oov_micro")
+    // frozen (corpus-trained) merges collapse aba but have never seen
+    // z: zzz stays 3 chars -> (1 + 3) / 2 = 2.0 symbols/token. The
+    // retrain learns zz -> zzz and reaches 1.0 — the drift table is
+    // exactly the retrain payoff.
+    assert(r.getLong(4) === 2000000L, "frozen_fertility_micro")
+    assert(r.getLong(5) === 1000000L, "retrained_fertility_micro")
+    assert(r.getLong(6) === 1000000L, "drift_micro")
+  }
+
+  test("pqCodesCol/pqReconCol: hand-worked encode, lower-cid ties, exact reconstruction") {
+    val cb = Map(
+      (0, 0) -> Seq(1.0, 0.0), (0, 1) -> Seq(0.0, 1.0),
+      // sub 1 entries are identical: the argmin is a pure tie and must
+      // go to the LOWER cid (the q282 assignment discipline)
+      (1, 0) -> Seq(2.0, 2.0), (1, 1) -> Seq(2.0, 2.0))
+    val row = Seq((1L, Seq(0.9, 0.1, 3.0, 3.0))).toDF("vec_id", "v")
+      .withColumn("codes", graft.vector.VectorOps.pqCodesCol("v", cb, 2, 2))
+      .withColumn("recon", graft.vector.VectorOps.pqReconCol("codes", cb, 2, 2))
+      .head()
+    assert(row.getSeq[Int](2) === Seq(0, 0))
+    assert(row.getSeq[Double](3) === Seq(1.0, 0.0, 2.0, 2.0))
+  }
+
+  test("q284 exact twin equals q261's verdict column-for-column (same probed cells, same threshold)") {
+    val dir = "/root/testdata/sf0.001"
+    val pq = graft.vector.VectorOps.pqAdmission(spark, dir)
+      .select(col("vec_id"), col("n_cand"),
+        col("exact_best_cos_micro"), col("exact_admit")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3))).toSeq
+    val ex = graft.vector.VectorOps.annAdmission(spark, dir)
+      .select(col("vec_id"), col("n_cand"),
+        col("best_cos_micro"), col("admit")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3))).toSeq
+    assert(pq === ex,
+      "the twin riding in q284 must be q261's exact gate, not a variant")
+  }
+}
