@@ -542,6 +542,9 @@ object SparkEntry {
     // tokenizer drift: per-source OOV + fertility under the FROZEN
     // corpus-side tokenizer vs a retrain on everything
     "q285_bpe_drift"           -> ((s, d) => graft.text.Curation.bpeDrift(s, d)),
+    // t-closeness: per-stratum EMD of the sensitive-value distribution
+    // vs the global mix (the third classical privacy gate)
+    "q286_t_closeness"         -> ((s, d) => graft.ops.Quality.tCloseness(s, d)),
     // did the PQ retrain improve RETRIEVAL: ADC-ranked recall@k vs the
     // exact ranking, seeded vs trained codebook
     "q287_adc_train_gain"      -> ((s, d) => graft.vector.VectorOps.adcTrainGain(s, d)),
@@ -3986,6 +3989,43 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT o.o_orderpriority) >= ${graft.ops.Quality.LDiversityDefault} AS BIGINT) AS diverse
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q286: micro-rounded stratum/global priority distributions, the
+    // integer window cumsum in priority order, EMD = mean |cumsum|.
+    "q286_t_closeness" ->
+      s"""WITH fact AS (SELECT c.c_mktsegment, CAST(c.c_nationkey AS BIGINT) AS nationkey,
+         |                     c.c_custkey, o.o_orderpriority
+         |              FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+         |pcp AS (SELECT c_mktsegment, nationkey, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM fact GROUP BY 1, 2, 3),
+         |cs AS (SELECT c_mktsegment, nationkey,
+         |              CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS group_size,
+         |              CAST(COUNT(*) AS BIGINT) AS n_orders
+         |       FROM fact GROUP BY 1, 2),
+         |gp AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS g FROM fact GROUP BY 1),
+         |gt AS (SELECT CAST(COUNT(*) AS BIGINT) AS gt FROM fact),
+         |q AS (SELECT o_orderpriority,
+         |             CAST(FLOOR(1000000.0 * g / gt + 0.5) AS BIGINT) AS q_micro
+         |      FROM gp, gt),
+         |np AS (SELECT COUNT(*) AS m FROM gp),
+         |dense AS (SELECT cs.c_mktsegment, cs.nationkey, cs.group_size, cs.n_orders,
+         |                 q.o_orderpriority, q.q_micro,
+         |                 CAST(FLOOR(1000000.0 * COALESCE(pcp.n, 0) / cs.n_orders + 0.5) AS BIGINT) AS p_micro
+         |          FROM cs CROSS JOIN q
+         |          LEFT JOIN pcp ON pcp.c_mktsegment = cs.c_mktsegment
+         |                       AND pcp.nationkey = cs.nationkey
+         |                       AND pcp.o_orderpriority = q.o_orderpriority),
+         |r AS (SELECT *, SUM(p_micro - q_micro) OVER (
+         |        PARTITION BY c_mktsegment, nationkey ORDER BY o_orderpriority
+         |        ROWS UNBOUNDED PRECEDING) AS r
+         |      FROM dense),
+         |agg AS (SELECT c_mktsegment, nationkey, MAX(group_size) AS group_size,
+         |               MAX(n_orders) AS n_orders, CAST(SUM(ABS(r)) AS BIGINT) AS sum_abs_r
+         |        FROM r GROUP BY 1, 2)
+         |SELECT c_mktsegment, nationkey, group_size, n_orders,
+         |       CAST(FLOOR(1.0 * sum_abs_r / (SELECT m - 1 FROM np) + 0.5) AS BIGINT) AS emd_micro,
+         |       CAST(CAST(FLOOR(1.0 * sum_abs_r / (SELECT m - 1 FROM np) + 0.5) AS BIGINT)
+         |              <= ${graft.ops.Quality.TClosenessMicro} AS BIGINT) AS close
+         |FROM agg ORDER BY 1, 2""".stripMargin,
     // q279: the oracle replays the generator over the SAMPLED
     // (frame, x, y) lattice — the Spark side reads the same numbers
     // through the animated-GIF LZW frame sequence, so a frame-indexing

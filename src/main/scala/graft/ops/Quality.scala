@@ -457,6 +457,81 @@ object Quality {
         (col("n_sensitive") >= l).cast("long").as("diverse"))
       .orderBy("c_mktsegment", "nationkey")
 
+  /** t-closeness threshold (q286), micro — interpolated into the
+    * oracle SQL (the shared-constant discipline). */
+  private[graft] val TClosenessMicro = 200000L
+
+  /** q286 — t-CLOSENESS over the q281 strata: the third classical
+    * privacy gate. k-anonymity bounds re-identification, l-diversity
+    * bounds attribute disclosure by COUNT of sensitive values; this
+    * bounds it by DISTRIBUTION — a stratum whose order-priority mix
+    * diverges from the global mix leaks the attribute even with l
+    * distinct values present. Per (mktsegment, nationkey) equivalence
+    * class: member/order counts and the Earth-Mover's Distance between
+    * the stratum's and the global sensitive-value distribution, with
+    * the pass flag at `tMicro`.
+    *
+    * EMD on an ORDINAL attribute (priorities order lexicographically =
+    * numerically: 1-URGENT..5-LOW) is the mean |cumulative difference|:
+    * EMD = Σ_i |Σ_{j<=i} (P_j − Q_j)| / (m−1). Determinism: P and Q are
+    * micro-rounded FIRST, the cumulative sums run over exact integers
+    * in priority order, and only the final mean divides — both engines
+    * walk identical integers (the q231 discipline applied to a window
+    * cumsum).
+    *
+    * Scale: one fact-sized keyed join (shared shape with q281), a
+    * partial agg on the bounded (class × priority) domain, a 5-row
+    * window cumsum per class, and a broadcast 5-row global
+    * distribution. */
+  def tCloseness(spark: SparkSession, dir: String,
+                 tMicro: Long = TClosenessMicro): DataFrame = {
+    val fact = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey").cast("long").as("nationkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_custkey").as("c_custkey"), col("o_orderpriority")),
+        Seq("c_custkey"))
+    val perClassPri = fact
+      .groupBy(col("c_mktsegment"), col("nationkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val classStats = fact.groupBy(col("c_mktsegment"), col("nationkey"))
+      .agg(countDistinct(col("c_custkey")).as("group_size"),
+        count(lit(1)).as("n_orders"))
+    val globalPri = fact.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("g"))
+    val globalTot = fact.agg(count(lit(1)).as("gt"))
+    val q = globalPri.crossJoin(broadcast(globalTot))
+      .select(col("o_orderpriority"),
+        expr("CAST(FLOOR(1000000.0d * g / gt + 0.5d) AS BIGINT)").as("q_micro"))
+    val nPri = globalPri.count()
+    // dense (class x priority) grid: absent combinations are P_i = 0,
+    // which still pull EMD mass — they cannot be dropped
+    val dense = classStats
+      .crossJoin(broadcast(q))
+      .join(perClassPri,
+        Seq("c_mktsegment", "nationkey", "o_orderpriority"), "left_outer")
+      .select(col("c_mktsegment"), col("nationkey"), col("group_size"),
+        col("n_orders"), col("o_orderpriority"), col("q_micro"),
+        expr("CAST(FLOOR(1000000.0d * COALESCE(n, 0L) / n_orders + 0.5d) AS BIGINT)")
+          .as("p_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment", "nationkey")
+      .orderBy("o_orderpriority")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    dense
+      .withColumn("r", sum(col("p_micro") - col("q_micro")).over(w))
+      .groupBy(col("c_mktsegment"), col("nationkey"))
+      .agg(max(col("group_size")).as("group_size"),
+        max(col("n_orders")).as("n_orders"),
+        sum(abs(col("r"))).as("sum_abs_r"))
+      .select(col("c_mktsegment"), col("nationkey"), col("group_size"),
+        col("n_orders"),
+        expr(s"CAST(FLOOR(1.0d * sum_abs_r / ${nPri - 1} + 0.5d) AS BIGINT)")
+          .as("emd_micro"))
+      .withColumn("close", (col("emd_micro") <= lit(tMicro)).cast("long"))
+      .orderBy("c_mktsegment", "nationkey")
+  }
+
   /** Benford expected first-digit shares in ppm — log10(1 + 1/d)
     * hardcoded as integer literals so BOTH engines carry identical
     * constants (no libm transcendentals anywhere near the oracle

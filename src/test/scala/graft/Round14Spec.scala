@@ -74,6 +74,28 @@ class Round14Spec extends SparkSpec {
     assert(row.getSeq[Double](3) === Seq(1.0, 0.0, 2.0, 2.0))
   }
 
+  test("q286 t-closeness: hand-worked EMD — the balanced stratum passes t, the concentrated one pays the cumsum mass") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tclose").toString
+    Seq((1L, "SEG1", 0), (2L, "SEG1", 1))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey")
+      .write.parquet(s"$base/customer.parquet")
+    Seq((1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("o_custkey", "o_orderpriority")
+      .write.parquet(s"$base/orders.parquet")
+    // global: a 4/6 -> 666667 micro, b 2/6 -> 333333.
+    // Stratum (SEG1,0) is all-a: cumsums 333333 then 0 -> EMD 333333,
+    // over t=200000 -> fails. Stratum (SEG1,1) is 50/50: cumsums
+    // -166667 then 0 -> EMD 166667 -> passes. (m-1 = 1, so EMD is the
+    // plain |cumsum| sum here.)
+    val got = graft.ops.Quality.tCloseness(spark, base).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      ("SEG1", 0L, 1L, 2L, 333333L, 0L),
+      ("SEG1", 1L, 1L, 4L, 166667L, 1L)))
+  }
+
   test("q284 exact twin equals q261's verdict column-for-column (same probed cells, same threshold)") {
     val dir = "/root/testdata/sf0.001"
     val pq = graft.vector.VectorOps.pqAdmission(spark, dir)
