@@ -149,6 +149,23 @@ object StreamDemo {
       .writeStream.format("memory").queryName("demo_vecgate")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
 
+    // 8b. PQ-COMPRESSED embedding-store ingest — the same admission
+    //    decision with the corpus state the gate holds at 100 TB: PQ
+    //    codes + broadcast codebook (q284's batch face hash-verifies
+    //    the arithmetic; the index+codebook pair swaps atomically via
+    //    Sinks.publishPqIvfIndex).
+    val (pqCents, pqCb, pqCodes) =
+      graft.vector.VectorOps.frozenPqIvfIndex(spark, sfDir)
+    pqCodes.cache()
+    val qVecGateAdc = graft.streaming.TrainingPipeline.annGateAdc(
+        spark.readStream.schema(eSchema).parquet(vecsDir)
+          .filter(col("vec_id") >= 250L)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            expr("transform(embedding, x -> cast(x as double))").as("v")),
+        pqCents, pqCb, pqCodes)
+      .writeStream.format("memory").queryName("demo_vecgate_adc")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+
     // 9. Payload-store ingest — the decode-or-quarantine gate over real
     //    PNG bytes with planted corruption (q275's batch face is the
     //    identical code path; corrupt payloads route, never kill).
@@ -161,8 +178,8 @@ object StreamDemo {
       .writeStream.format("memory").queryName("demo_decode")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
 
-    Seq(qDau, qAlerts, qGmv, qJoin, qDim, qCorpus, qFunnel, qVecGate, qDecode)
-      .foreach(_.awaitTermination())
+    Seq(qDau, qAlerts, qGmv, qJoin, qDim, qCorpus, qFunnel, qVecGate,
+      qVecGateAdc, qDecode).foreach(_.awaitTermination())
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
@@ -178,10 +195,11 @@ object StreamDemo {
     println(s"[stream-demo] funnel users (stateful): ${spark.table("demo_funnel").select("user_id").distinct().count()}")
     val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     println(s"[stream-demo] vector-gate admitted (fresh half vs frozen IVF): ${spark.table("demo_vecgate").count()}")
+    println(s"[stream-demo] vector-gate ADC admitted (fresh half vs PQ codes): ${spark.table("demo_vecgate_adc").count()}")
     val decodeOut = spark.table("demo_decode")
     println(s"[stream-demo] payload gate: decoded ${decodeOut.filter(col("status") === "decoded").count()}, " +
       s"quarantined ${decodeOut.filter(col("status") === "quarantined").count()}")
-    println(f"[stream-demo] 9 concurrent pipelines, ${nEvents + nOrders + nItems + 2 * nDocs + nVecs}%,d input rows in $wallSec%.1f s")
+    println(f"[stream-demo] 10 concurrent pipelines, ${nEvents + nOrders + nItems + 2 * nDocs + 2 * nVecs}%,d input rows in $wallSec%.1f s")
 
     spark.stop()
   }
