@@ -548,6 +548,12 @@ object SparkEntry {
     // did the PQ retrain improve RETRIEVAL: ADC-ranked recall@k vs the
     // exact ranking, seeded vs trained codebook
     "q287_adc_train_gain"      -> ((s, d) => graft.vector.VectorOps.adcTrainGain(s, d)),
+    // codebook drift: fresh-batch distortion under the FROZEN
+    // corpus-trained codebook vs a retrain ("when do I retrain")
+    "q288_pq_drift"            -> ((s, d) => graft.vector.VectorOps.pqDrift(s, d)),
+    // the full IVFADC retrieval: coarse-cell pruning x ADC ranking
+    // over PQ codes, top-k per query
+    "q289_ivfadc_topk"         -> ((s, d) => graft.vector.VectorOps.ivfAdcTopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3981,6 +3987,99 @@ object SparkEntry {
          |       CAST(FLOOR(1000000.0 * COALESCE(ot.n, 0) / ${graft.vector.VectorOps.AdcGainK} + 0.5) AS BIGINT) AS recall_trained_micro
          |FROM queries q LEFT JOIN os USING (query_id) LEFT JOIN ot USING (query_id)
          |ORDER BY q.query_id""".stripMargin,
+    // q288: BOTH Lloyd recursions replayed at the GATE's codebook shape
+    // (frozen = corpus-side chain, retrained = full-table chain, sfx 2),
+    // then the fresh batch's per-subspace distortion under each.
+    "q288_pq_drift" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |corp AS (SELECT * FROM e WHERE vec_id < ${graft.vector.VectorOps.GateSplitAt}),
+         |${pqTrainChain("corp", m = graft.vector.VectorOps.GatePqM,
+                  c = graft.vector.VectorOps.GatePqC,
+                  iters = graft.vector.VectorOps.GatePqIters)},
+         |tr AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+         |       FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f,
+         |            unnest(f.state) u(c)),
+         |${pqTrainChain("e", m = graft.vector.VectorOps.GatePqM,
+                  c = graft.vector.VectorOps.GatePqC,
+                  iters = graft.vector.VectorOps.GatePqIters, sfx = "2")},
+         |tr2 AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+         |        FROM (SELECT state FROM it2 ORDER BY iter DESC LIMIT 1) f,
+         |             unnest(f.state) u(c)),
+         |fsv AS (SELECT * FROM sv2 WHERE vec_id >= ${graft.vector.VectorOps.GateSplitAt}),
+         |fe AS (SELECT sub, CAST(SUM(CAST(FLOOR(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS frozen_err_micro
+         |       FROM (SELECT fsv.vec_id, fsv.sub,
+         |                    MIN(list_inner_product(fsv.svec, fsv.svec)
+         |                        - 2 * list_inner_product(fsv.svec, t.vals)
+         |                        + list_inner_product(t.vals, t.vals)) AS mind
+         |             FROM fsv JOIN tr t ON t.sub = fsv.sub GROUP BY 1, 2)
+         |       GROUP BY sub),
+         |re AS (SELECT sub, CAST(SUM(CAST(FLOOR(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS retrained_err_micro
+         |       FROM (SELECT fsv.vec_id, fsv.sub,
+         |                    MIN(list_inner_product(fsv.svec, fsv.svec)
+         |                        - 2 * list_inner_product(fsv.svec, t.vals)
+         |                        + list_inner_product(t.vals, t.vals)) AS mind
+         |             FROM fsv JOIN tr2 t ON t.sub = fsv.sub GROUP BY 1, 2)
+         |       GROUP BY sub)
+         |SELECT CAST(f.sub AS BIGINT) AS sub, f.frozen_err_micro, re.retrained_err_micro,
+         |       f.frozen_err_micro - re.retrained_err_micro AS retrain_gain_micro,
+         |       CAST(re.retrained_err_micro <= f.frozen_err_micro AS BIGINT) AS improved
+         |FROM fe f JOIN re USING (sub) ORDER BY sub""".stripMargin,
+    // q289: the q284 index CTEs (quantizer + corpus-side training +
+    // codes + reconstruction), queries = first fresh vectors, ADC
+    // distances micro-rounded before the per-query ranking.
+    "q289_ivfadc_topk" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corp AS (SELECT * FROM e WHERE vec_id < ${graft.vector.VectorOps.GateSplitAt}),
+         |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM corp WHERE vec_id < 16),
+         |a1 AS (SELECT c.vec_id,
+         |              MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, i.cv) + list_inner_product(i.cv, i.cv),
+         |                   'c': i.cell}) AS best
+         |       FROM corp c, init i GROUP BY 1),
+         |u AS (SELECT a1.best.c AS cell,
+         |             unnest(generate_series(1, len(c.v))) - 1 AS dim,
+         |             unnest(c.v) AS x
+         |      FROM corp c JOIN a1 USING (vec_id)),
+         |g AS (SELECT cell, dim, COUNT(*) AS n,
+         |             SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
+         |      FROM u GROUP BY 1, 2),
+         |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
+         |         FROM g GROUP BY 1),
+         |ca AS (SELECT c.vec_id AS corpus_id, c.v AS cv,
+         |              (MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, cc.cv) + list_inner_product(cc.cv, cc.cv),
+         |                    'c': cc.cell})).c AS cell
+         |       FROM corp c, cent cc GROUP BY 1, 2),
+         |${pqTrainChain("corp", m = graft.vector.VectorOps.GatePqM,
+                  c = graft.vector.VectorOps.GatePqC,
+                  iters = graft.vector.VectorOps.GatePqIters)},
+         |tr AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+         |       FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f,
+         |            unnest(f.state) u(c)),
+         |asgc AS (SELECT sv.vec_id, sv.sub,
+         |                (MIN({'d': list_inner_product(sv.svec, sv.svec) - 2 * list_inner_product(sv.svec, t.vals) + list_inner_product(t.vals, t.vals),
+         |                      'c': t.cid})).c AS cid
+         |         FROM sv JOIN tr t ON t.sub = sv.sub GROUP BY 1, 2),
+         |recon AS (SELECT a.vec_id AS corpus_id, flatten(list(t.vals ORDER BY a.sub)) AS rv
+         |          FROM asgc a JOIN tr t ON t.sub = a.sub AND t.cid = a.cid GROUP BY 1),
+         |queries AS (SELECT vec_id AS query_id, v FROM e
+         |            WHERE vec_id >= ${graft.vector.VectorOps.GateSplitAt}
+         |              AND vec_id < ${graft.vector.VectorOps.GateSplitAt + graft.vector.VectorOps.AdcGainQueries}),
+         |pd AS (SELECT q.query_id, cc.cell,
+         |              list_inner_product(q.v, q.v) - 2.0 * list_inner_product(q.v, cc.cv) + list_inner_product(cc.cv, cc.cv) AS d
+         |       FROM queries q, cent cc),
+         |pr AS (SELECT query_id, cell FROM
+         |         (SELECT query_id, cell, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cell) AS rk FROM pd)
+         |       WHERE rk <= ${graft.vector.VectorOps.GateNProbe}),
+         |cand AS (SELECT q.query_id, ca.corpus_id,
+         |                CAST(FLOOR(1000000.0 * (list_inner_product(r.rv, r.rv)
+         |                  - 2.0 * list_inner_product(q.v, r.rv)
+         |                  + list_inner_product(q.v, q.v)) + 0.5) AS BIGINT) AS dm
+         |         FROM queries q JOIN pr USING (query_id)
+         |              JOIN ca ON ca.cell = pr.cell
+         |              JOIN recon r ON r.corpus_id = ca.corpus_id)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rank, corpus_id, dm AS adc_dist_micro
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dm, corpus_id) AS rk FROM cand)
+         |WHERE rk <= ${graft.vector.VectorOps.AdcGainK}
+         |ORDER BY query_id, rank""".stripMargin,
     "q281_l_diversity" ->
       s"""SELECT c.c_mktsegment,
         |       CAST(c.c_nationkey AS BIGINT) AS nationkey,
@@ -5113,26 +5212,27 @@ object SparkEntry {
   private def pqTrainChain(src: String,
                            m: Int = graft.vector.VectorOps.PqM,
                            c: Int = graft.vector.VectorOps.PqC,
-                           iters: Int = graft.vector.VectorOps.PqIters): String = {
+                           iters: Int = graft.vector.VectorOps.PqIters,
+                           sfx: String = ""): String = {
     val sub = graft.vector.VectorOps.OracleDim / m
-    s"""sv AS (SELECT vec_id, s.g AS sub, v[s.g*$sub+1 : s.g*$sub+$sub] AS svec
+    s"""sv$sfx AS (SELECT vec_id, s.g AS sub, v[s.g*$sub+1 : s.g*$sub+$sub] AS svec
       |       FROM $src, generate_series(0, ${m - 1}) s(g)),
-      |seed AS (SELECT sub, CAST(vec_id AS INT) cid, svec AS vals FROM sv WHERE vec_id < $c),
-      |st AS (SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': CAST(0 AS BIGINT)}) AS state FROM seed),
-      |it(iter, state) AS (
-      |  SELECT 0, (SELECT state FROM st)
+      |seed$sfx AS (SELECT sub, CAST(vec_id AS INT) cid, svec AS vals FROM sv$sfx WHERE vec_id < $c),
+      |st$sfx AS (SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': CAST(0 AS BIGINT)}) AS state FROM seed$sfx),
+      |it$sfx(iter, state) AS (
+      |  SELECT 0, (SELECT state FROM st$sfx)
       |  UNION ALL
-      |  SELECT it.iter + 1, nxt.new_state
-      |  FROM it,
+      |  SELECT it$sfx.iter + 1, nxt.new_state
+      |  FROM it$sfx,
       |  LATERAL (
       |    WITH cents AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
-      |                   FROM unnest(it.state) u(c)),
+      |                   FROM unnest(it$sfx.state) u(c)),
       |    asg AS (SELECT vec_id, sub, svec, MIN({'d': dist, 'c': cid}) AS best
-      |            FROM (SELECT sv.vec_id, sv.sub, sv.svec, c.cid,
-      |                         list_inner_product(sv.svec, sv.svec)
-      |                           - 2 * list_inner_product(sv.svec, c.vals)
+      |            FROM (SELECT sv$sfx.vec_id, sv$sfx.sub, sv$sfx.svec, c.cid,
+      |                         list_inner_product(sv$sfx.svec, sv$sfx.svec)
+      |                           - 2 * list_inner_product(sv$sfx.svec, c.vals)
       |                           + list_inner_product(c.vals, c.vals) AS dist
-      |                  FROM sv JOIN cents c ON c.sub = sv.sub)
+      |                  FROM sv$sfx JOIN cents c ON c.sub = sv$sfx.sub)
       |            GROUP BY 1, 2, 3),
       |    agg AS (SELECT sub, best.c AS cid, p.g AS pos, CAST(COUNT(*) AS BIGINT) n,
       |                   CAST(SUM(CAST(FLOOR(svec[p.g] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) sm
@@ -5145,7 +5245,7 @@ object SparkEntry {
       |               FROM cents c LEFT JOIN nc USING (sub, cid))
       |    SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': n}) AS new_state FROM merged
       |  ) nxt
-      |  WHERE it.iter < $iters
+      |  WHERE it$sfx.iter < $iters
       |)""".stripMargin
   }
 

@@ -1525,6 +1525,103 @@ object VectorOps {
       .orderBy("query_id")
   }
 
+  /** q288 — PQ codebook DRIFT audit: "when do I retrain the codebook",
+    * the q285 tokenizer-drift question asked of the q284 gate's
+    * quantizer. Per subspace, the FRESH batch's total quantization
+    * distortion (micro-rounded per term, integer-summed — the q283
+    * discipline) under the FROZEN corpus-trained codebook vs a retrain
+    * on everything, with the retrain's gain and improvement flag. A
+    * subspace whose frozen distortion runs far above the retrained one
+    * means the embedding distribution moved and the gate's ADC
+    * decisions are degrading — the decision table an index-maintenance
+    * job reads before publishing a new codebook version through the
+    * q284 atomic swap.
+    *
+    * Scale: two narrow passes over the fresh subvector frame (c in-row
+    * codegen dots per row per codebook) into an m-key partial agg; both
+    * codebooks are memo-shared literals (the frozen one with q284's
+    * training, the retrained one across bench passes). */
+  def pqDrift(spark: SparkSession, dir: String, m: Int = GatePqM,
+              c: Int = GatePqC, iters: Int = GatePqIters,
+              splitAt: Long = GateSplitAt): DataFrame = {
+    val (frozen, _) = pqTrainedCents(spark, dir, m, c, iters, splitAt)
+    val (retrained, _) = pqTrainedCents(spark, dir, m, c, iters)
+    val sv = pqSubVecs(vecs(spark, dir).filter(col("vec_id") >= splitAt),
+      "vec_id", m).select(col("sub"), col("sv")).cache()
+    try {
+      def errOf(cb: Map[(Int, Int), Seq[Double]], outCol: String): DataFrame =
+        (0 until m).map { s =>
+          val dists = (0 until c).map { k =>
+            val cv = cb((s, k))
+            dotC(col("sv"), col("sv")) -
+              lit(2.0d) * dotC(col("sv"), typedLit(cv)) + lit(sdot(cv, cv))
+          }
+          sv.filter(col("sub") === s)
+            .select(col("sub"), least(dists: _*).as("mind"))
+        }.reduce(_ unionByName _)
+          .select(col("sub"),
+            expr("CAST(FLOOR(mind * 1000000.0d + 0.5d) AS BIGINT)").as("em"))
+          .groupBy("sub").agg(sum(col("em")).as(outCol))
+      errOf(frozen, "frozen_err_micro")
+        .join(errOf(retrained, "retrained_err_micro"), Seq("sub"))
+        .select(col("sub").cast("long").as("sub"),
+          col("frozen_err_micro"), col("retrained_err_micro"),
+          (col("frozen_err_micro") - col("retrained_err_micro"))
+            .as("retrain_gain_micro"),
+          (col("retrained_err_micro") <= col("frozen_err_micro")).cast("long")
+            .as("improved"))
+        .orderBy("sub")
+    } finally sv.unpersist(blocking = false)
+  }
+
+  /** q289 — IVFADC top-k SEARCH: the full production retrieval shape
+    * (Jégou et al.) over the q284 gate's compressed index — the coarse
+    * IVF layer prunes to `nProbe` cells, candidates are ranked by the
+    * ADC distance to the in-row reconstruction, top-k per query. q35
+    * is IVF over exact vectors, q186 is ADC over the full corpus; this
+    * composes both: at a billion vectors the scan touches ~nProbe/k of
+    * m-byte codes and nothing else. Distances are micro-rounded BEFORE
+    * ranking (ties to the lower corpus id) so both engines rank
+    * identical integers — the q287 discipline.
+    *
+    * Queries are the first `nQueries` FRESH vectors (full precision —
+    * queries always are; only the corpus is compressed). */
+  def ivfAdcTopK(spark: SparkSession, dir: String,
+                 nQueries: Long = AdcGainQueries, k: Int = AdcGainK,
+                 nCentroids: Int = 16,
+                 nProbe: Int = GateNProbe, splitAt: Long = GateSplitAt,
+                 m: Int = GatePqM, c: Int = GatePqC,
+                 iters: Int = GatePqIters): DataFrame = {
+    val (cents, cb, corpusCodes) =
+      frozenPqIvfIndex(spark, dir, nCentroids, splitAt, m, c, iters)
+    val queries = vecs(spark, dir)
+      .filter(col("vec_id") >= splitAt && col("vec_id") < splitAt + nQueries)
+      .select(col("vec_id").as("query_id"), col("v"))
+    val distStructs = cents.zipWithIndex.map { case (cv, cc) =>
+      struct((dotC(col("v"), col("v"))
+        - lit(2.0d) * dotC(col("v"), typedLit(cv))
+        + lit(sdot(cv, cv))).as("d"), lit(cc).as("cell"))
+    }
+    val reconCorpus = corpusCodes
+      .withColumn("recon", pqReconCol("codes", cb, m, c))
+      .withColumn("rn2", dotC(col("recon"), col("recon")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dm").asc, col("corpus_id").asc)
+    queries
+      .withColumn("pc", slice(array_sort(array(distStructs: _*)), 1, nProbe))
+      .select(col("query_id"), col("v"),
+        explode(expr("transform(pc, x -> x.cell)")).as("cell"))
+      .join(reconCorpus, Seq("cell"))
+      .select(col("query_id"), col("corpus_id"),
+        expr("CAST(FLOOR(1000000.0d * (rn2 - 2.0d * graft_dot(v, recon)" +
+          " + graft_dot(v, v)) + 0.5d) AS BIGINT)").as("dm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("dm").as("adc_dist_micro"))
+      .orderBy("query_id", "rank")
+  }
+
   /** q186: PQ asymmetric-distance (ADC) shortlist search + exact
     * re-rank — the search-side completion of q165's encode, in the
     * production IVFADC shape (Jégou et al.): queries stay full

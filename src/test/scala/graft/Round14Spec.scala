@@ -116,6 +116,23 @@ class Round14Spec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("q288/q289 structural pins: drift covers every subspace with consistent gains; IVFADC returns dense in-corpus top-k") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.vector.VectorOps.pqDrift(spark, dir).collect()
+    assert(d.length === 16, "one row per gate subspace (m=16)")
+    d.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2), "gain = frozen - retrained")
+      assert(r.getLong(4) === (if (r.getLong(2) <= r.getLong(1)) 1L else 0L))
+    }
+    val topk = graft.vector.VectorOps.ivfAdcTopK(spark, dir).collect()
+    val byQ = topk.groupBy(_.getLong(0))
+    assert(byQ.size === 5)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to 10L), "dense ranks")
+      assert(rows.forall(_.getLong(2) < 250L), "results come from the corpus side only")
+    }
+  }
+
   test("q284 exact twin equals q261's verdict column-for-column (same probed cells, same threshold)") {
     val dir = "/root/testdata/sf0.001"
     val pq = graft.vector.VectorOps.pqAdmission(spark, dir)
