@@ -51,6 +51,29 @@ object SketchBounds {
     BoundCheck(query, metric, pairs.size, worst, bound, worst <= bound, note)
   }
 
+  /** The rank-window contract of `approx_percentile` (rank error eps):
+    * the returned value v occupies sorted positions [below+1,
+    * belowOrEqual] within its group; that interval must intersect
+    * [q*n - s, q*n + s] with s = eps*n + 1 (+1 absorbs the
+    * rank-definition edge between ceil/floor conventions and
+    * single-element interpolation). `trips` = (below, belowOrEqual, n)
+    * per group; worstErr is the normalized violation distance, 0 when
+    * the contract holds. Pure: Round14Spec pins a planted violation and
+    * an in-window pass. */
+  private[graft] def rankWindowCheck(query: String, metric: String,
+                                     q: Double, eps: Double,
+                                     trips: Seq[(Long, Long, Long)]): BoundCheck = {
+    val worst = trips.foldLeft(0.0) { case (acc, (b, e, n)) =>
+      val target = q * n
+      val s = eps * n + 1.0
+      val viol = math.max(0.0,
+        math.max((target - s) - e, (b + 1) - (target + s)))
+      math.max(acc, viol / s)
+    }
+    BoundCheck(query, metric, trips.size.toLong, worst, 0.0, worst <= 0.0,
+      f"rank sketch: value's rank interval within eps*n+1 of target q*n (q=$q%.2f, eps=$eps%.4f)")
+  }
+
   /** CMS contract: NEVER underestimates, overestimates by at most
     * eps·N (N = total stream count) with the sketch's confidence. The
     * reported worstErr is the worst signed violation mass:
@@ -136,23 +159,38 @@ object SketchBounds {
         Seq("day"), "uv7_est", "uv7"),
       "DataSketches HLL union-merge relative error <= 5% (3x rsd=1.6%, lgK=12) per rolling day")
 
-    // q44 / q124: approx_percentile (t-digest-style rank sketch,
-    // accuracy=1000) vs the exact histogram-lerp twins. The sketch
-    // returns a domain VALUE at rank error <= 0.1%; the documented value
-    // envelope is 2% with a one-domain-step floor (integer day lags).
-    for ((name, estQ, exQ, cols) <- Seq(
-      ("q44_percentiles_approx",
-        Publisher.revenuePercentilesApprox(spark, dir),
-        Publisher.revenuePercentiles(spark, dir),
-        Seq(("p50_approx", "p50"), ("p95_approx", "p95"))),
-      ("q124_ship_lag_approx",
-        Warehouse.shipLagStatsApprox(spark, dir),
-        Warehouse.shipLagStatsScalable(spark, dir),
-        Seq(("p50_approx", "p50_days"), ("p95_approx", "p95_days"))))) {
-      for ((ec, xc) <- cols)
-        checks += relErrCheck(name, s"$ec vs $xc", 0.02, 1.0,
-          pairsOf(estQ, exQ, Seq("l_returnflag"), ec, xc),
-          "rank sketch: value within 2% of exact lerp, floor one domain step")
+    // q44 / q124: approx_percentile is a RANK sketch (accuracy=1000 =>
+    // rank error eps = 1/1000), so its contract is gated in RANK space:
+    // the returned value's occupied rank interval must reach within
+    // eps*n + 1 of the target rank q*n. The pre-r14 2%-VALUE envelope
+    // was an artifact of large groups (one rank step moved the value
+    // <2%); at sf0.001 a ~3k-row group's integer day-lag domain makes a
+    // single in-contract rank step a 9% value move, and the value gate
+    // mis-fired on a CORRECT sketch (caught by the r14 cross-SF
+    // sweep). The rank gate is the sketch's actual promise at every SF
+    // and still trips hard on real failures (a swapped quantile, a
+    // wrong-group join, an off-by-10x accuracy all land far outside
+    // eps*n + 1).
+    def rankTrips(base: DataFrame, grp: String, valueCol: String,
+                  est: DataFrame, estCol: String): Seq[(Long, Long, Long)] =
+      base.join(est.select(col(grp), col(estCol).as("v")), Seq(grp))
+        .groupBy(grp).agg(
+          sum(when(col(valueCol) < col("v"), 1L).otherwise(0L)).as("b"),
+          sum(when(col(valueCol) <= col("v"), 1L).otherwise(0L)).as("e"),
+          count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toIndexedSeq
+    val revBase = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val lagBase = Warehouse.shipLagRows(spark, dir)
+    val revEst = Publisher.revenuePercentilesApprox(spark, dir)
+    val lagEst = Warehouse.shipLagStatsApprox(spark, dir)
+    for ((qq, ec) <- Seq((0.5, "p50_approx"), (0.95, "p95_approx"))) {
+      checks += rankWindowCheck("q44_percentiles_approx",
+        s"$ec rank window", qq, 0.001,
+        rankTrips(revBase, "l_returnflag", "l_extendedprice", revEst, ec))
+      checks += rankWindowCheck("q124_ship_lag_approx",
+        s"$ec rank window", qq, 0.001,
+        rankTrips(lagBase, "l_returnflag", "lag_days", lagEst, ec))
     }
 
     // q75: Count-Min — one-sided by construction; eps=1e-4 of the total

@@ -133,7 +133,7 @@ object Warehouse {
       .orderBy("l_returnflag")
 
   /** The fact-scale join feeding every ship-lag variant: (flag, lag). */
-  private def shipLagRows(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shipLagRows(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_returnflag", "l_shipdate")

@@ -133,6 +133,25 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("rankWindowCheck: in-window passes (including ties and tiny n), out-of-window trips") {
+    import graft.ops.SketchBounds.rankWindowCheck
+    // n=10, q=0.5 -> target 5, slack eps*n+1 = 1.01: value occupying
+    // rank 5 passes; rank interval [9,9] is 2.99 slack-units out
+    assert(rankWindowCheck("t", "m", 0.5, 0.001, Seq((4L, 5L, 10L))).ok)
+    assert(!rankWindowCheck("t", "m", 0.5, 0.001, Seq((8L, 9L, 10L))).ok)
+    // heavy ties: interval [1, 9] straddles the target -> passes
+    assert(rankWindowCheck("t", "m", 0.5, 0.001, Seq((0L, 9L, 10L))).ok)
+    // the sf0.001 case that mis-fired the old 2%-VALUE gate: a 3000-row
+    // group where the returned value sits 3 ranks from target — far
+    // inside eps*n+1 = 4 — but one integer day-lag step = 9% in value
+    assert(rankWindowCheck("t", "m", 0.5, 0.001, Seq((1497L, 1497L, 3000L))).ok)
+    // q=0.95 edge: target 9.5 of n=10, max element (interval [10,10]) ok
+    assert(rankWindowCheck("t", "m", 0.95, 0.001, Seq((9L, 10L, 10L))).ok)
+    // worst-case normalization: violation distance scales by the slack
+    val v = rankWindowCheck("t", "m", 0.5, 0.001, Seq((8L, 9L, 10L)))
+    assert(v.worstErr > 1.0 && v.bound === 0.0)
+  }
+
   test("q284 exact twin equals q261's verdict column-for-column (same probed cells, same threshold)") {
     val dir = "/root/testdata/sf0.001"
     val pq = graft.vector.VectorOps.pqAdmission(spark, dir)
