@@ -554,6 +554,9 @@ object SparkEntry {
     // the full IVFADC retrieval: coarse-cell pruning x ADC ranking
     // over PQ codes, top-k per query
     "q289_ivfadc_topk"         -> ((s, d) => graft.vector.VectorOps.ivfAdcTopK(s, d)),
+    // ADC-gate threshold sweep: decision quality per candidate
+    // threshold vs the fixed exact ground truth (the tuning table)
+    "q290_adc_threshold_sweep" -> ((s, d) => graft.vector.VectorOps.adcThresholdSweep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3869,59 +3872,7 @@ object SparkEntry {
     // flag. Every dot is a sequential fold (list_inner_product =
     // graft_dot), so the "approximate" gate hash-verifies bit-for-bit.
     "q284_pq_admission" ->
-      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |corp AS (SELECT * FROM e WHERE vec_id < ${graft.vector.VectorOps.GateSplitAt}),
-         |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM corp WHERE vec_id < 16),
-         |a1 AS (SELECT c.vec_id,
-         |              MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, i.cv) + list_inner_product(i.cv, i.cv),
-         |                   'c': i.cell}) AS best
-         |       FROM corp c, init i GROUP BY 1),
-         |u AS (SELECT a1.best.c AS cell,
-         |             unnest(generate_series(1, len(c.v))) - 1 AS dim,
-         |             unnest(c.v) AS x
-         |      FROM corp c JOIN a1 USING (vec_id)),
-         |g AS (SELECT cell, dim, COUNT(*) AS n,
-         |             SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
-         |      FROM u GROUP BY 1, 2),
-         |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
-         |         FROM g GROUP BY 1),
-         |ca AS (SELECT c.vec_id AS corpus_id, c.v AS cv,
-         |              (MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, cc.cv) + list_inner_product(cc.cv, cc.cv),
-         |                    'c': cc.cell})).c AS cell
-         |       FROM corp c, cent cc GROUP BY 1, 2),
-         |fresh AS (SELECT * FROM e WHERE vec_id >= ${graft.vector.VectorOps.GateSplitAt}),
-         |pd AS (SELECT f.vec_id, cc.cell,
-         |              list_inner_product(f.v, f.v) - 2.0 * list_inner_product(f.v, cc.cv) + list_inner_product(cc.cv, cc.cv) AS d
-         |       FROM fresh f, cent cc),
-         |pr AS (SELECT vec_id, cell FROM
-         |         (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk FROM pd)
-         |       WHERE rk <= ${graft.vector.VectorOps.GateNProbe}),
-         |${pqTrainChain("corp", m = graft.vector.VectorOps.GatePqM,
-                  c = graft.vector.VectorOps.GatePqC,
-                  iters = graft.vector.VectorOps.GatePqIters)},
-         |tr AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
-         |       FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f,
-         |            unnest(f.state) u(c)),
-         |asgc AS (SELECT sv.vec_id, sv.sub,
-         |                (MIN({'d': list_inner_product(sv.svec, sv.svec) - 2 * list_inner_product(sv.svec, t.vals) + list_inner_product(t.vals, t.vals),
-         |                      'c': t.cid})).c AS cid
-         |         FROM sv JOIN tr t ON t.sub = sv.sub GROUP BY 1, 2),
-         |recon AS (SELECT a.vec_id AS corpus_id, flatten(list(t.vals ORDER BY a.sub)) AS rv
-         |          FROM asgc a JOIN tr t ON t.sub = a.sub AND t.cid = a.cid GROUP BY 1),
-         |acand AS (SELECT f.vec_id, ca.corpus_id,
-         |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, r.rv)
-         |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(r.rv, r.rv)))) + 0.5) AS BIGINT) AS cos_micro
-         |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell
-         |               JOIN recon r ON r.corpus_id = ca.corpus_id),
-         |ecand AS (SELECT f.vec_id, ca.corpus_id,
-         |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, ca.cv)
-         |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(ca.cv, ca.cv)))) + 0.5) AS BIGINT) AS cos_micro
-         |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell),
-         |av AS (SELECT vec_id, COUNT(*) AS n_cand, MAX(cos_micro) AS best FROM acand GROUP BY 1),
-         |abi AS (SELECT acand.vec_id, CAST(MIN(acand.corpus_id) AS BIGINT) AS bid
-         |        FROM acand JOIN av ON acand.vec_id = av.vec_id AND acand.cos_micro = av.best
-         |        GROUP BY 1),
-         |ev AS (SELECT vec_id, MAX(cos_micro) AS best FROM ecand GROUP BY 1)
+      s"""WITH RECURSIVE $PqGateCtes
          |SELECT f.vec_id, CAST(COALESCE(av.n_cand, 0) AS BIGINT) AS n_cand,
          |       av.best AS adc_best_cos_micro, abi.bid AS adc_best_corpus_id,
          |       CAST(CASE WHEN COALESCE(av.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro} THEN 0 ELSE 1 END AS BIGINT) AS adc_admit,
@@ -3931,6 +3882,34 @@ object SparkEntry {
          |                    = (COALESCE(ev.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro}) THEN 1 ELSE 0 END AS BIGINT) AS agree
          |FROM fresh f LEFT JOIN av USING (vec_id) LEFT JOIN abi USING (vec_id) LEFT JOIN ev USING (vec_id)
          |ORDER BY f.vec_id""".stripMargin,
+    // q290: the q284 chain once, then the 5-threshold sweep — exact
+    // verdict fixed at the production threshold, ADC verdict at each
+    // candidate; catch degenerates to 1.0 with nothing to catch.
+    "q290_adc_threshold_sweep" ->
+      s"""WITH RECURSIVE $PqGateCtes,
+         |base AS (SELECT f.vec_id, av.best AS adc_best, ev.best AS exact_best
+         |         FROM fresh f LEFT JOIN av USING (vec_id) LEFT JOIN ev USING (vec_id)),
+         |thr AS (SELECT unnest([${graft.vector.VectorOps.GateSweepThresholds.mkString(", ")}]) AS threshold_micro),
+         |j AS (SELECT thr.threshold_micro,
+         |             CASE WHEN COALESCE(b.exact_best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro} THEN 0 ELSE 1 END AS exact_admit,
+         |             CASE WHEN COALESCE(b.adc_best, -1000000000) >= thr.threshold_micro THEN 0 ELSE 1 END AS adc_admit
+         |      FROM base b, thr),
+         |agg AS (SELECT threshold_micro,
+         |               CAST(COUNT(*) AS BIGINT) AS n_fresh,
+         |               CAST(SUM(1 - exact_admit) AS BIGINT) AS exact_rejects,
+         |               CAST(SUM(1 - adc_admit) AS BIGINT) AS adc_rejects,
+         |               CAST(SUM(CASE WHEN exact_admit = 0 AND adc_admit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS caught,
+         |               CAST(SUM(CASE WHEN exact_admit = 1 AND adc_admit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS false_rejects,
+         |               CAST(SUM(CASE WHEN exact_admit = adc_admit THEN 1 ELSE 0 END) AS BIGINT) AS agree
+         |        FROM j GROUP BY 1)
+         |SELECT CAST(threshold_micro AS BIGINT) AS threshold_micro, n_fresh, exact_rejects, adc_rejects,
+         |       caught, false_rejects,
+         |       CAST(CASE WHEN exact_rejects = 0 THEN 1000000
+         |                 ELSE FLOOR(1000000.0 * caught / exact_rejects + 0.5) END AS BIGINT) AS catch_micro,
+         |       CAST(CASE WHEN n_fresh = exact_rejects THEN 0
+         |                 ELSE FLOOR(1000000.0 * false_rejects / (n_fresh - exact_rejects) + 0.5) END AS BIGINT) AS false_rej_micro,
+         |       CAST(FLOOR(1000000.0 * agree / n_fresh + 0.5) AS BIGINT) AS agree_micro
+         |FROM agg ORDER BY threshold_micro""".stripMargin,
     // q287: the q282 full-table Lloyd chain, corpus encoded under the
     // SEED codebook (the chain's own `seed` CTE) and the TRAINED one,
     // ADC distances micro-rounded BEFORE ranking (lower-vec_id ties) so
@@ -5209,6 +5188,65 @@ object SparkEntry {
   /** The Lloyd-loop chain over any (vec_id, v) CTE `src` — shared by
     * the full-table training (q282/q283, src = e) and the q284 gate's
     * corpus-side training (src = corp, the frozen discipline). */
+  /** q284/q290 shared oracle chain: coarse quantizer + probe cells +
+    * corpus-side PQ training + codes + reconstruction + both candidate
+    * frames and their per-vector bests (av/abi/ev). */
+  private def PqGateCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corp AS (SELECT * FROM e WHERE vec_id < ${graft.vector.VectorOps.GateSplitAt}),
+         |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM corp WHERE vec_id < 16),
+         |a1 AS (SELECT c.vec_id,
+         |              MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, i.cv) + list_inner_product(i.cv, i.cv),
+         |                   'c': i.cell}) AS best
+         |       FROM corp c, init i GROUP BY 1),
+         |u AS (SELECT a1.best.c AS cell,
+         |             unnest(generate_series(1, len(c.v))) - 1 AS dim,
+         |             unnest(c.v) AS x
+         |      FROM corp c JOIN a1 USING (vec_id)),
+         |g AS (SELECT cell, dim, COUNT(*) AS n,
+         |             SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
+         |      FROM u GROUP BY 1, 2),
+         |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
+         |         FROM g GROUP BY 1),
+         |ca AS (SELECT c.vec_id AS corpus_id, c.v AS cv,
+         |              (MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, cc.cv) + list_inner_product(cc.cv, cc.cv),
+         |                    'c': cc.cell})).c AS cell
+         |       FROM corp c, cent cc GROUP BY 1, 2),
+         |fresh AS (SELECT * FROM e WHERE vec_id >= ${graft.vector.VectorOps.GateSplitAt}),
+         |pd AS (SELECT f.vec_id, cc.cell,
+         |              list_inner_product(f.v, f.v) - 2.0 * list_inner_product(f.v, cc.cv) + list_inner_product(cc.cv, cc.cv) AS d
+         |       FROM fresh f, cent cc),
+         |pr AS (SELECT vec_id, cell FROM
+         |         (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk FROM pd)
+         |       WHERE rk <= ${graft.vector.VectorOps.GateNProbe}),
+         |${pqTrainChain("corp", m = graft.vector.VectorOps.GatePqM,
+                  c = graft.vector.VectorOps.GatePqC,
+                  iters = graft.vector.VectorOps.GatePqIters)},
+         |tr AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+         |       FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f,
+         |            unnest(f.state) u(c)),
+         |asgc AS (SELECT sv.vec_id, sv.sub,
+         |                (MIN({'d': list_inner_product(sv.svec, sv.svec) - 2 * list_inner_product(sv.svec, t.vals) + list_inner_product(t.vals, t.vals),
+         |                      'c': t.cid})).c AS cid
+         |         FROM sv JOIN tr t ON t.sub = sv.sub GROUP BY 1, 2),
+         |recon AS (SELECT a.vec_id AS corpus_id, flatten(list(t.vals ORDER BY a.sub)) AS rv
+         |          FROM asgc a JOIN tr t ON t.sub = a.sub AND t.cid = a.cid GROUP BY 1),
+         |acand AS (SELECT f.vec_id, ca.corpus_id,
+         |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, r.rv)
+         |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(r.rv, r.rv)))) + 0.5) AS BIGINT) AS cos_micro
+         |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell
+         |               JOIN recon r ON r.corpus_id = ca.corpus_id),
+         |ecand AS (SELECT f.vec_id, ca.corpus_id,
+         |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, ca.cv)
+         |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(ca.cv, ca.cv)))) + 0.5) AS BIGINT) AS cos_micro
+         |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell),
+         |av AS (SELECT vec_id, COUNT(*) AS n_cand, MAX(cos_micro) AS best FROM acand GROUP BY 1),
+         |abi AS (SELECT acand.vec_id, CAST(MIN(acand.corpus_id) AS BIGINT) AS bid
+         |        FROM acand JOIN av ON acand.vec_id = av.vec_id AND acand.cos_micro = av.best
+         |        GROUP BY 1),
+         |ev AS (SELECT vec_id, MAX(cos_micro) AS best FROM ecand GROUP BY 1)
+      |""".stripMargin.stripSuffix("\n")
+
   private def pqTrainChain(src: String,
                            m: Int = graft.vector.VectorOps.PqM,
                            c: Int = graft.vector.VectorOps.PqC,

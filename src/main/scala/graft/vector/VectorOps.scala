@@ -1649,6 +1649,57 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Candidate ADC thresholds of the q290 sweep — interpolated into the
+    * oracle SQL (shared-constant discipline). */
+  private[graft] val GateSweepThresholds: Seq[Long] =
+    Seq(300000L, 350000L, 400000L, 450000L, 500000L)
+
+  /** q290 — ADC-gate THRESHOLD sweep (the q264 threshold-sensitivity
+    * decision table applied to the q284 compressed gate): for each
+    * candidate ADC threshold, the gate's decision quality against the
+    * FIXED exact-gate ground truth (always [[GateThresholdMicro]]) —
+    * exact-rejection catch rate, false-rejection rate, agreement. The
+    * tuning table behind the knob the SketchBounds floors assume: a
+    * deployment trading over-rejection for recall reads this row set,
+    * not a code comment. Catch rate degenerates to 1.0 when there is
+    * nothing to catch (no exact rejections), mirrored in the oracle.
+    *
+    * Scale: ONE pass of the q284 audit frame (memo-shared index),
+    * cross-joined with the 5-row broadcast threshold list into a
+    * bounded aggregate. */
+  def adcThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = pqAdmission(spark, dir)
+      .select(col("vec_id"), col("adc_best_cos_micro"),
+        col("exact_best_cos_micro"), col("exact_admit"))
+    val thr = GateSweepThresholds.toDF("threshold_micro")
+    base.crossJoin(broadcast(thr))
+      .select(col("threshold_micro"), col("exact_admit"),
+        when(coalesce(col("adc_best_cos_micro"), lit(Long.MinValue))
+          >= col("threshold_micro"), 0L).otherwise(1L).as("adc_admit"))
+      .groupBy("threshold_micro")
+      .agg(count(lit(1)).as("n_fresh"),
+        sum(lit(1L) - col("exact_admit")).as("exact_rejects"),
+        sum(lit(1L) - col("adc_admit")).as("adc_rejects"),
+        sum(when(col("exact_admit") === 0 && col("adc_admit") === 0, 1L)
+          .otherwise(0L)).as("caught"),
+        sum(when(col("exact_admit") === 1 && col("adc_admit") === 0, 1L)
+          .otherwise(0L)).as("false_rejects"),
+        sum(when(col("exact_admit") === col("adc_admit"), 1L)
+          .otherwise(0L)).as("agree"))
+      .select(col("threshold_micro"), col("n_fresh"), col("exact_rejects"),
+        col("adc_rejects"), col("caught"), col("false_rejects"),
+        expr("CAST(CASE WHEN exact_rejects = 0 THEN 1000000" +
+          " ELSE FLOOR(1000000.0d * caught / exact_rejects + 0.5d) END AS BIGINT)")
+          .as("catch_micro"),
+        expr("CAST(CASE WHEN n_fresh = exact_rejects THEN 0" +
+          " ELSE FLOOR(1000000.0d * false_rejects / (n_fresh - exact_rejects) + 0.5d) END AS BIGINT)")
+          .as("false_rej_micro"),
+        expr("CAST(FLOOR(1000000.0d * agree / n_fresh + 0.5d) AS BIGINT)")
+          .as("agree_micro"))
+      .orderBy("threshold_micro")
+  }
+
   /** q186: PQ asymmetric-distance (ADC) shortlist search + exact
     * re-rank — the search-side completion of q165's encode, in the
     * production IVFADC shape (Jégou et al.): queries stay full
