@@ -436,6 +436,43 @@ object ScaleProbe {
         rows
       },
       // --- round-14 ---
+      "PQ-ADC gate candidates (codes-only corpus, in-row recon)" -> { t =>
+        // the q284 shape on an amplified corpus: corpus (and its PQ
+        // code table) grows with copies, the fresh batch stays fixed —
+        // candidate count grows ~copies (cells hold copies x more
+        // codes), so wall must stay ~linear; the EXACT-gate family
+        // below it is the apples-to-apples baseline (same probes, full
+        // vectors instead of codes).
+        val cents = Tables.embeddings(spark, dir)
+          .filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("c"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+          .sortBy(_._1).map(_._2).toIndexedSeq
+        val corpusAssigned = t.embSalted
+          .withColumn("cell", graft.vector.VectorOps.cellOf(
+            cents.zipWithIndex.map { case (cv, c) =>
+              (c, org.apache.spark.sql.functions.typedLit(cv))
+            }))
+          .select(col("cell"), col("vec_id").as("corpus_id"), col("v").as("cv"))
+        // gate-shaped codebook (m=16, c=64) seeded from the base store's
+        // subvectors — driver-held, like the trained artifact it stands for
+        val cbRows = Tables.embeddings(spark, dir)
+          .filter(col("vec_id") < 64).orderBy("vec_id")
+          .select(expr("transform(embedding, x -> cast(x as double))"))
+          .collect().map(_.getSeq[Double](0).toSeq)
+        val sub = cbRows.head.length / 16
+        val cb = (for { s2 <- 0 until 16; k <- 0 until 64 }
+          yield (s2, k) -> cbRows(k).slice(s2 * sub, (s2 + 1) * sub)).toMap
+        val codes = graft.vector.VectorOps
+          .pqEncodeAssigned(corpusAssigned, cb, 16)
+        val fresh = Tables.embeddings(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select((col("vec_id") + lit(9000000000000L)).as("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        graft.vector.VectorOps
+          .annGateAdcCandidates(fresh, cents, cb, codes, nProbe = 4).count()
+      },
       "distributed CC fallback (chain + star blocks, >1M edges)" -> { t =>
         // The path the sf0.1 bench never executes (its real pair graphs
         // sit under the 1M-edge driver threshold — judge r13): a

@@ -1376,24 +1376,34 @@ object VectorOps {
     val codes = Tables.memoCache(spark,
       s"pq-gate-codes/$dir/$nCentroids/$splitAt/$m/$c/$iters/" +
         Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
-      corpusAssigned
-        .select(col("cell"), col("corpus_id"), col("cv").as("v"))
-        .select(col("cell"), col("corpus_id"), explode(expr(
-          s"transform(sequence(0, ${m - 1}), s -> struct(s as sub, slice(v, s * (size(v) div $m) + 1, size(v) div $m) as sv))"))
-          .as("x"))
-        .select(col("cell"), col("corpus_id"),
-          col("x.sub").as("sub"), col("x.sv").as("sv"))
-        .join(broadcast(cbFrame(spark, cb)), Seq("sub"))
-        .select(col("cell"), col("corpus_id"), col("sub"),
-          struct((dotC(col("sv"), col("sv"))
-            - lit(2.0d) * dotC(col("sv"), col("cbv"))
-            + dotC(col("cbv"), col("cbv"))).as("d"), col("cid").as("c")).as("dc"))
-        .groupBy("cell", "corpus_id", "sub").agg(min(col("dc")).as("best"))
-        .groupBy("cell", "corpus_id")
-        .agg(expr("transform(array_sort(collect_list(struct(sub, best.c as c))), x -> x.c)")
-          .as("codes"))
+      pqEncodeAssigned(corpusAssigned, cb, m)
     }
     (cents, cb, codes)
+  }
+
+  /** Encode a (cell, corpus_id, cv) frame to (cell, corpus_id, codes)
+    * under a driver-held codebook — the data-side encode behind
+    * [[frozenPqIvfIndex]] (and the ScaleProbe gate family). */
+  private[graft] def pqEncodeAssigned(corpusAssigned: DataFrame,
+                                      cb: Map[(Int, Int), Seq[Double]],
+                                      m: Int): DataFrame = {
+    val spark = corpusAssigned.sparkSession
+    corpusAssigned
+      .select(col("cell"), col("corpus_id"), col("cv").as("v"))
+      .select(col("cell"), col("corpus_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s as sub, slice(v, s * (size(v) div $m) + 1, size(v) div $m) as sv))"))
+        .as("x"))
+      .select(col("cell"), col("corpus_id"),
+        col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .join(broadcast(cbFrame(spark, cb)), Seq("sub"))
+      .select(col("cell"), col("corpus_id"), col("sub"),
+        struct((dotC(col("sv"), col("sv"))
+          - lit(2.0d) * dotC(col("sv"), col("cbv"))
+          + dotC(col("cbv"), col("cbv"))).as("d"), col("cid").as("c")).as("dc"))
+      .groupBy("cell", "corpus_id", "sub").agg(min(col("dc")).as("best"))
+      .groupBy("cell", "corpus_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, best.c as c))), x -> x.c)")
+        .as("codes"))
   }
 
   /** ADC candidate frame of the PQ-compressed admission gate — the
