@@ -383,12 +383,8 @@ object ScaleProbe {
             expr("transform(embedding, x -> cast(x as double))").as("v"))
           .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
           .sortBy(_._1).map(_._2).toIndexedSeq
-        val corpusAssigned = t.embSalted
-          .withColumn("cell", graft.vector.VectorOps.cellOf(
-            cents.zipWithIndex.map { case (cv, c) =>
-              (c, org.apache.spark.sql.functions.typedLit(cv))
-            }))
-          .select(col("cell"), col("vec_id").as("corpus_id"), col("v").as("cv"))
+        val corpusAssigned =
+          graft.vector.VectorOps.assignCellsJoin(t.embSalted, cents)
         val fresh = Tables.embeddings(spark, dir)
           .repartition(spark.sparkContext.defaultParallelism)
           .select((col("vec_id") + lit(9000000000000L)).as("vec_id"),
@@ -449,12 +445,8 @@ object ScaleProbe {
             expr("transform(embedding, x -> cast(x as double))").as("v"))
           .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
           .sortBy(_._1).map(_._2).toIndexedSeq
-        val corpusAssigned = t.embSalted
-          .withColumn("cell", graft.vector.VectorOps.cellOf(
-            cents.zipWithIndex.map { case (cv, c) =>
-              (c, org.apache.spark.sql.functions.typedLit(cv))
-            }))
-          .select(col("cell"), col("vec_id").as("corpus_id"), col("v").as("cv"))
+        val corpusAssigned =
+          graft.vector.VectorOps.assignCellsJoin(t.embSalted, cents)
         // gate-shaped codebook (m=16, c=64) seeded from the base store's
         // subvectors — driver-held, like the trained artifact it stands for
         val cbRows = Tables.embeddings(spark, dir)
@@ -482,8 +474,13 @@ object ScaleProbe {
         // (≈18 at 1x vs ≈21 at 10x — near-FLAT, where edge propagation
         // alone would pay 2·10⁵ vs 2·10⁶ rounds), so wall scales with
         // edge volume, not diameter.
+        // starN picked so the 1x graph clears the 1M-edge driver
+        // threshold AFTER the self-loop filter (every 5th star row is a
+        // hub self-loop): 200k chain + 0.8·1.1M star = 1.08M edges
+        // (advisor r14: the previous 900k star rows left ~920k total,
+        // slightly under the label's claim)
         val chainN = 200000L * t.copies
-        val starN = 900000L * t.copies
+        val starN = 1100000L * t.copies
         val chain = spark.range(chainN)
           .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
         val stars = spark.range(starN)

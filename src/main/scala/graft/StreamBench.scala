@@ -49,7 +49,10 @@ object StreamBench {
         System.nanoTime() < deadline) Thread.sleep(2000L)
       val progress = Option(q.recentProgress).getOrElse(Array.empty)
       val rates = progress.drop(2) // skip ramp-up batches
-        .map(_.processedRowsPerSecond).filter(r => !r.isNaN && r > 0)
+        // isFinite, not just !isNaN: a zero-duration batch reports
+        // processedRowsPerSecond = Infinity, which passes r > 0 and then
+        // blows up BigDecimal at report time (advisor r14)
+        .map(_.processedRowsPerSecond).filter(r => r.isFinite && r > 0)
       val stateRows = progress.lastOption
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
       q.stop()
@@ -118,9 +121,9 @@ object StreamBench {
     val cents: Seq[Seq[Double]] = corpusVecs.filter(col("corpus_id") < 8)
       .orderBy("corpus_id").collect().map(_.getSeq[Double](1).toSeq).toIndexedSeq
     val corpusAssigned = corpusVecs
-      .withColumn("cell", graft.vector.VectorOps.cellOf(
-        cents.zipWithIndex.map { case (cv, c) => (c, typedLit(cv)) }))
-      .select(col("cell"), col("corpus_id"), col("v").as("cv"))
+      .select(col("corpus_id").as("vec_id"), col("v"))
+      .transform(v => graft.vector.VectorOps.assignCellsJoin(v, cents))
+      .select(col("cell"), col("corpus_id"), col("cv"))
       .cache()
     corpusAssigned.count()
     // each fresh vector verifies ~nProbe/k of the corpus (~512

@@ -753,6 +753,18 @@ object DedupOps {
     var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0) // null-safe: empty pair graph
     var converged = false
     var rounds = 0
+    // explicit release of the PREVIOUS round's checkpoint blocks once
+    // the new round is materialized: unpersist() on a localCheckpoint'd
+    // frame is a no-op, so ~rounds copies of the label RDD would
+    // otherwise stay pinned until ContextCleaner GC — a transient but
+    // real memory bump on the >1M-edge graphs this path exists for
+    // (advisor r14). Safe because the eager checkpoint + sum aggregate
+    // fully materialize `next` before its parent is dropped.
+    def ckRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    var prevCk: Option[org.apache.spark.rdd.RDD[_]] = None
     while (!converged) {
       rounds += 1
       val viaEdges = edges
@@ -773,7 +785,9 @@ object DedupOps {
       val nextSum = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
-      labels.unpersist()
+      labels.unpersist() // effective for the round-1 cached seed only
+      prevCk.foreach(_.unpersist(false))
+      prevCk = ckRdd(next)
       labels = next
     }
     edges.unpersist()

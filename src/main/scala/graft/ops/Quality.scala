@@ -503,7 +503,12 @@ object Quality {
     val q = globalPri.crossJoin(broadcast(globalTot))
       .select(col("o_orderpriority"),
         expr("CAST(FLOOR(1000000.0d * g / gt + 0.5d) AS BIGINT)").as("q_micro"))
-    val nPri = globalPri.count()
+    // the m-1 EMD divisor stays IN the plan (a 1-row broadcast off the
+    // bounded priority domain, the oracle's np CTE) — a driver-side
+    // .count() here would run an extra fact-scan job at every
+    // plan-construction (advisor r14, the eager-action-in-builder
+    // pattern parquetRowCount exists to avoid)
+    val nPriRow = globalPri.agg(count(lit(1)).as("npri"))
     // dense (class x priority) grid: absent combinations are P_i = 0,
     // which still pull EMD mass — they cannot be dropped
     val dense = classStats
@@ -524,9 +529,10 @@ object Quality {
       .agg(max(col("group_size")).as("group_size"),
         max(col("n_orders")).as("n_orders"),
         sum(abs(col("r"))).as("sum_abs_r"))
+      .crossJoin(broadcast(nPriRow))
       .select(col("c_mktsegment"), col("nationkey"), col("group_size"),
         col("n_orders"),
-        expr(s"CAST(FLOOR(1.0d * sum_abs_r / ${nPri - 1} + 0.5d) AS BIGINT)")
+        expr("CAST(FLOOR(1.0d * sum_abs_r / (npri - 1) + 0.5d) AS BIGINT)")
           .as("emd_micro"))
       .withColumn("close", (col("emd_micro") <= lit(tMicro)).cast("long"))
       .orderBy("c_mktsegment", "nationkey")
