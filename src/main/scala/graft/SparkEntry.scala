@@ -557,6 +557,12 @@ object SparkEntry {
     // ADC-gate threshold sweep: decision quality per candidate
     // threshold vs the fixed exact ground truth (the tuning table)
     "q290_adc_threshold_sweep" -> ((s, d) => graft.vector.VectorOps.adcThresholdSweep(s, d)),
+    // residual quantization: a second codebook trained on stage-1
+    // residuals; per-sub distortion after stage 1 vs stage 2
+    "q291_rq_train"            -> ((s, d) => graft.vector.VectorOps.rqTrain(s, d)),
+    // vocabulary-pruned BPE: min-frequency training stop vs the full
+    // tokenizer, as a per-source fertility tax table
+    "q292_bpe_pruned"          -> ((s, d) => graft.text.Curation.bpePruned(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3910,6 +3916,67 @@ object SparkEntry {
          |                 ELSE FLOOR(1000000.0 * false_rejects / (n_fresh - exact_rejects) + 0.5) END AS BIGINT) AS false_rej_micro,
          |       CAST(FLOOR(1000000.0 * agree / n_fresh + 0.5) AS BIGINT) AS agree_micro
          |FROM agg ORDER BY threshold_micro""".stripMargin,
+    // q291: BOTH Lloyd recursions replayed — stage 1 (the q282 chain),
+    // then the residual frame (stage-1 subvector minus its chosen
+    // entry) feeds a SECOND chain (preSliced) seeded by the first-c
+    // rule on residuals; per-sub distortion integers after each stage.
+    "q291_rq_train" ->
+      s"""WITH RECURSIVE $PqTrainCtes,
+         |tr AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+         |       FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
+         |asg1 AS (SELECT sv.vec_id, sv.sub, sv.svec,
+         |                MIN({'d': list_inner_product(sv.svec, sv.svec) - 2 * list_inner_product(sv.svec, t.vals) + list_inner_product(t.vals, t.vals),
+         |                     'c': t.cid}) AS best
+         |         FROM sv JOIN tr t ON t.sub = sv.sub GROUP BY 1, 2, 3),
+         |rsv0 AS (SELECT a.vec_id, a.sub,
+         |                list_transform(generate_series(1, len(a.svec)), i -> a.svec[i] - t.vals[i]) AS svec
+         |         FROM asg1 a JOIN tr t ON t.sub = a.sub AND t.cid = a.best.c),
+         |${pqTrainChain("rsv0", sfx = "r", preSliced = true)},
+         |tr2 AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+         |        FROM (SELECT state FROM itr ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
+         |e1 AS (SELECT sub, CAST(SUM(CAST(FLOOR(best.d * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS stage1_err_micro
+         |       FROM asg1 GROUP BY 1),
+         |asg2 AS (SELECT r.vec_id, r.sub,
+         |                MIN({'d': list_inner_product(r.svec, r.svec) - 2 * list_inner_product(r.svec, t.vals) + list_inner_product(t.vals, t.vals),
+         |                     'c': t.cid}) AS best
+         |         FROM rsv0 r JOIN tr2 t ON t.sub = r.sub GROUP BY 1, 2),
+         |e2 AS (SELECT sub, CAST(SUM(CAST(FLOOR(best.d * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS stage2_err_micro
+         |       FROM asg2 GROUP BY 1)
+         |SELECT CAST(e1.sub AS BIGINT) AS sub, e1.stage1_err_micro, e2.stage2_err_micro,
+         |       e1.stage1_err_micro - e2.stage2_err_micro AS rq_gain_micro,
+         |       CAST(e2.stage2_err_micro <= e1.stage1_err_micro AS BIGINT) AS improved
+         |FROM e1 JOIN e2 USING (sub) ORDER BY sub""".stripMargin,
+    // q292: the q277 chain twice — full, and pruned with the HAVING
+    // floor raised to ceil(pct% of total word occurrences) (integer
+    // arithmetic both engines); per-source fertility under each.
+    "q292_bpe_pruned" ->
+      s"""WITH RECURSIVE tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
+         |w AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
+         |mcx AS (SELECT (SUM(freq) * ${graft.text.Curation.PrunedBpePct} + 99) // 100 AS mc FROM w),
+         |${bpeChain("w", "")},
+         |${bpeChain("w", "p", minCountSql = "(SELECT mc FROM mcx)")},
+         |vf AS (SELECT replace(trim(u.w.s), ' ', '') AS word,
+         |              CAST(len(string_split(trim(u.w.s), '  ')) AS BIGINT) AS n_syms_full
+         |       FROM (SELECT state FROM m ORDER BY iter DESC LIMIT 1) fs, unnest(fs.state) u(w)),
+         |vp AS (SELECT replace(trim(u.w.s), ' ', '') AS word,
+         |              CAST(len(string_split(trim(u.w.s), '  ')) AS BIGINT) AS n_syms_pruned
+         |       FROM (SELECT state FROM mp ORDER BY iter DESC LIMIT 1) fs, unnest(fs.state) u(w)),
+         |nm AS (SELECT CAST(MAX(iter) AS BIGINT) AS n_merges_pruned FROM mp),
+         |sw AS (SELECT d.source, u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+         |       FROM (SELECT source, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+         |             FROM documents) d, unnest(d.t) u(w)
+         |       GROUP BY 1, 2)
+         |SELECT sw.source,
+         |       CAST(SUM(sw.freq) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(sw.freq * vf.n_syms_full) AS BIGINT) AS syms_full,
+         |       CAST(SUM(sw.freq * vp.n_syms_pruned) AS BIGINT) AS syms_pruned,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * vf.n_syms_full) / SUM(sw.freq) + 0.5) AS BIGINT) AS full_fertility_micro,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * vp.n_syms_pruned) / SUM(sw.freq) + 0.5) AS BIGINT) AS pruned_fertility_micro,
+         |       (SELECT n_merges_pruned FROM nm) AS n_merges_pruned,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * vp.n_syms_pruned) / SUM(sw.freq) + 0.5) AS BIGINT)
+         |         - CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * vf.n_syms_full) / SUM(sw.freq) + 0.5) AS BIGINT) AS fertility_tax_micro
+         |FROM sw JOIN vf USING (word) JOIN vp USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q287: the q282 full-table Lloyd chain, corpus encoded under the
     // SEED codebook (the chain's own `seed` CTE) and the TRAINED one,
     // ADC distances micro-rounded BEFORE ranking (lower-vec_id ties) so
@@ -5151,7 +5218,8 @@ object SparkEntry {
     * retrained = full corpus). HAVING SUM(f) >= 1 mirrors the engine's
     * cnt >= 1 stop guard: freq-0 (fresh-only) words must never win a
     * merge. */
-  private def bpeChain(words: String, sfx: String): String =
+  private def bpeChain(words: String, sfx: String,
+                       minCountSql: String = "1"): String =
     s"""seg$sfx AS (SELECT '  ' || array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), '  ') || '  ' AS s, freq FROM $words),
       |st$sfx AS (SELECT LIST({'s': s, 'f': freq}) AS state FROM seg$sfx),
       |m$sfx(iter, a, b, cnt, state) AS (
@@ -5167,7 +5235,7 @@ object SparkEntry {
       |              list_transform(generate_series(1, len(arr) - 1),
       |                j -> {'pa': arr[j], 'pb': arr[j+1], 'f': w.f}))[1]))) AS p)
       |    GROUP BY 1, 2
-      |    HAVING SUM(p.f) >= 1
+      |    HAVING SUM(p.f) >= $minCountSql
       |    ORDER BY cnt DESC, a, b
       |    LIMIT 1
       |  ) best
@@ -5251,10 +5319,18 @@ object SparkEntry {
                            m: Int = graft.vector.VectorOps.PqM,
                            c: Int = graft.vector.VectorOps.PqC,
                            iters: Int = graft.vector.VectorOps.PqIters,
-                           sfx: String = ""): String = {
+                           sfx: String = "",
+                           preSliced: Boolean = false): String = {
     val sub = graft.vector.VectorOps.OracleDim / m
-    s"""sv$sfx AS (SELECT vec_id, s.g AS sub, v[s.g*$sub+1 : s.g*$sub+$sub] AS svec
-      |       FROM $src, generate_series(0, ${m - 1}) s(g)),
+    // preSliced: `src` is already a (vec_id, sub, svec) frame — the
+    // q291 residual chain trains on stage-1 residual subvectors, not a
+    // sliced vector table
+    val svCte =
+      if (preSliced) s"sv$sfx AS (SELECT vec_id, sub, svec FROM $src)"
+      else
+        s"""sv$sfx AS (SELECT vec_id, s.g AS sub, v[s.g*$sub+1 : s.g*$sub+$sub] AS svec
+           |       FROM $src, generate_series(0, ${m - 1}) s(g))""".stripMargin
+    s"""$svCte,
       |seed$sfx AS (SELECT sub, CAST(vec_id AS INT) cid, svec AS vals FROM sv$sfx WHERE vec_id < $c),
       |st$sfx AS (SELECT LIST({'sub': sub, 'cid': cid, 'vals': vals, 'n': CAST(0 AS BIGINT)}) AS state FROM seed$sfx),
       |it$sfx(iter, state) AS (

@@ -876,10 +876,82 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Merge-frequency floor of the q292 pruned tokenizer, as a PERCENT
+    * of total corpus word occurrences — relative, not absolute, so the
+    * same knob means the same thing at every scale factor (an absolute
+    * floor that prunes nothing at sf0.1 would prune everything at
+    * sf0.001). Interpolated into the oracle SQL (shared-constant
+    * discipline). */
+  private[graft] val PrunedBpePct = 5L
+
+  private val bpePrunedMemo =
+    new graft.SessionMemo[(Seq[(Long, String, String, String, Long)], DataFrame)]
+
+  /** q292 — vocabulary-PRUNED BPE (the PLANS.md r14 prep candidate):
+    * the q277 trainer with the classic `min_frequency` stop — training
+    * ends at the first round whose best pair covers less than `pct`% of
+    * corpus word occurrences — versus the full 12-merge tokenizer, as a
+    * per-source fertility table. The "how much tokenizer do I actually
+    * need" decision artifact: merges below the floor are memorizing
+    * tail strings, and the table shows per source what dropping them
+    * costs in symbols-per-token (the q278 fertility measure), next to
+    * the merge count actually executed.
+    *
+    * Cross-engine: the floor is integer ceiling arithmetic over the
+    * exact BIGINT token total (both engines), and the pruned recursion
+    * is the q277 chain with the HAVING floor raised — the oracle
+    * replays both trainings; stopping one merge early or late breaks
+    * every downstream fertility integer.
+    *
+    * Scale: two vocabulary-sized training runs (k narrow jobs each,
+    * memoized) + one per-source word aggregate against two broadcast
+    * vocab tables — the q285 shape without the split. */
+  def bpePruned(spark: SparkSession, dir: String,
+                merges: Int = BpeDefaultMerges,
+                pct: Long = PrunedBpePct): DataFrame = {
+    val words = graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(expr(s"${graft.text.TextOps.TokensExpr}")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val (prunedMerges, finalSegP) = bpePrunedMemo.get(spark,
+      s"bpe-pruned/$dir/$merges/$pct/" +
+        graft.Tables.pathFingerprint(spark, s"$dir/documents.parquet")) {
+      val tot = words.agg(sum(col("freq"))).head().getLong(0)
+      bpeTrainCore(spark, words, merges, minCount = (tot * pct + 99L) / 100L)
+    }
+    val vocabFull = bpeArtifacts(spark, dir, merges)._2.select(
+      regexp_replace(trim(col("s")), " ", "").as("word"),
+      size(split(trim(col("s")), "  ")).cast("long").as("n_syms_full"))
+    val vocabPruned = finalSegP.select(
+      regexp_replace(trim(col("s")), " ", "").as("word"),
+      size(split(trim(col("s")), "  ")).cast("long").as("n_syms_pruned"))
+    val sw = graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"),
+        explode(expr(s"${graft.text.TextOps.TokensExpr}")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("freq"))
+    sw.join(broadcast(vocabFull), Seq("word"))
+      .join(broadcast(vocabPruned), Seq("word"))
+      .groupBy("source")
+      .agg(sum(col("freq")).as("n_tokens"),
+        sum(col("freq") * col("n_syms_full")).as("syms_full"),
+        sum(col("freq") * col("n_syms_pruned")).as("syms_pruned"))
+      .select(col("source"), col("n_tokens"), col("syms_full"),
+        col("syms_pruned"),
+        expr("CAST(FLOOR(CAST(1000000 AS DOUBLE) * syms_full / n_tokens + 0.5d) AS BIGINT)")
+          .as("full_fertility_micro"),
+        expr("CAST(FLOOR(CAST(1000000 AS DOUBLE) * syms_pruned / n_tokens + 0.5d) AS BIGINT)")
+          .as("pruned_fertility_micro"),
+        lit(prunedMerges.length.toLong).as("n_merges_pruned"))
+      .withColumn("fertility_tax_micro",
+        col("pruned_fertility_micro") - col("full_fertility_micro"))
+      .orderBy("source")
+  }
+
   /** Core over any (word, freq) frame (spec/ScaleProbe hook). Returns
     * (merge rows, final boundary-delimited segmentation). */
   private[graft] def bpeTrainCore(spark: SparkSession, words: DataFrame,
-                                  merges: Int):
+                                  merges: Int, minCount: Long = 1L):
       (Seq[(Long, String, String, String, Long)], DataFrame) = {
     // '  c1  c2  ..  ck  ': every symbol carries TWO boundary spaces on
     // each side. One space of each double gap belongs to the merge
@@ -908,12 +980,15 @@ object Curation {
             |ELSE array() END""".stripMargin)).as("p"), col("freq"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
-        // cnt >= 1: a no-op when every word has freq >= 1 (q277), but
-        // the q285 drift variant trains over the UNION vocabulary with
-        // freq 0 on fresh-only words — pairs occurring only in those
-        // must never win a merge, or the "frozen" tokenizer would
-        // diverge from what corpus-only training produces
-        .filter(col("cnt") >= lit(1L))
+        // cnt >= minCount. At the default 1 this is a no-op when every
+        // word has freq >= 1 (q277), but the q285 drift variant trains
+        // over the UNION vocabulary with freq 0 on fresh-only words —
+        // pairs occurring only in those must never win a merge, or the
+        // "frozen" tokenizer would diverge from what corpus-only
+        // training produces. The q292 pruned variant raises it to the
+        // classic min_frequency stop: training ends at the first round
+        // whose best pair is rarer than the threshold.
+        .filter(col("cnt") >= lit(minCount))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (best.isEmpty) done = true // vocabulary fully collapsed

@@ -1252,9 +1252,22 @@ object VectorOps {
     require(c <= maxVecId,
       s"PQ seeds are vec_id < $c but the training corpus is vec_id < $maxVecId")
     val e = vecs(spark, dir).filter(col("vec_id") < maxVecId)
-    val sv = pqSubVecs(e, "vec_id", m).cache()
+    pqTrainLoopOn(pqSubVecs(e, "vec_id", m),
+      pqSeedCents(spark, dir, m, c), iters)
+  }
+
+  /** The Lloyd loop over ANY (vec_id, sub, sv) subvector frame with
+    * caller-supplied seeds — split out so the residual-quantization
+    * stage (q291) can train its second codebook on stage-1 residuals
+    * with the identical recursion the oracle replays. */
+  private def pqTrainLoopOn(svIn: DataFrame,
+                            seeds: Map[(Int, Int), Seq[Double]],
+                            iters: Int):
+      (Map[(Int, Int), Seq[Double]], Map[(Int, Int), Long]) = {
+    val spark = svIn.sparkSession
+    val sv = svIn.cache()
     try {
-      var cents: Map[(Int, Int), Seq[Double]] = pqSeedCents(spark, dir, m, c)
+      var cents: Map[(Int, Int), Seq[Double]] = seeds
       var nAssigned: Map[(Int, Int), Long] =
         cents.keys.map(_ -> 0L).toMap
       for (_ <- 1 to iters) {
@@ -1319,6 +1332,66 @@ object VectorOps {
             .as("improved"))
         .orderBy("sub")
     } finally sv.unpersist(blocking = false)
+  }
+
+  private val rqMemo = new graft.SessionMemo[Map[(Int, Int), Seq[Double]]]
+
+  /** q291 — RESIDUAL quantization (the PLANS.md r14 prep candidate; RVQ
+    * stage 2 of Chen et al.'s residual vector quantization, the additive
+    * cousin of the reference's single-stage PQ): after the q282 trained
+    * codebook quantizes each subvector, a SECOND codebook is trained on
+    * the stage-1 residuals (sv − cb1[argmin]) with the identical Lloyd
+    * recursion, and the payoff table reports per subspace the remaining
+    * distortion after stage 1 vs after stage 2 — the decision artifact
+    * for "is a second 4-bit stage worth m more bytes per vector".
+    * Stage-2 seeds follow the q111 derivable rule on the residual frame
+    * (first `c` vectors' residuals), so DuckDB replays BOTH trainings:
+    * chain 2's input is chain 1's final assignment — one flipped
+    * assignment anywhere in either recursion moves the integer sums and
+    * breaks the hash.
+    *
+    * Scale: stage 1 rides the memoized q282 artifact; the residual
+    * frame is one broadcast join over the cached assignment (m small
+    * joins' worth of rows, corpus-sized × m); stage 2 is the same
+    * k-narrow-jobs loop with m·c·subDim driver state. At serving time
+    * the index stores 2m small ints per vector — still codes, never
+    * floats. */
+  def rqTrain(spark: SparkSession, dir: String, m: Int = PqM, c: Int = PqC,
+              iters: Int = PqIters): DataFrame = {
+    val (cb1, _) = pqTrainedCents(spark, dir, m, c, iters)
+    val cb1f = cbFrame(spark, cb1)
+    val sv = pqSubVecs(vecs(spark, dir), "vec_id", m)
+    val a1 = pqAssign(sv, cb1f, "vec_id").cache()
+    try {
+      def rsv = a1.join(
+          broadcast(cb1f.select(col("sub").as("csub"), col("cid"), col("cbv"))),
+          col("sub") === col("csub") && col("best.c") === col("cid"))
+        .select(col("vec_id"), col("sub"),
+          zip_with(col("sv"), col("cbv"), (x, y) => x - y).as("sv"))
+      val cb2 = rqMemo.get(spark, s"rq-train/$dir/$m/$c/$iters/" +
+          Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
+        val seeds2 = rsv.filter(col("vec_id") < c)
+          .select(col("vec_id").cast("int").as("cid"), col("sub"), col("sv"))
+          .collect()
+          .map(r => (r.getInt(1), r.getInt(0)) -> r.getSeq[Double](2).toSeq)
+          .toMap
+        pqTrainLoopOn(rsv, seeds2, iters)._1
+      }
+      def errOf(assigned: DataFrame, outCol: String): DataFrame =
+        assigned.select(col("sub"),
+            expr("CAST(FLOOR(best.d * 1000000.0d + 0.5d) AS BIGINT)").as("em"))
+          .groupBy("sub").agg(sum(col("em")).as(outCol))
+      errOf(a1, "stage1_err_micro")
+        .join(errOf(pqAssign(rsv, cbFrame(spark, cb2), "vec_id"),
+          "stage2_err_micro"), Seq("sub"))
+        .select(col("sub").cast("long").as("sub"),
+          col("stage1_err_micro"), col("stage2_err_micro"),
+          (col("stage1_err_micro") - col("stage2_err_micro"))
+            .as("rq_gain_micro"),
+          (col("stage2_err_micro") <= col("stage1_err_micro")).cast("long")
+            .as("improved"))
+        .orderBy("sub")
+    } finally a1.unpersist(blocking = false)
   }
 
   /** (m, c) of a driver-held codebook, VALIDATED: non-empty and with

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 pins: the data-carried coarse quantizer (HOF-literal
+  * probe/assignment and the broadcast-join form must implement the
+  * exact lexicographic argmin a driver replay computes, at cell counts
+  * past the old expression-inlining wall), codebook-shape validation,
+  * residual quantization (q291), and pruned-BPE (q292) mechanics. */
+class Round15Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def sdot(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0d; var i = 0; val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  // deterministic little test grid: 40 vectors, dim 6
+  private def testVecs(n: Int = 40, dim: Int = 6): Seq[(Long, Seq[Double])] =
+    (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(j => ((i * 7 + j * 13) % 19 - 9) / 3.0d))
+    }
+
+  private def driverCell(v: Seq[Double], cents: Seq[(Int, Seq[Double])]): Int =
+    cents.map { case (c, cv) =>
+      (sdot(v, v) - 2.0d * sdot(v, cv) + sdot(cv, cv), c)
+    }.min._2
+
+  test("cellOf (HOF literal), assignCellsJoin, and a driver replay agree — including non-contiguous cell ids and ties to the lower id") {
+    val vs = testVecs()
+    val e = vs.toDF("vec_id", "v")
+    // non-contiguous ids (the rebalance before/after sets' shape) and a
+    // DUPLICATED centroid vector so the tie-break actually fires
+    val cents: Seq[(Int, Seq[Double])] = Seq(
+      3 -> vs(0)._2, 7 -> vs(5)._2, 12 -> vs(0)._2, 20 -> vs(9)._2)
+    val got = e.withColumn("cell", graft.vector.VectorOps.cellOf(cents))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = vs.map { case (id, v) => id -> driverCell(v, cents) }.toMap
+    assert(got === want)
+    // the duplicated centroid must always lose to its lower-id twin
+    assert(!got.values.exists(_ == 12))
+    // join form (contiguous ids 0..k-1 by construction) vs driver
+    val centsSeq = cents.map(_._2)
+    val contJoin = graft.vector.VectorOps.assignCellsJoin(e, centsSeq)
+      .select("corpus_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val contWant = vs.map { case (id, v) =>
+      id -> driverCell(v, centsSeq.zipWithIndex.map { case (cv, c) => (c, cv) })
+    }.toMap
+    assert(contJoin === contWant)
+  }
+
+  test("the coarse quantizer plan stays constant-size past the expression-inlining wall (k = 1024 cells compiles and runs)") {
+    val vs = testVecs(64, 8)
+    val e = vs.toDF("vec_id", "v")
+    val cents: Seq[Seq[Double]] = (0 until 1024).map { c =>
+      (0 until 8).map(j => ((c * 11 + j * 5) % 23 - 11) / 4.0d)
+    }
+    val t0 = System.nanoTime()
+    val n = e.withColumn("cell",
+        graft.vector.VectorOps.cellOf(
+          cents.zipWithIndex.map { case (cv, c) => (c, cv) }))
+      .groupBy("cell").count().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n >= 1L)
+    // the r14-measured wall was ~40 s PER PLAN at ~1e3 inlined entries;
+    // the literal-HOF form must stay orders below that
+    assert(secs < 20.0, f"k=1024 assignment took $secs%.1f s — plan-size wall is back?")
+  }
+
+  test("probeCells keeps the nProbe nearest cells with (dist, cell) lexicographic order") {
+    val vs = testVecs(10, 4)
+    val e = vs.toDF("vec_id", "v")
+    val cents: Seq[Seq[Double]] =
+      Seq(vs(0)._2, vs(1)._2, vs(0)._2, vs(3)._2) // dup -> tie at cells 0/2
+    val probed = e
+      .withColumn("pc", graft.vector.VectorOps.probeCells(col("v"), cents, 2))
+      .select(col("vec_id"), expr("transform(pc, x -> x.cell)").as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vs.foreach { case (id, v) =>
+      val want = cents.zipWithIndex
+        .map { case (cv, c) => (sdot(v, v) - 2.0d * sdot(v, cv) + sdot(cv, cv), c) }
+        .sorted.take(2).map(_._2)
+      assert(probed(id) === want, s"vec $id")
+      // the duplicated-centroid twins tie on distance, so when both
+      // make the cut the LOWER id must come first (the q35 probe rule)
+      if (probed(id).contains(0) && probed(id).contains(2))
+        assert(probed(id).indexOf(0) < probed(id).indexOf(2))
+    }
+  }
+
+  test("codebookShape rejects empty and holed codebooks, accepts full grids") {
+    val full = (for { s <- 0 until 2; k <- 0 until 3 }
+      yield (s, k) -> Seq(s.toDouble, k.toDouble)).toMap
+    assert(graft.vector.VectorOps.codebookShape(full) === (2, 3))
+    intercept[IllegalArgumentException] {
+      graft.vector.VectorOps.codebookShape(Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.vector.VectorOps.codebookShape(full - ((1, 1)))
+    }
+  }
+
+  test("q291 residual quantization: stage 2 reduces distortion on the real store and both stages' integers are consistent") {
+    val out = graft.vector.VectorOps.rqTrain(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length === graft.vector.VectorOps.PqM)
+    out.foreach { r =>
+      val (s1, s2, gain, improved) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(gain === s1 - s2)
+      assert(improved === (if (s2 <= s1) 1L else 0L))
+      // measured property of the fixture store (not a Lloyd guarantee —
+      // stage 2 has no zero-centroid escape): the second stage pays off
+      assert(improved === 1L, s"stage 2 made sub ${r.getLong(0)} worse")
+      assert(s2 > 0L, "residual distortion collapsed to zero — degenerate fixture")
+    }
+  }
+
+  test("q292 pruned BPE: the pruned merge sequence is a strict PREFIX of the full one — the floor only stops training early") {
+    val words = Seq(
+      ("aaaa", 50L), ("aab", 30L), ("bcbc", 4L), ("bcd", 3L))
+      .toDF("word", "freq")
+    val (full, _) = graft.text.Curation.bpeTrainCore(spark, words, 8)
+    val (pruned, _) = graft.text.Curation.bpeTrainCore(spark, words, 8,
+      minCount = 20L)
+    assert(pruned.length < full.length)
+    assert(full.take(pruned.length) === pruned,
+      "pruning altered the merge sequence instead of truncating it")
+    assert(pruned.forall(_._5 >= 20L))
+    assert(full.drop(pruned.length).forall(_._5 < 20L),
+      "a merge above the floor was pruned")
+  }
+
+  test("q292 fertility tax is non-negative per source (fewer merges can never shrink symbol counts)") {
+    val out = graft.text.Curation.bpePruned(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(7) >= 0L,
+        s"source ${r.getString(0)}: pruned tokenizer got BETTER fertility?")
+      assert(r.getLong(6) <= graft.text.Curation.BpeDefaultMerges.toLong)
+    }
+  }
+}
