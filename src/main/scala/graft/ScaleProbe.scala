@@ -541,6 +541,32 @@ object ScaleProbe {
         val out = labels.count()
         labels.unpersist()
         out
+      },
+      "large-star/small-star CC (same graph as the fallback probe)" -> { t =>
+        // the ≳10⁸-edge growth path (PLANS r14): unlike pointer jumping
+        // (constant |E| per round + two |V|-table self-joins), L*/S*
+        // rewrites the edge set toward stars, so the per-round scan
+        // SHRINKS. Same chain+star graph as the fallback family — the
+        // two probes are the apples-to-apples pair for the path choice.
+        val chainN = 200000L * t.copies
+        val starN = 1100000L * t.copies
+        val chain = spark.range(chainN)
+          .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+        val stars = spark.range(starN)
+          .select((col("id") + 1000000000L).as("doc_a"),
+            ((col("id") - col("id") % 5) + 1000000000L).as("doc_b"))
+          .filter(col("doc_a") =!= col("doc_b"))
+        val pairs = chain.unionByName(stars)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val (labels, rounds) =
+          graft.dedup.DedupOps.largeSmallStarFixpoint(pairs)
+        println(s"[scale-probe]   lsss detail at ${t.copies}x: " +
+          s"rounds=$rounds (chain diameter ${chainN})")
+        require(rounds <= 40,
+          s"star contraction lost its log bound: $rounds rounds on diameter $chainN")
+        val out = labels.count()
+        labels.unpersist()
+        out
       })
 
     val t1 = Tabs(1)

@@ -658,16 +658,28 @@ object DedupOps {
     * node in `docs` gets a cluster (singletons label themselves). Split
     * out so tests can drive literal graphs.
     *
-    * Two execution paths, selected by measured edge count — the same
+    * Three execution paths, selected by measured edge count — the same
     * collect-under-threshold logic broadcast joins use:
     *  - pair graphs under `localThreshold` edges (the overwhelmingly
     *    common case: the pair list is dedup's OUTPUT, orders of
     *    magnitude smaller than the corpus) are collected and solved
     *    with driver-side union-find, then broadcast-joined back — one
     *    job instead of a multi-round loop;
-    *  - larger graphs run the distributed min-label propagation loop
-    *    (PropertySpec pins both paths to identical output).
-    * Both produce the min-doc_id-per-component labeling. */
+    *  - larger graphs run the distributed min-label pointer-jumping
+    *    loop (PropertySpec pins it to identical output);
+    *  - past [[StarPathEdges]], large-star/small-star edge contraction
+    *    ([[largeSmallStarFixpoint]]; Round15Spec pins all paths equal)
+    *    — measured faster once the per-round edge scan dominates.
+    * All produce the min-doc_id-per-component labeling. */
+  /** Above this edge count the distributed path switches from pointer
+    * jumping to large-star/small-star: on ScaleProbe's chain+star graph
+    * the crossover is measured between 1.1M edges (pointer jumping
+    * 25 s vs star contraction 37 s — the label-table rounds are cheaper
+    * when everything fits) and 10.8M (269 s vs 186 s — edge contraction
+    * wins once the per-round scan dominates). Both paths are pinned
+    * output-equal (Round15Spec). */
+  private[graft] val StarPathEdges = 10000000L
+
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
                           localThreshold: Long = 1000000L): DataFrame = {
     // cache only if the caller didn't: we then own (and release) the
@@ -706,7 +718,9 @@ object DedupOps {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
     }
-    val (finalLabels, _) = minLabelFixpoint(p)
+    val (finalLabels, _) =
+      if (nPairs > StarPathEdges) largeSmallStarFixpoint(p)
+      else minLabelFixpoint(p)
     if (!wasCached) p.unpersist()
     val clustered = docs
       .join(finalLabels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
@@ -760,10 +774,6 @@ object DedupOps {
     // real memory bump on the >1M-edge graphs this path exists for
     // (advisor r14). Safe because the eager checkpoint + sum aggregate
     // fully materialize `next` before its parent is dropped.
-    def ckRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
     var prevCk: Option[org.apache.spark.rdd.RDD[_]] = None
     while (!converged) {
       rounds += 1
@@ -791,6 +801,86 @@ object DedupOps {
       labels = next
     }
     edges.unpersist()
+    (labels, rounds)
+  }
+
+  /** The localCheckpoint'd RDD behind a checkpointed DataFrame, for
+    * explicit block release between fixpoint rounds (unpersist() on the
+    * FRAME is a no-op once checkpointed — advisor r14). */
+  private def ckRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * growth path PAST pointer jumping for ≳10⁸-edge pair graphs
+    * (PLANS r14). [[minLabelFixpoint]] keeps |E| constant and carries a
+    * node→label table through every round; this algorithm rewrites the
+    * EDGE SET itself toward per-component stars, so the per-round scan
+    * SHRINKS as duplicates collapse:
+    *  - large-star (per node u): every neighbor v > u re-attaches to
+    *    m(u) = min(Γ(u) ∪ {u}) — edge count preserved, heights drop;
+    *  - small-star (per node u over smaller neighbors): u and every
+    *    v < u attach to the minimum — duplicates merge, |E| contracts.
+    * Both phases keep every endpoint inside its original component
+    * (m(u) is always a member), so the fixpoint — every edge
+    * (center, member) with center = component minimum — labels nodes
+    * exactly like union-find (Round15Spec pins equality on random
+    * graphs and a planted chain; proven O(log² n) rounds, observed
+    * ~log). Convergence = the canonical edge set reaches a fixpoint
+    * (count equal AND exceptAll empty — set semantics, not an
+    * order-dependent hash).
+    *
+    * Returns (node → component-min labels over ALL nodes of `p`,
+    * rounds). Same contract as [[minLabelFixpoint]]. */
+  private[graft] def largeSmallStarFixpoint(p: DataFrame): (DataFrame, Int) = {
+    val allNodes = p
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+      .distinct().cache()
+    var edges = p.filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct().localCheckpoint(eager = true)
+    var prevCk: Option[org.apache.spark.rdd.RDD[_]] = ckRdd(edges)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      rounds += 1
+      // LARGE-STAR: both orientations; each node's strictly-larger
+      // neighbors re-attach to the neighborhood minimum
+      val nbr = edges.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
+      val mins = nbr.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val ls = nbr.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("m").as("a"), col("y").as("b"))
+        .distinct()
+      // SMALL-STAR: orient to the larger endpoint; it and all smaller
+      // neighbors attach to their minimum (already canonical a < b)
+      val nbr2 = ls.select(col("b").as("x"), col("a").as("y"))
+      val mins2 = nbr2.groupBy("x").agg(min(col("y")).as("m"))
+      val next = nbr2.join(mins2, "x")
+        .filter(col("y") =!= col("m"))
+        .select(col("m").as("a"), col("y").as("b"))
+        .unionByName(mins2.select(col("m").as("a"), col("x").as("b")))
+        .distinct()
+        .localCheckpoint(eager = true)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      prevCk.foreach(_.unpersist(false))
+      prevCk = ckRdd(next)
+      edges = next
+    }
+    val labels = allNodes
+      .join(edges.select(col("b").as("node"), col("a").as("label")),
+        Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("label"), col("node")).as("label"))
+      .cache()
+    labels.count()
+    allNodes.unpersist()
     (labels, rounds)
   }
 

@@ -851,6 +851,12 @@ object VectorOps {
     * shrinks from ±100k micro at m=4/c=16 to ±55k, lifting the exact-
     * rejection catch rate from 0.10 to 0.48-0.67 across SFs at 3-5%
     * over-rejection; SketchBounds floors both sides). */
+  /** q293's production-sized coarse layer (vs q35's 16/4 showcase):
+    * the cells-grow-with-the-corpus knob (judge r14) exercised inside
+    * the hash-verified path. Interpolated into the oracle SQL. */
+  private[graft] val GrownCells = 64
+  private[graft] val GrownProbe = 8
+
   private[graft] val GatePqM = 16
   private[graft] val GatePqC = 64
   private[graft] val GatePqIters = 4

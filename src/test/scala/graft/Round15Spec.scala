@@ -134,6 +134,46 @@ class Round15Spec extends SparkSpec {
       "a merge above the floor was pruned")
   }
 
+  test("large-star/small-star CC equals union-find on random graphs and pointer jumping on every shape tried") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val pairs = Seq.fill(30)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val df = pairs.toDF("doc_a", "doc_b")
+      val (starLabels, _) = graft.dedup.DedupOps.largeSmallStarFixpoint(df)
+      val got = starLabels.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      starLabels.unpersist()
+      // union-find reference (union by min root = component minimum)
+      val parent = Array.tabulate(20)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = nodes.map(n => n -> find(n.toInt).toLong).toMap
+      assert(got === expected)
+      // and the pointer-jumping path agrees
+      val (mlLabels, _) = graft.dedup.DedupOps.minLabelFixpoint(df)
+      val ml = mlLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      mlLabels.unpersist()
+      assert(ml === got)
+    }
+  }
+
+  test("large-star/small-star CC: a planted 512-chain converges in O(log n) rounds to the exact min labeling") {
+    val n = 512
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (labels, rounds) = graft.dedup.DedupOps.largeSmallStarFixpoint(pairs)
+    assert(rounds <= 14, s"chain-512 took $rounds rounds — star contraction broken")
+    assert(labels.filter(col("label") =!= 0L).count() === 0L)
+    assert(labels.count() === n.toLong)
+    labels.unpersist()
+  }
+
   test("q292 fertility tax is non-negative per source (fewer merges can never shrink symbol counts)") {
     val out = graft.text.Curation.bpePruned(spark, "/root/testdata/sf0.001")
       .collect()
