@@ -568,6 +568,10 @@ object SparkEntry {
     "q293_ann_ivf_grown"       -> ((s, d) => graft.vector.VectorOps.annIvfTopK(s, d,
       nCentroids = graft.vector.VectorOps.GrownCells,
       nProbe = graft.vector.VectorOps.GrownProbe)),
+    // int8 scalar quantization: per-dim affine map + distortion audit
+    "q294_sq8_train"           -> ((s, d) => graft.vector.VectorOps.sq8Train(s, d)),
+    // the 3-tier bytes-vs-distortion decision table (sq8 / pq / rq2)
+    "q295_compression_tiers"   -> ((s, d) => graft.vector.VectorOps.compressionTiers(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3901,31 +3905,50 @@ object SparkEntry {
     // entry) feeds a SECOND chain (preSliced) seeded by the first-c
     // rule on residuals; per-sub distortion integers after each stage.
     "q291_rq_train" ->
-      s"""WITH RECURSIVE $PqTrainCtes,
-         |tr AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
-         |       FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
-         |asg1 AS (SELECT sv.vec_id, sv.sub, sv.svec,
-         |                MIN({'d': list_inner_product(sv.svec, sv.svec) - 2 * list_inner_product(sv.svec, t.vals) + list_inner_product(t.vals, t.vals),
-         |                     'c': t.cid}) AS best
-         |         FROM sv JOIN tr t ON t.sub = sv.sub GROUP BY 1, 2, 3),
-         |rsv0 AS (SELECT a.vec_id, a.sub,
-         |                list_transform(generate_series(1, len(a.svec)), i -> a.svec[i] - t.vals[i]) AS svec
-         |         FROM asg1 a JOIN tr t ON t.sub = a.sub AND t.cid = a.best.c),
-         |${pqTrainChain("rsv0", sfx = "r", preSliced = true)},
-         |tr2 AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
-         |        FROM (SELECT state FROM itr ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
-         |e1 AS (SELECT sub, CAST(SUM(CAST(FLOOR(best.d * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS stage1_err_micro
-         |       FROM asg1 GROUP BY 1),
-         |asg2 AS (SELECT r.vec_id, r.sub,
-         |                MIN({'d': list_inner_product(r.svec, r.svec) - 2 * list_inner_product(r.svec, t.vals) + list_inner_product(t.vals, t.vals),
-         |                     'c': t.cid}) AS best
-         |         FROM rsv0 r JOIN tr2 t ON t.sub = r.sub GROUP BY 1, 2),
-         |e2 AS (SELECT sub, CAST(SUM(CAST(FLOOR(best.d * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS stage2_err_micro
-         |       FROM asg2 GROUP BY 1)
+      s"""WITH RECURSIVE $RqCtes
          |SELECT CAST(e1.sub AS BIGINT) AS sub, e1.stage1_err_micro, e2.stage2_err_micro,
          |       e1.stage1_err_micro - e2.stage2_err_micro AS rq_gain_micro,
          |       CAST(e2.stage2_err_micro <= e1.stage1_err_micro AS BIGINT) AS improved
          |FROM e1 JOIN e2 USING (sub) ORDER BY sub""".stripMargin,
+    // q294: per-dim affine int8 map replayed exactly — FLOOR-rounded
+    // code, clamped 0..255, explicit self-product error (no POW —
+    // libm); zero-span dims short-circuit.
+    "q294_sq8_train" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT unnest(generate_series(1, len(v))) - 1 AS dim, unnest(v) AS x FROM e),
+         |sp AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY 1),
+         |er AS (SELECT x.dim,
+         |              CASE WHEN sp.mx = sp.mn THEN CAST(0 AS BIGINT) ELSE
+         |                CAST(FLOOR(1000000.0 * (x.x - ($Sq8ReconSql)) * (x.x - ($Sq8ReconSql)) + 0.5) AS BIGINT) END AS em
+         |       FROM x JOIN sp USING (dim))
+         |SELECT CAST(sp.dim AS BIGINT) AS dim,
+         |       CAST(FLOOR(1000000.0 * sp.mn + 0.5) AS BIGINT) AS mn_micro,
+         |       CAST(FLOOR(1000000.0 * sp.mx + 0.5) AS BIGINT) AS mx_micro,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vals,
+         |       CAST(SUM(er.em) AS BIGINT) AS err_micro
+         |FROM er JOIN sp USING (dim) GROUP BY sp.dim, sp.mn, sp.mx
+         |ORDER BY dim""".stripMargin,
+    // q295: all three tiers replayed in ONE query — both Lloyd
+    // recursions (the q291 chain) plus the affine int8 map — into the
+    // 3-row bytes-vs-distortion decision table.
+    "q295_compression_tiers" ->
+      s"""WITH RECURSIVE $RqCtes,
+         |x AS (SELECT unnest(generate_series(1, len(v))) - 1 AS dim, unnest(v) AS x FROM e),
+         |sp AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY 1),
+         |er AS (SELECT x.dim,
+         |              CASE WHEN sp.mx = sp.mn THEN CAST(0 AS BIGINT) ELSE
+         |                CAST(FLOOR(1000000.0 * (x.x - ($Sq8ReconSql)) * (x.x - ($Sq8ReconSql)) + 0.5) AS BIGINT) END AS em
+         |       FROM x JOIN sp USING (dim)),
+         |sel AS (
+         |  SELECT 'pq' AS tier, CAST(${graft.vector.VectorOps.PqM} AS BIGINT) AS bytes_per_vec,
+         |         (SELECT CAST(SUM(stage1_err_micro) AS BIGINT) FROM e1) AS err_micro
+         |  UNION ALL
+         |  SELECT 'rq2', CAST(${2 * graft.vector.VectorOps.PqM} AS BIGINT),
+         |         (SELECT CAST(SUM(stage2_err_micro) AS BIGINT) FROM e2)
+         |  UNION ALL
+         |  SELECT 'sq8', CAST(${graft.vector.VectorOps.OracleDim} AS BIGINT),
+         |         (SELECT CAST(SUM(em) AS BIGINT) FROM er))
+         |SELECT tier, bytes_per_vec, err_micro FROM sel ORDER BY tier""".stripMargin,
     // q292: the q277 chain twice — full, and pruned with the HAVING
     // floor raised to ceil(pct% of total word occurrences) (integer
     // arithmetic both engines); per-source fertility under each.
@@ -5382,6 +5405,39 @@ object SparkEntry {
   private val PqTrainCtes: String =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),\n" +
       pqTrainChain("e")
+
+  /** q291/q295 shared chain: the q282 training, stage-1 assignment,
+    * residual frame, the SECOND (preSliced) training over residuals,
+    * and both per-sub distortion tables (e1/e2). */
+  private val RqCtes: String =
+    s"""$PqTrainCtes,
+       |tr AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+       |       FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
+       |asg1 AS (SELECT sv.vec_id, sv.sub, sv.svec,
+       |                MIN({'d': list_inner_product(sv.svec, sv.svec) - 2 * list_inner_product(sv.svec, t.vals) + list_inner_product(t.vals, t.vals),
+       |                     'c': t.cid}) AS best
+       |         FROM sv JOIN tr t ON t.sub = sv.sub GROUP BY 1, 2, 3),
+       |rsv0 AS (SELECT a.vec_id, a.sub,
+       |                list_transform(generate_series(1, len(a.svec)), i -> a.svec[i] - t.vals[i]) AS svec
+       |         FROM asg1 a JOIN tr t ON t.sub = a.sub AND t.cid = a.best.c),
+       |${pqTrainChain("rsv0", sfx = "r", preSliced = true)},
+       |tr2 AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+       |        FROM (SELECT state FROM itr ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
+       |e1 AS (SELECT sub, CAST(SUM(CAST(FLOOR(best.d * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS stage1_err_micro
+       |       FROM asg1 GROUP BY 1),
+       |asg2 AS (SELECT r.vec_id, r.sub,
+       |                MIN({'d': list_inner_product(r.svec, r.svec) - 2 * list_inner_product(r.svec, t.vals) + list_inner_product(t.vals, t.vals),
+       |                     'c': t.cid}) AS best
+       |         FROM rsv0 r JOIN tr2 t ON t.sub = r.sub GROUP BY 1, 2),
+       |e2 AS (SELECT sub, CAST(SUM(CAST(FLOOR(best.d * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS stage2_err_micro
+       |       FROM asg2 GROUP BY 1)""".stripMargin
+
+  /** q294/q295 shared int8 reconstruction (DuckDB dialect; the Spark
+    * twin lives in VectorOps.sq8Train): mn + clamp(round(code)) ·
+    * span/255 — FLOOR-rounded, clamped, no POW anywhere. */
+  private val Sq8ReconSql: String =
+    "sp.mn + LEAST(GREATEST(FLOOR((x.x - sp.mn) / ((sp.mx - sp.mn) / 255.0) + 0.5), 0.0), 255.0)" +
+      " * ((sp.mx - sp.mn) / 255.0)"
 
   /** q230/q262 oracle: the exact greedy as a recursive CTE — ORDER BY/
     * LIMIT inside the recursive term steps the argmax; integer gains,

@@ -1400,6 +1400,76 @@ object VectorOps {
     } finally a1.unpersist(blocking = false)
   }
 
+  /** q294 — SCALAR (int8) quantization: per dimension, the corpus min/
+    * max span mapped affinely onto 0..255 codes; the audit reports per
+    * dim the span and the total reconstruction error. The third
+    * compression tier next to PQ (q282) and RQ (q291) — dim bytes per
+    * vector, no codebook, no training loop; the tier a store reaches
+    * for when decode latency matters more than ratio.
+    *
+    * Determinism: min/max are exact; the code is FLOOR((x−mn)/scale
+    * + 0.5) clamped (one double division; both engines IEEE); a
+    * zero-span dim short-circuits to code 0 / recon = mn. Per-term
+    * micro-rounding before the order-free error sum (q231).
+    *
+    * Scale: ONE posexplode pass for the spans (bounded dim-keyed agg),
+    * one more for the errors — no joins, no driver state beyond the
+    * 2·dim span table. */
+  def sq8Train(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val spans = e.select(posexplode(col("v")))
+      .groupBy("pos").agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+    // no POW anywhere near the oracle compare (libm-dependent between
+    // JVM and DuckDB): the squared error is an explicit self-product
+    val reconSql =
+      "mn + LEAST(GREATEST(FLOOR((col - mn) / ((mx - mn) / 255.0d) + 0.5d), 0.0d), 255.0d)" +
+        " * ((mx - mn) / 255.0d)"
+    val err = e.select(posexplode(col("v")))
+      .join(broadcast(spans), Seq("pos"))
+      .select(col("pos"),
+        expr(s"""CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE
+                CAST(FLOOR(1000000.0d * (col - ($reconSql)) * (col - ($reconSql)) + 0.5d) AS BIGINT) END""")
+          .as("em"))
+      .groupBy("pos").agg(count(lit(1)).as("n_vals"), sum(col("em")).as("err_micro"))
+    err.join(broadcast(spans), Seq("pos"))
+      .select(col("pos").cast("long").as("dim"),
+        expr("CAST(FLOOR(1000000.0d * mn + 0.5d) AS BIGINT)").as("mn_micro"),
+        expr("CAST(FLOOR(1000000.0d * mx + 0.5d) AS BIGINT)").as("mx_micro"),
+        col("n_vals"), col("err_micro"))
+      .orderBy("dim")
+  }
+
+  /** q295 — COMPRESSION-TIER decision table: one row per corpus
+    * representation (int8 scalar, PQ, two-stage RQ) with its state cost
+    * in bytes per vector and its total reconstruction distortion —
+    * the artifact an index owner reads before choosing what a billion
+    * vectors are stored AS. All three tiers reuse their memoized
+    * training artifacts; the oracle replays every recursion (both
+    * Lloyd chains and the affine map) so the table hash-verifies.
+    *
+    * err definitions (identical algebra both engines): SQ8 = Σ per-term
+    * micro((x − recon)²) over (vec, dim); PQ = Σ micro(best.d) over
+    * (vec, sub) under the q282 trained codebook (= q291 stage 1); RQ =
+    * the same under the stage-2 residual codebook (= q291 stage 2) —
+    * total two-stage distortion, since recon error after both stages
+    * IS the stage-2 residual distance. */
+  def compressionTiers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = vecs(spark, dir).select(size(col("v"))).head().getInt(0)
+    val sq8 = sq8Train(spark, dir)
+      .agg(sum(col("err_micro")).as("err_micro"))
+      .select(lit("sq8").as("tier"), lit(dim.toLong).as("bytes_per_vec"),
+        col("err_micro"))
+    val rq = rqTrain(spark, dir)
+    val pqErr = rq.agg(sum(col("stage1_err_micro")).as("err_micro"))
+      .select(lit("pq").as("tier"), lit(PqM.toLong).as("bytes_per_vec"),
+        col("err_micro"))
+    val rqErr = rq.agg(sum(col("stage2_err_micro")).as("err_micro"))
+      .select(lit("rq2").as("tier"), lit(2L * PqM).as("bytes_per_vec"),
+        col("err_micro"))
+    sq8.unionByName(pqErr).unionByName(rqErr).orderBy("tier")
+  }
+
   /** (m, c) of a driver-held codebook, VALIDATED: non-empty and with
     * every (sub, cid) cell present for sub < m, cid < c. A codebook
     * loaded from an external index ([[graft.streaming.Sinks

@@ -134,6 +134,41 @@ class Round15Spec extends SparkSpec {
       "a merge above the floor was pruned")
   }
 
+  test("q294 sq8: a hand-worked dim quantizes exactly, zero-span dims short-circuit, codes clamp") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+    // dim 0: span [0, 255] — every integer value reconstructs exactly
+    // (scale 1.0). dim 1: constant (zero span). dim 2: span [0, 2.55]
+    // with a mid value 1.0 -> code floor(1.0/0.01 + 0.5) = 100 ->
+    // recon 1.00 exactly (scale = 2.55/255 = 0.01).
+    Seq((0L, Seq(0.0f, 7.0f, 0.00f), 0),
+        (1L, Seq(255.0f, 7.0f, 2.55f), 0),
+        (2L, Seq(17.0f, 7.0f, 1.00f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$base/embeddings.parquet")
+    val out = graft.vector.VectorOps.sq8Train(spark, base).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) === ((0L, 255000000L, 3L, 0L)), "integer-grid dim must be lossless")
+    assert(out(1L) === ((7000000L, 7000000L, 3L, 0L)), "zero-span dim short-circuits")
+    val (mn2, mx2, n2, err2) = out(2L)
+    assert((mn2, mx2, n2) === ((0L, 2550000L, 3L)))
+    // 1.0 -> code 100 -> recon exactly 1.0 in double? 2.55/255 is not
+    // exact binary, so allow only sub-micro residue
+    assert(err2 <= 1L, s"quantization residue $err2 exceeds a micro")
+  }
+
+  test("q295 tiers: more bytes never cost more distortion on the real store, and the rows carry the right byte costs") {
+    val rows = graft.vector.VectorOps.compressionTiers(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set("pq", "rq2", "sq8"))
+    assert(rows("pq")._1 === graft.vector.VectorOps.PqM.toLong)
+    assert(rows("rq2")._1 === 2L * graft.vector.VectorOps.PqM)
+    assert(rows("sq8")._1 === 64L)
+    assert(rows("rq2")._2 <= rows("pq")._2,
+      "the second RQ stage must not add distortion")
+    assert(rows("sq8")._2 <= rows("rq2")._2,
+      "8x the bytes must beat the coded tiers on this store")
+  }
+
   test("large-star/small-star CC equals union-find on random graphs and pointer jumping on every shape tried") {
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { _ =>
