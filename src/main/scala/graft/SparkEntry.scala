@@ -572,6 +572,9 @@ object SparkEntry {
     "q294_sq8_train"           -> ((s, d) => graft.vector.VectorOps.sq8Train(s, d)),
     // the 3-tier bytes-vs-distortion decision table (sq8 / pq / rq2)
     "q295_compression_tiers"   -> ((s, d) => graft.vector.VectorOps.compressionTiers(s, d)),
+    // variance-balanced dimension allocation before PQ (the OPQ
+    // family's permutation member): natural vs balanced distortion
+    "q296_opq_allocate"        -> ((s, d) => graft.vector.VectorOps.opqAllocate(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3910,6 +3913,43 @@ object SparkEntry {
          |       e1.stage1_err_micro - e2.stage2_err_micro AS rq_gain_micro,
          |       CAST(e2.stage2_err_micro <= e1.stage1_err_micro AS BIGINT) AS improved
          |FROM e1 JOIN e2 USING (sub) ORDER BY sub""".stripMargin,
+    // q296: variance ranks from exact integer sums (HUGEINT products —
+    // BIGINT could overflow s1² on wider-range data), snake allocation
+    // in closed form, then BOTH Lloyd recursions (natural + permuted)
+    // and the per-sub distortion comparison.
+    "q296_opq_allocate" ->
+      s"""WITH RECURSIVE $PqTrainCtes,
+         |xs AS (SELECT vec_id, unnest(generate_series(1, len(v))) - 1 AS dim, unnest(v) AS x FROM e),
+         |vr AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |              SUM(CAST(FLOOR(x * x * 1000000.0 + 0.5) AS BIGINT)) AS s2,
+         |              SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS s1
+         |       FROM xs GROUP BY 1),
+         |rk AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT) - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) DESC, dim) - 1 AS r FROM vr),
+         |al AS (SELECT dim,
+         |              CASE WHEN (r // ${graft.vector.VectorOps.PqM}) % 2 = 0 THEN r % ${graft.vector.VectorOps.PqM}
+         |                   ELSE ${graft.vector.VectorOps.PqM} - 1 - (r % ${graft.vector.VectorOps.PqM}) END AS sub,
+         |              r // ${graft.vector.VectorOps.PqM} AS slot
+         |       FROM rk),
+         |psv AS (SELECT xs.vec_id, al.sub, LIST(xs.x ORDER BY al.slot) AS svec
+         |        FROM xs JOIN al USING (dim) GROUP BY 1, 2),
+         |trn AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+         |        FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
+         |en AS (SELECT sub, CAST(SUM(CAST(FLOOR(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS natural_err_micro
+         |       FROM (SELECT sv.vec_id, sv.sub,
+         |                    MIN(list_inner_product(sv.svec, sv.svec) - 2 * list_inner_product(sv.svec, t.vals) + list_inner_product(t.vals, t.vals)) AS mind
+         |             FROM sv JOIN trn t ON t.sub = sv.sub GROUP BY 1, 2)
+         |       GROUP BY sub),
+         |${pqTrainChain("psv", sfx = "o", preSliced = true)},
+         |tro AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+         |        FROM (SELECT state FROM ito ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
+         |eb AS (SELECT sub, CAST(SUM(CAST(FLOOR(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS balanced_err_micro
+         |       FROM (SELECT p.vec_id, p.sub,
+         |                    MIN(list_inner_product(p.svec, p.svec) - 2 * list_inner_product(p.svec, t.vals) + list_inner_product(t.vals, t.vals)) AS mind
+         |             FROM psv p JOIN tro t ON t.sub = p.sub GROUP BY 1, 2)
+         |       GROUP BY sub)
+         |SELECT CAST(en.sub AS BIGINT) AS sub, en.natural_err_micro, eb.balanced_err_micro,
+         |       en.natural_err_micro - eb.balanced_err_micro AS gain_micro
+         |FROM en JOIN eb USING (sub) ORDER BY sub""".stripMargin,
     // q294: per-dim affine int8 map replayed exactly — FLOOR-rounded
     // code, clamped 0..255, explicit self-product error (no POW —
     // libm); zero-span dims short-circuit.

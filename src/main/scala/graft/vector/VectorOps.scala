@@ -1400,6 +1400,81 @@ object VectorOps {
     } finally a1.unpersist(blocking = false)
   }
 
+  private val opqMemo = new graft.SessionMemo[Map[(Int, Int), Seq[Double]]]
+
+  /** q296 — variance-BALANCED dimension allocation before PQ (the
+    * permutation member of the OPQ family — Ge et al. learn a full
+    * rotation; FAISS's practical baseline, and ours, REORDERS dims so
+    * every subspace carries comparable variance, because natural
+    * slicing lets one hot subspace dominate the distortion budget).
+    * Per-dim variance ranks come from EXACT integer sums (n·Σmicro(x²)
+    * − (Σmicro(x))² in arbitrary precision — only the ORDER is used),
+    * dims are dealt to the m subspaces in SNAKE order (closed form —
+    * no recursion needed for the allocation itself), and a codebook is
+    * trained on the permuted subvectors with the identical Lloyd loop.
+    * Output: per-sub distortion under natural slicing vs the balanced
+    * allocation — the table that says whether the free permutation is
+    * worth taking before reaching for a learned rotation.
+    *
+    * Scale: one posexplode pass for the variance ranks (dim-keyed
+    * bounded agg, 2·dim driver integers), the permuted-subvector frame
+    * is a narrow in-row projection (dim element_at's — fixed by the
+    * schema, not a growth knob), and training is the q282 k-narrow-
+    * jobs loop. The oracle replays ranks, snake, and BOTH trainings. */
+  def opqAllocate(spark: SparkSession, dir: String, m: Int = PqM,
+                  c: Int = PqC, iters: Int = PqIters): DataFrame = {
+    val e = vecs(spark, dir)
+    val stats = e.select(posexplode(col("v")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(col * col * 1000000.0d + 0.5d) as long)")).as("s2"),
+        sum(expr("cast(floor(col * 1000000.0d + 0.5d) as long)")).as("s1"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact integer variance proxy in arbitrary precision — BIGINT
+    // could overflow s1² on wider-range embeddings (oracle: HUGEINT)
+    val ranked = stats
+      .map { case (dim, n, s2, s1) =>
+        (dim, BigInt(n) * BigInt(s2) - BigInt(s1) * BigInt(s1)) }
+      .sortBy { case (dim, v) => (-v, dim) }
+      .map(_._1)
+    val dimsOf: Map[Int, Seq[Int]] = ranked.zipWithIndex
+      .map { case (dim, r) =>
+        val sub = if ((r / m) % 2 == 0) r % m else m - 1 - (r % m)
+        (dim, sub, r / m)
+      }
+      .groupBy(_._2)
+      .map { case (sub, xs) => sub -> xs.sortBy(_._3).map(_._1).toSeq }
+    val psv = e.select(col("vec_id"), explode(array((0 until m).map { b =>
+        struct(lit(b).as("sub"),
+          array(dimsOf(b).map(d => element_at(col("v"), d + 1)): _*).as("sv"))
+      }: _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    val cbP = opqMemo.get(spark, s"opq-train/$dir/$m/$c/$iters/" +
+        Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
+      val seeds = psv.filter(col("vec_id") < c)
+        .select(col("vec_id").cast("int").as("cid"), col("sub"), col("sv"))
+        .collect()
+        .map(r => (r.getInt(1), r.getInt(0)) -> r.getSeq[Double](2).toSeq)
+        .toMap
+      pqTrainLoopOn(psv, seeds, iters)._1
+    }
+    val (cbN, _) = pqTrainedCents(spark, dir, m, c, iters)
+    def errOf(sv: DataFrame, cb: Map[(Int, Int), Seq[Double]],
+              outCol: String): DataFrame =
+      pqAssign(sv, cbFrame(spark, cb), "vec_id")
+        .select(col("sub"),
+          expr("CAST(FLOOR(best.d * 1000000.0d + 0.5d) AS BIGINT)").as("em"))
+        .groupBy("sub").agg(sum(col("em")).as(outCol))
+    errOf(pqSubVecs(e, "vec_id", m), cbN, "natural_err_micro")
+      .join(errOf(psv, cbP, "balanced_err_micro"), Seq("sub"))
+      .select(col("sub").cast("long").as("sub"),
+        col("natural_err_micro"), col("balanced_err_micro"),
+        (col("natural_err_micro") - col("balanced_err_micro"))
+          .as("gain_micro"))
+      .orderBy("sub")
+  }
+
   /** q294 — SCALAR (int8) quantization: per dimension, the corpus min/
     * max span mapped affinely onto 0..255 codes; the audit reports per
     * dim the span and the total reconstruction error. The third

@@ -169,6 +169,33 @@ class Round15Spec extends SparkSpec {
       "8x the bytes must beat the coded tiers on this store")
   }
 
+  test("q296 allocation: on a store whose variance concentrates in one natural subspace, the balanced allocation wins overall") {
+    val base = java.nio.file.Files.createTempDirectory("graft_opq").toString
+    // dims 0..15 (exactly natural subspace 0 at m=4/dim=64) carry all
+    // the variance; the rest are constants. Natural slicing forces one
+    // 16-entry codebook to quantize ALL the signal; the snake deal
+    // spreads the 16 hot dims 4-per-subspace.
+    val rows = (0L until 50L).map { id =>
+      val v = (0 until 64).map { d =>
+        if (d < 16) (((id * 31 + d * 7) % 101).toFloat / 10.0f)
+        else 0.001f * d
+      }
+      (id, v, 0)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$base/embeddings.parquet")
+    val out = graft.vector.VectorOps.opqAllocate(spark, base).collect()
+    assert(out.length === graft.vector.VectorOps.PqM)
+    out.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2), "gain arithmetic")
+    }
+    val totalNatural = out.map(_.getLong(1)).sum
+    val totalBalanced = out.map(_.getLong(2)).sum
+    assert(totalBalanced < totalNatural,
+      s"balanced $totalBalanced did not beat natural $totalNatural on the planted store")
+  }
+
   test("large-star/small-star CC equals union-find on random graphs and pointer jumping on every shape tried") {
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { _ =>
