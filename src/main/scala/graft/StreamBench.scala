@@ -110,6 +110,23 @@ object StreamBench {
       "append", docRate)
 
     // ANN admission gate, full-precision corpus state (q261's shape):
+    // tokenizer-health monitor: the same synthetic word pool, with a
+    // frozen vocabulary covering word ids < 2500 (half the pool) so the
+    // OOV path does real work; state is 3 longs per source (16 here).
+    val vocab = spark.range(2500)
+      .select(concat(lit("w"), col("id").cast("string")).as("word"),
+        (col("id") % 3 + 1).as("n_syms"))
+      .cache()
+    vocab.count()
+    measure("oov_monitor",
+      graft.streaming.TrainingPipeline.oovMonitor(
+        rateSrc(rate).select(
+          col("value").as("doc_id"),
+          concat(lit("src"), (col("value") % 16).cast("string")).as("source"),
+          synthText.as("text")),
+        vocab).toDF(),
+      "append", rate)
+
     // 16-dim synthetic vectors, 8-cell frozen quantizer, 1024-vector
     // corpus.
     val synthVec = expr(

@@ -178,8 +178,31 @@ object StreamDemo {
       .writeStream.format("memory").queryName("demo_decode")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
 
+    // 10. Tokenizer-health monitor — per-source running OOV/fertility
+    //     of the fresh document half under the frozen vocabulary
+    //     trained on the CORPUS half only (the q285 split — fresh
+    //     words the corpus never saw must surface as OOV, with the
+    //     char-fallback real tokenizers apply).
+    val corpusWords = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 250L)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(expr(graft.text.TextOps.TokensExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val frozenVocab = graft.text.Curation
+      .bpeTrainCore(spark, corpusWords, 12)._2
+      .select(regexp_replace(trim(col("s")), " ", "").as("word"),
+        size(split(trim(col("s")), "  ")).cast("long").as("n_syms"))
+      .cache()
+    val qOov = graft.streaming.TrainingPipeline.oovMonitor(
+        spark.readStream.schema(dSchema).parquet(docsDir)
+          .filter(col("doc_id") >= 250L)
+          .select(col("doc_id"), col("source"), col("text")),
+        frozenVocab)
+      .writeStream.format("memory").queryName("demo_oov")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+
     Seq(qDau, qAlerts, qGmv, qJoin, qDim, qCorpus, qFunnel, qVecGate,
-      qVecGateAdc, qDecode).foreach(_.awaitTermination())
+      qVecGateAdc, qDecode, qOov).foreach(_.awaitTermination())
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
@@ -199,7 +222,10 @@ object StreamDemo {
     val decodeOut = spark.table("demo_decode")
     println(s"[stream-demo] payload gate: decoded ${decodeOut.filter(col("status") === "decoded").count()}, " +
       s"quarantined ${decodeOut.filter(col("status") === "quarantined").count()}")
-    println(f"[stream-demo] 10 concurrent pipelines, ${nEvents + nOrders + nItems + 2 * nDocs + 2 * nVecs}%,d input rows in $wallSec%.1f s")
+    val oovOut = spark.table("demo_oov")
+    println(s"[stream-demo] tokenizer monitor: ${oovOut.select("source").distinct().count()} sources tracked, " +
+      s"max running OOV micro ${oovOut.agg(max(col("oov_micro"))).head().getLong(0)}")
+    println(f"[stream-demo] 11 concurrent pipelines, ${nEvents + nOrders + nItems + 3 * nDocs + 2 * nVecs}%,d input rows in $wallSec%.1f s")
 
     spark.stop()
   }

@@ -337,6 +337,64 @@ object TrainingPipeline {
     * from q174 (which globally prefers long docs) and exactly what an
     * online quota means. Works unchanged on a batch frame (single fold
     * per source ≡ the greedy doc_id-order budget cut). */
+  case class OovObs(source: String, syms: Long, is_oov: Long)
+  case class OovStat(source: String, n_tokens: Long, n_oov: Long,
+                     syms_total: Long, oov_micro: Long,
+                     fertility_micro: Long)
+
+  /** Streaming tokenizer-health monitor — the per-batch face of q285's
+    * frozen side (the r14 prep item "streaming fertility/OOV monitor",
+    * driven by arrival order since documents carry no event time): each
+    * micro-batch's tokens LEFT-join the broadcast frozen vocabulary
+    * (word → symbol count under the trained merges); a word the
+    * tokenizer has never seen falls back to characters (is_oov = 1,
+    * syms = chars — the byte/char-fallback real tokenizers apply), and
+    * a per-source running (tokens, OOV, symbols) state emits the
+    * cumulative OOV rate and fertility after every batch — the curve an
+    * operator watches to decide WHEN to retrain (q285 is the decision
+    * table for what a retrain would buy; this is the alarm that fires
+    * first).
+    *
+    * Scale: the join is stream-static against a vocabulary-sized
+    * broadcast; state is THREE longs per source (bounded by the source
+    * count, the [[quotaAdmit]] shape — never per-word); no aggregation
+    * upstream of the stateful fold, so the plan stays append-legal.
+    * Works unchanged on a batch frame (one fold per source = the
+    * corpus-wide totals; StreamingSpec pins stream ≡ batch ≡ a direct
+    * aggregate). */
+  def oovMonitor(docs: DataFrame, vocab: DataFrame):
+      org.apache.spark.sql.Dataset[OovStat] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    implicit val inEnc: Encoder[OovObs] = Encoders.product[OovObs]
+    implicit val outEnc: Encoder[OovStat] = Encoders.product[OovStat]
+    implicit val stateEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    docs
+      .select(col("source"),
+        explode(expr(graft.text.TextOps.TokensExpr)).as("word"))
+      .join(broadcast(vocab.select(col("word"), col("n_syms"))),
+        Seq("word"), "left_outer")
+      .select(col("source"),
+        coalesce(col("n_syms"), length(col("word")).cast("long")).as("syms"),
+        col("n_syms").isNull.cast("long").as("is_oov"))
+      .as[OovObs]
+      .groupByKey(_.source)(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Long, Long), OovStat](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[OovObs],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (nt, no, sy) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.foreach { r => nt += 1; no += r.is_oov; sy += r.syms }
+          state.update((nt, no, sy))
+          if (nt == 0L) Iterator.empty
+          else Iterator(OovStat(source, nt, no, sy,
+            math.floor(1000000.0d * no / nt + 0.5d).toLong,
+            math.floor(1000000.0d * sy / nt + 0.5d).toLong))
+      }
+  }
+
   def quotaAdmit(docs: DataFrame, quotaTokens: Long = 20000L):
       org.apache.spark.sql.Dataset[Admitted] = {
     import org.apache.spark.sql.{Encoder, Encoders}

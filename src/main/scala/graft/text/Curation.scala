@@ -794,6 +794,15 @@ object Curation {
       bpeTrainCore(spark, words, merges)
     }
 
+  /** (word, n_syms) of the trained tokenizer — the broadcastable
+    * frozen-vocabulary artifact the streaming OOV monitor
+    * ([[graft.streaming.TrainingPipeline.oovMonitor]]) joins against. */
+  def bpeVocab(spark: SparkSession, dir: String,
+               merges: Int = BpeDefaultMerges): DataFrame =
+    bpeArtifacts(spark, dir, merges)._2.select(
+      regexp_replace(trim(col("s")), " ", "").as("word"),
+      size(split(trim(col("s")), "  ")).cast("long").as("n_syms"))
+
   /** Corpus/fresh boundary of the q285 drift audit (the q258
     * convention) — interpolated into the oracle SQL. */
   private[graft] val DriftSplitAt = 250L

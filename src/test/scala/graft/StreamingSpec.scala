@@ -204,6 +204,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("oovMonitor: running per-source OOV/fertility under a frozen vocabulary, char-fallback for unseen words, state across batches") {
+    import graft.streaming.TrainingPipeline
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // frozen vocab: 'ab' tokenizes to 1 symbol, 'cd' to 2. 'zzz' is
+    // UNSEEN → char fallback (3 symbols, counted OOV).
+    val vocab = Seq(("ab", 1L), ("cd", 2L)).toDF("word", "n_syms")
+    val input = MemoryStream[(Long, String, String)]
+    val mon = TrainingPipeline.oovMonitor(
+      input.toDF().toDF("doc_id", "source", "text"), vocab)
+    val q = mon.writeStream.format("memory").queryName("oov_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "srcA", "ab cd"), (2L, "srcB", "ab ab"))
+      q.processAllAvailable()
+      input.addData((3L, "srcA", "zzz ab")) // unseen word arrives later
+      q.processAllAvailable()
+      val rows = spark.table("oov_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      // srcA batch 1: 2 tokens, 0 oov, 3 syms; after batch 2: 4 tokens,
+      // 1 oov (zzz), 3+3+1=7 syms → oov 250000, fertility 1750000
+      val aFinal = rows.filter(t => t._1 == "srcA" && t._2 == 4L)
+      assert(aFinal.toSeq === Seq(("srcA", 4L, 1L, 7L, 250000L, 1750000L)))
+      assert(rows.filter(t => t._1 == "srcA" && t._2 == 2L).toSeq ===
+        Seq(("srcA", 2L, 0L, 3L, 0L, 1500000L)))
+      // srcB: 2 tokens 'ab ab' → 2 syms, no oov, fertility 1.0
+      assert(rows.filter(_._1 == "srcB").toSeq ===
+        Seq(("srcB", 2L, 0L, 2L, 0L, 1000000L)))
+      // batch-frame face: the same data through the same operator in
+      // one pass lands on the stream's final totals
+      val batch = TrainingPipeline.oovMonitor(
+        Seq((1L, "srcA", "ab cd"), (2L, "srcB", "ab ab"), (3L, "srcA", "zzz ab"))
+          .toDF("doc_id", "source", "text"), vocab)
+        .collect().map(s => (s.source, s.n_tokens, s.n_oov, s.syms_total))
+        .toSet
+      assert(batch === Set(("srcA", 4L, 1L, 7L), ("srcB", 2L, 0L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming per-minute throttle: two qualifying events in one minute emit once (T6)") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
