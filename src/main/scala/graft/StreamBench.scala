@@ -118,6 +118,9 @@ object StreamBench {
         (col("id") % 3 + 1).as("n_syms"))
       .cache()
     vocab.count()
+    // target rate/2: each input row explodes to ~12 tokens before the
+    // vocab join + fold, so the monitor moves ~12x the token volume of
+    // the row-shaped pipelines per reported row
     measure("oov_monitor",
       graft.streaming.TrainingPipeline.oovMonitor(
         rateSrc(rate).select(
@@ -125,7 +128,7 @@ object StreamBench {
           concat(lit("src"), (col("value") % 16).cast("string")).as("source"),
           synthText.as("text")),
         vocab).toDF(),
-      "append", rate)
+      "append", rate / 2)
 
     // 16-dim synthetic vectors, 8-cell frozen quantizer, 1024-vector
     // corpus.

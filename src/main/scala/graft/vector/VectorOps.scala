@@ -415,33 +415,76 @@ object VectorOps {
     * bit-identical (graft_dot is the same sequential fold interpreted or
     * codegen'd, and dotC(cv,cv) ≡ the driver-side sdot — hash-verified
     * across the whole vector family on the switch). */
-  private def centDistStructs(vCol: Column,
+  private def centDistStructs(vCol: Column, vv: Column,
                               cents: Seq[(Int, Seq[Double])]): Column = {
     val ids = typedLit(cents.map(_._1))
     val cvs = typedLit(cents.map(_._2))
     transform(cvs, (cv, i) =>
-      struct((dotC(vCol, vCol) - lit(2.0d) * dotC(vCol, cv)
+      struct((vv - lit(2.0d) * dotC(vCol, cv)
         + dotC(cv, cv)).as("d"), element_at(ids, i + lit(1)).as("cell")))
   }
+
+  /** Binds dot(v,v) ONCE per row (an outer single-element transform —
+    * the lambda variable is a cheap bound reference inside the body)
+    * instead of re-evaluating it per centroid: interpreted HOF bodies
+    * get no codegen common-subexpression elimination, so the invariant
+    * dot was costing k redundant dim-length folds per row (measured
+    * +60% on q35's corpus assignment). Same add/sub sequence on the
+    * same doubles — bit-identical d. */
+  private def withVV(vCol: Column)(body: Column => Column): Column =
+    element_at(transform(array(dotC(vCol, vCol)), vv => body(vv)), 1)
+
+  /** Grids at or under this size inline one codegen'd struct
+    * expression per centroid — measured fastest at showcase sizes
+    * (q35 at 16 cells: 0.39 s inlined vs 0.61 s interpreted HOF vs
+    * 0.77 s join) and far below the ~10²-entry Janino wall; larger
+    * grids ride the constant-plan-size HOF literal, which is what
+    * makes the cells-grow-with-the-corpus knob turnable at all
+    * (SCALE.md r15). Both forms are bit-identical (Round15Spec pins
+    * each against a driver replay). */
+  private[graft] val InlineMaxCells = 128
+
+  private def centDistStructsInline(vCol: Column,
+                                    cents: Seq[(Int, Seq[Double])]): Seq[Column] =
+    cents.map { case (c, cv) =>
+      struct((dotC(vCol, vCol) - lit(2.0d) * dotC(vCol, typedLit(cv))
+        + lit(sdot(cv, cv))).as("d"), lit(c).as("cell"))
+    }
 
   /** Per-row argmin cell over the centroid grid: min of (dist², cell)
     * structs — lexicographic, the exact semantics of the oracle's
     * MIN({'d':…, 'c':…}). In-row and NARROW (no join, no exchange), so
-    * it stays legal on streaming per-batch paths; the grid rides as one
-    * literal ([[centDistStructs]]). */
+    * it stays legal on streaming per-batch paths; small grids inline
+    * codegen'd structs, large ones ride one literal ([[InlineMaxCells]]). */
   private[graft] def cellOf(cents: Seq[(Int, Seq[Double])],
                             vCol: Column = col("v")): Column =
-    element_at(array_sort(centDistStructs(vCol, cents)), 1).getField("cell")
+    if (cents.size <= InlineMaxCells)
+      least(centDistStructsInline(vCol, cents): _*).getField("cell")
+    else
+      withVV(vCol)(vv =>
+        element_at(array_sort(centDistStructs(vCol, vv, cents)), 1)
+          .getField("cell"))
 
   /** The `nProbe` nearest cells of `vCol` (ties to the lower cell id) —
     * the in-row probe of the ANN gate family, constant-plan-size at any
-    * cell count. Must stay narrow: the streaming gates feed this frame
-    * straight into flatMapGroupsWithState, where an aggregation-based
-    * probe would be an unsupported multi-stateful plan. */
+    * cell count past [[InlineMaxCells]]. Must stay narrow: the
+    * streaming gates feed this frame straight into
+    * flatMapGroupsWithState, where an aggregation-based probe would be
+    * an unsupported multi-stateful plan. */
   private[graft] def probeCells(vCol: Column, cents: Seq[Seq[Double]],
                                 nProbe: Int): Column =
-    slice(array_sort(centDistStructs(vCol,
-      cents.zipWithIndex.map { case (cv, c) => (c, cv) })), 1, nProbe)
+    probeCellsIdx(vCol, cents.zipWithIndex.map { case (cv, c) => (c, cv) },
+      nProbe)
+
+  /** [[probeCells]] with caller-supplied cell ids. */
+  private[graft] def probeCellsIdx(vCol: Column,
+                                   cents: Seq[(Int, Seq[Double])],
+                                   nProbe: Int): Column =
+    if (cents.size <= InlineMaxCells)
+      slice(array_sort(array(centDistStructsInline(vCol, cents): _*)), 1, nProbe)
+    else
+      withVV(vCol)(vv =>
+        slice(array_sort(centDistStructs(vCol, vv, cents)), 1, nProbe))
 
   /** Data-side coarse assignment for INDEX BUILDS — the [[pqAssign]]
     * discipline applied to the IVF layer (judge r14): centroids ride as
@@ -453,11 +496,17 @@ object VectorOps {
     * materializes anyway), wrong on per-batch streaming paths (use
     * [[probeCells]]/[[cellOf]] there). Emits (cell, corpus_id, cv). */
   private[graft] def assignCellsJoin(e: DataFrame,
-                                     cents: Seq[Seq[Double]]): DataFrame = {
+                                     cents: Seq[Seq[Double]]): DataFrame =
+    assignCellsJoinIdx(e, cents.zipWithIndex.map { case (cv, c) => (c, cv) })
+
+  /** [[assignCellsJoin]] with caller-supplied cell ids (the per-copy
+    * grids of ScaleProbe's semSeeds and the rebalance before/after
+    * sets are not 0..k-1). */
+  private[graft] def assignCellsJoinIdx(e: DataFrame,
+                                        cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val cf = cents.zipWithIndex.map { case (cv, c) => (c, cv) }
-      .toDF("ccell", "ccv")
+    val cf = cents.toDF("ccell", "ccv")
     e.crossJoin(broadcast(cf))
       .select(col("vec_id"), col("v"),
         struct((dotC(col("v"), col("v"))
@@ -2445,7 +2494,7 @@ object VectorOps {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
       .withColumn("ccell", cellOf(cents, col("cv")))
     val freshP = e.filter(col("vec_id") >= splitAt)
-      .withColumn("pcs", slice(array_sort(centDistStructs(col("v"), cents)), 1, nProbe))
+      .withColumn("pcs", probeCellsIdx(col("v"), cents, nProbe))
       .select(col("vec_id"), col("v"),
         expr("transform(pcs, x -> x.cell)").as("pc"))
     import org.apache.spark.sql.expressions.Window
