@@ -575,6 +575,9 @@ object SparkEntry {
     // variance-balanced dimension allocation before PQ (the OPQ
     // family's permutation member): natural vs balanced distortion
     "q296_opq_allocate"        -> ((s, d) => graft.vector.VectorOps.opqAllocate(s, d)),
+    // the SQ8-compressed admission gate with its exact twin — the
+    // q295 tier table in the gate dimension
+    "q297_sq8_admission"       -> ((s, d) => graft.vector.VectorOps.sq8Admission(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3913,6 +3916,43 @@ object SparkEntry {
          |       e1.stage1_err_micro - e2.stage2_err_micro AS rq_gain_micro,
          |       CAST(e2.stage2_err_micro <= e1.stage1_err_micro AS BIGINT) AS improved
          |FROM e1 JOIN e2 USING (sub) ORDER BY sub""".stripMargin,
+    // q297: the coarse gate chain with the corpus as per-dim int8 —
+    // spans from the corpus side only, the q294 affine map replayed
+    // per (corpus vector, dim), recon lists joined to the probed
+    // candidates, both verdicts + agreement. No training recursion —
+    // plain WITH.
+    "q297_sq8_admission" ->
+      s"""WITH $CoarseGateCtes,
+         |xs AS (SELECT c.vec_id AS corpus_id, unnest(generate_series(1, len(c.v))) AS ix, unnest(c.v) AS x FROM corp c),
+         |spn AS (SELECT ix, MIN(x) AS mn, MAX(x) AS mx FROM xs GROUP BY 1),
+         |recon AS (SELECT xs.corpus_id,
+         |                 LIST(CASE WHEN s.mx = s.mn THEN s.mn
+         |                      ELSE s.mn + LEAST(GREATEST(FLOOR((xs.x - s.mn) / ((s.mx - s.mn) / 255.0) + 0.5), 0.0), 255.0) * ((s.mx - s.mn) / 255.0) END
+         |                      ORDER BY xs.ix) AS rv
+         |          FROM xs JOIN spn s USING (ix) GROUP BY 1),
+         |acand AS (SELECT f.vec_id, ca.corpus_id,
+         |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, r.rv)
+         |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(r.rv, r.rv)))) + 0.5) AS BIGINT) AS cos_micro
+         |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell
+         |               JOIN recon r ON r.corpus_id = ca.corpus_id),
+         |ecand AS (SELECT f.vec_id, ca.corpus_id,
+         |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, ca.cv)
+         |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(ca.cv, ca.cv)))) + 0.5) AS BIGINT) AS cos_micro
+         |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell),
+         |av AS (SELECT vec_id, COUNT(*) AS n_cand, MAX(cos_micro) AS best FROM acand GROUP BY 1),
+         |abi AS (SELECT acand.vec_id, CAST(MIN(acand.corpus_id) AS BIGINT) AS bid
+         |        FROM acand JOIN av ON acand.vec_id = av.vec_id AND acand.cos_micro = av.best
+         |        GROUP BY 1),
+         |ev AS (SELECT vec_id, MAX(cos_micro) AS best FROM ecand GROUP BY 1)
+         |SELECT f.vec_id, CAST(COALESCE(av.n_cand, 0) AS BIGINT) AS n_cand,
+         |       av.best AS sq8_best_cos_micro, abi.bid AS sq8_best_corpus_id,
+         |       CAST(CASE WHEN COALESCE(av.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro} THEN 0 ELSE 1 END AS BIGINT) AS sq8_admit,
+         |       ev.best AS exact_best_cos_micro,
+         |       CAST(CASE WHEN COALESCE(ev.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro} THEN 0 ELSE 1 END AS BIGINT) AS exact_admit,
+         |       CAST(CASE WHEN (COALESCE(av.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro})
+         |                    = (COALESCE(ev.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro}) THEN 1 ELSE 0 END AS BIGINT) AS agree
+         |FROM fresh f LEFT JOIN av USING (vec_id) LEFT JOIN abi USING (vec_id) LEFT JOIN ev USING (vec_id)
+         |ORDER BY f.vec_id""".stripMargin,
     // q296: variance ranks from exact integer sums (HUGEINT products —
     // BIGINT could overflow s1² on wider-range data), snake allocation
     // in closed form, then BOTH Lloyd recursions (natural + permuted)
@@ -5338,7 +5378,11 @@ object SparkEntry {
   /** q284/q290 shared oracle chain: coarse quantizer + probe cells +
     * corpus-side PQ training + codes + reconstruction + both candidate
     * frames and their per-vector bests (av/abi/ev). */
-  private def PqGateCtes: String =
+  /** Coarse-layer prefix shared by the PQ (q284/q290) and SQ8 (q297)
+    * gate oracles: quantizer, corpus assignment, fresh side, probe
+    * cells — everything up to (and excluding) the compressed corpus
+    * representation. */
+  private def CoarseGateCtes: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |corp AS (SELECT * FROM e WHERE vec_id < ${graft.vector.VectorOps.GateSplitAt}),
          |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM corp WHERE vec_id < 16),
@@ -5365,7 +5409,10 @@ object SparkEntry {
          |       FROM fresh f, cent cc),
          |pr AS (SELECT vec_id, cell FROM
          |         (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk FROM pd)
-         |       WHERE rk <= ${graft.vector.VectorOps.GateNProbe}),
+         |       WHERE rk <= ${graft.vector.VectorOps.GateNProbe})""".stripMargin
+
+  private def PqGateCtes: String =
+    s"""$CoarseGateCtes,
          |${pqTrainChain("corp", m = graft.vector.VectorOps.GatePqM,
                   c = graft.vector.VectorOps.GatePqC,
                   iters = graft.vector.VectorOps.GatePqIters)},

@@ -1524,6 +1524,138 @@ object VectorOps {
       .orderBy("sub")
   }
 
+  /** The SQ8-compressed frozen ANN gate index: the [[frozenIvfIndex]]
+    * coarse layer plus per-dim affine int8 codes for the corpus —
+    * spans trained on the CORPUS side only (the frozen discipline:
+    * fresh vectors must not have voted for the map that screens them).
+    * Returns (coarse centroids, per-dim mins, per-dim maxes, corpus
+    * code frame (cell, corpus_id, codes: array<int>)). The third gate
+    * state shape next to full vectors (q261) and PQ codes (q284):
+    * dim bytes per vector, no codebook, exact per-dim spans. */
+  private[graft] def frozenSq8IvfIndex(spark: SparkSession, dir: String,
+                                       nCentroids: Int = 16,
+                                       splitAt: Long = GateSplitAt):
+      (Seq[Seq[Double]], Seq[Double], Seq[Double], DataFrame) = {
+    val (cents, corpusAssigned) = frozenIvfIndex(spark, dir, nCentroids, splitAt)
+    val spans = sq8SpanMemo.get(spark, s"sq8-spans/$dir/$splitAt/" +
+        Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
+      val rows = vecs(spark, dir).filter(col("vec_id") < splitAt)
+        .select(posexplode(col("v")))
+        .groupBy("pos")
+        .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      (rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+    }
+    val (mn, mx) = spans
+    val codes = Tables.memoCache(spark,
+      s"sq8-gate-codes/$dir/$nCentroids/$splitAt/" +
+        Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
+      corpusAssigned.select(col("cell"), col("corpus_id"),
+        sq8CodesCol(col("cv"), mn, mx).as("codes"))
+    }
+    (cents, mn, mx, codes)
+  }
+
+  private val sq8SpanMemo = new graft.SessionMemo[(Seq[Double], Seq[Double])]
+
+  /** In-row SQ8 ENCODE against driver-held spans: FLOOR-rounded clamped
+    * 0..255 codes, zero-span dims to code 0 (the q294 map). */
+  private[graft] def sq8CodesCol(vCol: Column, mn: Seq[Double],
+                                 mx: Seq[Double]): Column = {
+    val mnL = typedLit(mn); val mxL = typedLit(mx)
+    transform(vCol, (x, i) => {
+      val lo = element_at(mnL, i + lit(1))
+      val hi = element_at(mxL, i + lit(1))
+      when(hi === lo, lit(0))
+        .otherwise(least(greatest(
+          floor((x - lo) / ((hi - lo) / lit(255.0d)) + lit(0.5d)), lit(0.0d)),
+          lit(255.0d)).cast("int"))
+    })
+  }
+
+  /** In-row SQ8 RECONSTRUCTION: codes → mn[i] + code·span[i]/255 (the
+    * exact q294 recon; zero-span dims reconstruct to mn). */
+  private[graft] def sq8ReconCol(codesCol: Column, mn: Seq[Double],
+                                 mx: Seq[Double]): Column = {
+    val mnL = typedLit(mn); val mxL = typedLit(mx)
+    transform(codesCol, (c, i) => {
+      val lo = element_at(mnL, i + lit(1))
+      val hi = element_at(mxL, i + lit(1))
+      when(hi === lo, lo)
+        .otherwise(lo + c.cast("double") * ((hi - lo) / lit(255.0d)))
+    })
+  }
+
+  /** ADC-style candidate frame of the SQ8-compressed admission gate —
+    * [[annGateAdcCandidates]] with the corpus as int8 codes + two
+    * dim-length span literals instead of PQ codes + codebook. */
+  private[graft] def annGateSq8Candidates(fresh: DataFrame,
+                                          cents: Seq[Seq[Double]],
+                                          mn: Seq[Double], mx: Seq[Double],
+                                          corpusCodes: DataFrame,
+                                          nProbe: Int): DataFrame = {
+    val reconCorpus = corpusCodes
+      .withColumn("recon", sq8ReconCol(col("codes"), mn, mx))
+      .withColumn("rn2", dotC(col("recon"), col("recon")))
+    fresh
+      .withColumn("pc", probeCells(col("v"), cents, nProbe))
+      .select(col("vec_id"), col("v"),
+        explode(expr("transform(pc, x -> x.cell)")).as("cell"))
+      .join(reconCorpus, Seq("cell"))
+      .select(col("vec_id"), col("corpus_id"),
+        (dotC(col("v"), col("recon"))
+          / (sqrt(dotC(col("v"), col("v"))) * sqrt(col("rn2")))).as("cos"))
+  }
+
+  /** q297 — SQ8-compressed ANN admission with the exact twin (the q284
+    * audit at the OTHER end of the q295 tier table): same coarse
+    * probes, same asymmetric-cosine verdict folding, but the corpus
+    * rides as per-dim int8 codes (dim bytes/vector, no codebook). The
+    * decision-quality comparison q295 predicts: sq8's near-lossless
+    * reconstruction should agree with the exact gate almost always,
+    * where the 16-byte PQ gate trades agreement for 4× less state —
+    * SketchBounds floors sq8 agreement at ≥ the PQ gate's observed
+    * band, making the tier tradeoff an executable claim. */
+  def sq8Admission(spark: SparkSession, dir: String, nCentroids: Int = 16,
+                   nProbe: Int = GateNProbe, splitAt: Long = GateSplitAt,
+                   thresholdMicro: Long = GateThresholdMicro): DataFrame = {
+    val (cents, mn, mx, corpusCodes) =
+      frozenSq8IvfIndex(spark, dir, nCentroids, splitAt)
+    val (_, corpusAssigned) = frozenIvfIndex(spark, dir, nCentroids, splitAt)
+    val fresh = vecs(spark, dir).filter(col("vec_id") >= splitAt)
+    def verdictOf(cand: DataFrame, p: String): DataFrame =
+      cand.withColumn("cos_micro",
+          expr("CAST(FLOOR(1000000.0d * cos + 0.5d) AS BIGINT)"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as(s"${p}n_cand"),
+          max(struct(col("cos_micro").as("cm"),
+            (col("corpus_id") * lit(-1L)).as("ni"))).as("b"))
+        .select(col("vec_id"), col(s"${p}n_cand"),
+          col("b.cm").as(s"${p}best_cos_micro"),
+          (col("b.ni") * lit(-1L)).as(s"${p}best_corpus_id"))
+    val sq = verdictOf(
+      annGateSq8Candidates(fresh, cents, mn, mx, corpusCodes, nProbe), "sq8_")
+    val ex = verdictOf(
+      annGateCandidates(fresh, cents, corpusAssigned, nProbe), "exact_")
+    def admitOf(cm: String): Column =
+      when(coalesce(col(cm), lit(Long.MinValue)) >= lit(thresholdMicro), 0L)
+        .otherwise(1L)
+    fresh.select("vec_id")
+      .join(sq, Seq("vec_id"), "left_outer")
+      .join(ex.select(col("vec_id"), col("exact_best_cos_micro")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("sq8_n_cand"), lit(0L)).as("n_cand"),
+        col("sq8_best_cos_micro"), col("sq8_best_corpus_id"),
+        admitOf("sq8_best_cos_micro").as("sq8_admit"),
+        col("exact_best_cos_micro"),
+        admitOf("exact_best_cos_micro").as("exact_admit"))
+      .withColumn("agree",
+        (col("sq8_admit") === col("exact_admit")).cast("long"))
+      .orderBy("vec_id")
+  }
+
   /** q294 — SCALAR (int8) quantization: per dimension, the corpus min/
     * max span mapped affinely onto 0..255 codes; the audit reports per
     * dim the span and the total reconstruction error. The third

@@ -196,6 +196,19 @@ class Round15Spec extends SparkSpec {
       s"balanced $totalBalanced did not beat natural $totalNatural on the planted store")
   }
 
+  test("q297 gate tiers: the 64-byte sq8 gate agrees with the exact gate at least as often as the 16-byte PQ gate (the q295 tradeoff in the gate dimension)") {
+    val dir = "/root/testdata/sf0.001"
+    def agreeRate(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.agg(sum(col("agree")).cast("double"), count(lit(1)).cast("double")).head()
+      r.getDouble(0) / r.getDouble(1)
+    }
+    val sq8 = agreeRate(graft.vector.VectorOps.sq8Admission(spark, dir))
+    val pq = agreeRate(graft.vector.VectorOps.pqAdmission(spark, dir))
+    assert(sq8 >= pq,
+      f"sq8 gate agreement $sq8%.3f fell below the PQ gate's $pq%.3f — more bytes bought worse decisions?")
+    assert(sq8 >= 0.95, f"near-lossless tier agreement only $sq8%.3f")
+  }
+
   test("large-star/small-star CC equals union-find on random graphs and pointer jumping on every shape tried") {
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { _ =>
