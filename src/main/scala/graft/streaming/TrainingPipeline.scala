@@ -317,6 +317,47 @@ object TrainingPipeline {
       }.toDF()
   }
 
+  /** SQ8-compressed streaming ANN admission gate — [[annGateAdc]] with
+    * the third corpus state shape (q295's tier table in the gate
+    * dimension): per-dim int8 codes + two dim-length span literals
+    * instead of PQ codes + codebook. The candidate frame is the exact
+    * code the oracle-verified batch face (q297, [[graft.vector
+    * .VectorOps.sq8Admission]]'s sq8 leg) runs; Round15Spec pins its
+    * agreement ≥ the PQ gate's (64 bytes/vector buys near-lossless
+    * decisions where PQ's 16 trade ~5% of them away). */
+  def annGateSq8(freshVecs: DataFrame, cents: Seq[Seq[Double]],
+                 mn: Seq[Double], mx: Seq[Double],
+                 corpusCodes: DataFrame, nProbe: Int = 4,
+                 thresholdMicro: Long = 400000L): DataFrame = {
+    val spark = freshVecs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    graft.functions.GraftFunctions.register(spark)
+    val payload = freshVecs.select(col("vec_id"), col("label"), col("v"),
+      lit(false).as("dup"), lit(true).as("payload"))
+    val cand = graft.vector.VectorOps
+      .annGateSq8Candidates(freshVecs, cents, mn, mx, corpusCodes, nProbe)
+      .select(col("vec_id"), lit(0L).as("label"),
+        lit(null).cast("array<double>").as("v"),
+        (expr("CAST(FLOOR(1000000.0d * cos + 0.5d) AS BIGINT)")
+          >= lit(thresholdMicro)).as("dup"),
+        lit(false).as("payload"))
+    payload.unionByName(cand).as[VecGateEvt]
+      .groupByKey(_.vec_id)
+      .flatMapGroupsWithState[Boolean, VecAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, _) =>
+          var head: VecGateEvt = null
+          var anyDup = false
+          rows.foreach { r =>
+            if (r.payload && head == null) head = r
+            if (r.dup) anyDup = true
+          }
+          if (anyDup || head == null) Iterator.empty
+          else Iterator(VecAdmit(head.vec_id, head.label, head.v))
+      }.toDF()
+  }
+
   case class QuotaDoc(doc_id: Long, source: String, n_tokens: Long)
   case class Admitted(source: String, doc_id: Long, n_tokens: Long,
                       cum_tokens: Long)

@@ -998,6 +998,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SQ8-compressed gate admits EXACTLY the q297 batch face's sq8_admit set (stream-batch parity on real data)") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val (cents, mn, mx, corpusCodes) =
+      graft.vector.VectorOps.frozenSq8IvfIndex(spark, dir)
+    val want = graft.vector.VectorOps.sq8Admission(spark, dir)
+      .filter(col("sq8_admit") === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val freshRows = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= 250L)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => Vec(r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    val (b1, b2) = freshRows.splitAt(freshRows.length / 2)
+    val input = MemoryStream[Vec]
+    val out = graft.streaming.TrainingPipeline.annGateSq8(
+      input.toDF(), cents, mn, mx, corpusCodes)
+    val q = out.writeStream.format("memory")
+      .queryName("sq8gate_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("sq8gate_out")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got === want,
+        s"stream admissions must equal the oracle-verified batch face; " +
+          s"diff ${(got -- want) ++ (want -- got)}")
+      assert(want.nonEmpty && want.size < freshRows.length)
+    } finally q.stop()
+  }
+
   test("PQ-compressed ADC gate admits the IDENTICAL set under default and RocksDB state stores") {
     implicit val sq = spark.sqlContext
     graft.functions.GraftFunctions.register(spark)
