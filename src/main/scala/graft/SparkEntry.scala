@@ -578,6 +578,9 @@ object SparkEntry {
     // the SQ8-compressed admission gate with its exact twin — the
     // q295 tier table in the gate dimension
     "q297_sq8_admission"       -> ((s, d) => graft.vector.VectorOps.sq8Admission(s, d)),
+    // recall@k under single-stage PQ recon vs two-stage RQ recon —
+    // what q291's distortion cut buys in retrieval
+    "q298_rq_retrieval_gain"   -> ((s, d) => graft.vector.VectorOps.rqRetrievalGain(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3916,6 +3919,58 @@ object SparkEntry {
          |       e1.stage1_err_micro - e2.stage2_err_micro AS rq_gain_micro,
          |       CAST(e2.stage2_err_micro <= e1.stage1_err_micro AS BIGINT) AS improved
          |FROM e1 JOIN e2 USING (sub) ORDER BY sub""".stripMargin,
+    // q298: the q291 chain (both trainings + both assignments) feeds
+    // two reconstruction tables — single-stage (tr entries) and
+    // two-stage (element-wise tr + tr2 sums) — ranked against the
+    // exact top-k with micro-rounded distances (lower-vec_id ties).
+    "q298_rq_retrieval_gain" ->
+      s"""WITH RECURSIVE $RqCtes,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |      WHERE vec_id >= ${graft.vector.VectorOps.PqC}
+         |        AND vec_id < ${graft.vector.VectorOps.PqC} + ${graft.vector.VectorOps.AdcGainQueries}),
+         |corp2 AS (SELECT vec_id, v FROM e
+         |          WHERE vec_id >= ${graft.vector.VectorOps.PqC} + ${graft.vector.VectorOps.AdcGainQueries}),
+         |rec1 AS (SELECT a.vec_id, flatten(list(t.vals ORDER BY a.sub)) AS recon
+         |         FROM asg1 a JOIN tr t ON t.sub = a.sub AND t.cid = a.best.c
+         |         WHERE a.vec_id >= ${graft.vector.VectorOps.PqC} + ${graft.vector.VectorOps.AdcGainQueries}
+         |         GROUP BY 1),
+         |rec2 AS (SELECT a.vec_id,
+         |                flatten(list(list_transform(generate_series(1, len(t1.vals)), i -> t1.vals[i] + t2.vals[i]) ORDER BY a.sub)) AS recon
+         |         FROM asg1 a JOIN tr t1 ON t1.sub = a.sub AND t1.cid = a.best.c
+         |              JOIN asg2 b ON b.vec_id = a.vec_id AND b.sub = a.sub
+         |              JOIN tr2 t2 ON t2.sub = b.sub AND t2.cid = b.best.c
+         |         WHERE a.vec_id >= ${graft.vector.VectorOps.PqC} + ${graft.vector.VectorOps.AdcGainQueries}
+         |         GROUP BY 1),
+         |exk AS (SELECT query_id, vec_id FROM
+         |          (SELECT q.query_id, c.vec_id,
+         |                  ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |                    CAST(FLOOR(1000000.0 * (list_inner_product(c.v, c.v) - 2.0 * list_inner_product(q.qv, c.v) + list_inner_product(q.qv, q.qv)) + 0.5) AS BIGINT),
+         |                    c.vec_id) AS rk
+         |           FROM corp2 c, q)
+         |        WHERE rk <= ${graft.vector.VectorOps.AdcGainK}),
+         |pk AS (SELECT query_id, vec_id FROM
+         |         (SELECT q.query_id, r.vec_id,
+         |                 ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |                   CAST(FLOOR(1000000.0 * (list_inner_product(r.recon, r.recon) - 2.0 * list_inner_product(q.qv, r.recon) + list_inner_product(q.qv, q.qv)) + 0.5) AS BIGINT),
+         |                   r.vec_id) AS rk
+         |          FROM rec1 r, q)
+         |       WHERE rk <= ${graft.vector.VectorOps.AdcGainK}),
+         |rk2 AS (SELECT query_id, vec_id FROM
+         |          (SELECT q.query_id, r.vec_id,
+         |                  ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+         |                    CAST(FLOOR(1000000.0 * (list_inner_product(r.recon, r.recon) - 2.0 * list_inner_product(q.qv, r.recon) + list_inner_product(q.qv, q.qv)) + 0.5) AS BIGINT),
+         |                    r.vec_id) AS rk
+         |           FROM rec2 r, q)
+         |        WHERE rk <= ${graft.vector.VectorOps.AdcGainK}),
+         |op AS (SELECT exk.query_id, CAST(COUNT(*) AS BIGINT) AS n FROM exk JOIN pk USING (query_id, vec_id) GROUP BY 1),
+         |orq AS (SELECT exk.query_id, CAST(COUNT(*) AS BIGINT) AS n FROM exk JOIN rk2 USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q.query_id,
+         |       CAST(COALESCE(op.n, 0) AS BIGINT) AS n_overlap_pq,
+         |       CAST(FLOOR(1000000.0 * COALESCE(op.n, 0) / ${graft.vector.VectorOps.AdcGainK} + 0.5) AS BIGINT) AS recall_pq_micro,
+         |       CAST(COALESCE(orq.n, 0) AS BIGINT) AS n_overlap_rq,
+         |       CAST(FLOOR(1000000.0 * COALESCE(orq.n, 0) / ${graft.vector.VectorOps.AdcGainK} + 0.5) AS BIGINT) AS recall_rq_micro
+         |FROM q LEFT JOIN op USING (query_id) LEFT JOIN orq USING (query_id)
+         |ORDER BY q.query_id""".stripMargin,
     // q297: the coarse gate chain with the corpus as per-dim int8 —
     // spans from the corpus side only, the q294 affine map replayed
     // per (corpus vector, dim), recon lists joined to the probed

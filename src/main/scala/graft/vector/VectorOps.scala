@@ -1411,6 +1411,34 @@ object VectorOps {
     * k-narrow-jobs loop with m·c·subDim driver state. At serving time
     * the index stores 2m small ints per vector — still codes, never
     * floats. */
+  /** The stage-2 (residual) codebook behind q291/q298 — memoized like
+    * [[pqTrainedCents]]. */
+  private[graft] def rqTrainedCb2(spark: SparkSession, dir: String,
+                                  m: Int = PqM, c: Int = PqC,
+                                  iters: Int = PqIters): Map[(Int, Int), Seq[Double]] =
+    rqMemo.get(spark, s"rq-train/$dir/$m/$c/$iters/" +
+        Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
+      val (cb1, _) = pqTrainedCents(spark, dir, m, c, iters)
+      val cb1f = cbFrame(spark, cb1)
+      val rsv = rqResiduals(
+        pqAssign(pqSubVecs(vecs(spark, dir), "vec_id", m), cb1f, "vec_id"),
+        cb1f)
+      val seeds2 = rsv.filter(col("vec_id") < c)
+        .select(col("vec_id").cast("int").as("cid"), col("sub"), col("sv"))
+        .collect()
+        .map(r => (r.getInt(1), r.getInt(0)) -> r.getSeq[Double](2).toSeq)
+        .toMap
+      pqTrainLoopOn(rsv, seeds2, iters)._1
+    }
+
+  /** Stage-1 residual subvectors of an assigned frame: sv − cb1[best]. */
+  private def rqResiduals(a1: DataFrame, cb1f: DataFrame): DataFrame =
+    a1.join(
+        broadcast(cb1f.select(col("sub").as("csub"), col("cid"), col("cbv"))),
+        col("sub") === col("csub") && col("best.c") === col("cid"))
+      .select(col("vec_id"), col("sub"),
+        zip_with(col("sv"), col("cbv"), (x, y) => x - y).as("sv"))
+
   def rqTrain(spark: SparkSession, dir: String, m: Int = PqM, c: Int = PqC,
               iters: Int = PqIters): DataFrame = {
     val (cb1, _) = pqTrainedCents(spark, dir, m, c, iters)
@@ -1418,20 +1446,8 @@ object VectorOps {
     val sv = pqSubVecs(vecs(spark, dir), "vec_id", m)
     val a1 = pqAssign(sv, cb1f, "vec_id").cache()
     try {
-      def rsv = a1.join(
-          broadcast(cb1f.select(col("sub").as("csub"), col("cid"), col("cbv"))),
-          col("sub") === col("csub") && col("best.c") === col("cid"))
-        .select(col("vec_id"), col("sub"),
-          zip_with(col("sv"), col("cbv"), (x, y) => x - y).as("sv"))
-      val cb2 = rqMemo.get(spark, s"rq-train/$dir/$m/$c/$iters/" +
-          Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
-        val seeds2 = rsv.filter(col("vec_id") < c)
-          .select(col("vec_id").cast("int").as("cid"), col("sub"), col("sv"))
-          .collect()
-          .map(r => (r.getInt(1), r.getInt(0)) -> r.getSeq[Double](2).toSeq)
-          .toMap
-        pqTrainLoopOn(rsv, seeds2, iters)._1
-      }
+      def rsv = rqResiduals(a1, cb1f)
+      val cb2 = rqTrainedCb2(spark, dir, m, c, iters)
       def errOf(assigned: DataFrame, outCol: String): DataFrame =
         assigned.select(col("sub"),
             expr("CAST(FLOOR(best.d * 1000000.0d + 0.5d) AS BIGINT)").as("em"))
@@ -2039,6 +2055,74 @@ object VectorOps {
         expr(s"CAST(FLOOR(1000000.0d * COALESCE(n_overlap_trained, 0L) / $k + 0.5d) AS BIGINT)")
           .as("recall_trained_micro"))
       .orderBy("query_id")
+  }
+
+  /** q298 — RQ RETRIEVAL gain (q287's question asked of q291's second
+    * stage): recall@k of code-only ranking under the single-stage PQ
+    * reconstruction vs the TWO-STAGE residual reconstruction
+    * (cb1[c1] + cb2[c2]), against exact ground truth. q291 proved the
+    * second stage cuts DISTORTION ~28%; this table says what that buys
+    * in retrieval — the number an index owner actually trades m extra
+    * bytes per vector for. Ranks are micro-rounded before ordering
+    * (ties to the lower vec_id, the q287 discipline), so both engines
+    * rank identical integers.
+    *
+    * Scale: both rankings scan codes-only state (m resp. 2m ints per
+    * vector; reconstruction is an in-row lookup chain against
+    * broadcast-size codebooks), queries broadcast, per-query top-k is
+    * the bounded-window rank. */
+  def rqRetrievalGain(spark: SparkSession, dir: String, m: Int = PqM,
+                      c: Int = PqC, iters: Int = PqIters,
+                      nQueries: Long = AdcGainQueries,
+                      k: Int = AdcGainK): DataFrame = {
+    val e = vecs(spark, dir)
+    val (cb1, _) = pqTrainedCents(spark, dir, m, c, iters)
+    val cb2 = rqTrainedCb2(spark, dir, m, c, iters)
+    val queries = e.filter(col("vec_id") >= c && col("vec_id") < c + nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= c + nQueries).select("vec_id", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dm").asc, col("vec_id").asc)
+    def topkOf(scored: DataFrame): DataFrame = scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("query_id", "vec_id")
+    def rankedOn(recons: DataFrame): DataFrame =
+      topkOf(recons.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          expr("CAST(FLOOR(1000000.0d * (graft_dot(recon, recon)" +
+            " - 2.0d * graft_dot(qv, recon) + graft_dot(qv, qv)) + 0.5d) AS BIGINT)")
+            .as("dm")))
+    val coded = corpus
+      .withColumn("codes1", pqCodesCol("v", cb1, m, c))
+      .withColumn("recon1", pqReconCol("codes1", cb1, m, c))
+      .withColumn("resid", zip_with(col("v"), col("recon1"), (x, y) => x - y))
+      .withColumn("codes2", pqCodesCol("resid", cb2, m, c))
+      .withColumn("recon2", pqReconCol("codes2", cb2, m, c))
+      .cache()
+    try {
+      val pqK = rankedOn(coded.select(col("vec_id"), col("recon1").as("recon")))
+      val rqK = rankedOn(coded.select(col("vec_id"),
+        zip_with(col("recon1"), col("recon2"), (x, y) => x + y).as("recon")))
+      val exactK = topkOf(corpus.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          expr("CAST(FLOOR(1000000.0d * (graft_dot(v, v)" +
+            " - 2.0d * graft_dot(qv, v) + graft_dot(qv, qv)) + 0.5d) AS BIGINT)")
+            .as("dm")))
+      def overlapOf(cand: DataFrame, n: String): DataFrame =
+        exactK.join(cand, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as(n))
+      queries.select("query_id")
+        .join(overlapOf(pqK, "n_overlap_pq"), Seq("query_id"), "left")
+        .join(overlapOf(rqK, "n_overlap_rq"), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_overlap_pq"), lit(0L)).as("n_overlap_pq"),
+          expr(s"CAST(FLOOR(1000000.0d * COALESCE(n_overlap_pq, 0L) / $k + 0.5d) AS BIGINT)")
+            .as("recall_pq_micro"),
+          coalesce(col("n_overlap_rq"), lit(0L)).as("n_overlap_rq"),
+          expr(s"CAST(FLOOR(1000000.0d * COALESCE(n_overlap_rq, 0L) / $k + 0.5d) AS BIGINT)")
+            .as("recall_rq_micro"))
+        .orderBy("query_id")
+    } finally coded.unpersist(blocking = false)
   }
 
   /** q288 — PQ codebook DRIFT audit: "when do I retrain the codebook",

@@ -209,6 +209,18 @@ class Round15Spec extends SparkSpec {
     assert(sq8 >= 0.95, f"near-lossless tier agreement only $sq8%.3f")
   }
 
+  test("q298 structural pins: overlaps bounded by k, recall arithmetic exact, and two-stage recon never leaves the code domain") {
+    val out = graft.vector.VectorOps.rqRetrievalGain(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length === graft.vector.VectorOps.AdcGainQueries)
+    out.foreach { r =>
+      val (np, rp, nr, rr) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(np <= graft.vector.VectorOps.AdcGainK && nr <= graft.vector.VectorOps.AdcGainK)
+      assert(rp === math.floor(1000000.0 * np / graft.vector.VectorOps.AdcGainK + 0.5).toLong)
+      assert(rr === math.floor(1000000.0 * nr / graft.vector.VectorOps.AdcGainK + 0.5).toLong)
+    }
+  }
+
   test("large-star/small-star CC equals union-find on random graphs and pointer jumping on every shape tried") {
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { _ =>
