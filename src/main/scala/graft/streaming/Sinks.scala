@@ -198,6 +198,58 @@ object Sinks {
     (cents, cb, spark.read.parquet(path + "/codes"))
   }
 
+  /** SQ8 twin of [[publishPqIvfIndex]]: centroids + per-dim spans +
+    * int8 codes land in ONE directory rename. The spans ARE the
+    * codebook here — decoding one version's codes with another
+    * version's spans silently shifts every reconstruction, so they
+    * must version together (the same mutual-consistency argument,
+    * smaller state). */
+  def publishSq8IvfIndex(path: String, cents: Seq[Seq[Double]],
+                         mn: Seq[Double], mx: Seq[Double],
+                         corpusCodes: DataFrame): Unit = {
+    val spark = corpusCodes.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    fs.delete(tmp, true)
+    cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString + "/centroids")
+    mn.zip(mx).zipWithIndex.map { case ((lo, hi), d) => (d, lo, hi) }
+      .toDF("dim", "mn", "mx")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString + "/spans")
+    corpusCodes.write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString + "/codes")
+    fs.delete(bak, true)
+    if (fs.exists(dst)) renameOrDie(fs, dst, bak)
+    renameOrDie(fs, tmp, dst)
+    fs.delete(bak, true)
+  }
+
+  /** Load the current SQ8 gate index version (bak-recovery as
+    * [[loadPqIvfIndex]]): (centroids, mins, maxes, codes frame) —
+    * always a mutually consistent quadruple. */
+  def loadSq8IvfIndex(spark: org.apache.spark.sql.SparkSession, path: String):
+      (Seq[Seq[Double]], Seq[Double], Seq[Double], DataFrame) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    if (!fs.exists(dst) && fs.exists(bak)) renameOrDie(fs, bak, dst)
+    val cents = spark.read.parquet(path + "/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).map(_._2).toIndexedSeq
+    val spans = spark.read.parquet(path + "/spans")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    (cents, spans.map(_._2).toSeq, spans.map(_._3).toSeq,
+      spark.read.parquet(path + "/codes"))
+  }
+
   /** K3 analog: append into a dt-partitioned table (the daily-index
     * naming of the ES sink, reference SaleDetailApp.scala:164-171);
     * `dropDuplicates(idCols)` inside the batch reproduces doc-id

@@ -1076,6 +1076,55 @@ class StreamingSpec extends SparkSpec {
       s"provider changed the admitted set: $idsRocks vs $idsDefault")
   }
 
+  test("SQ8 gate index + SPANS swap atomically; crash-mid-swap loads a complete, mutually CONSISTENT old version") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_sq8swap").toString
+    val idx = s"$base/sq8_index"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val cents = Seq(Seq(1.0, 0.0))
+    // v1 spans put corpus 100=(5,4) at the top of both dims (codes
+    // [255,255]); v2 doubles the spans so the SAME vector codes to
+    // [128,128] — a torn load (v2 spans + v1 codes) re-encodes
+    // differently and fails the consistency check
+    val (mnV1, mxV1) = (Seq(0.0, 0.0), Seq(5.0, 4.0))
+    val (mnV2, mxV2) = (Seq(0.0, 0.0), Seq(10.0, 8.0))
+    def codesOf(mn: Seq[Double], mx: Seq[Double]): Seq[Int] =
+      Seq((100L, Seq(5.0, 4.0))).toDF("corpus_id", "cv")
+        .select(graft.vector.VectorOps.sq8CodesCol(col("cv"), mn, mx).as("codes"))
+        .head().getSeq[Int](0)
+    val codesV1 = Seq((0, 100L, codesOf(mnV1, mxV1)))
+      .toDF("cell", "corpus_id", "codes")
+    graft.streaming.Sinks.publishSq8IvfIndex(idx, cents, mnV1, mxV1, codesV1)
+    // round-trip equality
+    val (c1, lm1, lx1, lc1) = graft.streaming.Sinks.loadSq8IvfIndex(spark, idx)
+    assert(c1 === cents && lm1 === mnV1 && lx1 === mxV1)
+    assert(lc1.select("codes").head().getSeq[Int](0) === codesOf(mnV1, mxV1))
+    // maintenance computes v2 (spans AND codes), then CRASHES between
+    // the two renames: tmp fully written, dst moved aside
+    cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
+      .write.parquet(idx + "__tmp/centroids")
+    mnV2.zip(mxV2).zipWithIndex.map { case ((lo, hi), d) => (d, lo, hi) }
+      .toDF("dim", "mn", "mx").write.parquet(idx + "__tmp/spans")
+    Seq((0, 100L, codesOf(mnV2, mxV2))).toDF("cell", "corpus_id", "codes")
+      .write.parquet(idx + "__tmp/codes")
+    fs.rename(p(idx), p(idx + "__bak"))
+    assert(!fs.exists(p(idx)))
+    val (_, midMn, midMx, midCodes) =
+      graft.streaming.Sinks.loadSq8IvfIndex(spark, idx)
+    // MUTUAL consistency of whatever version loaded: re-encoding the
+    // corpus vector under the LOADED spans must reproduce the LOADED
+    // codes
+    val stored = midCodes.filter(col("corpus_id") === 100L)
+      .select("codes").head().getSeq[Int](0)
+    assert(stored === codesOf(midMn, midMx),
+      "torn load: spans and codes from different versions")
+    // and the recovered version is the complete v1
+    assert(midMn === mnV1 && midMx === mxV1)
+    assert(stored === codesOf(mnV1, mxV1))
+  }
+
   test("PQ gate index + CODEBOOK swap atomically; crash-mid-swap loads a complete, mutually CONSISTENT old version") {
     import org.apache.spark.sql.streaming.Trigger
     graft.functions.GraftFunctions.register(spark)
