@@ -581,6 +581,10 @@ object SparkEntry {
     // recall@k under single-stage PQ recon vs two-stage RQ recon —
     // what q291's distortion cut buys in retrieval
     "q298_rq_retrieval_gain"   -> ((s, d) => graft.vector.VectorOps.rqRetrievalGain(s, d)),
+    // two-level coarse assignment audit: the (flat -> hierarchical)
+    // cell transition matrix — the price of retiring the flat O(N*k)
+    // assignment scan as cells grow
+    "q299_hier_assign"         -> ((s, d) => graft.vector.VectorOps.hierAssignAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3919,6 +3923,55 @@ object SparkEntry {
          |       e1.stage1_err_micro - e2.stage2_err_micro AS rq_gain_micro,
          |       CAST(e2.stage2_err_micro <= e1.stage1_err_micro AS BIGINT) AS improved
          |FROM e1 JOIN e2 USING (sub) ORDER BY sub""".stripMargin,
+    // q299: the q35 quantizer construction applied TWICE — once over
+    // the store, once over the cell centroids themselves (supercells)
+    // — then the two-level rule (argmin over supercells, argmin within
+    // the chosen supercell's member cells) vs the flat argmin, as a
+    // transition matrix.
+    "q299_hier_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 16),
+        |a1 AS (SELECT e.vec_id,
+        |              MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, i.cv) + list_inner_product(i.cv, i.cv),
+        |                   'c': i.cell}) AS best
+        |       FROM e, init i GROUP BY 1),
+        |u AS (SELECT a1.best.c AS cell, unnest(generate_series(1, len(e.v))) - 1 AS dim, unnest(e.v) AS x
+        |      FROM e JOIN a1 USING (vec_id)),
+        |g AS (SELECT cell, dim, COUNT(*) AS n, SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm FROM u GROUP BY 1, 2),
+        |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv FROM g GROUP BY 1),
+        |inits AS (SELECT CAST(cell AS INT) AS scell, cv AS scv FROM cent WHERE cell < 4),
+        |a1s AS (SELECT c.cell,
+        |               MIN({'d': list_inner_product(c.cv, c.cv) - 2.0 * list_inner_product(c.cv, i.scv) + list_inner_product(i.scv, i.scv),
+        |                    'c': i.scell}) AS best
+        |        FROM cent c, inits i GROUP BY 1),
+        |us AS (SELECT a1s.best.c AS scell, unnest(generate_series(1, len(c.cv))) - 1 AS dim, unnest(c.cv) AS x
+        |       FROM cent c JOIN a1s USING (cell)),
+        |gs AS (SELECT scell, dim, COUNT(*) AS n, SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm FROM us GROUP BY 1, 2),
+        |cents2 AS (SELECT scell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS scv FROM gs GROUP BY 1),
+        |csup AS (SELECT c.cell,
+        |                (MIN({'d': list_inner_product(c.cv, c.cv) - 2.0 * list_inner_product(c.cv, s.scv) + list_inner_product(s.scv, s.scv),
+        |                      'c': s.scell})).c AS scell
+        |         FROM cent c, cents2 s GROUP BY 1),
+        |fl AS (SELECT e.vec_id,
+        |              (MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.cv) + list_inner_product(c.cv, c.cv),
+        |                    'c': c.cell})).c AS flat_cell
+        |       FROM e, cent c GROUP BY 1),
+        |sc AS (SELECT e.vec_id,
+        |              (MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.scv) + list_inner_product(s.scv, s.scv),
+        |                    'c': s.scell})).c AS sc
+        |       FROM e, cents2 s GROUP BY 1),
+        |hi AS (SELECT e.vec_id,
+        |              (MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.cv) + list_inner_product(c.cv, c.cv),
+        |                    'c': c.cell})).c AS hier_cell
+        |       FROM e JOIN sc USING (vec_id)
+        |            JOIN csup ON TRUE
+        |            JOIN cent c ON c.cell = csup.cell AND csup.scell = sc.sc
+        |       GROUP BY 1)
+        |SELECT CAST(fl.flat_cell AS BIGINT) AS flat_cell, CAST(hi.hier_cell AS BIGINT) AS hier_cell,
+        |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       CAST(fl.flat_cell = hi.hier_cell AS BIGINT) AS agree
+        |FROM fl JOIN hi USING (vec_id)
+        |GROUP BY fl.flat_cell, hi.hier_cell ORDER BY 1, 2""".stripMargin,
     // q298: the q291 chain (both trainings + both assignments) feeds
     // two reconstruction tables — single-stage (tr entries) and
     // two-stage (element-wise tr + tr2 sums) — ranked against the

@@ -458,7 +458,8 @@ object VectorOps {
     * codegen'd structs, large ones ride one literal ([[InlineMaxCells]]). */
   private[graft] def cellOf(cents: Seq[(Int, Seq[Double])],
                             vCol: Column = col("v")): Column =
-    if (cents.size <= InlineMaxCells)
+    if (cents.size == 1) lit(cents.head._1) // least() needs >1 args
+    else if (cents.size <= InlineMaxCells)
       least(centDistStructsInline(vCol, cents): _*).getField("cell")
     else
       withVV(vCol)(vv =>
@@ -1538,6 +1539,56 @@ object VectorOps {
         (col("natural_err_micro") - col("balanced_err_micro"))
           .as("gain_micro"))
       .orderBy("sub")
+  }
+
+  /** q299 — TWO-LEVEL coarse assignment audit: the flat argmin over k
+    * cells costs k dots per vector, which at cells ∝ N (the r15 growth
+    * path) becomes the next scan to retire; the hierarchical quantizer
+    * pays √k-ish dots (argmin over `nSuper` supercells, then argmin
+    * within the chosen supercell's member cells) at the price of
+    * boundary misassignments. This audit quantifies that price: the
+    * (flat_cell → hier_cell) transition matrix over the store, with
+    * the agreement flag — the decision artifact for switching the
+    * assignment path as k grows. Supercells are DERIVABLE (the q35
+    * construction applied to the cell centroids themselves: first
+    * `nSuper` centroids seed, one exact micro-mean Lloyd step), so
+    * DuckDB replays the whole two-level rule and the matrix
+    * hash-verifies.
+    *
+    * Scale: per vector nSuper + |member cells| dots instead of k; the
+    * audit is one narrow map + a bounded (k × k) partial agg. */
+  def hierAssignAudit(spark: SparkSession, dir: String,
+                      nCentroids: Int = 16, nSuper: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = ivfCentroids(spark, dir, nCentroids)
+    val centDf = cents.zipWithIndex
+      .map { case (cv, c) => (c.toLong, cv) }.toDF("vec_id", "v")
+    val supers = buildCentroidsOf(centDf, nSuper)
+    def sdotL(a: Seq[Double], b: Seq[Double]): Double = sdot(a, b)
+    val cellSuper: Map[Int, Int] = cents.zipWithIndex.map { case (cv, c) =>
+      c -> supers.zipWithIndex.map { case (sv, s2) =>
+        (sdotL(cv, cv) - 2.0d * sdotL(cv, sv) + sdotL(sv, sv), s2)
+      }.min._2
+    }.toMap
+    val members: Map[Int, Seq[(Int, Seq[Double])]] = cents.zipWithIndex
+      .map { case (cv, c) => (cellSuper(c), (c, cv)) }
+      .groupBy(_._1).map { case (s2, xs) => s2 -> xs.map(_._2).toSeq }
+    require(members.size == nSuper,
+      s"hierarchical audit needs every supercell non-empty; got ${members.size}/$nSuper")
+    val e = vecs(spark, dir)
+    val scCol = cellOf(supers.zipWithIndex.map { case (sv, s2) => (s2, sv) })
+    val hierCol = (0 until nSuper).foldLeft(lit(-1)) { (acc, s2) =>
+      when(col("sc") === s2, cellOf(members(s2))).otherwise(acc)
+    }
+    e.withColumn("flat_cell", cellOf(cents.zipWithIndex.map { case (cv, c) => (c, cv) }))
+      .withColumn("sc", scCol)
+      .withColumn("hier_cell", hierCol)
+      .groupBy("flat_cell", "hier_cell")
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(col("flat_cell").cast("long").as("flat_cell"),
+        col("hier_cell").cast("long").as("hier_cell"), col("n_vecs"),
+        (col("flat_cell") === col("hier_cell")).cast("long").as("agree"))
+      .orderBy("flat_cell", "hier_cell")
   }
 
   /** The SQ8-compressed frozen ANN gate index: the [[frozenIvfIndex]]

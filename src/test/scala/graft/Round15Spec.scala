@@ -221,6 +221,35 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("q299 hierarchical assignment: exact on well-separated clusters, honest transition mass on the real store") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_hier").toString
+    // 16 tight clusters around far-apart one-hot centers (the regime
+    // where the two-level shortcut is lossless); vec 0..15 ARE the
+    // centers (the derivable seed rule), 16..47 orbit them
+    val rows = (0L until 48L).map { id =>
+      val c = (id % 16).toInt
+      val v = (0 until 16).map { d =>
+        (if (d == c) 100.0f else 0.0f) +
+          (if (id >= 16) ((id * 7 + d * 3) % 5).toFloat / 10.0f else 0.0f)
+      }
+      (id, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$base/embeddings.parquet")
+    val planted = graft.vector.VectorOps.hierAssignAudit(spark, base).collect()
+    assert(planted.forall(_.getLong(3) === 1L),
+      "two-level assignment diverged from flat on separated clusters")
+    assert(planted.map(_.getLong(2)).sum === 48L)
+    // real store: total mass preserved, agree flag arithmetic exact
+    val real = graft.vector.VectorOps
+      .hierAssignAudit(spark, "/root/testdata/sf0.001").collect()
+    assert(real.map(_.getLong(2)).sum === 500L)
+    real.foreach { r =>
+      assert(r.getLong(3) === (if (r.getLong(0) == r.getLong(1)) 1L else 0L))
+    }
+  }
+
   test("large-star/small-star CC equals union-find on random graphs and pointer jumping on every shape tried") {
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { _ =>
