@@ -152,17 +152,27 @@ object StreamDemo {
     // 8b. PQ-COMPRESSED embedding-store ingest — the same admission
     //    decision with the corpus state the gate holds at 100 TB: PQ
     //    codes + broadcast codebook (q284's batch face hash-verifies
-    //    the arithmetic; the index+codebook pair swaps atomically via
-    //    Sinks.publishPqIvfIndex).
+    //    the arithmetic). This stage drives the FULL production loop
+    //    (r16): train the index, pick the operating point from the q290
+    //    threshold sweep, publish state + tier + knobs in ONE atomic
+    //    swap, and run the gate through the unified entry point that
+    //    reads everything back from the published directory — no
+    //    compiled constant anywhere between the sweep and the verdicts.
     val (pqCents, pqCb, pqCodes) =
       graft.vector.VectorOps.frozenPqIvfIndex(spark, sfDir)
     pqCodes.cache()
-    val qVecGateAdc = graft.streaming.TrainingPipeline.annGateAdc(
+    val pqIdxDir = s"$stage/pq_index"
+    graft.streaming.Sinks.publishPqIvfIndex(pqIdxDir, pqCents, pqCb, pqCodes,
+      thresholdMicro = graft.vector.VectorOps.tunedThresholdMicro(spark, sfDir))
+    val pqCfg = graft.streaming.Sinks.loadGateConfig(spark, pqIdxDir).get
+    println(s"[stream-demo] published pq gate index: tier=${pqCfg.tier} " +
+      s"nProbe=${pqCfg.nProbe} thresholdMicro=${pqCfg.thresholdMicro}")
+    val qVecGateAdc = graft.streaming.TrainingPipeline.annGateFromIndex(
         spark.readStream.schema(eSchema).parquet(vecsDir)
           .filter(col("vec_id") >= 250L)
           .select(col("vec_id"), col("label").cast("long").as("label"),
             expr("transform(embedding, x -> cast(x as double))").as("v")),
-        pqCents, pqCb, pqCodes)
+        pqIdxDir)
       .writeStream.format("memory").queryName("demo_vecgate_adc")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
 

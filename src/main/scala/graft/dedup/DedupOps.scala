@@ -873,11 +873,18 @@ object DedupOps {
       prevCk = ckRdd(next)
       edges = next
     }
+    // Fail-safe labeling (advisor r15): the converged edge set is a star
+    // forest by the algorithm's invariant, but if a fixpoint ever held a
+    // node under TWO centers the plain join would silently duplicate
+    // label rows and propagate duplicate doc rows downstream — aggregate
+    // to min(label) per node so a non-star fixpoint degrades to the
+    // smallest-center label instead of corrupting cluster output.
     val labels = allNodes
       .join(edges.select(col("b").as("node"), col("a").as("label")),
         Seq("node"), "left_outer")
-      .select(col("node"),
-        coalesce(col("label"), col("node")).as("label"))
+      .groupBy("node")
+      .agg(min(col("label")).as("lbl"))
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("label"))
       .cache()
     labels.count()
     allNodes.unpersist()

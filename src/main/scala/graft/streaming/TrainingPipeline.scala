@@ -240,7 +240,8 @@ object TrainingPipeline {
     * state unused — each vec_id lives in one micro-batch). */
   def annGate(freshVecs: DataFrame,
               cents: Seq[Seq[Double]], corpusAssigned: DataFrame,
-              nProbe: Int = 4, thresholdMicro: Long = 400000L): DataFrame = {
+              nProbe: Int = graft.vector.VectorOps.GateNProbe,
+              thresholdMicro: Long = graft.vector.VectorOps.GateThresholdMicro): DataFrame = {
     val spark = freshVecs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -286,8 +287,8 @@ object TrainingPipeline {
     * decode one version's codes with another version's codebook. */
   def annGateAdc(freshVecs: DataFrame, cents: Seq[Seq[Double]],
                  codebook: Map[(Int, Int), Seq[Double]],
-                 corpusCodes: DataFrame, nProbe: Int = 4,
-                 thresholdMicro: Long = 400000L): DataFrame = {
+                 corpusCodes: DataFrame, nProbe: Int = graft.vector.VectorOps.GateNProbe,
+                 thresholdMicro: Long = graft.vector.VectorOps.GateThresholdMicro): DataFrame = {
     val spark = freshVecs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -327,8 +328,8 @@ object TrainingPipeline {
     * decisions where PQ's 16 trade ~5% of them away). */
   def annGateSq8(freshVecs: DataFrame, cents: Seq[Seq[Double]],
                  mn: Seq[Double], mx: Seq[Double],
-                 corpusCodes: DataFrame, nProbe: Int = 4,
-                 thresholdMicro: Long = 400000L): DataFrame = {
+                 corpusCodes: DataFrame, nProbe: Int = graft.vector.VectorOps.GateNProbe,
+                 thresholdMicro: Long = graft.vector.VectorOps.GateThresholdMicro): DataFrame = {
     val spark = freshVecs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -356,6 +357,46 @@ object TrainingPipeline {
           if (anyDup || head == null) Iterator.empty
           else Iterator(VecAdmit(head.vec_id, head.label, head.v))
       }.toDF()
+  }
+
+  /** ONE entry point for all three ANN-gate tiers (judge r15 task 4):
+    * the published index directory itself says which state shape it
+    * holds (`config.tier` ∈ full | pq | sq8) and which operating point
+    * to run it at (`n_probe`, `threshold_micro` — the q290 sweep's
+    * chosen knob, published atomically WITH the state by
+    * [[Sinks.publishIvfIndex]]/[[Sinks.publishPqIvfIndex]]/
+    * [[Sinks.publishSq8IvfIndex]]). Before this, a caller had to know
+    * which publish function produced the directory and pass the
+    * matching loader + gate + threshold by hand — three chances to mix
+    * versions; now retuning the threshold or switching compression tier
+    * is ONE atomic index publish, and the gate picks all of it up at
+    * its next (re)start. Loading is driver-side (model-sized pulls);
+    * the returned frame is the same streaming-legal plan the per-tier
+    * gates build. */
+  def annGateFromIndex(freshVecs: DataFrame, indexPath: String): DataFrame = {
+    val spark = freshVecs.sparkSession
+    val cfg = Sinks.loadGateConfig(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"$indexPath/config missing: the index was not published with an " +
+          "operating point (pre-r16 layout?) — re-publish via Sinks." +
+          "publish{Ivf,PqIvf,Sq8Ivf}Index, which versions tier + nProbe + " +
+          "thresholdMicro atomically with the state"))
+    cfg.tier match {
+      case "full" =>
+        val (cents, assigned) = Sinks.loadIvfIndex(spark, indexPath)
+        annGate(freshVecs, cents, assigned, cfg.nProbe, cfg.thresholdMicro)
+      case "pq" =>
+        val (cents, cb, codes) = Sinks.loadPqIvfIndex(spark, indexPath)
+        annGateAdc(freshVecs, cents, cb, codes, cfg.nProbe, cfg.thresholdMicro)
+      case "sq8" =>
+        val (cents, mn, mx, codes) = Sinks.loadSq8IvfIndex(spark, indexPath)
+        annGateSq8(freshVecs, cents, mn, mx, codes, cfg.nProbe,
+          cfg.thresholdMicro)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown gate tier '$other' in $indexPath/config " +
+            "(expected full | pq | sq8)")
+    }
   }
 
   case class QuotaDoc(doc_id: Long, source: String, n_tokens: Long)

@@ -55,19 +55,31 @@ class Round15Spec extends SparkSpec {
   test("the coarse quantizer plan stays constant-size past the expression-inlining wall (k = 1024 cells compiles and runs)") {
     val vs = testVecs(64, 8)
     val e = vs.toDF("vec_id", "v")
-    val cents: Seq[Seq[Double]] = (0 until 1024).map { c =>
-      (0 until 8).map(j => ((c * 11 + j * 5) % 23 - 11) / 4.0d)
+    def centsOf(k: Int): Seq[(Int, Seq[Double])] = (0 until k).map { c =>
+      c -> (0 until 8).map(j => ((c * 11 + j * 5) % 23 - 11) / 4.0d).toSeq
     }
-    val t0 = System.nanoTime()
+    // STRUCTURAL pin (advisor r15: a wall-clock bound flakes on a loaded
+    // host independent of any plan regression): past InlineMaxCells the
+    // assignment must ride the HOF-literal form, whose expression tree is
+    // CONSTANT-SIZE in k — the centroid grid lives inside two Literal
+    // nodes, never as per-centroid struct expressions. The r14 pathology
+    // (k inlined structs -> ~40 s of Janino compile per plan at k=1e3)
+    // is exactly a tree that GROWS with k.
+    def treeSize(k: Int): Int =
+      org.apache.spark.sql.GraftSqlShim
+        .expression(graft.vector.VectorOps.cellOf(centsOf(k)))
+        .collect { case x => x }.size
+    val s256 = treeSize(256)
+    val s1024 = treeSize(1024)
+    assert(s1024 === s256,
+      s"cellOf expression tree grew with k ($s256 nodes at k=256 vs " +
+        s"$s1024 at k=1024) — the constant-plan HOF-literal form regressed")
+    assert(s1024 < 200, s"cellOf tree unexpectedly large: $s1024 nodes")
+    // and the k=1024 plan still compiles + runs end to end
     val n = e.withColumn("cell",
-        graft.vector.VectorOps.cellOf(
-          cents.zipWithIndex.map { case (cv, c) => (c, cv) }))
+        graft.vector.VectorOps.cellOf(centsOf(1024)))
       .groupBy("cell").count().count()
-    val secs = (System.nanoTime() - t0) / 1e9
     assert(n >= 1L)
-    // the r14-measured wall was ~40 s PER PLAN at ~1e3 inlined entries;
-    // the literal-HOF form must stay orders below that
-    assert(secs < 20.0, f"k=1024 assignment took $secs%.1f s — plan-size wall is back?")
   }
 
   test("probeCells keeps the nProbe nearest cells with (dist, cell) lexicographic order") {

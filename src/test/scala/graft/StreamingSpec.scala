@@ -1323,4 +1323,138 @@ class StreamingSpec extends SparkSpec {
       assert(!flagged.exists(_._2 == 101L), s"unrelated corpus doc 101 must not flag; got $flagged")
     } finally q.stop()
   }
+
+  test("gate THRESHOLD versions with the index: a published threshold change flips verdicts only after the swap; crash-mid-swap never mixes new threshold with old codes") {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_thrswap").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    val idx = s"$base/pq_index"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // IDENTICAL state in both versions — only the OPERATING POINT moves.
+    // Corpus 100=(5,4) reconstructs exactly; a fresh (4,5) has cos
+    // 40/41 ≈ 0.9756 (cos_micro 975610) against it.
+    val cents = Seq(Seq(1.0, 0.0))
+    val cb = Map((0, 0) -> Seq(1.0), (0, 1) -> Seq(5.0),
+      (1, 0) -> Seq(0.0), (1, 1) -> Seq(4.0))
+    val codes = Seq((0, 100L, Seq(1, 1))).toDF("cell", "corpus_id", "codes")
+    graft.streaming.Sinks.publishPqIvfIndex(idx, cents, cb, codes,
+      nProbe = 1, thresholdMicro = 900000L)
+    assert(graft.streaming.Sinks.loadGateConfig(spark, idx) ===
+      Some(graft.streaming.Sinks.GateConfig("pq", 1, 900000L)))
+    def writeFile(rows: Seq[(Long, Long, Seq[Double])]): Unit =
+      rows.toDF("vec_id", "label", "v")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    // the gate reads EVERYTHING (tier, nProbe, threshold, state) from
+    // the published directory at (re)start — no compiled constant
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = graft.streaming.TrainingPipeline.annGateFromIndex(stream, idx)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeFile(Seq(
+      (1L, 0L, Seq(4.0, 5.0)),    // cos_micro 975610 >= 900000 -> rejected
+      (2L, 0L, Seq(1.0, -1.0))))  // cos ~0.11 -> admitted
+    runOnce()
+    // retune crashes between the renames: tmp holds the SAME state with
+    // threshold 990000, dst moved aside — the worst instant
+    cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
+      .write.parquet(idx + "__tmp/centroids")
+    cb.toSeq.map { case ((s, k), v) => (s, k, v) }
+      .toDF("sub", "cid", "vals").write.parquet(idx + "__tmp/codebook")
+    codes.write.parquet(idx + "__tmp/codes")
+    Seq(("pq", 1, 990000L)).toDF("tier", "n_probe", "threshold_micro")
+      .write.parquet(idx + "__tmp/config")
+    fs.rename(p(idx), p(idx + "__bak"))
+    assert(!fs.exists(p(idx)))
+    // recovery must surface v1's threshold WITH v1's codes — a torn read
+    // (990000 + old codes) would admit vec 1's twin prematurely
+    assert(graft.streaming.Sinks.loadGateConfig(spark, idx)
+      .map(_.thresholdMicro) === Some(900000L),
+      "crash-mid-swap leaked the unpublished threshold")
+    fs.delete(p(idx + "__tmp"), true)
+    // mid-crash restart: same data direction as vec 1 must STILL reject
+    writeFile(Seq((3L, 0L, Seq(8.0, 10.0)))) // same direction as vec 1 -> rejected under 900k
+    runOnce()
+    // the REAL atomic retune: state unchanged, threshold -> 990000
+    graft.streaming.Sinks.publishPqIvfIndex(idx, cents, cb, codes,
+      nProbe = 1, thresholdMicro = 990000L)
+    writeFile(Seq(
+      (4L, 0L, Seq(4.0, 5.0)),    // cos_micro 975610 < 990000 -> NOW admitted
+      (5L, 0L, Seq(5.0, 4.0))))   // exact recon dup, cos 1.0 -> still rejected
+    runOnce()
+    val ids = spark.read.parquet(out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L, 4L),
+      s"verdicts must flip ONLY at the atomic swap: want {2, 4}; got $ids")
+  }
+
+  test("ONE gate entry point serves all three tiers, reading tier + knobs from the published index directory") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_tiers").toString
+    val freshRows = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= 250L)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => Vec(r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    def streamThrough(idx: String, name: String): Set[Long] = {
+      val input = MemoryStream[Vec]
+      val q = graft.streaming.TrainingPipeline
+        .annGateFromIndex(input.toDF(), idx)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(freshRows.toIndexedSeq: _*)
+        q.processAllAvailable()
+        spark.table(name).select("vec_id").collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    // tier "full": oracle-verified batch face = q261 (annAdmission)
+    val (fc, fAssigned) = graft.vector.VectorOps.frozenIvfIndex(spark, dir)
+    graft.streaming.Sinks.publishIvfIndex(s"$base/full", fc, fAssigned)
+    val wantFull = graft.vector.VectorOps.annAdmission(spark, dir)
+      .filter(col("admit") === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(streamThrough(s"$base/full", "tier_full") === wantFull)
+    // tier "pq": batch face = q284 (pqAdmission)
+    val (pc, pcb, pcodes) = graft.vector.VectorOps.frozenPqIvfIndex(spark, dir)
+    graft.streaming.Sinks.publishPqIvfIndex(s"$base/pq", pc, pcb, pcodes)
+    val wantPq = graft.vector.VectorOps.pqAdmission(spark, dir)
+      .filter(col("adc_admit") === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(streamThrough(s"$base/pq", "tier_pq") === wantPq)
+    // tier "sq8": batch face = q297 (sq8Admission)
+    val (sc, mn, mx, scodes) = graft.vector.VectorOps.frozenSq8IvfIndex(spark, dir)
+    graft.streaming.Sinks.publishSq8IvfIndex(s"$base/sq8", sc, mn, mx, scodes)
+    val wantSq8 = graft.vector.VectorOps.sq8Admission(spark, dir)
+      .filter(col("sq8_admit") === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(streamThrough(s"$base/sq8", "tier_sq8") === wantSq8)
+    // the three tiers are genuinely different state (not one loader
+    // aliased three ways): the compressed tiers' admissions may differ
+    // from full's, but every set is non-trivial on this data
+    Seq(wantFull, wantPq, wantSq8).foreach { w =>
+      assert(w.nonEmpty && w.size < freshRows.length)
+    }
+    // and an index published WITHOUT a config (pre-r16 layout) fails
+    // loudly instead of running with a silently-guessed tier
+    val legacy = s"$base/legacy"
+    fAssigned.write.parquet(s"$legacy/assigned")
+    val one = freshRows.head
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.TrainingPipeline.annGateFromIndex(
+        Seq((one.vec_id, one.label, one.v)).toDF("vec_id", "label", "v"),
+        legacy)
+    }
+    assert(err.getMessage.contains("config missing"))
+  }
 }
