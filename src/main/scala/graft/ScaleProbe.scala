@@ -131,6 +131,24 @@ object ScaleProbe {
       println(f"[scale-probe] $label: $rows%,d rows in $best%.2f s (min of 2)")
     }
 
+    // Shared fixtures of the index-build assignment pair: the corpus is
+    // the SAME at 1x and 10x (only k grows), so it is built and cached
+    // once, OUTSIDE the timed lambdas — the first probe run would
+    // otherwise time corpus prep (salting + union) instead of the
+    // assignment scan under measurement.
+    val assignCorpus = Tabs(50).embSalted.cache()
+    assignCorpus.count()
+    def assignGrid(copies: Int): Seq[(Int, Seq[Double])] = {
+      val base = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < 512).orderBy("vec_id")
+        .select(expr("transform(embedding, x -> cast(x as double))"))
+        .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      (0 until copies).flatMap { i =>
+        base.zipWithIndex.map { case (v, c) =>
+          (i * 512 + c, (v.drop(i) ++ v.take(i)).toSeq) }
+      }
+    }
+
     val probes: Seq[(String, Tabs => Long)] = Seq(
       "fact-fact join + agg" -> { t =>
         t.lineitem.join(t.orders, t.lineitem("l_orderkey") === t.orders("o_orderkey"))
@@ -567,6 +585,43 @@ object ScaleProbe {
         val out = labels.count()
         labels.unpersist()
         out
+      },
+      // --- round-16 ---
+      "index-build FLAT assignment at growing k (fixed N)" -> { t =>
+        // The r15 verdict's last open knob: coarse ASSIGNMENT at index
+        // build. Corpus is FIXED (50 rotated copies, 100k vectors,
+        // cached once outside the timing) in both runs; only the grid
+        // grows (k = 256·copies, per-copy rotated seeds — the semSeeds
+        // discipline at 256). The flat form pays N·k dots, so 1x -> 10x
+        // must scale ~k (≈10x) — the baseline the hierarchical family
+        // below beats.
+        graft.vector.VectorOps
+          .assignCellsJoinIdx(assignCorpus, assignGrid(t.copies)).count()
+      },
+      "index-build HIERARCHICAL top-s assignment at growing k (fixed N)" -> { t =>
+        // Same fixed corpus, same growing grid: the top-s prune pays
+        // ~nSuper + s·k/nSuper dots per vector (nSuper = ceil(sqrt(k)))
+        // — 112 of 512 at k=512 but 356 of 5120 at k=5120 — in ONE
+        // narrow shuffle-free mapPartitions over broadcast primitive
+        // arrays. Measured (this box, 100k vecs): 1.0/1.1/2.3 s at
+        // k = 512/5120/51200 — sublinear in k and 2-4x under the flat
+        // family at every k (the flat BNLJ's wall is row-machinery
+        // bound at this N, so its k-slope only shows past ~5·10⁴
+        // cells). The agreement price of the prune is the q300/q301
+        // oracle-verified artifact + SketchBounds floor (0.972-0.986
+        // at the wired s=4); this family is the COST side of that
+        // decision.
+        val grid = assignGrid(t.copies)
+        val k = grid.size
+        val nSuper = math.ceil(math.sqrt(k.toDouble)).toInt
+        val n = graft.vector.VectorOps.assignCellsHierIdx(
+          assignCorpus, grid, nSuper,
+          graft.vector.VectorOps.HierAuditTopS).count()
+        println(s"[scale-probe]   hier-assign detail at ${t.copies}x: " +
+          s"k=$k nSuper=$nSuper dots/vec=" +
+          s"${nSuper + graft.vector.VectorOps.HierAuditTopS * k / nSuper} " +
+          s"(flat=$k)")
+        n
       })
 
     val t1 = Tabs(1)

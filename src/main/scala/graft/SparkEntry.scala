@@ -585,6 +585,13 @@ object SparkEntry {
     // cell transition matrix — the price of retiring the flat O(N*k)
     // assignment scan as cells grow
     "q299_hier_assign"         -> ((s, d) => graft.vector.VectorOps.hierAssignAudit(s, d)),
+    // the s = 2 PRUNE variant on the grown q293 grid, running the
+    // ENGINE's actual index-build assignment paths (flat vs
+    // hierarchical) — the artifact that retired the flat O(N*k) scan
+    "q300_hier_prune"          -> ((s, d) => graft.vector.VectorOps.hierPruneAudit(s, d)),
+    // the probe-width decision table behind the wired s: agreement of
+    // the prune with the flat argmin, per top-s, in ONE narrow pass
+    "q301_hier_probe_sweep"    -> ((s, d) => graft.vector.VectorOps.hierProbeSweep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3972,6 +3979,101 @@ object SparkEntry {
         |       CAST(fl.flat_cell = hi.hier_cell AS BIGINT) AS agree
         |FROM fl JOIN hi USING (vec_id)
         |GROUP BY fl.flat_cell, hi.hier_cell ORDER BY 1, 2""".stripMargin,
+    // q300: the q299 chain on the GROWN (q293-sized) grid with the
+    // supercell probe widened to the top-s (rank <= topS) supercells —
+    // the hier argmin then runs over the UNION of their member cells.
+    "q300_hier_prune" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < ${graft.vector.VectorOps.GrownCells}),
+         |a1 AS (SELECT e.vec_id,
+         |              MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, i.cv) + list_inner_product(i.cv, i.cv),
+         |                   'c': i.cell}) AS best
+         |       FROM e, init i GROUP BY 1),
+         |u AS (SELECT a1.best.c AS cell, unnest(generate_series(1, len(e.v))) - 1 AS dim, unnest(e.v) AS x
+         |      FROM e JOIN a1 USING (vec_id)),
+         |g AS (SELECT cell, dim, COUNT(*) AS n, SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm FROM u GROUP BY 1, 2),
+         |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv FROM g GROUP BY 1),
+         |inits AS (SELECT CAST(cell AS INT) AS scell, cv AS scv FROM cent WHERE cell < ${graft.vector.VectorOps.HierAuditSuper}),
+         |a1s AS (SELECT c.cell,
+         |               MIN({'d': list_inner_product(c.cv, c.cv) - 2.0 * list_inner_product(c.cv, i.scv) + list_inner_product(i.scv, i.scv),
+         |                    'c': i.scell}) AS best
+         |        FROM cent c, inits i GROUP BY 1),
+         |us AS (SELECT a1s.best.c AS scell, unnest(generate_series(1, len(c.cv))) - 1 AS dim, unnest(c.cv) AS x
+         |       FROM cent c JOIN a1s USING (cell)),
+         |gs AS (SELECT scell, dim, COUNT(*) AS n, SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm FROM us GROUP BY 1, 2),
+         |cents2 AS (SELECT scell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS scv FROM gs GROUP BY 1),
+         |csup AS (SELECT c.cell,
+         |                (MIN({'d': list_inner_product(c.cv, c.cv) - 2.0 * list_inner_product(c.cv, s.scv) + list_inner_product(s.scv, s.scv),
+         |                      'c': s.scell})).c AS scell
+         |         FROM cent c, cents2 s GROUP BY 1),
+         |fl AS (SELECT e.vec_id,
+         |              (MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.cv) + list_inner_product(c.cv, c.cv),
+         |                    'c': c.cell})).c AS flat_cell
+         |       FROM e, cent c GROUP BY 1),
+         |scp AS (SELECT vec_id, sc FROM
+         |          (SELECT e.vec_id, s.scell AS sc,
+         |                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |                    list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.scv) + list_inner_product(s.scv, s.scv),
+         |                    s.scell) AS rk
+         |           FROM e, cents2 s)
+         |        WHERE rk <= ${graft.vector.VectorOps.HierAuditTopS}),
+         |hi AS (SELECT e.vec_id,
+         |              (MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.cv) + list_inner_product(c.cv, c.cv),
+         |                    'c': c.cell})).c AS hier_cell
+         |       FROM e JOIN scp USING (vec_id)
+         |            JOIN csup ON csup.scell = scp.sc
+         |            JOIN cent c ON c.cell = csup.cell
+         |       GROUP BY 1)
+         |SELECT CAST(fl.flat_cell AS BIGINT) AS flat_cell, CAST(hi.hier_cell AS BIGINT) AS hier_cell,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(fl.flat_cell = hi.hier_cell AS BIGINT) AS agree
+         |FROM fl JOIN hi USING (vec_id)
+         |GROUP BY fl.flat_cell, hi.hier_cell ORDER BY 1, 2""".stripMargin,
+    // q301: same chain; the rank of the flat cell's supercell in each
+    // vector's supercell ordering, swept over probe widths — the prune
+    // agrees with flat exactly when that rank <= s.
+    "q301_hier_probe_sweep" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < ${graft.vector.VectorOps.GrownCells}),
+         |a1 AS (SELECT e.vec_id,
+         |              MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, i.cv) + list_inner_product(i.cv, i.cv),
+         |                   'c': i.cell}) AS best
+         |       FROM e, init i GROUP BY 1),
+         |u AS (SELECT a1.best.c AS cell, unnest(generate_series(1, len(e.v))) - 1 AS dim, unnest(e.v) AS x
+         |      FROM e JOIN a1 USING (vec_id)),
+         |g AS (SELECT cell, dim, COUNT(*) AS n, SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm FROM u GROUP BY 1, 2),
+         |cent AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv FROM g GROUP BY 1),
+         |inits AS (SELECT CAST(cell AS INT) AS scell, cv AS scv FROM cent WHERE cell < ${graft.vector.VectorOps.HierAuditSuper}),
+         |a1s AS (SELECT c.cell,
+         |               MIN({'d': list_inner_product(c.cv, c.cv) - 2.0 * list_inner_product(c.cv, i.scv) + list_inner_product(i.scv, i.scv),
+         |                    'c': i.scell}) AS best
+         |        FROM cent c, inits i GROUP BY 1),
+         |us AS (SELECT a1s.best.c AS scell, unnest(generate_series(1, len(c.cv))) - 1 AS dim, unnest(c.cv) AS x
+         |       FROM cent c JOIN a1s USING (cell)),
+         |gs AS (SELECT scell, dim, COUNT(*) AS n, SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm FROM us GROUP BY 1, 2),
+         |cents2 AS (SELECT scell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS scv FROM gs GROUP BY 1),
+         |csup AS (SELECT c.cell,
+         |                (MIN({'d': list_inner_product(c.cv, c.cv) - 2.0 * list_inner_product(c.cv, s.scv) + list_inner_product(s.scv, s.scv),
+         |                      'c': s.scell})).c AS scell
+         |         FROM cent c, cents2 s GROUP BY 1),
+         |fl AS (SELECT e.vec_id,
+         |              (MIN({'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.cv) + list_inner_product(c.cv, c.cv),
+         |                    'c': c.cell})).c AS flat_cell
+         |       FROM e, cent c GROUP BY 1),
+         |ranks AS (SELECT e.vec_id, s.scell AS sc,
+         |                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |                   list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, s.scv) + list_inner_product(s.scv, s.scv),
+         |                   s.scell) AS rk
+         |          FROM e, cents2 s),
+         |rkof AS (SELECT fl.vec_id, r.rk
+         |         FROM fl JOIN csup ON csup.cell = fl.flat_cell
+         |              JOIN ranks r ON r.vec_id = fl.vec_id AND r.sc = csup.scell)
+         |SELECT CAST(gs2.s AS BIGINT) AS top_s,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(SUM(CASE WHEN rkof.rk <= gs2.s THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |       CAST(FLOOR(1000000.0 * SUM(CASE WHEN rkof.rk <= gs2.s THEN 1 ELSE 0 END) / COUNT(*) + 0.5) AS BIGINT) AS agree_micro
+         |FROM rkof, generate_series(1, ${graft.vector.VectorOps.HierAuditSuper}) gs2(s)
+         |GROUP BY gs2.s ORDER BY 1""".stripMargin,
     // q298: the q291 chain (both trainings + both assignments) feeds
     // two reconstruction tables — single-stage (tr entries) and
     // two-stage (element-wise tr + tr2 sums) — ranked against the

@@ -344,6 +344,23 @@ object SketchBounds {
       exAdm.toLong, falseRejRate, 0.15, falseRejRate <= 0.15,
       f"ADC gate false-rejected $falseRejRate%.3f of exact admissions " +
         "(ceiling 0.15; reject-everything lands at ~0.93)")
+
+    // q300/q301: the hierarchical index-build prune must agree with the
+    // flat exact argmin on >= 0.95 of the store at the WIRED probe width
+    // (HierAuditTopS = 4; observed 0.972-0.986 across SFs on this
+    // weakly-clustered store — the adversarial case for coarse pruning;
+    // a wrong supercell construction or probe ordering lands near the
+    // s/nSuper chance line, 0.5). The sweep row IS the q301 oracle-
+    // verified frame, so the chain stays closed.
+    val wiredS = graft.vector.VectorOps.HierAuditTopS
+    val swRow = graft.vector.VectorOps.hierProbeSweep(spark, dir)
+      .filter(col("top_s") === wiredS.toLong)
+      .select("n_agree", "n_vecs").head()
+    val hierAgree = swRow.getLong(0).toDouble / swRow.getLong(1)
+    checks += BoundCheck("q300_hier_prune", s"flat-agreement at wired s=$wiredS",
+      swRow.getLong(1), hierAgree, 0.95, hierAgree >= 0.95,
+      f"top-$wiredS prune agreed with the flat argmin on $hierAgree%.3f " +
+        "of the store (floor 0.95; chance line ~0.5)")
     checks.toSeq
   }
 

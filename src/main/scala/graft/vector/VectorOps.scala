@@ -1490,10 +1490,23 @@ object VectorOps {
     * is a narrow in-row projection (dim element_at's — fixed by the
     * schema, not a growth knob), and training is the q282 k-narrow-
     * jobs loop. The oracle replays ranks, snake, and BOTH trainings. */
-  def opqAllocate(spark: SparkSession, dir: String, m: Int = PqM,
-                  c: Int = PqC, iters: Int = PqIters): DataFrame = {
-    val e = vecs(spark, dir)
-    val stats = e.select(posexplode(col("v")))
+  /** The snake deal of a ranked dim list into m subspaces (q296's
+    * closed-form allocation, factored for reuse by the q302 rotated
+    * variant — identical arithmetic). */
+  private def snakeOf(ranked: Seq[Int], m: Int): Map[Int, Seq[Int]] =
+    ranked.zipWithIndex
+      .map { case (dim, r) =>
+        val sub = if ((r / m) % 2 == 0) r % m else m - 1 - (r % m)
+        (dim, sub, r / m)
+      }
+      .groupBy(_._2)
+      .map { case (sub, xs) => sub -> xs.sortBy(_._3).map(_._1).toSeq }
+
+  /** q296's variance-ranked snake allocation (dim → subspace), shared
+    * with q302's balanced leg. */
+  private def balancedDims(spark: SparkSession, dir: String,
+                           m: Int): Map[Int, Seq[Int]] = {
+    val stats = vecs(spark, dir).select(posexplode(col("v")))
       .groupBy("pos")
       .agg(count(lit(1)).as("n"),
         sum(expr("cast(floor(col * col * 1000000.0d + 0.5d) as long)")).as("s2"),
@@ -1506,19 +1519,26 @@ object VectorOps {
       .map { case (dim, n, s2, s1) =>
         (dim, BigInt(n) * BigInt(s2) - BigInt(s1) * BigInt(s1)) }
       .sortBy { case (dim, v) => (-v, dim) }
-      .map(_._1)
-    val dimsOf: Map[Int, Seq[Int]] = ranked.zipWithIndex
-      .map { case (dim, r) =>
-        val sub = if ((r / m) % 2 == 0) r % m else m - 1 - (r % m)
-        (dim, sub, r / m)
-      }
-      .groupBy(_._2)
-      .map { case (sub, xs) => sub -> xs.sortBy(_._3).map(_._1).toSeq }
-    val psv = e.select(col("vec_id"), explode(array((0 until m).map { b =>
+      .map(_._1).toSeq
+    snakeOf(ranked, m)
+  }
+
+  /** The permuted-subvector frame of an allocation (vec_id, sub, sv). */
+  private def allocPsv(e: DataFrame, dimsOf: Map[Int, Seq[Int]],
+                       m: Int): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until m).map { b =>
         struct(lit(b).as("sub"),
           array(dimsOf(b).map(d => element_at(col("v"), d + 1)): _*).as("sv"))
       }: _*)).as("x"))
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+
+  /** q296's balanced-allocation codebook (memoized) + its subvector
+    * frame — shared by q296 and q302's balanced leg. */
+  private[graft] def balancedTrained(spark: SparkSession, dir: String,
+                                     m: Int = PqM, c: Int = PqC,
+                                     iters: Int = PqIters):
+      (DataFrame, Map[(Int, Int), Seq[Double]]) = {
+    val psv = allocPsv(vecs(spark, dir), balancedDims(spark, dir, m), m)
     val cbP = opqMemo.get(spark, s"opq-train/$dir/$m/$c/$iters/" +
         Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
       val seeds = psv.filter(col("vec_id") < c)
@@ -1528,19 +1548,229 @@ object VectorOps {
         .toMap
       pqTrainLoopOn(psv, seeds, iters)._1
     }
+    (psv, cbP)
+  }
+
+  /** Per-sub micro distortion of a subvector frame under a codebook —
+    * the q296/q302 audit aggregate. */
+  private def pqErrOf(spark: SparkSession, sv: DataFrame,
+                      cb: Map[(Int, Int), Seq[Double]],
+                      outCol: String): DataFrame =
+    pqAssign(sv, cbFrame(spark, cb), "vec_id")
+      .select(col("sub"),
+        expr("CAST(FLOOR(best.d * 1000000.0d + 0.5d) AS BIGINT)").as("em"))
+      .groupBy("sub").agg(sum(col("em")).as(outCol))
+
+  def opqAllocate(spark: SparkSession, dir: String, m: Int = PqM,
+                  c: Int = PqC, iters: Int = PqIters): DataFrame = {
+    val e = vecs(spark, dir)
+    val (psv, cbP) = balancedTrained(spark, dir, m, c, iters)
     val (cbN, _) = pqTrainedCents(spark, dir, m, c, iters)
-    def errOf(sv: DataFrame, cb: Map[(Int, Int), Seq[Double]],
-              outCol: String): DataFrame =
-      pqAssign(sv, cbFrame(spark, cb), "vec_id")
-        .select(col("sub"),
-          expr("CAST(FLOOR(best.d * 1000000.0d + 0.5d) AS BIGINT)").as("em"))
-        .groupBy("sub").agg(sum(col("em")).as(outCol))
-    errOf(pqSubVecs(e, "vec_id", m), cbN, "natural_err_micro")
-      .join(errOf(psv, cbP, "balanced_err_micro"), Seq("sub"))
+    pqErrOf(spark, pqSubVecs(e, "vec_id", m), cbN, "natural_err_micro")
+      .join(pqErrOf(spark, psv, cbP, "balanced_err_micro"), Seq("sub"))
       .select(col("sub").cast("long").as("sub"),
         col("natural_err_micro"), col("balanced_err_micro"),
         (col("natural_err_micro") - col("balanced_err_micro"))
           .as("gain_micro"))
+      .orderBy("sub")
+  }
+
+  /** q302's discrete Givens-angle table: entry 0 is the IDENTITY (so a
+    * step that cannot reduce the target correlation provably does
+    * nothing — the recursion stays a fixpoint on diagonal matrices),
+    * entries 1..8 are θ = t·π/32. The (cos, sin) pairs are
+    * driver-computed doubles interpolated into BOTH engines as plain
+    * literals (Double.toString round-trips exactly; the q29 hyperplane
+    * precedent), so neither engine ever calls libm trig. */
+  private[graft] val OpqAngles: Seq[(Double, Double)] =
+    (1.0d, 0.0d) +: (1 to 8).flatMap { t =>
+      val th = t * math.Pi / 32.0d
+      Seq((math.cos(th), math.sin(th)), (math.cos(th), -math.sin(th)))
+    }
+  private[graft] val OpqJacobiSteps = 64
+
+  private def microQ(x: Double): Double =
+    math.floor(x * 1000000.0d + 0.5d) / 1000000.0d
+
+  /** The q302 learned rotation: a greedy DISCRETE-angle Jacobi sweep
+    * over the micro-requantized second-moment matrix — Ge et al.'s
+    * (CVPR'13) non-parametric OPQ objective attacked with replayable
+    * arithmetic instead of SVD. Each step picks the largest
+    * off-diagonal |C_pq| (ties to the lower (p, q)), chooses from
+    * [[OpqAngles]] the rotation minimizing the micro-rounded surviving
+    * |C'_pq| (ties to the FIRST entry — the identity, so no step can
+    * lose), applies the Givens update to C's p/q rows+columns and
+    * accumulates R's p/q columns, micro-requantizing every changed
+    * entry — the anchor that lets DuckDB replay the whole recursion
+    * bit-for-bit (the q266 discipline). R drifts from exact
+    * orthogonality by ≤ steps·1e-6 per entry — documented, and
+    * irrelevant to the decision table, which measures distortion of
+    * the actually-applied transform. Pure driver arithmetic on model
+    * state (d² doubles). */
+  private[graft] def opqJacobi(c0: Array[Array[Double]], steps: Int):
+      (Array[Array[Double]], Array[Double]) = {
+    val d = c0.length
+    val cm = Array.tabulate(d, d)((i, j) => c0(i)(j))
+    val rm = Array.tabulate(d, d)((i, j) => if (i == j) 1.0d else 0.0d)
+    var step = 0
+    while (step < steps) {
+      var p = -1; var q = -1; var bestA = -1.0d
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) {
+          val a = math.abs(cm(i)(j))
+          if (a > bestA) { bestA = a; p = i; q = j } // strict: ties keep lower (p, q)
+          j += 1
+        }
+        i += 1
+      }
+      val cpp = cm(p)(p); val cqq = cm(q)(q); val cpq = cm(p)(q)
+      var c = 1.0d; var s = 0.0d; var bv = Long.MaxValue
+      OpqAngles.foreach { case (ac, as2) =>
+        val ncpq = (ac * ac - as2 * as2) * cpq + ac * as2 * (cpp - cqq)
+        val v = math.floor(math.abs(ncpq) * 1000000.0d + 0.5d).toLong
+        if (v < bv) { bv = v; c = ac; s = as2 } // strict: ties keep the FIRST (identity) entry
+      }
+      val oldP = new Array[Double](d); val oldQ = new Array[Double](d)
+      var r = 0
+      while (r < d) { oldP(r) = cm(p)(r); oldQ(r) = cm(q)(r); r += 1 }
+      r = 0
+      while (r < d) {
+        if (r != p && r != q) {
+          val np = microQ(c * oldP(r) - s * oldQ(r))
+          val nq = microQ(s * oldP(r) + c * oldQ(r))
+          cm(p)(r) = np; cm(r)(p) = np
+          cm(q)(r) = nq; cm(r)(q) = nq
+        }
+        r += 1
+      }
+      cm(p)(p) = microQ(c * c * cpp - 2.0d * c * s * cpq + s * s * cqq)
+      cm(q)(q) = microQ(s * s * cpp + 2.0d * c * s * cpq + c * c * cqq)
+      val npq = microQ((c * c - s * s) * cpq + c * s * (cpp - cqq))
+      cm(p)(q) = npq; cm(q)(p) = npq
+      r = 0
+      while (r < d) {
+        val rp = rm(r)(p); val rq = rm(r)(q)
+        rm(r)(p) = microQ(c * rp - s * rq)
+        rm(r)(q) = microQ(s * rp + c * rq)
+        r += 1
+      }
+      step += 1
+    }
+    (rm, Array.tabulate(d)(j => cm(j)(j)))
+  }
+
+  /** The corpus second-moment matrix as EXACT micro-integer sums (the
+    * uncentered energy matrix — PQ quantizes raw vectors, so raw-vector
+    * energy is the object the rotation should balance): one in-row
+    * upper-triangle expansion + a bounded (d·(d+1)/2)-cell partial agg;
+    * order-free integer sums make any partitioning bit-equal. */
+  private def secondMomentMicro(e: DataFrame, dim: Int): Array[Array[Long]] = {
+    val cells = e.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+           |  transform(sequence(i, ${dim - 1}), j ->
+           |    struct(i AS i, j AS j,
+           |      CAST(FLOOR(element_at(v, i + 1) * element_at(v, j + 1)
+           |        * 1000000.0D + 0.5D) AS BIGINT) AS sm))))""".stripMargin))
+        .as("p"))
+      .groupBy("p.i", "p.j").agg(sum("p.sm").as("sm"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val out = Array.ofDim[Long](dim, dim)
+    cells.foreach { case (i, j, sm) => out(i)(j) = sm; out(j)(i) = sm }
+    out
+  }
+
+  private val opqRotMemo =
+    new graft.SessionMemo[(Seq[Seq[Double]], Seq[Int])]
+
+  /** The trained rotation artifact behind q302/q303: (R columns-as-rows
+    * matrix, energy-ranked rotated dims), memoized per (corpus, steps).
+    * R is derived from the corpus second-moment matrix, so it is model
+    * state exactly like a codebook. */
+  private[graft] def opqRotation(spark: SparkSession, dir: String,
+                                 steps: Int = OpqJacobiSteps):
+      (Seq[Seq[Double]], Seq[Int]) =
+    opqRotMemo.get(spark, s"opq-rot/$dir/$steps/" +
+        Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
+      val e = vecs(spark, dir)
+      val dim = e.select(size(col("v"))).head().getInt(0)
+      require(dim == OracleDim,
+        s"embedding dim $dim != $OracleDim: q302's oracle interpolates " +
+          "dim-64 constants")
+      val momentsL = secondMomentMicro(e, dim)
+      val c0 = momentsL.map(_.map(_.toDouble / 1000000.0d))
+      val (rm, diag) = opqJacobi(c0, steps)
+      // rotated-dim energy ranks: diagonal entries are exact micro
+      // multiples, so long-space ranking is exact (ties to lower dim)
+      val ranked = diag.zipWithIndex
+        .map { case (x, j) =>
+          (math.floor(x * 1000000.0d + 0.5d).toLong, j) }
+        .sortBy { case (en, j) => (-en, j) }
+        .map(_._2).toSeq
+      (rm.map(_.toSeq).toSeq, ranked)
+    }
+
+  private val opqRotTrainMemo = new graft.SessionMemo[Map[(Int, Int), Seq[Double]]]
+
+  /** Rotated + energy-snake-allocated subvector frame: y_j = ⟨v, R·e_j⟩
+    * evaluated as one inline codegen dot per rotated dim (d ≤ 128 dots —
+    * the q151 centroid discipline), dealt to subspaces in energy-snake
+    * order. */
+  private def rotatedPsv(e: DataFrame, rm: Seq[Seq[Double]],
+                         ranked: Seq[Int], m: Int): DataFrame = {
+    val d = rm.length
+    def yCol(j: Int): Column =
+      dotC(col("v"), typedLit((0 until d).map(i => rm(i)(j))))
+    val dimsOf = snakeOf(ranked, m)
+    e.select(col("vec_id"), explode(array((0 until m).map { b =>
+        struct(lit(b).as("sub"),
+          array(dimsOf(b).map(j => yCol(j)): _*).as("sv"))
+      }: _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+  }
+
+  /** q302 — OPQ with a LEARNED ROTATION (judge r15 task 3; Ge et al.,
+    * CVPR'13 non-parametric OPQ): q296's variance-balanced permutation
+    * is the free member of the family; this trains the full rotation —
+    * greedy discrete-angle Jacobi on the second-moment matrix
+    * ([[opqJacobi]]), energy-snake allocation of the ROTATED dims, the
+    * identical Lloyd loop on the rotated subvectors — and reports, per
+    * subspace, the distortion under natural slicing vs the balanced
+    * permutation vs the learned rotation. DuckDB replays the moment
+    * matrix (exact integer sums), the whole Jacobi recursion
+    * (micro-requantized — the q266 anchor), the snake, and all THREE
+    * trainings, so the table hash-verifies end to end.
+    *
+    * Scale: the moment matrix is one in-row pass + a d²-cell agg; the
+    * Jacobi is driver work on d² state; rotation application is d
+    * inline codegen dots per row (no shuffle); training is the q282
+    * k-narrow-jobs loop. */
+  def opqRotate(spark: SparkSession, dir: String, m: Int = PqM,
+                c: Int = PqC, iters: Int = PqIters,
+                steps: Int = OpqJacobiSteps): DataFrame = {
+    val e = vecs(spark, dir)
+    val (rm, ranked) = opqRotation(spark, dir, steps)
+    val psvR = rotatedPsv(e, rm, ranked, m)
+    val cbR = opqRotTrainMemo.get(spark, s"opq-rot-train/$dir/$m/$c/$iters/$steps/" +
+        Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
+      val seeds = psvR.filter(col("vec_id") < c)
+        .select(col("vec_id").cast("int").as("cid"), col("sub"), col("sv"))
+        .collect()
+        .map(r => (r.getInt(1), r.getInt(0)) -> r.getSeq[Double](2).toSeq)
+        .toMap
+      pqTrainLoopOn(psvR, seeds, iters)._1
+    }
+    val (psvB, cbB) = balancedTrained(spark, dir, m, c, iters)
+    val (cbN, _) = pqTrainedCents(spark, dir, m, c, iters)
+    pqErrOf(spark, pqSubVecs(e, "vec_id", m), cbN, "natural_err_micro")
+      .join(pqErrOf(spark, psvB, cbB, "balanced_err_micro"), Seq("sub"))
+      .join(pqErrOf(spark, psvR, cbR, "rotated_err_micro"), Seq("sub"))
+      .select(col("sub").cast("long").as("sub"),
+        col("natural_err_micro"), col("balanced_err_micro"),
+        col("rotated_err_micro"),
+        (col("balanced_err_micro") - col("rotated_err_micro"))
+          .as("rot_gain_micro"))
       .orderBy("sub")
   }
 
@@ -1592,6 +1822,296 @@ object VectorOps {
         col("hier_cell").cast("long").as("hier_cell"), col("n_vecs"),
         (col("flat_cell") === col("hier_cell")).cast("long").as("agree"))
       .orderBy("flat_cell", "hier_cell")
+  }
+
+  /** Supercells of a centroid grid + cell→super membership — the q299
+    * derivable rule factored out: supercells are the q35 construction
+    * applied to the CELL CENTROIDS themselves (first `nSuper` of the
+    * grid seed, one exact micro-mean Lloyd step over the k centroid
+    * rows), and each cell belongs to its nearest refined supercell.
+    * Runs ENTIRELY on the driver: the grid is MODEL state (k × dim
+    * doubles), and the Spark-job version of this step paid ~15 s of
+    * local-relation serialization + interpreted-HOF assignment at
+    * k = 5·10⁴ for what is ~0.1 s of unboxed arithmetic. Every fold is
+    * the same left-to-right add/sub sequence on the same doubles as the
+    * in-engine graft_dot / micro-mean expressions, so the construction
+    * stays bit-identical to the q299/q300 oracle replay. */
+  private[graft] def supercellsOf(cents: Seq[(Int, Seq[Double])], nSuper: Int):
+      (Seq[Seq[Double]], Map[Int, Seq[(Int, Seq[Double])]]) = {
+    val ordered = cents.sortBy(_._1)
+    require(ordered.length >= nSuper,
+      s"need >= $nSuper grid rows to seed supercells; got ${ordered.length}")
+    val rows: Array[Array[Double]] = ordered.map(_._2.toArray).toArray
+    def selfDot(a: Array[Double]): Double = {
+      var acc = 0.0d; var i = 0
+      while (i < a.length) { acc += a(i) * a(i); i += 1 }; acc
+    }
+    // lexicographic (d, idx) argmin of `v` against `grid` — strict <
+    // keeps the LOWER index on ties, the exact min-struct rule
+    def argmin(v: Array[Double], vv: Double,
+               grid: Array[Array[Double]], gridSelf: Array[Double]): Int = {
+      var best = -1; var bestD = Double.PositiveInfinity
+      var g = 0
+      while (g < grid.length) {
+        val sv = grid(g)
+        var dot = 0.0d; var j = 0
+        val n = math.min(v.length, sv.length)
+        while (j < n) { dot += v(j) * sv(j); j += 1 }
+        val d = vv - 2.0d * dot + gridSelf(g)
+        if (d < bestD) { bestD = d; best = g }
+        g += 1
+      }
+      best
+    }
+    val rowSelf = rows.map(selfDot)
+    // seed assignment + ONE exact micro-mean Lloyd step (the q35 rule,
+    // replayed here in driver arithmetic: floor(x·1e6 + 0.5) integer
+    // sums are order-free, the mean is sm / (n · 1e6) in doubles)
+    val seeds = rows.take(nSuper)
+    val seedSelf = seeds.map(selfDot)
+    val seedCellOf = rows.indices.map(i => argmin(rows(i), rowSelf(i), seeds, seedSelf))
+    val dim = rows.head.length
+    val supers: Seq[Seq[Double]] = (0 until nSuper).map { s2 =>
+      val mine = rows.indices.filter(seedCellOf(_) == s2)
+      require(mine.nonEmpty,
+        s"supercell Lloyd update left seed $s2 empty (duplicate grid rows?)")
+      (0 until dim).map { d =>
+        var sm = 0L
+        mine.foreach { i => sm += math.floor(rows(i)(d) * 1000000.0d + 0.5d).toLong }
+        sm.toDouble / (mine.length.toDouble * 1000000.0d)
+      }
+    }
+    val supArr = supers.map(_.toArray).toArray
+    val supSelf = supArr.map(selfDot)
+    val members0: Map[Int, Seq[(Int, Seq[Double])]] = ordered.zipWithIndex
+      .map { case ((c, cv), i) =>
+        (argmin(rows(i), rowSelf(i), supArr, supSelf), (c, cv))
+      }.groupBy(_._1).map { case (s2, xs) => s2 -> xs.map(_._2) }
+    // A refined supercell no cell chose carries no candidates — DROP it
+    // (probing it would waste a pick and, degenerately, could leave a
+    // vector with zero candidates). The oracle-verified audit grids
+    // leave none empty — hierPruneAudit/hierProbeSweep re-require the
+    // full count so the SQL replay can never silently diverge; this
+    // relaxation only serves engine-side robustness on arbitrary grids.
+    val kept = (0 until nSuper).filter(members0.contains)
+    require(kept.nonEmpty, "every refined supercell lost its members?")
+    val members: Map[Int, Seq[(Int, Seq[Double])]] =
+      kept.zipWithIndex.map { case (old2, idx) => idx -> members0(old2) }.toMap
+    (kept.map(supers), members)
+  }
+
+  /** Hierarchical (two-level, top-s prune) coarse assignment for INDEX
+    * BUILDS — the replacement for [[assignCellsJoinIdx]]'s flat O(N·k)
+    * scan once the cells-grow-with-the-corpus knob (q293/ScaleProbe r15)
+    * makes k the dominant term (judge r15 task 2; q299 measured the
+    * s = 1 price at 28% reassignment on a weakly-clustered store — too
+    * dear, so this is the s > 1 PRUNE: assign exactly within the top-s
+    * probed supercells' member cells, whose agreement price q300/q301
+    * measure — 0.986 at the wired s = 4 on the grown grid — for
+    * ~nSuper + s·k/nSuper dots instead of k).
+    *
+    * Physical form: ONE narrow mapPartitions over broadcast primitive
+    * arrays — Survey §2.12's documented last resort, taken here on
+    * measurement, not taste. The alternatives genuinely can't express
+    * this efficiently: a join form materializes topS·k/nSuper JOIN ROWS
+    * per vector through an aggregate (measured 7.3 s of row overhead at
+    * k = 5·10⁴ on 100k vectors for ~0.4 s of arithmetic), and an in-row
+    * HOF probe runs INTERPRETED (measured ~30 s, the r15 lesson). The
+    * fold is the exact graft_dot / min-struct arithmetic (left-to-right
+    * dots, d = ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩, ties to the lower id), so q300
+    * hash-pins this code against the DuckDB replay. Bonus over the flat
+    * join form: NO shuffle at all — the per-vector argmin needs no
+    * groupBy, so an index build over 100 TB of vectors is one pass.
+    * Emits the exact (cell, corpus_id, cv) frame the flat form emits. */
+  private[graft] def assignCellsHierIdx(e: DataFrame,
+                                        cents: Seq[(Int, Seq[Double])],
+                                        nSuper: Int, topS: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val (supers, members) = supercellsOf(cents, nSuper)
+    // supercellsOf may have dropped empty refined supercells — index by
+    // the RETURNED (contiguous) layout, not the requested nSuper
+    val supArr: Array[Array[Double]] = supers.map(_.toArray).toArray
+    val memCells: Array[Array[Int]] = supers.indices.map { s2 =>
+      members(s2).map(_._1).toArray
+    }.toArray
+    val memVecs: Array[Array[Array[Double]]] = supers.indices.map { s2 =>
+      members(s2).map(_._2.toArray).toArray
+    }.toArray
+    val bc = spark.sparkContext.broadcast((supArr, memCells, memVecs))
+    val sKeep = math.min(topS, nSuper)
+    e.select(col("vec_id").cast("long").as("vec_id"), col("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { iter =>
+        val (sup, mc, mv) = bc.value
+        def selfDot(a: Array[Double]): Double = {
+          var acc = 0.0d; var i = 0
+          while (i < a.length) { acc += a(i) * a(i); i += 1 }; acc
+        }
+        val supSelf = sup.map(selfDot)
+        val memSelf = mv.map(_.map(selfDot))
+        val nSup = sup.length
+        val dists = new Array[Double](nSup)
+        val taken = new Array[Boolean](nSup)
+        iter.map { case (id, vSeq) =>
+          val v = vSeq.toArray
+          var vv = 0.0d
+          locally { var i = 0; while (i < v.length) { vv += v(i) * v(i); i += 1 } }
+          var s2 = 0
+          while (s2 < nSup) {
+            val sv = sup(s2)
+            var dot = 0.0d; var j = 0
+            val n = math.min(v.length, sv.length)
+            while (j < n) { dot += v(j) * sv(j); j += 1 }
+            dists(s2) = vv - 2.0d * dot + supSelf(s2)
+            taken(s2) = false
+            s2 += 1
+          }
+          // top-s selection by (d, idx) — repeated strict-min keeps the
+          // probeCellsIdx/ROW_NUMBER tie order
+          var bestCell = Int.MaxValue; var bestD = Double.PositiveInfinity
+          var pick = 0
+          while (pick < sKeep) {
+            var sel = -1; var selD = Double.PositiveInfinity
+            var t = 0
+            while (t < nSup) {
+              if (!taken(t) && dists(t) < selD) { selD = dists(t); sel = t }
+              t += 1
+            }
+            taken(sel) = true
+            // argmin within the selected supercell's member cells,
+            // folded into the global lexicographic (d, cell) min
+            val cells = mc(sel); val vecs2 = mv(sel); val selfs = memSelf(sel)
+            var m = 0
+            while (m < cells.length) {
+              val cvA = vecs2(m)
+              var dot = 0.0d; var j = 0
+              val n = math.min(v.length, cvA.length)
+              while (j < n) { dot += v(j) * cvA(j); j += 1 }
+              val d = vv - 2.0d * dot + selfs(m)
+              if (d < bestD || (d == bestD && cells(m) < bestCell)) {
+                bestD = d; bestCell = cells(m)
+              }
+              m += 1
+            }
+            pick += 1
+          }
+          (bestCell, id, vSeq)
+        }
+      }.toDF("cell", "corpus_id", "cv")
+  }
+
+  /** Index-build coarse assignment with the algorithm picked by the
+    * MEASURED cell-count crossover (the [[graft.dedup.DedupOps]]
+    * StarPathEdges discipline applied to the assignment scan): flat
+    * exact argmin at small grids — cheap, oracle-replayable, zero
+    * approximation — and the hierarchical top-s prune ([[HierAuditTopS]]) with
+    * nSuper = ⌈√k⌉ above [[HierAssignMinCells]]. The measured picture
+    * (ScaleProbe r16 "index-build assignment" pair, 100k vectors): the
+    * mapPartitions prune runs 1.0/1.1/2.3 s at k = 512/5120/51200 —
+    * sublinear in k and 2-4× under the flat join form at EVERY k — so
+    * the threshold is an EXACTNESS boundary, not a cost one: below it
+    * the flat argmin is kept because it is exact and oracle-replayable
+    * at negligible absolute cost; above it the prune's 1.4-2.8% miss
+    * rate (q300/q301 + SketchBounds floor) is the price of O(√k).
+    * Every currently-published oracle grid (16..64 cells) stays on the
+    * flat path, so the switch changes no verified hash. */
+  private[graft] val HierAssignMinCells = 256
+  private[graft] def assignCellsAuto(e: DataFrame,
+                                     cents: Seq[Seq[Double]]): DataFrame = {
+    val idx = cents.zipWithIndex.map { case (cv, c) => (c, cv) }
+    if (cents.size <= HierAssignMinCells) assignCellsJoinIdx(e, idx)
+    else assignCellsHierIdx(e, idx,
+      nSuper = math.ceil(math.sqrt(cents.size.toDouble)).toInt,
+      topS = HierAuditTopS)
+  }
+
+  /** q300's knobs — interpolated into the oracle SQL (shared-constant
+    * discipline): the audit runs the PRODUCTION-SHAPED grid (q293's
+    * grown 64-cell layer) under an 8-supercell top-2 prune. */
+  private[graft] val HierAuditSuper = 8
+  /** s = 4 from the q301 probe-rank sweep: on THIS (weakly-clustered —
+    * the adversarial case for coarse pruning) store, agreement with the
+    * flat argmin rises 0.644 / 0.866 / 0.956 / 0.986 at s = 1..4 and
+    * hits 1.0 by s = 6; s = 4 is the knee — ~(1+s)·√k dots per vector
+    * instead of k (6.4× at k = 10³, 12.8× at 4·10³). */
+  private[graft] val HierAuditTopS = 4
+
+  /** q300 — hierarchical TOP-S PRUNE assignment audit: the decision
+    * artifact q299 asked for, upgraded from "what does s = 1 cost" (28%
+    * reassignment — q299) to "what does the WIRED s = 4 prune cost" on
+    * the grown q293 grid (q301 is the s-sweep that chose 4). Both sides run the ENGINE's actual index-build
+    * code ([[assignCellsJoinIdx]] flat vs [[assignCellsHierIdx]]
+    * prune), so the hash pins the production path, not a replica; the
+    * output is the same (flat_cell → hier_cell) transition matrix with
+    * the agree flag, and SketchBounds floors the corpus-wide agreement.
+    *
+    * Scale: per vector nSuper + topS·k/nSuper dots instead of k; one
+    * broadcast of k member rows; two min-struct partial aggs and a
+    * bounded (k × k) matrix agg. */
+  def hierPruneAudit(spark: SparkSession, dir: String,
+                     nCentroids: Int = GrownCells,
+                     nSuper: Int = HierAuditSuper,
+                     topS: Int = HierAuditTopS): DataFrame = {
+    val cents = ivfCentroids(spark, dir, nCentroids)
+    val idx = cents.zipWithIndex.map { case (cv, c) => (c, cv) }
+    // oracle parity guard: the SQL replay probes ALL nSuper supercells;
+    // supercellsOf dropping an empty one would silently desync the two
+    require(supercellsOf(idx, nSuper)._1.length == nSuper,
+      s"audit grid left an empty supercell — q300's oracle assumes $nSuper")
+    val e = vecs(spark, dir)
+    val flat = assignCellsJoinIdx(e, idx)
+      .select(col("corpus_id").as("vec_id"), col("cell").as("flat_cell"))
+    val hier = assignCellsHierIdx(e, idx, nSuper, topS)
+      .select(col("corpus_id").as("vec_id"), col("cell").as("hier_cell"))
+    flat.join(hier, Seq("vec_id"))
+      .groupBy("flat_cell", "hier_cell")
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(col("flat_cell").cast("long").as("flat_cell"),
+        col("hier_cell").cast("long").as("hier_cell"), col("n_vecs"),
+        (col("flat_cell") === col("hier_cell")).cast("long").as("agree"))
+      .orderBy("flat_cell", "hier_cell")
+  }
+
+  /** q301 — supercell PROBE-RANK sweep (the q290 decision-table shape
+    * applied to the prune width): for each probe width s, the share of
+    * the store whose hierarchical assignment EQUALS the flat argmin.
+    * The prune can only diverge when the flat cell's supercell falls
+    * outside the top-s probe — the candidate set otherwise contains the
+    * global argmin and the identical lexicographic min returns it — so
+    * agree(s) ⟺ rank(flat cell's supercell) ≤ s, and the WHOLE sweep is
+    * one narrow pass (flat argmin + one supercell ordering per vector)
+    * into a bounded nSuper-row aggregate; no s separate assignment runs.
+    * This is the table that chose [[HierAuditTopS]] = 4 (0.644 / 0.866 /
+    * 0.956 / 0.986 / … / 1.0 by s = 6 on this store); Round16Spec pins
+    * its row-4 agreement equal to q300's full transition-matrix run. */
+  def hierProbeSweep(spark: SparkSession, dir: String,
+                     nCentroids: Int = GrownCells,
+                     nSuper: Int = HierAuditSuper): DataFrame = {
+    val cents = ivfCentroids(spark, dir, nCentroids)
+    val idx = cents.zipWithIndex.map { case (cv, c) => (c, cv) }
+    val (supers, members) = supercellsOf(idx, nSuper)
+    require(supers.length == nSuper,
+      s"audit grid left an empty supercell — q301's oracle assumes $nSuper")
+    val cellSuperSeq: Seq[Int] = members.toSeq
+      .flatMap { case (s2, ms) => ms.map { case (c, _) => (c, s2) } }
+      .sortBy(_._1).map(_._2)
+    val superIdx = supers.zipWithIndex.map { case (sv, s2) => (s2, sv) }
+    vecs(spark, dir)
+      .withColumn("flat_cell", cellOf(idx))
+      .withColumn("pc", probeCellsIdx(col("v"), superIdx, nSuper))
+      .withColumn("rnk", array_position(
+        expr("transform(pc, x -> x.cell)"),
+        element_at(typedLit(cellSuperSeq), col("flat_cell") + lit(1))))
+      .select(explode(expr(s"sequence(1, $nSuper)")).as("top_s"), col("rnk"))
+      .groupBy("top_s")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("rnk") <= col("top_s")).cast("long")).as("n_agree"))
+      .select(col("top_s").cast("long").as("top_s"), col("n_vecs"),
+        col("n_agree"),
+        expr("CAST(FLOOR(1000000.0d * n_agree / n_vecs + 0.5d) AS BIGINT)")
+          .as("agree_micro"))
+      .orderBy("top_s")
   }
 
   /** The SQ8-compressed frozen ANN gate index: the [[frozenIvfIndex]]
@@ -2484,7 +3004,10 @@ object VectorOps {
       buildCentroidsOf(e.filter(col("vec_id") < splitAt), nCentroids))
     val assigned = Tables.memoCache(spark,
       s"ivf-gate-assigned/$dir/$nCentroids/$splitAt/$fp") {
-      assignCellsJoin(e.filter(col("vec_id") < splitAt), cents)
+      // algorithm picked by the measured cell-count crossover: flat
+      // exact argmin at today's grids, hierarchical top-2 prune past
+      // HierAssignMinCells (the q300/ScaleProbe r16 decision)
+      assignCellsAuto(e.filter(col("vec_id") < splitAt), cents)
     }
     (cents, assigned)
   }
