@@ -93,6 +93,30 @@ object Bench {
     f"""{"pass":$pass,"load1_before":${b.load1}%.2f,"load1_after":${a.load1}%.2f,"procs_running_after":${a.procsRunning},"other_cpu_frac":$other%.4f}"""
   }
 
+  /** Cold-budget gate (judge r15): training-memo accretion keeps moving
+    * real work into cold_extra — legitimately, but invisibly (r13's
+    * 72.9 s cold crept in one memo at a time). Flag when the aggregate
+    * one-time build cost exceeds HALF the warm steady-state total, so
+    * adding a training family is a visible choice in slow_flags rather
+    * than a silent tax on first-run wall. Pure: spec-pinned. */
+  private[graft] def coldFlagged(coldTotal: Double, warmTotal: Double): Boolean =
+    warmTotal > 0 && coldTotal > 0.5 * warmTotal
+
+  /** Host-window gate (judge r15: the r15 artifact was taken in a
+    * busier window than r14's and cross-round warm comparisons needed
+    * manual A/Bs): an artifact is comparison-grade only when the
+    * pass-0 pre-load and the worst external-CPU fraction sit under
+    * these measured thresholds (r14's quiet window: load1 5.53,
+    * other_cpu ≈ 0.0006; r15's noisy one: 8.31 — ~20% inflation via
+    * memory bandwidth). The gate VALUES ship in the artifact so the
+    * reader sees what was checked, and presnapshot refuses to
+    * snapshot a windowed-out artifact. Pure: spec-pinned. */
+  private[graft] val WindowLoad1Max = 7.0
+  private[graft] val WindowOtherCpuMax = 0.05
+  private[graft] def windowOk(load1Pass0: Double, maxOtherCpu: Double): Boolean =
+    (load1Pass0 < 0 || load1Pass0 <= WindowLoad1Max) &&
+      (maxOtherCpu < 0 || maxOtherCpu <= WindowOtherCpuMax)
+
   /** Per-query budget gate (judge r8): round 8 shipped a 768 s query —
     * 90% of the whole bench — because nothing re-checked per-query cost
     * after the last plan audit. Flag every query whose best (warm) time
@@ -190,6 +214,7 @@ object Bench {
     val passTimes =
       scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Double, Int)]]
     val hostPasses = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hostRaw = scala.collection.mutable.ArrayBuffer.empty[(HostSample, HostSample)]
     var passCounter = 0
     def runPass(qs: Seq[(String, (SparkSession, String) => DataFrame)]): Unit = {
       val id = passCounter; passCounter += 1
@@ -199,7 +224,9 @@ object Bench {
         val t = runOne(spark, fn, sfDir)
         passTimes(name) = passTimes.getOrElse(name, Vector.empty) :+ ((t, id))
       }
-      hostPasses += hostEvidence(id, before, sampleHost())
+      val after = sampleHost()
+      hostRaw += ((before, after))
+      hostPasses += hostEvidence(id, before, after)
     }
     def okTimes(name: String): Vector[Double] =
       passTimes.getOrElse(name, Vector.empty).map(_._1).filter(_ >= 0)
@@ -328,16 +355,41 @@ object Bench {
     val total = best.collect { case (_, v) if v >= 0 => v }.sum
     val failed = best.count(_._2 < 0)
     // per-query budget gate: loud in the artifact AND on stderr
-    val flags = slowFlags(best)
-    flags.foreach { n =>
+    val queryFlags = slowFlags(best)
+    queryFlags.foreach { n =>
       System.err.println(s"[bench] SLOW QUERY over budget gate: $n " +
         s"best=${fmt(best.toMap.apply(n))}s — fix the plan before snapshot")
     }
+    // cold-budget gate rides in the SAME flag list presnapshot refuses on
+    val flags =
+      if (coldFlagged(coldTotal, total)) {
+        System.err.println(f"[bench] COLD BUDGET over gate: cold_total " +
+          f"${fmt(coldTotal)}s > half the warm total ${fmt(total)}s — " +
+          "training-memo accretion needs a decision before snapshot")
+        queryFlags :+ "cold_total"
+      } else queryFlags
     val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // host-window verdict: pass-0 pre-load + worst external-CPU fraction
+    val load1Pass0 =
+      if (hostRaw.isEmpty) -1.0 else hostRaw.head._1.load1
+    val maxOtherCpu = hostRaw.iterator.map { case (b, a) =>
+      val dTotal = math.max(1L, a.total - b.total)
+      if (b.total < 0 || a.total < 0) -1.0
+      else math.max(0.0, ((a.busy - b.busy) - (a.selfTicks - b.selfTicks))
+        .toDouble / dTotal)
+    }.foldLeft(-1.0)(math.max)
+    val winOk = windowOk(load1Pass0, maxOtherCpu)
+    if (!winOk)
+      System.err.println(f"[bench] HOST WINDOW busy: load1_pass0=$load1Pass0%.2f " +
+        f"(max $WindowLoad1Max) max_other_cpu_frac=$maxOtherCpu%.4f " +
+        f"(max $WindowOtherCpuMax) — warm totals are not comparison-grade; " +
+        "re-run in a quieter window before snapshotting")
+    val windowJson =
+      f""""window_ok":$winOk,"window_gate":{"load1_before_max":$WindowLoad1Max%.2f,"other_cpu_frac_max":$WindowOtherCpuMax%.4f,"load1_before_pass0":$load1Pass0%.2f,"max_other_cpu_frac":$maxOtherCpu%.4f}"""
     // passes >= 2 reuse session-memoized artifacts (cached dims, IVF
     // model, LSH band index), so min-over-passes is a warm timing for the
     // index-backed queries — stated here rather than silently implied.
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"n_queries":${ordered.length},"queries":$qs,"passes":$rawPasses,"warm_median":$warmMedianJson,"cold_extra":$coldExtra,"failed":$failed,"slow_flags":$flagsJson,"variance_flags":$varianceJson,"variance_attribution":$attributionJson,"host_passes":$hostPassesJson,"timing":"min over recorded passes; pass1 natural order, pass2 reversed, pass3+ adaptive re-runs until divergence resolves (two consecutive clean warm passes) or caps; passes >= 2 warm; cold_extra = pass1 - warm min (one-time memo/index build cost) and cold_total is its sum — value + cold_total = first-run wall, value alone = steady state; warm_median = median of warm passes; variance_flags = warm passes diverge >3x AND stayed unresolved after adaptive re-runs; variance_attribution = every query that ever diverged, with pass ids and the outlier pass's host evidence (other_cpu_frac = CPU burned outside this JVM during that pass); host_passes = per-pass loadavg + external-CPU fraction","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"n_queries":${ordered.length},"queries":$qs,"passes":$rawPasses,"warm_median":$warmMedianJson,"cold_extra":$coldExtra,"failed":$failed,"slow_flags":$flagsJson,"variance_flags":$varianceJson,"variance_attribution":$attributionJson,"host_passes":$hostPassesJson,$windowJson,"timing":"min over recorded passes; pass1 natural order, pass2 reversed, pass3+ adaptive re-runs until divergence resolves (two consecutive clean warm passes) or caps; passes >= 2 warm; cold_extra = pass1 - warm min (one-time memo/index build cost) and cold_total is its sum — value + cold_total = first-run wall, value alone = steady state; warm_median = median of warm passes; variance_flags = warm passes diverge >3x AND stayed unresolved after adaptive re-runs; variance_attribution = every query that ever diverged, with pass ids and the outlier pass's host evidence (other_cpu_frac = CPU burned outside this JVM during that pass); host_passes = per-pass loadavg + external-CPU fraction; slow_flags may include cold_total (cold_total > warm/2 - the training-memo budget gate); window_ok = pass-0 load1 and worst external-CPU fraction under the recorded gate values (false means warm totals are not cross-round comparison-grade)","sf":"$sfDir"}"""
     println(json)
     // safety net beside the stdout contract: a file copy of the same line
     // (round-1 grading lost the stdout line to an sbt log prefix)

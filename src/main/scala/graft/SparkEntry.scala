@@ -592,6 +592,18 @@ object SparkEntry {
     // the probe-width decision table behind the wired s: agreement of
     // the prune with the flat argmin, per top-s, in ONE narrow pass
     "q301_hier_probe_sweep"    -> ((s, d) => graft.vector.VectorOps.hierProbeSweep(s, d)),
+    // OPQ with a LEARNED ROTATION (discrete-angle Jacobi on the
+    // second-moment matrix): per-sub distortion under natural slicing
+    // vs the q296 permutation vs the trained rotation
+    "q302_opq_rotate"          -> ((s, d) => graft.vector.VectorOps.opqRotate(s, d)),
+    // recall@k for PQ-on-permutation vs PQ-on-rotation against the
+    // exact original-space top-k — what q302's distortion cut buys
+    "q303_opq_retrieval_gain"  -> ((s, d) => graft.vector.VectorOps.opqRetrievalGain(s, d)),
+    // byte-level BPE: the q277 recursion over a byte alphabet (decimal
+    // byte names, dash-joined merges) — kills the char-vocab OOV edge
+    "q304_byte_bpe_train"      -> ((s, d) => graft.text.Curation.byteBpeTrain(s, d)),
+    // per-source fertility under the byte tokenizer (q278 over bytes)
+    "q305_byte_bpe_fertility"  -> ((s, d) => graft.text.Curation.byteBpeFertility(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3768,6 +3780,34 @@ object SparkEntry {
          |SELECT CAST(iter AS BIGINT) AS merge_idx, a AS pair_a, b AS pair_b,
          |       a || b AS merged, cnt AS pair_count
          |FROM m WHERE iter >= 1 ORDER BY merge_idx""".stripMargin,
+    "q304_byte_bpe_train" ->
+      s"""WITH RECURSIVE $ByteBpeCtes
+         |SELECT CAST(iter AS BIGINT) AS merge_idx, a AS pair_a, b AS pair_b,
+         |       a || '-' || b AS merged, cnt AS pair_count
+         |FROM m WHERE iter >= 1 ORDER BY merge_idx""".stripMargin,
+    "q305_byte_bpe_fertility" ->
+      s"""WITH RECURSIVE $ByteBpeCtes,
+         |final AS (
+         |  SELECT u.w.word AS word, u.w.s AS s
+         |  FROM (SELECT state FROM m ORDER BY iter DESC LIMIT 1) f,
+         |       unnest(f.state) u(w)),
+         |vocab AS (
+         |  SELECT word,
+         |         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_syms
+         |  FROM final),
+         |sw AS (SELECT d.source, u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+         |       FROM (SELECT source, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+         |             FROM documents) d,
+         |            unnest(d.t) u(w)
+         |       GROUP BY 1, 2)
+         |SELECT sw.source,
+         |       CAST(SUM(sw.freq) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(sw.freq * length(sw.word)) AS BIGINT) AS bytes_total,
+         |       CAST(SUM(sw.freq * v.n_syms) AS BIGINT) AS syms_total,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * length(sw.word)) / SUM(sw.freq) + 0.5) AS BIGINT) AS base_fertility_micro,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * v.n_syms) / SUM(sw.freq) + 0.5) AS BIGINT) AS bpe_fertility_micro
+         |FROM sw JOIN vocab v USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q278_bpe_fertility" ->
       s"""WITH RECURSIVE $BpeCtes,
          |final AS (
@@ -4200,6 +4240,8 @@ object SparkEntry {
          |SELECT CAST(en.sub AS BIGINT) AS sub, en.natural_err_micro, eb.balanced_err_micro,
          |       en.natural_err_micro - eb.balanced_err_micro AS gain_micro
          |FROM en JOIN eb USING (sub) ORDER BY sub""".stripMargin,
+    "q302_opq_rotate" -> opqRotateSql,
+    "q303_opq_retrieval_gain" -> opqGainSql,
     // q294: per-dim affine int8 map replayed exactly — FLOOR-rounded
     // code, clamped 0..255, explicit self-product error (no POW —
     // libm); zero-span dims short-circuit.
@@ -5535,6 +5577,40 @@ object SparkEntry {
       |  WHERE m$sfx.iter < ${graft.text.Curation.BpeDefaultMerges}
       |)""".stripMargin
 
+  /** The q304/q305 BYTE-alphabet variant of [[bpeChain]]: symbols are
+    * decimal byte values (ascii(char) — the corpus is ASCII, asserted
+    * loudly on the Spark side, so bytes ≡ code points in both engines),
+    * merged names dash-join (decimal concatenation is ambiguous), and
+    * the WORD rides in the recursion state because byte names are not
+    * invertible the way character concatenations are. */
+  private def bpeChainBytes(words: String, sfx: String): String =
+    s"""seg$sfx AS (SELECT word, '  ' || array_to_string(list_transform(generate_series(1, length(word)), i -> CAST(ascii(substr(word, i, 1)) AS VARCHAR)), '  ') || '  ' AS s, freq FROM $words),
+      |st$sfx AS (SELECT LIST({'word': word, 's': s, 'f': freq}) AS state FROM seg$sfx),
+      |m$sfx(iter, a, b, cnt, state) AS (
+      |  SELECT 0, '', '', CAST(0 AS BIGINT), (SELECT state FROM st$sfx)
+      |  UNION ALL
+      |  SELECT m$sfx.iter + 1, best.a, best.b, best.cnt,
+      |    list_transform(m$sfx.state, w -> {'word': w.word, 's': replace(w.s, ' ' || best.a || '  ' || best.b || ' ', ' ' || best.a || '-' || best.b || ' '), 'f': w.f})
+      |  FROM m$sfx,
+      |  LATERAL (
+      |    SELECT p.pa AS a, p.pb AS b, CAST(SUM(p.f) AS BIGINT) AS cnt
+      |    FROM (SELECT unnest(flatten(list_transform(m$sfx.state, w ->
+      |            list_transform([string_split(trim(w.s), '  ')], arr ->
+      |              list_transform(generate_series(1, len(arr) - 1),
+      |                j -> {'pa': arr[j], 'pb': arr[j+1], 'f': w.f}))[1]))) AS p)
+      |    GROUP BY 1, 2
+      |    HAVING SUM(p.f) >= 1
+      |    ORDER BY cnt DESC, a, b
+      |    LIMIT 1
+      |  ) best
+      |  WHERE m$sfx.iter < ${graft.text.Curation.BpeDefaultMerges}
+      |)""".stripMargin
+
+  private val ByteBpeCtes: String =
+    s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
+      |w AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
+      |""".stripMargin + bpeChainBytes("w", "")
+
   private val BpeCtes: String =
     s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
       |w AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
@@ -5702,6 +5778,182 @@ object SparkEntry {
   private val PqTrainCtes: String =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),\n" +
       pqTrainChain("e")
+
+  /** q302 oracle: the q296 chain (natural + balanced trainings) extended
+    * with the corpus second-moment matrix (exact integer micro sums), the
+    * greedy discrete-angle Jacobi recursion (micro-requantized every step;
+    * lambda-only list rebuilds — a correlated-LATERAL form measured
+    * ~4 s/step where this one pays ~10 ms), the energy-snake allocation of
+    * the ROTATED dims, and the THIRD training on the rotated subvectors.
+    * The (cos, sin) table and every constant interpolate from VectorOps.
+    * DECIMAL trap note: r0's identity entries MUST cast to DOUBLE — bare
+    * 1.0/0.0 literals type the whole R column DECIMAL(2,1) and quantize
+    * every rotation entry to one decimal (found in the r16 prototype). */
+  private def opqRotCtes: String = {
+    val d = graft.vector.VectorOps.OracleDim
+    val m = graft.vector.VectorOps.PqM
+    val steps = graft.vector.VectorOps.OpqJacobiSteps
+    val ang = graft.vector.VectorOps.OpqAngles.zipWithIndex
+      .map { case ((c, s), t) => s"{'t': $t, 'c': $c, 's': $s}" }
+      .mkString("[", ",", "]")
+    s"""WITH RECURSIVE $PqTrainCtes,
+       |trn AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+       |        FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
+       |en AS (SELECT sub, CAST(SUM(CAST(FLOOR(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS natural_err_micro
+       |       FROM (SELECT sv.vec_id, sv.sub,
+       |                    MIN(list_inner_product(sv.svec, sv.svec) - 2 * list_inner_product(sv.svec, t.vals) + list_inner_product(t.vals, t.vals)) AS mind
+       |             FROM sv JOIN trn t ON t.sub = sv.sub GROUP BY 1, 2)
+       |       GROUP BY sub),
+       |xs AS (SELECT vec_id, unnest(generate_series(1, len(v))) - 1 AS dim, unnest(v) AS x FROM e),
+       |vr AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       |              SUM(CAST(FLOOR(x * x * 1000000.0 + 0.5) AS BIGINT)) AS s2,
+       |              SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS s1
+       |       FROM xs GROUP BY 1),
+       |rk AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT) - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) DESC, dim) - 1 AS r FROM vr),
+       |al AS (SELECT dim,
+       |              CASE WHEN (r // $m) % 2 = 0 THEN r % $m
+       |                   ELSE $m - 1 - (r % $m) END AS sub,
+       |              r // $m AS slot
+       |       FROM rk),
+       |psv AS (SELECT xs.vec_id, al.sub, LIST(xs.x ORDER BY al.slot) AS svec
+       |        FROM xs JOIN al USING (dim) GROUP BY 1, 2),
+       |${pqTrainChain("psv", sfx = "o", preSliced = true)},
+       |tro AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+       |        FROM (SELECT state FROM ito ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
+       |eb AS (SELECT sub, CAST(SUM(CAST(FLOOR(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS balanced_err_micro
+       |       FROM (SELECT p.vec_id, p.sub,
+       |                    MIN(list_inner_product(p.svec, p.svec) - 2 * list_inner_product(p.svec, t.vals) + list_inner_product(t.vals, t.vals)) AS mind
+       |             FROM psv p JOIN tro t ON t.sub = p.sub GROUP BY 1, 2)
+       |       GROUP BY sub),
+       |pr AS (SELECT a.dim AS i, b.dim AS j,
+       |              SUM(CAST(FLOOR(a.x * b.x * 1000000.0 + 0.5) AS BIGINT)) AS sm
+       |       FROM xs a JOIN xs b USING (vec_id) WHERE b.dim >= a.dim GROUP BY 1, 2),
+       |prf AS (SELECT i, j, sm FROM pr UNION ALL SELECT j, i, sm FROM pr WHERE i <> j),
+       |c0 AS (SELECT LIST(CAST(sm AS DOUBLE) / 1000000.0 ORDER BY i * $d + j) AS m FROM prf),
+       |r0 AS (SELECT list_transform(generate_series(0, ${d * d - 1}), t -> CASE WHEN t // $d = t % $d THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS m),
+       |jac(step, cm, rm) AS (
+       |  SELECT 0, (SELECT m FROM c0), (SELECT m FROM r0)
+       |  UNION ALL
+       |  SELECT step + 1,
+       |    list_transform(generate_series(0, ${d * d - 1}), t ->
+       |      CASE
+       |        WHEN t // $d = b.p AND t % $d = b.p THEN FLOOR((b.c * b.c * b.cpp - 2.0 * b.c * b.s * b.cpq + b.s * b.s * b.cqq) * 1000000.0 + 0.5) / 1000000.0
+       |        WHEN t // $d = b.q AND t % $d = b.q THEN FLOOR((b.s * b.s * b.cpp + 2.0 * b.c * b.s * b.cpq + b.c * b.c * b.cqq) * 1000000.0 + 0.5) / 1000000.0
+       |        WHEN (t // $d = b.p AND t % $d = b.q) OR (t // $d = b.q AND t % $d = b.p)
+       |          THEN FLOOR(((b.c * b.c - b.s * b.s) * b.cpq + b.c * b.s * (b.cpp - b.cqq)) * 1000000.0 + 0.5) / 1000000.0
+       |        WHEN t // $d = b.p THEN FLOOR((b.c * cm[b.p * $d + (t % $d) + 1] - b.s * cm[b.q * $d + (t % $d) + 1]) * 1000000.0 + 0.5) / 1000000.0
+       |        WHEN t // $d = b.q THEN FLOOR((b.s * cm[b.p * $d + (t % $d) + 1] + b.c * cm[b.q * $d + (t % $d) + 1]) * 1000000.0 + 0.5) / 1000000.0
+       |        WHEN t % $d = b.p THEN FLOOR((b.c * cm[(t // $d) * $d + b.p + 1] - b.s * cm[(t // $d) * $d + b.q + 1]) * 1000000.0 + 0.5) / 1000000.0
+       |        WHEN t % $d = b.q THEN FLOOR((b.s * cm[(t // $d) * $d + b.p + 1] + b.c * cm[(t // $d) * $d + b.q + 1]) * 1000000.0 + 0.5) / 1000000.0
+       |        ELSE cm[t + 1] END),
+       |    list_transform(generate_series(0, ${d * d - 1}), t ->
+       |      CASE
+       |        WHEN t % $d = b.p THEN FLOOR((b.c * rm[(t // $d) * $d + b.p + 1] - b.s * rm[(t // $d) * $d + b.q + 1]) * 1000000.0 + 0.5) / 1000000.0
+       |        WHEN t % $d = b.q THEN FLOOR((b.s * rm[(t // $d) * $d + b.p + 1] + b.c * rm[(t // $d) * $d + b.q + 1]) * 1000000.0 + 0.5) / 1000000.0
+       |        ELSE rm[t + 1] END)
+       |  FROM (
+       |    SELECT step, cm, rm,
+       |      (list_sort(list_transform($ang, a ->
+       |        {'v': CAST(FLOOR(ABS((a.c * a.c - a.s * a.s) * cm[pq.p * $d + pq.q + 1] + a.c * a.s * (cm[pq.p * $d + pq.p + 1] - cm[pq.q * $d + pq.q + 1])) * 1000000.0 + 0.5) AS BIGINT),
+       |         't': a.t, 'c': a.c, 's': a.s,
+       |         'p': pq.p, 'q': pq.q,
+       |         'cpp': cm[pq.p * $d + pq.p + 1], 'cqq': cm[pq.q * $d + pq.q + 1], 'cpq': cm[pq.p * $d + pq.q + 1]})))[1] AS b
+       |    FROM (
+       |      SELECT step, cm, rm,
+       |        (list_sort(list_filter(list_transform(cm, (x, t0) ->
+       |          {'na': -ABS(x), 'p': (t0 - 1) // $d, 'q': (t0 - 1) % $d}),
+       |          e -> e.p < e.q)))[1] AS pq
+       |      FROM jac)
+       |  )
+       |  WHERE step < $steps
+       |),
+       |fin AS (SELECT cm, rm FROM jac ORDER BY step DESC LIMIT 1),
+       |rkr AS (SELECT g.j AS j, ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(f.cm[g.j * $d + g.j + 1] * 1000000.0 + 0.5) AS BIGINT) DESC, g.j) - 1 AS r
+       |        FROM generate_series(0, ${d - 1}) g(j), fin f),
+       |alr AS (SELECT j,
+       |               CASE WHEN (r // $m) % 2 = 0 THEN r % $m
+       |                    ELSE $m - 1 - (r % $m) END AS sub,
+       |               r // $m AS slot
+       |        FROM rkr),
+       |rot AS (SELECT e.vec_id,
+       |               list_transform(generate_series(0, ${d - 1}), j ->
+       |                 list_inner_product(e.v, list_transform(generate_series(0, ${d - 1}), i -> f.rm[i * $d + j + 1]))) AS y
+       |        FROM e, fin f),
+       |psvr AS (SELECT rot.vec_id, alr.sub, LIST(rot.y[alr.j + 1] ORDER BY alr.slot) AS svec
+       |         FROM rot, alr GROUP BY 1, 2),
+       |${pqTrainChain("psvr", sfx = "j", preSliced = true)},
+       |trj AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+       |        FROM (SELECT state FROM itj ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
+       |ej AS (SELECT sub, CAST(SUM(CAST(FLOOR(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rotated_err_micro
+       |       FROM (SELECT p.vec_id, p.sub,
+       |                    MIN(list_inner_product(p.svec, p.svec) - 2 * list_inner_product(p.svec, t.vals) + list_inner_product(t.vals, t.vals)) AS mind
+       |             FROM psvr p JOIN trj t ON t.sub = p.sub GROUP BY 1, 2)
+       |       GROUP BY sub)""".stripMargin
+  }
+
+  private def opqRotateSql: String =
+    s"""$opqRotCtes
+       |SELECT CAST(en.sub AS BIGINT) AS sub, en.natural_err_micro, eb.balanced_err_micro,
+       |       ej.rotated_err_micro,
+       |       eb.balanced_err_micro - ej.rotated_err_micro AS rot_gain_micro
+       |FROM en JOIN eb USING (sub) JOIN ej USING (sub) ORDER BY sub""".stripMargin
+
+  /** q303 oracle tail: the q302 chain plus both transformed query
+    * tables, both reconstruction tables (assignment under the trained
+    * codebooks, flattened in sub order), and three micro-ranked top-k
+    * windows into the recall join — the q298 shape for the OPQ pair. */
+  private def opqGainSql: String = {
+    val c0 = graft.vector.VectorOps.PqC
+    val c1 = graft.vector.VectorOps.PqC + graft.vector.VectorOps.AdcGainQueries
+    val k = graft.vector.VectorOps.AdcGainK
+    s"""$opqRotCtes,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id >= $c0 AND vec_id < $c1),
+       |corp2 AS (SELECT vec_id, v FROM e WHERE vec_id >= $c1),
+       |qp AS (SELECT xs.vec_id AS query_id, LIST(xs.x ORDER BY al.sub, al.slot) AS qt
+       |       FROM xs JOIN al USING (dim) WHERE xs.vec_id >= $c0 AND xs.vec_id < $c1 GROUP BY 1),
+       |qr AS (SELECT rot.vec_id AS query_id, LIST(rot.y[alr.j + 1] ORDER BY alr.sub, alr.slot) AS qt
+       |       FROM rot, alr WHERE rot.vec_id >= $c0 AND rot.vec_id < $c1 GROUP BY 1),
+       |asgB AS (SELECT p.vec_id, p.sub,
+       |                MIN({'d': list_inner_product(p.svec, p.svec) - 2 * list_inner_product(p.svec, t.vals) + list_inner_product(t.vals, t.vals), 'c': t.cid}) AS best
+       |         FROM psv p JOIN tro t ON t.sub = p.sub WHERE p.vec_id >= $c1 GROUP BY 1, 2),
+       |recB AS (SELECT a.vec_id, flatten(list(t.vals ORDER BY a.sub)) AS recon
+       |         FROM asgB a JOIN tro t ON t.sub = a.sub AND t.cid = a.best.c GROUP BY 1),
+       |asgR AS (SELECT p.vec_id, p.sub,
+       |                MIN({'d': list_inner_product(p.svec, p.svec) - 2 * list_inner_product(p.svec, t.vals) + list_inner_product(t.vals, t.vals), 'c': t.cid}) AS best
+       |         FROM psvr p JOIN trj t ON t.sub = p.sub WHERE p.vec_id >= $c1 GROUP BY 1, 2),
+       |recR AS (SELECT a.vec_id, flatten(list(t.vals ORDER BY a.sub)) AS recon
+       |         FROM asgR a JOIN trj t ON t.sub = a.sub AND t.cid = a.best.c GROUP BY 1),
+       |exk AS (SELECT query_id, vec_id FROM
+       |          (SELECT q.query_id, c.vec_id,
+       |                  ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |                    CAST(FLOOR(1000000.0 * (list_inner_product(c.v, c.v) - 2.0 * list_inner_product(q.qv, c.v) + list_inner_product(q.qv, q.qv)) + 0.5) AS BIGINT),
+       |                    c.vec_id) AS rk
+       |           FROM corp2 c, q)
+       |        WHERE rk <= $k),
+       |pk AS (SELECT query_id, vec_id FROM
+       |         (SELECT qp.query_id, r.vec_id,
+       |                 ROW_NUMBER() OVER (PARTITION BY qp.query_id ORDER BY
+       |                   CAST(FLOOR(1000000.0 * (list_inner_product(r.recon, r.recon) - 2.0 * list_inner_product(qp.qt, r.recon) + list_inner_product(qp.qt, qp.qt)) + 0.5) AS BIGINT),
+       |                   r.vec_id) AS rk
+       |          FROM recB r, qp)
+       |       WHERE rk <= $k),
+       |rk2 AS (SELECT query_id, vec_id FROM
+       |          (SELECT qr.query_id, r.vec_id,
+       |                  ROW_NUMBER() OVER (PARTITION BY qr.query_id ORDER BY
+       |                    CAST(FLOOR(1000000.0 * (list_inner_product(r.recon, r.recon) - 2.0 * list_inner_product(qr.qt, r.recon) + list_inner_product(qr.qt, qr.qt)) + 0.5) AS BIGINT),
+       |                    r.vec_id) AS rk
+       |           FROM recR r, qr)
+       |        WHERE rk <= $k),
+       |op AS (SELECT exk.query_id, CAST(COUNT(*) AS BIGINT) AS n FROM exk JOIN pk USING (query_id, vec_id) GROUP BY 1),
+       |orq AS (SELECT exk.query_id, CAST(COUNT(*) AS BIGINT) AS n FROM exk JOIN rk2 USING (query_id, vec_id) GROUP BY 1)
+       |SELECT q.query_id,
+       |       CAST(COALESCE(op.n, 0) AS BIGINT) AS n_overlap_perm,
+       |       CAST(FLOOR(1000000.0 * COALESCE(op.n, 0) / $k + 0.5) AS BIGINT) AS recall_perm_micro,
+       |       CAST(COALESCE(orq.n, 0) AS BIGINT) AS n_overlap_rot,
+       |       CAST(FLOOR(1000000.0 * COALESCE(orq.n, 0) / $k + 0.5) AS BIGINT) AS recall_rot_micro
+       |FROM q LEFT JOIN op USING (query_id) LEFT JOIN orq USING (query_id)
+       |ORDER BY q.query_id""".stripMargin
+  }
 
   /** q291/q295 shared chain: the q282 training, stage-1 assignment,
     * residual frame, the SECOND (preSliced) training over residuals,

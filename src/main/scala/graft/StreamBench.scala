@@ -130,6 +130,22 @@ object StreamBench {
         vocab).toDF(),
       "append", rate / 2)
 
+    // BYTE-level fertility monitor (r16): the vocab-free twin — the
+    // frozen byte-merge sequence is applied IN-ROW as chained replaces
+    // (no join at all), so the pipeline is one narrow projection into
+    // the 2-long-per-source fold. Merges cover the synthetic pool's
+    // hottest byte pairs ("w" + digits).
+    val byteMerges = Seq(("119", "48", "119-48"), ("119", "49", "119-49"),
+      ("49", "50", "49-50"), ("50", "51", "50-51"))
+    measure("byte_fertility_monitor",
+      graft.streaming.TrainingPipeline.fertilityMonitorBytes(
+        rateSrc(rate).select(
+          col("value").as("doc_id"),
+          concat(lit("src"), (col("value") % 16).cast("string")).as("source"),
+          synthText.as("text")),
+        byteMerges).toDF(),
+      "append", rate / 2)
+
     // 16-dim synthetic vectors, 8-cell frozen quantizer, 1024-vector
     // corpus.
     val synthVec = expr(

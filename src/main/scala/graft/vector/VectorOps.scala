@@ -1587,7 +1587,11 @@ object VectorOps {
       val th = t * math.Pi / 32.0d
       Seq((math.cos(th), math.sin(th)), (math.cos(th), -math.sin(th)))
     }
-  private[graft] val OpqJacobiSteps = 64
+  /** 256 from the step sweep at sf0.01 (64/128/256 → rotated distortion
+    * 357.0M / 358.1M / 351.1M micro vs balanced 362.0M): gains keep
+    * accruing past one pair-sweep fraction, and the recursion cost is
+    * driver/oracle-side only. */
+  private[graft] val OpqJacobiSteps = 256
 
   private def microQ(x: Double): Double =
     math.floor(x * 1000000.0d + 0.5d) / 1000000.0d
@@ -1746,12 +1750,15 @@ object VectorOps {
     * Jacobi is driver work on d² state; rotation application is d
     * inline codegen dots per row (no shuffle); training is the q282
     * k-narrow-jobs loop. */
-  def opqRotate(spark: SparkSession, dir: String, m: Int = PqM,
-                c: Int = PqC, iters: Int = PqIters,
-                steps: Int = OpqJacobiSteps): DataFrame = {
-    val e = vecs(spark, dir)
+  /** The rotated-allocation codebook + subvector frame (memoized) —
+    * shared by q302 and q303's rotated leg. */
+  private[graft] def rotatedTrained(spark: SparkSession, dir: String,
+                                    m: Int = PqM, c: Int = PqC,
+                                    iters: Int = PqIters,
+                                    steps: Int = OpqJacobiSteps):
+      (DataFrame, Map[(Int, Int), Seq[Double]]) = {
     val (rm, ranked) = opqRotation(spark, dir, steps)
-    val psvR = rotatedPsv(e, rm, ranked, m)
+    val psvR = rotatedPsv(vecs(spark, dir), rm, ranked, m)
     val cbR = opqRotTrainMemo.get(spark, s"opq-rot-train/$dir/$m/$c/$iters/$steps/" +
         Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
       val seeds = psvR.filter(col("vec_id") < c)
@@ -1761,6 +1768,14 @@ object VectorOps {
         .toMap
       pqTrainLoopOn(psvR, seeds, iters)._1
     }
+    (psvR, cbR)
+  }
+
+  def opqRotate(spark: SparkSession, dir: String, m: Int = PqM,
+                c: Int = PqC, iters: Int = PqIters,
+                steps: Int = OpqJacobiSteps): DataFrame = {
+    val e = vecs(spark, dir)
+    val (psvR, cbR) = rotatedTrained(spark, dir, m, c, iters, steps)
     val (psvB, cbB) = balancedTrained(spark, dir, m, c, iters)
     val (cbN, _) = pqTrainedCents(spark, dir, m, c, iters)
     pqErrOf(spark, pqSubVecs(e, "vec_id", m), cbN, "natural_err_micro")
@@ -1772,6 +1787,91 @@ object VectorOps {
         (col("balanced_err_micro") - col("rotated_err_micro"))
           .as("rot_gain_micro"))
       .orderBy("sub")
+  }
+
+  /** q303 — what the learned rotation buys in RETRIEVAL (the q298
+    * retrieval-gain shape for the OPQ family): recall@k against the
+    * exact ORIGINAL-space top-k for PQ over the balanced permutation vs
+    * PQ over the trained rotation. Each compressed leg ranks by its ADC
+    * distance in its OWN transformed space — exactly what a deployed
+    * OPQ index does (queries are transformed at search time, the corpus
+    * is decoded in transformed space); the permutation is exactly
+    * orthogonal and the rotation orthogonal to the micro-requantization
+    * drift, so transformed-space distances are the original-space ones
+    * up to that documented 1e-6-scale wobble. Everything is
+    * deterministic — the oracle replays both transforms, both
+    * trainings, both rankings, and the recall join.
+    *
+    * Scale: corpus transform + encode are in-row (d dots + m·c dots per
+    * row, no shuffle); queries broadcast; both top-k rankings are
+    * bounded per-query windows over micro-rounded integers. */
+  def opqRetrievalGain(spark: SparkSession, dir: String, m: Int = PqM,
+                       c: Int = PqC, iters: Int = PqIters,
+                       steps: Int = OpqJacobiSteps,
+                       nQueries: Long = AdcGainQueries,
+                       k: Int = AdcGainK): DataFrame = {
+    val e = vecs(spark, dir)
+    val dimsB = balancedDims(spark, dir, m)
+    val (_, cbB) = balancedTrained(spark, dir, m, c, iters)
+    val (rm, ranked) = opqRotation(spark, dir, steps)
+    val dimsR = snakeOf(ranked, m)
+    val (_, cbR) = rotatedTrained(spark, dir, m, c, iters, steps)
+    val d = rm.length
+    // sub-major, slot-minor concatenation — contiguous subDim slices of
+    // the transformed vector ARE the allocation's subvectors, so the
+    // in-row encode/recon pair applies unchanged
+    def permT: Column = array((0 until m).flatMap(b =>
+      dimsB(b).map(dn => element_at(col("v"), dn + 1))): _*)
+    def rotT: Column = array((0 until m).flatMap(b =>
+      dimsR(b).map(j =>
+        dotC(col("v"), typedLit((0 until d).map(i => rm(i)(j)))))): _*)
+    val queries = e.filter(col("vec_id") >= c && col("vec_id") < c + nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        permT.as("qp"), rotT.as("qr"))
+    val corpus = e.filter(col("vec_id") >= c + nQueries).select("vec_id", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dm").asc, col("vec_id").asc)
+    def topkOf(scored: DataFrame): DataFrame = scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("query_id", "vec_id")
+    val coded = corpus
+      .withColumn("tp", permT)
+      .withColumn("tr", rotT)
+      .withColumn("codesB", pqCodesCol("tp", cbB, m, c))
+      .withColumn("reconB", pqReconCol("codesB", cbB, m, c))
+      .withColumn("codesR", pqCodesCol("tr", cbR, m, c))
+      .withColumn("reconR", pqReconCol("codesR", cbR, m, c))
+      .cache()
+    try {
+      def rankedOn(reconCol: String, qCol: String): DataFrame =
+        topkOf(coded.select(col("vec_id"), col(reconCol).as("recon"))
+          .crossJoin(broadcast(queries.select(col("query_id"), col(qCol).as("qt"))))
+          .select(col("query_id"), col("vec_id"),
+            expr("CAST(FLOOR(1000000.0d * (graft_dot(recon, recon)" +
+              " - 2.0d * graft_dot(qt, recon) + graft_dot(qt, qt)) + 0.5d) AS BIGINT)")
+              .as("dm")))
+      val permK = rankedOn("reconB", "qp")
+      val rotK = rankedOn("reconR", "qr")
+      val exactK = topkOf(corpus.crossJoin(broadcast(queries.select("query_id", "qv")))
+        .select(col("query_id"), col("vec_id"),
+          expr("CAST(FLOOR(1000000.0d * (graft_dot(v, v)" +
+            " - 2.0d * graft_dot(qv, v) + graft_dot(qv, qv)) + 0.5d) AS BIGINT)")
+            .as("dm")))
+      def overlapOf(cand: DataFrame, n: String): DataFrame =
+        exactK.join(cand, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as(n))
+      queries.select("query_id")
+        .join(overlapOf(permK, "n_overlap_perm"), Seq("query_id"), "left")
+        .join(overlapOf(rotK, "n_overlap_rot"), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_overlap_perm"), lit(0L)).as("n_overlap_perm"),
+          expr(s"CAST(FLOOR(1000000.0d * COALESCE(n_overlap_perm, 0L) / $k + 0.5d) AS BIGINT)")
+            .as("recall_perm_micro"),
+          coalesce(col("n_overlap_rot"), lit(0L)).as("n_overlap_rot"),
+          expr(s"CAST(FLOOR(1000000.0d * COALESCE(n_overlap_rot, 0L) / $k + 0.5d) AS BIGINT)")
+            .as("recall_rot_micro"))
+        .orderBy("query_id")
+    } finally coded.unpersist(blocking = false)
   }
 
   /** q299 — TWO-LEVEL coarse assignment audit: the flat argmin over k

@@ -96,6 +96,101 @@ class Round16Spec extends SparkSpec {
     assert(gotBig.values.forall(c => c >= 0 && c < 300))
   }
 
+  test("opqJacobi kills a planted cross-dim correlation and leaves a diagonal matrix fixed") {
+    // planted: dims 0/1 perfectly correlated (rank-1 block), rest diagonal
+    val d = 4
+    val c0 = Array(
+      Array(2.0, 1.5, 0.0, 0.0),
+      Array(1.5, 2.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.5))
+    val (rm, diag) = graft.vector.VectorOps.opqJacobi(c0, 8)
+    // off-diag mass must collapse: the (0,1) correlation of 1.5 dies
+    // (the discrete π/8-granular table reaches the optimal 45° here)
+    // and the energy concentrates (3.5 + 0.5 split)
+    assert(math.abs(diag.max - 3.5) < 0.01 && math.abs(diag.min - 0.5) < 0.01,
+      s"expected eigen-ish energies {3.5, 0.5, 1.0}; got ${diag.toSeq}")
+    // R stays orthogonal to the micro-requantization drift
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(r => rm(r)(i) * rm(r)(j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-4, s"R column dot ($i,$j) = $dot")
+    }
+    // a diagonal matrix is a FIXPOINT: the identity angle wins every
+    // step, so R stays the identity exactly
+    val (rmId, _) = graft.vector.VectorOps.opqJacobi(
+      Array(Array(3.0, 0.0), Array(0.0, 1.0)), 5)
+    assert(rmId(0)(0) === 1.0 && rmId(1)(1) === 1.0 &&
+      rmId(0)(1) === 0.0 && rmId(1)(0) === 0.0)
+  }
+
+  test("the learned rotation beats the balanced permutation on this store: distortion AND retrieval (q302/q303)") {
+    val rot = graft.vector.VectorOps.opqRotate(spark, dir)
+      .agg(sum("balanced_err_micro"), sum("rotated_err_micro")).head()
+    assert(rot.getLong(1) < rot.getLong(0),
+      s"rotated distortion ${rot.getLong(1)} must undercut the " +
+        s"permutation's ${rot.getLong(0)} (q296 is the free member; " +
+        "the trained rotation must justify its training cost)")
+    val gain = graft.vector.VectorOps.opqRetrievalGain(spark, dir)
+      .agg(sum("n_overlap_perm"), sum("n_overlap_rot")).head()
+    assert(gain.getLong(1) >= gain.getLong(0),
+      s"rotation retrieval overlap ${gain.getLong(1)} must be >= the " +
+        s"permutation's ${gain.getLong(0)}")
+  }
+
+  test("byte tokenizer: an UNSEEN word containing a trained merge segments below its byte count (the char-fallback's overcount is provably absent)") {
+    // frozen merge: bytes (116, 104) = "th" -> one symbol
+    val mergeSeq = Seq(("116", "104", "116-104"))
+    val rows = Seq("thorn", "xyzzy").toDF("word")
+      .select(col("word"),
+        size(split(trim(graft.text.Curation.byteSegApplied(col("word"), mergeSeq)),
+          "  ")).as("n_syms"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // "thorn" was never in any vocabulary — the in-row application
+    // still merges its "th": 4 symbols, not the 5 a char-count
+    // fallback would report
+    assert(rows("thorn") === 4)
+    assert(rows("xyzzy") === 5) // no trained pair -> pure byte count
+  }
+
+  test("byte-BPE fertility never exceeds the raw byte fertility, and merged names are dash-joined byte values (q304/q305)") {
+    val fert = graft.text.Curation.byteBpeFertility(spark, dir).collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      assert(r.getAs[Long]("bpe_fertility_micro") <=
+        r.getAs[Long]("base_fertility_micro"),
+        s"merges can only shrink segmentations: ${r}")
+    }
+    val merges = graft.text.Curation.byteBpeTrain(spark, dir).collect()
+    assert(merges.nonEmpty)
+    merges.foreach { m =>
+      val (a, b, ab) = (m.getAs[String]("pair_a"), m.getAs[String]("pair_b"),
+        m.getAs[String]("merged"))
+      assert(ab === a + "-" + b)
+      // every atomic name inside a symbol is a decimal ASCII byte value
+      ab.split("-").foreach { tok =>
+        val v = tok.toInt
+        assert(v >= 0 && v <= 127, s"non-ASCII byte name $tok in $ab")
+      }
+    }
+  }
+
+  test("bench gates: cold-budget flags past warm/2, host-window flags past the recorded thresholds") {
+    import graft.Bench
+    // cold budget: > half the warm total flags; at/below passes
+    assert(!Bench.coldFlagged(50.0, 160.0))
+    assert(Bench.coldFlagged(81.0, 160.0))
+    assert(!Bench.coldFlagged(80.0, 160.0))
+    assert(!Bench.coldFlagged(10.0, 0.0)) // no warm measurements -> no flag
+    // host window: both measured values must sit under the gates;
+    // unmeasurable (-1) values never flag (the /proc read failed, not
+    // the host)
+    assert(Bench.windowOk(5.5, 0.001))
+    assert(!Bench.windowOk(8.3, 0.001)) // the r15 artifact's window
+    assert(!Bench.windowOk(5.5, 0.12))
+    assert(Bench.windowOk(-1.0, -1.0))
+  }
+
   test("supercellsOf: duplicate grid rows tie to the lower cell id and the Lloyd step is the exact micro-mean") {
     // 4 grid rows, 2 supers: rows 0/1 seed; rows 2/3 duplicate row 0, so
     // they join super 0 and its refined centroid is the micro-mean of

@@ -1324,6 +1324,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("byte fertility monitor: stream cumulative equals the batch aggregate, with NO vocabulary and NO fallback branch") {
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val mergeSeq = Seq(("116", "104", "116-104"), ("105", "110", "105-110"))
+    val d1 = Doc(1, "web", "en", "the thin thing")
+    val d2 = Doc(2, "web", "en", "in the bin")
+    val d3 = Doc(3, "books", "en", "unseen thorn word")
+    val input = MemoryStream[Doc]
+    val out = graft.streaming.TrainingPipeline
+      .fertilityMonitorBytes(input.toDF(), mergeSeq)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("bytefert_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(d1, d2)
+      q.processAllAvailable()
+      input.addData(d3)
+      q.processAllAvailable()
+      // LAST emission per source = the cumulative totals, which must
+      // equal the batch fold over the same docs through the same code
+      val got = spark.table("bytefert_out")
+        .groupBy("source")
+        .agg(max(org.apache.spark.sql.functions.struct(
+          col("n_tokens"), col("syms_total"))).as("m"))
+        .select(col("source"), col("m.n_tokens"), col("m.syms_total"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.streaming.TrainingPipeline
+        .fertilityMonitorBytes(
+          Seq(d1, d2, d3).map(d => (d.doc_id, d.source, d.lang, d.text))
+            .toDF("doc_id", "source", "lang", "text"), mergeSeq)
+        .toDF().select("source", "n_tokens", "syms_total")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"stream cumulative $got != batch $want")
+      // the unseen "thorn" merged its th: books counts 3 tokens with
+      // 6+4+4 = 14 symbols, not the 15 a char-fallback would report
+      assert(got.contains(("books", 3L, 14L)))
+    } finally q.stop()
+  }
+
   test("gate THRESHOLD versions with the index: a published threshold change flips verdicts only after the swap; crash-mid-swap never mixes new threshold with old codes") {
     import org.apache.spark.sql.streaming.Trigger
     graft.functions.GraftFunctions.register(spark)

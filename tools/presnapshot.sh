@@ -71,6 +71,10 @@ try:
         print("flags:" + ",".join(flags))
     elif nq == 0:
         print("empty")
+    elif d.get("window_ok") is False:
+        # busy-host artifact (r16 window protocol): warm totals are not
+        # cross-round comparison-grade - re-run in a quieter window
+        print("window:" + json.dumps(d.get("window_gate", {})))
     else:
         print("ok:%d" % nq)
 except Exception:
@@ -83,6 +87,10 @@ case "$verdict" in
     exit 1 ;;
   empty)
     echo "presnapshot: REFUSING — $fresh_bench measured ZERO queries (typo'd prefix or unreadable artifact)"
+    exit 1 ;;
+  window:*)
+    echo "presnapshot: REFUSING — $fresh_bench was taken in a BUSY host window: ${verdict#window:}"
+    echo "  Re-run the bench in a quieter window (window_ok must be true)."
     exit 1 ;;
 esac
 echo "presnapshot: perf gate green ($fresh_bench fresh, ${verdict#ok:} queries, no slow_flags)"

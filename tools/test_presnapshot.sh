@@ -8,6 +8,9 @@
 #   4. a fresh artifact that measured ZERO queries      -> REFUSE
 #      (advisor r11: a typo'd Bench prefix used to yield an empty
 #      artifact with vacuously-clean slow_flags and greenlight)
+#   5. a fresh artifact taken in a BUSY host window      -> REFUSE
+#      (judge r15: warm totals from a noisy window are not
+#      cross-round comparison-grade; window_ok must be true)
 # Only mtimes and the throwaway bench_partial.json are touched; the
 # original bench_partial.json (if any) is restored on exit.
 set -euo pipefail
@@ -57,4 +60,11 @@ if tools/presnapshot.sh --gate-only >/dev/null 2>&1; then
 fi
 echo "ok   empty-selection bench refuses"
 
-echo "4/4 gate cases behave"
+# 5. fresh bench from a busy host window -> refuse
+echo '{"metric":"total","value":1.0,"unit":"sec","n_queries":1,"queries":{"q01_gmv_by_date":1.0},"slow_flags":[],"window_ok":false,"window_gate":{"load1_before_pass0":12.0}}' > bench_partial.json
+if tools/presnapshot.sh --gate-only >/dev/null 2>&1; then
+  fail "fresh bench from a BUSY window must REFUSE"
+fi
+echo "ok   busy-window bench refuses"
+
+echo "5/5 gate cases behave"
