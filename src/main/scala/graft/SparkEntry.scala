@@ -604,6 +604,14 @@ object SparkEntry {
     "q304_byte_bpe_train"      -> ((s, d) => graft.text.Curation.byteBpeTrain(s, d)),
     // per-source fertility under the byte tokenizer (q278 over bytes)
     "q305_byte_bpe_fertility"  -> ((s, d) => graft.text.Curation.byteBpeFertility(s, d)),
+    // the FOURTH gate state shape: OPQ-rotated ADC admission (rotate
+    // in-row, then the q284 machinery in rotated space) + exact twin
+    "q306_opq_admission"       -> ((s, d) => graft.vector.VectorOps.opqAdmission(s, d)),
+    // unigram-LM tokenizer (SentencePiece family, hard-EM): char + top-N
+    // substring seed, Viterbi E-steps, zero-count pruning, integer probs
+    "q307_unigram_train"       -> ((s, d) => graft.text.Curation.unigramTrain(s, d)),
+    // per-source fertility under the unigram tokenizer (q278/q305 face)
+    "q308_unigram_fertility"   -> ((s, d) => graft.text.Curation.unigramFertility(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3808,6 +3816,51 @@ object SparkEntry {
          |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * v.n_syms) / SUM(sw.freq) + 0.5) AS BIGINT) AS bpe_fertility_micro
          |FROM sw JOIN vocab v USING (word)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q307: the full unigram chain — seeding, both unrolled hard-EM
+    // iterations (each a per-word Viterbi recursive CTE + a backtrack
+    // recursion), pruning and the integer re-estimates.
+    "q307_unigram_train" ->
+      s"""WITH RECURSIVE $uniCtes
+         |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+         |       CAST(is_char AS BIGINT) AS is_char, cnt, pm AS p_micro
+         |FROM p${graft.text.Curation.UniIters} ORDER BY piece""".stripMargin,
+    // q308: the q307 chain + ONE more Viterbi pass under the final
+    // probabilities; per-word piece counts join the per-source word
+    // frequencies.
+    "q308_unigram_fertility" ->
+      s"""WITH RECURSIVE $uniCtes,
+         |${uniDpChain(graft.text.Curation.UniIters + 1,
+                       s"p${graft.text.Curation.UniIters}")},
+         |npw AS (SELECT word, CAST(st[length(word) + 1].np AS BIGINT) AS n_pieces
+         |        FROM dpfin${graft.text.Curation.UniIters + 1}),
+         |sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |         SELECT d.source, u.w AS word
+         |         FROM (SELECT source, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+         |               FROM documents) d, unnest(d.t) u(w)) z
+         |       WHERE length(word) BETWEEN 1 AND ${graft.text.Curation.UniMaxWordLen}
+         |       GROUP BY 1, 2)
+         |SELECT sw.source,
+         |       CAST(SUM(sw.freq) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(sw.freq * length(sw.word)) AS BIGINT) AS chars_total,
+         |       CAST(SUM(sw.freq * npw.n_pieces) AS BIGINT) AS pieces_total,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * length(sw.word)) / SUM(sw.freq) + 0.5) AS BIGINT) AS base_fertility_micro,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * npw.n_pieces) / SUM(sw.freq) + 0.5) AS BIGINT) AS uni_fertility_micro
+         |FROM sw JOIN npw USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q306: the q284 verdict frame over the OPQ chain — rotation trained
+    // corpus-side, everything transformed, then the identical coarse +
+    // PQ gate chains in rotated space.
+    "q306_opq_admission" ->
+      s"""WITH RECURSIVE $OpqGateCtes
+         |SELECT f.vec_id, CAST(COALESCE(av.n_cand, 0) AS BIGINT) AS n_cand,
+         |       av.best AS adc_best_cos_micro, abi.bid AS adc_best_corpus_id,
+         |       CAST(CASE WHEN COALESCE(av.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro} THEN 0 ELSE 1 END AS BIGINT) AS adc_admit,
+         |       ev.best AS exact_best_cos_micro,
+         |       CAST(CASE WHEN COALESCE(ev.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro} THEN 0 ELSE 1 END AS BIGINT) AS exact_admit,
+         |       CAST(CASE WHEN (COALESCE(av.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro})
+         |                    = (COALESCE(ev.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro}) THEN 1 ELSE 0 END AS BIGINT) AS agree
+         |FROM fresh f LEFT JOIN av USING (vec_id) LEFT JOIN abi USING (vec_id) LEFT JOIN ev USING (vec_id)
+         |ORDER BY f.vec_id""".stripMargin,
     "q278_bpe_fertility" ->
       s"""WITH RECURSIVE $BpeCtes,
          |final AS (
@@ -5611,6 +5664,79 @@ object SparkEntry {
       |w AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
       |""".stripMargin + bpeChainBytes("w", "")
 
+  /** One unigram hard-EM iteration's Viterbi DP over the `uw` word
+    * table under probability table `probSrc` — dp$k carries the lattice
+    * as a list of (score, n_pieces, last_len) structs, one recursion
+    * step per position; scores are products of (pm/1e6) doubles, the
+    * IEEE-exact chain the engine's uniDpCol multiplies in the same
+    * order. Emits pmm$k/dp$k/dpfin$k. */
+  private def uniDpChain(k: Int, probSrc: String): String = {
+    val lp = graft.text.Curation.UniMaxPieceLen
+    s"""pmm$k AS (SELECT map_from_entries(LIST({'k': piece, 'v': pm})) AS m FROM $probSrc),
+       |dp$k(word, freq, j, st) AS (
+       |  SELECT uw.word, uw.freq, 0, [{'s': CAST(1.0 AS DOUBLE), 'np': 0, 'll': 0}] FROM uw
+       |  UNION ALL
+       |  SELECT d.word, d.freq, d.j + 1, list_append(d.st, {'s': -(x.b.a), 'np': x.b.b, 'll': x.b.l})
+       |  FROM dp$k d, pmm$k,
+       |  LATERAL (
+       |    SELECT (list_sort(list_filter(list_transform(generate_series(1, least(d.j + 1, $lp)), l ->
+       |      CASE WHEN len(pmm$k.m[substr(d.word, d.j + 1 - l + 1, l)]) = 0 THEN NULL
+       |           ELSE {'a': -(d.st[d.j + 1 - l + 1].s * (CAST(pmm$k.m[substr(d.word, d.j + 1 - l + 1, l)][1] AS DOUBLE) / 1000000.0)),
+       |                 'b': d.st[d.j + 1 - l + 1].np + 1,
+       |                 'c': -l, 'l': l} END),
+       |      e -> e IS NOT NULL)))[1] AS b
+       |  ) x
+       |  WHERE d.j < length(d.word)
+       |),
+       |dpfin$k AS (SELECT word, freq, st FROM dp$k WHERE j = length(word))""".stripMargin
+  }
+
+  /** Backtrack + piece counts of iteration k's lattice (bt$k/cnt$k). */
+  private def uniBtChain(k: Int): String =
+    s"""bt$k(word, freq, j, piece) AS (
+       |  SELECT word, freq, CAST(length(word) AS INT), CAST(NULL AS VARCHAR) FROM dpfin$k
+       |  UNION ALL
+       |  SELECT b.word, b.freq, b.j - d.st[b.j + 1].ll,
+       |         substr(b.word, b.j - d.st[b.j + 1].ll + 1, d.st[b.j + 1].ll)
+       |  FROM bt$k b JOIN dpfin$k d USING (word) WHERE b.j > 0
+       |),
+       |cnt$k AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM bt$k WHERE piece IS NOT NULL GROUP BY 1)""".stripMargin
+
+  /** The full unigram chain: word table under the coverage contract,
+    * char + top-N substring seeding, add-one integer micro probs, then
+    * [[graft.text.Curation.UniIters]] unrolled hard-EM iterations
+    * (DP → backtrack → counts → prune multis at zero → re-estimate). */
+  private def uniCtes: String = {
+    val lp = graft.text.Curation.UniMaxPieceLen
+    val sm = graft.text.Curation.UniSeedMultis
+    val wl = graft.text.Curation.UniMaxWordLen
+    val iters = graft.text.Curation.UniIters
+    val head =
+      s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
+         |w0 AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
+         |uw AS (SELECT word, freq FROM w0 WHERE length(word) BETWEEN 1 AND $wl),
+         |ch AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |         SELECT freq, unnest(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1))) AS piece
+         |         FROM uw) z GROUP BY 1),
+         |mu0 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |          SELECT freq, unnest(flatten(list_transform(generate_series(2, least($lp, length(word))), l ->
+         |            list_transform(generate_series(1, length(word) - l + 1), i -> substr(word, i, l))))) AS piece
+         |          FROM uw WHERE length(word) >= 2) z GROUP BY 1),
+         |mu AS (SELECT piece, cnt FROM (SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS r FROM mu0) q WHERE r <= $sm),
+         |v0 AS (SELECT piece, cnt, 1 AS is_char FROM ch UNION ALL SELECT piece, cnt, 0 AS is_char FROM mu),
+         |p0 AS (SELECT piece, is_char, cnt, (2*(cnt+1)*1000000 + t.tot + t.v) // (2*(t.tot + t.v)) AS pm
+         |       FROM v0, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS v FROM v0) t)""".stripMargin
+    val iterChains = (1 to iters).map { k =>
+      uniDpChain(k, s"p${k - 1}") + ",\n" + uniBtChain(k) + ",\n" +
+        s"""v$k AS (SELECT p.piece, p.is_char, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+           |        FROM p${k - 1} p LEFT JOIN cnt$k c USING (piece)
+           |        WHERE p.is_char = 1 OR COALESCE(c.cnt, 0) >= 1),
+           |p$k AS (SELECT piece, is_char, cnt, (2*(cnt+1)*1000000 + t.tot + t.v) // (2*(t.tot + t.v)) AS pm
+           |        FROM v$k, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS v FROM v$k) t)""".stripMargin
+    }
+    (Seq(head) ++ iterChains).mkString(",\n")
+  }
+
   private val BpeCtes: String =
     s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
       |w AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
@@ -5668,18 +5794,20 @@ object SparkEntry {
     * gate oracles: quantizer, corpus assignment, fresh side, probe
     * cells — everything up to (and excluding) the compressed corpus
     * representation. */
-  private def CoarseGateCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |corp AS (SELECT * FROM e WHERE vec_id < ${graft.vector.VectorOps.GateSplitAt}),
-         |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM corp WHERE vec_id < 16),
+  /** The coarse-gate construction (q35's quantizer + probe ranks) over
+    * ARBITRARY corpus/fresh table names — factored so the OPQ tier
+    * (q306) runs the identical chain over TRANSFORMED tables. Emits
+    * init/a1/u/g/cent/ca/pd/pr. */
+  private def coarseGateChainOn(corp: String, fresh: String): String =
+    s"""init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM $corp WHERE vec_id < 16),
          |a1 AS (SELECT c.vec_id,
          |              MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, i.cv) + list_inner_product(i.cv, i.cv),
          |                   'c': i.cell}) AS best
-         |       FROM corp c, init i GROUP BY 1),
+         |       FROM $corp c, init i GROUP BY 1),
          |u AS (SELECT a1.best.c AS cell,
          |             unnest(generate_series(1, len(c.v))) - 1 AS dim,
          |             unnest(c.v) AS x
-         |      FROM corp c JOIN a1 USING (vec_id)),
+         |      FROM $corp c JOIN a1 USING (vec_id)),
          |g AS (SELECT cell, dim, COUNT(*) AS n,
          |             SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm
          |      FROM u GROUP BY 1, 2),
@@ -5688,18 +5816,26 @@ object SparkEntry {
          |ca AS (SELECT c.vec_id AS corpus_id, c.v AS cv,
          |              (MIN({'d': list_inner_product(c.v, c.v) - 2.0 * list_inner_product(c.v, cc.cv) + list_inner_product(cc.cv, cc.cv),
          |                    'c': cc.cell})).c AS cell
-         |       FROM corp c, cent cc GROUP BY 1, 2),
-         |fresh AS (SELECT * FROM e WHERE vec_id >= ${graft.vector.VectorOps.GateSplitAt}),
+         |       FROM $corp c, cent cc GROUP BY 1, 2),
          |pd AS (SELECT f.vec_id, cc.cell,
          |              list_inner_product(f.v, f.v) - 2.0 * list_inner_product(f.v, cc.cv) + list_inner_product(cc.cv, cc.cv) AS d
-         |       FROM fresh f, cent cc),
+         |       FROM $fresh f, cent cc),
          |pr AS (SELECT vec_id, cell FROM
          |         (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk FROM pd)
          |       WHERE rk <= ${graft.vector.VectorOps.GateNProbe})""".stripMargin
 
-  private def PqGateCtes: String =
-    s"""$CoarseGateCtes,
-         |${pqTrainChain("corp", m = graft.vector.VectorOps.GatePqM,
+  private def CoarseGateCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corp AS (SELECT * FROM e WHERE vec_id < ${graft.vector.VectorOps.GateSplitAt}),
+         |fresh AS (SELECT * FROM e WHERE vec_id >= ${graft.vector.VectorOps.GateSplitAt}),
+         |${coarseGateChainOn("corp", "fresh")}""".stripMargin
+
+  /** The PQ training + ADC/exact candidate chain of the compressed-gate
+    * oracles, over arbitrary corpus/fresh names (tables the coarse
+    * chain's ca/pr CTEs already derive from). Emits
+    * tr/asgc/recon/acand/ecand/av/abi/ev. */
+  private def pqGateChainOn(corp: String, fresh: String): String =
+    s"""${pqTrainChain(corp, m = graft.vector.VectorOps.GatePqM,
                   c = graft.vector.VectorOps.GatePqC,
                   iters = graft.vector.VectorOps.GatePqIters)},
          |tr AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
@@ -5714,18 +5850,49 @@ object SparkEntry {
          |acand AS (SELECT f.vec_id, ca.corpus_id,
          |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, r.rv)
          |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(r.rv, r.rv)))) + 0.5) AS BIGINT) AS cos_micro
-         |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell
+         |          FROM $fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell
          |               JOIN recon r ON r.corpus_id = ca.corpus_id),
          |ecand AS (SELECT f.vec_id, ca.corpus_id,
          |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, ca.cv)
          |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(ca.cv, ca.cv)))) + 0.5) AS BIGINT) AS cos_micro
-         |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell),
+         |          FROM $fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell),
          |av AS (SELECT vec_id, COUNT(*) AS n_cand, MAX(cos_micro) AS best FROM acand GROUP BY 1),
          |abi AS (SELECT acand.vec_id, CAST(MIN(acand.corpus_id) AS BIGINT) AS bid
          |        FROM acand JOIN av ON acand.vec_id = av.vec_id AND acand.cos_micro = av.best
          |        GROUP BY 1),
-         |ev AS (SELECT vec_id, MAX(cos_micro) AS best FROM ecand GROUP BY 1)
-      |""".stripMargin.stripSuffix("\n")
+         |ev AS (SELECT vec_id, MAX(cos_micro) AS best FROM ecand GROUP BY 1)""".stripMargin
+
+  private def PqGateCtes: String =
+    s"""$CoarseGateCtes,
+         |${pqGateChainOn("corp", "fresh")}""".stripMargin
+
+  /** q306's chain: rotation trained on the CORPUS side (jacobiChain over
+    * corp0 — the frozen discipline), snake allocation at the GATE
+    * subspace count, every vector transformed into the rotated
+    * sub-major layout (tv), then the UNMODIFIED coarse-gate + PQ-gate
+    * chains over the transformed tables — the oracle statement of "the
+    * opq tier is: rotate, then pq". */
+  private def OpqGateCtes: String = {
+    val d = graft.vector.VectorOps.OracleDim
+    val m = graft.vector.VectorOps.GatePqM
+    val split = graft.vector.VectorOps.GateSplitAt
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |corp0 AS (SELECT * FROM e WHERE vec_id < $split),
+       |xo AS (SELECT vec_id, unnest(generate_series(1, len(v))) - 1 AS dim, unnest(v) AS x FROM corp0),
+       |${jacobiChain("xo", "o")},
+       |finm AS MATERIALIZED (SELECT cm, rm FROM fino),
+       |${snakeChain("finm", m, "o")},
+       |roto AS (SELECT e.vec_id,
+       |               list_transform(generate_series(0, ${d - 1}), j ->
+       |                 list_inner_product(e.v, list_transform(generate_series(0, ${d - 1}), i -> f.rm[i * $d + j + 1]))) AS y
+       |        FROM e, finm f),
+       |tv AS MATERIALIZED (SELECT roto.vec_id, LIST(roto.y[alro.j + 1] ORDER BY alro.sub, alro.slot) AS v
+       |       FROM roto, alro GROUP BY 1),
+       |corp AS (SELECT * FROM tv WHERE vec_id < $split),
+       |fresh AS (SELECT * FROM tv WHERE vec_id >= $split),
+       |${coarseGateChainOn("corp", "fresh")},
+       |${pqGateChainOn("corp", "fresh")}""".stripMargin
+  }
 
   private def pqTrainChain(src: String,
                            m: Int = graft.vector.VectorOps.PqM,
@@ -5789,50 +5956,25 @@ object SparkEntry {
     * DECIMAL trap note: r0's identity entries MUST cast to DOUBLE — bare
     * 1.0/0.0 literals type the whole R column DECIMAL(2,1) and quantize
     * every rotation entry to one decimal (found in the r16 prototype). */
-  private def opqRotCtes: String = {
+  /** The greedy discrete-angle Jacobi recursion over the second-moment
+    * matrix of a (vec_id, dim, x) long frame — the q302 chain factored
+    * over its source (q302/q303 train on the whole store; q306's gate
+    * trains corpus-side only, the frozen discipline). Emits
+    * pr/prf/c0/r0/jac/fin, all suffixed `sfx`. */
+  private def jacobiChain(xsSrc: String, sfx: String): String = {
     val d = graft.vector.VectorOps.OracleDim
-    val m = graft.vector.VectorOps.PqM
     val steps = graft.vector.VectorOps.OpqJacobiSteps
     val ang = graft.vector.VectorOps.OpqAngles.zipWithIndex
       .map { case ((c, s), t) => s"{'t': $t, 'c': $c, 's': $s}" }
       .mkString("[", ",", "]")
-    s"""WITH RECURSIVE $PqTrainCtes,
-       |trn AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
-       |        FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
-       |en AS (SELECT sub, CAST(SUM(CAST(FLOOR(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS natural_err_micro
-       |       FROM (SELECT sv.vec_id, sv.sub,
-       |                    MIN(list_inner_product(sv.svec, sv.svec) - 2 * list_inner_product(sv.svec, t.vals) + list_inner_product(t.vals, t.vals)) AS mind
-       |             FROM sv JOIN trn t ON t.sub = sv.sub GROUP BY 1, 2)
-       |       GROUP BY sub),
-       |xs AS (SELECT vec_id, unnest(generate_series(1, len(v))) - 1 AS dim, unnest(v) AS x FROM e),
-       |vr AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
-       |              SUM(CAST(FLOOR(x * x * 1000000.0 + 0.5) AS BIGINT)) AS s2,
-       |              SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS s1
-       |       FROM xs GROUP BY 1),
-       |rk AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT) - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) DESC, dim) - 1 AS r FROM vr),
-       |al AS (SELECT dim,
-       |              CASE WHEN (r // $m) % 2 = 0 THEN r % $m
-       |                   ELSE $m - 1 - (r % $m) END AS sub,
-       |              r // $m AS slot
-       |       FROM rk),
-       |psv AS (SELECT xs.vec_id, al.sub, LIST(xs.x ORDER BY al.slot) AS svec
-       |        FROM xs JOIN al USING (dim) GROUP BY 1, 2),
-       |${pqTrainChain("psv", sfx = "o", preSliced = true)},
-       |tro AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
-       |        FROM (SELECT state FROM ito ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
-       |eb AS (SELECT sub, CAST(SUM(CAST(FLOOR(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS balanced_err_micro
-       |       FROM (SELECT p.vec_id, p.sub,
-       |                    MIN(list_inner_product(p.svec, p.svec) - 2 * list_inner_product(p.svec, t.vals) + list_inner_product(t.vals, t.vals)) AS mind
-       |             FROM psv p JOIN tro t ON t.sub = p.sub GROUP BY 1, 2)
-       |       GROUP BY sub),
-       |pr AS (SELECT a.dim AS i, b.dim AS j,
+    s"""pr$sfx AS (SELECT a.dim AS i, b.dim AS j,
        |              SUM(CAST(FLOOR(a.x * b.x * 1000000.0 + 0.5) AS BIGINT)) AS sm
-       |       FROM xs a JOIN xs b USING (vec_id) WHERE b.dim >= a.dim GROUP BY 1, 2),
-       |prf AS (SELECT i, j, sm FROM pr UNION ALL SELECT j, i, sm FROM pr WHERE i <> j),
-       |c0 AS (SELECT LIST(CAST(sm AS DOUBLE) / 1000000.0 ORDER BY i * $d + j) AS m FROM prf),
-       |r0 AS (SELECT list_transform(generate_series(0, ${d * d - 1}), t -> CASE WHEN t // $d = t % $d THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS m),
-       |jac(step, cm, rm) AS (
-       |  SELECT 0, (SELECT m FROM c0), (SELECT m FROM r0)
+       |       FROM $xsSrc a JOIN $xsSrc b USING (vec_id) WHERE b.dim >= a.dim GROUP BY 1, 2),
+       |prf$sfx AS (SELECT i, j, sm FROM pr$sfx UNION ALL SELECT j, i, sm FROM pr$sfx WHERE i <> j),
+       |c0$sfx AS (SELECT LIST(CAST(sm AS DOUBLE) / 1000000.0 ORDER BY i * $d + j) AS m FROM prf$sfx),
+       |r0$sfx AS (SELECT list_transform(generate_series(0, ${d * d - 1}), t -> CASE WHEN t // $d = t % $d THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS m),
+       |jac$sfx(step, cm, rm) AS (
+       |  SELECT 0, (SELECT m FROM c0$sfx), (SELECT m FROM r0$sfx)
        |  UNION ALL
        |  SELECT step + 1,
        |    list_transform(generate_series(0, ${d * d - 1}), t ->
@@ -5863,18 +6005,60 @@ object SparkEntry {
        |        (list_sort(list_filter(list_transform(cm, (x, t0) ->
        |          {'na': -ABS(x), 'p': (t0 - 1) // $d, 'q': (t0 - 1) % $d}),
        |          e -> e.p < e.q)))[1] AS pq
-       |      FROM jac)
+       |      FROM jac$sfx)
        |  )
        |  WHERE step < $steps
        |),
-       |fin AS (SELECT cm, rm FROM jac ORDER BY step DESC LIMIT 1),
-       |rkr AS (SELECT g.j AS j, ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(f.cm[g.j * $d + g.j + 1] * 1000000.0 + 0.5) AS BIGINT) DESC, g.j) - 1 AS r
-       |        FROM generate_series(0, ${d - 1}) g(j), fin f),
-       |alr AS (SELECT j,
+       |fin$sfx AS (SELECT cm, rm FROM jac$sfx ORDER BY step DESC LIMIT 1)""".stripMargin
+  }
+
+  /** Energy-snake allocation of the rotated dims off a Jacobi `fin`
+    * CTE's diagonal — rkr/alr suffixed `sfx`, subspace count `m`. */
+  private def snakeChain(finName: String, m: Int, sfx: String): String = {
+    val d = graft.vector.VectorOps.OracleDim
+    s"""rkr$sfx AS (SELECT g.j AS j, ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(f.cm[g.j * $d + g.j + 1] * 1000000.0 + 0.5) AS BIGINT) DESC, g.j) - 1 AS r
+       |        FROM generate_series(0, ${d - 1}) g(j), $finName f),
+       |alr$sfx AS (SELECT j,
        |               CASE WHEN (r // $m) % 2 = 0 THEN r % $m
        |                    ELSE $m - 1 - (r % $m) END AS sub,
        |               r // $m AS slot
-       |        FROM rkr),
+       |        FROM rkr$sfx)""".stripMargin
+  }
+
+  private def opqRotCtes: String = {
+    val d = graft.vector.VectorOps.OracleDim
+    val m = graft.vector.VectorOps.PqM
+    s"""WITH RECURSIVE $PqTrainCtes,
+       |trn AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+       |        FROM (SELECT state FROM it ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
+       |en AS (SELECT sub, CAST(SUM(CAST(FLOOR(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS natural_err_micro
+       |       FROM (SELECT sv.vec_id, sv.sub,
+       |                    MIN(list_inner_product(sv.svec, sv.svec) - 2 * list_inner_product(sv.svec, t.vals) + list_inner_product(t.vals, t.vals)) AS mind
+       |             FROM sv JOIN trn t ON t.sub = sv.sub GROUP BY 1, 2)
+       |       GROUP BY sub),
+       |xs AS (SELECT vec_id, unnest(generate_series(1, len(v))) - 1 AS dim, unnest(v) AS x FROM e),
+       |vr AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       |              SUM(CAST(FLOOR(x * x * 1000000.0 + 0.5) AS BIGINT)) AS s2,
+       |              SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS s1
+       |       FROM xs GROUP BY 1),
+       |rk AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT) - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) DESC, dim) - 1 AS r FROM vr),
+       |al AS (SELECT dim,
+       |              CASE WHEN (r // $m) % 2 = 0 THEN r % $m
+       |                   ELSE $m - 1 - (r % $m) END AS sub,
+       |              r // $m AS slot
+       |       FROM rk),
+       |psv AS (SELECT xs.vec_id, al.sub, LIST(xs.x ORDER BY al.slot) AS svec
+       |        FROM xs JOIN al USING (dim) GROUP BY 1, 2),
+       |${pqTrainChain("psv", sfx = "o", preSliced = true)},
+       |tro AS (SELECT u.c.sub AS sub, u.c.cid AS cid, u.c.vals AS vals
+       |        FROM (SELECT state FROM ito ORDER BY iter DESC LIMIT 1) f, unnest(f.state) u(c)),
+       |eb AS (SELECT sub, CAST(SUM(CAST(FLOOR(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS balanced_err_micro
+       |       FROM (SELECT p.vec_id, p.sub,
+       |                    MIN(list_inner_product(p.svec, p.svec) - 2 * list_inner_product(p.svec, t.vals) + list_inner_product(t.vals, t.vals)) AS mind
+       |             FROM psv p JOIN tro t ON t.sub = p.sub GROUP BY 1, 2)
+       |       GROUP BY sub),
+       |${jacobiChain("xs", "")},
+       |${snakeChain("fin", m, "")},
        |rot AS (SELECT e.vec_id,
        |               list_transform(generate_series(0, ${d - 1}), j ->
        |                 list_inner_product(e.v, list_transform(generate_series(0, ${d - 1}), i -> f.rm[i * $d + j + 1]))) AS y

@@ -345,6 +345,30 @@ object SketchBounds {
       f"ADC gate false-rejected $falseRejRate%.3f of exact admissions " +
         "(ceiling 0.15; reject-everything lands at ~0.93)")
 
+    // q306: the same two-sided decision-quality gate for the OPQ-rotated
+    // tier (the fourth gate state shape). Observed at m=16/c=64 with the
+    // corpus-trained rotation: catch 0.44-0.52, false-rej 0.03-0.05
+    // across SFs — the PQ band, so the PQ floors apply unchanged (the
+    // rotation must not BUY agreement here; its win is distortion (q302)
+    // and recall (q303), and this bound pins that it at least does not
+    // break the gate).
+    val opq = graft.vector.VectorOps.opqAdmission(spark, dir)
+      .select("adc_admit", "exact_admit").collect()
+    val oExRej = opq.count(_.getLong(1) == 0L).toDouble
+    val oCaught = opq.count(r => r.getLong(1) == 0L && r.getLong(0) == 0L).toDouble
+    val oExAdm = opq.count(_.getLong(1) == 1L).toDouble
+    val oFalseRej = opq.count(r => r.getLong(1) == 1L && r.getLong(0) == 0L).toDouble
+    val oCatchRate = if (oExRej == 0.0) 1.0 else oCaught / oExRej
+    val oFalseRejRate = if (oExAdm == 0.0) 0.0 else oFalseRej / oExAdm
+    checks += BoundCheck("q306_opq_admission", "exact-rejection catch rate",
+      oExRej.toLong, oCatchRate, 0.35, oCatchRate >= 0.35,
+      f"OPQ-ADC gate caught $oCatchRate%.3f of exact rejections (floor 0.35; " +
+        "admit-everything/rotation-mismatch bugs land near 0)")
+    checks += BoundCheck("q306_opq_admission", "false-rejection rate",
+      oExAdm.toLong, oFalseRejRate, 0.15, oFalseRejRate <= 0.15,
+      f"OPQ-ADC gate false-rejected $oFalseRejRate%.3f of exact admissions " +
+        "(ceiling 0.15; reject-everything lands at ~0.93)")
+
     // q300/q301: the hierarchical index-build prune must agree with the
     // flat exact argmin on >= 0.95 of the store at the WIRED probe width
     // (HierAuditTopS = 4; observed 0.972-0.986 across SFs on this

@@ -305,6 +305,82 @@ object Sinks {
       spark.read.parquet(path + "/codes"))
   }
 
+  /** OPQ twin of [[publishPqIvfIndex]]: rotation + snake allocation +
+    * coarse centroids + rotated-space codebook + codes land in ONE
+    * directory rename (tier "opq"). The rotation is the sharpest
+    * version-consistency case of the family: queries are TRANSFORMED at
+    * gate time, so ranking rotated codes against a query transformed by
+    * any other version's rotation silently corrupts every distance —
+    * worse than a codebook mismatch, which at least decodes in the same
+    * space. All five tables must version together. */
+  def publishOpqIvfIndex(path: String, rotation: Seq[Seq[Double]],
+                         alloc: Map[Int, Seq[Int]],
+                         cents: Seq[Seq[Double]],
+                         codebook: Map[(Int, Int), Seq[Double]],
+                         corpusCodes: DataFrame,
+                         nProbe: Int = graft.vector.VectorOps.GateNProbe,
+                         thresholdMicro: Long =
+                           graft.vector.VectorOps.GateThresholdMicro): Unit = {
+    val spark = corpusCodes.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    fs.delete(tmp, true)
+    rotation.zipWithIndex.map { case (row, i) => (i, row) }
+      .toDF("i", "vals")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString + "/rotation")
+    alloc.toSeq.sortBy(_._1).map { case (s, ds) => (s, ds) }
+      .toDF("sub", "dims")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString + "/alloc")
+    cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString + "/centroids")
+    codebook.toSeq.map { case ((s, k), v) => (s, k, v) }
+      .sortBy(t => (t._1, t._2)).toDF("sub", "cid", "vals")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString + "/codebook")
+    corpusCodes.write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString + "/codes")
+    writeGateConfig(spark, tmp.toString,
+      GateConfig("opq", nProbe, thresholdMicro))
+    fs.delete(bak, true)
+    if (fs.exists(dst)) renameOrDie(fs, dst, bak)
+    renameOrDie(fs, tmp, dst)
+    fs.delete(bak, true)
+  }
+
+  /** Load the current OPQ gate index version (bak-recovery as
+    * [[loadPqIvfIndex]]): (rotation, allocation, centroids, codebook,
+    * codes frame) — always a mutually consistent quintuple. */
+  def loadOpqIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String):
+      (Seq[Seq[Double]], Map[Int, Seq[Int]], Seq[Seq[Double]],
+        Map[(Int, Int), Seq[Double]], DataFrame) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    if (!fs.exists(dst) && fs.exists(bak)) renameOrDie(fs, bak, dst)
+    val rot = spark.read.parquet(path + "/rotation")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).map(_._2).toIndexedSeq
+    val alloc = spark.read.parquet(path + "/alloc")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toSeq)
+      .toMap
+    val cents = spark.read.parquet(path + "/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).map(_._2).toIndexedSeq
+    val cb = spark.read.parquet(path + "/codebook")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
+      .toMap
+    (rot, alloc, cents, cb, spark.read.parquet(path + "/codes"))
+  }
+
   /** K3 analog: append into a dt-partitioned table (the daily-index
     * naming of the ES sink, reference SaleDetailApp.scala:164-171);
     * `dropDuplicates(idCols)` inside the batch reproduces doc-id

@@ -359,9 +359,55 @@ object TrainingPipeline {
       }.toDF()
   }
 
-  /** ONE entry point for all three ANN-gate tiers (judge r15 task 4):
+  /** OPQ-rotated streaming ANN admission gate — [[annGateAdc]] with the
+    * FOURTH corpus state shape (q306's batch face): the fresh vector is
+    * transformed in-row (d codegen dots — no shuffle, no state, legal
+    * on the per-batch path), then the ADC candidate code runs verbatim
+    * in the rotated space against rotated-space centroids/codebook/
+    * codes. Rotation, allocation, codebook and codes publish/load
+    * TOGETHER through [[Sinks.publishOpqIvfIndex]]'s atomic swap — a
+    * query transformed by one version ranked against another version's
+    * codes is silently wrong everywhere, the sharpest mixing hazard of
+    * the tier family. */
+  def annGateOpq(freshVecs: DataFrame, rotation: Seq[Seq[Double]],
+                 alloc: Map[Int, Seq[Int]], cents: Seq[Seq[Double]],
+                 codebook: Map[(Int, Int), Seq[Double]],
+                 corpusCodes: DataFrame,
+                 nProbe: Int = graft.vector.VectorOps.GateNProbe,
+                 thresholdMicro: Long = graft.vector.VectorOps.GateThresholdMicro): DataFrame = {
+    val spark = freshVecs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    graft.functions.GraftFunctions.register(spark)
+    val payload = freshVecs.select(col("vec_id"), col("label"), col("v"),
+      lit(false).as("dup"), lit(true).as("payload"))
+    val cand = graft.vector.VectorOps
+      .annGateOpqCandidates(freshVecs, rotation, alloc, cents, codebook,
+        corpusCodes, nProbe)
+      .select(col("vec_id"), lit(0L).as("label"),
+        lit(null).cast("array<double>").as("v"),
+        (expr("CAST(FLOOR(1000000.0d * cos + 0.5d) AS BIGINT)")
+          >= lit(thresholdMicro)).as("dup"),
+        lit(false).as("payload"))
+    payload.unionByName(cand).as[VecGateEvt]
+      .groupByKey(_.vec_id)
+      .flatMapGroupsWithState[Boolean, VecAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, _) =>
+          var head: VecGateEvt = null
+          var anyDup = false
+          rows.foreach { r =>
+            if (r.payload && head == null) head = r
+            if (r.dup) anyDup = true
+          }
+          if (anyDup || head == null) Iterator.empty
+          else Iterator(VecAdmit(head.vec_id, head.label, head.v))
+      }.toDF()
+  }
+
+  /** ONE entry point for all FOUR ANN-gate tiers (judge r15 task 4):
     * the published index directory itself says which state shape it
-    * holds (`config.tier` ∈ full | pq | sq8) and which operating point
+    * holds (`config.tier` ∈ full | pq | sq8 | opq) and which operating point
     * to run it at (`n_probe`, `threshold_micro` — the q290 sweep's
     * chosen knob, published atomically WITH the state by
     * [[Sinks.publishIvfIndex]]/[[Sinks.publishPqIvfIndex]]/
@@ -379,7 +425,7 @@ object TrainingPipeline {
       throw new IllegalArgumentException(
         s"$indexPath/config missing: the index was not published with an " +
           "operating point (pre-r16 layout?) — re-publish via Sinks." +
-          "publish{Ivf,PqIvf,Sq8Ivf}Index, which versions tier + nProbe + " +
+          "publish{Ivf,PqIvf,Sq8Ivf,OpqIvf}Index, which versions tier + nProbe + " +
           "thresholdMicro atomically with the state"))
     cfg.tier match {
       case "full" =>
@@ -392,10 +438,15 @@ object TrainingPipeline {
         val (cents, mn, mx, codes) = Sinks.loadSq8IvfIndex(spark, indexPath)
         annGateSq8(freshVecs, cents, mn, mx, codes, cfg.nProbe,
           cfg.thresholdMicro)
+      case "opq" =>
+        val (rot, alloc, cents, cb, codes) =
+          Sinks.loadOpqIvfIndex(spark, indexPath)
+        annGateOpq(freshVecs, rot, alloc, cents, cb, codes, cfg.nProbe,
+          cfg.thresholdMicro)
       case other =>
         throw new IllegalArgumentException(
           s"unknown gate tier '$other' in $indexPath/config " +
-            "(expected full | pq | sq8)")
+            "(expected full | pq | sq8 | opq)")
     }
   }
 

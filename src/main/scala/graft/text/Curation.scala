@@ -1586,4 +1586,222 @@ object Curation {
       kept.select("doc_id", "source", "text"), frac)
     shardDeal(selected.select(col("doc_id"), col("n_tokens")), nShards)
   }
+  // ---------------------------------------------------------------------
+  // Unigram-LM tokenizer (q307/q308) — the SentencePiece-family member
+  // the BPE recursions (char q277, byte q304, pruned q292) do not cover.
+  // ---------------------------------------------------------------------
+
+  /** Unigram knobs — interpolated into the oracle SQL (shared-constant
+    * discipline). `UniMaxWordLen` is the coverage contract: both engines
+    * train and measure over words of at most this length (the corpus max
+    * is 8, so the filter is a stated bound, not a cut); `UniMaxPieceLen`
+    * bounds the Viterbi fan-in at 5 candidate splits per position. */
+  private[graft] val UniMaxPieceLen = 5
+  private[graft] val UniSeedMultis = 120
+  private[graft] val UniIters = 2
+  private[graft] val UniMaxWordLen = 16
+
+  private val uniMemo =
+    new graft.SessionMemo[(Seq[(String, Int, Long, Long)], Map[String, Long])]
+
+  /** Add-one-smoothed micro probabilities in EXACT integer arithmetic:
+    * round(1e6·(cnt+1)/(tot+V)) = ⌊(2·(cnt+1)·1e6 + tot+V) / (2·(tot+V))⌋
+    * — pure BIGINT both engines, no transcendental anywhere (log-space
+    * unigram would hand the hash to libm; products of these micro probs
+    * normalized by 1e6 are IEEE-exact multiplication chains instead). */
+  private def uniProbsOf(counts: Seq[(String, Long)]): Map[String, Long] = {
+    val tot = counts.map(_._2).sum
+    val v = counts.size.toLong
+    counts.map { case (p, c) =>
+      p -> ((2L * (c + 1L) * 1000000L + tot + v) / (2L * (tot + v)))
+    }.toMap
+  }
+
+  /** The Viterbi lattice of a word under a driver-held vocabulary: one
+    * in-row `aggregate` fold over positions 1..len, each step an argmin
+    * over ≤ [[UniMaxPieceLen]] candidate last-pieces. The comparable is
+    * struct(-score, n_pieces, -last_len, last_len) — maximize
+    * probability, then fewer pieces, then the longer last piece — and
+    * score is a product of (p_micro / 1e6) doubles: every factor is an
+    * IEEE-exact division of an integer by 1e6 and every step one
+    * multiplication, so both engines chain identical doubles (raw micro
+    * products would instead FAVOR more pieces by 1e6 per factor —
+    * pinned in Round16Spec). NARROW: vocabulary rides as one map
+    * literal, no join, no shuffle — legal on streaming per-batch paths
+    * and one pass over 100 TB of words. */
+  private[graft] def uniDpCol(word: org.apache.spark.sql.Column,
+                              probs: Map[String, Long],
+                              maxPieceLen: Int = UniMaxPieceLen): org.apache.spark.sql.Column = {
+    val pmap = typedLit(probs)
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(1.0d).as("s"), lit(0).as("np"), lit(0).as("ll"))),
+      (acc, j) => {
+        val cands = filter(
+          transform(sequence(lit(1), least(j, lit(maxPieceLen))), l => {
+            val piece = word.substr(j - l + lit(1), l)
+            val pm = element_at(pmap, piece)
+            val prev = element_at(acc, j - l + lit(1))
+            when(pm.isNotNull, struct(
+              (-(prev.getField("s")
+                * (pm.cast("double") / lit(1000000.0d)))).as("a"),
+              (prev.getField("np") + lit(1)).as("b"),
+              (-l).as("c"),
+              l.as("l"))).otherwise(lit(null))
+          }),
+          c => c.isNotNull)
+        val best = element_at(array_sort(cands), lit(1))
+        concat(acc, array(struct(
+          (-best.getField("a")).as("s"),
+          best.getField("b").as("np"),
+          best.getField("l").as("ll"))))
+      })
+  }
+
+  /** Backtrack of [[uniDpCol]]'s lattice: walk last-piece lengths from
+    * the final position — at most len steps, one in-row fold, emits the
+    * best segmentation's pieces (order reversed; callers only count). */
+  private[graft] def uniPiecesCol(word: org.apache.spark.sql.Column,
+                                  dp: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(length(word).as("j"), typedLit(Seq.empty[String]).as("ps")),
+      (st, _) => {
+        val j = st.getField("j")
+        val ll = element_at(dp, j + lit(1)).getField("ll")
+        when(j > lit(0), struct(
+          (j - ll).as("j"),
+          concat(st.getField("ps"),
+            array(word.substr(j - ll + lit(1), ll))).as("ps")))
+          .otherwise(st)
+      },
+      st => st.getField("ps"))
+
+  /** The corpus word table both unigram faces share: the q277 word rule
+    * (lower, whitespace-split) under the [[UniMaxWordLen]] coverage
+    * contract, with the byte-BPE ASCII guard (substr/length must count
+    * the same units in both engines). */
+  private def uniWords(spark: SparkSession, dir: String): DataFrame = {
+    val words = graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(expr(s"${graft.text.TextOps.TokensExpr}")).as("word"))
+      .filter(length(col("word")).between(1, UniMaxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val maxCp = words
+      .select(max(expr("array_max(transform(filter(split(word, ''), x -> x != ''), ch -> ascii(ch)))")))
+      .head().getInt(0)
+    require(maxCp <= 127,
+      s"unigram training assumes an ASCII corpus (chars ≡ units in both " +
+        s"engines' substr/length); found code point $maxCp")
+    words
+  }
+
+  /** Trained unigram artifacts: final vocabulary rows
+    * (piece, is_char, count, p_micro) + the final probability map.
+    *
+    * Deterministic HARD-EM (Viterbi-EM), the replayable member of
+    * SentencePiece's EM family (Kudo 2018 trains soft counts over the
+    * full lattice; the hard variant keeps the same alternate-segment/
+    * re-estimate structure with an exactly-replayable E-step): seed =
+    * every character (coverage guarantee, exempt from pruning — the
+    * all-chars path always exists, so segmentation is total by
+    * construction) plus the top [[UniSeedMultis]] substrings of length
+    * 2..[[UniMaxPieceLen]] by freq-weighted occurrence count (ties to
+    * the lexicographically lower piece); each iteration Viterbi-segments
+    * every distinct word, re-counts pieces over best segmentations,
+    * PRUNES multi-char pieces that won zero occurrences, and
+    * re-estimates add-one micro probs over the survivors.
+    *
+    * Scale: vocabulary-sized driver state (≤ chars + [[UniSeedMultis]]
+    * entries); each E-step is ONE narrow pass over the distinct-word
+    * frame (the q277 k-narrow-jobs discipline, but with k = 1 job per
+    * iteration — the DP is in-row, nothing shuffles but the final
+    * vocabulary-sized count). */
+  private[graft] def unigramArtifacts(spark: SparkSession, dir: String):
+      (Seq[(String, Int, Long, Long)], Map[String, Long]) =
+    uniMemo.get(spark, s"unigram/$dir/$UniMaxPieceLen/$UniSeedMultis/" +
+        s"$UniIters/$UniMaxWordLen/" +
+        graft.Tables.pathFingerprint(spark, s"$dir/documents.parquet")) {
+      val words = uniWords(spark, dir)
+      val chars = words
+        .select(explode(expr(
+          "transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+          .as("piece"), col("freq"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy(_._1)
+      val multis = words
+        .select(explode(expr(
+          s"""CASE WHEN length(word) >= 2 THEN
+             |flatten(transform(sequence(2, least($UniMaxPieceLen, length(word))),
+             |  l -> transform(sequence(1, length(word) - l + 1), i -> substr(word, i, l))))
+             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+          .as("piece"), col("freq"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(UniSeedMultis)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      var vocab: Seq[(String, Int, Long)] =
+        chars.map { case (p, c) => (p, 1, c) } ++
+          multis.map { case (p, c) => (p, 0, c) }
+      var probs = uniProbsOf(vocab.map(t => (t._1, t._3)))
+      for (_ <- 1 to UniIters) {
+        val newCounts = words
+          .withColumn("dp", uniDpCol(col("word"), probs))
+          .withColumn("pieces", uniPiecesCol(col("word"), col("dp")))
+          .select(explode(col("pieces")).as("piece"), col("freq"))
+          .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        vocab = vocab
+          .filter(t => t._2 == 1 || newCounts.getOrElse(t._1, 0L) >= 1L)
+          .map(t => (t._1, t._2, newCounts.getOrElse(t._1, 0L)))
+        probs = uniProbsOf(vocab.map(t => (t._1, t._3)))
+      }
+      (vocab.sortBy(_._1).map(t => (t._1, t._2, t._3, probs(t._1))), probs)
+    }
+
+  /** q307 — unigram-LM tokenizer training: the final vocabulary with
+    * per-piece count (under the last hard-EM segmentation) and smoothed
+    * micro probability. */
+  def unigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    unigramArtifacts(spark, dir)._1
+      .toDF("piece", "is_char", "cnt", "p_micro")
+      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        col("is_char").cast("long").as("is_char"), col("cnt"), col("p_micro"))
+      .orderBy("piece")
+  }
+
+  /** q308 — per-source fertility under the trained unigram tokenizer
+    * (the q278/q305 face for the third tokenizer family): chars per
+    * token vs Viterbi pieces per token. The per-word piece count is the
+    * lattice's final n_pieces — no backtrack needed — computed once per
+    * DISTINCT word and broadcast onto the per-source counts. */
+  def unigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    val (_, probs) = unigramArtifacts(spark, dir)
+    val npPerWord = uniWords(spark, dir)
+      .withColumn("dp", uniDpCol(col("word"), probs))
+      .select(col("word"),
+        element_at(col("dp"), length(col("word")) + lit(1))
+          .getField("np").cast("long").as("n_pieces"))
+    val sw = graft.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("source"),
+        explode(expr(s"${graft.text.TextOps.TokensExpr}")).as("word"))
+      .filter(length(col("word")).between(1, UniMaxWordLen))
+      .groupBy("source", "word").agg(count(lit(1)).as("freq"))
+    sw.join(broadcast(npPerWord), Seq("word"))
+      .groupBy("source")
+      .agg(sum(col("freq")).as("n_tokens"),
+        sum(col("freq") * length(col("word"))).as("chars_total"),
+        sum(col("freq") * col("n_pieces")).as("pieces_total"))
+      .select(col("source"), col("n_tokens"), col("chars_total"),
+        col("pieces_total"),
+        expr("CAST(FLOOR(CAST(1000000 AS DOUBLE) * chars_total / n_tokens + 0.5d) AS BIGINT)")
+          .as("base_fertility_micro"),
+        expr("CAST(FLOOR(CAST(1000000 AS DOUBLE) * pieces_total / n_tokens + 0.5d) AS BIGINT)")
+          .as("uni_fertility_micro"))
+      .orderBy("source")
+  }
 }

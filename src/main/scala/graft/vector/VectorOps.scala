@@ -1697,23 +1697,30 @@ object VectorOps {
       (Seq[Seq[Double]], Seq[Int]) =
     opqRotMemo.get(spark, s"opq-rot/$dir/$steps/" +
         Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
-      val e = vecs(spark, dir)
-      val dim = e.select(size(col("v"))).head().getInt(0)
-      require(dim == OracleDim,
-        s"embedding dim $dim != $OracleDim: q302's oracle interpolates " +
-          "dim-64 constants")
-      val momentsL = secondMomentMicro(e, dim)
-      val c0 = momentsL.map(_.map(_.toDouble / 1000000.0d))
-      val (rm, diag) = opqJacobi(c0, steps)
-      // rotated-dim energy ranks: diagonal entries are exact micro
-      // multiples, so long-space ranking is exact (ties to lower dim)
-      val ranked = diag.zipWithIndex
-        .map { case (x, j) =>
-          (math.floor(x * 1000000.0d + 0.5d).toLong, j) }
-        .sortBy { case (en, j) => (-en, j) }
-        .map(_._2).toSeq
-      (rm.map(_.toSeq).toSeq, ranked)
+      opqRotationOf(vecs(spark, dir), steps)
     }
+
+  /** Train the rotation + energy ranks over ANY vector frame — factored
+    * so the gate tier ([[frozenOpqIvfIndex]]) trains on the CORPUS side
+    * only (the frozen discipline) with the identical arithmetic. */
+  private[graft] def opqRotationOf(e: DataFrame, steps: Int):
+      (Seq[Seq[Double]], Seq[Int]) = {
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    require(dim == OracleDim,
+      s"embedding dim $dim != $OracleDim: q302's oracle interpolates " +
+        "dim-64 constants")
+    val momentsL = secondMomentMicro(e, dim)
+    val c0 = momentsL.map(_.map(_.toDouble / 1000000.0d))
+    val (rm, diag) = opqJacobi(c0, steps)
+    // rotated-dim energy ranks: diagonal entries are exact micro
+    // multiples, so long-space ranking is exact (ties to lower dim)
+    val ranked = diag.zipWithIndex
+      .map { case (x, j) =>
+        (math.floor(x * 1000000.0d + 0.5d).toLong, j) }
+      .sortBy { case (en, j) => (-en, j) }
+      .map(_._2).toSeq
+    (rm.map(_.toSeq).toSeq, ranked)
+  }
 
   private val opqRotTrainMemo = new graft.SessionMemo[Map[(Int, Int), Seq[Double]]]
 
@@ -1872,6 +1879,164 @@ object VectorOps {
             .as("recall_rot_micro"))
         .orderBy("query_id")
     } finally coded.unpersist(blocking = false)
+  }
+
+  /** One OPQ-rotated index version: rotation columns, the energy-snake
+    * allocation, coarse centroids / assignment / PQ codebook / codes —
+    * ALL trained in the ROTATED space on the corpus side only. The
+    * rotation is index state exactly like the codebook: queries are
+    * transformed at search time, so decoding (or ranking against)
+    * rotated codes with any other version's rotation silently corrupts
+    * every distance — which is why [[graft.streaming.Sinks
+    * .publishOpqIvfIndex]] versions all five tables in one rename. */
+  private[graft] case class OpqIndex(rm: Seq[Seq[Double]],
+                                     alloc: Map[Int, Seq[Int]],
+                                     cents: Seq[Seq[Double]],
+                                     assigned: DataFrame,
+                                     cb: Map[(Int, Int), Seq[Double]],
+                                     codes: DataFrame)
+
+  /** The OPQ transform as ONE in-row projection: y_sub-major =
+    * ⟨v, R·e_j⟩ for j in snake order — d inline codegen dots (the q151
+    * centroid discipline; d = 64 ≪ the InlineMaxCells wall). After this
+    * column, CONTIGUOUS subDim slices of the transformed vector ARE the
+    * allocation's subspaces, so every downstream PQ primitive
+    * (pqSubVecs/pqCodesCol/pqReconCol) applies unchanged. */
+  private[graft] def opqTransformCol(vCol: Column, rm: Seq[Seq[Double]],
+                                     alloc: Map[Int, Seq[Int]]): Column = {
+    val d = rm.length
+    val m = alloc.size
+    array((0 until m).flatMap(b => alloc(b).map(j =>
+      dotC(vCol, typedLit((0 until d).map(i => rm(i)(j)))))): _*)
+  }
+
+  private val opqGateCbMemo = new graft.SessionMemo[Map[(Int, Int), Seq[Double]]]
+  private val opqGateRotMemo = new graft.SessionMemo[(Seq[Seq[Double]], Seq[Int])]
+
+  /** Frozen OPQ-rotated gate index (the FOURTH gate state shape, q306):
+    * rotation (trained on the corpus second-moment — frozen discipline),
+    * snake allocation of the rotated dims, then the exact
+    * [[frozenPqIvfIndex]] construction applied to the TRANSFORMED
+    * corpus: coarse quantizer (seed + one micro-mean Lloyd step),
+    * assignment via [[assignCellsAuto]], gate-shaped PQ codebook
+    * (m=16/c=64), data-side encode. Everything after the transform is
+    * the PQ tier's machinery verbatim — the tier is "rotate, then PQ". */
+  private[graft] def frozenOpqIvfIndex(spark: SparkSession, dir: String,
+                                       nCentroids: Int = 16,
+                                       splitAt: Long = GateSplitAt,
+                                       m: Int = GatePqM, c: Int = GatePqC,
+                                       iters: Int = GatePqIters,
+                                       steps: Int = OpqJacobiSteps): OpqIndex = {
+    val fp = Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")
+    val (rm, ranked) = opqGateRotMemo.get(spark,
+        s"opq-gate-rot/$dir/$splitAt/$steps/$fp") {
+      opqRotationOf(vecs(spark, dir).filter(col("vec_id") < splitAt), steps)
+    }
+    val alloc = snakeOf(ranked, m)
+    val tv = vecs(spark, dir)
+      .select(col("vec_id"), opqTransformCol(col("v"), rm, alloc).as("v"))
+    val corpusT = tv.filter(col("vec_id") < splitAt)
+    val cents = centroidMemo.get(spark,
+      s"opq-gate/$nCentroids/$splitAt/$m/$steps/$fp")(
+      buildCentroidsOf(corpusT, nCentroids))
+    val assigned = Tables.memoCache(spark,
+      s"opq-gate-assigned/$dir/$nCentroids/$splitAt/$m/$steps/$fp") {
+      assignCellsAuto(corpusT, cents)
+    }
+    val cb = opqGateCbMemo.get(spark,
+        s"opq-gate-cb/$dir/$splitAt/$m/$c/$iters/$steps/$fp") {
+      val psv = pqSubVecs(corpusT, "vec_id", m)
+      val seeds = psv.filter(col("vec_id") < c)
+        .select(col("vec_id").cast("int").as("cid"), col("sub"), col("sv"))
+        .collect()
+        .map(r => (r.getInt(1), r.getInt(0)) -> r.getSeq[Double](2).toSeq)
+        .toMap
+      pqTrainLoopOn(psv, seeds, iters)._1
+    }
+    val codes = Tables.memoCache(spark,
+      s"opq-gate-codes/$dir/$nCentroids/$splitAt/$m/$c/$iters/$steps/$fp") {
+      pqEncodeAssigned(assigned, cb, m)
+    }
+    OpqIndex(rm, alloc, cents, assigned, cb, codes)
+  }
+
+  /** ADC candidate frame of the OPQ-rotated admission gate: transform
+    * the fresh vector in-row (d codegen dots — streaming-legal, no
+    * shuffle, no state), then run [[annGateAdcCandidates]] verbatim in
+    * the transformed space. The rotation is orthogonal up to the
+    * documented 1e-6-scale requantization drift, so transformed-space
+    * cosines are the original-space ones up to that wobble plus the
+    * quantization the codebook's lower distortion (q302) buys back. */
+  private[graft] def annGateOpqCandidates(fresh: DataFrame,
+                                          rm: Seq[Seq[Double]],
+                                          alloc: Map[Int, Seq[Int]],
+                                          cents: Seq[Seq[Double]],
+                                          codebook: Map[(Int, Int), Seq[Double]],
+                                          corpusCodes: DataFrame,
+                                          nProbe: Int): DataFrame =
+    annGateAdcCandidates(
+      fresh.select(col("vec_id"),
+        opqTransformCol(col("v"), rm, alloc).as("v")),
+      cents, codebook, corpusCodes, nProbe)
+
+  /** q306 — OPQ-ROTATED ANN admission with its exact twin in the SAME
+    * transformed space (the q284/q297 audit shape for the fourth gate
+    * state): per fresh vector, the ADC verdict against the probed
+    * cells' rotated-space PQ codes next to the exact verdict against
+    * the probed cells' full-precision TRANSFORMED corpus vectors, and
+    * the agreement flag. The exact twin lives in transformed space on
+    * purpose: it isolates what the QUANTIZATION costs (the thing the
+    * rotation is supposed to reduce — q302's distortion table in the
+    * gate dimension), with the near-isometry of the rotation itself
+    * already priced by q303's recall face.
+    *
+    * Scale: the transform adds d in-row dots per fresh vector; the
+    * corpus state is still m small ints per vector + the broadcast
+    * codebook + the d² rotation — all model-sized. The audit carries
+    * both corpus representations to compare them; the production gate
+    * ([[graft.streaming.TrainingPipeline.annGateOpq]]) carries codes
+    * only. */
+  def opqAdmission(spark: SparkSession, dir: String, nCentroids: Int = 16,
+                   nProbe: Int = GateNProbe, splitAt: Long = GateSplitAt,
+                   m: Int = GatePqM, c: Int = GatePqC,
+                   iters: Int = GatePqIters, steps: Int = OpqJacobiSteps,
+                   thresholdMicro: Long = GateThresholdMicro): DataFrame = {
+    val idx = frozenOpqIvfIndex(spark, dir, nCentroids, splitAt, m, c,
+      iters, steps)
+    val fresh = vecs(spark, dir).filter(col("vec_id") >= splitAt)
+    val freshT = fresh.select(col("vec_id"),
+      opqTransformCol(col("v"), idx.rm, idx.alloc).as("v"))
+    def verdictOf(cand: DataFrame, p: String): DataFrame =
+      cand.withColumn("cos_micro",
+          expr("CAST(FLOOR(1000000.0d * cos + 0.5d) AS BIGINT)"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as(s"${p}n_cand"),
+          max(struct(col("cos_micro").as("cm"),
+            (col("corpus_id") * lit(-1L)).as("ni"))).as("b"))
+        .select(col("vec_id"), col(s"${p}n_cand"),
+          col("b.cm").as(s"${p}best_cos_micro"),
+          (col("b.ni") * lit(-1L)).as(s"${p}best_corpus_id"))
+    val adc = verdictOf(
+      annGateAdcCandidates(freshT, idx.cents, idx.cb, idx.codes, nProbe),
+      "adc_")
+    val ex = verdictOf(
+      annGateCandidates(freshT, idx.cents, idx.assigned, nProbe), "exact_")
+    def admitOf(cm: String): Column =
+      when(coalesce(col(cm), lit(Long.MinValue)) >= lit(thresholdMicro), 0L)
+        .otherwise(1L)
+    fresh.select("vec_id")
+      .join(adc, Seq("vec_id"), "left_outer")
+      .join(ex.select(col("vec_id"), col("exact_best_cos_micro")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("adc_n_cand"), lit(0L)).as("n_cand"),
+        col("adc_best_cos_micro"), col("adc_best_corpus_id"),
+        admitOf("adc_best_cos_micro").as("adc_admit"),
+        col("exact_best_cos_micro"),
+        admitOf("exact_best_cos_micro").as("exact_admit"))
+      .withColumn("agree",
+        (col("adc_admit") === col("exact_admit")).cast("long"))
+      .orderBy("vec_id")
   }
 
   /** q299 — TWO-LEVEL coarse assignment audit: the flat argmin over k

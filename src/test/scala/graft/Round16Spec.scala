@@ -204,4 +204,45 @@ class Round16Spec extends SparkSpec {
     assert(members(0).map(_._1).sorted === Seq(0, 2, 3))
     assert(members(1).map(_._1) === Seq(1))
   }
+
+  test("OPQ gate transform: sub-major layout matches the allocation, and the rotation is an isometry up to the documented micro drift (q306)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val idx = graft.vector.VectorOps.frozenOpqIvfIndex(spark, dir)
+    val m = idx.alloc.size
+    val d = idx.rm.length
+    assert(m === 16 && d === 64)
+    // every subspace gets exactly d/m rotated dims, each dim exactly once
+    assert(idx.alloc.values.forall(_.length == d / m))
+    assert(idx.alloc.values.flatten.toSeq.sorted === (0 until d))
+    // sub-major layout: slice b of the transformed vector IS
+    // [y_j for j in alloc(b)] — the property that lets every PQ
+    // primitive (pqSubVecs/pqCodesCol/pqReconCol) apply unchanged
+    val row = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 7L)
+      .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val t = row.select(graft.vector.VectorOps
+        .opqTransformCol(col("v"), idx.rm, idx.alloc).as("t"))
+      .head().getSeq[Double](0)
+    val v = row.head().getSeq[Double](0)
+    def yOf(j: Int): Double = {
+      var acc = 0.0d; var i = 0
+      while (i < d) { acc += v(i) * idx.rm(i)(j); i += 1 }; acc
+    }
+    (0 until m).foreach { b =>
+      val slice = t.slice(b * (d / m), (b + 1) * (d / m))
+      assert(slice === idx.alloc(b).map(yOf),
+        s"sub $b is not the allocation's rotated dims")
+    }
+    // near-isometry: R drifts from exact orthogonality by <= steps·1e-6
+    // per entry (the q302 doc), so ||t||² stays within a loose
+    // drift-scaled band of ||v||² — a rotation/transform bug (wrong
+    // index order, row-col transposition with a non-orthogonal result)
+    // lands far outside
+    val n2v = v.map(x => x * x).sum
+    val n2t = t.map(x => x * x).sum
+    assert(math.abs(n2t - n2v) <= 0.01 * math.max(n2v, 1.0),
+      s"transform broke the norm: ||v||²=$n2v vs ||t||²=$n2t")
+  }
 }

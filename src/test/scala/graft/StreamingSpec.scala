@@ -1125,6 +1125,68 @@ class StreamingSpec extends SparkSpec {
     assert(stored === codesOf(mnV1, mxV1))
   }
 
+  test("OPQ gate index + ROTATION swap atomically; crash-mid-swap loads a complete, mutually CONSISTENT old version") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_opqswap").toString
+    val idx = s"$base/opq_index"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val cents = Seq(Seq(1.0, 0.0))
+    val alloc = Map(0 -> Seq(0, 1))
+    // one subspace, two entries: (3,4) vs (4,-3). The corpus vector
+    // (3,4) transforms to itself under the v1 identity rotation (code
+    // 0) and to (4,-3) under the v2 90° rotation (code 1) — a torn load
+    // (v2 rotation + v1 codes) re-encodes differently and fails the
+    // consistency check
+    val cb = Map((0, 0) -> Seq(3.0, 4.0), (0, 1) -> Seq(4.0, -3.0))
+    val rotV1 = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val rotV2 = Seq(Seq(0.0, -1.0), Seq(1.0, 0.0)) // columns (0,1),(-1,0)
+    def codesOf(rm: Seq[Seq[Double]]): Seq[Int] =
+      Seq((100L, Seq(3.0, 4.0))).toDF("corpus_id", "v")
+        .select(graft.vector.VectorOps
+          .opqTransformCol(col("v"), rm, alloc).as("t"))
+        .select(graft.vector.VectorOps.pqCodesCol("t", cb, 1, 2).as("codes"))
+        .head().getSeq[Int](0)
+    assert(codesOf(rotV1) !== codesOf(rotV2),
+      "test setup: the two rotations must code differently")
+    val codesV1 = Seq((0, 100L, codesOf(rotV1)))
+      .toDF("cell", "corpus_id", "codes")
+    graft.streaming.Sinks.publishOpqIvfIndex(idx, rotV1, alloc, cents, cb,
+      codesV1)
+    // round-trip equality
+    val (r1, a1L, c1, cb1, lc1) = graft.streaming.Sinks.loadOpqIvfIndex(spark, idx)
+    assert(r1 === rotV1 && a1L === alloc && c1 === cents && cb1 === cb)
+    assert(lc1.select("codes").head().getSeq[Int](0) === codesOf(rotV1))
+    // maintenance computes v2 (rotation AND codes), then CRASHES between
+    // the two renames: tmp fully written, dst moved aside
+    rotV2.zipWithIndex.map { case (row, i) => (i, row) }.toDF("i", "vals")
+      .write.parquet(idx + "__tmp/rotation")
+    alloc.toSeq.map { case (s, ds) => (s, ds) }.toDF("sub", "dims")
+      .write.parquet(idx + "__tmp/alloc")
+    cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
+      .write.parquet(idx + "__tmp/centroids")
+    cb.toSeq.map { case ((s, k), v) => (s, k, v) }.toDF("sub", "cid", "vals")
+      .write.parquet(idx + "__tmp/codebook")
+    Seq((0, 100L, codesOf(rotV2))).toDF("cell", "corpus_id", "codes")
+      .write.parquet(idx + "__tmp/codes")
+    fs.rename(p(idx), p(idx + "__bak"))
+    assert(!fs.exists(p(idx)))
+    val (midRot, _, _, _, midCodes) =
+      graft.streaming.Sinks.loadOpqIvfIndex(spark, idx)
+    // MUTUAL consistency of whatever version loaded: re-encoding the
+    // corpus vector under the LOADED rotation must reproduce the LOADED
+    // codes — a new-rotation/old-codes mix silently shifts every ADC
+    // distance, the sharpest hazard of the tier family
+    val stored = midCodes.filter(col("corpus_id") === 100L)
+      .select("codes").head().getSeq[Int](0)
+    assert(stored === codesOf(midRot),
+      "torn load: rotation and codes from different versions")
+    // and the recovered version is the complete v1
+    assert(midRot === rotV1)
+    assert(stored === codesOf(rotV1))
+  }
+
   test("PQ gate index + CODEBOOK swap atomically; crash-mid-swap loads a complete, mutually CONSISTENT old version") {
     import org.apache.spark.sql.streaming.Trigger
     graft.functions.GraftFunctions.register(spark)
@@ -1435,7 +1497,7 @@ class StreamingSpec extends SparkSpec {
       s"verdicts must flip ONLY at the atomic swap: want {2, 4}; got $ids")
   }
 
-  test("ONE gate entry point serves all three tiers, reading tier + knobs from the published index directory") {
+  test("ONE gate entry point serves all FOUR tiers, reading tier + knobs from the published index directory") {
     implicit val sq = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
     val base = java.nio.file.Files.createTempDirectory("graft_tiers").toString
@@ -1477,10 +1539,18 @@ class StreamingSpec extends SparkSpec {
       .filter(col("sq8_admit") === 1L)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(streamThrough(s"$base/sq8", "tier_sq8") === wantSq8)
-    // the three tiers are genuinely different state (not one loader
-    // aliased three ways): the compressed tiers' admissions may differ
+    // tier "opq": batch face = q306 (opqAdmission)
+    val oidx = graft.vector.VectorOps.frozenOpqIvfIndex(spark, dir)
+    graft.streaming.Sinks.publishOpqIvfIndex(s"$base/opq", oidx.rm,
+      oidx.alloc, oidx.cents, oidx.cb, oidx.codes)
+    val wantOpq = graft.vector.VectorOps.opqAdmission(spark, dir)
+      .filter(col("adc_admit") === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(streamThrough(s"$base/opq", "tier_opq") === wantOpq)
+    // the four tiers are genuinely different state (not one loader
+    // aliased four ways): the compressed tiers' admissions may differ
     // from full's, but every set is non-trivial on this data
-    Seq(wantFull, wantPq, wantSq8).foreach { w =>
+    Seq(wantFull, wantPq, wantSq8, wantOpq).foreach { w =>
       assert(w.nonEmpty && w.size < freshRows.length)
     }
     // and an index published WITHOUT a config (pre-r16 layout) fails
