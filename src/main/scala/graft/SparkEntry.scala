@@ -5672,7 +5672,7 @@ object SparkEntry {
     * order. Emits pmm$k/dp$k/dpfin$k. */
   private def uniDpChain(k: Int, probSrc: String): String = {
     val lp = graft.text.Curation.UniMaxPieceLen
-    s"""pmm$k AS (SELECT map_from_entries(LIST({'k': piece, 'v': pm})) AS m FROM $probSrc),
+    s"""pmm$k AS MATERIALIZED (SELECT map_from_entries(LIST({'k': piece, 'v': pm})) AS m FROM $probSrc),
        |dp$k(word, freq, j, st) AS (
        |  SELECT uw.word, uw.freq, 0, [{'s': CAST(1.0 AS DOUBLE), 'np': 0, 'll': 0}] FROM uw
        |  UNION ALL
@@ -5688,7 +5688,7 @@ object SparkEntry {
        |  ) x
        |  WHERE d.j < length(d.word)
        |),
-       |dpfin$k AS (SELECT word, freq, st FROM dp$k WHERE j = length(word))""".stripMargin
+       |dpfin$k AS MATERIALIZED (SELECT word, freq, st FROM dp$k WHERE j = length(word))""".stripMargin
   }
 
   /** Backtrack + piece counts of iteration k's lattice (bt$k/cnt$k). */
@@ -5700,7 +5700,7 @@ object SparkEntry {
        |         substr(b.word, b.j - d.st[b.j + 1].ll + 1, d.st[b.j + 1].ll)
        |  FROM bt$k b JOIN dpfin$k d USING (word) WHERE b.j > 0
        |),
-       |cnt$k AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM bt$k WHERE piece IS NOT NULL GROUP BY 1)""".stripMargin
+       |cnt$k AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM bt$k WHERE piece IS NOT NULL GROUP BY 1)""".stripMargin
 
   /** The full unigram chain: word table under the coverage contract,
     * char + top-N substring seeding, add-one integer micro probs, then
@@ -5714,7 +5714,7 @@ object SparkEntry {
     val head =
       s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
          |w0 AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
-         |uw AS (SELECT word, freq FROM w0 WHERE length(word) BETWEEN 1 AND $wl),
+         |uw AS MATERIALIZED (SELECT word, freq FROM w0 WHERE length(word) BETWEEN 1 AND $wl),
          |ch AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
          |         SELECT freq, unnest(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1))) AS piece
          |         FROM uw) z GROUP BY 1),
@@ -5724,14 +5724,14 @@ object SparkEntry {
          |          FROM uw WHERE length(word) >= 2) z GROUP BY 1),
          |mu AS (SELECT piece, cnt FROM (SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS r FROM mu0) q WHERE r <= $sm),
          |v0 AS (SELECT piece, cnt, 1 AS is_char FROM ch UNION ALL SELECT piece, cnt, 0 AS is_char FROM mu),
-         |p0 AS (SELECT piece, is_char, cnt, (2*(cnt+1)*1000000 + t.tot + t.v) // (2*(t.tot + t.v)) AS pm
+         |p0 AS MATERIALIZED (SELECT piece, is_char, cnt, (2*(cnt+1)*1000000 + t.tot + t.v) // (2*(t.tot + t.v)) AS pm
          |       FROM v0, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS v FROM v0) t)""".stripMargin
     val iterChains = (1 to iters).map { k =>
       uniDpChain(k, s"p${k - 1}") + ",\n" + uniBtChain(k) + ",\n" +
         s"""v$k AS (SELECT p.piece, p.is_char, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
            |        FROM p${k - 1} p LEFT JOIN cnt$k c USING (piece)
            |        WHERE p.is_char = 1 OR COALESCE(c.cnt, 0) >= 1),
-           |p$k AS (SELECT piece, is_char, cnt, (2*(cnt+1)*1000000 + t.tot + t.v) // (2*(t.tot + t.v)) AS pm
+           |p$k AS MATERIALIZED (SELECT piece, is_char, cnt, (2*(cnt+1)*1000000 + t.tot + t.v) // (2*(t.tot + t.v)) AS pm
            |        FROM v$k, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS v FROM v$k) t)""".stripMargin
     }
     (Seq(head) ++ iterChains).mkString(",\n")

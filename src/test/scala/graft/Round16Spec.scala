@@ -245,4 +245,45 @@ class Round16Spec extends SparkSpec {
     assert(math.abs(n2t - n2v) <= 0.01 * math.max(n2v, 1.0),
       s"transform broke the norm: ||v||²=$n2v vs ||t||²=$n2t")
   }
+
+  test("unigram tokenizer: normalized Viterbi picks the high-prob piece, chars survive pruning, fertility bounded by chars (q307/q308)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // hand-worked lattice: p(ab)=0.35 beats p(a)·p(b)=0.09 — and it
+    // would LOSE under raw micro products (0.35·10⁶ < 0.09·10¹²), the
+    // normalization bug class this pins dead
+    val probs = Map("a" -> 300000L, "b" -> 300000L, "ab" -> 350000L)
+    val seg = Seq(("abab", 1L)).toDF("word", "freq")
+      .withColumn("dp", graft.text.Curation.uniDpCol(col("word"), probs))
+      .withColumn("pieces",
+        graft.text.Curation.uniPiecesCol(col("word"), col("dp")))
+      .select("pieces").head().getSeq[String](0)
+    assert(seg === Seq("ab", "ab"))
+    // trained artifacts on the real corpus: surviving multi-char pieces
+    // all won occurrences in the last E-step; EVERY corpus character
+    // survives (the coverage guarantee that makes segmentation total)
+    val (vocab, _) = graft.text.Curation.unigramArtifacts(spark, dir)
+    assert(vocab.nonEmpty)
+    assert(vocab.filter(_._2 == 0).forall(_._3 >= 1L),
+      "a zero-count multi-char piece survived pruning")
+    val corpusChars = graft.Tables.documents(spark, dir)
+      .select(explode(expr(s"${graft.text.TextOps.TokensExpr}")).as("word"))
+      .select(explode(split(col("word"), "")).as("ch"))
+      .filter(col("ch") =!= "").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(vocab.filter(_._2 == 1).map(_._1).toSet === corpusChars)
+    // per-source fertility: pieces can never exceed chars (every
+    // segmentation has at most len pieces), and on this corpus the
+    // multi-char pieces must actually buy compression somewhere
+    val f = graft.text.Curation.unigramFertility(spark, dir).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      assert(r.getAs[Long]("pieces_total") <= r.getAs[Long]("chars_total"))
+      assert(r.getAs[Long]("uni_fertility_micro")
+        <= r.getAs[Long]("base_fertility_micro"))
+    }
+    assert(f.exists(r =>
+      r.getAs[Long]("pieces_total") < r.getAs[Long]("chars_total")))
+  }
 }
