@@ -612,6 +612,12 @@ object SparkEntry {
     "q307_unigram_train"       -> ((s, d) => graft.text.Curation.unigramTrain(s, d)),
     // per-source fertility under the unigram tokenizer (q278/q305 face)
     "q308_unigram_fertility"   -> ((s, d) => graft.text.Curation.unigramFertility(s, d)),
+    // k-means|| init (Bahmani et al.) with a deterministic hash coin and
+    // greedy weighted recluster — per-round cost table vs naive seeding
+    "q309_kmeans_par_init"     -> ((s, d) => graft.vector.VectorOps.kmeansParInit(s, d)),
+    // Matryoshka-style truncated-dim retrieval: naive prefix vs
+    // top-variance 16-dim prefilter vs the 4k-shortlist rerank cascade
+    "q310_trunc_dim_retrieval" -> ((s, d) => graft.vector.VectorOps.prefixDimRetrieval(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3816,6 +3822,65 @@ object SparkEntry {
          |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(sw.freq * v.n_syms) / SUM(sw.freq) + 0.5) AS BIGINT) AS bpe_fertility_micro
          |FROM sw JOIN vocab v USING (word)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q309: the round recursion (cost + hash-coin oversampling), weight
+    // pass, greedy recluster recursion, and the three stage families.
+    "q309_kmeans_par_init" ->
+      s"""WITH RECURSIVE $kppCtes
+         |SELECT stage, n_centers, phi_micro FROM (
+         |  SELECT * FROM stg1 UNION ALL SELECT * FROM stg2 UNION ALL SELECT * FROM stg3) u
+         |ORDER BY stage""".stripMargin,
+    // q310: variance ranks (the q296 HUGEINT rule) pick the 16-dim
+    // projection; three micro-ranked top-k windows + the shortlist
+    // rerank against the exact full-dim ranking.
+    "q310_trunc_dim_retrieval" -> {
+      val td = graft.vector.VectorOps.TruncDims
+      val c0 = graft.vector.VectorOps.PqC
+      val c1 = graft.vector.VectorOps.PqC + graft.vector.VectorOps.AdcGainQueries
+      val k = graft.vector.VectorOps.AdcGainK
+      val sk = graft.vector.VectorOps.CascadeMult * k
+      def dm(a: String, b: String): String =
+        s"CAST(FLOOR(1000000.0 * (list_inner_product($a, $a) - 2.0 * list_inner_product($b, $a) + list_inner_product($b, $b)) + 0.5) AS BIGINT)"
+      def topkOf(name: String, vCol: String, qCol: String, keep: Int): String =
+        s"""$name AS (SELECT query_id, vec_id FROM (
+           |  SELECT q.query_id, c.vec_id,
+           |         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY ${dm(s"c.$vCol", s"q.$qCol")}, c.vec_id) AS rk
+           |  FROM corp c, q) z WHERE rk <= $keep)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |xs AS (SELECT vec_id, unnest(generate_series(1, len(v))) - 1 AS dim, unnest(v) AS x FROM e),
+         |vr AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |              SUM(CAST(FLOOR(x * x * 1000000.0 + 0.5) AS BIGINT)) AS s2,
+         |              SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS s1
+         |       FROM xs GROUP BY 1),
+         |rk0 AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT) - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) DESC, dim) - 1 AS r FROM vr),
+         |tvd AS MATERIALIZED (SELECT LIST(dim ORDER BY r) AS ds FROM rk0 WHERE r < $td),
+         |q AS MATERIALIZED (SELECT e.vec_id AS query_id, e.v AS qv, e.v[1:$td] AS qp,
+         |            list_transform(tvd.ds, j -> e.v[j + 1]) AS qt
+         |     FROM e, tvd WHERE vec_id >= $c0 AND vec_id < $c1),
+         |corp AS MATERIALIZED (SELECT e.vec_id, e.v, e.v[1:$td] AS vp,
+         |               list_transform(tvd.ds, j -> e.v[j + 1]) AS vt
+         |        FROM e, tvd WHERE vec_id >= $c1),
+         |${topkOf("exk", "v", "qv", k)},
+         |${topkOf("pk", "vp", "qp", k)},
+         |${topkOf("tk", "vt", "qt", k)},
+         |${topkOf("sh", "vt", "qt", sk)},
+         |ck AS (SELECT query_id, vec_id FROM (
+         |  SELECT sh.query_id, sh.vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY sh.query_id ORDER BY ${dm("c.v", "q.qv")}, sh.vec_id) AS rk
+         |  FROM sh JOIN corp c USING (vec_id) JOIN q ON q.query_id = sh.query_id) z
+         |  WHERE rk <= $k),
+         |op AS (SELECT exk.query_id, CAST(COUNT(*) AS BIGINT) AS n FROM exk JOIN pk USING (query_id, vec_id) GROUP BY 1),
+         |ot AS (SELECT exk.query_id, CAST(COUNT(*) AS BIGINT) AS n FROM exk JOIN tk USING (query_id, vec_id) GROUP BY 1),
+         |oc AS (SELECT exk.query_id, CAST(COUNT(*) AS BIGINT) AS n FROM exk JOIN ck USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q.query_id,
+         |       CAST(COALESCE(op.n, 0) AS BIGINT) AS n_overlap_prefix,
+         |       CAST(FLOOR(1000000.0 * COALESCE(op.n, 0) / $k + 0.5) AS BIGINT) AS recall_prefix_micro,
+         |       CAST(COALESCE(ot.n, 0) AS BIGINT) AS n_overlap_topvar,
+         |       CAST(FLOOR(1000000.0 * COALESCE(ot.n, 0) / $k + 0.5) AS BIGINT) AS recall_topvar_micro,
+         |       CAST(COALESCE(oc.n, 0) AS BIGINT) AS n_overlap_cascade,
+         |       CAST(FLOOR(1000000.0 * COALESCE(oc.n, 0) / $k + 0.5) AS BIGINT) AS recall_cascade_micro
+         |FROM q LEFT JOIN op USING (query_id) LEFT JOIN ot USING (query_id) LEFT JOIN oc USING (query_id)
+         |ORDER BY q.query_id""".stripMargin
+    },
     // q307: the full unigram chain — seeding, both unrolled hard-EM
     // iterations (each a per-word Viterbi recursive CTE + a backtrack
     // recursion), pruning and the integer re-estimates.
@@ -5663,6 +5728,74 @@ object SparkEntry {
     s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
       |w AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
       |""".stripMargin + bpeChainBytes("w", "")
+
+  /** q309's chain: the k-means|| round recursion (cost pass + hash-coin
+    * oversampling per round), the weight pass, the greedy weighted
+    * recluster recursion, and the three stage families (per-round /
+    * final_k / seed_k) with their cost aggregates. */
+  private def kppCtes: String = {
+    val r = graft.vector.VectorOps.KppRounds
+    val l = graft.vector.VectorOps.KppL
+    val k = graft.vector.VectorOps.KppK
+    val a = graft.vector.VectorOps.KppHashA
+    val b = graft.vector.VectorOps.KppHashB
+    val mm = graft.vector.VectorOps.KppHashMod
+    def minD2(cs: String, vn: String): String =
+      s"CAST(FLOOR(1000000.0 * list_min(list_transform($cs, c -> " +
+        s"list_inner_product($vn, $vn) - 2.0 * list_inner_product($vn, c.v) + list_inner_product(c.v, c.v))) + 0.5) AS BIGINT)"
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |kr(r, cents) AS (
+       |  SELECT 0, (SELECT LIST({'id': vec_id, 'v': v}) FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1) z)
+       |  UNION ALL
+       |  SELECT kr.r + 1, CASE WHEN nxt.sel IS NULL THEN kr.cents ELSE kr.cents || nxt.sel END
+       |  FROM kr, LATERAL (
+       |    WITH d2 AS (SELECT e.vec_id, e.v, ${minD2("kr.cents", "e.v")} AS d2m FROM e),
+       |    ph AS (SELECT CAST(SUM(d2m) AS BIGINT) AS phi FROM d2),
+       |    s AS (SELECT LIST({'id': vec_id, 'v': v} ORDER BY vec_id) AS sel
+       |          FROM d2, ph
+       |          WHERE NOT list_contains(list_transform(kr.cents, c -> c.id), d2.vec_id)
+       |            AND CAST($l * d2m AS DOUBLE) / CAST(ph.phi AS DOUBLE)
+       |                >= CAST((vec_id * $a + (kr.r + 1) * $b) % $mm AS DOUBLE) / CAST($mm AS DOUBLE))
+       |    SELECT sel FROM s
+       |  ) nxt
+       |  WHERE kr.r < $r
+       |),
+       |stg1 AS (SELECT 'round_' || CAST(k2.r AS VARCHAR) AS stage,
+       |                CAST(len(k2.cents) AS BIGINT) AS n_centers,
+       |                (SELECT CAST(SUM(${minD2("k2.cents", "e.v")}) AS BIGINT) FROM e) AS phi_micro
+       |         FROM kr k2),
+       |cf AS MATERIALIZED (SELECT cents FROM kr WHERE r = $r),
+       |wt AS MATERIALIZED (SELECT cid, CAST(COUNT(*) AS BIGINT) AS w FROM (
+       |        SELECT (list_sort(list_transform(cf.cents, c ->
+       |          {'d2m': CAST(FLOOR(1000000.0 * (list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.v) + list_inner_product(c.v, c.v)) + 0.5) AS BIGINT),
+       |           'id': c.id}))[1].id) AS cid
+       |        FROM e, cf) z GROUP BY 1),
+       |cw AS MATERIALIZED (SELECT u.c.id AS id, u.c.v AS v, COALESCE(wt.w, 0) AS w
+       |       FROM cf, unnest(cf.cents) u(c) LEFT JOIN wt ON wt.cid = u.c.id),
+       |gr(i, chosen) AS (
+       |  SELECT 1, [(SELECT {'id': id, 'v': v} FROM cw ORDER BY w DESC, id LIMIT 1)]
+       |  UNION ALL
+       |  SELECT gr.i + 1, gr.chosen || [nxt.pick]
+       |  FROM gr, LATERAL (
+       |    SELECT {'id': id, 'v': v} AS pick
+       |    FROM cw
+       |    WHERE NOT list_contains(list_transform(gr.chosen, x -> x.id), cw.id)
+       |    ORDER BY w * list_min(list_transform(gr.chosen, x ->
+       |      CAST(FLOOR(1000000.0 * (list_inner_product(cw.v, cw.v) - 2.0 * list_inner_product(cw.v, x.v) + list_inner_product(x.v, x.v)) + 0.5) AS BIGINT))) DESC, id
+       |    LIMIT 1
+       |  ) nxt
+       |  WHERE gr.i < least($k, (SELECT COUNT(*) FROM cw))
+       |),
+       |fin2 AS MATERIALIZED (SELECT chosen FROM gr ORDER BY i DESC LIMIT 1),
+       |stg2 AS (SELECT 'final_k' AS stage, CAST(len(f.chosen) AS BIGINT) AS n_centers,
+       |                (SELECT CAST(SUM(${minD2("f.chosen", "e.v")}) AS BIGINT) FROM e) AS phi_micro
+       |         FROM fin2 f),
+       |sk AS (SELECT LIST({'id': vec_id, 'v': v} ORDER BY vec_id) AS cs
+       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k) z),
+       |stg3 AS (SELECT 'seed_k' AS stage, CAST(len(s2.cs) AS BIGINT) AS n_centers,
+       |                (SELECT CAST(SUM(${minD2("s2.cs", "e.v")}) AS BIGINT) FROM e) AS phi_micro
+       |         FROM sk s2)""".stripMargin
+  }
 
   /** One unigram hard-EM iteration's Viterbi DP over the `uw` word
     * table under probability table `probSrc` — dp$k carries the lattice

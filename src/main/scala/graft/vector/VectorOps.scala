@@ -1502,10 +1502,9 @@ object VectorOps {
       .groupBy(_._2)
       .map { case (sub, xs) => sub -> xs.sortBy(_._3).map(_._1).toSeq }
 
-  /** q296's variance-ranked snake allocation (dim → subspace), shared
-    * with q302's balanced leg. */
-  private def balancedDims(spark: SparkSession, dir: String,
-                           m: Int): Map[Int, Seq[Int]] = {
+  /** The exact-integer variance ranking of dims (q296's rule, factored
+    * so q310's truncation audit reuses the identical order). */
+  private def varianceRankedDims(spark: SparkSession, dir: String): Seq[Int] = {
     val stats = vecs(spark, dir).select(posexplode(col("v")))
       .groupBy("pos")
       .agg(count(lit(1)).as("n"),
@@ -1515,13 +1514,18 @@ object VectorOps {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // exact integer variance proxy in arbitrary precision — BIGINT
     // could overflow s1² on wider-range embeddings (oracle: HUGEINT)
-    val ranked = stats
+    stats
       .map { case (dim, n, s2, s1) =>
         (dim, BigInt(n) * BigInt(s2) - BigInt(s1) * BigInt(s1)) }
       .sortBy { case (dim, v) => (-v, dim) }
       .map(_._1).toSeq
-    snakeOf(ranked, m)
   }
+
+  /** q296's variance-ranked snake allocation (dim → subspace), shared
+    * with q302's balanced leg. */
+  private def balancedDims(spark: SparkSession, dir: String,
+                           m: Int): Map[Int, Seq[Int]] =
+    snakeOf(varianceRankedDims(spark, dir), m)
 
   /** The permuted-subvector frame of an allocation (vec_id, sub, sv). */
   private def allocPsv(e: DataFrame, dimsOf: Map[Int, Seq[Int]],
@@ -2037,6 +2041,200 @@ object VectorOps {
       .withColumn("agree",
         (col("adc_admit") === col("exact_admit")).cast("long"))
       .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // k-means|| scalable initialization (q309)
+  // ---------------------------------------------------------------------
+
+  /** q309 knobs — interpolated into the oracle SQL. The hash constants
+    * are Knuth's multiplicative constant and a small odd step, mod 2³¹
+    * — pure integer arithmetic both engines compute identically (no
+    * engine RNG anywhere near the hash). */
+  private[graft] val KppRounds = 3
+  private[graft] val KppL = 8
+  private[graft] val KppK = 8
+  private[graft] val KppHashA = 2654435761L
+  private[graft] val KppHashB = 97531L
+  private[graft] val KppHashMod = 2147483648L
+
+  /** q309 — k-means|| initialization (Bahmani et al., VLDB'12 — THE
+    * 100 TB k-means init: sequential k-means++ needs k dependent passes
+    * over the data; k-means|| oversamples ~l points per round for O(log
+    * n) rounds, then reclusters the tiny candidate set). Deterministic
+    * throughout: the per-point inclusion coin "with probability
+    * l·d²(x)/φ" is a FIXED multiplicative hash u(x,r) =
+    * ((id·A + r·B) mod 2³¹)/2³¹ compared against the same ratio in
+    * IEEE-exact double division — the actual k-means|| sampling
+    * distribution with a replayable coin; the final recluster is greedy
+    * weighted k-means++ (argmax of weight × distance-to-chosen instead
+    * of sampling — the greedy variant production libraries use), ties
+    * to the lower id everywhere.
+    *
+    * Output is the DECISION TABLE: per-round candidate count and total
+    * cost φ (micro ints), the final k centers' φ, and the first-k
+    * seeding's φ (the q35/q111 baseline) — "does the scalable init beat
+    * naive seeding" as an executable row.
+    *
+    * Scale: each round is ONE narrow pass (inline min-d² over ≤ 1+R·l
+    * centers — far under the InlineMaxCells wall) into a 1-row agg plus
+    * one filtered collect of ~l rows; weights are one more narrow pass
+    * into a candidate-keyed agg; the recluster is driver arithmetic on
+    * ≤ 1+R·l candidates. Nothing shuffles but bounded aggregates. */
+  def kmeansParInit(spark: SparkSession, dir: String,
+                    rounds: Int = KppRounds, l: Int = KppL,
+                    k: Int = KppK): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    def minD2Micro(cents: Seq[Seq[Double]]): Column = {
+      val d2s = cents.map(c =>
+        dotC(col("v"), col("v")) - lit(2.0d) * dotC(col("v"), typedLit(c))
+          + lit(sdot(c, c)))
+      val m = if (d2s.size == 1) d2s.head else least(d2s: _*)
+      floor(m * lit(1000000.0d) + lit(0.5d)).cast("long")
+    }
+    def phiOf(cents: Seq[Seq[Double]]): Long =
+      e.select(minD2Micro(cents).as("d2m")).agg(sum("d2m")).head().getLong(0)
+    val c0 = e.orderBy("vec_id").select("vec_id", "v").limit(1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).head
+    var cents: Seq[(Long, Seq[Double])] = Seq(c0)
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    stages += (("round_0", 1L, phiOf(cents.map(_._2))))
+    for (r <- 1 to rounds) {
+      val phi = stages.last._3
+      val ids = cents.map(_._1).toSet
+      val sel = e
+        .withColumn("d2m", minD2Micro(cents.map(_._2)))
+        .filter(!col("vec_id").isInCollection(ids))
+        .filter(
+          (lit(l.toLong) * col("d2m")).cast("double") / lit(phi.toDouble)
+            >= pmod(col("vec_id") * lit(KppHashA) + lit(r.toLong * KppHashB),
+                lit(KppHashMod)).cast("double") / lit(KppHashMod.toDouble))
+        .select("vec_id", "v").orderBy("vec_id")
+        .collect().map(x => (x.getLong(0), x.getSeq[Double](1).toSeq)).toSeq
+      cents = cents ++ sel
+      stages += ((s"round_$r", cents.size.toLong, phiOf(cents.map(_._2))))
+    }
+    // weights: every point to its nearest candidate, (d²_micro, id) ties
+    // to the lower candidate id — one narrow pass, candidate-keyed agg
+    val weights = e
+      .select(element_at(array_sort(array(cents.map { case (id, cv) =>
+          struct(floor((dotC(col("v"), col("v"))
+            - lit(2.0d) * dotC(col("v"), typedLit(cv))
+            + lit(sdot(cv, cv))) * lit(1000000.0d) + lit(0.5d))
+            .cast("long").as("d2m"), lit(id).as("id"))
+        }: _*)), lit(1)).getField("id").as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // greedy weighted recluster on the driver (≤ 1+R·l candidates):
+    // start at max weight, then argmax of weight × min-d²-micro to the
+    // chosen set; ties to the lower id — the deterministic k-means++
+    val byId = cents.toMap
+    def d2m(a: Seq[Double], b: Seq[Double]): Long = {
+      val d = sdot(a, a) - 2.0d * sdot(a, b) + sdot(b, b)
+      math.floor(d * 1000000.0d + 0.5d).toLong
+    }
+    val first = cents.map(_._1)
+      .maxBy(id => (weights.getOrElse(id, 0L), -id))
+    var chosen: Seq[Long] = Seq(first)
+    while (chosen.size < math.min(k, cents.size)) {
+      val next = cents.map(_._1).filterNot(chosen.contains)
+        .maxBy { id =>
+          val md = chosen.map(c => d2m(byId(id), byId(c))).min
+          (weights.getOrElse(id, 0L) * md, -id)
+        }
+      chosen = chosen :+ next
+    }
+    stages += (("final_k", chosen.size.toLong,
+      phiOf(chosen.map(byId))))
+    // baseline: the first-k-by-vec_id seeding (the q35/q111 rule)
+    val seedK = e.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    stages += (("seed_k", seedK.size.toLong, phiOf(seedK)))
+    stages.toSeq.toDF("stage", "n_centers", "phi_micro").orderBy("stage")
+  }
+
+  // ---------------------------------------------------------------------
+  // Truncated-dimension retrieval audit (q310)
+  // ---------------------------------------------------------------------
+
+  /** q310 knobs: shortlist on [[TruncDims]] of the 64 dims; the cascade
+    * reranks the top [[CascadeMult]]·k shortlist in full precision. */
+  private[graft] val TruncDims = 16
+  private[graft] val CascadeMult = 4
+
+  /** q310 — TRUNCATED-dimension retrieval (the Matryoshka-style cheap
+    * prefilter, Kusupati et al. 2022): rank the corpus for each query
+    * using only 16 of the 64 dims — (a) the naive PREFIX dims, (b) the
+    * TOP-VARIANCE dims (q296's exact-integer ranking — the "learned"
+    * truncation this store actually supports), and (c) the CASCADE that
+    * shortlists top 4·k by the top-variance prefilter then reranks the
+    * shortlist in full precision — against the exact full-dim top-k.
+    * The decision table for a two-stage scan: a 16-dim prefilter reads
+    * and multiplies 4× less per candidate, and the cascade row says
+    * what recall that buys back at rerank cost 4·k instead of N.
+    *
+    * Scale: the q303 audit shape — corpus×nQueries bounded by the
+    * nQueries knob; distances micro-rounded before ranking (ties to the
+    * lower vec_id) so both engines rank identical integers; the
+    * production path would pair the prefilter with the IVF probe (q35),
+    * not a full scan. */
+  def prefixDimRetrieval(spark: SparkSession, dir: String,
+                         nQueries: Long = AdcGainQueries,
+                         k: Int = AdcGainK): DataFrame = {
+    val e = vecs(spark, dir)
+    val c = PqC // the q303 query/corpus boundary, kept for comparability
+    val topVar = varianceRankedDims(spark, dir).take(TruncDims)
+    def topVarCol(vc: Column): Column =
+      array(topVar.map(j => element_at(vc, j + 1)): _*)
+    val queries = e.filter(col("vec_id") >= c && col("vec_id") < c + nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        expr(s"slice(v, 1, $TruncDims)").as("qp"), topVarCol(col("v")).as("qt"))
+    val corpus = e.filter(col("vec_id") >= c + nQueries)
+      .select(col("vec_id"), col("v"),
+        expr(s"slice(v, 1, $TruncDims)").as("vp"), topVarCol(col("v")).as("vt"))
+      .cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dm").asc, col("vec_id").asc)
+    def dmCol(a: String, b: String): Column =
+      expr(s"CAST(FLOOR(1000000.0d * (graft_dot($a, $a) - 2.0d * graft_dot($b, $a) + graft_dot($b, $b)) + 0.5d) AS BIGINT)")
+    def rankedOn(vCol: String, qCol: String, keep: Int): DataFrame =
+      corpus.select(col("vec_id"), col(vCol))
+        .crossJoin(broadcast(queries.select(col("query_id"), col(qCol))))
+        .select(col("query_id"), col("vec_id"), dmCol(vCol, qCol).as("dm"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= keep)
+    try {
+      val exactK = rankedOn("v", "qv", k).select("query_id", "vec_id")
+      val prefK = rankedOn("vp", "qp", k).select("query_id", "vec_id")
+      val tvK = rankedOn("vt", "qt", k).select("query_id", "vec_id")
+      // cascade: top-variance shortlist of 4·k, full-precision rerank
+      val short = rankedOn("vt", "qt", CascadeMult * k)
+        .select("query_id", "vec_id")
+      val cascK = short
+        .join(corpus.select("vec_id", "v"), Seq("vec_id"))
+        .join(broadcast(queries.select("query_id", "qv")), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), dmCol("v", "qv").as("dm"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k).select("query_id", "vec_id")
+      def overlapOf(cand: DataFrame, n: String): DataFrame =
+        exactK.join(cand, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as(n))
+      def recallCol(n: String, out: String): Column =
+        expr(s"CAST(FLOOR(1000000.0d * COALESCE($n, 0L) / $k + 0.5d) AS BIGINT)").as(out)
+      queries.select("query_id")
+        .join(overlapOf(prefK, "n_overlap_prefix"), Seq("query_id"), "left")
+        .join(overlapOf(tvK, "n_overlap_topvar"), Seq("query_id"), "left")
+        .join(overlapOf(cascK, "n_overlap_cascade"), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_overlap_prefix"), lit(0L)).as("n_overlap_prefix"),
+          recallCol("n_overlap_prefix", "recall_prefix_micro"),
+          coalesce(col("n_overlap_topvar"), lit(0L)).as("n_overlap_topvar"),
+          recallCol("n_overlap_topvar", "recall_topvar_micro"),
+          coalesce(col("n_overlap_cascade"), lit(0L)).as("n_overlap_cascade"),
+          recallCol("n_overlap_cascade", "recall_cascade_micro"))
+        .orderBy("query_id")
+    } finally corpus.unpersist(blocking = false)
   }
 
   /** q299 — TWO-LEVEL coarse assignment audit: the flat argmin over k

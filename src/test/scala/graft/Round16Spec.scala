@@ -286,4 +286,44 @@ class Round16Spec extends SparkSpec {
     assert(f.exists(r =>
       r.getAs[Long]("pieces_total") < r.getAs[Long]("chars_total")))
   }
+
+  test("k-means|| init: cost is monotone nonincreasing over rounds (adding centers is a theorem), stage shapes well-formed (q309)") {
+    val byStage = graft.vector.VectorOps
+      .kmeansParInit(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rounds = (0 to graft.vector.VectorOps.KppRounds)
+      .map(i => byStage(s"round_$i"))
+    assert(rounds.head._1 === 1L, "round_0 must hold exactly the one seed")
+    // n_centers nondecreasing; φ NONINCREASING — min-distance to a
+    // superset of centers can never grow (micro-rounding preserves the
+    // per-point ≤, so the integer sums inherit it)
+    rounds.sliding(2).foreach { case Seq((n1, p1), (n2, p2)) =>
+      assert(n2 >= n1, "candidate count shrank across a round")
+      assert(p2 <= p1, s"cost grew across a round: $p1 -> $p2")
+    }
+    val (nFinal, _) = byStage("final_k")
+    assert(nFinal === math.min(graft.vector.VectorOps.KppK.toLong,
+      rounds.last._1))
+    val (nSeed, _) = byStage("seed_k")
+    assert(nSeed === graft.vector.VectorOps.KppK.toLong)
+  }
+
+  test("truncated-dim retrieval: cascade recall dominates the prefilter it reranks (subset theorem), overlaps bounded by k (q310)") {
+    val k = graft.vector.VectorOps.AdcGainK.toLong
+    val rows = graft.vector.VectorOps
+      .prefixDimRetrieval(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getAs[Long]("n_overlap_topvar")
+      val ca = r.getAs[Long]("n_overlap_cascade")
+      val pf = r.getAs[Long]("n_overlap_prefix")
+      Seq(tv, ca, pf).foreach(x => assert(x >= 0L && x <= k))
+      // the top-k under the top-variance metric is a PREFIX of the 4k
+      // shortlist under the same metric, and the cascade's exact rerank
+      // returns every exact-top-k member the shortlist contains — so
+      // cascade overlap can never fall below the prefilter's
+      assert(ca >= tv,
+        s"cascade ($ca) lost to the prefilter it reranks ($tv)")
+    }
+  }
 }
