@@ -5755,7 +5755,7 @@ object SparkEntry {
        |          FROM d2, ph
        |          WHERE NOT list_contains(list_transform(kr.cents, c -> c.id), d2.vec_id)
        |            AND CAST($l * d2m AS DOUBLE) / CAST(ph.phi AS DOUBLE)
-       |                >= CAST((vec_id * $a + (kr.r + 1) * $b) % $mm AS DOUBLE) / CAST($mm AS DOUBLE))
+       |                >= CAST(((vec_id % $mm) * $a + (kr.r + 1) * $b) % $mm AS DOUBLE) / CAST($mm AS DOUBLE))
        |    SELECT sel FROM s
        |  ) nxt
        |  WHERE kr.r < $r

@@ -109,6 +109,21 @@ object StreamBench {
         nearDupIndex = Some((postings, corpusArr))),
       "append", docRate)
 
+    // DECONTAMINATION gate (r16): the broadcast benchmark artifact is
+    // the first 100 synthetic docs' distinct shingles, so a slice of
+    // the stream (same generator) collides and is vetoed — the probe
+    // leg and the fold both do real work.
+    val evalSet = corpusArr.filter(col("doc_id") < 100)
+      .select(explode(col("arr")).as("sh64")).distinct().cache()
+    evalSet.count()
+    measure("decontam_gate",
+      graft.streaming.TrainingPipeline.decontamGate(
+        rateSrc(docRate).select(
+          (col("value") + 2000000L).as("doc_id"), lit("rate").as("source"),
+          synthText.as("text")),
+        evalSet),
+      "append", docRate)
+
     // ANN admission gate, full-precision corpus state (q261's shape):
     // tokenizer-health monitor: the same synthetic word pool, with a
     // frozen vocabulary covering word ids < 2500 (half the pool) so the

@@ -211,8 +211,20 @@ object StreamDemo {
       .writeStream.format("memory").queryName("demo_oov")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
 
+    // 12: decontamination gate — train docs stream against the FROZEN
+    // eval-split benchmark shingle set (q161's keep set, streaming)
+    val evalSet = graft.text.TextOps.evalShingleSet(spark, sfDir).cache()
+    evalSet.count()
+    val qDecontam = graft.streaming.TrainingPipeline.decontamGate(
+        spark.readStream.schema(dSchema).parquet(docsDir)
+          .filter(expr("substring(md5(cast(doc_id as string)), 1, 1) not in ('0', '1')"))
+          .select(col("doc_id"), col("source"), col("text")),
+        evalSet)
+      .writeStream.format("memory").queryName("demo_decontam")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+
     Seq(qDau, qAlerts, qGmv, qJoin, qDim, qCorpus, qFunnel, qVecGate,
-      qVecGateAdc, qDecode, qOov).foreach(_.awaitTermination())
+      qVecGateAdc, qDecode, qOov, qDecontam).foreach(_.awaitTermination())
     val wallSec = (System.nanoTime() - t0) / 1e9
 
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
@@ -235,7 +247,9 @@ object StreamDemo {
     val oovOut = spark.table("demo_oov")
     println(s"[stream-demo] tokenizer monitor: ${oovOut.select("source").distinct().count()} sources tracked, " +
       s"max running OOV micro ${oovOut.agg(max(col("oov_micro"))).head().getLong(0)}")
-    println(f"[stream-demo] 11 concurrent pipelines, ${nEvents + nOrders + nItems + 3 * nDocs + 2 * nVecs}%,d input rows in $wallSec%.1f s")
+    println(s"[stream-demo] decontam gate: admitted ${spark.table("demo_decontam").count()} train docs " +
+      s"(benchmark-overlapping docs vetoed at ingest)")
+    println(f"[stream-demo] 12 concurrent pipelines, ${nEvents + nOrders + nItems + 4 * nDocs + 2 * nVecs}%,d input rows in $wallSec%.1f s")
 
     spark.stop()
   }

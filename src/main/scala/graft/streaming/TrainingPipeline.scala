@@ -160,6 +160,62 @@ object TrainingPipeline {
       }.toDF()
   }
 
+  /** One event of [[decontamGate]]'s per-doc fold: the payload row or a
+    * skinny benchmark-collision row. */
+  case class DecontamEvt(doc_id: Long, source: String, text: String,
+                         hit: Boolean, payload: Boolean)
+  /** A doc the decontamination gate admitted. */
+  case class CleanDoc(doc_id: Long, source: String, text: String)
+
+  /** Streaming DECONTAMINATION gate — q161's benchmark-overlap drop
+    * (the GPT-3 appendix-C pass) moved into the INGEST path: a train
+    * doc sharing ≥ `minShared` 3-gram shingles with the frozen
+    * benchmark set never enters the corpus, instead of being hunted
+    * retrospectively after it contaminated a checkpoint's eval. The
+    * benchmark side is [[graft.text.TextOps.evalShingleSet]]'s DISTINCT
+    * shingle-hash artifact — benchmarks are MBs where train is TBs, so
+    * the static side stays broadcast-sized forever.
+    *
+    * Same payload-leg/skinny-probe shape as [[nearDupGate]]: the doc
+    * body travels exactly once; the probe leg explodes the in-row
+    * shingle expression and inner-joins the benchmark set, so each
+    * collision is one skinny row and a clean doc contributes zero; the
+    * per-doc fold counts collisions lazily in O(1) memory (append-mode
+    * legal; state unused — each doc_id lives in one micro-batch). The
+    * collision COUNT matters: `minShared` = 2 keeps the q161 semantics
+    * where one shared shingle is a near-miss, not a drop. */
+  def decontamGate(fresh: DataFrame, evalShingles: DataFrame,
+                   minShared: Int = 2): DataFrame = {
+    val spark = fresh.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    graft.functions.GraftFunctions.register(spark)
+    val withHs = fresh.select(col("doc_id"), col("source"), col("text"),
+      expr("graft_shingle_hashes(text, 3)").as("hs"))
+    val payload = withHs.select(col("doc_id"), col("source"), col("text"),
+      lit(false).as("hit"), lit(true).as("payload"))
+    val probe = withHs
+      .select(col("doc_id"), explode(col("hs")).as("sh64"))
+      .join(evalShingles.select("sh64"), Seq("sh64"))
+      .select(col("doc_id"), lit(null).cast("string").as("source"),
+        lit(null).cast("string").as("text"),
+        lit(true).as("hit"), lit(false).as("payload"))
+    payload.unionByName(probe).as[DecontamEvt]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, CleanDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, _) =>
+          var head: DecontamEvt = null
+          var hits = 0L
+          rows.foreach { r =>
+            if (r.payload && head == null) head = r
+            if (r.hit) hits += 1L
+          }
+          if (head == null || hits >= minShared) Iterator.empty
+          else Iterator(CleanDoc(head.doc_id, head.source, head.text))
+      }.toDF()
+  }
+
   /** Streaming PARTIAL-overlap screen — q156's winnowing moved into the
     * ingest path, the layer [[corpusIngest]]'s exact-fingerprint index
     * cannot cover: a crawled page that pastes a paragraph of an

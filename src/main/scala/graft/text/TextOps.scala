@@ -584,13 +584,22 @@ object TextOps {
     * train is TBs) — and train shingles left-semi probe it; both reuse
     * the memoized per-doc shingle table. One shuffle on shingle hash,
     * one per-doc count aggregate. */
+  /** The frozen benchmark artifact of q161 and the streaming
+    * decontamination gate: the eval split's DISTINCT shingle-hash set —
+    * tiny relative to train (benchmarks are MBs, train is TBs), the
+    * side that broadcasts. */
+  private[graft] def evalShingleSet(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.DedupOps.docShingleArr(spark, dir)
+      .withColumn("split", splitCol)
+      .filter(col("split") === "eval")
+      .select(explode(col("arr")).as("sh64")).distinct()
+
   def decontaminate(spark: SparkSession, dir: String,
                     minShared: Int = 2): DataFrame = {
     val sh = graft.dedup.DedupOps.docShingleArr(spark, dir)
       .withColumn("split", splitCol)
     val exploded = sh.select(col("doc_id"), col("split"), explode(col("arr")).as("sh64"))
-    val evalSet = exploded.filter(col("split") === "eval")
-      .select(col("sh64")).distinct()
+    val evalSet = evalShingleSet(spark, dir)
     val trainSh = exploded.filter(col("split") === "train")
     val hits = trainSh.join(evalSet, Seq("sh64"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("overlap_ct"))

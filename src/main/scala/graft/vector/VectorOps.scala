@@ -2058,6 +2058,33 @@ object VectorOps {
   private[graft] val KppHashB = 97531L
   private[graft] val KppHashMod = 2147483648L
 
+  /** Per-row micro-rounded min squared distance to a driver-held center
+    * set — the k-means|| cost column (shared by [[kmeansParInit]] and
+    * the ScaleProbe round family). */
+  private[graft] def minD2Micro(cents: Seq[Seq[Double]]): Column = {
+    val d2s = cents.map(c =>
+      dotC(col("v"), col("v")) - lit(2.0d) * dotC(col("v"), typedLit(c))
+        + lit(sdot(c, c)))
+    val m = if (d2s.size == 1) d2s.head else least(d2s: _*)
+    floor(m * lit(1000000.0d) + lit(0.5d)).cast("long")
+  }
+
+  /** ONE k-means|| round (cost pass + hash-coin oversample) over an
+    * arbitrary (vec_id, v) frame — the production arithmetic, exposed
+    * for the ScaleProbe family: returns (φ, selected count). */
+  private[graft] def kppRoundProbe(e: DataFrame, cents: Seq[Seq[Double]],
+                                   l: Int, r: Int): (Long, Long) = {
+    val withD2 = e.withColumn("d2m", minD2Micro(cents))
+    val phi = withD2.agg(sum("d2m")).head().getLong(0)
+    val sel = withD2.filter(
+      (lit(l.toLong) * col("d2m")).cast("double") / lit(phi.toDouble)
+        >= pmod(pmod(col("vec_id"), lit(KppHashMod)) * lit(KppHashA)
+              + lit(r.toLong * KppHashB),
+            lit(KppHashMod)).cast("double") / lit(KppHashMod.toDouble))
+      .count()
+    (phi, sel)
+  }
+
   /** q309 — k-means|| initialization (Bahmani et al., VLDB'12 — THE
     * 100 TB k-means init: sequential k-means++ needs k dependent passes
     * over the data; k-means|| oversamples ~l points per round for O(log
@@ -2086,13 +2113,6 @@ object VectorOps {
                     k: Int = KppK): DataFrame = {
     import spark.implicits._
     val e = vecs(spark, dir).select(col("vec_id"), col("v"))
-    def minD2Micro(cents: Seq[Seq[Double]]): Column = {
-      val d2s = cents.map(c =>
-        dotC(col("v"), col("v")) - lit(2.0d) * dotC(col("v"), typedLit(c))
-          + lit(sdot(c, c)))
-      val m = if (d2s.size == 1) d2s.head else least(d2s: _*)
-      floor(m * lit(1000000.0d) + lit(0.5d)).cast("long")
-    }
     def phiOf(cents: Seq[Seq[Double]]): Long =
       e.select(minD2Micro(cents).as("d2m")).agg(sum("d2m")).head().getLong(0)
     val c0 = e.orderBy("vec_id").select("vec_id", "v").limit(1)
@@ -2107,8 +2127,12 @@ object VectorOps {
         .withColumn("d2m", minD2Micro(cents.map(_._2)))
         .filter(!col("vec_id").isInCollection(ids))
         .filter(
+          // vec_id reduces mod 2³¹ BEFORE the multiply: id·A overflows
+          // BIGINT past id ≈ 3.5·10⁹ — ids a 100 TB corpus actually has
+          // (the ScaleProbe 10x family caught this live)
           (lit(l.toLong) * col("d2m")).cast("double") / lit(phi.toDouble)
-            >= pmod(col("vec_id") * lit(KppHashA) + lit(r.toLong * KppHashB),
+            >= pmod(pmod(col("vec_id"), lit(KppHashMod)) * lit(KppHashA)
+                  + lit(r.toLong * KppHashB),
                 lit(KppHashMod)).cast("double") / lit(KppHashMod.toDouble))
         .select("vec_id", "v").orderBy("vec_id")
         .collect().map(x => (x.getLong(0), x.getSeq[Double](1).toSeq)).toSeq

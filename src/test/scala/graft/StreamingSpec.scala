@@ -998,6 +998,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamination gate admits EXACTLY the train docs q161 does not drop (stream-batch parity on real data)") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    val dropped = graft.text.TextOps.decontaminate(spark, dir)
+      .filter(col("dropped") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val trainDocs = graft.Tables.documents(spark, dir)
+      // q161's train side of the split rule
+      .filter(expr("substring(md5(cast(doc_id as string)), 1, 1) not in ('0', '1')"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .collect().map(r => Doc(r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3)))
+    val want = trainDocs.map(_.doc_id).toSet -- dropped
+    val evalSet = graft.text.TextOps.evalShingleSet(spark, dir).cache()
+    val (b1, b2) = trainDocs.splitAt(trainDocs.length / 2)
+    val input = MemoryStream[Doc]
+    val out = graft.streaming.TrainingPipeline.decontamGate(
+      input.toDF().select("doc_id", "source", "text"), evalSet)
+    val q = out.writeStream.format("memory")
+      .queryName("decontam_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("decontam_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === want,
+        s"stream admissions must equal q161's keep set; " +
+          s"diff ${(got -- want) ++ (want -- got)}")
+      // the gate actually drops on this data (not vacuous)
+      assert(dropped.nonEmpty && want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("SQ8-compressed gate admits EXACTLY the q297 batch face's sq8_admit set (stream-batch parity on real data)") {
     implicit val sq = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
