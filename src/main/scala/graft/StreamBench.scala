@@ -161,6 +161,22 @@ object StreamBench {
         byteMerges).toDF(),
       "append", rate / 2)
 
+    // UNIGRAM fertility monitor (r16): the frozen lattice runs in-row
+    // over the same synthetic pool — vocab = single chars (w + digits)
+    // + hot two-char pieces, so the DP does real multi-candidate work.
+    val uniProbs: Map[String, Long] =
+      (("w" +: (0 to 9).map(_.toString)).map(_ -> 20000L) ++
+        Seq("w1" -> 60000L, "w2" -> 50000L, "12" -> 40000L,
+          "23" -> 30000L, "34" -> 25000L)).toMap
+    measure("unigram_fertility_monitor",
+      graft.streaming.TrainingPipeline.fertilityMonitorUnigram(
+        rateSrc(rate).select(
+          col("value").as("doc_id"),
+          concat(lit("src"), (col("value") % 16).cast("string")).as("source"),
+          synthText.as("text")),
+        uniProbs).toDF(),
+      "append", rate / 2)
+
     // 16-dim synthetic vectors, 8-cell frozen quantizer, 1024-vector
     // corpus.
     val synthVec = expr(

@@ -158,12 +158,9 @@ object StreamDemo {
     //    swap, and run the gate through the unified entry point that
     //    reads everything back from the published directory — no
     //    compiled constant anywhere between the sweep and the verdicts.
-    val (pqCents, pqCb, pqCodes) =
-      graft.vector.VectorOps.frozenPqIvfIndex(spark, sfDir)
-    pqCodes.cache()
     val pqIdxDir = s"$stage/pq_index"
-    graft.streaming.Sinks.publishPqIvfIndex(pqIdxDir, pqCents, pqCb, pqCodes,
-      thresholdMicro = graft.vector.VectorOps.tunedThresholdMicro(spark, sfDir))
+    graft.streaming.TrainingPipeline
+      .trainAndPublishIndex(spark, sfDir, pqIdxDir, "pq")
     val pqCfg = graft.streaming.Sinks.loadGateConfig(spark, pqIdxDir).get
     println(s"[stream-demo] published pq gate index: tier=${pqCfg.tier} " +
       s"nProbe=${pqCfg.nProbe} thresholdMicro=${pqCfg.thresholdMicro}")

@@ -630,6 +630,93 @@ object TrainingPipeline {
       }
   }
 
+  case class UniFertObs(source: String, syms: Long)
+  case class UniFertStat(source: String, n_tokens: Long, pieces_total: Long,
+                         fertility_micro: Long)
+
+  /** UNIGRAM tokenizer-health monitor — the q308 face as a running
+    * per-source stat, completing the monitor family (char-BPE
+    * [[oovMonitor]], byte-BPE [[fertilityMonitorBytes]], unigram here):
+    * the frozen vocabulary's Viterbi lattice runs IN-ROW
+    * ([[graft.text.Curation.uniDpCol]] — no vocabulary join; the map
+    * literal ships in the plan), so every word gets its TRUE
+    * frozen-tokenizer piece count. Coverage is char-vocabulary-bounded
+    * (unigram's structural limit — an unseen CHARACTER has no lattice
+    * path and falls back to char count; byte BPE remains the
+    * total-coverage tier), which the spec pins explicitly. State: two
+    * longs per source. */
+  def fertilityMonitorUnigram(docs: DataFrame, probs: Map[String, Long]):
+      org.apache.spark.sql.Dataset[UniFertStat] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    implicit val inEnc: Encoder[UniFertObs] = Encoders.product[UniFertObs]
+    implicit val outEnc: Encoder[UniFertStat] = Encoders.product[UniFertStat]
+    implicit val stateEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    docs
+      .select(col("source"),
+        explode(expr(graft.text.TextOps.TokensExpr)).as("word"))
+      .filter(length(col("word")) >= 1)
+      .withColumn("dp", graft.text.Curation.uniDpCol(col("word"), probs))
+      .select(col("source"),
+        coalesce(
+          element_at(col("dp"), length(col("word")) + lit(1))
+            .getField("np").cast("long"),
+          length(col("word")).cast("long")).as("syms"))
+      .as[UniFertObs]
+      .groupByKey(_.source)(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Long), UniFertStat](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[UniFertObs],
+         state: GroupState[(Long, Long)]) =>
+          var (nt, sy) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => nt += 1; sy += r.syms }
+          state.update((nt, sy))
+          if (nt == 0L) Iterator.empty
+          else Iterator(UniFertStat(source, nt, sy,
+            math.floor(1000000.0d * sy / nt + 0.5d).toLong))
+      }
+  }
+
+  /** ONE train-and-publish job per tier — the production WRITE side of
+    * [[annGateFromIndex]]: train the requested state shape on the
+    * corpus side of `dir`'s embeddings (the frozen discipline), pick
+    * the operating point from the q290 threshold sweep
+    * ([[graft.vector.VectorOps.tunedThresholdMicro]] — today's one
+    * sweep artifact; it is tuned on the PQ-ADC verdicts and applied to
+    * every tier, which the sq8/opq cosine semantics share and the full
+    * tier uses as-is), and publish state + tier + knobs in ONE atomic
+    * swap. An index-maintenance cron is this one call; every gate picks
+    * the new version up at its next (re)start through the unified entry
+    * point. */
+  def trainAndPublishIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, path: String, tier: String): Unit = {
+    val thr = graft.vector.VectorOps.tunedThresholdMicro(spark, dir)
+    tier match {
+      case "full" =>
+        val (cents, assigned) =
+          graft.vector.VectorOps.frozenIvfIndex(spark, dir)
+        Sinks.publishIvfIndex(path, cents, assigned, thresholdMicro = thr)
+      case "pq" =>
+        val (cents, cb, codes) =
+          graft.vector.VectorOps.frozenPqIvfIndex(spark, dir)
+        Sinks.publishPqIvfIndex(path, cents, cb, codes, thresholdMicro = thr)
+      case "sq8" =>
+        val (cents, mn, mx, codes) =
+          graft.vector.VectorOps.frozenSq8IvfIndex(spark, dir)
+        Sinks.publishSq8IvfIndex(path, cents, mn, mx, codes,
+          thresholdMicro = thr)
+      case "opq" =>
+        val idx = graft.vector.VectorOps.frozenOpqIvfIndex(spark, dir)
+        Sinks.publishOpqIvfIndex(path, idx.rm, idx.alloc, idx.cents, idx.cb,
+          idx.codes, thresholdMicro = thr)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown gate tier '$other' (expected full | pq | sq8 | opq)")
+    }
+  }
+
   def quotaAdmit(docs: DataFrame, quotaTokens: Long = 20000L):
       org.apache.spark.sql.Dataset[Admitted] = {
     import org.apache.spark.sql.{Encoder, Encoders}

@@ -1650,7 +1650,12 @@ object Curation {
               l.as("l"))).otherwise(lit(null))
           }),
           c => c.isNotNull)
-        val best = element_at(array_sort(cands), lit(1))
+        // get (0-based) not element_at: a word containing an UNSEEN
+        // char has an empty candidate list at that position, and ANSI
+        // element_at throws on it — get yields null, which propagates
+        // to a null final entry the monitor's char fallback coalesces
+        // (training never hits this: every corpus char is seeded)
+        val best = get(array_sort(cands), lit(0))
         concat(acc, array(struct(
           (-best.getField("a")).as("s"),
           best.getField("b").as("np"),

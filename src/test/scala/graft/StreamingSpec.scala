@@ -244,6 +244,89 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("unigram fertility monitor: in-row lattice, unseen-CHAR fallback pinned, stream totals equal the q308 batch face on real data") {
+    import graft.streaming.TrainingPipeline
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand-worked: p(ab) beats p(a)p(b) → 'abab' = 2 pieces, 'ab' = 1;
+    // 'zq' contains an unseen CHAR (q) → no lattice path → char fallback
+    // (2) — unigram's structural coverage limit, unlike byte BPE
+    val probs = Map("a" -> 300000L, "b" -> 300000L, "z" -> 100000L,
+      "ab" -> 350000L)
+    val input = MemoryStream[(Long, String, String)]
+    val mon = TrainingPipeline.fertilityMonitorUnigram(
+      input.toDF().toDF("doc_id", "source", "text"), probs)
+    val q = mon.writeStream.format("memory").queryName("unifert_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "srcA", "abab ab"))
+      q.processAllAvailable()
+      input.addData((2L, "srcA", "zq"))
+      q.processAllAvailable()
+      val rows = spark.table("unifert_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // batch 1: 2 tokens, 2+1 pieces; after batch 2: 3 tokens, 3+2
+      assert(rows.toSet === Set(("srcA", 2L, 3L, 1500000L),
+        ("srcA", 3L, 5L, 1666667L)))
+    } finally q.stop()
+    // real-data parity: final running totals per source ≡ the
+    // oracle-verified q308 face (same frozen probs, same word rule)
+    val dir = "/root/testdata/sf0.001"
+    val (_, probsF) = graft.text.Curation.unigramArtifacts(spark, dir)
+    val want = graft.text.Curation.unigramFertility(spark, dir)
+      .select("source", "n_tokens", "pieces_total")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = TrainingPipeline.fertilityMonitorUnigram(
+      graft.Tables.documents(spark, dir)
+        .select("doc_id", "source", "text"), probsF)
+      .collect().map(s => (s.source, s.n_tokens, s.pieces_total)).toSet
+    assert(batch === want,
+      "monitor totals must equal the hash-verified q308 face")
+  }
+
+  test("trainAndPublishIndex: one call per tier publishes state + tuned operating point; the unified gate runs the opq tier at that point") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_trainpub").toString
+    val tuned = graft.vector.VectorOps.tunedThresholdMicro(spark, dir)
+    Seq("full", "pq", "sq8", "opq").foreach { tier =>
+      graft.streaming.TrainingPipeline
+        .trainAndPublishIndex(spark, dir, s"$base/$tier", tier)
+      val cfg = graft.streaming.Sinks.loadGateConfig(spark, s"$base/$tier").get
+      assert(cfg.tier === tier)
+      assert(cfg.thresholdMicro === tuned,
+        s"$tier index must carry the q290 sweep's operating point")
+    }
+    // the opq tier end-to-end at the TUNED point: stream admissions
+    // through the unified gate equal the batch face at that threshold
+    val want = graft.vector.VectorOps
+      .opqAdmission(spark, dir, thresholdMicro = tuned)
+      .filter(col("adc_admit") === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val freshRows = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= 250L)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => Vec(r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    val input = MemoryStream[Vec]
+    val q = graft.streaming.TrainingPipeline
+      .annGateFromIndex(input.toDF(), s"$base/opq")
+      .writeStream.format("memory").queryName("trainpub_opq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(freshRows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("trainpub_opq")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got === want)
+    } finally q.stop()
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.TrainingPipeline
+        .trainAndPublishIndex(spark, dir, s"$base/x", "hnsw")
+    }
+    assert(err.getMessage.contains("unknown gate tier"))
+  }
+
   test("streaming per-minute throttle: two qualifying events in one minute emit once (T6)") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
