@@ -168,14 +168,20 @@ object StreamBench {
       (("w" +: (0 to 9).map(_.toString)).map(_ -> 20000L) ++
         Seq("w1" -> 60000L, "w2" -> 50000L, "12" -> 40000L,
           "23" -> 30000L, "34" -> 25000L)).toMap
+    // doc-gate rate, not the row rate: each input row explodes to ~12
+    // tokens and every token runs the INTERPRETED Viterbi lattice
+    // (HOFs don't codegen — the r15 lesson); at the row rate the
+    // backlog coalesces into one batch that outlives the measurement
+    // window and reports 0. Production pre-tokenizes or batches by
+    // DISTINCT word (the q308 shape) before the lattice.
     measure("unigram_fertility_monitor",
       graft.streaming.TrainingPipeline.fertilityMonitorUnigram(
-        rateSrc(rate).select(
+        rateSrc(docRate).select(
           col("value").as("doc_id"),
           concat(lit("src"), (col("value") % 16).cast("string")).as("source"),
           synthText.as("text")),
         uniProbs).toDF(),
-      "append", rate / 2)
+      "append", docRate)
 
     // 16-dim synthetic vectors, 8-cell frozen quantizer, 1024-vector
     // corpus.
