@@ -618,6 +618,10 @@ object SparkEntry {
     // Matryoshka-style truncated-dim retrieval: naive prefix vs
     // top-variance 16-dim prefilter vs the 4k-shortlist rerank cascade
     "q310_trunc_dim_retrieval" -> ((s, d) => graft.vector.VectorOps.prefixDimRetrieval(s, d)),
+    // per-tier operating points: the q290 sweep over the OPQ resp. SQ8
+    // tiers' OWN verdicts — what trainAndPublishIndex publishes
+    "q311_opq_threshold_sweep" -> ((s, d) => graft.vector.VectorOps.opqThresholdSweep(s, d)),
+    "q312_sq8_threshold_sweep" -> ((s, d) => graft.vector.VectorOps.sq8ThresholdSweep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4055,29 +4059,17 @@ object SparkEntry {
     // candidate; catch degenerates to 1.0 with nothing to catch.
     "q290_adc_threshold_sweep" ->
       s"""WITH RECURSIVE $PqGateCtes,
-         |base AS (SELECT f.vec_id, av.best AS adc_best, ev.best AS exact_best
-         |         FROM fresh f LEFT JOIN av USING (vec_id) LEFT JOIN ev USING (vec_id)),
-         |thr AS (SELECT unnest([${graft.vector.VectorOps.GateSweepThresholds.mkString(", ")}]) AS threshold_micro),
-         |j AS (SELECT thr.threshold_micro,
-         |             CASE WHEN COALESCE(b.exact_best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro} THEN 0 ELSE 1 END AS exact_admit,
-         |             CASE WHEN COALESCE(b.adc_best, -1000000000) >= thr.threshold_micro THEN 0 ELSE 1 END AS adc_admit
-         |      FROM base b, thr),
-         |agg AS (SELECT threshold_micro,
-         |               CAST(COUNT(*) AS BIGINT) AS n_fresh,
-         |               CAST(SUM(1 - exact_admit) AS BIGINT) AS exact_rejects,
-         |               CAST(SUM(1 - adc_admit) AS BIGINT) AS adc_rejects,
-         |               CAST(SUM(CASE WHEN exact_admit = 0 AND adc_admit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS caught,
-         |               CAST(SUM(CASE WHEN exact_admit = 1 AND adc_admit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS false_rejects,
-         |               CAST(SUM(CASE WHEN exact_admit = adc_admit THEN 1 ELSE 0 END) AS BIGINT) AS agree
-         |        FROM j GROUP BY 1)
-         |SELECT CAST(threshold_micro AS BIGINT) AS threshold_micro, n_fresh, exact_rejects, adc_rejects,
-         |       caught, false_rejects,
-         |       CAST(CASE WHEN exact_rejects = 0 THEN 1000000
-         |                 ELSE FLOOR(1000000.0 * caught / exact_rejects + 0.5) END AS BIGINT) AS catch_micro,
-         |       CAST(CASE WHEN n_fresh = exact_rejects THEN 0
-         |                 ELSE FLOOR(1000000.0 * false_rejects / (n_fresh - exact_rejects) + 0.5) END AS BIGINT) AS false_rej_micro,
-         |       CAST(FLOOR(1000000.0 * agree / n_fresh + 0.5) AS BIGINT) AS agree_micro
-         |FROM agg ORDER BY threshold_micro""".stripMargin,
+         |$GateSweepTail""".stripMargin,
+    // q311/q312: the identical sweep tail over the opq resp. sq8
+    // chains' OWN verdicts (the av/ev CTEs every gate chain ends with)
+    // — each compressed tier tunes on its own distance distribution.
+    "q311_opq_threshold_sweep" ->
+      s"""WITH RECURSIVE $OpqGateCtes,
+         |$GateSweepTail""".stripMargin,
+    "q312_sq8_threshold_sweep" ->
+      s"""WITH $CoarseGateCtes,
+         |$Sq8GateChain,
+         |$GateSweepTail""".stripMargin,
     // q291: BOTH Lloyd recursions replayed — stage 1 (the q282 chain),
     // then the residual frame (stage-1 subvector minus its chosen
     // entry) feeds a SECOND chain (preSliced) seeded by the first-c
@@ -4291,27 +4283,7 @@ object SparkEntry {
     // plain WITH.
     "q297_sq8_admission" ->
       s"""WITH $CoarseGateCtes,
-         |xs AS (SELECT c.vec_id AS corpus_id, unnest(generate_series(1, len(c.v))) AS ix, unnest(c.v) AS x FROM corp c),
-         |spn AS (SELECT ix, MIN(x) AS mn, MAX(x) AS mx FROM xs GROUP BY 1),
-         |recon AS (SELECT xs.corpus_id,
-         |                 LIST(CASE WHEN s.mx = s.mn THEN s.mn
-         |                      ELSE s.mn + LEAST(GREATEST(FLOOR((xs.x - s.mn) / ((s.mx - s.mn) / 255.0) + 0.5), 0.0), 255.0) * ((s.mx - s.mn) / 255.0) END
-         |                      ORDER BY xs.ix) AS rv
-         |          FROM xs JOIN spn s USING (ix) GROUP BY 1),
-         |acand AS (SELECT f.vec_id, ca.corpus_id,
-         |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, r.rv)
-         |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(r.rv, r.rv)))) + 0.5) AS BIGINT) AS cos_micro
-         |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell
-         |               JOIN recon r ON r.corpus_id = ca.corpus_id),
-         |ecand AS (SELECT f.vec_id, ca.corpus_id,
-         |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, ca.cv)
-         |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(ca.cv, ca.cv)))) + 0.5) AS BIGINT) AS cos_micro
-         |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell),
-         |av AS (SELECT vec_id, COUNT(*) AS n_cand, MAX(cos_micro) AS best FROM acand GROUP BY 1),
-         |abi AS (SELECT acand.vec_id, CAST(MIN(acand.corpus_id) AS BIGINT) AS bid
-         |        FROM acand JOIN av ON acand.vec_id = av.vec_id AND acand.cos_micro = av.best
-         |        GROUP BY 1),
-         |ev AS (SELECT vec_id, MAX(cos_micro) AS best FROM ecand GROUP BY 1)
+         |$Sq8GateChain
          |SELECT f.vec_id, CAST(COALESCE(av.n_cand, 0) AS BIGINT) AS n_cand,
          |       av.best AS sq8_best_cos_micro, abi.bid AS sq8_best_corpus_id,
          |       CAST(CASE WHEN COALESCE(av.best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro} THEN 0 ELSE 1 END AS BIGINT) AS sq8_admit,
@@ -5998,6 +5970,61 @@ object SparkEntry {
   private def PqGateCtes: String =
     s"""$CoarseGateCtes,
          |${pqGateChainOn("corp", "fresh")}""".stripMargin
+
+  /** The q290 sweep tail over ANY gate chain ending in av/ev — the
+    * exact verdict pinned at the production threshold, the candidate
+    * verdict swept; q290 runs it on the pq chain, q311 on opq, q312 on
+    * sq8 (each compressed tier tunes on its own verdicts). */
+  private def GateSweepTail: String =
+    s"""base AS (SELECT f.vec_id, av.best AS adc_best, ev.best AS exact_best
+       |         FROM fresh f LEFT JOIN av USING (vec_id) LEFT JOIN ev USING (vec_id)),
+       |thr AS (SELECT unnest([${graft.vector.VectorOps.GateSweepThresholds.mkString(", ")}]) AS threshold_micro),
+       |j AS (SELECT thr.threshold_micro,
+       |             CASE WHEN COALESCE(b.exact_best, -1000000000) >= ${graft.vector.VectorOps.GateThresholdMicro} THEN 0 ELSE 1 END AS exact_admit,
+       |             CASE WHEN COALESCE(b.adc_best, -1000000000) >= thr.threshold_micro THEN 0 ELSE 1 END AS adc_admit
+       |      FROM base b, thr),
+       |agg AS (SELECT threshold_micro,
+       |               CAST(COUNT(*) AS BIGINT) AS n_fresh,
+       |               CAST(SUM(1 - exact_admit) AS BIGINT) AS exact_rejects,
+       |               CAST(SUM(1 - adc_admit) AS BIGINT) AS adc_rejects,
+       |               CAST(SUM(CASE WHEN exact_admit = 0 AND adc_admit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS caught,
+       |               CAST(SUM(CASE WHEN exact_admit = 1 AND adc_admit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS false_rejects,
+       |               CAST(SUM(CASE WHEN exact_admit = adc_admit THEN 1 ELSE 0 END) AS BIGINT) AS agree
+       |        FROM j GROUP BY 1)
+       |SELECT CAST(threshold_micro AS BIGINT) AS threshold_micro, n_fresh, exact_rejects, adc_rejects,
+       |       caught, false_rejects,
+       |       CAST(CASE WHEN exact_rejects = 0 THEN 1000000
+       |                 ELSE FLOOR(1000000.0 * caught / exact_rejects + 0.5) END AS BIGINT) AS catch_micro,
+       |       CAST(CASE WHEN n_fresh = exact_rejects THEN 0
+       |                 ELSE FLOOR(1000000.0 * false_rejects / (n_fresh - exact_rejects) + 0.5) END AS BIGINT) AS false_rej_micro,
+       |       CAST(FLOOR(1000000.0 * agree / n_fresh + 0.5) AS BIGINT) AS agree_micro
+       |FROM agg ORDER BY threshold_micro""".stripMargin
+
+  /** The SQ8 gate chain (per-dim affine recon + candidate cosines +
+    * verdict CTEs) over the coarse chain's corp/fresh/ca/pr — factored
+    * from q297 so q312's sweep reuses it verbatim. */
+  private def Sq8GateChain: String =
+    s"""xs AS (SELECT c.vec_id AS corpus_id, unnest(generate_series(1, len(c.v))) AS ix, unnest(c.v) AS x FROM corp c),
+       |spn AS (SELECT ix, MIN(x) AS mn, MAX(x) AS mx FROM xs GROUP BY 1),
+       |recon AS (SELECT xs.corpus_id,
+       |                 LIST(CASE WHEN s.mx = s.mn THEN s.mn
+       |                      ELSE s.mn + LEAST(GREATEST(FLOOR((xs.x - s.mn) / ((s.mx - s.mn) / 255.0) + 0.5), 0.0), 255.0) * ((s.mx - s.mn) / 255.0) END
+       |                      ORDER BY xs.ix) AS rv
+       |          FROM xs JOIN spn s USING (ix) GROUP BY 1),
+       |acand AS (SELECT f.vec_id, ca.corpus_id,
+       |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, r.rv)
+       |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(r.rv, r.rv)))) + 0.5) AS BIGINT) AS cos_micro
+       |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell
+       |               JOIN recon r ON r.corpus_id = ca.corpus_id),
+       |ecand AS (SELECT f.vec_id, ca.corpus_id,
+       |                 CAST(FLOOR(1000000.0 * (list_inner_product(f.v, ca.cv)
+       |                   / (sqrt(list_inner_product(f.v, f.v)) * sqrt(list_inner_product(ca.cv, ca.cv)))) + 0.5) AS BIGINT) AS cos_micro
+       |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell),
+       |av AS (SELECT vec_id, COUNT(*) AS n_cand, MAX(cos_micro) AS best FROM acand GROUP BY 1),
+       |abi AS (SELECT acand.vec_id, CAST(MIN(acand.corpus_id) AS BIGINT) AS bid
+       |        FROM acand JOIN av ON acand.vec_id = av.vec_id AND acand.cos_micro = av.best
+       |        GROUP BY 1),
+       |ev AS (SELECT vec_id, MAX(cos_micro) AS best FROM ecand GROUP BY 1)""".stripMargin
 
   /** q306's chain: rotation trained on the CORPUS side (jacobiChain over
     * corp0 — the frozen discipline), snake allocation at the GATE

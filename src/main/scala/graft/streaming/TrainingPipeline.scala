@@ -682,17 +682,17 @@ object TrainingPipeline {
   /** ONE train-and-publish job per tier — the production WRITE side of
     * [[annGateFromIndex]]: train the requested state shape on the
     * corpus side of `dir`'s embeddings (the frozen discipline), pick
-    * the operating point from the q290 threshold sweep
-    * ([[graft.vector.VectorOps.tunedThresholdMicro]] — today's one
-    * sweep artifact; it is tuned on the PQ-ADC verdicts and applied to
-    * every tier, which the sq8/opq cosine semantics share and the full
-    * tier uses as-is), and publish state + tier + knobs in ONE atomic
+    * the tier's OWN operating point ([[graft.vector.VectorOps
+    * .tunedThresholdMicroFor]] — q290's sweep for pq, q311's for opq,
+    * q312's for sq8; the full tier's exact gate keeps the semantic
+    * default, its threshold being the dup DEFINITION rather than a
+    * tuning knob), and publish state + tier + knobs in ONE atomic
     * swap. An index-maintenance cron is this one call; every gate picks
     * the new version up at its next (re)start through the unified entry
     * point. */
   def trainAndPublishIndex(spark: org.apache.spark.sql.SparkSession,
                            dir: String, path: String, tier: String): Unit = {
-    val thr = graft.vector.VectorOps.tunedThresholdMicro(spark, dir)
+    val thr = graft.vector.VectorOps.tunedThresholdMicroFor(spark, dir, tier)
     tier match {
       case "full" =>
         val (cents, assigned) =

@@ -3288,15 +3288,22 @@ object VectorOps {
     * Scale: ONE pass of the q284 audit frame (memo-shared index),
     * cross-joined with the 5-row broadcast threshold list into a
     * bounded aggregate. */
-  def adcThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+  /** The q290 decision-table transform over ANY admission frame with a
+    * candidate-verdict column and the exact twin — factored so every
+    * compressed tier sweeps its OWN verdicts (q290 pq, q311 opq, q312
+    * sq8): the tiers' distance distributions differ (rotation and
+    * per-dim affine both move the cosine mass), so one tier's operating
+    * point silently mis-tunes another's. */
+  private def thresholdSweepOf(base0: DataFrame, candCol: String): DataFrame = {
+    val spark = base0.sparkSession
     import spark.implicits._
-    val base = pqAdmission(spark, dir)
-      .select(col("vec_id"), col("adc_best_cos_micro"),
+    val base = base0
+      .select(col("vec_id"), col(candCol).as("cand_best_cos_micro"),
         col("exact_best_cos_micro"), col("exact_admit"))
     val thr = GateSweepThresholds.toDF("threshold_micro")
     base.crossJoin(broadcast(thr))
       .select(col("threshold_micro"), col("exact_admit"),
-        when(coalesce(col("adc_best_cos_micro"), lit(Long.MinValue))
+        when(coalesce(col("cand_best_cos_micro"), lit(Long.MinValue))
           >= col("threshold_micro"), 0L).otherwise(1L).as("adc_admit"))
       .groupBy("threshold_micro")
       .agg(count(lit(1)).as("n_fresh"),
@@ -3321,6 +3328,17 @@ object VectorOps {
       .orderBy("threshold_micro")
   }
 
+  def adcThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweepOf(pqAdmission(spark, dir), "adc_best_cos_micro")
+
+  /** q311 — the q290 sweep over the OPQ tier's own verdicts. */
+  def opqThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweepOf(opqAdmission(spark, dir), "adc_best_cos_micro")
+
+  /** q312 — the q290 sweep over the SQ8 tier's own verdicts. */
+  def sq8ThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweepOf(sq8Admission(spark, dir), "sq8_best_cos_micro")
+
   /** The q290 sweep's OPERATING POINT, as a value a publish job can
     * carry into [[graft.streaming.Sinks.publishPqIvfIndex]]'s atomic
     * swap (judge r15 task 1 — the sweep existed, nothing consumed it):
@@ -3331,12 +3349,28 @@ object VectorOps {
     * 5-row sweep output — the tuning table stays the q290 artifact, the
     * choice rule lives here where the publish path can call it. */
   def tunedThresholdMicro(spark: SparkSession, dir: String): Long =
-    adcThresholdSweep(spark, dir)
-      .select("threshold_micro", "agree_micro", "catch_micro")
+    pickOperatingPoint(adcThresholdSweep(spark, dir))
+
+  private def pickOperatingPoint(sweep: DataFrame): Long =
+    sweep.select("threshold_micro", "agree_micro", "catch_micro")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .maxBy { case (thr, agree, catchM) => (agree, catchM, -thr) }
       ._1
+
+  /** PER-TIER operating point (r16): each compressed tier tunes on its
+    * OWN q290-shape sweep (q290 pq / q311 opq / q312 sq8); the full
+    * tier's gate IS exact, so its threshold is the dup-definition
+    * SEMANTICS, not a tuning knob — it keeps the compiled default. */
+  def tunedThresholdMicroFor(spark: SparkSession, dir: String,
+                             tier: String): Long = tier match {
+    case "full" => GateThresholdMicro
+    case "pq"   => pickOperatingPoint(adcThresholdSweep(spark, dir))
+    case "opq"  => pickOperatingPoint(opqThresholdSweep(spark, dir))
+    case "sq8"  => pickOperatingPoint(sq8ThresholdSweep(spark, dir))
+    case other => throw new IllegalArgumentException(
+      s"unknown gate tier '$other' (expected full | pq | sq8 | opq)")
+  }
 
   /** q186: PQ asymmetric-distance (ADC) shortlist search + exact
     * re-rank — the search-side completion of q165's encode, in the

@@ -288,17 +288,21 @@ class StreamingSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
     val base = java.nio.file.Files.createTempDirectory("graft_trainpub").toString
-    val tuned = graft.vector.VectorOps.tunedThresholdMicro(spark, dir)
     Seq("full", "pq", "sq8", "opq").foreach { tier =>
       graft.streaming.TrainingPipeline
         .trainAndPublishIndex(spark, dir, s"$base/$tier", tier)
       val cfg = graft.streaming.Sinks.loadGateConfig(spark, s"$base/$tier").get
       assert(cfg.tier === tier)
-      assert(cfg.thresholdMicro === tuned,
-        s"$tier index must carry the q290 sweep's operating point")
+      // each tier carries ITS OWN sweep's operating point (q290/q311/
+      // q312; full keeps the semantic default)
+      assert(cfg.thresholdMicro ===
+        graft.vector.VectorOps.tunedThresholdMicroFor(spark, dir, tier),
+        s"$tier index must carry its own sweep's operating point")
     }
-    // the opq tier end-to-end at the TUNED point: stream admissions
+    // the opq tier end-to-end at its TUNED point: stream admissions
     // through the unified gate equal the batch face at that threshold
+    val tuned = graft.vector.VectorOps
+      .tunedThresholdMicroFor(spark, dir, "opq")
     val want = graft.vector.VectorOps
       .opqAdmission(spark, dir, thresholdMicro = tuned)
       .filter(col("adc_admit") === 1L)
