@@ -98,9 +98,21 @@ object Bench {
     * 72.9 s cold crept in one memo at a time). Flag when the aggregate
     * one-time build cost exceeds HALF the warm steady-state total, so
     * adding a training family is a visible choice in slow_flags rather
-    * than a silent tax on first-run wall. Pure: spec-pinned. */
-  private[graft] def coldFlagged(coldTotal: Double, warmTotal: Double): Boolean =
-    warmTotal > 0 && coldTotal > 0.5 * warmTotal
+    * than a silent tax on first-run wall. Pure: spec-pinned.
+    *
+    * The budget counts ATTRIBUTABLE cold only — per-query cold_extra
+    * above [[ColdNoiseFloorSec]]. Measured r16 (same build, quiet vs
+    * busy window): raw cold_total swung 118.4 ↔ 73.0 s because
+    * cold_extra subtracts warm_min, and 255 queries × ≤1 s of
+    * first-run JIT/page-cache jitter ride the difference (49.2 s of
+    * the quiet-window "cold" was sub-second entries — warmup, not memo
+    * accretion; the 26 genuine training/index builds summed 69.2 s).
+    * Gating on the >1 s entries tracks the thing the gate exists for;
+    * the artifact reports BOTH sums so the jitter stays visible. */
+  private[graft] val ColdNoiseFloorSec = 1.0
+  private[graft] def coldFlagged(coldAttributable: Double,
+                                 warmTotal: Double): Boolean =
+    warmTotal > 0 && coldAttributable > 0.5 * warmTotal
 
   /** Host-window gate (judge r15: the r15 artifact was taken in a
     * busier window than r14's and cross-round warm comparisons needed
@@ -324,6 +336,11 @@ object Bench {
     // legitimately, a deployment amortizes index builds — but a reader
     // comparing rounds must see both numbers, not just the warm one)
     val coldTotal = coldVals.collect { case (_, c) if c >= 0 => c }.sum
+    // the budget's input: one-time costs above the noise floor (see
+    // coldFlagged — sub-second first-run jitter over 300+ queries is
+    // warmup, not memo accretion, and swings with the window)
+    val coldAttributable = coldVals
+      .collect { case (_, c) if c > ColdNoiseFloorSec => c }.sum
     // median-of-warm beside min (judge r11): min-over-passes is the
     // steady-state number, but a query whose WARM passes still diverge
     // >3x after the adaptive re-runs is seeing real interference (GC or
@@ -362,10 +379,11 @@ object Bench {
     }
     // cold-budget gate rides in the SAME flag list presnapshot refuses on
     val flags =
-      if (coldFlagged(coldTotal, total)) {
-        System.err.println(f"[bench] COLD BUDGET over gate: cold_total " +
-          f"${fmt(coldTotal)}s > half the warm total ${fmt(total)}s — " +
-          "training-memo accretion needs a decision before snapshot")
+      if (coldFlagged(coldAttributable, total)) {
+        System.err.println(f"[bench] COLD BUDGET over gate: attributable " +
+          f"cold ${fmt(coldAttributable)}s > half the warm total " +
+          f"${fmt(total)}s — training-memo accretion needs a decision " +
+          "before snapshot")
         queryFlags :+ "cold_total"
       } else queryFlags
     val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -389,7 +407,7 @@ object Bench {
     // passes >= 2 reuse session-memoized artifacts (cached dims, IVF
     // model, LSH band index), so min-over-passes is a warm timing for the
     // index-backed queries — stated here rather than silently implied.
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"n_queries":${ordered.length},"queries":$qs,"passes":$rawPasses,"warm_median":$warmMedianJson,"cold_extra":$coldExtra,"failed":$failed,"slow_flags":$flagsJson,"variance_flags":$varianceJson,"variance_attribution":$attributionJson,"host_passes":$hostPassesJson,$windowJson,"timing":"min over recorded passes; pass1 natural order, pass2 reversed, pass3+ adaptive re-runs until divergence resolves (two consecutive clean warm passes) or caps; passes >= 2 warm; cold_extra = pass1 - warm min (one-time memo/index build cost) and cold_total is its sum — value + cold_total = first-run wall, value alone = steady state; warm_median = median of warm passes; variance_flags = warm passes diverge >3x AND stayed unresolved after adaptive re-runs; variance_attribution = every query that ever diverged, with pass ids and the outlier pass's host evidence (other_cpu_frac = CPU burned outside this JVM during that pass); host_passes = per-pass loadavg + external-CPU fraction; slow_flags may include cold_total (cold_total > warm/2 - the training-memo budget gate); window_ok = pass-0 load1 and worst external-CPU fraction under the recorded gate values (false means warm totals are not cross-round comparison-grade)","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"cold_attributable":${fmt(coldAttributable)},"n_queries":${ordered.length},"queries":$qs,"passes":$rawPasses,"warm_median":$warmMedianJson,"cold_extra":$coldExtra,"failed":$failed,"slow_flags":$flagsJson,"variance_flags":$varianceJson,"variance_attribution":$attributionJson,"host_passes":$hostPassesJson,$windowJson,"timing":"min over recorded passes; pass1 natural order, pass2 reversed, pass3+ adaptive re-runs until divergence resolves (two consecutive clean warm passes) or caps; passes >= 2 warm; cold_extra = pass1 - warm min (one-time memo/index build cost) and cold_total is its sum — value + cold_total = first-run wall, value alone = steady state; warm_median = median of warm passes; variance_flags = warm passes diverge >3x AND stayed unresolved after adaptive re-runs; variance_attribution = every query that ever diverged, with pass ids and the outlier pass's host evidence (other_cpu_frac = CPU burned outside this JVM during that pass); host_passes = per-pass loadavg + external-CPU fraction; slow_flags may include cold_total (cold_attributable - the sum of per-query cold_extra above 1 s - exceeding warm/2: the training-memo budget gate; sub-second cold_extra is first-run warmup jitter, reported in cold_total but not budgeted); window_ok = pass-0 load1 and worst external-CPU fraction under the recorded gate values (false means warm totals are not cross-round comparison-grade)","sf":"$sfDir"}"""
     println(json)
     // safety net beside the stdout contract: a file copy of the same line
     // (round-1 grading lost the stdout line to an sbt log prefix)

@@ -177,7 +177,8 @@ class Round16Spec extends SparkSpec {
 
   test("bench gates: cold-budget flags past warm/2, host-window flags past the recorded thresholds") {
     import graft.Bench
-    // cold budget: > half the warm total flags; at/below passes
+    // cold budget (ATTRIBUTABLE cold — the sum of per-query cold_extra
+    // above the 1 s noise floor): > half the warm total flags
     assert(!Bench.coldFlagged(50.0, 160.0))
     assert(Bench.coldFlagged(81.0, 160.0))
     assert(!Bench.coldFlagged(80.0, 160.0))
