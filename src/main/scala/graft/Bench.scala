@@ -152,6 +152,44 @@ object Bench {
     }
   }
 
+  /** Audit-query cost budget (judge r16 task 4): the registry's warm
+    * cost crept 1.45× → 1.57× → 1.64×-of-baseline across three rounds,
+    * all of it in accreted training/audit queries that each individually
+    * passed the 10 s [[slowFlags]] gate. Two tighter budgets, both loud
+    * in the artifact:
+    *  - per-query: any WARM best over [[WarmBudgetSec]] flags (the r16
+    *    offenders — serial image decodes, the OPQ recall audit — sat at
+    *    3-5 s); a deliberate exception must be entered in
+    *    [[WarmBudgetExemptions]] WITH its reason, which ships in the
+    *    artifact as `warm_budget_exempt` so the exemption is a visible
+    *    decision, not a silent edit.
+    *  - registry mean: warm total / measured queries over
+    *    [[MeanWarmBudgetSec]] flags as `mean_budget`. Only enforced on a
+    *    comparison-grade window (windowOk) — a busy host inflates every
+    *    query and the window gate already marks those artifacts
+    *    non-comparable. Pure: spec-pinned. */
+  private[graft] val WarmBudgetSec = 3.0
+  private[graft] val MeanWarmBudgetSec = 0.55
+  private[graft] val WarmBudgetExemptions: Map[String, String] = Map.empty
+  private[graft] def warmBudgetFlags(best: Seq[(String, Double)]): Seq[String] =
+    best.collect {
+      case (n, v) if v > WarmBudgetSec && !WarmBudgetExemptions.contains(n) => n
+    }
+  private[graft] def meanFlagged(total: Double, measured: Int,
+                                 winOk: Boolean): Boolean =
+    winOk && measured > 0 && total / measured > MeanWarmBudgetSec
+
+  /** Sub-floor cold growth check (advisor r16): the attributable-cold
+    * budget ignores per-query cold_extra under 1 s by design (window
+    * jitter), but hundreds of 0.9 s memo builds would never trip it —
+    * the exact accretion pattern the cold gate exists for. So the
+    * SUB-floor sum is delta-checked against the previous round's
+    * artifact instead: flag when it grew by more than 50% AND more than
+    * 5 s absolute (both legs, so neither tiny-base ratios nor big-base
+    * noise flag spuriously). Pure: spec-pinned. */
+  private[graft] def subfloorGrown(prev: Double, now: Double): Boolean =
+    prev >= 0 && now > 1.5 * prev && now > prev + 5.0
+
   private def runOne(spark: SparkSession,
                      fn: (SparkSession, String) => DataFrame,
                      dir: String): Double = {
@@ -378,7 +416,7 @@ object Bench {
         s"best=${fmt(best.toMap.apply(n))}s — fix the plan before snapshot")
     }
     // cold-budget gate rides in the SAME flag list presnapshot refuses on
-    val flags =
+    val flags0 =
       if (coldFlagged(coldAttributable, total)) {
         System.err.println(f"[bench] COLD BUDGET over gate: attributable " +
           f"cold ${fmt(coldAttributable)}s > half the warm total " +
@@ -386,7 +424,16 @@ object Bench {
           "before snapshot")
         queryFlags :+ "cold_total"
       } else queryFlags
-    val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-query WARM budget (3 s): the audit-accretion gate
+    val overWarmBudget = warmBudgetFlags(best)
+    overWarmBudget.foreach { n =>
+      System.err.println(s"[bench] WARM BUDGET over ${WarmBudgetSec}s: $n " +
+        s"best=${fmt(best.toMap.apply(n))}s — fix the plan or enter a " +
+        "documented exemption in Bench.WarmBudgetExemptions")
+    }
+    val flags1 = flags0 ++ overWarmBudget.map("warm_budget:" + _)
+    val exemptJson = WarmBudgetExemptions.toSeq.sortBy(_._1)
+      .map { case (n, why) => s"\"$n\":\"$why\"" }.mkString("{", ",", "}")
     // host-window verdict: pass-0 pre-load + worst external-CPU fraction
     val load1Pass0 =
       if (hostRaw.isEmpty) -1.0 else hostRaw.head._1.load1
@@ -402,12 +449,40 @@ object Bench {
         f"(max $WindowLoad1Max) max_other_cpu_frac=$maxOtherCpu%.4f " +
         f"(max $WindowOtherCpuMax) — warm totals are not comparison-grade; " +
         "re-run in a quieter window before snapshotting")
+    // registry-mean budget: only judged on a comparison-grade window
+    val measured = ordered.length - failed
+    val meanPerQuery = if (measured > 0) total / measured else -1.0
+    val flags2 =
+      if (meanFlagged(total, measured, winOk)) {
+        System.err.println(f"[bench] MEAN BUDGET over gate: " +
+          f"$meanPerQuery%.3f s/query > $MeanWarmBudgetSec — the registry " +
+          "is accreting cost faster than its queries earn it")
+        flags1 :+ "mean_budget"
+      } else flags1
+    // sub-floor cold delta vs the PREVIOUS round's full-run artifact
+    val coldSubfloor = math.max(0.0, coldTotal - coldAttributable)
+    val prevSubfloor: Double =
+      if (only.nonEmpty) -1.0
+      else try {
+        val prev = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_last.json")), "UTF-8")
+        """"cold_subfloor":([0-9.]+)""".r.findFirstMatchIn(prev)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+      } catch { case _: Throwable => -1.0 }
+    val flags =
+      if (subfloorGrown(prevSubfloor, coldSubfloor)) {
+        System.err.println(f"[bench] SUB-FLOOR COLD grew: " +
+          f"${fmt(coldSubfloor)}s vs previous ${fmt(prevSubfloor)}s — " +
+          "many small memo builds are accreting under the 1 s floor")
+        flags2 :+ "cold_subfloor_growth"
+      } else flags2
+    val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
     val windowJson =
       f""""window_ok":$winOk,"window_gate":{"load1_before_max":$WindowLoad1Max%.2f,"other_cpu_frac_max":$WindowOtherCpuMax%.4f,"load1_before_pass0":$load1Pass0%.2f,"max_other_cpu_frac":$maxOtherCpu%.4f}"""
     // passes >= 2 reuse session-memoized artifacts (cached dims, IVF
     // model, LSH band index), so min-over-passes is a warm timing for the
     // index-backed queries — stated here rather than silently implied.
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"cold_attributable":${fmt(coldAttributable)},"n_queries":${ordered.length},"queries":$qs,"passes":$rawPasses,"warm_median":$warmMedianJson,"cold_extra":$coldExtra,"failed":$failed,"slow_flags":$flagsJson,"variance_flags":$varianceJson,"variance_attribution":$attributionJson,"host_passes":$hostPassesJson,$windowJson,"timing":"min over recorded passes; pass1 natural order, pass2 reversed, pass3+ adaptive re-runs until divergence resolves (two consecutive clean warm passes) or caps; passes >= 2 warm; cold_extra = pass1 - warm min (one-time memo/index build cost) and cold_total is its sum — value + cold_total = first-run wall, value alone = steady state; warm_median = median of warm passes; variance_flags = warm passes diverge >3x AND stayed unresolved after adaptive re-runs; variance_attribution = every query that ever diverged, with pass ids and the outlier pass's host evidence (other_cpu_frac = CPU burned outside this JVM during that pass); host_passes = per-pass loadavg + external-CPU fraction; slow_flags may include cold_total (cold_attributable - the sum of per-query cold_extra above 1 s - exceeding warm/2: the training-memo budget gate; sub-second cold_extra is first-run warmup jitter, reported in cold_total but not budgeted); window_ok = pass-0 load1 and worst external-CPU fraction under the recorded gate values (false means warm totals are not cross-round comparison-grade)","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"cold_attributable":${fmt(coldAttributable)},"cold_subfloor":${fmt(coldSubfloor)},"mean_per_query":${fmt(meanPerQuery)},"warm_budget_sec":$WarmBudgetSec,"mean_budget_sec":$MeanWarmBudgetSec,"warm_budget_exempt":$exemptJson,"n_queries":${ordered.length},"queries":$qs,"passes":$rawPasses,"warm_median":$warmMedianJson,"cold_extra":$coldExtra,"failed":$failed,"slow_flags":$flagsJson,"variance_flags":$varianceJson,"variance_attribution":$attributionJson,"host_passes":$hostPassesJson,$windowJson,"timing":"min over recorded passes; pass1 natural order, pass2 reversed, pass3+ adaptive re-runs until divergence resolves (two consecutive clean warm passes) or caps; passes >= 2 warm; cold_extra = pass1 - warm min (one-time memo/index build cost) and cold_total is its sum — value + cold_total = first-run wall, value alone = steady state; warm_median = median of warm passes; variance_flags = warm passes diverge >3x AND stayed unresolved after adaptive re-runs; variance_attribution = every query that ever diverged, with pass ids and the outlier pass's host evidence (other_cpu_frac = CPU burned outside this JVM during that pass); host_passes = per-pass loadavg + external-CPU fraction; slow_flags may include cold_total (cold_attributable - the sum of per-query cold_extra above 1 s - exceeding warm/2: the training-memo budget gate; sub-second cold_extra is first-run warmup jitter, reported in cold_total but not budgeted), warm_budget:<query> (warm best over warm_budget_sec and not in warm_budget_exempt), mean_budget (mean_per_query over mean_budget_sec on a comparison-grade window), and cold_subfloor_growth (the sub-1 s cold sum grew >50% and >5 s vs the previous round's cold_subfloor - the accretion pattern the attributable floor cannot see); window_ok = pass-0 load1 and worst external-CPU fraction under the recorded gate values (false means warm totals are not cross-round comparison-grade)","sf":"$sfDir"}"""
     println(json)
     // safety net beside the stdout contract: a file copy of the same line
     // (round-1 grading lost the stdout line to an sbt log prefix)
@@ -416,6 +491,22 @@ object Bench {
         if (only.isEmpty) "bench_last.json" else "bench_partial.json"),
       json + "\n")
     catch { case _: Throwable => () }
+    // per-round detail snapshot (judge r16 task 7): bench_last.json is
+    // overwritten every round, so cross-round PER-QUERY regression
+    // diffing was impossible from the repo. A full run also writes the
+    // identical line to BENCH_DETAIL_r{N}.json, N inferred as one past
+    // the highest committed BENCH_r{NN}.json — the driver's end-of-round
+    // bench therefore leaves a permanently-named copy behind.
+    if (only.isEmpty) try {
+      val rr = """BENCH_r(\d+)\.json""".r
+      val dirList = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+      val round = dirList.flatMap {
+        case rr(n) => Some(n.toInt)
+        case _ => None
+      }.foldLeft(0)(math.max) + 1
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"BENCH_DETAIL_r$round%02d.json"), json + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -108,6 +108,10 @@ object Multimodal {
     import spark.implicits._
     val params = Tables.documents(spark, dir)
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+      // spread the tiny (id, len) frame across every core BEFORE the
+      // codec pass: the sf parquet is one input split, and decode is
+      // embarrassingly parallel CPU — the shuffle moves ~12 bytes/row
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)]
     val encoded = params.mapPartitions { it =>
       it.map { case (id, len) =>
@@ -159,6 +163,7 @@ object Multimodal {
       import spark.implicits._
       val params = Tables.documents(spark, dir)
         .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .as[(Long, Int)]
       params.mapPartitions { it =>
         it.map { case (id, len) =>
@@ -252,7 +257,9 @@ object Multimodal {
                 winSize: Int = 64, sampleRate: Int = 44100): DataFrame = {
     import spark.implicits._
     val encoded = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val samples = new Array[Short](text.length)
@@ -316,7 +323,9 @@ object Multimodal {
                   winSize: Int = 64, sampleRate: Int = 44100): DataFrame = {
     import spark.implicits._
     val encoded = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val samples = new Array[Short](text.length)
@@ -470,6 +479,10 @@ object Multimodal {
     import spark.implicits._
     val params = Tables.documents(spark, dir)
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+      // spread the tiny (id, len) frame across every core BEFORE the
+      // codec pass: the sf parquet is one input split, and decode is
+      // embarrassingly parallel CPU — the shuffle moves ~12 bytes/row
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)]
     val encoded = params.mapPartitions { it =>
       it.map { case (id, len) =>
@@ -527,6 +540,10 @@ object Multimodal {
     import spark.implicits._
     val params = Tables.documents(spark, dir)
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+      // spread the tiny (id, len) frame across every core BEFORE the
+      // codec pass: the sf parquet is one input split, and decode is
+      // embarrassingly parallel CPU — the shuffle moves ~12 bytes/row
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)]
     params.mapPartitions { it =>
       it.flatMap { case (id, len) =>
@@ -573,6 +590,10 @@ object Multimodal {
     import spark.implicits._
     val params = Tables.documents(spark, dir)
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+      // spread the tiny (id, len) frame across every core BEFORE the
+      // codec pass: the sf parquet is one input split, and decode is
+      // embarrassingly parallel CPU — the shuffle moves ~12 bytes/row
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)]
     params.mapPartitions { it =>
       it.map { case (id, len) =>
@@ -635,6 +656,10 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+      // spread the tiny (id, len) frame across every core BEFORE the
+      // codec pass: the sf parquet is one input split, and decode is
+      // embarrassingly parallel CPU — the shuffle moves ~12 bytes/row
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)]
       .mapPartitions { it =>
         it.map { case (id, len) =>
@@ -713,6 +738,10 @@ object Multimodal {
     import spark.implicits._
     val params = Tables.documents(spark, dir)
       .select(col("doc_id"), octet_length(col("text")).cast("int").as("len"))
+      // spread the tiny (id, len) frame across every core BEFORE the
+      // codec pass: the sf parquet is one input split, and decode is
+      // embarrassingly parallel CPU — the shuffle moves ~12 bytes/row
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int)]
     params.mapPartitions { it =>
       it.map { case (id, len) =>

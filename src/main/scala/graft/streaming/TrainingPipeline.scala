@@ -657,10 +657,25 @@ object TrainingPipeline {
     docs
       .select(col("source"),
         explode(expr(graft.text.TextOps.TokensExpr)).as("word"))
-      .filter(length(col("word")) >= 1)
-      .withColumn("dp", graft.text.Curation.uniDpCol(col("word"), probs))
+      // same coverage bound as the q308 batch face (uniWords): words of
+      // at most UniMaxWordLen chars — without the upper bound a streamed
+      // doc with a >16-char word would silently diverge from the batch
+      // artifact this monitor claims to mirror (StreamingSpec's parity
+      // held only because the test corpus max word length is 8)
+      .filter(length(col("word"))
+        .between(1, graft.text.Curation.UniMaxWordLen))
+      // length-1 shortcut: a single-char word is ALWAYS one symbol —
+      // in-vocab it segments as itself (np = 1), unseen it takes the
+      // char fallback (chars = 1) — so the lattice fold is skipped for
+      // the most frequent word class (the throughput lift that carries
+      // this monitor over its 10k docs/s target; syms is provably
+      // unchanged, and the StreamingSpec batch-parity pin would catch
+      // any drift)
+      .withColumn("dp", when(length(col("word")) > 1,
+        graft.text.Curation.uniDpCol(col("word"), probs)))
       .select(col("source"),
         coalesce(
+          when(length(col("word")) === 1, lit(1L)),
           element_at(col("dp"), length(col("word")) + lit(1))
             .getField("np").cast("long"),
           length(col("word")).cast("long")).as("syms"))

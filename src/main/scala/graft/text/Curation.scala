@@ -1610,10 +1610,15 @@ object Curation {
     * unigram would hand the hash to libm; products of these micro probs
     * normalized by 1e6 are IEEE-exact multiplication chains instead). */
   private def uniProbsOf(counts: Seq[(String, Long)]): Map[String, Long] = {
-    val tot = counts.map(_._2).sum
-    val v = counts.size.toLong
+    // BigInt intermediates: 2·(cnt+1)·1e6 overflows Long at cnt ≈ 4.6e12,
+    // which is inside the 100 TB design point — Scala would wrap silently
+    // where DuckDB raises, so the engines would diverge instead of
+    // failing together. The quotient always fits a Long (≤ 1e6 + 1).
+    val tot = BigInt(counts.map(_._2).sum)
+    val v = BigInt(counts.size)
     counts.map { case (p, c) =>
-      p -> ((2L * (c + 1L) * 1000000L + tot + v) / (2L * (tot + v)))
+      p -> ((BigInt(2) * (BigInt(c) + 1) * 1000000 + tot + v) /
+        (BigInt(2) * (tot + v))).toLong
     }.toMap
   }
 
@@ -1781,22 +1786,25 @@ object Curation {
   /** q308 — per-source fertility under the trained unigram tokenizer
     * (the q278/q305 face for the third tokenizer family): chars per
     * token vs Viterbi pieces per token. The per-word piece count is the
-    * lattice's final n_pieces — no backtrack needed — computed once per
-    * DISTINCT word and broadcast onto the per-source counts. */
+    * lattice's final n_pieces — no backtrack needed — computed INLINE on
+    * the per-(source, word) frame: the in-row DP needs no join, so
+    * nothing corpus-sized is ever broadcast (the prior shape broadcast
+    * the per-DISTINCT-WORD lattice results — model-sized at sf0.x but
+    * corpus-growing at 100 TB, the one such site in the repo; the
+    * streaming monitor at TrainingPipeline.fertilityMonitorUnigram
+    * always used this inline shape). */
   def unigramFertility(spark: SparkSession, dir: String): DataFrame = {
     val (_, probs) = unigramArtifacts(spark, dir)
-    val npPerWord = uniWords(spark, dir)
-      .withColumn("dp", uniDpCol(col("word"), probs))
-      .select(col("word"),
-        element_at(col("dp"), length(col("word")) + lit(1))
-          .getField("np").cast("long").as("n_pieces"))
     val sw = graft.Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("source"),
         explode(expr(s"${graft.text.TextOps.TokensExpr}")).as("word"))
       .filter(length(col("word")).between(1, UniMaxWordLen))
       .groupBy("source", "word").agg(count(lit(1)).as("freq"))
-    sw.join(broadcast(npPerWord), Seq("word"))
+    sw.withColumn("dp", uniDpCol(col("word"), probs))
+      .select(col("source"), col("word"), col("freq"),
+        element_at(col("dp"), length(col("word")) + lit(1))
+          .getField("np").cast("long").as("n_pieces"))
       .groupBy("source")
       .agg(sum(col("freq")).as("n_tokens"),
         sum(col("freq") * length(col("word"))).as("chars_total"),

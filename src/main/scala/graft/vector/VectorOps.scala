@@ -2426,7 +2426,12 @@ object VectorOps {
       members(s2).map(_._2.toArray).toArray
     }.toArray
     val bc = spark.sparkContext.broadcast((supArr, memCells, memVecs))
-    val sKeep = math.min(topS, nSuper)
+    // clamp to the RETURNED supercell count, not the requested one:
+    // supercellsOf may yield fewer non-empty supercells than nSuper, and
+    // the selection loop below dereferences sel = -1 once `taken` is
+    // exhausted — a degenerate grid (>HierAssignMinCells cells collapsed
+    // onto few distinct positions) would throw mid-index-build
+    val sKeep = math.min(topS, supArr.length)
     e.select(col("vec_id").cast("long").as("vec_id"), col("v"))
       .as[(Long, Seq[Double])]
       .mapPartitions { iter =>
