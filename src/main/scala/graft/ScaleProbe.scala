@@ -164,6 +164,38 @@ object ScaleProbe {
       .select(expr("transform(embedding, x -> cast(x as double))"))
       .collect().map(_.getSeq[Double](0).toSeq).toIndexedSeq
 
+    // Incremental-append fixture (judge r16 task 3): ONE pq-tier index
+    // over a FIXED 20k-vector corpus, published once outside the timed
+    // lambdas; its (corpus-sized) build time prints for contrast. Each
+    // timed run appends a FRESH delta (new vec_ids per invocation — a
+    // re-run would otherwise anti-join to nothing and time an empty
+    // append), so both probe passes measure the production delta path.
+    val incrIdxPath = "/tmp/graft_scaleprobe_incr/pq"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path("/tmp/graft_scaleprobe_incr"), true)
+    locally {
+      val t0 = System.nanoTime()
+      val (cents, cb, _) = graft.vector.VectorOps
+        .frozenPqIvfIndex(spark, "/root/testdata/sf0.001")
+      val corpus = Tabs(10).embSalted
+      val (m, _) = graft.vector.VectorOps.codebookShape(cb)
+      graft.streaming.Sinks.publishPqIvfIndex(incrIdxPath, cents, cb,
+        graft.vector.VectorOps.pqEncodeAssigned(
+          graft.vector.VectorOps.assignCellsAuto(corpus, cents), cb, m))
+      println(f"[scale-probe]   incr fixture: full 20k-vector publish in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s (the retrain cost appends avoid)")
+    }
+    var incrRun = 0
+    def incrDelta(copies: Int): DataFrame = {
+      incrRun += 1
+      val base = 100000000000L + incrRun.toLong * 1000000000L
+      (0 until copies).map { i =>
+        Tables.embeddings(spark, dir)
+          .select((col("vec_id") + lit(base + i.toLong * 10000000L)).as("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+      }.reduce(_ unionByName _)
+    }
+
     val probes: Seq[(String, Tabs => Long)] = Seq(
       "fact-fact join + agg" -> { t =>
         t.lineitem.join(t.orders, t.lineitem("l_orderkey") === t.orders("o_orderkey"))
@@ -672,6 +704,20 @@ object ScaleProbe {
         graft.streaming.TrainingPipeline.decontamGate(
           t.docsSalted.select(col("doc_id"), col("source"), col("text")),
           decontamEval).count()
+      },
+      // --- round-17 ---
+      "incremental index append (delta-sized cost at FIXED corpus)" -> { t =>
+        // the task-3 claim executable: the 20k-code corpus sits in the
+        // published index; the timed work is the DELTA's anti-join +
+        // frozen-model assign/encode + one new segment + model-sized
+        // manifest re-swap. 1x (2k vectors) -> 10x (20k) must scale
+        // with the delta, and both must sit far under the corpus-sized
+        // full publish printed at setup.
+        val delta = incrDelta(t.copies)
+        val nd = delta.count()
+        graft.streaming.TrainingPipeline
+          .appendToPublishedIndex(spark, incrIdxPath, delta)
+        nd
       },
       "kmeans|| round (cost pass + hash-coin oversample)" -> { t =>
         // one round = one narrow pass into a 1-row agg + a filtered

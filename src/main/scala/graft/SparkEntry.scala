@@ -622,6 +622,17 @@ object SparkEntry {
     // tiers' OWN verdicts — what trainAndPublishIndex publishes
     "q311_opq_threshold_sweep" -> ((s, d) => graft.vector.VectorOps.opqThresholdSweep(s, d)),
     "q312_sq8_threshold_sweep" -> ((s, d) => graft.vector.VectorOps.sq8ThresholdSweep(s, d)),
+    // versioned tokenizer artifacts: train → atomic publish → verified
+    // load → identity row per family (fingerprint differentially
+    // replayed by the oracle, so the artifact identity is hash-checked)
+    "q313_tokenizer_registry"  -> ((s, d) => graft.text.Curation.tokenizerRegistry(s, d)),
+    // the q200 manifest citing the published unigram tokenizer: per-doc
+    // piece totals under the loaded version + its fingerprint column
+    "q314_manifest_tokenized"  -> ((s, d) => graft.text.Curation.manifestTokenized(s, d)),
+    // incremental index maintenance: base publish + production append
+    // path ≡ the single-shot full encode (the oracle replays only the
+    // full path — blindness to the base/delta boundary IS the claim)
+    "q315_incremental_index"   -> ((s, d) => graft.streaming.TrainingPipeline.incrementalIndexParity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3002,27 +3013,7 @@ object SparkEntry {
     // proves stage BOUNDARIES (dedup before stats, budget over
     // kept-only mass, deal over selected-only ranks), not just stages.
     "q200_training_manifest" ->
-      """WITH ded AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        |d1 AS (SELECT d.doc_id, d.source, d.text
-        |       FROM documents d JOIN ded ON d.doc_id = ded.doc_id),
-        |t AS (SELECT doc_id, source,
-        |             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens
-        |      FROM d1),
-        |s AS (SELECT doc_id, source,
-        |             CAST(len(tokens) AS BIGINT) AS n_tokens,
-        |             CAST(len(list_filter(tokens, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS stop_ct,
-        |             CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct
-        |      FROM t),
-        |k AS (SELECT doc_id, source, n_tokens FROM s
-        |      WHERE n_tokens >= 20 AND stop_ct > 0 AND n_distinct * 100 >= n_tokens * 35),
-        |b AS (SELECT CAST(FLOOR(SUM(n_tokens) * 0.30) AS BIGINT) AS budget FROM k),
-        |c AS (SELECT k.*, SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ASC
-        |                                      ROWS UNBOUNDED PRECEDING) AS cum
-        |      FROM k),
-        |sel AS (SELECT doc_id, n_tokens FROM c, b WHERE cum <= budget),
-        |r AS (SELECT doc_id, n_tokens,
-        |             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn
-        |      FROM sel)
+      s"""WITH $ManifestCtes
         |SELECT doc_id, n_tokens, (rn - 1) % 8 AS shard
         |FROM r ORDER BY doc_id""".stripMargin,
     // q201: duplicated-span audit. Positions are 1-based here vs 0-based
@@ -3893,6 +3884,81 @@ object SparkEntry {
          |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
          |       CAST(is_char AS BIGINT) AS is_char, cnt, pm AS p_micro
          |FROM p${graft.text.Curation.UniIters} ORDER BY piece""".stripMargin,
+    // q315: the q284 index CTEs (coarse quantizer + corpus assignment +
+    // corpus-side PQ training + per-sub code argmin) emitted as flat
+    // (cell, corpus_id, sub, code) rows — the FULL single-shot path;
+    // the Spark side built the same table base-first then appended the
+    // delta through the production maintenance call.
+    "q315_incremental_index" ->
+      s"""WITH RECURSIVE $PqGateCtes
+         |SELECT CAST(ca.cell AS BIGINT) AS cell, a.vec_id AS corpus_id,
+         |       CAST(a.sub AS BIGINT) AS sub, CAST(a.cid AS BIGINT) AS code
+         |FROM asgc a JOIN ca ON ca.corpus_id = a.vec_id
+         |ORDER BY corpus_id, sub""".stripMargin,
+    // q313: all THREE training chains replayed (char BPE suffixed C,
+    // byte BPE suffixed B, the unigram chain) and the published
+    // artifacts' modular checksums folded from their final states —
+    // the Spark side reports what it LOADED back from the atomic
+    // directories, so the hash match verifies train → publish → load
+    // end to end including the signed identity.
+    "q313_tokenizer_registry" ->
+      s"""WITH RECURSIVE
+         |tokC AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
+         |wC AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tokC, unnest(t) u(w) GROUP BY 1),
+         |${bpeChain("wC", "C")},
+         |${bpeChainBytes("wC", "B")},
+         |$uniCtes,
+         |finalC AS (
+         |  SELECT u.w.s AS s
+         |  FROM (SELECT state FROM mC ORDER BY iter DESC LIMIT 1) f,
+         |       unnest(f.state) u(w)),
+         |vocabC AS (
+         |  SELECT replace(trim(s), ' ', '') AS word,
+         |         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_syms
+         |  FROM finalC),
+         |mergB AS (SELECT CAST(iter AS BIGINT) AS merge_idx,
+         |                 a || '-' || b AS merged
+         |          FROM mB WHERE iter >= 1)
+         |SELECT * FROM (
+         |  SELECT 'byte-bpe' AS family, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         |         ${tokFpSumSql("merged", "merge_idx")} AS fingerprint
+         |  FROM mergB
+         |  UNION ALL
+         |  SELECT 'char-bpe', CAST(COUNT(*) AS BIGINT),
+         |         ${tokFpSumSql("word", "n_syms")}
+         |  FROM vocabC
+         |  UNION ALL
+         |  SELECT 'unigram', CAST(COUNT(*) AS BIGINT),
+         |         ${tokFpSumSql("piece", "pm")}
+         |  FROM p${graft.text.Curation.UniIters}
+         |) ORDER BY family""".stripMargin,
+    // q314: the q200 manifest CTEs + the unigram chain + one more
+    // Viterbi pass; per-doc piece totals under the trained tokenizer
+    // and the artifact fingerprint REPLAYED (not interpolated) — the
+    // manifest's tokenizer citation is itself differentially verified.
+    "q314_manifest_tokenized" ->
+      s"""WITH RECURSIVE $uniCtes,
+         |${uniDpChain(graft.text.Curation.UniIters + 1,
+                       s"p${graft.text.Curation.UniIters}")},
+         |npw AS (SELECT word, CAST(st[length(word) + 1].np AS BIGINT) AS n_pieces
+         |        FROM dpfin${graft.text.Curation.UniIters + 1}),
+         |$ManifestCtes,
+         |dw AS (SELECT d.doc_id, u.w AS word
+         |       FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tkn
+         |             FROM documents WHERE doc_id IN (SELECT doc_id FROM r)) d,
+         |            unnest(d.tkn) u(w)),
+         |pc AS (SELECT doc_id,
+         |              CAST(SUM(CASE WHEN length(word) BETWEEN 1 AND ${graft.text.Curation.UniMaxWordLen}
+         |                            THEN COALESCE(np.n_pieces, length(word))
+         |                            ELSE length(word) END) AS BIGINT) AS pieces_total
+         |       FROM dw LEFT JOIN npw np USING (word) GROUP BY 1),
+         |fp AS (SELECT ${tokFpSumSql("piece", "pm")} AS v
+         |       FROM p${graft.text.Curation.UniIters})
+         |SELECT r.doc_id, r.n_tokens, (r.rn - 1) % 8 AS shard,
+         |       CAST(COALESCE(pc.pieces_total, 0) AS BIGINT) AS pieces_total,
+         |       fp.v AS tok_fingerprint
+         |FROM r LEFT JOIN pc USING (doc_id), fp
+         |ORDER BY r.doc_id""".stripMargin,
     // q308: the q307 chain + ONE more Viterbi pass under the final
     // probabilities; per-word piece counts join the per-source word
     // frequencies.
@@ -5700,6 +5766,52 @@ object SparkEntry {
     s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
       |w AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
       |""".stripMargin + bpeChainBytes("w", "")
+
+  /** q200's funnel CTEs (dedup → quality gate → budget cut → shard
+    * deal), factored so q314 can ride the identical manifest. */
+  private val ManifestCtes: String =
+    """ded AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |d1 AS (SELECT d.doc_id, d.source, d.text
+      |       FROM documents d JOIN ded ON d.doc_id = ded.doc_id),
+      |t AS (SELECT doc_id, source,
+      |             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tokens
+      |      FROM d1),
+      |s AS (SELECT doc_id, source,
+      |             CAST(len(tokens) AS BIGINT) AS n_tokens,
+      |             CAST(len(list_filter(tokens, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS stop_ct,
+      |             CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct
+      |      FROM t),
+      |k AS (SELECT doc_id, source, n_tokens FROM s
+      |      WHERE n_tokens >= 20 AND stop_ct > 0 AND n_distinct * 100 >= n_tokens * 35),
+      |b AS (SELECT CAST(FLOOR(SUM(n_tokens) * 0.30) AS BIGINT) AS budget FROM k),
+      |c AS (SELECT k.*, SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ASC
+      |                                      ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM k),
+      |sel AS (SELECT doc_id, n_tokens FROM c, b WHERE cum <= budget),
+      |r AS (SELECT doc_id, n_tokens,
+      |             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      |      FROM sel)""".stripMargin
+
+  /** The modular polynomial string fold of [[graft.streaming.Sinks
+    * .tokFpOf]] in DuckDB terms — every operand BIGINT-cast up front
+    * (the accumulator takes the prepended seed's type, and INT32
+    * multiplication raises at 31·acc once acc passes 2³¹/31). */
+  private def tokFpFoldSql(col: String): String =
+    s"list_reduce(list_prepend(CAST(${graft.streaming.Sinks.TokFpSeed} AS BIGINT), " +
+      s"list_transform(range(1, length($col) + 1), i -> CAST(ascii($col[i]) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % ${graft.streaming.Sinks.TokFpMod})"
+
+  /** One payload row's checksum term ([[graft.streaming.Sinks
+    * .tokRowTerm]]): (31·fp(key) + value) mod 1e12. */
+  private def tokFpTermSql(keyCol: String, valCol: String): String =
+    s"((${tokFpFoldSql(keyCol)} * 31 + $valCol) % ${graft.streaming.Sinks.TokFpMod})"
+
+  /** A whole artifact's fingerprint: SUM of row terms, re-reduced mod
+    * 1e12 (each term < 1e12, so the BIGINT sum is exact to ~9·10⁶ rows
+    * — far above any model-sized vocabulary). */
+  private def tokFpSumSql(keyCol: String, valCol: String): String =
+    s"CAST(COALESCE(SUM(${tokFpTermSql(keyCol, valCol)}), 0) % " +
+      s"${graft.streaming.Sinks.TokFpMod} AS BIGINT)"
 
   /** q309's chain: the k-means|| round recursion (cost pass + hash-coin
     * oversampling per round), the weight pass, the greedy weighted

