@@ -633,6 +633,14 @@ object SparkEntry {
     // path ≡ the single-shot full encode (the oracle replays only the
     // full path — blindness to the base/delta boundary IS the claim)
     "q315_incremental_index"   -> ((s, d) => graft.streaming.TrainingPipeline.incrementalIndexParity(s, d)),
+    // which init trains the coarse layer: k-means|| vs first-k seeding
+    // through the gate's own construction — φ before/after the Lloyd
+    // step plus probe RECALL@1, the metric that decides
+    "q316_coarse_trainer_gate" -> ((s, d) => graft.vector.VectorOps.coarseTrainerGate(s, d)),
+    // the q310 verdict wired INSIDE the ADC gate: truncated-subspace
+    // prefilter ranks probed candidates, only the shortlist pays the
+    // full-width cosine — decision agreement fully hash-verified
+    "q317_adc_cascade"         -> ((s, d) => graft.vector.VectorOps.adcCascadeAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3820,7 +3828,7 @@ object SparkEntry {
     // q309: the round recursion (cost + hash-coin oversampling), weight
     // pass, greedy recluster recursion, and the three stage families.
     "q309_kmeans_par_init" ->
-      s"""WITH RECURSIVE $kppCtes
+      s"""WITH RECURSIVE ${kppCtes()}
          |SELECT stage, n_centers, phi_micro FROM (
          |  SELECT * FROM stg1 UNION ALL SELECT * FROM stg2 UNION ALL SELECT * FROM stg3) u
          |ORDER BY stage""".stripMargin,
@@ -3895,6 +3903,72 @@ object SparkEntry {
          |       CAST(a.sub AS BIGINT) AS sub, CAST(a.cid AS BIGINT) AS code
          |FROM asgc a JOIN ca ON ca.corpus_id = a.vec_id
          |ORDER BY corpus_id, sub""".stripMargin,
+    // q317: the q284 index CTEs + the truncated-cosine prefilter rank
+    // (ROW_NUMBER over (ctm DESC, corpus_id)) + shortlist-only full
+    // cosines + the per-fresh verdict frame — the whole cascade is
+    // deterministic, so agreement is hash-pinned, not bound-gated.
+    "q317_adc_cascade" -> {
+      val sub = graft.vector.VectorOps.OracleDim / graft.vector.VectorOps.GatePqM
+      val td = graft.vector.VectorOps.CascadePrefilterSubs * sub
+      val sk = graft.vector.VectorOps.CascadeShortlistK
+      val thr = graft.vector.VectorOps.GateThresholdMicro
+      s"""WITH RECURSIVE $PqGateCtes,
+         |candc AS (SELECT f.vec_id, ca.corpus_id, f.v, r.rv
+         |          FROM fresh f JOIN pr USING (vec_id) JOIN ca ON ca.cell = pr.cell
+         |               JOIN recon r ON r.corpus_id = ca.corpus_id),
+         |ctb AS (SELECT vec_id, corpus_id,
+         |          CAST(FLOOR(1000000.0 * (list_inner_product(v[1:$td], rv[1:$td])
+         |            / (sqrt(list_inner_product(v[1:$td], v[1:$td])) * sqrt(list_inner_product(rv[1:$td], rv[1:$td])))) + 0.5) AS BIGINT) AS ctm,
+         |          CAST(FLOOR(1000000.0 * (list_inner_product(v, rv)
+         |            / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(rv, rv)))) + 0.5) AS BIGINT) AS cm
+         |        FROM candc),
+         |shortl AS (SELECT vec_id, corpus_id, cm FROM (
+         |             SELECT vec_id, corpus_id, cm,
+         |                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ctm DESC, corpus_id) AS rk
+         |             FROM ctb) z WHERE rk <= $sk),
+         |ncnd AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_cand, MAX(cm) AS adc_best FROM ctb GROUP BY 1),
+         |nsco AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_scored, MAX(cm) AS casc_best FROM shortl GROUP BY 1)
+         |SELECT f.vec_id,
+         |       COALESCE(ncnd.n_cand, 0) AS n_cand,
+         |       COALESCE(nsco.n_scored, 0) AS n_scored,
+         |       nsco.casc_best AS cascade_best_cos_micro,
+         |       ncnd.adc_best AS adc_best_cos_micro,
+         |       CAST(CASE WHEN COALESCE(nsco.casc_best, -1000000000) >= $thr THEN 0 ELSE 1 END AS BIGINT) AS cascade_admit,
+         |       CAST(CASE WHEN COALESCE(ncnd.adc_best, -1000000000) >= $thr THEN 0 ELSE 1 END AS BIGINT) AS adc_admit,
+         |       CAST(CASE WHEN (COALESCE(nsco.casc_best, -1000000000) >= $thr)
+         |                    = (COALESCE(ncnd.adc_best, -1000000000) >= $thr) THEN 1 ELSE 0 END AS BIGINT) AS agree
+         |FROM fresh f LEFT JOIN ncnd USING (vec_id) LEFT JOIN nsco USING (vec_id)
+         |ORDER BY f.vec_id""".stripMargin
+    },
+    // q316: the kpp chain trained on the CORPUS side (kppCtes with the
+    // split filter — e IS the corpus there), both seed sets (fin2's
+    // chosen order / first-k), and the per-method audit chain; nearest
+    // is the method-independent ground truth computed once.
+    "q316_coarse_trainer_gate" -> {
+      val k = graft.vector.VectorOps.KppK
+      val np = graft.vector.VectorOps.GateNProbe
+      val split = graft.vector.VectorOps.GateSplitAt
+      s"""WITH RECURSIVE ${kppCtes(s" WHERE vec_id < $split")},
+         |fresh AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= $split),
+         |sdA AS MATERIALIZED (SELECT LIST(v ORDER BY vec_id) AS s FROM e WHERE vec_id < $k),
+         |sdB AS MATERIALIZED (SELECT list_transform(f.chosen, x -> x.v) AS s FROM fin2 f),
+         |n0 AS (SELECT f.vec_id AS query_id, e.vec_id AS corpus_id,
+         |         CAST(FLOOR(1000000.0 * (list_inner_product(e.v, e.v) - 2.0 * list_inner_product(f.v, e.v) + list_inner_product(f.v, f.v)) + 0.5) AS BIGINT) AS dm
+         |       FROM fresh f, e),
+         |nearest AS MATERIALIZED (SELECT query_id, (MIN({'d': dm, 'i': corpus_id})).i AS corpus_id FROM n0 GROUP BY 1),
+         |${coarseGateAuditChain("A", np)},
+         |${coarseGateAuditChain("B", np)}
+         |SELECT * FROM (
+         |  SELECT 'kmeans_par' AS method,
+         |         (SELECT phi FROM phisB) AS phi_seed_micro,
+         |         (SELECT phi FROM phirB) AS phi_refined_micro,
+         |         (SELECT r FROM recB) AS probe_recall_micro
+         |  UNION ALL
+         |  SELECT 'seed_first_k',
+         |         (SELECT phi FROM phisA), (SELECT phi FROM phirA),
+         |         (SELECT r FROM recA)
+         |) ORDER BY method""".stripMargin
+    },
     // q313: all THREE training chains replayed (char BPE suffixed C,
     // byte BPE suffixed B, the unigram chain) and the published
     // artifacts' modular checksums folded from their final states —
@@ -5817,7 +5891,35 @@ object SparkEntry {
     * oversampling per round), the weight pass, the greedy weighted
     * recluster recursion, and the three stage families (per-round /
     * final_k / seed_k) with their cost aggregates. */
-  private def kppCtes: String = {
+  /** q316's per-method audit chain over a seed-list CTE `sd$sfx(s)`:
+    * one micro-mean Lloyd step (assignment by raw-double (d, ord)
+    * min-struct — [[graft.vector.VectorOps.cellOf]]'s rule; per-(cell,
+    * dim) exact integer micro sums), φ of seeds and of the refined
+    * grid (micro-rounded per-vector minima, summed), the corpus cell
+    * map, the fresh-side nProbe probes, and probe recall@1 against the
+    * shared `nearest` ground truth. */
+  private def coarseGateAuditChain(sfx: String, nProbe: Int): String =
+    s"""asg$sfx AS (SELECT e.vec_id, e.v,
+       |  (list_sort(list_transform(generate_series(1, len(sd$sfx.s)), i ->
+       |    {'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, sd$sfx.s[i]) + list_inner_product(sd$sfx.s[i], sd$sfx.s[i]),
+       |     'c': i - 1}))[1].c) AS cell
+       |  FROM e, sd$sfx),
+       |u$sfx AS (SELECT cell, unnest(generate_series(1, len(v))) - 1 AS dim, unnest(v) AS x FROM asg$sfx),
+       |g$sfx AS (SELECT cell, dim, COUNT(*) AS n, SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sm FROM u$sfx GROUP BY 1, 2),
+       |cent$sfx AS (SELECT cell, list(CAST(sm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv FROM g$sfx GROUP BY 1),
+       |centl$sfx AS MATERIALIZED (SELECT LIST({'c': cell, 'v': cv} ORDER BY cell) AS cs FROM cent$sfx),
+       |phis$sfx AS (SELECT CAST(SUM(CAST(FLOOR(1000000.0 * list_min(list_transform(sd$sfx.s, c -> list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c) + list_inner_product(c, c))) + 0.5) AS BIGINT)) AS BIGINT) AS phi FROM e, sd$sfx),
+       |phir$sfx AS (SELECT CAST(SUM(CAST(FLOOR(1000000.0 * list_min(list_transform(cl.cs, c -> list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.v) + list_inner_product(c.v, c.v))) + 0.5) AS BIGINT)) AS BIGINT) AS phi FROM e, centl$sfx cl),
+       |corpc$sfx AS (SELECT e.vec_id AS corpus_id,
+       |  (list_sort(list_transform(cl.cs, c -> {'d': list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.v) + list_inner_product(c.v, c.v), 'c': c.c}))[1].c) AS cell
+       |  FROM e, centl$sfx cl),
+       |probe$sfx AS (SELECT f.vec_id AS query_id,
+       |  list_transform(list_sort(list_transform(cl.cs, c -> {'d': list_inner_product(f.v, f.v) - 2.0 * list_inner_product(f.v, c.v) + list_inner_product(c.v, c.v), 'c': c.c}))[1:$nProbe], x -> x.c) AS pcs
+       |  FROM fresh f, centl$sfx cl),
+       |rec$sfx AS (SELECT CAST(FLOOR(1000000.0 * SUM(CASE WHEN list_contains(p.pcs, cc.cell) THEN 1 ELSE 0 END) / COUNT(*) + 0.5) AS BIGINT) AS r
+       |  FROM nearest n JOIN probe$sfx p USING (query_id) JOIN corpc$sfx cc USING (corpus_id))""".stripMargin
+
+  private def kppCtes(where: String = ""): String = {
     val r = graft.vector.VectorOps.KppRounds
     val l = graft.vector.VectorOps.KppL
     val k = graft.vector.VectorOps.KppK
@@ -5827,7 +5929,7 @@ object SparkEntry {
     def minD2(cs: String, vn: String): String =
       s"CAST(FLOOR(1000000.0 * list_min(list_transform($cs, c -> " +
         s"list_inner_product($vn, $vn) - 2.0 * list_inner_product($vn, c.v) + list_inner_product(c.v, c.v))) + 0.5) AS BIGINT)"
-    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$where),
        |kr(r, cents) AS (
        |  SELECT 0, (SELECT LIST({'id': vec_id, 'v': v}) FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1) z)
        |  UNION ALL

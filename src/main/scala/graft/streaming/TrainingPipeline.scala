@@ -869,6 +869,44 @@ object TrainingPipeline {
     }
   }
 
+  /** Segment COMPACTION — the maintenance call that completes the LSM
+    * story: after many appends the manifest lists many small segments
+    * (each load unions them; a 1000-executor scan pays per-segment
+    * open/footer costs). This rewrites the current segment set into
+    * ONE segment — compute and I/O sized by the compacted mass, model
+    * reused verbatim, codes untouched row-for-row — and swaps the
+    * manifest; the replaced segments are GC'd by the publish (a full
+    * publish with an empty prior list). Returns the segment count
+    * before compaction (1 means it was a no-op). */
+  def compactIndexSegments(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Int = {
+    val cfg = Sinks.loadGateConfig(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"$path/config missing"))
+    val segs = Sinks.loadSegmentNames(spark, path)
+    if (segs.size <= 1) return segs.size
+    cfg.tier match {
+      case "full" =>
+        val (cents, assigned) = Sinks.loadIvfIndex(spark, path)
+        Sinks.publishIvfIndex(path, cents, assigned,
+          cfg.nProbe, cfg.thresholdMicro)
+      case "pq" =>
+        val (cents, cb, codes) = Sinks.loadPqIvfIndex(spark, path)
+        Sinks.publishPqIvfIndex(path, cents, cb, codes,
+          cfg.nProbe, cfg.thresholdMicro)
+      case "sq8" =>
+        val (cents, mn, mx, codes) = Sinks.loadSq8IvfIndex(spark, path)
+        Sinks.publishSq8IvfIndex(path, cents, mn, mx, codes,
+          cfg.nProbe, cfg.thresholdMicro)
+      case "opq" =>
+        val (rot, alloc, cents, cb, codes) = Sinks.loadOpqIvfIndex(spark, path)
+        Sinks.publishOpqIvfIndex(path, rot, alloc, cents, cb, codes,
+          cfg.nProbe, cfg.thresholdMicro)
+      case other => throw new IllegalArgumentException(
+        s"unknown gate tier '$other' in $path/config")
+    }
+    segs.size
+  }
+
   /** The q232 drift statistic of a delta AGAINST a published index:
     * per-cell occupancy share of the index's corpus vs the delta's
     * assignment under the SAME frozen quantizer, max |diff| in micro.

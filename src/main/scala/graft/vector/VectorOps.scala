@@ -2119,6 +2119,28 @@ object VectorOps {
                     k: Int = KppK): DataFrame = {
     import spark.implicits._
     val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val (stages0, chosen) = kppSelectCore(e, rounds, l, k)
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    stages ++= stages0
+    def phiOf(cents: Seq[Seq[Double]]): Long =
+      e.select(minD2Micro(cents).as("d2m")).agg(sum("d2m")).head().getLong(0)
+    stages += (("final_k", chosen.size.toLong, phiOf(chosen)))
+    // baseline: the first-k-by-vec_id seeding (the q35/q111 rule)
+    val seedK = e.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    stages += (("seed_k", seedK.size.toLong, phiOf(seedK)))
+    stages.toSeq.toDF("stage", "n_centers", "phi_micro").orderBy("stage")
+  }
+
+  /** The k-means|| selection of [[kmeansParInit]] over an arbitrary
+    * (vec_id, v) frame, factored so q316 can seed the CORPUS-side
+    * coarse layer with it (frozen discipline): returns the per-round
+    * stage rows (round_0..round_R — φ of the growing candidate set)
+    * and the greedy-reclustered chosen centers IN CHOSEN ORDER (their
+    * position is the cell id a Lloyd step refines). */
+  private[graft] def kppSelectCore(e: DataFrame, rounds: Int, l: Int,
+                                   k: Int):
+      (Seq[(String, Long, Long)], Seq[Seq[Double]]) = {
     def phiOf(cents: Seq[Seq[Double]]): Long =
       e.select(minD2Micro(cents).as("d2m")).agg(sum("d2m")).head().getLong(0)
     val c0 = e.orderBy("vec_id").select("vec_id", "v").limit(1)
@@ -2175,13 +2197,106 @@ object VectorOps {
         }
       chosen = chosen :+ next
     }
-    stages += (("final_k", chosen.size.toLong,
-      phiOf(chosen.map(byId))))
-    // baseline: the first-k-by-vec_id seeding (the q35/q111 rule)
-    val seedK = e.orderBy("vec_id").limit(k)
-      .collect().map(_.getSeq[Double](1).toSeq).toSeq
-    stages += (("seed_k", seedK.size.toLong, phiOf(seedK)))
-    stages.toSeq.toDF("stage", "n_centers", "phi_micro").orderBy("stage")
+    (stages.toSeq, chosen.map(byId))
+  }
+
+  /** One micro-mean Lloyd step over EXPLICIT seed vectors (cell = seed
+    * position): [[buildCentroidsOf]]'s refinement with the seed RULE
+    * factored out, so q316 can refine k-means|| seeds with the exact
+    * arithmetic the gate quantizer uses. Requires every seed cell
+    * non-empty (each distinct seed keeps at least its own vector; the
+    * oracle SQL assumes the same). */
+  private[graft] def lloydStepOnSeeds(e: DataFrame,
+                                      seeds: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val idx = seeds.zipWithIndex.map { case (v, c) => (c, v) }.toIndexedSeq
+    val grid = e
+      .withColumn("cell", cellOf(idx))
+      .select(col("cell"), posexplode(col("v")))
+      .groupBy("cell", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(col * 1000000.0d + 0.5d) as long)")).as("sm"))
+      .select(col("cell"), col("pos"),
+        (col("sm").cast("double") / (col("n") * lit(1000000.0d))).as("mean"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val byCell = grid.groupBy(_._1)
+    require(byCell.size == seeds.size,
+      s"Lloyd step left ${seeds.size - byCell.size} empty seed cells " +
+        "(duplicate seed vectors?) — the q316 oracle assumes every seed " +
+        "keeps at least its own vector")
+    seeds.indices.map(c => byCell(c).sortBy(_._2).map(_._3).toSeq)
+  }
+
+  /** q316 — WHICH INIT SHOULD TRAIN THE COARSE LAYER: the measured
+    * quality gate PLANS r16 asked for before wiring k-means|| (q309)
+    * in as the quantizer seeder. Both candidate inits run the gate's
+    * own construction end to end on the CORPUS side (frozen
+    * discipline): seeds → one micro-mean Lloyd step → the refined
+    * grid; the table reports, per method, φ of the raw seeds, φ after
+    * refinement, and the metric that actually decides — probe
+    * RECALL@1 (the fraction of fresh vectors whose true nearest corpus
+    * vector lies inside their nProbe probed cells; a gate that probes
+    * the wrong cells lies about duplicates no matter how good φ
+    * looks).
+    *
+    * Scale: the corpus side is the index artifact (bounded); kpp
+    * selection is R≈log n narrow passes with model-sized collects
+    * (q309's shapes); the recall audit is fresh × corpus bounded by
+    * the split — the q284 audit discipline.
+    *
+    * Determinism: φ sums micro-rounded per-vector minima; nearest is
+    * the (micro-dist, id) min; probes rank raw-double (d, cell)
+    * structs — each the established oracle-replayed rule. */
+  def coarseTrainerGate(spark: SparkSession, dir: String,
+                        k: Int = KppK, nProbe: Int = GateNProbe,
+                        splitAt: Long = GateSplitAt): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val corp = e.filter(col("vec_id") < splitAt)
+    val fresh = e.filter(col("vec_id") >= splitAt)
+    val seedsA: Seq[Seq[Double]] = corp.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("v")
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val (_, seedsB) = kppSelectCore(corp, KppRounds, KppL, k)
+    def phiOf(cs: Seq[Seq[Double]]): Long =
+      corp.select(minD2Micro(cs).as("m")).agg(sum("m")).head().getLong(0)
+    // the true nearest corpus vector of every fresh vector — method-
+    // independent ground truth, computed once
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dm").asc, col("corpus_id").asc)
+    val nearest = fresh.select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(corp.select(col("vec_id").as("corpus_id"),
+        col("v").as("cv2"))))
+      .select(col("query_id"), col("corpus_id"),
+        expr("CAST(FLOOR(1000000.0d * (graft_dot(cv2, cv2)" +
+          " - 2.0d * graft_dot(qv, cv2) + graft_dot(qv, qv)) + 0.5d) AS BIGINT)")
+          .as("dm"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("query_id", "corpus_id")
+      .localCheckpoint()
+    val nFresh = fresh.count()
+    def metricsOf(method: String, seeds: Seq[Seq[Double]]):
+        (String, Long, Long, Long) = {
+      val cents = lloydStepOnSeeds(corp, seeds)
+      val centsIdx = cents.zipWithIndex
+        .map { case (v, c) => (c, v) }.toIndexedSeq
+      val corpCells = corp.select(col("vec_id").as("corpus_id"),
+        cellOf(centsIdx).as("cell"))
+      val hits = nearest
+        .join(corpCells, "corpus_id")
+        .join(fresh.select(col("vec_id").as("query_id"),
+          probeCells(col("v"), cents, nProbe).as("pc")), "query_id")
+        .filter(array_contains(expr("transform(pc, x -> x.cell)"),
+          col("cell")))
+        .count()
+      (method, phiOf(seeds), phiOf(cents),
+        math.floor(1000000.0d * hits / nFresh + 0.5d).toLong)
+    }
+    Seq(metricsOf("kmeans_par", seedsB), metricsOf("seed_first_k", seedsA))
+      .toDF("method", "phi_seed_micro", "phi_refined_micro",
+        "probe_recall_micro")
+      .orderBy("method")
   }
 
   // ---------------------------------------------------------------------
@@ -3014,6 +3129,87 @@ object VectorOps {
       .select(col("vec_id"), col("corpus_id"),
         (dotC(col("v"), col("recon"))
           / (sqrt(dotC(col("v"), col("v"))) * sqrt(col("rn2")))).as("cos"))
+  }
+
+  /** q317 knobs — interpolated into the oracle (shared-constant
+    * discipline): the prefilter ranks on the first [[CascadePrefilterSubs]]
+    * subspaces of the ADC reconstruction (sub-major order makes that a
+    * contiguous dim slice), and only the top [[CascadeShortlistK]]
+    * candidates per fresh vector get the full-width cosine. */
+  private[graft] val CascadePrefilterSubs = 4
+  private[graft] val CascadeShortlistK = 8
+
+  /** q317 — the q310 verdict WIRED: that audit's honest conclusion was
+    * "a 16-dim prefilter cannot replace IVF probes on this store; it
+    * must ride INSIDE them". Here it does: the ADC gate's candidates
+    * (probed cells' PQ codes, the q284 frame) are RANKED by a
+    * truncated cosine over the first 4-of-16 subspaces of the
+    * reconstruction — ¼ of the multiply work per candidate — and only
+    * the top [[CascadeShortlistK]] survivors pay the full-width
+    * cosine. The table reports, per fresh vector, candidate counts
+    * before/after the prefilter, both bests, both admit verdicts and
+    * the agreement flag — the executable answer to "what does the
+    * cheap prefilter cost in gate decisions for a 4× cut in ADC
+    * arithmetic". Fully deterministic (micro-ranked truncated cosines,
+    * ties to the lower corpus id), so the whole cascade hash-verifies —
+    * no recall bound needed.
+    *
+    * Scale: identical probe/join shape to [[annGateAdcCandidates]];
+    * the prefilter is in-row arithmetic on the SAME candidate rows, so
+    * the saving is multiplies, not rows — exactly what matters when
+    * the candidate set per fresh vector is ~|probed cells'| codes at
+    * 100 TB. */
+  def adcCascadeAudit(spark: SparkSession, dir: String,
+                      nProbe: Int = GateNProbe,
+                      thresholdMicro: Long = GateThresholdMicro,
+                      splitAt: Long = GateSplitAt): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, cb, codes) = frozenPqIvfIndex(spark, dir)
+    val (m, c) = codebookShape(cb)
+    val subDim = cb.head._2.length
+    val td = CascadePrefilterSubs * subDim
+    val e = vecs(spark, dir)
+    val fresh = e.filter(col("vec_id") >= splitAt)
+      .select(col("vec_id"), col("v"))
+    val reconCorpus = codes
+      .withColumn("recon", pqReconCol("codes", cb, m, c))
+    val cand = fresh
+      .withColumn("pc", probeCells(col("v"), cents, nProbe))
+      .select(col("vec_id"), col("v"),
+        explode(expr("transform(pc, x -> x.cell)")).as("cell"))
+      .join(reconCorpus, Seq("cell"))
+      .select(col("vec_id"), col("corpus_id"),
+        expr(s"CAST(FLOOR(1000000.0d * (graft_dot(slice(v, 1, $td), slice(recon, 1, $td))" +
+          s" / (SQRT(graft_dot(slice(v, 1, $td), slice(v, 1, $td)))" +
+          s" * SQRT(graft_dot(slice(recon, 1, $td), slice(recon, 1, $td))))) + 0.5d) AS BIGINT)")
+          .as("cos_t_micro"),
+        expr("CAST(FLOOR(1000000.0d * (graft_dot(v, recon)" +
+          " / (SQRT(graft_dot(v, v)) * SQRT(graft_dot(recon, recon)))) + 0.5d) AS BIGINT)")
+          .as("cos_micro"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_t_micro").desc, col("corpus_id").asc)
+    val nc = cand.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_cand"), max(col("cos_micro")).as("adc_best"))
+    val ns = cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CascadeShortlistK)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_scored"), max(col("cos_micro")).as("casc_best"))
+    fresh.select("vec_id")
+      .join(nc, Seq("vec_id"), "left")
+      .join(ns, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        col("casc_best").as("cascade_best_cos_micro"),
+        col("adc_best").as("adc_best_cos_micro"),
+        expr(s"CAST(CASE WHEN COALESCE(casc_best, -1000000000) >= $thresholdMicro THEN 0 ELSE 1 END AS BIGINT)")
+          .as("cascade_admit"),
+        expr(s"CAST(CASE WHEN COALESCE(adc_best, -1000000000) >= $thresholdMicro THEN 0 ELSE 1 END AS BIGINT)")
+          .as("adc_admit"),
+        expr(s"CAST(CASE WHEN (COALESCE(casc_best, -1000000000) >= $thresholdMicro)" +
+          s" = (COALESCE(adc_best, -1000000000) >= $thresholdMicro) THEN 1 ELSE 0 END AS BIGINT)")
+          .as("agree"))
+      .orderBy("vec_id")
   }
 
   /** q284 — PQ-COMPRESSED ANN admission with its full-precision exact

@@ -152,6 +152,44 @@ class Round17Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------- //
+  // q316 / q317 structural theorems
+  // ---------------------------------------------------------------- //
+
+  test("coarseTrainerGate: one Lloyd step never worsens phi for either init, and recall is a valid micro fraction (q316)") {
+    val rows = graft.vector.VectorOps
+      .coarseTrainerGate(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq("kmeans_par", "seed_first_k"))
+    rows.foreach { case (m, phiSeed, phiRef, rec) =>
+      assert(phiRef <= phiSeed,
+        s"$m: the micro-mean Lloyd step must not increase phi")
+      assert(rec >= 0L && rec <= 1000000L)
+    }
+  }
+
+  test("adcCascadeAudit: the shortlist max never exceeds the full-candidate max, and the scored count is capped by the shortlist K (q317)") {
+    val k = graft.vector.VectorOps.CascadeShortlistK
+    val rows = graft.vector.VectorOps
+      .adcCascadeAudit(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nCand = r.getLong(1); val nScored = r.getLong(2)
+      assert(nScored <= math.min(nCand, k.toLong))
+      if (!r.isNullAt(3) && !r.isNullAt(4))
+        assert(r.getLong(3) <= r.getLong(4),
+          "cascade best is a max over a SUBSET of the ADC candidates")
+      // a cascade miss can only flip toward admit (it can lose the
+      // best candidate, never gain one; admit = 1, reject = 0 — the
+      // q284 convention) — the one-sided error shape
+      if (r.getLong(7) == 0L)
+        assert(r.getLong(5) == 1L && r.getLong(6) == 0L,
+          "disagreement must be cascade-admit vs adc-reject, never the reverse")
+    }
+  }
+
+  // ---------------------------------------------------------------- //
   // Bench budget gates (judge r16 task 4 + advisor r16)
   // ---------------------------------------------------------------- //
 

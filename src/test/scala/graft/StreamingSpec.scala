@@ -365,6 +365,44 @@ class StreamingSpec extends SparkSpec {
       "after the append, the SAME gate entry point must reject the dup")
   }
 
+  test("segment compaction: appended segments rewrite to ONE with codes and gate verdicts unchanged; single-segment compaction is a no-op") {
+    import graft.streaming.{Sinks, TrainingPipeline}
+    import graft.vector.{VectorOps => V}
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val path = s"$base/pq"
+    val e = V.vecs(spark, dir)
+    val (cents, cb, codes) = V.frozenPqIvfIndex(spark, dir)
+    Sinks.publishPqIvfIndex(path, cents, cb,
+      codes.filter(col("corpus_id") < V.IncrBaseAt))
+    // two appends → three segments
+    TrainingPipeline.appendToPublishedIndex(spark, path,
+      e.filter(col("vec_id") >= V.IncrBaseAt && col("vec_id") < 190L))
+    TrainingPipeline.appendToPublishedIndex(spark, path,
+      e.filter(col("vec_id") >= 190L && col("vec_id") < V.GateSplitAt))
+    assert(Sinks.loadSegmentNames(spark, path).size === 3)
+    val fresh = e.filter(col("vec_id") >= V.GateSplitAt)
+      .select(col("vec_id"), col("label"), col("v"))
+    def verdicts(): Set[Long] = TrainingPipeline
+      .annGateFromIndex(fresh, path)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def rowsOf(): Set[String] = Sinks.loadPqIvfIndex(spark, path)._3
+      .collect().map(_.mkString("|")).toSet
+    val (rowsBefore, admitBefore) = (rowsOf(), verdicts())
+    assert(TrainingPipeline.compactIndexSegments(spark, path) === 3)
+    assert(Sinks.loadSegmentNames(spark, path).size === 1)
+    assert(rowsOf() === rowsBefore, "compaction must not touch a code row")
+    assert(verdicts() === admitBefore,
+      "gate verdicts must be identical over the compacted index")
+    // the replaced segments are gone from disk (GC'd by the publish)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(
+      new org.apache.hadoop.fs.Path(path + "__segs")).length === 1)
+    // idempotent: a single-segment index is a no-op
+    assert(TrainingPipeline.compactIndexSegments(spark, path) === 1)
+  }
+
   test("fertilityMonitorFromArtifact: one read path dispatches all three families and equals each family's hash-verified batch face") {
     import graft.streaming.TrainingPipeline
     val dir = "/root/testdata/sf0.001"
