@@ -641,6 +641,14 @@ object SparkEntry {
     // prefilter ranks probed candidates, only the shortlist pays the
     // full-width cosine — decision agreement fully hash-verified
     "q317_adc_cascade"         -> ((s, d) => graft.vector.VectorOps.adcCascadeAudit(s, d)),
+    // unigram vocab-size sweep: the q292 decision table in the unigram
+    // dimension — full hard-EM at each seed budget, surviving vocab
+    // size vs the fertility it buys
+    "q318_unigram_vocab_sweep" -> ((s, d) => graft.text.Curation.unigramVocabSweep(s, d)),
+    // soft-EM E-step under the hard-EM vocabulary: forward-backward
+    // expected piece counts (occurrence posteriors micro-rounded before
+    // any sum) + the re-estimated soft probabilities
+    "q319_unigram_soft_em"     -> ((s, d) => graft.text.Curation.unigramSoftEm(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3903,6 +3911,91 @@ object SparkEntry {
          |       CAST(a.sub AS BIGINT) AS sub, CAST(a.cid AS BIGINT) AS code
          |FROM asgc a JOIN ca ON ca.corpus_id = a.vec_id
          |ORDER BY corpus_id, sub""".stripMargin,
+    // q319: the q307 chain + forward/backward recursions (α/β as
+    // in-order list_reduce folds — the exact add sequence the Scala
+    // kernel runs), per-occurrence posteriors micro-rounded BEFORE the
+    // freq-weighted integer sums, add-one re-estimate in HUGEINT.
+    "q319_unigram_soft_em" -> {
+      val lp = graft.text.Curation.UniMaxPieceLen
+      val iters = graft.text.Curation.UniIters
+      s"""WITH RECURSIVE $uniCtes,
+         |pmS AS MATERIALIZED (SELECT map_from_entries(LIST({'k': piece, 'v': pm})) AS m FROM p$iters),
+         |fa(word, freq, j, al) AS (
+         |  SELECT word, freq, 0, [CAST(1.0 AS DOUBLE)] FROM uw
+         |  UNION ALL
+         |  SELECT f.word, f.freq, f.j + 1, list_append(f.al, x.s)
+         |  FROM fa f, pmS,
+         |  LATERAL (
+         |    SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_filter(list_transform(generate_series(1, least(f.j + 1, $lp)), l ->
+         |        CASE WHEN len(pmS.m[substr(f.word, f.j + 1 - l + 1, l)]) = 0 THEN NULL
+         |             ELSE f.al[f.j + 1 - l + 1] * (CAST(pmS.m[substr(f.word, f.j + 1 - l + 1, l)][1] AS DOUBLE) / 1000000.0) END),
+         |      e2 -> e2 IS NOT NULL)), (a, x2) -> a + x2) AS s
+         |  ) x
+         |  WHERE f.j < length(f.word)
+         |),
+         |faf AS MATERIALIZED (SELECT word, freq, al FROM fa WHERE j = length(word)),
+         |fb(word, j, bl) AS (
+         |  SELECT word, length(word), [CAST(1.0 AS DOUBLE)] FROM uw
+         |  UNION ALL
+         |  SELECT f.word, f.j - 1, list_append(f.bl, x.s)
+         |  FROM fb f, pmS,
+         |  LATERAL (
+         |    SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_filter(list_transform(generate_series(1, least(length(f.word) - (f.j - 1), $lp)), l ->
+         |        CASE WHEN len(pmS.m[substr(f.word, f.j, l)]) = 0 THEN NULL
+         |             ELSE (CAST(pmS.m[substr(f.word, f.j, l)][1] AS DOUBLE) / 1000000.0) * f.bl[length(f.word) - (f.j - 1 + l) + 1] END),
+         |      e2 -> e2 IS NOT NULL)), (a, x2) -> a + x2) AS s
+         |  ) x
+         |  WHERE f.j > 0
+         |),
+         |fbf AS MATERIALIZED (SELECT word, bl FROM fb WHERE j = 0),
+         |occ AS (SELECT u.word, u.freq, oc.o.i AS i, oc.o.l AS l,
+         |               substr(u.word, oc.o.i + 1, oc.o.l) AS piece
+         |        FROM uw u,
+         |        LATERAL (SELECT unnest(flatten(list_transform(generate_series(0, length(u.word) - 1), i ->
+         |          list_transform(generate_series(1, least($lp, length(u.word) - i)), l -> {'i': i, 'l': l})))) AS o) oc),
+         |gam AS (SELECT o.word, o.freq, o.piece,
+         |               CAST(FLOOR(1000000.0 * (((ff.al[o.i + 1] * (CAST(pmS.m[o.piece][1] AS DOUBLE) / 1000000.0)) * fb2.bl[length(o.word) - (o.i + o.l) + 1]) / ff.al[length(o.word) + 1]) + 0.5) AS BIGINT) AS gm
+         |        FROM occ o JOIN faf ff USING (word) JOIN fbf fb2 USING (word), pmS
+         |        WHERE len(pmS.m[o.piece]) > 0 AND ff.al[length(o.word) + 1] > 0),
+         |soft AS (SELECT piece, CAST(SUM(freq * gm) AS BIGINT) AS sc FROM gam GROUP BY 1),
+         |tots AS (SELECT CAST(SUM(COALESCE(s.sc, 0)) AS HUGEINT) AS t, CAST(COUNT(*) AS HUGEINT) AS v
+         |         FROM p$iters p LEFT JOIN soft s USING (piece))
+         |SELECT p.piece, CAST(p.is_char AS BIGINT) AS is_char, p.cnt AS hard_cnt,
+         |       CAST(COALESCE(s.sc, 0) AS BIGINT) AS soft_cnt_micro,
+         |       CAST((2 * (CAST(COALESCE(s.sc, 0) AS HUGEINT) + 1000000) * 1000000 + tots.t + tots.v * 1000000)
+         |            // (2 * (tots.t + tots.v * 1000000)) AS BIGINT) AS p_soft_micro
+         |FROM p$iters p LEFT JOIN soft s USING (piece), tots
+         |ORDER BY p.piece""".stripMargin
+    },
+    // q318: the shared substring pool + THREE full hard-EM chains (one
+    // per seed budget, suffixed CTE names) + one fertility DP per
+    // budget over the distinct-word table.
+    "q318_unigram_vocab_sweep" -> {
+      val iters = graft.text.Curation.UniIters
+      val legs = graft.text.Curation.UniSweepSeeds.zipWithIndex.map {
+        case (sm, i) =>
+          val sfx = ('a' + i).toChar.toString
+          val fk = s"$sfx${iters + 1}"
+          val chain = uniVariantCtes(sfx, sm) + ",\n" +
+            uniDpChain(fk, s"p$sfx$iters") + ",\n" +
+            s"""npw$sfx AS (SELECT word, CAST(st[length(word) + 1].np AS BIGINT) AS n_pieces, freq FROM dpfin$fk),
+               |row$sfx AS (SELECT CAST($sm AS BIGINT) AS n_seed_multis,
+               |       (SELECT CAST(COUNT(*) AS BIGINT) FROM p$sfx$iters) AS vocab_size,
+               |       (SELECT CAST(COUNT(*) AS BIGINT) FROM p$sfx$iters WHERE is_char = 0) AS n_multis_kept,
+               |       CAST(SUM(freq) AS BIGINT) AS n_tokens,
+               |       CAST(SUM(freq * length(word)) AS BIGINT) AS chars_total,
+               |       CAST(SUM(freq * n_pieces) AS BIGINT) AS pieces_total,
+               |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(freq * n_pieces) / SUM(freq) + 0.5) AS BIGINT) AS uni_fertility_micro
+               |       FROM npw$sfx)""".stripMargin
+          (chain, s"SELECT * FROM row$sfx")
+      }
+      s"""WITH RECURSIVE $uniHeadCtes,
+         |${legs.map(_._1).mkString(",\n")}
+         |SELECT * FROM (${legs.map(_._2).mkString(" UNION ALL ")})
+         |ORDER BY n_seed_multis""".stripMargin
+    },
     // q317: the q284 index CTEs + the truncated-cosine prefilter rank
     // (ROW_NUMBER over (ctm DESC, corpus_id)) + shortlist-only full
     // cosines + the per-fresh verdict frame — the whole cascade is
@@ -4012,7 +4105,7 @@ object SparkEntry {
     // manifest's tokenizer citation is itself differentially verified.
     "q314_manifest_tokenized" ->
       s"""WITH RECURSIVE $uniCtes,
-         |${uniDpChain(graft.text.Curation.UniIters + 1,
+         |${uniDpChain((graft.text.Curation.UniIters + 1).toString,
                        s"p${graft.text.Curation.UniIters}")},
          |npw AS (SELECT word, CAST(st[length(word) + 1].np AS BIGINT) AS n_pieces
          |        FROM dpfin${graft.text.Curation.UniIters + 1}),
@@ -4038,7 +4131,7 @@ object SparkEntry {
     // frequencies.
     "q308_unigram_fertility" ->
       s"""WITH RECURSIVE $uniCtes,
-         |${uniDpChain(graft.text.Curation.UniIters + 1,
+         |${uniDpChain((graft.text.Curation.UniIters + 1).toString,
                        s"p${graft.text.Curation.UniIters}")},
          |npw AS (SELECT word, CAST(st[length(word) + 1].np AS BIGINT) AS n_pieces
          |        FROM dpfin${graft.text.Curation.UniIters + 1}),
@@ -5989,7 +6082,7 @@ object SparkEntry {
     * step per position; scores are products of (pm/1e6) doubles, the
     * IEEE-exact chain the engine's uniDpCol multiplies in the same
     * order. Emits pmm$k/dp$k/dpfin$k. */
-  private def uniDpChain(k: Int, probSrc: String): String = {
+  private def uniDpChain(k: String, probSrc: String): String = {
     val lp = graft.text.Curation.UniMaxPieceLen
     s"""pmm$k AS MATERIALIZED (SELECT map_from_entries(LIST({'k': piece, 'v': pm})) AS m FROM $probSrc),
        |dp$k(word, freq, j, st) AS (
@@ -6011,7 +6104,7 @@ object SparkEntry {
   }
 
   /** Backtrack + piece counts of iteration k's lattice (bt$k/cnt$k). */
-  private def uniBtChain(k: Int): String =
+  private def uniBtChain(k: String): String =
     s"""bt$k(word, freq, j, piece) AS (
        |  SELECT word, freq, CAST(length(word) AS INT), CAST(NULL AS VARCHAR) FROM dpfin$k
        |  UNION ALL
@@ -6025,36 +6118,51 @@ object SparkEntry {
     * char + top-N substring seeding, add-one integer micro probs, then
     * [[graft.text.Curation.UniIters]] unrolled hard-EM iterations
     * (DP → backtrack → counts → prune multis at zero → re-estimate). */
-  private def uniCtes: String = {
+  /** The sm-independent prefix of the unigram chains: word table under
+    * the coverage contract, char counts, ALL candidate substrings with
+    * counts (the pool every seed budget ranks). */
+  private def uniHeadCtes: String = {
     val lp = graft.text.Curation.UniMaxPieceLen
-    val sm = graft.text.Curation.UniSeedMultis
     val wl = graft.text.Curation.UniMaxWordLen
+    s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
+       |w0 AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
+       |uw AS MATERIALIZED (SELECT word, freq FROM w0 WHERE length(word) BETWEEN 1 AND $wl),
+       |ch AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |         SELECT freq, unnest(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1))) AS piece
+       |         FROM uw) z GROUP BY 1),
+       |mu0 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |          SELECT freq, unnest(flatten(list_transform(generate_series(2, least($lp, length(word))), l ->
+       |            list_transform(generate_series(1, length(word) - l + 1), i -> substr(word, i, l))))) AS piece
+       |          FROM uw WHERE length(word) >= 2) z GROUP BY 1)""".stripMargin
+  }
+
+  /** One seed budget's whole training: top-$sm substring seed, add-one
+    * probs, [[graft.text.Curation.UniIters]] hard-EM iterations — CTE
+    * names carry `sfx` so q318 runs three budgets in one query; with
+    * sfx = "" the emitted names (mu, v0, p0, dp1, ...) are exactly the
+    * pre-sweep chain, so q307/q308/q313/q314 replay unchanged. */
+  private def uniVariantCtes(sfx: String, sm: Int): String = {
     val iters = graft.text.Curation.UniIters
     val head =
-      s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),
-         |w0 AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok, unnest(t) u(w) GROUP BY 1),
-         |uw AS MATERIALIZED (SELECT word, freq FROM w0 WHERE length(word) BETWEEN 1 AND $wl),
-         |ch AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-         |         SELECT freq, unnest(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1))) AS piece
-         |         FROM uw) z GROUP BY 1),
-         |mu0 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-         |          SELECT freq, unnest(flatten(list_transform(generate_series(2, least($lp, length(word))), l ->
-         |            list_transform(generate_series(1, length(word) - l + 1), i -> substr(word, i, l))))) AS piece
-         |          FROM uw WHERE length(word) >= 2) z GROUP BY 1),
-         |mu AS (SELECT piece, cnt FROM (SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS r FROM mu0) q WHERE r <= $sm),
-         |v0 AS (SELECT piece, cnt, 1 AS is_char FROM ch UNION ALL SELECT piece, cnt, 0 AS is_char FROM mu),
-         |p0 AS MATERIALIZED (SELECT piece, is_char, cnt, (2*(cnt+1)*1000000 + t.tot + t.v) // (2*(t.tot + t.v)) AS pm
-         |       FROM v0, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS v FROM v0) t)""".stripMargin
+      s"""mu$sfx AS (SELECT piece, cnt FROM (SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS r FROM mu0) q WHERE r <= $sm),
+         |v${sfx}0 AS (SELECT piece, cnt, 1 AS is_char FROM ch UNION ALL SELECT piece, cnt, 0 AS is_char FROM mu$sfx),
+         |p${sfx}0 AS MATERIALIZED (SELECT piece, is_char, cnt, (2*(cnt+1)*1000000 + t.tot + t.v) // (2*(t.tot + t.v)) AS pm
+         |       FROM v${sfx}0, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS v FROM v${sfx}0) t)""".stripMargin
     val iterChains = (1 to iters).map { k =>
-      uniDpChain(k, s"p${k - 1}") + ",\n" + uniBtChain(k) + ",\n" +
-        s"""v$k AS (SELECT p.piece, p.is_char, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
-           |        FROM p${k - 1} p LEFT JOIN cnt$k c USING (piece)
+      uniDpChain(s"$sfx$k", s"p$sfx${k - 1}") + ",\n" +
+        uniBtChain(s"$sfx$k") + ",\n" +
+        s"""v$sfx$k AS (SELECT p.piece, p.is_char, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+           |        FROM p$sfx${k - 1} p LEFT JOIN cnt$sfx$k c USING (piece)
            |        WHERE p.is_char = 1 OR COALESCE(c.cnt, 0) >= 1),
-           |p$k AS MATERIALIZED (SELECT piece, is_char, cnt, (2*(cnt+1)*1000000 + t.tot + t.v) // (2*(t.tot + t.v)) AS pm
-           |        FROM v$k, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS v FROM v$k) t)""".stripMargin
+           |p$sfx$k AS MATERIALIZED (SELECT piece, is_char, cnt, (2*(cnt+1)*1000000 + t.tot + t.v) // (2*(t.tot + t.v)) AS pm
+           |        FROM v$sfx$k, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS v FROM v$sfx$k) t)""".stripMargin
     }
     (Seq(head) ++ iterChains).mkString(",\n")
   }
+
+  private def uniCtes: String =
+    uniHeadCtes + ",\n" +
+      uniVariantCtes("", graft.text.Curation.UniSeedMultis)
 
   private val BpeCtes: String =
     s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),

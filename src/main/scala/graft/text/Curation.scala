@@ -1668,6 +1668,48 @@ object Curation {
       })
   }
 
+  /** q318's sweep points — interpolated into the oracle (shared-constant
+    * discipline): seed-substring budgets bracketing the production 120
+    * by 4× each way. */
+  private[graft] val UniSweepSeeds: Seq[Int] = Seq(30, 120, 480)
+
+  /** q318 — unigram VOCAB-SIZE sweep (the q292 pruned-BPE decision
+    * table in the unigram dimension): the full hard-EM training at
+    * each seed-substring budget, reporting the surviving vocabulary
+    * size and the corpus-wide fertility the budget buys. The fertility
+    * leg runs the final Viterbi on the DISTINCT-word table (vocab-
+    * sized) and weights by frequency — the q308 arithmetic without the
+    * per-source split, so the three sweep points stay three cheap
+    * passes. The decision this table prices: a 4× bigger seed pool
+    * buys fertility only if the extra substrings SURVIVE the zero-
+    * count pruning — on a small corpus most do not, and the table
+    * says exactly how many did and what they bought. */
+  def unigramVocabSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = UniSweepSeeds.map { sm =>
+      val (vocab, probs) = unigramArtifacts(spark, dir, sm)
+      val agg = uniWords(spark, dir)
+        .withColumn("dp", uniDpCol(col("word"), probs))
+        .select(col("freq"),
+          length(col("word")).cast("long").as("chars"),
+          element_at(col("dp"), length(col("word")) + lit(1))
+            .getField("np").cast("long").as("np"))
+        .agg(sum(col("freq")).as("n_tokens"),
+          sum(col("freq") * col("chars")).as("chars_total"),
+          sum(col("freq") * col("np")).as("pieces_total"))
+        .head()
+      (sm.toLong, vocab.size.toLong, vocab.count(_._2 == 0).toLong,
+        agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    }
+    rows.toDF("n_seed_multis", "vocab_size", "n_multis_kept",
+        "n_tokens", "chars_total", "pieces_total")
+      .select(col("n_seed_multis"), col("vocab_size"), col("n_multis_kept"),
+        col("n_tokens"), col("chars_total"), col("pieces_total"),
+        expr("CAST(FLOOR(CAST(1000000 AS DOUBLE) * pieces_total / n_tokens + 0.5d) AS BIGINT)")
+          .as("uni_fertility_micro"))
+      .orderBy("n_seed_multis")
+  }
+
   /** The [[uniDpCol]] lattice as an unboxed Scala kernel — symbol count
     * (or the char fallback) for ONE word under a driver-held
     * vocabulary. Exists for the STREAMING monitor's hot path only: the
@@ -1723,6 +1765,119 @@ object Curation {
       j += 1
     }
     if (poisoned(n)) n.toLong else np(n).toLong
+  }
+
+  /** Forward-backward expected piece counts of ONE word under a frozen
+    * vocabulary — q319's soft-EM E-step kernel. α/β are in-order
+    * left-to-right double folds (candidate terms added in l-ascending
+    * order — the exact sequence the oracle's `list_reduce` replays);
+    * each OCCURRENCE posterior γ = ((α[i]·pm/1e6)·β[i+l])/Z is
+    * micro-rounded BEFORE any cross-occurrence sum, so every total
+    * downstream is an exact integer and no engine ever sums raw
+    * doubles in an unspecified order (the q231/q235 discipline applied
+    * to posteriors). A word with no lattice path (unseen char, Z = 0)
+    * contributes nothing — training corpora are fully covered by
+    * construction. */
+  private[graft] def uniSoftCountsOf(word: String, probs: Map[String, Long],
+                                     maxPieceLen: Int = UniMaxPieceLen):
+      Map[String, Long] = {
+    val n = word.length
+    val al = new Array[Double](n + 1); al(0) = 1.0d
+    var j = 1
+    while (j <= n) {
+      var s = 0.0d
+      var l = 1
+      val lm = math.min(j, maxPieceLen)
+      while (l <= lm) {
+        probs.get(word.substring(j - l, j)).foreach { pm =>
+          s += al(j - l) * (pm.toDouble / 1000000.0d)
+        }
+        l += 1
+      }
+      al(j) = s; j += 1
+    }
+    val bl = new Array[Double](n + 1); bl(n) = 1.0d
+    var i = n - 1
+    while (i >= 0) {
+      var s = 0.0d
+      var l = 1
+      val lm = math.min(n - i, maxPieceLen)
+      while (l <= lm) {
+        probs.get(word.substring(i, i + l)).foreach { pm =>
+          s += (pm.toDouble / 1000000.0d) * bl(i + l)
+        }
+        l += 1
+      }
+      bl(i) = s; i -= 1
+    }
+    val z = al(n)
+    if (!(z > 0.0d)) Map.empty
+    else {
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      var p = 0
+      while (p < n) {
+        var l = 1
+        val lm = math.min(n - p, maxPieceLen)
+        while (l <= lm) {
+          val piece = word.substring(p, p + l)
+          probs.get(piece).foreach { pm =>
+            val gamma = ((al(p) * (pm.toDouble / 1000000.0d)) * bl(p + l)) / z
+            val gm = math.floor(1000000.0d * gamma + 0.5d).toLong
+            m.update(piece, m.getOrElse(piece, 0L) + gm)
+          }
+          l += 1
+        }
+        p += 1
+      }
+      m.toMap
+    }
+  }
+
+  /** q319 — soft-EM E-step under the hard-EM-trained vocabulary: the
+    * PLANS r16 "soft-EM unigram" candidate, landed as the expected-
+    * count table the full algorithm would iterate. Per piece: the hard
+    * (Viterbi, winner-take-all) count q307 trained with, the
+    * forward-backward EXPECTED count over every segmentation (micro —
+    * occurrence posteriors rounded before summing, freq-weighted exact
+    * integers after), and the re-estimated soft probability (add-one
+    * in micro units, arbitrary-precision intermediates — HUGEINT in
+    * the oracle). The decision this table informs: where soft mass
+    * disagrees with hard counts, Viterbi training is starving pieces
+    * the lattice actually supports — the signal a soft-EM trainer
+    * would feed back.
+    *
+    * Scale: two in-row array folds + a bounded occurrence explode per
+    * DISTINCT word (vocab-sized frame), one piece-keyed agg; model
+    * state is the probability map. */
+  def unigramSoftEm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (vocab, probs) = unigramArtifacts(spark, dir)
+    val softRows = uniWords(spark, dir)
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (word, freq) =>
+          uniSoftCountsOf(word, probs).iterator.map { case (piece, gm) =>
+            (piece, freq * gm)
+          }
+        }
+      }
+      .toDF("piece", "c")
+      .groupBy("piece").agg(sum(col("c")).as("soft_cnt_micro"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totSoft = BigInt(vocab.map(v => softRows.getOrElse(v._1, 0L)).sum)
+    val vSize = BigInt(vocab.size)
+    val rows = vocab.map { case (piece, isChar, hardCnt, _) =>
+      val c = BigInt(softRows.getOrElse(piece, 0L))
+      // add-one smoothing in MICRO units: (c + 1e6) / (tot + V·1e6),
+      // micro-rounded — the q307 integer rule with micro-scaled counts
+      val pSoft = ((BigInt(2) * (c + 1000000) * 1000000 +
+        totSoft + vSize * 1000000) /
+        (BigInt(2) * (totSoft + vSize * 1000000))).toLong
+      (piece, isChar.toLong, hardCnt, softRows.getOrElse(piece, 0L), pSoft)
+    }
+    rows.toDF("piece", "is_char", "hard_cnt", "soft_cnt_micro",
+        "p_soft_micro")
+      .orderBy("piece")
   }
 
   /** Backtrack of [[uniDpCol]]'s lattice: walk last-piece lengths from
@@ -1785,9 +1940,10 @@ object Curation {
     * frame (the q277 k-narrow-jobs discipline, but with k = 1 job per
     * iteration — the DP is in-row, nothing shuffles but the final
     * vocabulary-sized count). */
-  private[graft] def unigramArtifacts(spark: SparkSession, dir: String):
+  private[graft] def unigramArtifacts(spark: SparkSession, dir: String,
+                                      seedMultis: Int = UniSeedMultis):
       (Seq[(String, Int, Long, Long)], Map[String, Long]) =
-    uniMemo.get(spark, s"unigram/$dir/$UniMaxPieceLen/$UniSeedMultis/" +
+    uniMemo.get(spark, s"unigram/$dir/$UniMaxPieceLen/$seedMultis/" +
         s"$UniIters/$UniMaxWordLen/" +
         graft.Tables.pathFingerprint(spark, s"$dir/documents.parquet")) {
       val words = uniWords(spark, dir)
@@ -1807,7 +1963,7 @@ object Curation {
           .as("piece"), col("freq"))
         .groupBy("piece").agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("piece").asc)
-        .limit(UniSeedMultis)
+        .limit(seedMultis)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       var vocab: Seq[(String, Int, Long)] =
         chars.map { case (p, c) => (p, 1, c) } ++
