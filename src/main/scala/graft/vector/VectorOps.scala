@@ -2247,10 +2247,28 @@ object VectorOps {
     * Determinism: φ sums micro-rounded per-vector minima; nearest is
     * the (micro-dist, id) min; probes rank raw-double (d, cell)
     * structs — each the established oracle-replayed rule. */
+  private val coarseGateMemo =
+    new graft.SessionMemo[Seq[(String, Long, Long, Long)]]
+
   def coarseTrainerGate(spark: SparkSession, dir: String,
                         k: Int = KppK, nProbe: Int = GateNProbe,
                         splitAt: Long = GateSplitAt): DataFrame = {
     import spark.implicits._
+    // model-sized decision rows, memoized per corpus version: the kpp
+    // selection is R driver-action rounds and each method re-runs the
+    // Lloyd/φ/recall audits — one training run per session, like every
+    // other trained artifact (bench r17 measured 5.5 s/pass unmemoized)
+    coarseGateMemo.get(spark, s"coarse-gate/$dir/$k/$nProbe/$splitAt/" +
+        graft.Tables.pathFingerprint(spark, s"$dir/embeddings.parquet")) {
+      coarseTrainerGateRows(spark, dir, k, nProbe, splitAt)
+    }.toDF("method", "phi_seed_micro", "phi_refined_micro",
+        "probe_recall_micro")
+      .orderBy("method")
+  }
+
+  private def coarseTrainerGateRows(spark: SparkSession, dir: String,
+                                    k: Int, nProbe: Int, splitAt: Long):
+      Seq[(String, Long, Long, Long)] = {
     import org.apache.spark.sql.expressions.Window
     val e = vecs(spark, dir).select(col("vec_id"), col("v"))
     val corp = e.filter(col("vec_id") < splitAt)
@@ -2294,9 +2312,6 @@ object VectorOps {
         math.floor(1000000.0d * hits / nFresh + 0.5d).toLong)
     }
     Seq(metricsOf("kmeans_par", seedsB), metricsOf("seed_first_k", seedsA))
-      .toDF("method", "phi_seed_micro", "phi_refined_micro",
-        "probe_recall_micro")
-      .orderBy("method")
   }
 
   // ---------------------------------------------------------------------
