@@ -649,6 +649,9 @@ object SparkEntry {
     // expected piece counts (occurrence posteriors micro-rounded before
     // any sum) + the re-estimated soft probabilities
     "q319_unigram_soft_em"     -> ((s, d) => graft.text.Curation.unigramSoftEm(s, d)),
+    // fertility under the soft re-estimate vs the hard-EM probabilities
+    // — the M-step applied once, priced on the tokenizer's own metric
+    "q320_unigram_soft_fertility" -> ((s, d) => graft.text.Curation.unigramSoftFertility(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3916,58 +3919,41 @@ object SparkEntry {
     // kernel runs), per-occurrence posteriors micro-rounded BEFORE the
     // freq-weighted integer sums, add-one re-estimate in HUGEINT.
     "q319_unigram_soft_em" -> {
-      val lp = graft.text.Curation.UniMaxPieceLen
       val iters = graft.text.Curation.UniIters
       s"""WITH RECURSIVE $uniCtes,
-         |pmS AS MATERIALIZED (SELECT map_from_entries(LIST({'k': piece, 'v': pm})) AS m FROM p$iters),
-         |fa(word, freq, j, al) AS (
-         |  SELECT word, freq, 0, [CAST(1.0 AS DOUBLE)] FROM uw
-         |  UNION ALL
-         |  SELECT f.word, f.freq, f.j + 1, list_append(f.al, x.s)
-         |  FROM fa f, pmS,
-         |  LATERAL (
-         |    SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_filter(list_transform(generate_series(1, least(f.j + 1, $lp)), l ->
-         |        CASE WHEN len(pmS.m[substr(f.word, f.j + 1 - l + 1, l)]) = 0 THEN NULL
-         |             ELSE f.al[f.j + 1 - l + 1] * (CAST(pmS.m[substr(f.word, f.j + 1 - l + 1, l)][1] AS DOUBLE) / 1000000.0) END),
-         |      e2 -> e2 IS NOT NULL)), (a, x2) -> a + x2) AS s
-         |  ) x
-         |  WHERE f.j < length(f.word)
-         |),
-         |faf AS MATERIALIZED (SELECT word, freq, al FROM fa WHERE j = length(word)),
-         |fb(word, j, bl) AS (
-         |  SELECT word, length(word), [CAST(1.0 AS DOUBLE)] FROM uw
-         |  UNION ALL
-         |  SELECT f.word, f.j - 1, list_append(f.bl, x.s)
-         |  FROM fb f, pmS,
-         |  LATERAL (
-         |    SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_filter(list_transform(generate_series(1, least(length(f.word) - (f.j - 1), $lp)), l ->
-         |        CASE WHEN len(pmS.m[substr(f.word, f.j, l)]) = 0 THEN NULL
-         |             ELSE (CAST(pmS.m[substr(f.word, f.j, l)][1] AS DOUBLE) / 1000000.0) * f.bl[length(f.word) - (f.j - 1 + l) + 1] END),
-         |      e2 -> e2 IS NOT NULL)), (a, x2) -> a + x2) AS s
-         |  ) x
-         |  WHERE f.j > 0
-         |),
-         |fbf AS MATERIALIZED (SELECT word, bl FROM fb WHERE j = 0),
-         |occ AS (SELECT u.word, u.freq, oc.o.i AS i, oc.o.l AS l,
-         |               substr(u.word, oc.o.i + 1, oc.o.l) AS piece
-         |        FROM uw u,
-         |        LATERAL (SELECT unnest(flatten(list_transform(generate_series(0, length(u.word) - 1), i ->
-         |          list_transform(generate_series(1, least($lp, length(u.word) - i)), l -> {'i': i, 'l': l})))) AS o) oc),
-         |gam AS (SELECT o.word, o.freq, o.piece,
-         |               CAST(FLOOR(1000000.0 * (((ff.al[o.i + 1] * (CAST(pmS.m[o.piece][1] AS DOUBLE) / 1000000.0)) * fb2.bl[length(o.word) - (o.i + o.l) + 1]) / ff.al[length(o.word) + 1]) + 0.5) AS BIGINT) AS gm
-         |        FROM occ o JOIN faf ff USING (word) JOIN fbf fb2 USING (word), pmS
-         |        WHERE len(pmS.m[o.piece]) > 0 AND ff.al[length(o.word) + 1] > 0),
-         |soft AS (SELECT piece, CAST(SUM(freq * gm) AS BIGINT) AS sc FROM gam GROUP BY 1),
-         |tots AS (SELECT CAST(SUM(COALESCE(s.sc, 0)) AS HUGEINT) AS t, CAST(COUNT(*) AS HUGEINT) AS v
-         |         FROM p$iters p LEFT JOIN soft s USING (piece))
+         |$uniSoftCtes
          |SELECT p.piece, CAST(p.is_char AS BIGINT) AS is_char, p.cnt AS hard_cnt,
          |       CAST(COALESCE(s.sc, 0) AS BIGINT) AS soft_cnt_micro,
          |       CAST((2 * (CAST(COALESCE(s.sc, 0) AS HUGEINT) + 1000000) * 1000000 + tots.t + tots.v * 1000000)
          |            // (2 * (tots.t + tots.v * 1000000)) AS BIGINT) AS p_soft_micro
          |FROM p$iters p LEFT JOIN soft s USING (piece), tots
          |ORDER BY p.piece""".stripMargin
+    },
+    // q320: the q319 chains + the soft re-estimate as a probability
+    // TABLE + two more Viterbi fertility passes — hard vs soft probs
+    // on the metric tokenizers are judged by.
+    "q320_unigram_soft_fertility" -> {
+      val iters = graft.text.Curation.UniIters
+      def fertRow(method: String, fk: String): String =
+        s"""SELECT '$method' AS method,
+           |       CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           |       CAST(SUM(freq * CAST(st[length(word) + 1].np AS BIGINT)) AS BIGINT) AS pieces_total,
+           |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(freq * CAST(st[length(word) + 1].np AS BIGINT)) / SUM(freq) + 0.5) AS BIGINT) AS uni_fertility_micro
+           |FROM dpfin$fk""".stripMargin
+      s"""WITH RECURSIVE $uniCtes,
+         |$uniSoftCtes,
+         |softp AS MATERIALIZED (
+         |  SELECT p.piece,
+         |         CAST((2 * (CAST(COALESCE(s.sc, 0) AS HUGEINT) + 1000000) * 1000000 + tots.t + tots.v * 1000000)
+         |              // (2 * (tots.t + tots.v * 1000000)) AS BIGINT) AS pm
+         |  FROM p$iters p LEFT JOIN soft s USING (piece), tots),
+         |${uniDpChain("H9", s"p$iters")},
+         |${uniDpChain("S9", "softp")}
+         |SELECT * FROM (
+         |  ${fertRow("hard_em", "H9")}
+         |  UNION ALL
+         |  ${fertRow("soft_reestimate", "S9")}
+         |) ORDER BY method""".stripMargin
     },
     // q318: the shared substring pool + THREE full hard-EM chains (one
     // per seed budget, suffixed CTE names) + one fertility DP per
@@ -6163,6 +6149,60 @@ object SparkEntry {
   private def uniCtes: String =
     uniHeadCtes + ",\n" +
       uniVariantCtes("", graft.text.Curation.UniSeedMultis)
+
+  /** q319/q320's shared soft-EM chains over the final hard-EM state:
+    * forward (fa) / backward (fb) recursions whose per-step sums are
+    * `list_reduce` folds in l-ascending order (the Scala kernel's exact
+    * add sequence), the occurrence table, per-occurrence posteriors
+    * micro-rounded BEFORE the freq-weighted integer sums (gam/soft),
+    * and the HUGEINT totals for the add-one re-estimate (tots). */
+  private def uniSoftCtes: String = {
+    val lp = graft.text.Curation.UniMaxPieceLen
+    val iters = graft.text.Curation.UniIters
+    s"""pmS AS MATERIALIZED (SELECT map_from_entries(LIST({'k': piece, 'v': pm})) AS m FROM p$iters),
+       |fa(word, freq, j, al) AS (
+       |  SELECT word, freq, 0, [CAST(1.0 AS DOUBLE)] FROM uw
+       |  UNION ALL
+       |  SELECT f.word, f.freq, f.j + 1, list_append(f.al, x.s)
+       |  FROM fa f, pmS,
+       |  LATERAL (
+       |    SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_filter(list_transform(generate_series(1, least(f.j + 1, $lp)), l ->
+       |        CASE WHEN len(pmS.m[substr(f.word, f.j + 1 - l + 1, l)]) = 0 THEN NULL
+       |             ELSE f.al[f.j + 1 - l + 1] * (CAST(pmS.m[substr(f.word, f.j + 1 - l + 1, l)][1] AS DOUBLE) / 1000000.0) END),
+       |      e2 -> e2 IS NOT NULL)), (a, x2) -> a + x2) AS s
+       |  ) x
+       |  WHERE f.j < length(f.word)
+       |),
+       |faf AS MATERIALIZED (SELECT word, freq, al FROM fa WHERE j = length(word)),
+       |fb(word, j, bl) AS (
+       |  SELECT word, length(word), [CAST(1.0 AS DOUBLE)] FROM uw
+       |  UNION ALL
+       |  SELECT f.word, f.j - 1, list_append(f.bl, x.s)
+       |  FROM fb f, pmS,
+       |  LATERAL (
+       |    SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_filter(list_transform(generate_series(1, least(length(f.word) - (f.j - 1), $lp)), l ->
+       |        CASE WHEN len(pmS.m[substr(f.word, f.j, l)]) = 0 THEN NULL
+       |             ELSE (CAST(pmS.m[substr(f.word, f.j, l)][1] AS DOUBLE) / 1000000.0) * f.bl[length(f.word) - (f.j - 1 + l) + 1] END),
+       |      e2 -> e2 IS NOT NULL)), (a, x2) -> a + x2) AS s
+       |  ) x
+       |  WHERE f.j > 0
+       |),
+       |fbf AS MATERIALIZED (SELECT word, bl FROM fb WHERE j = 0),
+       |occ AS (SELECT u.word, u.freq, oc.o.i AS i, oc.o.l AS l,
+       |               substr(u.word, oc.o.i + 1, oc.o.l) AS piece
+       |        FROM uw u,
+       |        LATERAL (SELECT unnest(flatten(list_transform(generate_series(0, length(u.word) - 1), i ->
+       |          list_transform(generate_series(1, least($lp, length(u.word) - i)), l -> {'i': i, 'l': l})))) AS o) oc),
+       |gam AS (SELECT o.word, o.freq, o.piece,
+       |               CAST(FLOOR(1000000.0 * (((ff.al[o.i + 1] * (CAST(pmS.m[o.piece][1] AS DOUBLE) / 1000000.0)) * fb2.bl[length(o.word) - (o.i + o.l) + 1]) / ff.al[length(o.word) + 1]) + 0.5) AS BIGINT) AS gm
+       |        FROM occ o JOIN faf ff USING (word) JOIN fbf fb2 USING (word), pmS
+       |        WHERE len(pmS.m[o.piece]) > 0 AND ff.al[length(o.word) + 1] > 0),
+       |soft AS (SELECT piece, CAST(SUM(freq * gm) AS BIGINT) AS sc FROM gam GROUP BY 1),
+       |tots AS (SELECT CAST(SUM(COALESCE(s.sc, 0)) AS HUGEINT) AS t, CAST(COUNT(*) AS HUGEINT) AS v
+       |         FROM p$iters p LEFT JOIN soft s USING (piece))""".stripMargin
+  }
 
   private val BpeCtes: String =
     s"""tok AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM documents),

@@ -1849,35 +1849,83 @@ object Curation {
     * Scale: two in-row array folds + a bounded occurrence explode per
     * DISTINCT word (vocab-sized frame), one piece-keyed agg; model
     * state is the probability map. */
-  def unigramSoftEm(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val (vocab, probs) = unigramArtifacts(spark, dir)
-    val softRows = uniWords(spark, dir)
-      .as[(String, Long)]
-      .mapPartitions { it =>
-        it.flatMap { case (word, freq) =>
-          uniSoftCountsOf(word, probs).iterator.map { case (piece, gm) =>
-            (piece, freq * gm)
+  private val uniSoftMemo =
+    new graft.SessionMemo[Seq[(String, Long, Long, Long, Long)]]
+
+  /** The q319 rows (piece, is_char, hard_cnt, soft_cnt_micro,
+    * p_soft_micro) — memoized per corpus version; q320 reuses the soft
+    * re-estimate as its candidate probability table. */
+  private[graft] def unigramSoftRows(spark: SparkSession, dir: String):
+      Seq[(String, Long, Long, Long, Long)] =
+    uniSoftMemo.get(spark, s"uni-soft/$dir/$UniMaxPieceLen/$UniSeedMultis/" +
+        s"$UniIters/$UniMaxWordLen/" +
+        graft.Tables.pathFingerprint(spark, s"$dir/documents.parquet")) {
+      import spark.implicits._
+      val (vocab, probs) = unigramArtifacts(spark, dir)
+      val softRows = uniWords(spark, dir)
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          it.flatMap { case (word, freq) =>
+            uniSoftCountsOf(word, probs).iterator.map { case (piece, gm) =>
+              (piece, freq * gm)
+            }
           }
         }
+        .toDF("piece", "c")
+        .groupBy("piece").agg(sum(col("c")).as("soft_cnt_micro"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val totSoft = BigInt(vocab.map(v => softRows.getOrElse(v._1, 0L)).sum)
+      val vSize = BigInt(vocab.size)
+      vocab.map { case (piece, isChar, hardCnt, _) =>
+        val c = BigInt(softRows.getOrElse(piece, 0L))
+        // add-one smoothing in MICRO units: (c + 1e6) / (tot + V·1e6),
+        // micro-rounded — the q307 integer rule with micro-scaled counts
+        val pSoft = ((BigInt(2) * (c + 1000000) * 1000000 +
+          totSoft + vSize * 1000000) /
+          (BigInt(2) * (totSoft + vSize * 1000000))).toLong
+        (piece, isChar.toLong, hardCnt, softRows.getOrElse(piece, 0L), pSoft)
       }
-      .toDF("piece", "c")
-      .groupBy("piece").agg(sum(col("c")).as("soft_cnt_micro"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val totSoft = BigInt(vocab.map(v => softRows.getOrElse(v._1, 0L)).sum)
-    val vSize = BigInt(vocab.size)
-    val rows = vocab.map { case (piece, isChar, hardCnt, _) =>
-      val c = BigInt(softRows.getOrElse(piece, 0L))
-      // add-one smoothing in MICRO units: (c + 1e6) / (tot + V·1e6),
-      // micro-rounded — the q307 integer rule with micro-scaled counts
-      val pSoft = ((BigInt(2) * (c + 1000000) * 1000000 +
-        totSoft + vSize * 1000000) /
-        (BigInt(2) * (totSoft + vSize * 1000000))).toLong
-      (piece, isChar.toLong, hardCnt, softRows.getOrElse(piece, 0L), pSoft)
     }
-    rows.toDF("piece", "is_char", "hard_cnt", "soft_cnt_micro",
+
+  def unigramSoftEm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    unigramSoftRows(spark, dir)
+      .toDF("piece", "is_char", "hard_cnt", "soft_cnt_micro",
         "p_soft_micro")
       .orderBy("piece")
+  }
+
+  /** q320 — what the soft re-estimate BUYS: corpus-wide Viterbi
+    * fertility under the hard-EM probabilities vs under q319's
+    * soft-reestimated ones (same vocabulary set, shifted mass). The
+    * full soft-EM training loop would iterate E-step → re-estimate →
+    * Viterbi; this is one such M-step applied, priced on the metric
+    * tokenizers are judged by. An honest wash is a valid verdict — the
+    * table says whether iterating is worth building. */
+  def unigramSoftFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, probsHard) = unigramArtifacts(spark, dir)
+    val probsSoft = unigramSoftRows(spark, dir)
+      .map(r => r._1 -> r._5).toMap
+    val words = uniWords(spark, dir)
+    def fert(method: String, probs: Map[String, Long]):
+        (String, Long, Long, Long) = {
+      val agg = words
+        .withColumn("dp", uniDpCol(col("word"), probs))
+        .select(col("freq"),
+          length(col("word")).cast("long").as("chars"),
+          element_at(col("dp"), length(col("word")) + lit(1))
+            .getField("np").cast("long").as("np"))
+        .agg(sum(col("freq")).as("n_tokens"),
+          sum(col("freq") * col("chars")).as("chars_total"),
+          sum(col("freq") * col("np")).as("pieces_total"))
+        .head()
+      (method, agg.getLong(0), agg.getLong(2),
+        math.floor(1000000.0d * agg.getLong(2) / agg.getLong(0) + 0.5d).toLong)
+    }
+    Seq(fert("hard_em", probsHard), fert("soft_reestimate", probsSoft))
+      .toDF("method", "n_tokens", "pieces_total", "uni_fertility_micro")
+      .orderBy("method")
   }
 
   /** Backtrack of [[uniDpCol]]'s lattice: walk last-piece lengths from

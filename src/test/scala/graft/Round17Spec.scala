@@ -239,6 +239,26 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("unigramSoftFertility: the re-estimate genuinely shifts probabilities (the q320 wash is not vacuous) and both rows share the word table") {
+    val dir = "/root/testdata/sf0.001"
+    val soft = graft.text.Curation.unigramSoftRows(spark, dir)
+      .map(r => r._1 -> r._5).toMap
+    val hard = graft.text.Curation.unigramArtifactRows(spark, dir)
+      .map(r => r._1 -> r._4).toMap
+    assert(soft.keySet === hard.keySet)
+    assert(soft.exists { case (p, v) => hard(p) != v },
+      "the soft re-estimate must move SOME probability — a vacuously " +
+        "identical table would make q320's wash verdict meaningless")
+    val rows = graft.text.Curation.unigramSoftFertility(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq("hard_em", "soft_reestimate"))
+    assert(rows.map(_._2).distinct.size === 1, "same word table both rows")
+    rows.foreach { case (_, nTok, pieces, fert) =>
+      assert(fert === math.floor(1000000.0d * pieces / nTok + 0.5d).toLong)
+    }
+  }
+
   // ---------------------------------------------------------------- //
   // Bench budget gates (judge r16 task 4 + advisor r16)
   // ---------------------------------------------------------------- //
