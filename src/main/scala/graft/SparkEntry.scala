@@ -652,6 +652,10 @@ object SparkEntry {
     // fertility under the soft re-estimate vs the hard-EM probabilities
     // — the M-step applied once, priced on the tokenizer's own metric
     "q320_unigram_soft_fertility" -> ((s, d) => graft.text.Curation.unigramSoftFertility(s, d)),
+    // tokenizer maintenance routing: fresh vs letter-doubled deltas
+    // measured against the published artifact's train-time baseline —
+    // the drift statistic AND the keep/retrain decision hash-verified
+    "q321_tokenizer_maintenance" -> ((s, d) => graft.text.Curation.tokenizerMaintenance(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4216,6 +4220,45 @@ object SparkEntry {
          |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * syms_frozen / n_tokens + 0.5) AS BIGINT)
          |         - CAST(FLOOR(CAST(1000000 AS DOUBLE) * syms_retrained / n_tokens + 0.5) AS BIGINT) AS drift_micro
          |FROM agg ORDER BY source""".stripMargin,
+    // q321: the q277 merge recursion (full-corpus training — the same
+    // chain the published artifact signs), the train-time baseline as
+    // the corpus-side aggregate, then BOTH deltas' fertility with the
+    // monitor's char-fallback LEFT join and the routing CASE — the
+    // exact comparison maintainTokenizer acts on, differentially
+    // replayed.
+    "q321_tokenizer_maintenance" ->
+      s"""WITH RECURSIVE $BpeCtes,
+         |final AS (SELECT u.w.s AS s
+         |          FROM (SELECT state FROM m ORDER BY iter DESC LIMIT 1) f,
+         |               unnest(f.state) u(w)),
+         |vocab AS (SELECT replace(trim(s), ' ', '') AS word,
+         |                 CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_syms
+         |          FROM final),
+         |base AS (SELECT CAST(FLOOR(CAST(1000000 AS DOUBLE) * SUM(w.freq * v.n_syms) / SUM(w.freq) + 0.5) AS BIGINT) AS b
+         |         FROM w JOIN vocab v USING (word)),
+         |tokf AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+         |         FROM documents WHERE doc_id >= ${graft.text.Curation.DriftSplitAt}),
+         |wf AS (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM tokf, unnest(t) u(w) GROUP BY 1),
+         |wd AS (SELECT regexp_replace(word, '([a-z])', '\\1\\1', 'g') AS word,
+         |              CAST(SUM(freq) AS BIGINT) AS freq
+         |       FROM wf GROUP BY 1),
+         |stats AS (
+         |  SELECT 'fresh' AS delta, CAST(SUM(wf.freq) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(wf.freq * COALESCE(v.n_syms, length(wf.word))) AS BIGINT) AS syms_total
+         |  FROM wf LEFT JOIN vocab v USING (word)
+         |  UNION ALL
+         |  SELECT 'doubled', CAST(SUM(wd.freq) AS BIGINT),
+         |         CAST(SUM(wd.freq * COALESCE(v.n_syms, length(wd.word))) AS BIGINT)
+         |  FROM wd LEFT JOIN vocab v ON wd.word = v.word)
+         |SELECT s.delta, s.n_tokens, s.syms_total,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * s.syms_total / s.n_tokens + 0.5) AS BIGINT) AS fertility_micro,
+         |       base.b AS baseline_micro,
+         |       CAST(FLOOR(CAST(1000000 AS DOUBLE) * s.syms_total / s.n_tokens + 0.5) AS BIGINT) - base.b AS drift_micro,
+         |       CAST(${graft.streaming.TrainingPipeline.TokenizerFertilityBudgetMicro} AS BIGINT) AS budget_micro,
+         |       CASE WHEN abs(CAST(FLOOR(CAST(1000000 AS DOUBLE) * s.syms_total / s.n_tokens + 0.5) AS BIGINT) - base.b)
+         |                 > ${graft.streaming.TrainingPipeline.TokenizerFertilityBudgetMicro}
+         |            THEN 'retrain' ELSE 'keep' END AS decision
+         |FROM stats s, base ORDER BY delta""".stripMargin,
     // q282: the recursive CTE's single-row state is the CODEBOOK; each
     // iteration re-assigns every (vector, subspace) with the min-struct
     // argmin (ties to the lower cid) and rebuilds centroids from

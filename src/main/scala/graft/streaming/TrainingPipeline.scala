@@ -784,14 +784,16 @@ object TrainingPipeline {
       math.floor(1000000.0d * r.getLong(1) / r.getLong(0) + 0.5d).toLong)
   }
 
-  /** Measured ([[graft.DriftProbe]] `--tokenizer`: fresh-half deltas of
-    * the same corpus vs each family's published train-time baseline,
-    * sf0.001/0.01/0.1): an UNDRIFTED same-distribution delta lands
-    * within ~35k micro of the baseline for every family (char-BPE pays
-    * the most — its char-fallback OOV edge taxes genuinely new words),
-    * while the planted drifted delta (letter-doubled text, the
-    * morphology-shift stand-in) sits ≥ 1.9M micro away. The budget is
-    * ~3× the undrifted band — far under the breach margin. */
+  /** Measured ([[graft.DriftProbe]] `tokenizer` mode: fresh-half deltas
+    * of the same corpus vs each family's published train-time baseline,
+    * all three families × sf0.001/0.01/0.1): an UNDRIFTED
+    * same-distribution delta lands within 0.2–15.1k micro of the
+    * baseline (worst: char-BPE at sf0.01, where the char-fallback OOV
+    * edge taxes genuinely new words), while the planted drifted delta
+    * (letter-doubled text, the morphology-shift stand-in) sits
+    * 4.67–6.01M micro away. The budget sits ~6.6× above the worst
+    * undrifted band and ~47× under the smallest breach — the same
+    * comfortably-between discipline as [[IndexDriftBudgetMicro]]. */
   val TokenizerFertilityBudgetMicro = 100000L
 
   /** The routing rule of [[maintainTokenizer]], factored pure so q321

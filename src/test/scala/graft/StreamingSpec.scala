@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, expr, lit, max, md5}
+import org.apache.spark.sql.functions.{col, expr, lit, lower, max, md5, regexp_replace}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Pipelines
 
@@ -470,6 +470,70 @@ class StreamingSpec extends SparkSpec {
     assert(TrainingPipeline.maintainIndex(spark, dir, path, "pq",
       freshHalf, compactAt = 3) === "append")
     assert(segsN === 2)
+  }
+
+  test("maintainTokenizer: drift routes keep vs retrain against the published baseline; breach republishes a NEW version through the atomic swap, no-breach leaves it bit-identical") {
+    import graft.streaming.{Sinks, TrainingPipeline => TP}
+    val src = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_tokmaint").toString
+    val dirA = s"$base/corpusA"
+    val dirB = s"$base/corpusB"
+    src.filter(col("doc_id") < 250L).write.parquet(s"$dirA/documents.parquet")
+    val path = s"$base/tok"
+    val fresh = src.filter(col("doc_id") >= 250L)
+    // corpus B = A's docs PLUS the drifted mass (the retrain contract:
+    // dir reflects the corpus including the batch that breached) — the
+    // synthetic corpora share one word pool, so without genuinely new
+    // words a retrain reproduces the identical artifact
+    val driftedMass = fresh
+      .withColumn("doc_id", col("doc_id") + lit(1000L))
+      .withColumn("text",
+        regexp_replace(lower(col("text")), "([a-z])", "$1$1"))
+    src.unionByName(driftedMass).write.parquet(s"$dirB/documents.parquet")
+    // missing artifact: the first call trains from scratch and signs a
+    // baseline with the version
+    assert(TP.maintainTokenizer(spark, dirA, path, "char-bpe", fresh)
+      === "retrain")
+    val v1 = Sinks.loadTokenizer(spark, path).config
+    assert(Sinks.loadTokenizerBaseline(spark, path).nonEmpty,
+      "trainAndPublishTokenizer must publish the train-time baseline")
+    // undrifted same-distribution delta: keep, version bit-identical
+    assert(TP.maintainTokenizer(spark, dirA, path, "char-bpe", fresh)
+      === "keep")
+    assert(Sinks.loadTokenizer(spark, path).config === v1,
+      "a keep must not touch the published version")
+    // drifted delta (letter-doubled text): breach -> retrain on the
+    // corpus that now includes the shifted mass -> NEW version visible
+    // through the one read path
+    val doubled = fresh.withColumn("text",
+      regexp_replace(lower(col("text")), "([a-z])", "$1$1"))
+    assert(TP.maintainTokenizer(spark, dirB, path, "char-bpe", doubled)
+      === "retrain")
+    val v2 = Sinks.loadTokenizer(spark, path).config
+    assert(v2.fingerprint !== v1.fingerprint,
+      "a breach retrain on a changed corpus must publish a new version")
+    // legacy pre-baseline artifact: migrate via retrain, never crash
+    val art = Sinks.loadTokenizer(spark, path)
+      .asInstanceOf[Sinks.CharBpeArtifact]
+    val legacy = s"$base/legacy"
+    Sinks.publishCharBpeTokenizer(spark, legacy, art.merges, art.vocab)
+    assert(Sinks.loadTokenizerBaseline(spark, legacy).isEmpty)
+    assert(TP.maintainTokenizer(spark, dirB, legacy, "char-bpe", fresh)
+      === "retrain")
+    assert(Sinks.loadTokenizerBaseline(spark, legacy).nonEmpty,
+      "the migrating retrain signs a baseline")
+    // family mismatch: the requested family wins via retrain
+    assert(TP.maintainTokenizer(spark, dirB, legacy, "unigram", fresh)
+      === "retrain")
+    assert(Sinks.loadTokenizer(spark, legacy).config.family === "unigram")
+    // and the q321 reporting face agrees with the routing the
+    // maintenance call actually takes on the same corpus
+    val routes = graft.text.Curation
+      .tokenizerMaintenance(spark, "/root/testdata/sf0.001")
+      .select("delta", "decision").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(routes === Map("doubled" -> "retrain", "fresh" -> "keep"))
   }
 
   test("fertilityMonitorFromArtifact: one read path dispatches all three families and equals each family's hash-verified batch face") {
