@@ -1086,15 +1086,17 @@ object TrainingPipeline {
   val IndexDriftBudgetMicro = 100000L
 
   /** Segment-count ceiling [[maintainIndex]] compacts at. Measured
-    * ([[graft.ScaleProbe]] `--segments`): per-segment load/scan overhead
-    * is linear in the manifest length (each segment is one more parquet
-    * directory open + footer + union leg — on this store ~8-10 ms per
-    * segment at both sf0.001 and sf0.01, payload-size-independent), so
-    * an uncompacted manifest of S segments taxes EVERY reader ~S·10 ms
-    * forever while one compaction costs a single corpus-sized rewrite.
-    * 8 keeps the reader tax under ~0.1 s while letting a daily-append
-    * cron run a week between rewrites; the probe shows load cost
-    * returning to the one-segment floor after each compaction cycle. */
+    * ([[graft.ScaleProbe]] `segments` mode, 3 append→compact cycles):
+    * load+scan cost is LINEAR in the manifest length — ~45 ms per
+    * segment on this store (0.27 s at 1 segment → 0.59 s at 8 → 1.7 s
+    * at 32; each segment is one more parquet directory open + footer +
+    * union leg, payload-size-independent) — and compaction returns it
+    * to the one-segment floor in every cycle (0.26-0.29 s). An
+    * uncompacted manifest taxes EVERY reader that slope forever, while
+    * one compaction costs a single corpus-sized rewrite. 8 bounds the
+    * reader tax at ~0.3 s here (a week of daily appends between
+    * rewrites); deployments with hotter read paths tune the knob down
+    * via the `compactAt` parameter. */
   val IndexCompactAtSegments = 8
 
   /** Drift-gated maintenance — ONE call an index cron runs per batch
