@@ -115,9 +115,13 @@ object Olap {
         col("price_micro").as("p0_micro"))
     monthly.join(base, "l_partkey")
       .groupBy("month")
+      // decimal accumulation (r18 overflow audit): price_micro·q0 is
+      // ~1e11-1e12 per part and the Laspeyres numerator sums it over
+      // EVERY matched part — a long accumulator wraps at ~1e7 parts,
+      // far inside a 100 TB catalog; the index ratio itself is tiny
       .agg(count(lit(1)).as("n_matched"),
-        sum(col("price_micro") * col("q0")).as("num"),
-        sum(col("p0_micro") * col("q0")).as("den"))
+        sum(col("price_micro").cast("decimal(38,0)") * col("q0")).as("num"),
+        sum(col("p0_micro").cast("decimal(38,0)") * col("q0")).as("den"))
       .select(col("month"), col("n_matched"),
         expr("CAST(FLOOR(1000000.0 * num / den + 0.5) AS BIGINT)").as("index_micro"))
       .orderBy("month")

@@ -1862,19 +1862,26 @@ object Curation {
         graft.Tables.pathFingerprint(spark, s"$dir/documents.parquet")) {
       import spark.implicits._
       val (vocab, probs) = unigramArtifacts(spark, dir)
+      // freq·gm and its per-piece sum accumulate in DECIMAL (r18
+      // overflow audit): a corpus word frequency (~2e13 at the design
+      // point) times a micro posterior (≤ ~1.6e7) wraps a Long PER ROW;
+      // the output contract stays BIGINT, converted with longValueExact
+      // — a loud throw past the horizon, never a silent wrap
       val softRows = uniWords(spark, dir)
         .as[(String, Long)]
         .mapPartitions { it =>
           it.flatMap { case (word, freq) =>
             uniSoftCountsOf(word, probs).iterator.map { case (piece, gm) =>
-              (piece, freq * gm)
+              (piece, freq, gm)
             }
           }
         }
-        .toDF("piece", "c")
-        .groupBy("piece").agg(sum(col("c")).as("soft_cnt_micro"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val totSoft = BigInt(vocab.map(v => softRows.getOrElse(v._1, 0L)).sum)
+        .toDF("piece", "freq", "gm")
+        .groupBy("piece")
+        .agg(sum(expr("cast(freq as decimal(38,0)) * gm")).as("soft_cnt_micro"))
+        .collect()
+        .map(r => r.getString(0) -> r.getDecimal(1).longValueExact()).toMap
+      val totSoft = vocab.map(v => BigInt(softRows.getOrElse(v._1, 0L))).sum
       val vSize = BigInt(vocab.size)
       vocab.map { case (piece, isChar, hardCnt, _) =>
         val c = BigInt(softRows.getOrElse(piece, 0L))

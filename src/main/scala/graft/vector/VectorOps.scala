@@ -113,10 +113,13 @@ object VectorOps {
         posexplode(col("v")))
       .select(col("vec_id"), col("label"), col("pos").cast("long").as("dim"),
         expr("CAST(FLOOR(col * 1000000.0 + 0.5) AS BIGINT)").as("xm"))
+    // decimal accumulation + decimal numerator products (r18 overflow
+    // audit): the per-(label,dim) sums AND the xm·n / s·ng cross terms
+    // all wrap a long at ~9.2e12/|x| rows — inside the design point
     val labelSums = comps.groupBy("label", "dim")
-      .agg(sum(col("xm")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("xm").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
     val globalSums = comps.groupBy("dim")
-      .agg(sum(col("xm")).as("sg"), count(lit(1)).as("ng"))
+      .agg(sum(col("xm").cast("decimal(38,0)")).as("sg"), count(lit(1)).as("ng"))
     // intra: the per-dim deviation (xm·n − S)/(n·10⁶) stays an exact
     // BIGINT numerator; its square is one double, nano-rounded per dim
     // BEFORE the order-free per-vector sum (a raw (xm·n − S)² integer
@@ -124,14 +127,14 @@ object VectorOps {
     val intra = comps.join(labelSums, Seq("label", "dim"))
       .select(col("vec_id"), col("label"), expr(
         """CAST(FLOOR(1000000000.0
-          | * (CAST(xm * n - s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
-          | * (CAST(xm * n - s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
+          | * (CAST(CAST(xm AS DECIMAL(38,0)) * n - s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
+          | * (CAST(CAST(xm AS DECIMAL(38,0)) * n - s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
           | + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")).as("term_nano"))
       .groupBy("vec_id", "label")
       .agg(expr("sum(term_nano) div 1000").as("d2_micro"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
-        expr("sum(d2_micro) div count(1)").as("intra_micro"))
+        expr("sum(cast(d2_micro as decimal(38,0))) div count(1)").as("intra_micro"))
     // separation: per-dim nano terms from exact BIGINT numerators
     val sep = labelSums.join(globalSums, "dim")
       .select(col("label"), expr(
@@ -389,7 +392,12 @@ object VectorOps {
         .select(col("cell"), posexplode(col("v")))
         .groupBy("cell", "pos")
         .agg(count(lit(1)).as("n"),
-          sum(expr("cast(floor(col * 1000000.0d + 0.5d) as long)")).as("sm"))
+          // DECIMAL accumulation (r18 overflow audit): per-term micro is
+          // bounded (~1e6·|coord|) but the per-cell SUM grows with the
+          // corpus — a long accumulator wraps silently at ~9.2e12 rows
+          // per cell with |coord| ≤ 1, inside the 100 TB design point
+          // (DuckDB's SUM(BIGINT) is HUGEINT and never does)
+          sum(expr("cast(floor(col * 1000000.0d + 0.5d) as decimal(38,0))")).as("sm"))
         .select(col("cell"), col("pos"),
           (col("sm").cast("double") / (col("n") * lit(1000000.0d))).as("mean"))
         .collect()
@@ -847,11 +855,18 @@ object VectorOps {
       .groupBy("dim")
       .agg(
         count(lit(1)).as("n"),
-        sum(expr("cast(floor(x * 1000000.0d + 0.5d) as long)")).as("sum_micro"),
+        // decimal accumulation (r18 overflow audit): one group per dim
+        // over EVERY vector — the widest corpus-growing sum in the repo
+        // (a long wraps at ~9.2e12 rows with |x| ≤ 1); the output cast
+        // back to BIGINT RAISES past the long horizon (Spark's
+        // decimal→bigint CAST_OVERFLOW — the DuckDB oracle's behavior)
+        // where the old code went silently negative
+        sum(expr("cast(floor(x * 1000000.0d + 0.5d) as decimal(38,0))")).as("sum_w"),
         min(col("x")).as("x_min"),
         max(col("x")).as("x_max"))
-      .withColumn("mean", col("sum_micro").cast("double") / (col("n") * lit(1000000.0d)))
-      .select(col("dim"), col("n"), col("sum_micro"), col("mean"), col("x_min"), col("x_max"))
+      .withColumn("mean", col("sum_w").cast("double") / (col("n") * lit(1000000.0d)))
+      .select(col("dim"), col("n"), col("sum_w").cast("long").as("sum_micro"),
+        col("mean"), col("x_min"), col("x_max"))
       .orderBy("dim")
 
   /** Symmetric int8 quantization summary per embedding — the storage/
@@ -1004,9 +1019,13 @@ object VectorOps {
       .groupBy("label", "dim")
       .agg(
         count(lit(1)).as("n"),
-        sum(expr("cast(floor(x * 1000000.0d + 0.5d) as long)")).as("sum_micro"))
+        // decimal accumulation — the dimProfileCore note applies per
+        // (label, dim) group (r18 overflow audit)
+        sum(expr("cast(floor(x * 1000000.0d + 0.5d) as decimal(38,0))")).as("sum_w"))
       .withColumn("mean",
-        col("sum_micro").cast("double") / (col("n") * lit(1000000.0d)))
+        col("sum_w").cast("double") / (col("n") * lit(1000000.0d)))
+      .select(col("label"), col("dim"), col("n"),
+        col("sum_w").cast("long").as("sum_micro"), col("mean"))
       .orderBy("label", "dim")
 
   /** Upper-triangle covariance cells over the first `nDims` embedding
@@ -1110,15 +1129,21 @@ object VectorOps {
           .as("norm_micro"))
     val stats = e.groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
-        sum(col("norm_micro")).as("sum_norm_micro"),
+        // decimal accumulation (r18 overflow audit): per-label sum of
+        // ~1e6·norm terms over a corpus-sized label population
+        sum(col("norm_micro").cast("decimal(38,0)")).as("sum_norm_micro"),
         min(col("norm_micro")).as("min_norm_micro"),
         max(col("norm_micro")).as("max_norm_micro"))
     val low = e.join(broadcast(stats.select(col("label"),
         col("n_vecs").as("n2"), col("sum_norm_micro").as("s2"))), Seq("label"))
-      .filter(lit(2L) * col("n2") * col("norm_micro") < col("s2"))
+      // the 2·n2·norm_micro PRODUCT wraps a long at n2 ≈ 4.6e12/norm —
+      // inside the design point — so it compares in decimal (s2 already is)
+      .filter((lit(2L) * col("n2")).cast("decimal(38,0)") * col("norm_micro")
+        < col("s2"))
       .groupBy("label").agg(count(lit(1)).as("n_low_norm"))
     stats.join(low, Seq("label"), "left_outer")
-      .select(col("label"), col("n_vecs"), col("sum_norm_micro"),
+      .select(col("label"), col("n_vecs"),
+        col("sum_norm_micro").cast("long").as("sum_norm_micro"),
         col("min_norm_micro"), col("max_norm_micro"),
         coalesce(col("n_low_norm"), lit(0L)).as("n_low_norm"))
       .orderBy("label")
@@ -1346,13 +1371,18 @@ object VectorOps {
           .select(col("sub"), col("cid"), posexplode(col("sv")))
           .groupBy("sub", "cid", "pos")
           .agg(count(lit(1)).as("n"),
-            sum(expr("cast(floor(col * 1000000.0d + 0.5d) as long)")).as("sm"))
+            // decimal accumulation: see the r18 overflow-audit note on
+            // the buildCentroidsOf grid — same corpus-growing cell sum
+            sum(expr("cast(floor(col * 1000000.0d + 0.5d) as decimal(38,0))")).as("sm"))
           .collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
-            r.getLong(3), r.getLong(4)))
+            r.getLong(3), BigDecimal(r.getDecimal(4))))
         val byCell = rows.groupBy(t => (t._1, t._2))
         cents = cents.map { case (key, old) =>
           key -> byCell.get(key).fold(old) { ps =>
+            // toDouble of the exact decimal sum rounds-to-nearest exactly
+            // like the old long→double did, so the mean is bit-identical
+            // below the wrap horizon and merely CORRECT above it
             ps.sortBy(_._3).map(t => t._5.toDouble / (t._4 * 1000000.0d)).toSeq
           }
         }
@@ -1514,15 +1544,19 @@ object VectorOps {
     val stats = vecs(spark, dir).select(posexplode(col("v")))
       .groupBy("pos")
       .agg(count(lit(1)).as("n"),
-        sum(expr("cast(floor(col * col * 1000000.0d + 0.5d) as long)")).as("s2"),
-        sum(expr("cast(floor(col * 1000000.0d + 0.5d) as long)")).as("s1"))
+        // decimal accumulation (r18 overflow audit): one group per dim
+        // over every vector — s2's col² terms wrap a long accumulator
+        // at ~9.2e12/|x|² rows (the s1² PRODUCT was already BigInt)
+        sum(expr("cast(floor(col * col * 1000000.0d + 0.5d) as decimal(38,0))")).as("s2"),
+        sum(expr("cast(floor(col * 1000000.0d + 0.5d) as decimal(38,0))")).as("s1"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getInt(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger)))
     // exact integer variance proxy in arbitrary precision — BIGINT
     // could overflow s1² on wider-range embeddings (oracle: HUGEINT)
     stats
       .map { case (dim, n, s2, s1) =>
-        (dim, BigInt(n) * BigInt(s2) - BigInt(s1) * BigInt(s1)) }
+        (dim, BigInt(n) * s2 - s1 * s1) }
       .sortBy { case (dim, v) => (-v, dim) }
       .map(_._1).toSeq
   }
@@ -1688,8 +1722,13 @@ object VectorOps {
            |      CAST(FLOOR(element_at(v, i + 1) * element_at(v, j + 1)
            |        * 1000000.0D + 0.5D) AS BIGINT) AS sm))))""".stripMargin))
         .as("p"))
-      .groupBy("p.i", "p.j").agg(sum("p.sm").as("sm"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      // decimal accumulation (r18 overflow audit); the Long matrix is
+      // the downstream Jacobi contract, so the collect converts with
+      // longValueExact — a loud throw past the horizon, never a wrap
+      .groupBy("p.i", "p.j")
+      .agg(sum(col("p.sm").cast("decimal(38,0)")).as("sm"))
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getDecimal(2).longValueExact()))
     val out = Array.ofDim[Long](dim, dim)
     cells.foreach { case (i, j, sm) => out(i)(j) = sm; out(j)(i) = sm }
     out
@@ -2078,10 +2117,22 @@ object VectorOps {
   /** ONE k-means|| round (cost pass + hash-coin oversample) over an
     * arbitrary (vec_id, v) frame — the production arithmetic, exposed
     * for the ScaleProbe family: returns (φ, selected count). */
+  /** Corpus-wide sum of a per-row micro column with a DECIMAL
+    * accumulator (r18 overflow audit): a long accumulator wraps
+    * silently at ~9.2e18/B rows for per-row bound B — for φ over unit
+    * vectors (d² micro ≤ ~2.6e8 at 64 dims) that is ~3.5e10 rows,
+    * well inside the design point. The exact decimal sum converts back
+    * to the Long output contract via longValueExact, which THROWS past
+    * the horizon (matching the DuckDB oracle, whose HUGEINT sum raises
+    * on the BIGINT output cast) instead of going silently negative. */
+  private def sumMicroExact(df: DataFrame, c: String): Long =
+    df.agg(sum(col(c).cast("decimal(38,0)"))).head()
+      .getDecimal(0).longValueExact()
+
   private[graft] def kppRoundProbe(e: DataFrame, cents: Seq[Seq[Double]],
                                    l: Int, r: Int): (Long, Long) = {
     val withD2 = e.withColumn("d2m", minD2Micro(cents))
-    val phi = withD2.agg(sum("d2m")).head().getLong(0)
+    val phi = sumMicroExact(withD2.select("d2m"), "d2m")
     val sel = withD2.filter(
       (lit(l.toLong) * col("d2m")).cast("double") / lit(phi.toDouble)
         >= pmod(pmod(col("vec_id"), lit(KppHashMod)) * lit(KppHashA)
@@ -2123,7 +2174,7 @@ object VectorOps {
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     stages ++= stages0
     def phiOf(cents: Seq[Seq[Double]]): Long =
-      e.select(minD2Micro(cents).as("d2m")).agg(sum("d2m")).head().getLong(0)
+      sumMicroExact(e.select(minD2Micro(cents).as("d2m")), "d2m")
     stages += (("final_k", chosen.size.toLong, phiOf(chosen)))
     // baseline: the first-k-by-vec_id seeding (the q35/q111 rule)
     val seedK = e.orderBy("vec_id").limit(k)
@@ -2142,7 +2193,7 @@ object VectorOps {
                                    k: Int):
       (Seq[(String, Long, Long)], Seq[Seq[Double]]) = {
     def phiOf(cents: Seq[Seq[Double]]): Long =
-      e.select(minD2Micro(cents).as("d2m")).agg(sum("d2m")).head().getLong(0)
+      sumMicroExact(e.select(minD2Micro(cents).as("d2m")), "d2m")
     val c0 = e.orderBy("vec_id").select("vec_id", "v").limit(1)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).head
     var cents: Seq[(Long, Seq[Double])] = Seq(c0)
@@ -2193,7 +2244,11 @@ object VectorOps {
       val next = cents.map(_._1).filterNot(chosen.contains)
         .maxBy { id =>
           val md = chosen.map(c => d2m(byId(id), byId(c))).min
-          (weights.getOrElse(id, 0L) * md, -id)
+          // BigInt product (r18 overflow audit): weight (a corpus-sized
+          // cluster count) × micro distance wraps a Long at ~3.5e10
+          // rows per candidate — the q307 silent-JVM-wrap class, here
+          // in DRIVER arithmetic where it would misorder the argmax
+          (BigInt(weights.getOrElse(id, 0L)) * md, -id)
         }
       chosen = chosen :+ next
     }
@@ -2222,7 +2277,9 @@ object VectorOps {
       .select(col("cell"), posexplode(col("v")))
       .groupBy("cell", "pos")
       .agg(count(lit(1)).as("n"),
-        sum(expr("cast(floor(col * 1000000.0d + 0.5d) as long)")).as("sm"))
+        // decimal accumulation: see the r18 overflow-audit note on the
+        // buildCentroidsOf grid — same per-cell corpus-growing sum
+        sum(expr("cast(floor(col * 1000000.0d + 0.5d) as decimal(38,0))")).as("sm"))
       .select(col("cell"), col("pos"),
         (col("sm").cast("double") / (col("n") * lit(1000000.0d))).as("mean"))
       .collect()
@@ -2287,7 +2344,7 @@ object VectorOps {
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
     val (_, seedsB) = kppSelectCore(corp, KppRounds, KppL, k)
     def phiOf(cs: Seq[Seq[Double]]): Long =
-      corp.select(minD2Micro(cs).as("m")).agg(sum("m")).head().getLong(0)
+      sumMicroExact(corp.select(minD2Micro(cs).as("m")), "m")
     // the true nearest corpus vector of every fresh vector — method-
     // independent ground truth, computed once
     val w = Window.partitionBy("query_id")
@@ -2945,15 +3002,21 @@ object VectorOps {
   def compressionTiers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dim = vecs(spark, dir).select(size(col("v"))).head().getInt(0)
+    // decimal accumulation + BIGINT output cast (r18 overflow audit):
+    // corpus-wide distortion sums of per-row micro terms — the
+    // sumMicroExact rationale; the in-frame long cast goes null past
+    // the output contract where a long accumulator went negative
     val sq8 = sq8Train(spark, dir)
-      .agg(sum(col("err_micro")).as("err_micro"))
+      .agg(sum(col("err_micro").cast("decimal(38,0)")).cast("long").as("err_micro"))
       .select(lit("sq8").as("tier"), lit(dim.toLong).as("bytes_per_vec"),
         col("err_micro"))
     val rq = rqTrain(spark, dir)
-    val pqErr = rq.agg(sum(col("stage1_err_micro")).as("err_micro"))
+    val pqErr = rq.agg(sum(col("stage1_err_micro").cast("decimal(38,0)"))
+        .cast("long").as("err_micro"))
       .select(lit("pq").as("tier"), lit(PqM.toLong).as("bytes_per_vec"),
         col("err_micro"))
-    val rqErr = rq.agg(sum(col("stage2_err_micro")).as("err_micro"))
+    val rqErr = rq.agg(sum(col("stage2_err_micro").cast("decimal(38,0)"))
+        .cast("long").as("err_micro"))
       .select(lit("rq2").as("tier"), lit(2L * PqM).as("bytes_per_vec"),
         col("err_micro"))
     sq8.unionByName(pqErr).unionByName(rqErr).orderBy("tier")
@@ -3836,7 +3899,9 @@ object VectorOps {
       .select(col("sc"), posexplode(col("v")))
       .groupBy("sc", "pos")
       .agg(count(lit(1)).as("n"),
-        sum(expr("cast(floor(col * 1000000.0d + 0.5d) as long)")).as("sm"))
+        // decimal accumulation: see the r18 overflow-audit note on the
+        // buildCentroidsOf grid — same per-cell corpus-growing sum
+        sum(expr("cast(floor(col * 1000000.0d + 0.5d) as decimal(38,0))")).as("sm"))
       .select(col("sc"), col("pos"),
         (col("sm").cast("double") / (col("n") * lit(1000000.0d))).as("mean"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
@@ -3915,7 +3980,9 @@ object VectorOps {
           .as("cos_micro"))
       .groupBy("jaccard_band_micro")
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("cos_micro")).as("sum_cos_micro"),
+        // decimal accumulation (r18 overflow audit): per-band pair
+        // volume grows with the corpus's duplicate graph
+        sum(col("cos_micro").cast("decimal(38,0)")).as("sum_cos_micro"),
         min(col("cos_micro")).as("min_cos_micro"),
         max(col("cos_micro")).as("max_cos_micro"))
       .select(col("jaccard_band_micro"), col("n_pairs"),
@@ -3993,7 +4060,9 @@ object VectorOps {
     val u = e.select(col("vec_id"), posexplode(col("v")).as(Seq("p", "x")))
       .select(col("vec_id"), (col("p") + 1).as("dim"), col("x"))
     val mu = u.groupBy("dim")
-      .agg(sum(expr("CAST(FLOOR(1000000.0d * x + 0.5d) AS BIGINT)")).as("sm"),
+      // decimal accumulation (r18 overflow audit): one group per dim
+      // over every vector — the dimProfileCore rationale
+      .agg(sum(expr("CAST(FLOOR(1000000.0d * x + 0.5d) AS DECIMAL(38,0))")).as("sm"),
         count(lit(1)).as("n"))
       .select(col("dim"),
         (col("sm").cast("double") / (col("n") * lit(1000000.0d))).as("mu"))

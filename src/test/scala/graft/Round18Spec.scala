@@ -92,6 +92,62 @@ class Round18Spec extends SparkSpec {
   // cells, not abort the index build.
   // ---------------------------------------------------------------- //
 
+  // ---------------------------------------------------------------- //
+  // r18 overflow audit: the q307 BigInt fix proved micro-arithmetic
+  // wraps a Long silently inside the 100 TB design point. The
+  // corpus-growing accumulators now sum in DECIMAL(38,0); these pins
+  // plant magnitudes past the Long horizon (~9.2e18) and assert the
+  // arithmetic stays correct — the pre-fix code returned NEGATIVE
+  // means from wrapped sums.
+  // ---------------------------------------------------------------- //
+
+  test("overflow audit: Lloyd cell means stay correct past the Long horizon (decimal accumulator)") {
+    import spark.implicits._
+    // three vectors of 4e12 in one cell: Σ floor(x·1e6) ≈ 1.2e19 >
+    // Long.MaxValue — a long accumulator wraps to ≈ −6.4e18 and the
+    // mean comes out ≈ −2.1e12
+    val e = Seq(Seq(4.0e12), Seq(4.0e12), Seq(4.0e12)).toDF("v")
+    val got = graft.vector.VectorOps.lloydStepOnSeeds(e, Seq(Seq(4.0e12)))
+    assert(got.size === 1 && got.head.size === 1)
+    val mean = got.head.head
+    assert(mean > 3.9e12 && mean < 4.1e12,
+      s"cell mean wrapped: $mean (expected ~4e12)")
+  }
+
+  test("overflow audit: dimProfile RAISES past the BIGINT output contract instead of returning a wrapped negative") {
+    import spark.implicits._
+    val e = Seq(Seq(4.0e12f), Seq(4.0e12f), Seq(4.0e12f)).toDF("embedding")
+    // the exact decimal sum (≈1.2e19) exceeds the BIGINT output column:
+    // Spark's decimal→bigint cast raises CAST_OVERFLOW — the same loud
+    // behavior as the DuckDB oracle — where the old long accumulator
+    // returned a silently NEGATIVE sum and mean
+    val ex = intercept[Exception] {
+      graft.vector.VectorOps.dimProfileCore(e).head()
+    }
+    assert(ex.getMessage.contains("CAST_OVERFLOW"))
+    // in-range inputs are value-identical to the old path
+    val ok = Seq(Seq(2.0f), Seq(4.0f)).toDF("embedding")
+    val r = graft.vector.VectorOps.dimProfileCore(ok).head()
+    assert(r.getAs[Long]("sum_micro") === 6000000L)
+    assert(r.getAs[Double]("mean") === 3.0)
+  }
+
+  test("overflow audit: phi sums throw loudly past the Long output contract instead of wrapping (matching DuckDB's raise)") {
+    import spark.implicits._
+    // three rows of d² micro ≈ 4e18 each: true φ ≈ 1.2e19 > Long.Max
+    val far = Seq((1L, Seq(2.0e6)), (2L, Seq(2.0e6)), (3L, Seq(2.0e6)))
+      .toDF("vec_id", "v")
+    intercept[ArithmeticException] {
+      graft.vector.VectorOps.kppRoundProbe(far, Seq(Seq(0.0)),
+        graft.vector.VectorOps.KppL, 1)
+    }
+    // and an in-range corpus still produces the exact value
+    val near = Seq((1L, Seq(3.0)), (2L, Seq(4.0))).toDF("vec_id", "v")
+    val (phi, _) = graft.vector.VectorOps.kppRoundProbe(near, Seq(Seq(0.0)),
+      graft.vector.VectorOps.KppL, 1)
+    assert(phi === 9000000L + 16000000L)
+  }
+
   test("lloydStepOnSeeds: duplicate seed vectors dedupe to first occurrence instead of aborting") {
     import spark.implicits._
     val e = Seq(Seq(0.0, 0.0), Seq(0.2, 0.0), Seq(2.0, 2.0), Seq(2.2, 2.0))
