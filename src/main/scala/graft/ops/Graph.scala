@@ -215,12 +215,27 @@ object Graph {
   }
 
   def coPurchaseTriangles(spark: SparkSession, dir: String,
-                          topK: Int = 10, minSupport: Long = 2L): DataFrame =
-    trianglesCore(Tables.lineitem(spark, dir), topK, minSupport)
+                          topK: Int = 10, minSupport: Long = 2L): DataFrame = {
+    // the support-cut ORIENTED edge list is pure in (dir, minSupport)
+    // and is the expensive prefix (basket explode + support agg + two
+    // degree joins) — session-memoized like q272's edge list, so warm
+    // calls pay only the wedge join (the genuinely cubic-adjacent
+    // part). Fingerprint-keyed: regenerated lineitem rebuilds.
+    val fp = Tables.pathFingerprint(spark, s"$dir/lineitem.parquet")
+    val oriented = Tables.memoCache(spark,
+      s"triangle-oriented/$dir/$minSupport/$fp") {
+      orientedEdgesOf(Tables.lineitem(spark, dir), minSupport)
+    }
+    triangleTopKOf(oriented, topK)
+  }
 
   private[graft] def trianglesCore(lineitem: DataFrame,
                                    topK: Int = 10,
-                                   minSupport: Long = 2L): DataFrame = {
+                                   minSupport: Long = 2L): DataFrame =
+    triangleTopKOf(orientedEdgesOf(lineitem, minSupport), topK)
+
+  private[graft] def orientedEdgesOf(lineitem: DataFrame,
+                                     minSupport: Long): DataFrame = {
     // per-order pair expansion IN-ROW: one groupBy(okey) collects the
     // (small, basket-sized) part set, a nested transform emits its
     // C(n,2) ordered pairs without a self-join — the okey-keyed
@@ -256,6 +271,10 @@ object Graph {
         when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("dstKey"))
       .select(col("src"), col("dstKey.k").as("dst"), col("dstKey"))
       .localCheckpoint()
+    oriented
+  }
+
+  private def triangleTopKOf(oriented: DataFrame, topK: Int): DataFrame = {
     val x = oriented.select(col("src"), col("dst").as("a"), col("dstKey").as("ka"))
     val y = oriented.select(col("src"), col("dst").as("b"), col("dstKey").as("kb"))
     val wedges = x.join(y, Seq("src")).filter(col("ka") < col("kb"))
