@@ -623,6 +623,24 @@ object Sinks {
     }
   }
 
+  /** The published identity WITHOUT the payload — the cheap (1-row)
+    * read [[graft.streaming.TrainingPipeline.trainAndPublishTokenizer]]
+    * uses to skip re-signing a bit-identical version. None when no
+    * version is published. Bak-recovery as [[loadTokenizer]]. */
+  def loadTokenizerConfigIfAny(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Option[TokenizerConfig] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    if (!fs.exists(dst) && fs.exists(bak)) renameOrDie(fs, bak, dst)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path + "/config"))) None
+    else {
+      val r = spark.read.parquet(path + "/config").head()
+      Some(TokenizerConfig(r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+  }
+
   /** One loaded tokenizer version — whichever family the directory
     * holds, with its verified identity attached. */
   sealed trait PublishedTokenizer { def config: TokenizerConfig }

@@ -708,26 +708,43 @@ object TrainingPipeline {
 
   /** ONE train-and-publish job per tokenizer family — the
     * [[trainAndPublishIndex]] shape applied to the tokenizer artifacts
-    * (judge r16 task 1): train on `dir`'s documents (session-memoized —
-    * re-publishing an unchanged corpus re-signs the same artifact), and
-    * publish payload + config in one atomic swap via the family's
-    * [[Sinks]] publisher. A tokenizer-maintenance cron is this one
-    * call; every monitor and batch consumer picks the new version up
-    * through [[Sinks.loadTokenizer]]. */
+    * (judge r16 task 1): train on `dir`'s documents (session-memoized)
+    * and publish payload + config + train-time fertility baseline in
+    * one atomic swap via the family's [[Sinks]] publisher — unless the
+    * directory ALREADY serves the bit-identical version
+    * (content-addressed skip below). A tokenizer-maintenance cron is
+    * this one call; every monitor and batch consumer picks the new
+    * version up through [[Sinks.loadTokenizer]]. */
   def trainAndPublishTokenizer(spark: org.apache.spark.sql.SparkSession,
                                dir: String, path: String,
                                family: String): Unit = {
-    val base = Some(trainedFertilityMicro(spark, dir, family))
+    val base = trainedFertilityMicro(spark, dir, family)
+    // Content-addressed publish: when the would-be version is
+    // BIT-IDENTICAL to what the directory already serves (same family,
+    // fingerprint, row count, and signed baseline), re-signing it is a
+    // no-op — a scheduled retrain on an unchanged corpus costs zero
+    // swap I/O, and a re-registering query (q313 runs this per pass)
+    // stops paying three directory swaps per execution (the r18
+    // regression gate's first real catch: q313 0.99 → 1.85 s warm).
+    def upToDate(fp: Long, n: Long): Boolean =
+      Sinks.loadTokenizerConfigIfAny(spark, path).exists(c =>
+        c.family == family && c.fingerprint == fp && c.vocabSize == n) &&
+        Sinks.loadTokenizerBaseline(spark, path).contains(base)
     family match {
       case "char-bpe" =>
         val (merges, vocab) = graft.text.Curation.charBpeArtifactRows(spark, dir)
-        Sinks.publishCharBpeTokenizer(spark, path, merges, vocab, base)
+        if (!upToDate(Sinks.tokFingerprint(vocab), vocab.size))
+          Sinks.publishCharBpeTokenizer(spark, path, merges, vocab, Some(base))
       case "byte-bpe" =>
-        Sinks.publishByteBpeTokenizer(spark, path,
-          graft.text.Curation.byteBpeArtifactRows(spark, dir), base)
+        val merges = graft.text.Curation.byteBpeArtifactRows(spark, dir)
+        if (!upToDate(Sinks.tokFingerprint(merges.map(m => (m._4, m._1))),
+            merges.size))
+          Sinks.publishByteBpeTokenizer(spark, path, merges, Some(base))
       case "unigram" =>
-        Sinks.publishUnigramTokenizer(spark, path,
-          graft.text.Curation.unigramArtifactRows(spark, dir), base)
+        val vocab = graft.text.Curation.unigramArtifactRows(spark, dir)
+        if (!upToDate(Sinks.tokFingerprint(vocab.map(v => (v._1, v._4))),
+            vocab.size))
+          Sinks.publishUnigramTokenizer(spark, path, vocab, Some(base))
       case other =>
         throw new IllegalArgumentException(
           s"unknown tokenizer family '$other' " +
@@ -832,21 +849,15 @@ object TrainingPipeline {
                         dir: String, path: String, family: String,
                         deltaDocs: DataFrame,
                         budgetMicro: Long = TokenizerFertilityBudgetMicro): String = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     def retrain(): String = {
       trainAndPublishTokenizer(spark, dir, path, family); "retrain"
     }
-    // loadTokenizerBaseline first: it bak-recovers a crash-mid-swap, so
-    // a torn publish resumes the OLD version instead of paying a full
-    // corpus retrain it didn't need
-    val baselineOpt = Sinks.loadTokenizerBaseline(spark, path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path + "/config")))
-      return retrain()
-    val publishedFamily =
-      spark.read.parquet(path + "/config").head().getString(0)
-    if (publishedFamily != family) return retrain()
-    baselineOpt match {
+    // config read bak-recovers a crash-mid-swap first, so a torn
+    // publish resumes the OLD version instead of paying a full corpus
+    // retrain it didn't need
+    val cfgOpt = Sinks.loadTokenizerConfigIfAny(spark, path)
+    if (!cfgOpt.exists(_.family == family)) return retrain()
+    Sinks.loadTokenizerBaseline(spark, path) match {
       case None => retrain() // legacy pre-baseline artifact: migrate
       case Some(baseline) =>
         val (_, _, deltaFert) = tokenizerFertilityStats(deltaDocs, path)
