@@ -148,6 +148,45 @@ class Round18Spec extends SparkSpec {
     assert(phi === 9000000L + 16000000L)
   }
 
+  // ---------------------------------------------------------------- //
+  // Content-addressed tokenizer publish: re-signing a bit-identical
+  // version must be a no-op swap; ANY identity component changing
+  // (payload fingerprint, family, baseline) must republish.
+  // ---------------------------------------------------------------- //
+
+  test("content-addressed tokenizer publish: identical version skips the swap; a changed baseline or missing baseline republishes") {
+    import graft.streaming.{Sinks, TrainingPipeline => TP}
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_caskip").toString
+    val path = s"$base/tok"
+    def mtimeOf(): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(path + "/config"))
+        .getModificationTime
+    }
+    TP.trainAndPublishTokenizer(spark, dir, path, "char-bpe")
+    val v1 = Sinks.loadTokenizer(spark, path).config
+    val t1 = mtimeOf()
+    Thread.sleep(1100) // HDFS-local mtime granularity is 1 s
+    // identical corpus + family: the publish is a no-op (no new swap)
+    TP.trainAndPublishTokenizer(spark, dir, path, "char-bpe")
+    assert(mtimeOf() === t1, "re-signing an identical version must not swap")
+    assert(Sinks.loadTokenizer(spark, path).config === v1)
+    // a directory whose BASELINE is missing (legacy) must republish
+    // even though the payload fingerprint matches
+    val art = Sinks.loadTokenizer(spark, path)
+      .asInstanceOf[Sinks.CharBpeArtifact]
+    val legacy = s"$base/legacy"
+    Sinks.publishCharBpeTokenizer(spark, legacy, art.merges, art.vocab)
+    TP.trainAndPublishTokenizer(spark, dir, legacy, "char-bpe")
+    assert(Sinks.loadTokenizerBaseline(spark, legacy).nonEmpty,
+      "a fingerprint match without a baseline must still republish")
+    // a different family at the same path must republish
+    TP.trainAndPublishTokenizer(spark, dir, path, "unigram")
+    assert(Sinks.loadTokenizer(spark, path).config.family === "unigram")
+  }
+
   test("lloydStepOnSeeds: duplicate seed vectors dedupe to first occurrence instead of aborting") {
     import spark.implicits._
     val e = Seq(Seq(0.0, 0.0), Seq(0.2, 0.0), Seq(2.0, 2.0), Seq(2.2, 2.0))
