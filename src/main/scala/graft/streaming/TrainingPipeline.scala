@@ -948,7 +948,15 @@ object TrainingPipeline {
     * manifest directory is model-sized, so the append costs the DELTA
     * in compute AND in I/O. Per-row encoding is deterministic given
     * the model, so append ≡ full re-encode under the same model: q315
-    * hash-verifies exactly that against the full-path oracle replay. */
+    * hash-verifies exactly that against the full-path oracle replay.
+    *
+    * An ALL-DUPLICATE batch (the anti-join leaves nothing) is a true
+    * no-op: no empty segment, no manifest swap (r18 — previously every
+    * idempotent cron call accreted one empty segment until the
+    * compaction policy paid a pointless corpus rewrite). The delta is
+    * materialized once (eager localCheckpoint — the same delta-sized
+    * work the encode pass reads anyway) so the emptiness check costs
+    * no second anti-join. */
   def appendToPublishedIndex(spark: org.apache.spark.sql.SparkSession,
                              path: String, newVecs: DataFrame): Unit = {
     val cfg = Sinks.loadGateConfig(spark, path).getOrElse(
@@ -960,44 +968,43 @@ object TrainingPipeline {
       s"$path predates segmented code storage — re-publish (full train) " +
         "once before appending")
     import graft.vector.{VectorOps => V}
+    def freshAgainst(indexedIds: DataFrame): DataFrame =
+      newVecs.join(indexedIds.select(col("corpus_id").as("vec_id")),
+        Seq("vec_id"), "left_anti").localCheckpoint()
     cfg.tier match {
       case "full" =>
         val (cents, assigned) = Sinks.loadIvfIndex(spark, path)
-        val fresh = newVecs.join(
-          assigned.select(col("corpus_id").as("vec_id")), Seq("vec_id"),
-          "left_anti")
-        Sinks.publishIvfIndex(path, cents, V.assignCellsAuto(fresh, cents),
-          cfg.nProbe, cfg.thresholdMicro, priorSegments = segs)
+        val fresh = freshAgainst(assigned)
+        if (!fresh.isEmpty)
+          Sinks.publishIvfIndex(path, cents, V.assignCellsAuto(fresh, cents),
+            cfg.nProbe, cfg.thresholdMicro, priorSegments = segs)
       case "pq" =>
         val (cents, cb, codes) = Sinks.loadPqIvfIndex(spark, path)
-        val fresh = newVecs.join(
-          codes.select(col("corpus_id").as("vec_id")), Seq("vec_id"),
-          "left_anti")
+        val fresh = freshAgainst(codes)
         val (m, _) = V.codebookShape(cb)
-        Sinks.publishPqIvfIndex(path, cents, cb,
-          V.pqEncodeAssigned(V.assignCellsAuto(fresh, cents), cb, m),
-          cfg.nProbe, cfg.thresholdMicro, priorSegments = segs)
+        if (!fresh.isEmpty)
+          Sinks.publishPqIvfIndex(path, cents, cb,
+            V.pqEncodeAssigned(V.assignCellsAuto(fresh, cents), cb, m),
+            cfg.nProbe, cfg.thresholdMicro, priorSegments = segs)
       case "sq8" =>
         val (cents, mn, mx, codes) = Sinks.loadSq8IvfIndex(spark, path)
-        val fresh = newVecs.join(
-          codes.select(col("corpus_id").as("vec_id")), Seq("vec_id"),
-          "left_anti")
+        val fresh = freshAgainst(codes)
         val newCodes = V.assignCellsAuto(fresh, cents)
           .select(col("cell"), col("corpus_id"),
             V.sq8CodesCol(col("cv"), mn, mx).as("codes"))
-        Sinks.publishSq8IvfIndex(path, cents, mn, mx, newCodes,
-          cfg.nProbe, cfg.thresholdMicro, priorSegments = segs)
+        if (!fresh.isEmpty)
+          Sinks.publishSq8IvfIndex(path, cents, mn, mx, newCodes,
+            cfg.nProbe, cfg.thresholdMicro, priorSegments = segs)
       case "opq" =>
         val (rot, alloc, cents, cb, codes) = Sinks.loadOpqIvfIndex(spark, path)
-        val fresh = newVecs.join(
-          codes.select(col("corpus_id").as("vec_id")), Seq("vec_id"),
-          "left_anti")
+        val fresh = freshAgainst(codes)
         val tFresh = fresh.select(col("vec_id"),
           V.opqTransformCol(col("v"), rot, alloc).as("v"))
         val (m, _) = V.codebookShape(cb)
-        Sinks.publishOpqIvfIndex(path, rot, alloc, cents, cb,
-          V.pqEncodeAssigned(V.assignCellsAuto(tFresh, cents), cb, m),
-          cfg.nProbe, cfg.thresholdMicro, priorSegments = segs)
+        if (!fresh.isEmpty)
+          Sinks.publishOpqIvfIndex(path, rot, alloc, cents, cb,
+            V.pqEncodeAssigned(V.assignCellsAuto(tFresh, cents), cb, m),
+            cfg.nProbe, cfg.thresholdMicro, priorSegments = segs)
       case other =>
         throw new IllegalArgumentException(
           s"unknown gate tier '$other' in $path/config")

@@ -445,31 +445,44 @@ class StreamingSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val base = java.nio.file.Files.createTempDirectory("graft_cpol").toString
     val path = s"$base/p"
-    val freshHalf = V.vecs(spark, dir).filter(col("vec_id") >= V.GateSplitAt)
+    val fresh0 = V.vecs(spark, dir).filter(col("vec_id") >= V.GateSplitAt)
+    // distinct NEW vectors per call (same geometry — undrifted), the
+    // shape a real ingest cron sees
+    def shifted(i: Int) = fresh0.select(
+      (col("vec_id") + lit(100000L * i)).as("vec_id"),
+      col("label"), col("v"))
     def segsN: Int = Sinks.loadSegmentNames(spark, path).size
     def rowsOf(): Set[String] = Sinks.loadPqIvfIndex(spark, path)._3
       .collect().map(_.mkString("|")).toSet
     // first call trains (1 seg) + appends the batch (2 segs)
     assert(TrainingPipeline.maintainIndex(spark, dir, path, "pq",
-      freshHalf, compactAt = 3) === "retrain")
+      fresh0, compactAt = 3) === "retrain")
     assert(segsN === 2)
-    // an undrifted re-append (idempotent empty delta) grows the
-    // manifest but stays under the threshold — no compaction
+    // a fresh undrifted delta grows the manifest but stays under the
+    // threshold — no compaction
     assert(TrainingPipeline.maintainIndex(spark, dir, path, "pq",
-      freshHalf, compactAt = 3) === "append")
+      shifted(1), compactAt = 3) === "append")
     assert(segsN === 3)
     val before = rowsOf()
     // this append crosses the threshold (4 > 3): the SAME call compacts
     // back to one segment with the code rows untouched
     assert(TrainingPipeline.maintainIndex(spark, dir, path, "pq",
-      freshHalf, compactAt = 3) === "append+compact")
+      shifted(2), compactAt = 3) === "append+compact")
     assert(segsN === 1)
-    assert(rowsOf() === before,
-      "policy-triggered compaction must not change a code row")
-    // and the cycle restarts under the threshold
+    assert(rowsOf().size === before.size + shifted(2).count(),
+      "compaction must carry every appended row and nothing else")
+    // the cycle restarts under the threshold
     assert(TrainingPipeline.maintainIndex(spark, dir, path, "pq",
-      freshHalf, compactAt = 3) === "append")
+      shifted(3), compactAt = 3) === "append")
     assert(segsN === 2)
+    // an ALL-DUPLICATE batch is a TRUE no-op: no empty segment, no
+    // swap (r18 — a no-op cron call must not accrete manifest entries
+    // toward a pointless compaction)
+    val rowsBeforeDup = rowsOf()
+    assert(TrainingPipeline.maintainIndex(spark, dir, path, "pq",
+      shifted(3), compactAt = 3) === "append")
+    assert(segsN === 2, "an empty delta must not write a segment")
+    assert(rowsOf() === rowsBeforeDup)
   }
 
   test("maintainTokenizer: drift routes keep vs retrain against the published baseline; breach republishes a NEW version through the atomic swap, no-breach leaves it bit-identical") {
