@@ -132,14 +132,19 @@ object Sinks {
     }
   }
 
-  /** Resolve an index version's data table: the manifest's segment
-    * union when present, the legacy in-directory table otherwise. */
+  /** Resolve an index version's data table: the manifest's segments
+    * when present, the legacy in-directory table otherwise. All
+    * segments read as ONE multi-path parquet scan — a single
+    * FileSourceScanExec planning every segment's files together —
+    * instead of an N-leg union of separate scans (r18: the union shape
+    * paid ~45 ms of plan/scan overhead PER SEGMENT at load; one scan
+    * node also gives a 1000-executor cluster one file-listing and one
+    * split-packing pass over the whole segment set). */
   private def readSegmented(spark: org.apache.spark.sql.SparkSession,
                             path: String, legacySub: String): DataFrame = {
     val segs = loadSegmentNames(spark, path)
     if (segs.isEmpty) spark.read.parquet(path + "/" + legacySub)
-    else segs.map(s => spark.read.parquet(segRoot(path) + "/" + s))
-      .reduce(_ unionByName _)
+    else spark.read.parquet(segs.map(s => segRoot(path) + "/" + s): _*)
   }
 
   /** Drop segments the current manifest no longer references — run only

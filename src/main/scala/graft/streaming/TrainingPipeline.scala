@@ -1105,16 +1105,18 @@ object TrainingPipeline {
 
   /** Segment-count ceiling [[maintainIndex]] compacts at. Measured
     * ([[graft.ScaleProbe]] `segments` mode, 3 append→compact cycles):
-    * load+scan cost is LINEAR in the manifest length — ~45 ms per
-    * segment on this store (0.27 s at 1 segment → 0.59 s at 8 → 1.7 s
-    * at 32; each segment is one more parquet directory open + footer +
-    * union leg, payload-size-independent) — and compaction returns it
-    * to the one-segment floor in every cycle (0.26-0.29 s). An
-    * uncompacted manifest taxes EVERY reader that slope forever, while
-    * one compaction costs a single corpus-sized rewrite. 8 bounds the
-    * reader tax at ~0.3 s here (a week of daily appends between
-    * rewrites); deployments with hotter read paths tune the knob down
-    * via the `compactAt` parameter. */
+    * with the r18 single multi-path scan in [[Sinks]] (one
+    * FileSourceScanExec over every segment) load+scan is FLAT at
+    * ~0.3-0.38 s from 1 to 32 segments — the ~45 ms/segment slope the
+    * first measurement found was entirely the old N-leg union plan
+    * shape, now gone. What remains at scale is the MANY-SMALL-FILES
+    * regime: each append adds a directory of task-sized files, so an
+    * unbounded manifest grows file listings, footer reads, and
+    * object-store request counts linearly with appends even though the
+    * local scan is flat. 8 keeps the segment set a handful between
+    * corpus-sized rewrites (a week of daily appends); deployments
+    * append-heavier tune `compactAt` up now that the reader slope is
+    * gone. */
   val IndexCompactAtSegments = 8
 
   /** Drift-gated maintenance — ONE call an index cron runs per batch
